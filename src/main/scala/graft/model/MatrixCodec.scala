@@ -1,0 +1,84 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Codec for the reference's on-disk graph format: one text file per graph,
+  * first line `n`, then `n` rows of `n` whitespace-separated ints
+  * (writer: reference `primary_server.c:139-152`; reader:
+  * `secondary_server.c:272-286`).
+  *
+  * Engine-internal representation is a sparse, unbounded edge table
+  * `(src BIGINT, dst BIGINT)` with BOTH directions stored for undirected
+  * graphs and 1-based external vertex ids (reference converts at the API
+  * edge only: `secondary_server.c:242,318`). The dense matrix is by
+  * construction tiny (the format itself caps n — `#define N 30`), so matrix
+  * text is parsed driver-side; parquet edge tables are the at-scale path.
+  */
+object MatrixCodec {
+
+  /** Parse matrix text. Any nonzero entry is an edge, matching the BFS edge
+    * test `adj[s][i] != 0` (reference `secondary_server.c:83`); symmetric
+    * inputs therefore yield both directions naturally.
+    */
+  def parseMatrixText(text: String): (Int, Seq[(Long, Long)]) = {
+    val nums = text.split("\\s+").iterator.filter(_.nonEmpty).map(_.toInt).toArray
+    require(nums.nonEmpty, "empty matrix text")
+    val n = nums(0)
+    require(n >= 0 && nums.length >= 1 + n * n,
+      s"matrix text declares n=$n but has ${nums.length - 1} cells")
+    val edges = for {
+      i <- 0 until n
+      j <- 0 until n
+      if nums(1 + i * n + j) != 0
+    } yield ((i + 1).toLong, (j + 1).toLong)
+    (n, edges)
+  }
+
+  /** Render an edge list back to matrix text (sink fidelity with
+    * reference `primary_server.c:145-151`). Vertices are 1-based.
+    */
+  def renderMatrixText(n: Int, edges: Seq[(Long, Long)]): String = {
+    val adj = Array.ofDim[Int](n, n)
+    edges.foreach { case (s, d) =>
+      require(s >= 1 && s <= n && d >= 1 && d <= n,
+        s"edge ($s,$d) out of range 1..$n")
+      adj(s.toInt - 1)(d.toInt - 1) = 1
+    }
+    val sb = new StringBuilder
+    sb.append(n).append('\n')
+    var i = 0
+    while (i < n) {
+      sb.append(adj(i).mkString(" ")).append('\n')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Edge list → DataFrame(src BIGINT, dst BIGINT). */
+  def edgesDF(spark: SparkSession, edges: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    edges.toDF("src", "dst")
+  }
+
+  /** Read a matrix-text file into an edge DataFrame. Files in this format
+    * are small by definition; real graphs arrive as parquet edge tables.
+    */
+  def readMatrixFile(spark: SparkSession, path: String): (Int, DataFrame) = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val (n, edges) = parseMatrixText(text)
+    (n, edgesDF(spark, edges))
+  }
+
+  /** Write an edge DataFrame as matrix text (collects — the format itself
+    * is bounded; use parquet for anything big).
+    */
+  def writeMatrixFile(df: DataFrame, n: Int, path: String): Unit = {
+    val edges = df.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path),
+      renderMatrixText(n, edges).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  *
+  * Scale design: everything here is groupBy/join dataflow — no driver-side
+  * state, no collect. The shingle self-join is the classic candidate
+  * generation for exact Jaccard: it shuffles on the shingle key, so hot
+  * shingles (stopword trigrams at web scale) can be frequency-capped via
+  * `maxShingleFreq` to bound the quadratic blowup per key.
+  */
+object Dedup {
+
+  /** Word-level w-shingles (default trigrams), distinct per doc.
+    * Output: (doc_id, s). Mirrors the DuckDB oracle expression exactly
+    * (element_at is 1-based in both engines).
+    */
+  def shingles(documents: DataFrame, w: Int = 3): DataFrame = {
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(t) >= $w
+           |THEN transform(sequence(1, size(t) - ${w - 1}),
+           |       i -> concat_ws(' ', ${(0 until w).map(o => s"element_at(t, i + $o)").mkString(", ")}))
+           |ELSE array() END""".stripMargin)).as("s"))
+      .distinct()
+  }
+
+  /** Exact duplicate groups by content hash: one row per distinct text,
+    * keeping the smallest doc_id. Output: (keep_id, n_copies) ordered.
+    */
+  def exactDedup(documents: DataFrame): DataFrame = {
+    documents
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").cast("long").as("keep_id"),
+           count(lit(1)).cast("long").as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
+  /** Exact n-gram Jaccard similarity for all candidate pairs (docs sharing
+    * ≥1 shingle), thresholded. Output: (doc_a, doc_b, jaccard) ordered.
+    *
+    * `maxShingleFreq`: drop shingles present in more docs than this before
+    * the self-join (0 = no cap). The oracle queries use no cap; at 100 TB a
+    * cap (or minhash prefiltering) bounds worst-case skew.
+    */
+  def ngramJaccardPairs(documents: DataFrame, w: Int = 3,
+                        threshold: Double = 0.1,
+                        maxShingleFreq: Long = 0L): DataFrame = {
+    val sh0 = shingles(documents, w)
+    val sh =
+      if (maxShingleFreq <= 0) sh0
+      else {
+        val hot = sh0.groupBy("s").agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxShingleFreq).select("s")
+        sh0.join(hot, Seq("s"), "left_anti")
+      }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("da"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("s"))
+    val inter = a.join(b, a("s") === b("s") && a("da") < b("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(col("doc_id").as("da"), col("sz").as("sza"))
+    val sb = sizes.select(col("doc_id").as("db"), col("sz").as("szb"))
+    inter.join(sa, "da").join(sb, "db")
+      .withColumn("jac", col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("da").cast("long").as("doc_a"),
+              col("db").cast("long").as("doc_b"),
+              round(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signatures: `numHashes` permutations simulated as
+    * `xxhash64(shingle, seed)`; signature k = min over shingles.
+    * Output: (doc_id, k, mh).
+    */
+  def minhashSignatures(documents: DataFrame, w: Int = 3,
+                        numHashes: Int = 64): DataFrame = {
+    shingles(documents, w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${numHashes - 1}), k -> struct(k AS k, xxhash64(s, k) AS h))")).as("kh"))
+      .groupBy(col("doc_id"), col("kh.k").as("k"))
+      .agg(min("kh.h").as("mh"))
+  }
+
+  /** MinHash + LSH banding near-dup detection: band the signature
+    * (`bands` × `rowsPerBand` = numHashes), bucket-join on (band, band
+    * signature), then verify candidates with exact Jaccard ≥ `threshold`.
+    *
+    * Deterministic (fixed seeds), so for a fixed dataset the output is
+    * stable; with 16×4 banding the catch probability at j=0.8 is
+    * 1-(1-0.8^4)^16 ≈ 0.9998 per pair and recall is exact on every
+    * dataset we test. Output schema matches [[ngramJaccardPairs]].
+    */
+  def minhashLshPairs(documents: DataFrame, w: Int = 3,
+                      bands: Int = 16, rowsPerBand: Int = 4,
+                      threshold: Double = 0.8): DataFrame = {
+    val sig = minhashSignatures(documents, w, bands * rowsPerBand)
+    val banded = sig
+      .withColumn("band", (col("k") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("k"), col("mh")))))).as("bandsig"))
+    val l = banded.select(col("doc_id").as("da"), col("band"), col("bandsig"))
+    val r = banded.select(col("doc_id").as("db"), col("band"), col("bandsig"))
+    val candidates = l.join(r, Seq("band", "bandsig"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val exact = ngramJaccardPairs(documents, w, threshold)
+    exact.join(candidates,
+        exact("doc_a") === candidates("da") && exact("doc_b") === candidates("db"),
+        "left_semi")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash per doc from token xxhash64s (sign-sum of bits,
+    * weight 1 per distinct token). Output: (doc_id, simhash).
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tokens = documents
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bits = tokens.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(0, 63), b -> struct(b AS b, CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END AS v))")).as("bv"))
+      .groupBy(col("doc_id"), col("bv.b").as("b"))
+      .agg(sum("bv.v").as("s"))
+    bits.groupBy("doc_id")
+      .agg(sum(expr(
+        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("simhash").cast("long").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidate
+    * generation by 4×16-bit block equality (a pair within distance 3 must
+    * agree on ≥1 of 4 blocks — pigeonhole).
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(documents)
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), q -> struct(q AS q, shiftright(simhash, CAST(q * 16 AS INT)) & 65535 AS blk))")).as("qb"))
+      .select(col("doc_id"), col("simhash"), col("qb.q"), col("qb.blk"))
+    val l = blocks.select(col("doc_id").as("da"), col("simhash").as("ha"), col("q"), col("blk"))
+    val r = blocks.select(col("doc_id").as("db"), col("simhash").as("hb"), col("q"), col("blk"))
+    l.join(r, Seq("q", "blk")).filter(col("da") < col("db"))
+      .select("da", "db", "ha", "hb").distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da").cast("long").as("doc_a"),
+              col("db").cast("long").as("doc_b"),
+              col("hamming").cast("long"))
+      .orderBy("doc_a", "doc_b")
+  }
+}

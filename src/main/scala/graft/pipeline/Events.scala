@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-stream analytics over `events(event_id, ts, user_id, event_type,
+  * value, props)`. Window functions partition by user — the natural shuffle
+  * key; at 100 TB this is one shuffle on user_id and everything downstream
+  * stays co-partitioned.
+  */
+object Events {
+
+  /** Epoch millis from `ts`. The testdata's `events.ts` is parquet
+    * TIMESTAMP(NANOS), which Spark (with
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) surfaces as a LONG of
+    * nanoseconds — integer-divide it (double division would lose precision
+    * past 2^53). Proper timestamps go through unix_millis. Both floor, like
+    * DuckDB's epoch_ms.
+    */
+  private def msOf(events: DataFrame): Column =
+    events.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts"))
+    }
+
+  /** Gap-based sessionization (30-minute inactivity). Timestamps are
+    * compared in epoch millis (unix_millis ⇔ DuckDB epoch_ms — both floor).
+    * Output: one row per (user_id, session_id).
+    */
+  def sessionize(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ms")
+    events
+      .select(col("user_id").cast("long").as("user_id"), msOf(events).as("ms"), col("value"))
+      .withColumn("new_s",
+        when(lag("ms", 1).over(byUser).isNull ||
+             col("ms") - lag("ms", 1).over(byUser) > gapMs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_s").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
+      .agg(min("ms").cast("long").as("session_start_ms"),
+           count(lit(1)).cast("long").as("n_events"),
+           round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Per-event-type stats with a JSON-extracted field from `props`
+    * (`get_json_object` ⇔ DuckDB `json_extract_string`).
+    */
+  def typeStats(events: DataFrame): DataFrame = {
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(round(avg("k"), 3).as("avg_k"), count(lit(1)).cast("long").as("n"))
+      .orderBy("event_type")
+  }
+
+  /** Tumbling-hour event rates: (hour_ms, event_type, n, sum_value). */
+  def hourlyRates(events: DataFrame): DataFrame = {
+    val ms = msOf(events)
+    events
+      .select((ms - ms % 3600000L).as("hour_ms"),
+        col("event_type"), col("value"))
+      .groupBy("hour_ms", "event_type")
+      .agg(count(lit(1)).cast("long").as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour_ms", "event_type")
+  }
+}

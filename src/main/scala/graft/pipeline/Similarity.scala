@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `embeddings(vec_id, embedding: array<float>, label)`.
+  *
+  * Scale design: the query vector is a broadcast (single row); scoring is a
+  * codegen'd higher-order-function fold per row (no explode, no shuffle);
+  * top-k is Spark's TakeOrdered (per-partition heap + driver merge of k).
+  * The cluster-pruned variant cuts the scan by restricting to the best
+  * coarse partitions first (IVF shape).
+  */
+object Similarity {
+
+  /** `aggregate` fold: dot product of two float arrays in double. Sequential
+    * left-fold ⇒ deterministic summation order.
+    */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+
+  private def norm(a: String) =
+    expr(s"sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+
+  /** Brute-force cosine top-k against the embedding of `queryId`.
+    * Output: (vec_id, cosine) ordered by (cosine DESC, vec_id), k rows.
+    * Ordering uses the 4-decimal rounded cosine so ranking is stable across
+    * engines (ties broken by vec_id).
+    */
+  def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").cast("long"),
+        round(dot("embedding", "qe") / (norm("embedding") * norm("qe")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-style pruned search: coarse-quantize by `label` (stand-in for a
+    * k-means centroid id), rank clusters by centroid cosine against the
+    * query, scan only the best `nprobe` clusters. At 100 TB the full scan
+    * touches every row; this touches nprobe/nlist of them.
+    */
+  def cosineTopKIvf(embeddings: DataFrame, queryId: Long, k: Int = 10,
+                    nprobe: Int = 1): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    // Centroids: element-wise mean per label (explode+agg, one shuffle over
+    // nlist × dim rows — tiny).
+    val cent = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("centroid"))
+    val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val best = cent.crossJoin(broadcast(q))
+      .select(col("label"),
+        (dot("centroid", "cast(qe as array<double>)") /
+          (norm("centroid") * norm("qe"))).as("cc"))
+      .orderBy(col("cc").desc).limit(nprobe).select("label")
+    embeddings.join(broadcast(best), "label")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").cast("long"),
+        round(dot("embedding", "qe") / (norm("embedding") * norm("qe")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
+    * label to avoid the full cross join (pairs across labels are assumed
+    * dissimilar — the LSH/IVF contract).
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val a = embeddings.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = embeddings.select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      .withColumn("cos", dot("ea", "eb") / (norm("ea") * norm("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("va").cast("long").as("vec_a"),
+              col("vb").cast("long").as("vec_b"),
+              round(col("cos"), 4).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents(doc_id, text, lang, source, n_chars)`.
+  * All are per-row codegen'd expressions (no UDFs, no shuffles except the
+  * final sort) — they stream at scan speed at any scale.
+  */
+object TextStats {
+
+  /** Stopword list shared verbatim with the DuckDB oracle. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+  private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** n-gram/stopword-heuristic language ID: fraction of tokens that are
+    * common-English stopwords ≥ 8% ⇒ 'en', else 'unk'. Output one row per
+    * doc with the prediction and the ground-truth label for accuracy eval.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    documents
+      .select(col("doc_id").cast("long"), col("lang"), split(col("text"), " ").as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_stop", expr(s"size(filter(t, x -> x IN ($stopList)))").cast("long"))
+      .withColumn("pred_lang",
+        when(col("n_stop") * lit(1.0) / col("n_tokens") >= 0.08, "en").otherwise("unk"))
+      .select("doc_id", "lang", "n_tokens", "n_stop", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  /** Quality score: 0.5·min(1, n_tokens/100) + 0.5·[avg token length ∈ [4,8]].
+    * Also emits the raw components (punct count over `.,!`).
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    documents
+      .select(col("doc_id").cast("long"), col("text"), split(col("text"), " ").as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("avg_tok_len", round(length(col("text")) * lit(1.0) / col("n_tokens"), 4))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!]", ""))).cast("long"))
+      .withColumn("quality", round(
+        least(lit(1.0), col("n_tokens") / lit(100.0)) * 0.5 +
+          when((length(col("text")) * lit(1.0) / col("n_tokens")).between(4, 8), 0.5).otherwise(0.0),
+        4))
+      .select("doc_id", "n_tokens", "avg_tok_len", "n_punct", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish estimate (chars/4,
+    * the common rule of thumb) and a subword-regex count (runs of letters /
+    * digits / single punctuation, a crude GPT-style pre-tokenizer).
+    */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    documents
+      .select(col("doc_id").cast("long"), col("text"), col("n_chars"))
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bpe_est", ceil(col("n_chars") / lit(4.0)).cast("long"))
+      .withColumn("subword_tokens",
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")).cast("long"))
+      .select("doc_id", "ws_tokens", "bpe_est", "subword_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: 128-bit content hash (md5 hex) — the exact-dedup
+    * key — plus a 64-bit xxhash64 for compact storage.
+    */
+  def fingerprints(documents: DataFrame): DataFrame = {
+    documents
+      .select(col("doc_id").cast("long"),
+        md5(col("text").cast("binary")).as("md5_fp"),
+        xxhash64(col("text")).as("xx64_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing-style robust fingerprint: minimum k-gram hash per window —
+    * here simplified to the global min and second-min shingle hashes, a
+    * compact sketch that survives small edits (rolling-hash family;
+    * reference-free extension). No oracle — verified by ScalaTest.
+    */
+  def winnowedFingerprint(documents: DataFrame, w: Int = 3): DataFrame = {
+    Dedup.shingles(documents, w)
+      .withColumn("h", xxhash64(col("s")))
+      .groupBy("doc_id")
+      .agg(min("h").as("min_h"), expr("sort_array(collect_list(h))[1]").as("second_h"))
+      .orderBy("doc_id")
+  }
+}

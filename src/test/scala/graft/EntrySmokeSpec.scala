@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import SparkTestSession._
+
+/** Smoke: every declared query runs at sf0.001 and key ones return rows.
+  * Hash-level correctness against DuckDB is the driver's job (Verify).
+  */
+class EntrySmokeSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  private val mustBeNonEmpty = Set(
+    "bfs_levels", "bfs_pregel", "reachable_by_level", "dfs_leaves",
+    "degree_hist", "connected_components", "graph_scan", "graph_add_roundtrip",
+    "route_assignment", "parse_requests", "q1_agg", "top_revenue",
+    "rollup_orders", "events_sessions", "events_type_stats", "events_hourly",
+    "dedup_exact", "embedding_topk", "embedding_topk_ivf", "lang_id",
+    "quality_score", "token_stats", "doc_fingerprint", "winnow_fingerprint")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001") {
+      val n = fn(spark, dir).count()
+      if (mustBeNonEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

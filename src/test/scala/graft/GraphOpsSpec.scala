@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.GraphOps
+import SparkTestSession._
+
+/** Golden traversal cases from `Sample IO for DFS_BFS.docx` (FIXTURES.md §3)
+  * plus property-style invariants on seeded random attachment trees.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+
+  // Docx G1: n=5, edges 1-2, 2-3, 2-4, 4-5
+  private def docxG1 = undirected((1, 2), (2, 3), (2, 4), (4, 5))
+  // Docx G2: n=7, edges 1-2, 1-4, 2-5, 2-7, 3-4, 6-7
+  private def docxG2 = undirected((1, 2), (1, 4), (2, 5), (2, 7), (3, 4), (6, 7))
+
+  private def levels(edges: org.apache.spark.sql.DataFrame, start: Long,
+                     pregel: Boolean = false): Map[Long, Set[Long]] = {
+    val df = if (pregel) GraphOps.bfsLevelsPregel(edges, start)
+             else GraphOps.bfsLevels(edges, start)
+    df.collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  private def leaves(edges: org.apache.spark.sql.DataFrame, start: Long): Set[Long] =
+    GraphOps.dfsLeaves(edges, start).collect().map(_.getLong(0)).toSet
+
+  test("BFS docx G1 from 1 → [{1},{2},{3,4},{5}]") {
+    assert(levels(docxG1, 1) ==
+      Map(0L -> Set(1L), 1L -> Set(2L), 2L -> Set(3L, 4L), 3L -> Set(5L)))
+  }
+
+  test("BFS docx G1 from 2 → [{2},{1,3,4},{5}]") {
+    assert(levels(docxG1, 2) ==
+      Map(0L -> Set(2L), 1L -> Set(1L, 3L, 4L), 2L -> Set(5L)))
+  }
+
+  test("BFS docx G2 from 1 → [{1},{2,4},{3,5,7},{6}]") {
+    assert(levels(docxG2, 1) ==
+      Map(0L -> Set(1L), 1L -> Set(2L, 4L), 2L -> Set(3L, 5L, 7L), 3L -> Set(6L)))
+  }
+
+  test("Pregel BFS matches the DataFrame loop on docx fixtures") {
+    for (g <- Seq(docxG1, docxG2); s <- Seq(1L, 2L)) {
+      assert(levels(g, s, pregel = true) == levels(g, s))
+    }
+  }
+
+  test("DFS leaves docx goldens: {3,5} from 1; {1,3,5} from 2 and from 4") {
+    assert(leaves(docxG1, 1) == Set(3L, 5L))
+    assert(leaves(docxG1, 2) == Set(1L, 3L, 5L))
+    assert(leaves(docxG1, 4) == Set(1L, 3L, 5L))
+  }
+
+  test("degrees of docx G1") {
+    val d = GraphOps.degrees(docxG1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d == Map(1L -> 1L, 2L -> 3L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("connected components labels two separate paths by min vertex id") {
+    import spark.implicits._
+    val edges = undirected((1, 2), (2, 3), (10, 11))
+    val vertices = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("vertex") // 99 isolated
+    val cc = GraphOps.connectedComponents(edges, vertices).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  /** Random tree on n vertices: vertex i (2..n) attaches to a uniform
+    * earlier vertex (seeded — deterministic across runs).
+    */
+  private def randomTree(rng: scala.util.Random): Seq[(Long, Long)] = {
+    val n = 2 + rng.nextInt(23)
+    (2 to n).map(i => ((1 + rng.nextInt(i - 1)).toLong, i.toLong))
+  }
+
+  test("property: BFS visits all n vertices exactly once; level = hop distance") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 6) {
+      val pairs = randomTree(rng)
+      val n = pairs.length + 1
+      val lv = levels(undirected(pairs: _*), 1)
+      val all = lv.values.flatten.toSeq
+      assert(all.length == n && all.toSet.size == n)
+      // vertex 1 alone at level 0; every child one level below its parent
+      assert(lv(0L) == Set(1L))
+      val lvOf = lv.flatMap { case (l, vs) => vs.map(_ -> l) }
+      pairs.foreach { case (p, c) => assert(lvOf(c) == lvOf(p) + 1) }
+    }
+  }
+
+  test("property: DFS leaves = degree-1 vertices minus the root") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 6) {
+      val pairs = randomTree(rng)
+      val g = undirected(pairs: _*)
+      val deg = pairs.flatMap(p => Seq(p._1, p._2)).groupBy(identity).view.mapValues(_.size)
+      val expected = deg.filter(_._2 == 1).keySet.toSet - 1L
+      assert(leaves(g, 1) == expected)
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Dedup, Similarity, TextStats}
+import SparkTestSession._
+
+class PipelineSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("n_chars",
+      org.apache.spark.sql.functions.length($"text").cast("long"))
+
+  test("exact dedup keeps min doc_id per identical text") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val out = Dedup.exactDedup(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard: identical docs score 1.0; disjoint docs absent") {
+    val d = docs(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "q r s t u v"))
+    val out = Dedup.ngramJaccardPairs(d, w = 3, threshold = 0.1).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(out(0).getDouble(2) == 1.0)
+  }
+
+  test("minhash LSH finds high-jaccard pairs and skips dissimilar ones") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    val d = docs(
+      (1L, base),
+      (2L, base + " w21"),      // near-dup of 1
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
+    val out = Dedup.minhashLshPairs(d, w = 3, threshold = 0.8).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs have identical hashes; hamming 0 pair found") {
+    val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "one two three four"))
+    val hashes = Dedup.simhash(d).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hashes(1L) == hashes(2L))
+    val pairs = Dedup.simhashPairs(d, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("cosine topk ranks an identical vector first") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.9f, 0.1f, 0.0f), 0),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.cosineTopK(e, 0L, 3).collect()
+    assert(out(0).getLong(0) == 1L && out(0).getDouble(1) == 1.0)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
+  }
+
+  test("IVF pruned search returns the same neighbors when the right cluster is probed") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.1f), 0),
+      (2L, Array(0.98f, 0.15f), 0), (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.1f, 0.99f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val brute = Similarity.cosineTopK(e, 0L, 2).collect().map(_.getLong(0)).toSeq
+    val ivf = Similarity.cosineTopKIvf(e, 0L, 2, nprobe = 1).collect().map(_.getLong(0)).toSeq
+    assert(ivf == brute)
+  }
+
+  test("lang_id flags stopword-rich docs as en") {
+    val d = Seq(
+      (1L, "the cat sat on the mat and the dog", "en"),
+      (2L, "uno dos tres cuatro cinco seis siete ocho nueve diez uno dos tres", "es"),
+    ).toDF("doc_id", "text", "lang")
+    val out = TextStats.langId(d).collect().map(r => (r.getLong(0), r.getString(4))).toMap
+    assert(out(1L) == "en" && out(2L) == "unk")
+  }
+
+  test("token stats count whitespace and subword tokens") {
+    val d = docs((1L, "hello world, it's 42"))
+    val r = TextStats.tokenStats(d).collect()(0)
+    assert(r.getLong(1) == 4) // ws tokens
+    // subwords: hello|world|,|it|'|s|42
+    assert(r.getLong(3) == 7)
+  }
+}
