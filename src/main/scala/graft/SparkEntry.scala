@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.graph.{DerivedGraphs, GraphCatalog, GraphOps}
 import graft.model.MatrixCodec
+import graft.multimodal.Media
 import graft.pipeline.{Dedup, Events, Similarity, TextStats}
 
 /** Driver contract — one named query per implemented operator
@@ -160,7 +161,7 @@ object SparkEntry {
     "embedding_topk_ivf" -> ((s, dir) =>
       Similarity.cosineTopKIvf(t(s, dir, "embeddings"), queryId = 0L, k = 10, nprobe = 2)),
     "embedding_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.9)),
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
     "lang_id" -> ((s, dir) => TextStats.langId(t(s, dir, "documents"))),
     "quality_score" -> ((s, dir) => TextStats.qualityScore(t(s, dir, "documents"))),
     "token_stats" -> ((s, dir) => TextStats.tokenStats(t(s, dir, "documents"))),
@@ -168,6 +169,13 @@ object SparkEntry {
       TextStats.fingerprints(t(s, dir, "documents")).select("doc_id", "md5_fp")),
     "winnow_fingerprint" -> ((s, dir) =>
       TextStats.winnowedFingerprint(t(s, dir, "documents"))),
+
+    // ---- multimodal columns (binary payloads; codec layer stubbed) -------
+    "media_stats" -> ((s, dir) =>
+      Media.mediaStats(Media.mediaFromDocuments(t(s, dir, "documents")))),
+    "media_features" -> ((s, dir) =>
+      Media.extractFeatures(Media.mediaFromDocuments(t(s, dir, "documents")))
+        .toDF().orderBy("media_id")),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -333,7 +341,7 @@ object SparkEntry {
         |  GROUP BY a.vec_id, b.vec_id)
         |SELECT CAST(va AS BIGINT) AS vec_a, CAST(vb AS BIGINT) AS vec_b,
         |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
-        |FROM sims WHERE dot / (na * nb) >= 0.9 ORDER BY vec_a, vec_b""".stripMargin,
+        |FROM sims WHERE dot / (na * nb) >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "lang_id" ->
       s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
          |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
@@ -360,5 +368,11 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "media_stats" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a large-scale training-data pipeline.
   *
@@ -40,12 +41,29 @@ object Dedup {
       .orderBy("keep_id")
   }
 
+  /** Exact Jaccard for a given set of (da, db) intersection counts.
+    * Shared tail of the exact and LSH paths.
+    */
+  private def jaccardOf(inter: DataFrame, sizes: DataFrame,
+                        threshold: Double): DataFrame = {
+    val sa = sizes.select(col("doc_id").as("da"), col("sz").as("sza"))
+    val sb = sizes.select(col("doc_id").as("db"), col("sz").as("szb"))
+    inter.join(sa, "da").join(sb, "db")
+      .withColumn("jac", col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("da").cast("long").as("doc_a"),
+              col("db").cast("long").as("doc_b"),
+              round(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact n-gram Jaccard similarity for all candidate pairs (docs sharing
     * ≥1 shingle), thresholded. Output: (doc_a, doc_b, jaccard) ordered.
     *
     * `maxShingleFreq`: drop shingles present in more docs than this before
     * the self-join (0 = no cap). The oracle queries use no cap; at 100 TB a
-    * cap (or minhash prefiltering) bounds worst-case skew.
+    * cap (or minhash prefiltering — [[minhashLshPairs]]) bounds the
+    * quadratic blowup on hot shingle keys.
     */
   def ngramJaccardPairs(documents: DataFrame, w: Int = 3,
                         threshold: Double = 0.1,
@@ -63,15 +81,7 @@ object Dedup {
     val b = sh.select(col("doc_id").as("db"), col("s"))
     val inter = a.join(b, a("s") === b("s") && a("da") < b("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    val sa = sizes.select(col("doc_id").as("da"), col("sz").as("sza"))
-    val sb = sizes.select(col("doc_id").as("db"), col("sz").as("szb"))
-    inter.join(sa, "da").join(sb, "db")
-      .withColumn("jac", col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("da").cast("long").as("doc_a"),
-              col("db").cast("long").as("doc_b"),
-              round(col("jac"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    jaccardOf(inter, sizes, threshold)
   }
 
   /** MinHash signatures: `numHashes` permutations simulated as
@@ -99,7 +109,14 @@ object Dedup {
   def minhashLshPairs(documents: DataFrame, w: Int = 3,
                       bands: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
-    val sig = minhashSignatures(documents, w, bands * rowsPerBand)
+    // Shingles feed three branches (signatures, sizes, verification) —
+    // persist so the scan+shingle stage runs once.
+    val sh = shingles(documents, w).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = sh
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${bands * rowsPerBand - 1}), k -> struct(k AS k, xxhash64(s, k) AS h))")).as("kh"))
+      .groupBy(col("doc_id"), col("kh.k").as("k"))
+      .agg(min("kh.h").as("mh"))
     val banded = sig
       .withColumn("band", (col("k") / rowsPerBand).cast("int"))
       .groupBy("doc_id", "band")
@@ -110,11 +127,14 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "bandsig"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    val exact = ngramJaccardPairs(documents, w, threshold)
-    exact.join(candidates,
-        exact("doc_a") === candidates("da") && exact("doc_b") === candidates("db"),
-        "left_semi")
-      .orderBy("doc_a", "doc_b")
+    // Verify ONLY the candidates with exact Jaccard — unlike the all-pairs
+    // shingle self-join, work here is proportional to |candidates|.
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    jaccardOf(inter, sizes, threshold)
   }
 
   /** 64-bit SimHash per doc from token xxhash64s (sign-sum of bits,

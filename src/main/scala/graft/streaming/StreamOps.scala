@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY.md §7.7): the reference's client
+  * loop (`client (1).c:59`) + blocking message queue (`load_balancer.c:47-49`)
+  * is a request *stream*; here it is a real streaming Dataset with
+  * event-time semantics the reference never had.
+  *
+  * All transforms are stream-agnostic DataFrame ops — the same code runs on
+  * a batch DataFrame (tests use MemoryStream and batch parity checks).
+  */
+object StreamOps {
+
+  /** Parse a stream of protocol lines `"seq op fname"` into typed request
+    * rows with the router's worker assignment (A7/A11, streaming form).
+    * Malformed lines are routed to worker 'invalid' instead of crashing the
+    * stream (the reference's unchecked sscanf would read garbage).
+    */
+  def parseRequests(lines: DataFrame): DataFrame = {
+    lines
+      .withColumn("parts", split(trim(col("value")), "\\s+"))
+      // try_* variants: malformed lines yield NULLs, not ANSI cast errors
+      .withColumn("seq_no", expr("try_cast(try_element_at(parts, 1) AS BIGINT)"))
+      .withColumn("op_no", expr("try_cast(try_element_at(parts, 2) AS BIGINT)"))
+      .withColumn("filename", expr("try_element_at(parts, 3)"))
+      .withColumn("worker",
+        when(col("seq_no").isNull || col("op_no").isNull ||
+             col("filename").isNull || !col("op_no").between(1, 4) ||
+             col("seq_no") <= 0, "invalid")
+          .when(col("op_no").isin(1, 2), "primary")
+          .when(col("seq_no") % 2 === 0, "secondary_1")
+          .otherwise("secondary_2"))
+      .drop("value", "parts") // keep any carried columns (e.g. ts) for windowing
+  }
+
+  /** Per-worker request counts over tumbling windows with a watermark —
+    * the streaming analogue of the balancer's routing fan-out. `ts` must be
+    * a TimestampType column on the input.
+    */
+  def requestRates(requests: DataFrame, windowLen: String = "1 minute",
+                   watermark: String = "2 minutes"): DataFrame = {
+    requests
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("worker"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("worker"), col("n"))
+  }
+
+  /** Windowed event-type rates over the events schema (ts, event_type,
+    * value) — watermarked tumbling windows, append-mode compatible.
+    */
+  def eventRates(events: DataFrame, windowLen: String = "5 minutes",
+                 watermark: String = "10 minutes"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Stateful per-user session tracking with flatMapGroupsWithState:
+    * emits a session row when a user is idle past `gapMs` (event-time
+    * sessionization with explicit state, the streaming analogue of
+    * [[graft.pipeline.Events.sessionize]]).
+    */
+  def sessionizeStream(events: Dataset[UserEvent], gapMs: Long = 1800000L)
+  : Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ms)
+          var st = state.getOption.getOrElse(SessionState(0, 0, 0, 0.0))
+          val closed = Seq.newBuilder[SessionOut]
+          for (e <- sorted) {
+            if (st.n == 0) st = SessionState(e.ms, e.ms, 1, e.value)
+            else if (e.ms - st.lastMs > gapMs) {
+              closed += SessionOut(uid, st.startMs, st.n, st.sum)
+              st = SessionState(e.ms, e.ms, 1, e.value)
+            } else st = SessionState(st.startMs, e.ms, st.n + 1, st.sum + e.value)
+          }
+          state.update(st)
+          closed.result().iterator
+      }
+  }
+}
+
+final case class UserEvent(user_id: Long, ms: Long, value: Double)
+final case class SessionState(startMs: Long, lastMs: Long, n: Int, sum: Double)
+final case class SessionOut(user_id: Long, session_start_ms: Long,
+                            n_events: Long, sum_value: Double)

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine._
+import graft.graph.{GraphCatalog, GraphNotFoundException}
+import graft.model._
+import SparkTestSession._
+
+/** End-to-end session replay — the `inp.txt`-equivalent lifecycle of
+  * SURVEY.md §3/§5.2(5): add G1/G2/G3, modify G2, traverse, and the
+  * out-of-range start-vertex probe that is UB in the reference.
+  */
+class EngineSpec extends AnyFunSuite {
+
+  private def freshEngine(): GraphEngine = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_engine_").toString
+    new GraphEngine(spark, new GraphCatalog(spark, tmp))
+  }
+
+  // The reference's live fixtures (FIXTURES.md §2) as session-script text.
+  private val script =
+    """1
+      |1
+      |G1.txt
+      |5
+      |0 1 0 0 0
+      |1 0 1 0 0
+      |0 1 0 1 0
+      |0 0 1 0 1
+      |0 0 0 1 0
+      |2
+      |1
+      |G2.txt
+      |2
+      |0 1
+      |1 0
+      |3
+      |1
+      |G3.txt
+      |5
+      |0 1 0 0 0
+      |1 0 1 1 1
+      |0 1 0 0 0
+      |0 1 0 0 0
+      |0 1 0 0 0
+      |4
+      |2
+      |G2.txt
+      |3
+      |0 1 0
+      |1 0 1
+      |0 1 0
+      |5
+      |3
+      |G3.txt
+      |3
+      |6
+      |4
+      |G3.txt
+      |0
+      |""".stripMargin.linesIterator.toSeq
+
+  test("inp.txt-style session: adds, modify, DFS, and a clean out-of-range error") {
+    val engine = freshEngine()
+    val rs = SessionScript.replay(spark, engine, script)
+    assert(rs.length == 6)
+    // three adds + one modify succeed with the reference's response strings
+    assert(rs(0).toOption.get.message == "File successfully added")
+    assert(rs(2).toOption.get.message == "File successfully added")
+    assert(rs(3).toOption.get.message == "File successfully modified")
+    // routing: seq 5 op 3 is a read with odd seq → secondary_2 (parity rule)
+    assert(rs(4).toOption.get.worker == Worker.Secondary2)
+    // DFS G3 (star centered at 2) from 3: leaves = deg-1 vertices minus root
+    val leaves = rs(4).toOption.get.result.get.collect().map(_.getLong(0)).toSet
+    assert(leaves == Set(1L, 4L, 5L))
+    // BFS from start vertex 0: typed error, not adj[-1] UB
+    assert(rs(5).isLeft)
+    assert(rs(5).swap.toOption.get.isInstanceOf[IllegalArgumentException])
+  }
+
+  test("modify before add fails with GraphNotFound (add-before-read rule)") {
+    val engine = freshEngine()
+    val edges = undirected((1, 2))
+    assertThrows[GraphNotFoundException] {
+      engine.execute(GraphRequest(1, Op.ModifyGraph, "GX.txt"), GraphPayload(edges))
+    }
+  }
+
+  test("read-after-modify sees the new snapshot (A9 immutable-snapshot model)") {
+    val engine = freshEngine()
+    engine.execute(GraphRequest(1, Op.AddGraph, "G9.txt"), GraphPayload(undirected((1, 2))))
+    val bfs1 = engine.execute(GraphRequest(2, Op.BfsLevels, "G9.txt"), StartVertex(1))
+    assert(bfs1.result.get.count() == 2)
+    engine.execute(GraphRequest(3, Op.ModifyGraph, "G9.txt"),
+      GraphPayload(undirected((1, 2), (2, 3), (3, 4))))
+    val bfs2 = engine.execute(GraphRequest(4, Op.BfsLevels, "G9.txt"), StartVertex(1))
+    assert(bfs2.result.get.count() == 4)
+  }
+
+  test("duplicate add fails; response tags follow seq_no + 100") {
+    val engine = freshEngine()
+    val r = engine.execute(GraphRequest(42, Op.AddGraph, "G7.txt"),
+      GraphPayload(undirected((1, 2))))
+    assert(r.responseTag == 142)
+    assertThrows[graft.graph.GraphAlreadyExistsException] {
+      engine.execute(GraphRequest(43, Op.AddGraph, "G7.txt"), GraphPayload(undirected((1, 2))))
+    }
+  }
+}

@@ -23,7 +23,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     "route_assignment", "parse_requests", "q1_agg", "top_revenue",
     "rollup_orders", "events_sessions", "events_type_stats", "events_hourly",
     "dedup_exact", "embedding_topk", "embedding_topk_ivf", "lang_id",
-    "quality_score", "token_stats", "doc_fingerprint", "winnow_fingerprint")
+    "quality_score", "token_stats", "doc_fingerprint", "winnow_fingerprint",
+    "media_stats", "media_features")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
