@@ -1,0 +1,155 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketch aggregates as native TypedImperativeAggregates.
+  *
+  * Why: the expression-only formulation of minhash/simhash explodes each
+  * shingle/token into 64 (doc, k, hash) rows before aggregating — a 64×
+  * shuffle amplification. These aggregates keep the 64-slot sketch in a
+  * fixed-size buffer updated in place, so the shuffle carries ONE array per
+  * group (classic partial-aggregation sketch pattern, same shape as Spark's
+  * own HyperLogLog++).
+  *
+  * Hash parity: `hashK` reproduces the SQL `xxhash64(s, k)` chain (seed 42 →
+  * string → int k) bit-for-bit, so signatures equal the exploded
+  * formulation's.
+  */
+object Sketches {
+
+  /** The SQL `xxhash64(s, k)` two-argument chain. */
+  private[functions] def hashK(s: UTF8String, k: Int): Long = {
+    val h1 = XxHash64Function.hash(s, StringType, 42L)
+    XxHash64Function.hash(k, IntegerType, h1)
+  }
+
+  /** MinHash signature of a group of strings: array of `numHashes` minima. */
+  case class MinHashAgg(child: Expression, numHashes: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    override def createAggregationBuffer(): Array[Long] =
+      Array.fill(numHashes)(Long.MaxValue)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val s = v.asInstanceOf[UTF8String]
+        var k = 0
+        while (k < numHashes) {
+          val h = hashK(s, k)
+          if (h < buf(k)) buf(k) = h
+          k += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(buf.length * 8)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      Array.fill(bytes.length / 8)(bb.getLong)
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def prettyName: String = "minhash_agg"
+    override def withNewMutableAggBufferOffset(o: Int): MinHashAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MinHashAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+  }
+
+  /** 64-bit SimHash of a group of strings: sign-sum of hash bits, emitted
+    * as the packed long (bit b set iff the sum for b is positive). Matches
+    * the exploded formulation over `xxhash64(tok)` (single-arg, seed 42).
+    */
+  case class SimHashAgg(child: Expression,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Int]] {
+
+    override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+    override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = XxHash64Function.hash(v.asInstanceOf[UTF8String], StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) buf(b) += 1 else buf(b) -= 1
+          b += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Int]): Any = {
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (buf(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+
+    override def serialize(buf: Array[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(buf.length * 4)
+      buf.foreach(bb.putInt)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Int] = {
+      val bb = ByteBuffer.wrap(bytes)
+      Array.fill(bytes.length / 4)(bb.getInt)
+    }
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def prettyName: String = "simhash_agg"
+    override def withNewMutableAggBufferOffset(o: Int): SimHashAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): SimHashAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+  }
+
+  def minhash_agg(c: Column, numHashes: Int): Column =
+    Bridge.column(MinHashAgg(Bridge.expression(c), numHashes).toAggregateExpression())
+
+  def simhash_agg(c: Column): Column =
+    Bridge.column(SimHashAgg(Bridge.expression(c)).toAggregateExpression())
+}

@@ -68,7 +68,9 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, w: Int = 3,
                         threshold: Double = 0.1,
                         maxShingleFreq: Long = 0L): DataFrame = {
-    val sh0 = shingles(documents, w)
+    // Shingles feed both self-join sides plus sizes — persist so the
+    // scan+shingle+distinct stage runs once, not three times.
+    val sh0 = shingles(documents, w).persist(StorageLevel.MEMORY_AND_DISK)
     val sh =
       if (maxShingleFreq <= 0) sh0
       else {
@@ -112,16 +114,13 @@ object Dedup {
     // Shingles feed three branches (signatures, sizes, verification) —
     // persist so the scan+shingle stage runs once.
     val sh = shingles(documents, w).persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = sh
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, ${bands * rowsPerBand - 1}), k -> struct(k AS k, xxhash64(s, k) AS h))")).as("kh"))
-      .groupBy(col("doc_id"), col("kh.k").as("k"))
-      .agg(min("kh.h").as("mh"))
-    val banded = sig
-      .withColumn("band", (col("k") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("k"), col("mh")))))).as("bandsig"))
+    // Signature via the native sketch aggregate: the shuffle carries one
+    // 64-long array per doc instead of 64 exploded rows per shingle.
+    val sig = sh.groupBy("doc_id")
+      .agg(graft.functions.Sketches.minhash_agg(col("s"), bands * rowsPerBand).as("sig"))
+    val banded = sig.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
+      .as(Seq("band", "bandsig")))
     val l = banded.select(col("doc_id").as("da"), col("band"), col("bandsig"))
     val r = banded.select(col("doc_id").as("db"), col("band"), col("bandsig"))
     val candidates = l.join(r, Seq("band", "bandsig"))
@@ -139,20 +138,15 @@ object Dedup {
 
   /** 64-bit SimHash per doc from token xxhash64s (sign-sum of bits,
     * weight 1 per distinct token). Output: (doc_id, simhash).
+    * Uses the native [[graft.functions.Sketches.SimHashAgg]] sketch: one
+    * 64-counter buffer per doc, no 64× bit explosion.
     */
   def simhash(documents: DataFrame): DataFrame = {
-    val tokens = documents
+    documents
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bits = tokens.select(col("doc_id"),
-      explode(expr(
-        "transform(sequence(0, 63), b -> struct(b AS b, CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END AS v))")).as("bv"))
-      .groupBy(col("doc_id"), col("bv.b").as("b"))
-      .agg(sum("bv.v").as("s"))
-    bits.groupBy("doc_id")
-      .agg(sum(expr(
-        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
-      .select(col("doc_id").cast("long").as("doc_id"), col("simhash").cast("long").as("simhash"))
+      .groupBy("doc_id")
+      .agg(graft.functions.Sketches.simhash_agg(col("tok")).as("simhash"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
       .orderBy("doc_id")
   }
 

@@ -3,18 +3,22 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.vector_cosine
+
 /** Embedding similarity search over `embeddings(vec_id, embedding: array<float>, label)`.
   *
-  * Scale design: the query vector is a broadcast (single row); scoring is a
-  * codegen'd higher-order-function fold per row (no explode, no shuffle);
-  * top-k is Spark's TakeOrdered (per-partition heap + driver merge of k).
-  * The cluster-pruned variant cuts the scan by restricting to the best
-  * coarse partitions first (IVF shape).
+  * Scale design: the query vector is a broadcast (single row); scoring is
+  * the native codegen'd [[graft.functions.VectorCosine]] expression (a tight
+  * primitive loop inside whole-stage codegen — HOF folds fall back to the
+  * interpreter); top-k is Spark's TakeOrdered (per-partition heap + driver
+  * merge of k). The cluster-pruned variant cuts the scan by restricting to
+  * the best coarse partitions first (IVF shape).
   */
 object Similarity {
 
-  /** `aggregate` fold: dot product of two float arrays in double. Sequential
-    * left-fold ⇒ deterministic summation order.
+  /** `aggregate` fold over a double array — used only for tiny centroid
+    * tables where the input is array<double> (the native expression is
+    * float-typed).
     */
   private def dot(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
@@ -33,7 +37,7 @@ object Similarity {
     embeddings.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id").cast("long"),
-        round(dot("embedding", "qe") / (norm("embedding") * norm("qe")), 4).as("cosine"))
+        round(vector_cosine(col("embedding"), col("qe")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -65,7 +69,7 @@ object Similarity {
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id").cast("long"),
-        round(dot("embedding", "qe") / (norm("embedding") * norm("qe")), 4).as("cosine"))
+        round(vector_cosine(col("embedding"), col("qe")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -78,7 +82,7 @@ object Similarity {
     val a = embeddings.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
     val b = embeddings.select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"))
     a.join(b, Seq("label")).filter(col("va") < col("vb"))
-      .withColumn("cos", dot("ea", "eb") / (norm("ea") * norm("eb")))
+      .withColumn("cos", vector_cosine(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
       .select(col("va").cast("long").as("vec_a"),
               col("vb").cast("long").as("vec_b"),

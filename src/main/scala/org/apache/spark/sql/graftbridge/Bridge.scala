@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst Expression bridge. Spark 4 made these conversions
+  * `private[sql]` (Column now wraps a ColumnNode); exposing them from a
+  * subpackage of `org.apache.spark.sql` is the standard technique used by
+  * open-source Spark extension libraries to attach custom native
+  * expressions to the public Column API.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

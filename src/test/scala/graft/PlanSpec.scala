@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import SparkTestSession._
+
+/** Physical-plan guardrails: the properties that keep these queries fast at
+  * scale must be visible in the plan, not assumed — filters reach the
+  * parquet scan, scans prune columns, small dims broadcast.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = planOf("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+  }
+
+  test("q1_agg prunes to the referenced columns only") {
+    val p = planOf("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+    assert(readSchema.contains("l_returnflag"))
+  }
+
+  test("top_revenue broadcasts the customer dimension") {
+    val p = planOf("top_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("embedding_topk is a broadcast cross join + TakeOrdered, no shuffle of the base table") {
+    val p = planOf("embedding_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered in:\n$p")
+  }
+
+  test("dedup_exact aggregates with partial (map-side) aggregation") {
+    val p = planOf("dedup_exact")
+    assert(p.contains("HashAggregate"), s"no hash aggregate in:\n$p")
+  }
+}
