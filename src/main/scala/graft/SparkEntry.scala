@@ -143,6 +143,38 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy("status", "priority")),
 
+    // window dedup-rank: latest order per customer (row_number = the
+    // canonical keep-one-per-key pattern in data pipelines)
+    "latest_order_per_cust" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey").cast("long").as("custkey"),
+          col("o_orderkey").cast("long").as("orderkey"),
+          // o_orderdate is TIMESTAMP_NTZ; UTC session ⇒ cast is the identity instant
+          unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"))
+        .orderBy("custkey")
+    }),
+    // distinct aggregation: how many distinct parts each supplier ships
+    "supplier_part_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").cast("long").as("suppkey"))
+        .agg(countDistinct("l_partkey").cast("long").as("n_parts"),
+          count(lit(1)).cast("long").as("n_lineitems"))
+        .orderBy("suppkey")),
+    // set ops: customers with no urgent-priority order (left_anti ≡ EXCEPT /
+    // NOT IN; the urgent filter keeps the result non-degenerate)
+    "cust_no_orders" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").cast("long").as("custkey"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").cast("long").as("custkey")),
+          Seq("custkey"), "left_anti")
+        .orderBy("custkey")),
+
     // ---- event analytics -------------------------------------------------
     "events_sessions" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
     "events_type_stats" -> ((s, dir) => Events.typeStats(t(s, dir, "events"))),
@@ -287,6 +319,22 @@ object SparkEntry {
         |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "latest_order_per_cust" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |  CAST(o_orderkey AS BIGINT) AS orderkey,
+        |  epoch_ms(o_orderdate) AS orderdate_ms
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY custkey""".stripMargin,
+    "supplier_part_counts" ->
+      """SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem GROUP BY l_suppkey ORDER BY suppkey""".stripMargin,
+    "cust_no_orders" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY custkey""".stripMargin,
     "events_sessions" ->
       """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
         |lagged AS (SELECT user_id, ms, value,

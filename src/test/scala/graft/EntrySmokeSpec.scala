@@ -24,7 +24,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     "rollup_orders", "events_sessions", "events_type_stats", "events_hourly",
     "dedup_exact", "embedding_topk", "embedding_topk_ivf", "lang_id",
     "quality_score", "token_stats", "doc_fingerprint", "winnow_fingerprint",
-    "media_stats", "media_features")
+    "media_stats", "media_features", "latest_order_per_cust",
+    "supplier_part_counts", "cust_no_orders")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
