@@ -67,11 +67,23 @@ object SparkEntry {
       GraphOps.dfsLeaves(DerivedGraphs.treeEdges(s, dir), 1L)),
     // degree profile of the part–supplier bipartite graph
     "degree_hist" -> ((s, dir) =>
-      GraphOps.degrees(
-          DerivedGraphs.partSuppEdges(s, dir).filter(col("src").isNotNull))
+      GraphOps.degrees(DerivedGraphs.partSuppEdges(s, dir))
         .groupBy(col("degree")).agg(count(lit(1)).cast("long").as("n_vertices"))
         .select(col("degree").cast("long"), col("n_vertices"))
         .orderBy("degree")),
+    // A5 on a CYCLIC graph (the reference assumes trees; the engine doesn't):
+    // bounded BFS over the undirected part–supplier graph from part 1
+    "bfs_bipartite" -> ((s, dir) =>
+      GraphOps.bfsLevels(
+        GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir)), 1L, maxLevels = 3)),
+    // GraphX PageRank on the bipartite graph (deterministic structure;
+    // float jitter across engines ⇒ rows-only check, no SQL oracle)
+    "pagerank_top20" -> ((s, dir) =>
+      GraphOps.pageRank(
+          GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir)), iters = 10)
+        .select(col("vertex"), round(col("rank"), 3).as("rank"))
+        .orderBy(col("rank").desc, col("vertex"))
+        .limit(20)),
     // GraphX connected components on the customer–order graph
     "connected_components" -> ((s, dir) =>
       GraphOps.connectedComponents(
@@ -261,6 +273,20 @@ object SparkEntry {
          |)
          |SELECT CAST(r.v AS BIGINT) AS vertex FROM reach r JOIN deg ON deg.v = r.v
          |WHERE deg.d = 1 AND r.v <> 1 ORDER BY vertex""".stripMargin,
+    "bfs_bipartite" ->
+      """WITH RECURSIVE pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |e AS (
+        |  SELECT CAST(p AS BIGINT) AS src, CAST(100000 + s AS BIGINT) AS dst FROM pe
+        |  UNION ALL
+        |  SELECT CAST(100000 + s AS BIGINT), CAST(p AS BIGINT) FROM pe
+        |),
+        |bfs(v, lvl) AS (
+        |  SELECT CAST(1 AS BIGINT) AS v, CAST(0 AS BIGINT) AS lvl
+        |  UNION
+        |  SELECT e.dst, b.lvl + 1 FROM bfs b JOIN e ON e.src = b.v WHERE b.lvl < 3
+        |)
+        |SELECT v AS vertex, CAST(min(lvl) AS BIGINT) AS level FROM bfs
+        |GROUP BY v ORDER BY level, vertex""".stripMargin,
     "degree_hist" ->
       """WITH e AS (SELECT DISTINCT l_partkey AS src, 100000 + l_suppkey AS dst FROM lineitem),
         |deg AS (SELECT v, count(*) AS d FROM (

@@ -129,6 +129,24 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** PageRank via GraphX (fixed iteration count ⇒ deterministic structure;
+    * scores rounded by callers). Input treated as directed; symmetrize for
+    * undirected semantics.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10, resetProb: Double = 0.15): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val eRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val g = Graph.fromEdges(eRdd, defaultValue = 1.0,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    val pr = g.staticPageRank(iters, resetProb)
+    val out = pr.vertices.map { case (v, r) => (v, r) }.toDF("vertex", "rank")
+    pr.unpersist(false)
+    out
+  }
+
   /** Connected components via GraphX (label = min vertex id in component).
     * Isolated vertices are kept by passing the full vertex set explicitly.
     */

@@ -25,7 +25,7 @@ class EntrySmokeSpec extends AnyFunSuite {
     "dedup_exact", "embedding_topk", "embedding_topk_ivf", "lang_id",
     "quality_score", "token_stats", "doc_fingerprint", "winnow_fingerprint",
     "media_stats", "media_features", "latest_order_per_cust",
-    "supplier_part_counts", "cust_no_orders")
+    "supplier_part_counts", "cust_no_orders", "bfs_bipartite", "pagerank_top20")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
