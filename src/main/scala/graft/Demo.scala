@@ -47,6 +47,21 @@ object Demo {
     show("bfs @0 probe") { engine.executeLine("8 4 G3.txt", StartVertex(0)) }
     show("modify GZ  ") { engine.executeLine("9 2 GZ.txt", GraphPayload(starDF)) }
 
+    // Streaming request serving: protocol lines arrive as a stream and
+    // dispatch into the same engine per microbatch.
+    {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val q = graft.streaming.StreamOps.serveRequests(mem.toDF(), engine,
+        startVertexOf = _ => 2L,
+        onResponse = (seq, worker, msg) =>
+          println(s"stream seq=$seq -> [$worker] $msg"))
+      try {
+        mem.addData("11 4 G3.txt", "12 3 G3.txt", "13 4 GZ.txt", "garbage")
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
     spark.stop()
   }
 }

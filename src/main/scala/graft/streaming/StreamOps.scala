@@ -61,6 +61,48 @@ object StreamOps {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming request server: dispatch a stream of protocol lines into a
+    * [[graft.engine.GraphEngine]] via foreachBatch — the streaming analogue
+    * of the reference's balancer+server loop (`load_balancer.c:47-72`).
+    * Read results are counted, not shipped (results are DataFrames; a real
+    * deployment would sink them). Returns the query; caller stops it.
+    * `onResponse` receives (seq_no, worker, message) per request in
+    * seq_no order within each batch (deterministic replay).
+    */
+  def serveRequests(lines: DataFrame, engine: graft.engine.GraphEngine,
+                    startVertexOf: Long => Long,
+                    onResponse: (Long, String, String) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    parseRequests(lines).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val reqs = batch.filter(col("worker") =!= "invalid")
+          .select("seq_no", "op_no", "filename").collect()
+          .sortBy(_.getLong(0))
+        reqs.foreach { r =>
+          val req = graft.model.GraphRequest(r.getLong(0),
+            graft.model.Op.fromCode(r.getLong(1).toInt), r.getString(2))
+          val resp = scala.util.Try {
+            val payload: graft.engine.Payload = req.op match {
+              case graft.model.Op.DfsLeaves | graft.model.Op.BfsLevels =>
+                graft.engine.StartVertex(startVertexOf(req.seqNo))
+              case _ => throw new IllegalArgumentException(
+                "write ops need a payload channel; use the batch API")
+            }
+            engine.execute(req, payload)
+          }
+          resp match {
+            case scala.util.Success(rr) =>
+              val n = rr.result.map(_.count()).getOrElse(0L)
+              onResponse(req.seqNo, rr.worker.name, s"${rr.message} rows=$n")
+            case scala.util.Failure(e) =>
+              onResponse(req.seqNo, "error", e.getMessage)
+          }
+        }
+      }
+      .start()
+  }
+
   /** Stateful per-user session tracking with flatMapGroupsWithState:
     * emits a session row when a user is idle past `gapMs` (event-time
     * sessionization with explicit state, the streaming analogue of

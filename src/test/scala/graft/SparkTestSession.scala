@@ -13,6 +13,9 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as LONG nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf: bucketed-table tests write managed tables here
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse_").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
