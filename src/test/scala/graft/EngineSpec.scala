@@ -78,6 +78,24 @@ class EngineSpec extends AnyFunSuite {
     assert(rs(5).swap.toOption.get.isInstanceOf[IllegalArgumentException])
   }
 
+  test("the reference's shipped inp.txt replays end-to-end verbatim") {
+    val path = java.nio.file.Paths.get("/root/reference/inp.txt")
+    assume(java.nio.file.Files.exists(path), "reference checkout not present")
+    import scala.jdk.CollectionConverters._
+    val rs = SessionScript.replay(spark, freshEngine(),
+      java.nio.file.Files.readAllLines(path).asScala.toSeq)
+    assert(rs.length == 6)
+    // adds G1(5-path), G2(2), G3(5-star); modifies G2 to a 3-path
+    assert(rs.take(3).forall(_.toOption.exists(_.message == "File successfully added")))
+    assert(rs(3).toOption.get.message == "File successfully modified")
+    // request 5: DFS G3 from 3 → leaves of the star rooted at 3
+    assert(rs(4).toOption.get.result.get.collect().map(_.getLong(0)).toSet
+      == Set(1L, 4L, 5L))
+    // request 6: BFS G3 from 0 — the reference's out-of-range probe
+    // (would index adj[-1], secondary_server.c:242) → typed error here
+    assert(rs(5).isLeft)
+  }
+
   test("modify before add fails with GraphNotFound (add-before-read rule)") {
     val engine = freshEngine()
     val edges = undirected((1, 2))
