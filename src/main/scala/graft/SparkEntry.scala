@@ -189,6 +189,7 @@ object SparkEntry {
 
     // ---- event analytics -------------------------------------------------
     "events_sessions" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
+    "events_funnel" -> ((s, dir) => Events.funnelUsers(t(s, dir, "events"))),
     "events_type_stats" -> ((s, dir) => Events.typeStats(t(s, dir, "events"))),
     "events_hourly" -> ((s, dir) => Events.hourlyRates(t(s, dir, "events"))),
 
@@ -207,6 +208,8 @@ object SparkEntry {
     "embedding_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
     "lang_id" -> ((s, dir) => TextStats.langId(t(s, dir, "documents"))),
+    "term_freq_top50" -> ((s, dir) => TextStats.termFreq(t(s, dir, "documents"))),
+    "tfidf_top_terms" -> ((s, dir) => TextStats.tfIdfTopTerms(t(s, dir, "documents"))),
     "quality_score" -> ((s, dir) => TextStats.qualityScore(t(s, dir, "documents"))),
     "token_stats" -> ((s, dir) => TextStats.tokenStats(t(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) =>
@@ -424,6 +427,35 @@ object SparkEntry {
          |  CASE WHEN len(list_filter(t, x -> x IN (${TextStats.Stopwords.map(s => s"'$s'").mkString(", ")}))) * 1.0 / len(t) >= 0.08
          |       THEN 'en' ELSE 'unk' END AS pred_lang
          |FROM toks ORDER BY doc_id""".stripMargin,
+    "term_freq_top50" ->
+      """SELECT u.term AS term, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
+        |GROUP BY u.term ORDER BY freq DESC, term LIMIT 50""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT t.doc_id, t.term, t.tf * ln(n.n * 1.0 / d.df) AS score
+        |  FROM tf t JOIN df d USING (term), n WHERE t.doc_id < 20),
+        |ranked AS (SELECT doc_id, term, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(rn AS BIGINT) AS rn,
+        |  CAST(round(score, 4) AS DOUBLE) AS score
+        |FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+    "events_funnel" ->
+      """WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |agg AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ms END) AS first_view,
+        |  min(CASE WHEN event_type = 'click' THEN ms END) AS first_click,
+        |  min(CASE WHEN event_type = 'purchase' THEN ms END) AS first_purchase
+        |FROM ev GROUP BY user_id)
+        |SELECT user_id, CAST(first_view AS BIGINT) AS first_view,
+        |  CAST(first_click AS BIGINT) AS first_click,
+        |  CAST(first_purchase AS BIGINT) AS first_purchase
+        |FROM agg
+        |WHERE first_view < first_click AND first_click < first_purchase
+        |ORDER BY user_id""".stripMargin,
     "quality_score" ->
       """WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -40,12 +40,16 @@ object GraphOps {
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var frontier = Seq(start).toDF("vertex")
-        .withColumn("level", lit(0L)).localCheckpoint(true)
-      var visited = frontier
+      // Each level is localCheckpointed exactly ONCE; `visited` is the lazy
+      // union of those materialized levels, so the anti-join never recomputes
+      // or re-checkpoints earlier levels (O(total) writes, not O(depth·total)).
+      val levels = scala.collection.mutable.ArrayBuffer(
+        Seq(start).toDF("vertex").withColumn("level", lit(0L)).localCheckpoint(true))
+      var frontier = levels.head
       var level = 0L
       var done = false
       while (!done && level < maxLevels) {
+        val visited = levels.map(_.select("vertex")).reduce(_ unionAll _)
         val next = frontier.join(e, frontier("vertex") === e("src"))
           .select(e("dst").as("vertex")).distinct()
           .join(visited, Seq("vertex"), "left_anti")
@@ -53,12 +57,12 @@ object GraphOps {
           .localCheckpoint(true) // cut lineage; also acts as the level barrier
         if (next.isEmpty) done = true
         else {
+          levels += next
           frontier = next
-          visited = visited.union(frontier).localCheckpoint(true)
           level += 1
         }
       }
-      visited.orderBy("level", "vertex")
+      levels.reduce(_ unionAll _).orderBy("level", "vertex")
     } finally { e.unpersist() }
   }
 

@@ -57,6 +57,26 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Funnel analysis: users whose first view precedes their first click,
+    * which precedes their first purchase (conditional-min aggregation —
+    * one shuffle on user_id, no self-joins).
+    */
+  def funnelUsers(events: DataFrame): DataFrame = {
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        msOf(events).as("ms"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ms"))).as("first_view"),
+        min(when(col("event_type") === "click", col("ms"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("ms"))).as("first_purchase"))
+      .filter(col("first_view") < col("first_click") &&
+        col("first_click") < col("first_purchase"))
+      .select(col("user_id"), col("first_view").cast("long").as("first_view"),
+        col("first_click").cast("long").as("first_click"),
+        col("first_purchase").cast("long").as("first_purchase"))
+      .orderBy("user_id")
+  }
+
   /** Tumbling-hour event rates: (hour_ms, event_type, n, sum_value). */
   def hourlyRates(events: DataFrame): DataFrame = {
     val ms = msOf(events)

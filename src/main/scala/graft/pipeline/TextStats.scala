@@ -72,6 +72,45 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Corpus term frequencies — the canonical distributed word count.
+    * Output: (term, freq) top `topN` by (freq DESC, term).
+    */
+  def termFreq(documents: DataFrame, topN: Int = 50): DataFrame = {
+    documents
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(topN)
+  }
+
+  /** TF-IDF: top `perDoc` highest-scoring terms per document for docs with
+    * id < `maxDocId` (bounded output for the oracle). tf = raw count in
+    * doc; idf = ln(N / df) over the WHOLE corpus. Deterministic tiebreak
+    * (score DESC, term) via row_number.
+    */
+  def tfIdfTopTerms(documents: DataFrame, perDoc: Int = 5,
+                    maxDocId: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.select(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.filter(col("doc_id") < maxDocId)
+      .join(df_, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n") * lit(1.0) / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perDoc)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("term"), col("rn").cast("long").as("rn"),
+        round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rn")
+  }
+
   /** Winnowing-style robust fingerprint: minimum k-gram hash per window —
     * here simplified to the global min and second-min shingle hashes, a
     * compact sketch that survives small edits (rolling-hash family;

@@ -25,7 +25,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     "dedup_exact", "embedding_topk", "embedding_topk_ivf", "lang_id",
     "quality_score", "token_stats", "doc_fingerprint", "winnow_fingerprint",
     "media_stats", "media_features", "latest_order_per_cust",
-    "supplier_part_counts", "cust_no_orders", "bfs_bipartite", "pagerank_top20")
+    "supplier_part_counts", "cust_no_orders", "bfs_bipartite", "pagerank_top20",
+    "term_freq_top50", "tfidf_top_terms", "events_funnel")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
