@@ -436,12 +436,13 @@ object SparkEntry {
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM documents),
-        |scored AS (SELECT t.doc_id, t.term, t.tf * ln(n.n * 1.0 / d.df) AS score
+        |scored AS (SELECT t.doc_id, t.term,
+        |  round(t.tf * ln(n.n * 1.0 / d.df), 4) AS score_r
         |  FROM tf t JOIN df d USING (term), n WHERE t.doc_id < 20),
-        |ranked AS (SELECT doc_id, term, score,
-        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored)
+        |ranked AS (SELECT doc_id, term, score_r,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score_r DESC, term) AS rn FROM scored)
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(rn AS BIGINT) AS rn,
-        |  CAST(round(score, 4) AS DOUBLE) AS score
+        |  CAST(score_r AS DOUBLE) AS score
         |FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
     "events_funnel" ->
       """WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type, epoch_ms(ts) AS ms FROM events),

@@ -24,11 +24,12 @@ object GraphOps {
     * barrier (`:126-129`) becomes the per-iteration action.
     *
     * Scale notes: the frontier is usually far smaller than the edge table, so
-    * AQE broadcast-joins it against edges; `visited` and `frontier` are
-    * localCheckpoint'ed every level to cut lineage (depth ≫ 30 safe). For
-    * diameter-heavy graphs prefer [[bfsLevelsPregel]], which keeps everything
-    * in one co-partitioned GraphX representation with no per-level plan
-    * regrowth.
+    * AQE broadcast-joins it against edges; each level is localCheckpoint'ed
+    * exactly once and `visited` is a lazy union of those materialized levels,
+    * so lineage stays flat and checkpoint writes total O(|V|) (depth ≫ 30
+    * safe). For diameter-heavy graphs prefer [[bfsLevelsPregel]], which keeps
+    * everything in one co-partitioned GraphX representation with no
+    * per-level plan regrowth.
     *
     * Output: `(vertex BIGINT, level BIGINT)`, ordered by (level, vertex) —
     * the canonical form of the reference's "order within a level is
@@ -46,10 +47,10 @@ object GraphOps {
       val levels = scala.collection.mutable.ArrayBuffer(
         Seq(start).toDF("vertex").withColumn("level", lit(0L)).localCheckpoint(true))
       var frontier = levels.head
+      var visited = frontier.select("vertex") // grown incrementally: O(depth) plan nodes
       var level = 0L
       var done = false
       while (!done && level < maxLevels) {
-        val visited = levels.map(_.select("vertex")).reduce(_ unionAll _)
         val next = frontier.join(e, frontier("vertex") === e("src"))
           .select(e("dst").as("vertex")).distinct()
           .join(visited, Seq("vertex"), "left_anti")
@@ -59,6 +60,7 @@ object GraphOps {
         else {
           levels += next
           frontier = next
+          visited = visited.unionAll(next.select("vertex"))
           level += 1
         }
       }

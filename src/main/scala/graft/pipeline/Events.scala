@@ -74,7 +74,8 @@ object Events {
       .select(col("user_id"), col("first_view").cast("long").as("first_view"),
         col("first_click").cast("long").as("first_click"),
         col("first_purchase").cast("long").as("first_purchase"))
-      .orderBy("user_id")
+      // NULLS LAST matches DuckDB's default ASC placement
+      .orderBy(col("user_id").asc_nulls_last)
   }
 
   /** Tumbling-hour event rates: (hour_ms, event_type, n, sum_value). */

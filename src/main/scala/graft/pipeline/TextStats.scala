@@ -97,17 +97,21 @@ object TextStats {
     val df_ = terms.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents.select(count(lit(1)).as("n"))
+    // Rank on the ROUNDED score: JVM Math.log and libm ln can differ in the
+    // last ulp, and an unrounded rank could flip across engines (same
+    // convention as Similarity.cosineTopK).
     val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("term"))
+      .orderBy(col("score_r").desc, col("term"))
     tf.filter(col("doc_id") < maxDocId)
       .join(df_, "term")
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * log(col("n") * lit(1.0) / col("df")))
+      .withColumn("score_r", round(col("score"), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= perDoc)
       .select(col("doc_id").cast("long").as("doc_id"),
         col("term"), col("rn").cast("long").as("rn"),
-        round(col("score"), 4).as("score"))
+        col("score_r").as("score"))
       .orderBy("doc_id", "rn")
   }
 
