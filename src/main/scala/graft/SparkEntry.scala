@@ -187,6 +187,26 @@ object SparkEntry {
           Seq("custkey"), "left_anti")
         .orderBy("custkey")),
 
+    // as-of join: each event gets the user's most recent prior order
+    // (backward as-of on (user, time); DuckDB's native ASOF JOIN is the oracle)
+    "asof_last_order" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ms = if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000000") else unix_millis(col("ts").cast("timestamp"))
+      val probe = ev.select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("k"), ms.as("ts"))
+      val build = t(s, dir, "orders")
+        .groupBy(col("o_custkey").cast("long").as("k"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ts"))
+        .agg(max("o_orderkey").cast("long").as("orderkey"))
+        .withColumn("order_ms", col("ts"))
+      pipeline.AsOf.joinBackward(probe, build, "k", "ts", Seq("orderkey", "order_ms"))
+        .select(col("event_id"), col("k").as("user_id"), col("ts").as("event_ms"),
+          coalesce(col("orderkey"), lit(-1L)).as("last_orderkey"),
+          coalesce(col("order_ms"), lit(-1L)).as("last_order_ms"))
+        .orderBy("event_id")
+    }),
+
     // ---- event analytics -------------------------------------------------
     "events_sessions" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
     "events_funnel" -> ((s, dir) => Events.funnelUsers(t(s, dir, "events"))),
@@ -444,6 +464,19 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(rn AS BIGINT) AS rn,
         |  CAST(score_r AS DOUBLE) AS score
         |FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+    "asof_last_order" ->
+      """WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS k,
+        |  epoch_ms(o_orderdate) AS order_ms,
+        |  CAST(max(o_orderkey) AS BIGINT) AS orderkey
+        |FROM orders GROUP BY 1, 2)
+        |SELECT CAST(e.event_id AS BIGINT) AS event_id,
+        |  CAST(e.user_id AS BIGINT) AS user_id,
+        |  epoch_ms(e.ts) AS event_ms,
+        |  coalesce(o.orderkey, -1) AS last_orderkey,
+        |  coalesce(o.order_ms, -1) AS last_order_ms
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.k AND epoch_ms(e.ts) >= o.order_ms
+        |ORDER BY event_id""".stripMargin,
     "events_funnel" ->
       """WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |agg AS (SELECT user_id,
