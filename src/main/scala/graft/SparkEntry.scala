@@ -207,6 +207,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // range join: event pairs within 5 seconds of each other (banded
+    // equi-join on time bins — not a nested-loop theta join)
+    "events_within_5s" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ms = if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000000") else unix_millis(col("ts").cast("timestamp"))
+      pipeline.RangeJoin.selfWithin(
+        ev.select(col("event_id"), ms.as("ms")), "event_id", "ms", 5000L)
+    }),
+
     // ---- event analytics -------------------------------------------------
     "events_sessions" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
     "events_funnel" -> ((s, dir) => Events.funnelUsers(t(s, dir, "events"))),
@@ -464,6 +474,11 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(rn AS BIGINT) AS rn,
         |  CAST(score_r AS DOUBLE) AS score
         |FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+    "events_within_5s" ->
+      """WITH ev AS (SELECT CAST(event_id AS BIGINT) AS id, epoch_ms(ts) AS ms FROM events)
+        |SELECT a.id AS id_a, b.id AS id_b, a.ms AS ts_a, b.ms AS ts_b
+        |FROM ev a JOIN ev b ON a.id < b.id AND abs(a.ms - b.ms) <= 5000
+        |ORDER BY id_a, id_b""".stripMargin,
     "asof_last_order" ->
       """WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS k,
         |  epoch_ms(o_orderdate) AS order_ms,

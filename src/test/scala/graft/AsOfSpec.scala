@@ -22,6 +22,19 @@ class AsOfSpec extends AnyFunSuite {
     assert(out("e5").isEmpty)          // key 2 has no build rows
   }
 
+  test("banded range self-join equals the naive quadratic join") {
+    val rng = new scala.util.Random(11)
+    val rows = (1L to 300L).map(i => (i, rng.nextLong(100000L)))
+    val df = rows.toDF("event_id", "ms")
+    val got = graft.pipeline.RangeJoin.selfWithin(df, "event_id", "ms", 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows
+      if ia < ib && math.abs(ta - tb) <= 500L
+    } yield (ia, ib)).toSet
+    assert(got == naive)
+  }
+
   test("value-column collision with probe columns is rejected") {
     val probe = Seq((1L, 1L, 2L)).toDF("k", "ts", "v")
     val build = Seq((1L, 1L, 3L)).toDF("k", "ts", "v")
