@@ -309,9 +309,9 @@ object SparkEntry {
     "bfs_bipartite" ->
       """WITH RECURSIVE pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
         |e AS (
-        |  SELECT CAST(p AS BIGINT) AS src, CAST(100000 + s AS BIGINT) AS dst FROM pe
+        |  SELECT CAST(p AS BIGINT) AS src, CAST(1000000000 + s AS BIGINT) AS dst FROM pe
         |  UNION ALL
-        |  SELECT CAST(100000 + s AS BIGINT), CAST(p AS BIGINT) FROM pe
+        |  SELECT CAST(1000000000 + s AS BIGINT), CAST(p AS BIGINT) FROM pe
         |),
         |bfs(v, lvl) AS (
         |  SELECT CAST(1 AS BIGINT) AS v, CAST(0 AS BIGINT) AS lvl
@@ -321,7 +321,7 @@ object SparkEntry {
         |SELECT v AS vertex, CAST(min(lvl) AS BIGINT) AS level FROM bfs
         |GROUP BY v ORDER BY level, vertex""".stripMargin,
     "degree_hist" ->
-      """WITH e AS (SELECT DISTINCT l_partkey AS src, 100000 + l_suppkey AS dst FROM lineitem),
+      """WITH e AS (SELECT DISTINCT l_partkey AS src, 1000000000 + l_suppkey AS dst FROM lineitem),
         |deg AS (SELECT v, count(*) AS d FROM (
         |  SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e) GROUP BY v)
         |SELECT CAST(d AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_vertices

@@ -18,7 +18,8 @@ object DerivedGraphs {
   val NationBase = 10L
   val CustomerBase = 1000L
   val OrderBase = 10000000L
-  val SupplierBase = 100000L
+  // far above any plausible partkey range (200k×sf parts at TPC-H sf):
+  val SupplierBase = 1000000000L
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

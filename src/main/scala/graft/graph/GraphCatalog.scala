@@ -1,5 +1,6 @@
 package graft.graph
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 final class GraphNotFoundException(name: String)
@@ -16,56 +17,88 @@ final class GraphAlreadyExistsException(name: String)
   *
   * Concurrency model: the reference guards each graph file with
   * readers-writers semaphores (`primary_server.c:138-153`,
-  * `secondary_server.c:264-294`). Here snapshots are immutable parquet
-  * directories and `modify` is an atomic overwrite — readers either see the
-  * old snapshot or the new one, so no locks exist (SURVEY.md A9).
+  * `secondary_server.c:264-294`). Here every write creates a NEW versioned
+  * snapshot directory (`<base>/<name>/v<NNNNNN>`) and readers resolve the
+  * highest complete version at load time — old snapshots are never deleted
+  * by a write, so an in-flight read keeps its files and a concurrent reader
+  * sees either the previous or the new version, never a half-deleted
+  * directory (a plain `mode("overwrite")` deletes-then-writes and does NOT
+  * give this). `vacuum()` reclaims superseded versions when no readers
+  * remain (retention is the caller's policy, as in any MVCC table format).
   *
   * At scale the base dir is any Hadoop-compatible FS (HDFS/S3); edge tables
   * are partitioned data, never driver-resident.
   */
 final class GraphCatalog(spark: SparkSession, baseDir: String) {
-  private def path(name: String): String = s"$baseDir/$name"
 
-  private def hadoopExists(name: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path(name))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  private def fs = new Path(baseDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def graphDir(name: String): Path = new Path(s"$baseDir/$name")
+
+  private def versionsOf(name: String): Seq[(Long, Path)] = {
+    val dir = graphDir(name)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
+      // only complete snapshots (parquet commit marker present)
+      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+      .sortBy(_._1)
+  }
+
+  private def writeVersion(name: String, edges: DataFrame): Unit = {
+    val next = versionsOf(name).lastOption.map(_._1 + 1).getOrElse(1L)
+    val target = new Path(graphDir(name), f"v$next%06d")
+    edges.select("src", "dst").write.mode("errorifexists").parquet(target.toString)
   }
 
   /** op 1 — AddGraph (reference `primary_server.c:86-179`). */
   def add(name: String, edges: DataFrame): Unit = {
-    if (hadoopExists(name)) throw new GraphAlreadyExistsException(name)
-    edges.select("src", "dst").write.mode("errorifexists").parquet(path(name))
+    if (exists(name)) throw new GraphAlreadyExistsException(name)
+    writeVersion(name, edges)
   }
 
-  /** op 2 — ModifyGraph: wholesale replace, requires prior add
-    * (reference `primary_server.c:121-135`, instructions.txt:18-20).
+  /** op 2 — ModifyGraph: wholesale replace as a new snapshot version;
+    * requires prior add (reference `primary_server.c:121-135`,
+    * instructions.txt:18-20).
     */
   def modify(name: String, edges: DataFrame): Unit = {
-    if (!hadoopExists(name)) throw new GraphNotFoundException(name)
-    edges.select("src", "dst").write.mode("overwrite").parquet(path(name))
+    if (!exists(name)) throw new GraphNotFoundException(name)
+    writeVersion(name, edges)
   }
 
-  /** GraphScan (reference `secondary_server.c:272-286`). */
+  /** GraphScan of the latest complete snapshot
+    * (reference `secondary_server.c:272-286`).
+    */
   def load(name: String): DataFrame = {
-    if (!hadoopExists(name)) throw new GraphNotFoundException(name)
-    spark.read.parquet(path(name))
+    val vs = versionsOf(name)
+    if (vs.isEmpty) throw new GraphNotFoundException(name)
+    spark.read.parquet(vs.last._2.toString)
   }
 
-  def exists(name: String): Boolean = hadoopExists(name)
+  def exists(name: String): Boolean = versionsOf(name).nonEmpty
 
   def list(): Seq[String] = {
-    val base = new org.apache.hadoop.fs.Path(baseDir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(baseDir)
     if (!fs.exists(base)) Seq.empty
-    else fs.listStatus(base).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+    else fs.listStatus(base).filter(_.isDirectory).map(_.getPath.getName)
+      .toSeq.sorted.filter(exists)
+  }
+
+  /** Delete all versions of `name` except the newest `keep`. Run only when
+    * no reader may still hold superseded snapshots.
+    */
+  def vacuum(name: String, keep: Int = 1): Unit = {
+    val vs = versionsOf(name)
+    vs.dropRight(keep).foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** Terminate analogue (reference `cleanup (1).c`, SURVEY.md A10): drop all
     * registered graphs. Spark's own lifecycle handles in-flight actions.
     */
   def dropAll(): Unit = {
-    val base = new org.apache.hadoop.fs.Path(baseDir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(baseDir)
     if (fs.exists(base)) fs.delete(base, true)
     ()
   }

@@ -89,12 +89,13 @@ object GraphOps {
           Iterator((triplet.dstId, triplet.srcAttr + 1))
         else Iterator.empty,
       (a: Long, b: Long) => math.min(a, b))
-    val out = res.vertices.filter(_._2 != INF)
+    // NOTE: no unpersist here — the returned DataFrame is lazy and still
+    // reads the Pregel result RDDs; ContextCleaner reclaims them once the
+    // caller drops the reference.
+    res.vertices.filter(_._2 != INF)
       .map { case (v, l) => (v, l) }
       .toDF("vertex", "level")
       .orderBy("level", "vertex")
-    res.unpersist(false)
-    out
   }
 
   /** Both-direction view of an edge table, deduplicated — idempotent whether
@@ -148,9 +149,8 @@ object GraphOps {
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
     val pr = g.staticPageRank(iters, resetProb)
-    val out = pr.vertices.map { case (v, r) => (v, r) }.toDF("vertex", "rank")
-    pr.unpersist(false)
-    out
+    // lazy result still reads pr's RDDs — do not unpersist before the action
+    pr.vertices.map { case (v, r) => (v, r) }.toDF("vertex", "rank")
   }
 
   /** Connected components via GraphX (label = min vertex id in component).
@@ -167,10 +167,9 @@ object GraphOps {
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
     val cc = g.connectedComponents()
-    val out = cc.vertices.map { case (v, c) => (v, c) }
+    // lazy result still reads cc's RDDs — do not unpersist before the action
+    cc.vertices.map { case (v, c) => (v, c) }
       .toDF("vertex", "component")
       .orderBy("vertex")
-    cc.unpersist(false)
-    out
   }
 }

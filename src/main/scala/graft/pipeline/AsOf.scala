@@ -48,12 +48,18 @@ object AsOf {
     val unioned = probeT.select((probeCols ++ Seq("__side") ++ valueCols).map(col): _*)
       .unionByName(buildT.select((probeCols ++ Seq("__side") ++ valueCols).map(col): _*))
 
-    // build rows (side 0) sort before probe rows at equal ts ⇒ ties match
+    // Carry ONE struct of all value columns, not each column independently:
+    // a build row with a NULL field must still win wholesale, or the output
+    // would mix fields from different build rows (ASOF semantics attach a
+    // single matched row). The struct is null exactly on probe rows.
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    // build rows (side 0) sort before probe rows at equal ts ⇒ ties match
+    val packed = unioned.withColumn("__v",
+      when(col("__side") === 0, struct(valueCols.map(col): _*)))
+      .withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(packed.filter(col("__side") === 1)) { (df, c) =>
+      df.withColumn(c, col(s"__v.$c"))
+    }.drop("__side", "__v")
   }
 }

@@ -69,7 +69,10 @@ object Dedup {
                         threshold: Double = 0.1,
                         maxShingleFreq: Long = 0L): DataFrame = {
     // Shingles feed both self-join sides plus sizes — persist so the
-    // scan+shingle+distinct stage runs once, not three times.
+    // scan+shingle+distinct stage runs once, not three times. The cache
+    // lives for the session (the result is lazy, so there is no safe point
+    // to unpersist here); long-lived servers should clear between pipelines
+    // (spark.catalog.clearCache) or rely on LRU eviction.
     val sh0 = shingles(documents, w).persist(StorageLevel.MEMORY_AND_DISK)
     val sh =
       if (maxShingleFreq <= 0) sh0

@@ -34,6 +34,8 @@ object Similarity {
   def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"))
+    require(!q.isEmpty,
+      s"query vector vec_id=$queryId not found in embeddings") // typed, not silently empty
     embeddings.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id").cast("long"),
@@ -49,9 +51,6 @@ object Similarity {
     */
   def cosineTopKIvf(embeddings: DataFrame, queryId: Long, k: Int = 10,
                     nprobe: Int = 1): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     // Centroids: element-wise mean per label (explode+agg, one shuffle over
     // nlist × dim rows — tiny).
     val cent = embeddings

@@ -124,7 +124,9 @@ object TextStats {
     Dedup.shingles(documents, w)
       .withColumn("h", xxhash64(col("s")))
       .groupBy("doc_id")
-      .agg(min("h").as("min_h"), expr("sort_array(collect_list(h))[1]").as("second_h"))
+      // try_element_at: null (not an ANSI index error) for one-shingle docs
+      .agg(min("h").as("min_h"),
+        expr("try_element_at(sort_array(collect_list(h)), 2)").as("second_h"))
       .orderBy("doc_id")
   }
 }

@@ -104,9 +104,12 @@ object StreamOps {
   }
 
   /** Stateful per-user session tracking with flatMapGroupsWithState:
-    * emits a session row when a user is idle past `gapMs` (event-time
-    * sessionization with explicit state, the streaming analogue of
-    * [[graft.pipeline.Events.sessionize]]).
+    * emits a session row when a user's next event arrives past `gapMs`, OR
+    * when the processing-time timeout fires with no new events (so the
+    * final session of a user who stops is eventually emitted and the
+    * per-user state removed — unbounded state growth otherwise). The
+    * streaming analogue of [[graft.pipeline.Events.sessionize]]; in batch
+    * execution timeouts never fire, so only gap-closed sessions appear.
     */
   def sessionizeStream(events: Dataset[UserEvent], gapMs: Long = 1800000L)
   : Dataset[SessionOut] = {
@@ -115,20 +118,29 @@ object StreamOps {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (uid: Long, evs: Iterator[UserEvent], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(_.ms)
-          var st = state.getOption.getOrElse(SessionState(0, 0, 0, 0.0))
-          val closed = Seq.newBuilder[SessionOut]
-          for (e <- sorted) {
-            if (st.n == 0) st = SessionState(e.ms, e.ms, 1, e.value)
-            else if (e.ms - st.lastMs > gapMs) {
-              closed += SessionOut(uid, st.startMs, st.n, st.sum)
-              st = SessionState(e.ms, e.ms, 1, e.value)
-            } else st = SessionState(st.startMs, e.ms, st.n + 1, st.sum + e.value)
+          if (!evs.hasNext && state.hasTimedOut) {
+            // idle past the gap with no new events: close and clear state
+            val out = state.getOption.filter(_.n > 0)
+              .map(st => SessionOut(uid, st.startMs, st.n, st.sum))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ms)
+            var st = state.getOption.getOrElse(SessionState(0, 0, 0, 0.0))
+            val closed = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              if (st.n == 0) st = SessionState(e.ms, e.ms, 1, e.value)
+              else if (e.ms - st.lastMs > gapMs) {
+                closed += SessionOut(uid, st.startMs, st.n, st.sum)
+                st = SessionState(e.ms, e.ms, 1, e.value)
+              } else st = SessionState(st.startMs, e.ms, st.n + 1, st.sum + e.value)
+            }
+            state.update(st)
+            if (!state.hasTimedOut) state.setTimeoutDuration(gapMs)
+            closed.result().iterator
           }
-          state.update(st)
-          closed.result().iterator
       }
   }
 }

@@ -35,6 +35,15 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("a build row with a NULL field wins wholesale (no cross-row chimera)") {
+    val probe = Seq((1L, 20L, "p")).toDF("k", "ts", "eid")
+    val build = Seq((1L, 5L, Some(2L), Some(100L)), (1L, 10L, Some(5L), None))
+      .toDF("k", "ts", "v1", "v2")
+    val r = AsOf.joinBackward(probe, build, "k", "ts", Seq("v1", "v2")).collect()(0)
+    assert(r.getLong(r.fieldIndex("v1")) == 5L)     // from the ts=10 row
+    assert(r.isNullAt(r.fieldIndex("v2")))          // its NULL field, not ts=5's 100
+  }
+
   test("value-column collision with probe columns is rejected") {
     val probe = Seq((1L, 1L, 2L)).toDF("k", "ts", "v")
     val build = Seq((1L, 1L, 3L)).toDF("k", "ts", "v")

@@ -115,6 +115,20 @@ class EngineSpec extends AnyFunSuite {
     assert(bfs2.result.get.count() == 4)
   }
 
+  test("modify creates a new snapshot version; old version survives until vacuum") {
+    val engine = freshEngine()
+    engine.execute(GraphRequest(1, Op.AddGraph, "GV.txt"), GraphPayload(undirected((1, 2))))
+    // hold a reference to the OLD snapshot before modifying
+    val oldSnapshot = engine.catalog.load("GV.txt")
+    engine.execute(GraphRequest(2, Op.ModifyGraph, "GV.txt"),
+      GraphPayload(undirected((1, 2), (2, 3))))
+    // reader of the old snapshot still sees its files (no delete-then-write)
+    assert(oldSnapshot.count() == 2)
+    assert(engine.catalog.load("GV.txt").count() == 4)
+    engine.catalog.vacuum("GV.txt")
+    assert(engine.catalog.load("GV.txt").count() == 4) // newest kept
+  }
+
   test("duplicate add fails; response tags follow seq_no + 100") {
     val engine = freshEngine()
     val r = engine.execute(GraphRequest(42, Op.AddGraph, "G7.txt"),
