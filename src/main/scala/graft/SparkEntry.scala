@@ -235,6 +235,10 @@ object SparkEntry {
       Similarity.cosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
     "embedding_topk_ivf" -> ((s, dir) =>
       Similarity.cosineTopKIvf(t(s, dir, "embeddings"), queryId = 0L, k = 10, nprobe = 2)),
+    // IVF with a LEARNED coarse quantizer (distributed Lloyd's k-means)
+    "embedding_topk_ivf_kmeans" -> ((s, dir) =>
+      pipeline.KMeans.ivfTopK(t(s, dir, "embeddings"), queryId = 0L,
+        k = 10, nlist = 8, nprobe = 3, iters = 3)),
     "embedding_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
     "lang_id" -> ((s, dir) => TextStats.langId(t(s, dir, "documents"))),

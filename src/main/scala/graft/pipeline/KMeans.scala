@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over `embeddings(vec_id, embedding:
+  * array<float>)` — the real coarse quantizer for IVF search (the `label`
+  * column was a stand-in).
+  *
+  * Dataflow per iteration: centroids (k × dim, tiny) broadcast to an
+  * assignment scan (argmin over k distances per row, computed as a codegen-
+  * friendly min-of-structs — no explode of the embedding), then one
+  * shuffle keyed by cluster to re-average. Deterministic: init = first k
+  * vec_ids, fixed iteration count, distance ties broken by cluster id.
+  */
+object KMeans {
+
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("cluster", "i").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("centroid"))
+
+  /** Squared-distance argmin assignment against broadcast centroids. */
+  private def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val withC = embeddings.crossJoin(broadcast(
+      centroids.groupBy().agg(
+        expr("array_agg(struct(cluster, centroid))").as("cs"))))
+    withC.withColumn("cluster", expr(
+      """aggregate(
+        |  transform(cs, c -> struct(
+        |    aggregate(zip_with(embedding, c.centroid,
+        |      (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+        |      0D, (acc, v) -> acc + v) AS d,
+        |    c.cluster AS cl)),
+        |  CAST(null AS STRUCT<d: DOUBLE, cl: BIGINT>),
+        |  (best, cand) -> CASE WHEN best IS NULL THEN cand
+        |    WHEN cand.d < best.d THEN cand
+        |    WHEN cand.d = best.d AND cand.cl < best.cl THEN cand
+        |    ELSE best END).cl""".stripMargin))
+      .drop("cs")
+  }
+
+  /** Returns (vec_id, embedding, cluster) after `iters` Lloyd iterations.
+    * Initial centroids: the `k` smallest vec_ids (deterministic).
+    */
+  def fit(embeddings: DataFrame, k: Int = 10, iters: Int = 5): DataFrame = {
+    val base = embeddings.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val initIds = base.orderBy("vec_id").limit(k)
+      .withColumn("cluster", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")).cast("long") - 1)
+    var centroids = initIds
+      .select(col("cluster"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+      .localCheckpoint(true)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assign(base, centroids)
+      centroids = centroidsOf(assigned).localCheckpoint(true) // iteration barrier
+    }
+    assign(base, centroids)
+  }
+
+  /** IVF search with the learned quantizer: rank clusters by centroid
+    * distance to the query, scan only the best `nprobe` clusters with the
+    * exact cosine. Same contract as Similarity.cosineTopK, approximate
+    * recall.
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
+              nlist: Int = 10, nprobe: Int = 2, iters: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.vector_cosine
+    val fitted = fit(embeddings, nlist, iters).localCheckpoint(true)
+    val q = fitted.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val cents = centroidsOf(fitted)
+    val best = cents.crossJoin(broadcast(q))
+      .withColumn("d", expr(
+        """aggregate(zip_with(qe, centroid,
+          |  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |  0D, (acc, v) -> acc + v)""".stripMargin))
+      .orderBy(col("d"), col("cluster")).limit(nprobe).select("cluster")
+    fitted.join(broadcast(best), "cluster")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(vector_cosine(col("embedding"), col("qe")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+}
