@@ -63,11 +63,14 @@ object SparkEntry {
       bfs(s, dir).groupBy("level").agg(count(lit(1)).cast("long").as("n_vertices"))
         .orderBy("level")),
     // A6 — DFS = leaves of the tree rooted at the start vertex
+    // (dedup=false: treeEdges unions primary-keyed tables — already distinct)
     "dfs_leaves" -> ((s, dir) =>
-      GraphOps.dfsLeaves(DerivedGraphs.treeEdges(s, dir), 1L)),
+      GraphOps.dfsLeaves(DerivedGraphs.treeEdges(s, dir), 1L, dedup = false)),
     // degree profile of the part–supplier bipartite graph
+    // (dedup=false: partSuppEdges is already .distinct() with disjoint
+    // src/dst namespaces, so the symmetrize shuffle would be pure waste)
     "degree_hist" -> ((s, dir) =>
-      GraphOps.degrees(DerivedGraphs.partSuppEdges(s, dir))
+      GraphOps.degrees(DerivedGraphs.partSuppEdges(s, dir), dedup = false)
         .groupBy(col("degree")).agg(count(lit(1)).cast("long").as("n_vertices"))
         .select(col("degree").cast("long"), col("n_vertices"))
         .orderBy("degree")),
@@ -75,12 +78,14 @@ object SparkEntry {
     // bounded BFS over the undirected part–supplier graph from part 1
     "bfs_bipartite" -> ((s, dir) =>
       GraphOps.bfsLevels(
-        GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir)), 1L, maxLevels = 3)),
+        GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
+        1L, maxLevels = 3)),
     // GraphX PageRank on the bipartite graph (deterministic structure;
     // float jitter across engines ⇒ rows-only check, no SQL oracle)
     "pagerank_top20" -> ((s, dir) =>
       GraphOps.pageRank(
-          GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir)), iters = 10)
+          GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
+          iters = 10)
         .select(col("vertex"), round(col("rank"), 3).as("rank"))
         .orderBy(col("rank").desc, col("vertex"))
         .limit(20)),
@@ -225,8 +230,14 @@ object SparkEntry {
 
     // ---- LLM-data-pipeline operators ------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(t(s, dir, "documents"))),
+    // maxShingleFreq=1000: a no-op on the test corpora (max observed
+    // docs-per-shingle is 25 at sf0.1) but a real skew guard at web scale —
+    // a shingle shared by >1000 docs contributes >half a million candidate
+    // pairs on one shuffle key. The declared plan carries the cap so the
+    // oracle-checked query IS the scale-safe query.
     "ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3, threshold = 0.1)),
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3, threshold = 0.1,
+        maxShingleFreq = 1000L)),
     "minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), w = 3, threshold = 0.8)),
     "simhash_pairs" -> ((s, dir) =>

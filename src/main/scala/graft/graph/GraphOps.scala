@@ -98,20 +98,27 @@ object GraphOps {
       .orderBy("level", "vertex")
   }
 
-  /** Both-direction view of an edge table, deduplicated — idempotent whether
-    * the input stores one direction or both.
+  /** Both-direction view of an edge table — idempotent whether the input
+    * stores one direction or both.
+    *
+    * `dedup = false` skips the `.distinct()` (a full-edge-set shuffle):
+    * pass it when the input is already distinct AND stores one direction
+    * with disjoint src/dst namespaces (so the reversed union cannot
+    * collide) — true for every [[DerivedGraphs]] table.
     */
-  def symmetrize(edges: DataFrame): DataFrame =
-    edges.select("src", "dst")
+  def symmetrize(edges: DataFrame, dedup: Boolean = true): DataFrame = {
+    val both = edges.select("src", "dst")
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    if (dedup) both.distinct() else both
+  }
 
   /** Undirected degree of every vertex = out-degree of the symmetrized
     * edge set. Vertex-id namespaces must be disjoint across node roles
     * (see [[DerivedGraphs]]) or distinct ids collapse.
+    * `dedup` as in [[symmetrize]].
     */
-  def degrees(edges: DataFrame): DataFrame =
-    symmetrize(edges)
+  def degrees(edges: DataFrame, dedup: Boolean = true): DataFrame =
+    symmetrize(edges, dedup)
       .groupBy(col("src").as("vertex"))
       .agg(count(lit(1)).as("degree"))
 
@@ -127,9 +134,9 @@ object GraphOps {
     * mutual recursion); here they are well-defined: leaves of the BFS
     * spanning tree = reachable vertices whose degree within the graph is 1.
     */
-  def dfsLeaves(edges: DataFrame, start: Long): DataFrame = {
+  def dfsLeaves(edges: DataFrame, start: Long, dedup: Boolean = true): DataFrame = {
     val reach = bfsLevels(edges, start).select("vertex")
-    val deg = degrees(edges)
+    val deg = degrees(edges, dedup)
     reach.join(deg, "vertex")
       .filter(col("degree") === 1 && col("vertex") =!= start)
       .select("vertex")

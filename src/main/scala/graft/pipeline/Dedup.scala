@@ -19,14 +19,17 @@ object Dedup {
     * (element_at is 1-based in both engines).
     */
   def shingles(documents: DataFrame, w: Int = 3): DataFrame = {
+    // Dedup happens per row with array_distinct BEFORE the explode: "distinct
+    // shingles per doc" never needs a global shuffle (doc_id is in every key),
+    // and the explode emits the already-unique set. The old global
+    // `.distinct()` shuffled the full (doc, shingle) set for nothing.
     documents
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(t) >= $w
+        s"""array_distinct(CASE WHEN size(t) >= $w
            |THEN transform(sequence(1, size(t) - ${w - 1}),
            |       i -> concat_ws(' ', ${(0 until w).map(o => s"element_at(t, i + $o)").mkString(", ")}))
-           |ELSE array() END""".stripMargin)).as("s"))
-      .distinct()
+           |ELSE array() END)""".stripMargin)).as("s"))
   }
 
   /** Exact duplicate groups by content hash: one row per distinct text,
@@ -82,9 +85,11 @@ object Dedup {
         sh0.join(hot, Seq("s"), "left_anti")
       }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("da"), col("s"))
-    val b = sh.select(col("doc_id").as("db"), col("s"))
-    val inter = a.join(b, a("s") === b("s") && a("da") < b("db"))
+    // Fresh aliases on both sides (not a raw self-reference) so the join
+    // condition compares two distinct attributes, not `s == s`.
+    val a = sh.select(col("doc_id").as("da"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("db"), col("s").as("sb"))
+    val inter = a.join(b, col("sa") === col("sb") && col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
     jaccardOf(inter, sizes, threshold)
   }
@@ -121,20 +126,35 @@ object Dedup {
     // 64-long array per doc instead of 64 exploded rows per shingle.
     val sig = sh.groupBy("doc_id")
       .agg(graft.functions.Sketches.minhash_agg(col("s"), bands * rowsPerBand).as("sig"))
+    // One row per (doc, band); feeds BOTH sides of the self-join below —
+    // materialize once so the sketch aggregation doesn't run twice.
     val banded = sig.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
       .as(Seq("band", "bandsig")))
+      .localCheckpoint(true)
     val l = banded.select(col("doc_id").as("da"), col("band"), col("bandsig"))
     val r = banded.select(col("doc_id").as("db"), col("band"), col("bandsig"))
+    // Candidate pairs are the (small) output of the whole sketch+band
+    // pipeline and feed BOTH the doc-id semi-join and the verify join —
+    // materialize once (eager localCheckpoint) so the banded self-join
+    // doesn't run twice, and the verify joins see a tiny flat relation.
     val candidates = l.join(r, Seq("band", "bandsig"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    // Verify ONLY the candidates with exact Jaccard — unlike the all-pairs
-    // shingle self-join, work here is proportional to |candidates|.
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    // Verify ONLY the candidates with exact Jaccard. Semi-join the shingle
+    // set down to candidate docs FIRST: the verify joins then touch only
+    // |candidate docs| × shingles-per-doc rows instead of the full corpus
+    // twice (sizes are per-doc totals, so computing them on the pruned set
+    // is exact for every doc that can appear in the output).
+    val candDocs = candidates.select(col("da").as("doc_id"))
+      .unionAll(candidates.select(col("db").as("doc_id")))
+      .distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = candidates
-      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .join(shc.select(col("doc_id").as("da"), col("s")), "da")
+      .join(shc.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
     jaccardOf(inter, sizes, threshold)
   }

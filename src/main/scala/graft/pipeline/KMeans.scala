@@ -46,13 +46,17 @@ object KMeans {
     * Initial centroids: the `k` smallest vec_ids (deterministic).
     */
   def fit(embeddings: DataFrame, k: Int = 10, iters: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val base = embeddings.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-    val initIds = base.orderBy("vec_id").limit(k)
-      .withColumn("cluster", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("vec_id")).cast("long") - 1)
-    var centroids = initIds
-      .select(col("cluster"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
-      .localCheckpoint(true)
+    // Seed centroids are parameter-scale (k rows): TakeOrdered them to the
+    // driver and start from a local relation — no global window, no
+    // single-partition shuffle (Spark 4 folds constant partition keys away,
+    // so a lit(0) partition would still be a one-partition WindowExec).
+    val seeds = base.orderBy("vec_id").limit(k).select("embedding").collect()
+    var centroids = seeds.toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](0).map(_.toDouble)) }
+      .toDF("cluster", "centroid")
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = assign(base, centroids)
@@ -70,19 +74,18 @@ object KMeans {
               nlist: Int = 10, nprobe: Int = 2, iters: Int = 3): DataFrame = {
     import graft.functions.VectorFunctions.vector_cosine
     val fitted = fit(embeddings, nlist, iters).localCheckpoint(true)
-    val q = fitted.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
-    val cents = centroidsOf(fitted)
-    val best = cents.crossJoin(broadcast(q))
-      .withColumn("d", expr(
-        """aggregate(zip_with(qe, centroid,
-          |  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-          |  0D, (acc, v) -> acc + v)""".stripMargin))
+    val qv = Similarity.queryVector(fitted, queryId)
+    val qe = typedlit(qv)
+    val qd = typedlit(qv.map(_.toDouble))
+    val best = centroidsOf(fitted)
+      .withColumn("d", aggregate(
+        zip_with(qd, col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
       .orderBy(col("d"), col("cluster")).limit(nprobe).select("cluster")
     fitted.join(broadcast(best), "cluster")
       .filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(vector_cosine(col("embedding"), col("qe")), 4).as("cosine"))
+        round(vector_cosine(col("embedding"), qe), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }

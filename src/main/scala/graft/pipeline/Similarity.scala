@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.vector_cosine
@@ -16,15 +16,27 @@ import graft.functions.VectorFunctions.vector_cosine
   */
 object Similarity {
 
-  /** `aggregate` fold over a double array — used only for tiny centroid
+  /** `aggregate` fold over double arrays — used only for tiny centroid
     * tables where the input is array<double> (the native expression is
     * float-typed).
     */
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
-  private def norm(a: String) =
-    expr(s"sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Fetch the single query embedding to the driver (it is a *parameter* of
+    * the search, not data): one job, then the vector rides into the scan as
+    * a literal — no existence-check job, no broadcast-subquery re-scan.
+    * Throws if the id is absent (typed, not silently empty).
+    */
+  private[pipeline] def queryVector(embeddings: DataFrame, queryId: Long): Seq[Float] = {
+    val rows = embeddings.filter(col("vec_id") === queryId).select("embedding").head(1)
+    require(rows.nonEmpty, s"query vector vec_id=$queryId not found in embeddings")
+    rows.head.getSeq[Float](0)
+  }
 
   /** Brute-force cosine top-k against the embedding of `queryId`.
     * Output: (vec_id, cosine) ordered by (cosine DESC, vec_id), k rows.
@@ -32,14 +44,10 @@ object Similarity {
     * engines (ties broken by vec_id).
     */
   def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
-    val q = embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qe"))
-    require(!q.isEmpty,
-      s"query vector vec_id=$queryId not found in embeddings") // typed, not silently empty
+    val qe = typedlit(queryVector(embeddings, queryId))
     embeddings.filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
       .select(col("vec_id").cast("long"),
-        round(vector_cosine(col("embedding"), col("qe")), 4).as("cosine"))
+        round(vector_cosine(col("embedding"), qe), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -51,6 +59,9 @@ object Similarity {
     */
   def cosineTopKIvf(embeddings: DataFrame, queryId: Long, k: Int = 10,
                     nprobe: Int = 1): DataFrame = {
+    val qv = queryVector(embeddings, queryId)
+    val qe = typedlit(qv)
+    val qd = typedlit(qv.map(_.toDouble))
     // Centroids: element-wise mean per label (explode+agg, one shuffle over
     // nlist × dim rows — tiny).
     val cent = embeddings
@@ -58,17 +69,14 @@ object Similarity {
       .groupBy("label", "i").agg(avg(col("x").cast("double")).as("m"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("centroid"))
-    val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
-    val best = cent.crossJoin(broadcast(q))
+    val best = cent
       .select(col("label"),
-        (dot("centroid", "cast(qe as array<double>)") /
-          (norm("centroid") * norm("qe"))).as("cc"))
+        (dot(col("centroid"), qd) / (norm(col("centroid")) * norm(qd))).as("cc"))
       .orderBy(col("cc").desc).limit(nprobe).select("label")
     embeddings.join(broadcast(best), "label")
       .filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
       .select(col("vec_id").cast("long"),
-        round(vector_cosine(col("embedding"), col("qe")), 4).as("cosine"))
+        round(vector_cosine(col("embedding"), qe), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }

@@ -31,10 +31,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
   }
 
-  test("embedding_topk is a broadcast cross join + TakeOrdered, no shuffle of the base table") {
+  test("embedding_topk is a single joinless scan + TakeOrdered (query vector is a literal)") {
     val p = planOf("embedding_topk")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Join"), s"unexpected join in:\n$p") // literal vector, no broadcast side
+    assert(p.contains("vector_cosine"), s"native cosine missing in:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,0))]"),
+      s"vec_id filter not pushed to the scan in:\n$p")
   }
 
   test("dedup_exact aggregates with partial (map-side) aggregation") {
