@@ -80,8 +80,9 @@ object SparkEntry {
       GraphOps.bfsLevels(
         GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
         1L, maxLevels = 3)),
-    // GraphX PageRank on the bipartite graph (deterministic structure;
-    // float jitter across engines ⇒ rows-only check, no SQL oracle)
+    // GraphX PageRank on the bipartite graph, oracle-checked against a
+    // 10-iteration unrolled power iteration in DuckDB (see pagerankSql);
+    // 3-dp rounding on both sides absorbs summation-order float jitter
     "pagerank_top20" -> ((s, dir) =>
       GraphOps.pageRank(
           GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
@@ -282,6 +283,36 @@ object SparkEntry {
        |  SELECT e.dst, b.lvl + 1 FROM bfs b JOIN e ON e.src = b.v
        |)""".stripMargin
 
+  /** DuckDB replica of GraphX `staticPageRank` (semantics verified
+    * empirically: init rank = 1.0, per-iteration
+    * `r' = 0.15 + 0.85 * Σ_in r_src * (1.0/outdeg_src)`, contribution
+    * computed as rank TIMES precomputed reciprocal — GraphX's
+    * `mapTriplets(1.0/deg)` — not rank/deg, so the float ops line up).
+    * Ten unrolled iterations: DuckDB's recursive CTEs can't re-aggregate
+    * the working table per step. Both sides round to 3 dp and order by the
+    * ROUNDED rank, so last-ulp summation-order jitter can't flip the top-20.
+    */
+  private val pagerankSql: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS (SELECT d.v AS v, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(m.s, 0) AS r
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS v, sum(r${i - 1}.r * deg.w) AS s
+         |    FROM e JOIN r${i - 1} ON r${i - 1}.v = e.src JOIN deg ON deg.v = e.src
+         |    GROUP BY e.dst) m ON m.v = d.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |e AS (
+       |  SELECT CAST(p AS BIGINT) AS src, CAST(1000000000 + s AS BIGINT) AS dst FROM pe
+       |  UNION ALL
+       |  SELECT CAST(1000000000 + s AS BIGINT), CAST(p AS BIGINT) FROM pe
+       |),
+       |deg AS (SELECT src AS v, CAST(1.0 AS DOUBLE) / count(*) AS w FROM e GROUP BY src),
+       |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM deg),
+       |$iters
+       |SELECT v AS vertex, CAST(round(r, 3) AS DOUBLE) AS rank
+       |FROM r10 ORDER BY round(r, 3) DESC, vertex LIMIT 20""".stripMargin
+  }
+
   private val jaccardSql = { threshold: Double =>
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -347,6 +378,7 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(10000000 + o_orderkey AS BIGINT), CAST(1000 + o_custkey AS BIGINT) FROM orders
         |ORDER BY vertex""".stripMargin,
+    "pagerank_top20" -> pagerankSql,
     "graph_scan" -> s"SELECT * FROM ($E) ORDER BY src, dst",
     "graph_add_roundtrip" ->
       """SELECT CAST(1 + n_regionkey AS BIGINT) AS src, CAST(10 + n_nationkey AS BIGINT) AS dst

@@ -104,6 +104,85 @@ case class VectorDot(left: Expression, right: Expression) extends FloatVectorBin
     copy(left = newLeft, right = newRight)
 }
 
+/** Index (0-based) of the nearest centroid by squared L2 distance.
+  *
+  * `left`: the row's embedding (`array<float>`); `right`: the centroid
+  * list (`array<array<double>>`, typically a broadcast literal of k
+  * vectors). Ties break to the LOWER index; callers that need cluster ids
+  * keep a parallel id array sorted the same way (argmin over a
+  * cluster-sorted list ≡ the old "lower cluster id wins" fold).
+  *
+  * This replaces an `aggregate(transform(...))` HOF fold that ran on
+  * every Lloyd-iteration scan: HOFs are CodegenFallback (per-row
+  * interpreter + lambda frames), while this compiles to two nested
+  * primitive loops inside whole-stage codegen. Accumulation is sequential
+  * left-to-right in double — identical order and values to the fold it
+  * replaces. Returns -1 for an empty centroid list.
+  */
+case class VectorL2Argmin(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vector_l2_argmin"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float>, array<array<double>>), " +
+            s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val emb = l.asInstanceOf[ArrayData]
+    val cents = r.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      val cent = cents.getArray(c)
+      val n = math.min(emb.numElements(), cent.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = emb.getFloat(i).toDouble - cent.getDouble(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (emb, cents) => {
+      val cent = ctx.freshName("cent")
+      s"""
+         |int k = $cents.numElements();
+         |int best = -1; double bestD = Double.POSITIVE_INFINITY;
+         |for (int c = 0; c < k; c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cent = $cents.getArray(c);
+         |  int n = java.lang.Math.min($emb.numElements(), $cent.numElements());
+         |  double d = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double diff = (double) $emb.getFloat(i) - $cent.getDouble(i);
+         |    d += diff * diff;
+         |  }
+         |  if (d < bestD) { bestD = d; best = c; }
+         |}
+         |${ev.value} = best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API + SQL registration for the vector expressions. */
 object VectorFunctions {
   def vector_cosine(a: Column, b: Column): Column =
@@ -112,10 +191,14 @@ object VectorFunctions {
   def vector_dot(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expression(a), Bridge.expression(b)))
 
+  def vector_l2_argmin(emb: Column, centroids: Column): Column =
+    Bridge.column(VectorL2Argmin(Bridge.expression(emb), Bridge.expression(centroids)))
+
   /** Idempotent SQL-name registration (`SELECT vector_cosine(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vector_cosine", es => VectorCosine(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_dot", es => VectorDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vector_l2_argmin", es => VectorL2Argmin(es.head, es(1)), "built-in")
   }
 }

@@ -22,24 +22,26 @@ object KMeans {
       .groupBy("cluster")
       .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("centroid"))
 
-  /** Squared-distance argmin assignment against broadcast centroids. */
+  /** Squared-distance argmin assignment against broadcast centroids.
+    *
+    * The hot path is the codegen'd [[graft.functions.VectorL2Argmin]]
+    * (two primitive loops inside whole-stage codegen) — this scan runs
+    * once per Lloyd iteration over the FULL table, so an interpreted HOF
+    * fold here would put the interpreter on the hottest loop in the
+    * operator. The one-row packed centroid table (ids + vectors, sorted
+    * by cluster so argmin's lowest-index tie-break ≡ lowest cluster id)
+    * is broadcast; the per-row HOFs are gone.
+    */
   private def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val withC = embeddings.crossJoin(broadcast(
-      centroids.groupBy().agg(
-        expr("array_agg(struct(cluster, centroid))").as("cs"))))
-    withC.withColumn("cluster", expr(
-      """aggregate(
-        |  transform(cs, c -> struct(
-        |    aggregate(zip_with(embedding, c.centroid,
-        |      (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-        |      0D, (acc, v) -> acc + v) AS d,
-        |    c.cluster AS cl)),
-        |  CAST(null AS STRUCT<d: DOUBLE, cl: BIGINT>),
-        |  (best, cand) -> CASE WHEN best IS NULL THEN cand
-        |    WHEN cand.d < best.d THEN cand
-        |    WHEN cand.d = best.d AND cand.cl < best.cl THEN cand
-        |    ELSE best END).cl""".stripMargin))
-      .drop("cs")
+    import graft.functions.VectorFunctions.vector_l2_argmin
+    val packed = centroids.groupBy()
+      .agg(expr("array_sort(collect_list(struct(cluster, centroid)))").as("cs"))
+      .select(expr("transform(cs, c -> c.cluster)").as("cids"),
+              expr("transform(cs, c -> c.centroid)").as("cents"))
+    embeddings.crossJoin(broadcast(packed))
+      .withColumn("cluster",
+        element_at(col("cids"), vector_l2_argmin(col("embedding"), col("cents")) + 1))
+      .drop("cids", "cents")
   }
 
   /** Returns (vec_id, embedding, cluster) after `iters` Lloyd iterations.

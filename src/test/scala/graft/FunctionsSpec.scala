@@ -76,6 +76,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(agg == direct)
   }
 
+  test("vector_l2_argmin picks the nearest centroid, ties to lower index") {
+    val cents = typedlit(Seq(Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(1.0, 0.0)))
+    val rows = Seq(
+      (1L, Array(0.9f, 0.0f)),  // nearest (1,0) -> index 1 (ties 1 vs 2 -> 1)
+      (2L, Array(0.1f, 0.0f)),  // nearest (0,0) -> index 0
+      (3L, Array(0.5f, 0.0f)),  // exact midpoint -> lower index 0
+    ).toDF("id", "e")
+    val out = rows.select($"id", VectorFunctions.vector_l2_argmin($"e", cents).as("i"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out == Map(1L -> 1, 2L -> 0, 3L -> 0))
+    // matches the interpreted min-of-structs fold it replaced
+    val hof = rows.select($"id", expr(
+      """aggregate(
+        |  transform(array(array(0D,0D), array(1D,0D), array(1D,0D)),
+        |    (c, ci) -> struct(
+        |      aggregate(zip_with(e, c, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+        |        0D, (acc, v) -> acc + v) AS d, ci AS cl)),
+        |  CAST(null AS STRUCT<d: DOUBLE, cl: INT>),
+        |  (best, cand) -> CASE WHEN best IS NULL THEN cand
+        |    WHEN cand.d < best.d THEN cand
+        |    WHEN cand.d = best.d AND cand.cl < best.cl THEN cand
+        |    ELSE best END).cl""".stripMargin).as("i"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out == hof)
+  }
+
+  test("vector_l2_argmin runs inside whole-stage codegen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = typedlit(Seq(Seq.fill(64)(0.0), Seq.fill(64)(0.1)))
+    val plan = emb.select(VectorFunctions.vector_l2_argmin($"embedding", cents).as("i"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vector_l2_argmin"), plan)
+  }
+
   test("expression participates in whole-stage codegen") {
     // must use a real source: local relations are constant-folded away
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -31,6 +31,36 @@ class SkewSpec extends AnyFunSuite {
     assert(salts.map(_.getLong(1)).max < 500) // no bucket holds everything
   }
 
+  test("ngram_jaccard shingle cap bounds a hot-shingle corpus") {
+    import graft.pipeline.Dedup
+    // 200 docs all sharing one hot trigram ("the same header"), each with a
+    // unique tail: uncapped, the hot shingle alone contributes
+    // 200·199/2 = 19900 candidate pairs on ONE shuffle key.
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"the same header unique$i tail$i words$i here$i")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, 3)
+    // the candidate-join input after the cap: no shingle key exceeds the cap
+    val capped = {
+      val hot = sh.groupBy("s").count().filter($"count" > 10).select("s")
+      sh.join(hot, Seq("s"), "left_anti")
+    }
+    val maxFreq = capped.groupBy("s").count().agg(
+      org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(maxFreq <= 10, s"cap leaked a hot shingle (max freq $maxFreq)")
+    // capped pipeline output: the all-share-a-header corpus produces NO
+    // high-Jaccard pairs (docs differ in their tails) and, crucially, the
+    // candidate join stays bounded: at most capFreq·(capFreq-1)/2 pairs per
+    // shingle key instead of n²
+    val pairs = Dedup.ngramJaccardPairs(docs, w = 3, threshold = 0.5,
+      maxShingleFreq = 10L)
+    assert(pairs.count() == 0)
+    // and with no cap the same corpus DOES generate quadratic candidates —
+    // the guard is doing real work (compare candidate-join input sizes)
+    val uncappedHotPairs = sh.as("a").join(sh.as("b"),
+      $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id").count()
+    assert(uncappedHotPairs >= 19900L)
+  }
+
   test("hotKeys surfaces the dominant key first") {
     val df = (Seq.fill(50)("hot") ++ Seq("a", "b", "c")).toDF("k")
     val top = SkewUtils.hotKeys(df, "k", 2).collect()
