@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -183,6 +183,95 @@ case class VectorL2Argmin(left: Expression, right: Expression) extends BinaryExp
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit hyperplane sign sketch of a float vector (SimHash over
+  * embeddings): bit j = [dot(emb, H_j) >= 0] where H_j is a Rademacher
+  * (±1) hyperplane derived deterministically from `(seed, j, dim-block)`
+  * via a splitmix64 mix — no stored plane matrix, any dimension, identical
+  * bits on every engine/run. Multiple seeds concatenate to longer
+  * signatures for LSH banding ([[graft.pipeline.Similarity]]).
+  *
+  * For unit vectors, P(bit agrees) = 1 - angle/π (Goemans–Williamson), so
+  * Hamming distance estimates the angle and band-equality buckets feed a
+  * sub-quadratic near-dup candidate join. Codegen'd: two primitive loops,
+  * one `mixWord` call per 64 dims per bit.
+  */
+case class VectorSignSketch(child: Expression, seed: Int) extends UnaryExpression {
+  override def prettyName: String = s"vector_sign_sketch_$seed"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val n = emb.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      var acc = 0.0
+      var blk = 0
+      while (blk * 64 < n) {
+        val w = VectorSignSketch.mixWord(seed, j, blk)
+        var i = blk * 64
+        val end = math.min(n, blk * 64 + 64)
+        while (i < end) {
+          val x = emb.getFloat(i).toDouble
+          acc += (if (((w >>> (i & 63)) & 1L) == 1L) x else -x)
+          i += 1
+        }
+        blk += 1
+      }
+      if (acc >= 0.0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, emb => {
+      s"""
+         |int n = $emb.numElements();
+         |long sig = 0L;
+         |for (int j = 0; j < 64; j++) {
+         |  double acc = 0.0;
+         |  for (int blk = 0; blk * 64 < n; blk++) {
+         |    long w = graft.functions.VectorSignSketch.mixWord($seed, j, blk);
+         |    int end = java.lang.Math.min(n, blk * 64 + 64);
+         |    for (int i = blk * 64; i < end; i++) {
+         |      double x = (double) $emb.getFloat(i);
+         |      acc += (((w >>> (i & 63)) & 1L) == 1L) ? x : -x;
+         |    }
+         |  }
+         |  if (acc >= 0.0) sig |= (1L << j);
+         |}
+         |${ev.value} = sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorSignSketch {
+  /** splitmix64 of the packed (seed, bit, dim-block) key; called from both
+    * the interpreted eval and generated code (static forwarder).
+    */
+  def mixWord(seed: Int, j: Int, block: Int): Long = {
+    var z = ((seed.toLong & 0xffffffffL) << 32) ^ (j.toLong << 8) ^ block.toLong
+    z += 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
+
 /** Column-level API + SQL registration for the vector expressions. */
 object VectorFunctions {
   def vector_cosine(a: Column, b: Column): Column =
@@ -193,6 +282,9 @@ object VectorFunctions {
 
   def vector_l2_argmin(emb: Column, centroids: Column): Column =
     Bridge.column(VectorL2Argmin(Bridge.expression(emb), Bridge.expression(centroids)))
+
+  def vector_sign_sketch(emb: Column, seed: Int): Column =
+    Bridge.column(VectorSignSketch(Bridge.expression(emb), seed))
 
   /** Idempotent SQL-name registration (`SELECT vector_cosine(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

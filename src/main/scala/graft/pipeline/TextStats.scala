@@ -115,18 +115,43 @@ object TextStats {
       .orderBy("doc_id", "rn")
   }
 
-  /** Winnowing-style robust fingerprint: minimum k-gram hash per window —
-    * here simplified to the global min and second-min shingle hashes, a
-    * compact sketch that survives small edits (rolling-hash family;
-    * reference-free extension). No oracle — verified by ScalaTest.
+  /** Winnowing document fingerprint — the published algorithm (Schleimer,
+    * Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003): hash every k-gram IN SEQUENCE ORDER
+    * (duplicates kept), slide a window of `w` consecutive hashes, keep the
+    * minimum of each window; the distinct kept hashes are the fingerprint.
+    * Guarantee: any shared token run of ≥ w + k - 1 tokens produces at
+    * least one shared fingerprint (property-tested).
+    *
+    * Hash = md5 hex (lexicographic min — identical string ordering in
+    * Spark and DuckDB, so the oracle can replay the exact computation;
+    * xxhash64 would be Spark-only). One shuffle: the per-doc window sort.
+    * Docs with fewer than k tokens emit no fingerprints; docs with fewer
+    * than w+k-1 tokens emit the single min over all their gram hashes
+    * (the truncated first window).
+    *
+    * Output: (doc_id, fp) — one row per distinct fingerprint hash.
     */
-  def winnowedFingerprint(documents: DataFrame, w: Int = 3): DataFrame = {
-    Dedup.shingles(documents, w)
-      .withColumn("h", xxhash64(col("s")))
-      .groupBy("doc_id")
-      // try_element_at: null (not an ANSI index error) for one-shingle docs
-      .agg(min("h").as("min_h"),
-        expr("try_element_at(sort_array(collect_list(h)), 2)").as("second_h"))
-      .orderBy("doc_id")
+  def winnowedFingerprint(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gramExpr =
+      s"""CASE WHEN size(t) >= $k
+         |THEN transform(sequence(1, size(t) - ${k - 1}),
+         |       i -> concat_ws(' ', ${(0 until k).map(o => s"element_at(t, i + $o)").mkString(", ")}))
+         |ELSE array() END""".stripMargin
+    val grams = documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), (size(col("t")) - lit(k - 1)).as("m"),
+        posexplode(expr(gramExpr)).as(Seq("pos", "g")))
+      .withColumn("h", md5(col("g").cast("binary")))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    grams
+      .withColumn("fp", min("h").over(win))
+      // full windows only (starts 0..m-w); if m < w the truncated first
+      // window (min of all hashes) is the whole fingerprint
+      .filter(col("pos") <= greatest(col("m") - lit(w), lit(0)))
+      .select(col("doc_id").cast("long").as("doc_id"), col("fp"))
+      .distinct()
+      .orderBy("doc_id", "fp")
   }
 }

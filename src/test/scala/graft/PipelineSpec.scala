@@ -87,4 +87,47 @@ class PipelineSpec extends AnyFunSuite {
     // subwords: hello|world|,|it|'|s|42
     assert(r.getLong(3) == 7)
   }
+
+  test("winnowing: hand-computed window mins on a tiny doc") {
+    // 7 tokens, k=3 -> 5 grams, w=4 -> 2 full windows (pos 0 and 1)
+    val d = docs((1L, "a b c d e f g"))
+    val out = TextStats.winnowedFingerprint(d, k = 3, w = 4)
+      .collect().map(_.getString(1)).toSet
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val grams = Seq("a b c", "b c d", "c d e", "d e f", "e f g").map(h)
+    val expected = Set(grams.slice(0, 4).min, grams.slice(1, 5).min)
+    assert(out == expected)
+  }
+
+  test("winnowing: short doc (fewer than w+k-1 tokens) keeps the single global min") {
+    val d = docs((1L, "a b c d")) // 2 grams < w -> one truncated window
+    val out = TextStats.winnowedFingerprint(d, k = 3, w = 4).collect()
+    assert(out.length == 1)
+    // and a doc under k tokens emits nothing
+    assert(TextStats.winnowedFingerprint(docs((2L, "a b")), 3, 4).isEmpty)
+  }
+
+  test("winnowing guarantee: docs sharing a run of >= w+k-1 tokens share a fingerprint") {
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 't').map(_.toString)
+    def randTokens(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val pairs = (0 until 30).map { i =>
+      val shared = randTokens(6 + rnd.nextInt(5)) // >= w+k-1 = 6 tokens
+      def doc = {
+        val pre = randTokens(rnd.nextInt(12))
+        val post = randTokens(rnd.nextInt(12))
+        (pre ++ shared ++ post).mkString(" ")
+      }
+      (2L * i, doc, 2L * i + 1, doc)
+    }
+    val d = pairs.flatMap { case (ia, a, ib, b) => Seq((ia, a), (ib, b)) }
+    val fps = TextStats.winnowedFingerprint(docs(d: _*), k = 3, w = 4)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    pairs.foreach { case (ia, _, ib, _) =>
+      assert(fps(ia).intersect(fps(ib)).nonEmpty,
+        s"docs $ia/$ib share a ${6}-token run but no fingerprint")
+    }
+  }
 }
