@@ -66,6 +66,10 @@ object SparkEntry {
     // (dedup=false: treeEdges unions primary-keyed tables — already distinct)
     "dfs_leaves" -> ((s, dir) =>
       GraphOps.dfsLeaves(DerivedGraphs.treeEdges(s, dir), 1L, dedup = false)),
+    // A6 — same semantics via the genuine Pregel parent-pointer traversal
+    // (checked against the SAME DuckDB oracle as the closed form)
+    "dfs_leaves_pregel" -> ((s, dir) =>
+      GraphOps.dfsLeavesPregel(DerivedGraphs.treeEdges(s, dir), 1L)),
     // degree profile of the part–supplier bipartite graph
     // (dedup=false: partSuppEdges is already .distinct() with disjoint
     // src/dst namespaces, so the symmetrize shuffle would be pure waste)
@@ -160,6 +164,19 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"), col("total"))
         .orderBy("status", "priority")),
+    // full CUBE (all 4 grouping sets) over status × order year
+    "cube_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus").as("s0"),
+          year(col("o_orderdate").cast("timestamp")).cast("string").as("y0"),
+          col("o_totalprice"))
+        .cube("s0", "y0")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(coalesce(col("s0"), lit("ALL")).as("status"),
+          coalesce(col("y0"), lit("ALL")).as("oyear"),
+          col("n"), col("total"))
+        .orderBy("status", "oyear")),
 
     // window dedup-rank: latest order per customer (row_number = the
     // canonical keep-one-per-key pattern in data pipelines)
@@ -356,6 +373,18 @@ object SparkEntry {
          |)
          |SELECT CAST(r.v AS BIGINT) AS vertex FROM reach r JOIN deg ON deg.v = r.v
          |WHERE deg.d = 1 AND r.v <> 1 ORDER BY vertex""".stripMargin,
+    "dfs_leaves_pregel" ->
+      s"""WITH RECURSIVE e AS ($E),
+         |reach(v) AS (
+         |  SELECT CAST(1 AS BIGINT) UNION ALL SELECT e.dst FROM reach r JOIN e ON e.src = r.v
+         |),
+         |deg AS (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e
+         |  ) GROUP BY v
+         |)
+         |SELECT CAST(r.v AS BIGINT) AS vertex FROM reach r JOIN deg ON deg.v = r.v
+         |WHERE deg.d = 1 AND r.v <> 1 ORDER BY vertex""".stripMargin,
     "bfs_bipartite" ->
       """WITH RECURSIVE pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
         |e AS (
@@ -429,6 +458,13 @@ object SparkEntry {
         |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "cube_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS oyear,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+        |ORDER BY status, oyear""".stripMargin,
     "latest_order_per_cust" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey,
         |  CAST(o_orderkey AS BIGINT) AS orderkey,
@@ -597,5 +633,25 @@ object SparkEntry {
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+    // the STUB codec is deterministic arithmetic over the payload bytes
+    // (doc text is pure ASCII, so codepoint sum == byte sum) — which makes
+    // even the stubbed decode oracle-checkable end to end
+    "media_features" ->
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CASE WHEN strlen(text) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(string_split_regex(text, ''), c -> ord(c))) AS DOUBLE)
+        |            / strlen(text) END AS mean_intensity
+        |FROM documents)
+        |SELECT media_id, kind, n_bytes,
+        |  CAST(CASE kind WHEN 'image' THEN n_bytes % 640 + 1
+        |                 WHEN 'audio' THEN n_bytes
+        |                 ELSE n_bytes % 320 + 1 END AS INTEGER) AS width,
+        |  CAST(CASE kind WHEN 'image' THEN n_bytes % 480 + 1
+        |                 WHEN 'audio' THEN 1
+        |                 ELSE n_bytes % 240 + 1 END AS INTEGER) AS height,
+        |  mean_intensity
+        |FROM m ORDER BY media_id""".stripMargin,
   )
 }

@@ -137,8 +137,61 @@ object GraphOps {
   def dfsLeaves(edges: DataFrame, start: Long, dedup: Boolean = true): DataFrame = {
     val reach = bfsLevels(edges, start).select("vertex")
     val deg = degrees(edges, dedup)
-    reach.join(deg, "vertex")
-      .filter(col("degree") === 1 && col("vertex") =!= start)
+    // left join: an isolated start vertex has no degree row; the reference
+    // still emits it (a root with zero children IS a leaf — the n=1 tree,
+    // `secondary_server.c:171-178` with ccnt==0)
+    reach.join(deg, Seq("vertex"), "left")
+      .filter((col("degree") === 1 && col("vertex") =!= start) ||
+              (col("degree").isNull && col("vertex") === start))
+      .select("vertex")
+      .orderBy("vertex")
+  }
+
+  /** DFS-leaves via a genuine Pregel traversal (SURVEY.md A6's promised
+    * non-closed-form variant): build parent pointers from `start` with a
+    * min-(dist, parent) BFS-tree Pregel, then emit the reachable vertices
+    * that are nobody's parent — exactly the leaves of the tree rooted at
+    * `start`. On trees this coincides with [[dfsLeaves]]' degree closed
+    * form (cross-checked on every docx golden and random Prüfer trees).
+    * On non-tree graphs the two definitions legitimately differ: this one
+    * returns the leaves of the DETERMINISTIC BFS spanning tree (min-dist,
+    * ties to the smallest parent id), while the closed form returns
+    * degree-1 reachable vertices; the reference's DFS is undefined
+    * (unbounded recursion) there, so either extension is conservative.
+    */
+  def dfsLeavesPregel(edges: DataFrame, start: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val INF = Long.MaxValue
+    val edgeRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val g = Graph.fromEdges(edgeRdd, defaultValue = (INF, -1L),
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => if (id == start) (0L, -1L) else (INF, -1L))
+    def better(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
+    val res = Pregel(g, (INF, -1L), activeDirection = EdgeDirection.Out)(
+      (_: VertexId, attr: (Long, Long), msg: (Long, Long)) => better(attr, msg),
+      triplet =>
+        // strict <: every dist-d vertex resolves in superstep d, so all its
+        // candidate parents' messages merge (min parent id) in one round
+        if (triplet.srcAttr._1 != INF && triplet.srcAttr._1 + 1 < triplet.dstAttr._1)
+          Iterator((triplet.dstId, (triplet.srcAttr._1 + 1, triplet.srcId)))
+        else Iterator.empty,
+      better)
+    // lazy result still reads res's RDDs — do not unpersist before the action
+    // (union ∪ distinct re-adds an isolated start: Graph.fromEdges only
+    // materializes vertices with edges; the root's row is (start, -1)
+    // either way so the union is exact)
+    val reached = res.vertices.filter(_._2._1 != INF)
+      .map { case (v, (_, p)) => (v, p) }
+      .toDF("vertex", "parent")
+      .unionAll(Seq((start, -1L)).toDF("vertex", "parent"))
+      .distinct()
+    val parents = reached.filter(col("parent") =!= -1L)
+      .select(col("parent").as("vertex")).distinct()
+    reached.join(parents, Seq("vertex"), "left_anti")
       .select("vertex")
       .orderBy("vertex")
   }

@@ -64,6 +64,16 @@ object StreamOps {
   /** Streaming request server: dispatch a stream of protocol lines into a
     * [[graft.engine.GraphEngine]] via foreachBatch — the streaming analogue
     * of the reference's balancer+server loop (`load_balancer.c:47-72`).
+    *
+    * Payload channel: an optional `payload` string column on the input
+    * rides NEXT TO the protocol line — the streaming analogue of the
+    * reference's per-request shared-memory segment (`client (1).c:77-104`
+    * ships the matrix out-of-band from the 100-char request). For write
+    * ops (1/2) it carries reference matrix text (`n` then `n` rows); for
+    * read ops (3/4) the 1-based start vertex digits, falling back to
+    * `startVertexOf` when absent. So the full client session — adds,
+    * modifies, then traversals — replays through one stream.
+    *
     * Read results are counted, not shipped (results are DataFrames; a real
     * deployment would sink them). Returns the query; caller stops it.
     * `onResponse` receives (seq_no, worker, message) per request in
@@ -73,21 +83,33 @@ object StreamOps {
                     startVertexOf: Long => Long,
                     onResponse: (Long, String, String) => Unit)
   : org.apache.spark.sql.streaming.StreamingQuery = {
-    parseRequests(lines).writeStream
+    val withPayload =
+      if (lines.columns.contains("payload")) lines
+      else lines.withColumn("payload", lit(null).cast("string"))
+    parseRequests(withPayload).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
         val reqs = batch.filter(col("worker") =!= "invalid")
-          .select("seq_no", "op_no", "filename").collect()
+          .select("seq_no", "op_no", "filename", "payload").collect()
           .sortBy(_.getLong(0))
         reqs.foreach { r =>
           val req = graft.model.GraphRequest(r.getLong(0),
             graft.model.Op.fromCode(r.getLong(1).toInt), r.getString(2))
+          val payloadText = Option(r.getString(3))
           val resp = scala.util.Try {
             val payload: graft.engine.Payload = req.op match {
               case graft.model.Op.DfsLeaves | graft.model.Op.BfsLevels =>
-                graft.engine.StartVertex(startVertexOf(req.seqNo))
-              case _ => throw new IllegalArgumentException(
-                "write ops need a payload channel; use the batch API")
+                graft.engine.StartVertex(payloadText match {
+                  case Some(s) => s.trim.toLong
+                  case None => startVertexOf(req.seqNo)
+                })
+              case _ =>
+                val text = payloadText.getOrElse(throw new IllegalArgumentException(
+                  s"write op ${req.op.code} needs a matrix payload column " +
+                    "(the shared-memory analogue)"))
+                graft.engine.GraphPayload(graft.model.MatrixCodec.edgesDF(
+                  spark, graft.model.MatrixCodec.parseMatrixText(text)._2))
             }
             engine.execute(req, payload)
           }

@@ -46,10 +46,12 @@ class DocxGoldenSpec extends AnyFunSuite {
         assert(leaves == (deg.filter(_._2 == 1).keySet - s),
           s"DFS leaves from $s")
       }
-      // Pregel parity from vertex 1
+      // Pregel parity from vertex 1 (BFS levels and DFS leaves)
       val a = GraphOps.bfsLevels(df, 1L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val b = GraphOps.bfsLevelsPregel(df, 1L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(a == b)
+      val lp = GraphOps.dfsLeavesPregel(df, 1L).collect().map(_.getLong(0)).toSet
+      assert(lp == (deg.filter(_._2 == 1).keySet - 1L), "Pregel DFS leaves from 1")
     }
   }
 }

@@ -101,4 +101,26 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(leaves(g, 1) == expected)
     }
   }
+
+  test("Pregel DFS-leaves agrees with the closed form on docx goldens and random trees") {
+    def pregelLeaves(g: org.apache.spark.sql.DataFrame, s: Long): Set[Long] =
+      GraphOps.dfsLeavesPregel(g, s).collect().map(_.getLong(0)).toSet
+    for (s <- Seq(1L, 2L, 4L)) assert(pregelLeaves(docxG1, s) == leaves(docxG1, s))
+    assert(pregelLeaves(docxG2, 1L) == leaves(docxG2, 1L))
+    val rng = new scala.util.Random(13)
+    for (_ <- 1 to 4) {
+      val g = undirected(randomTree(rng): _*)
+      assert(pregelLeaves(g, 1L) == leaves(g, 1L))
+    }
+  }
+
+  test("DFS leaves of a single-vertex tree is the root itself (reference n=1 case)") {
+    import spark.implicits._
+    // graph with an isolated start: edges exist elsewhere only
+    val g = undirected((5, 6))
+    val out = GraphOps.dfsLeaves(g, 1L).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L))
+    val outP = GraphOps.dfsLeavesPregel(g, 1L).collect().map(_.getLong(0)).toSet
+    assert(outP == Set(1L))
+  }
 }

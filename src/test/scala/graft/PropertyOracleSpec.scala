@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, KMeans, Similarity}
+import SparkTestSession._
+
+/** Property oracles for the declared queries DuckDB cannot replay
+  * (Spark-specific xxhash64, pruning heuristics): the invariants the
+  * driver's rows-only check can't see, verified in-Spark on the real
+  * testdata. These are the "oracle" halves of simhash_pairs,
+  * embedding_topk_ivf and embedding_topk_ivf_kmeans.
+  */
+class PropertyOracleSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  test("simhash_pairs is EXACTLY the hamming<=3 pair set (pigeonhole complete)") {
+    val sims = Dedup.simhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute force over all pairs, driver-side (50 docs at sf0.001)
+    val expected = (for {
+      (da, ha) <- sims; (db, hb) <- sims if da < db
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (da, db, h.toLong)).toSet
+    val got = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  private def bruteForce(k: Int): Seq[(Long, Double)] =
+    Similarity.cosineTopK(emb, queryId = 0L, k = k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  /** IVF property: every returned neighbor carries its TRUE cosine (same
+    * value as brute force), ranking is consistent, and pruned recall@10
+    * stays useful (the deterministic measured value, floored).
+    */
+  test("embedding_topk_ivf: results are true-cosine consistent with brute force") {
+    val full = bruteForce(500).toMap
+    val ivf = Similarity.cosineTopKIvf(emb, queryId = 0L, k = 10, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.length == 10)
+    ivf.foreach { case (v, c) =>
+      assert(full.contains(v) && full(v) == c, s"vec $v cosine $c diverges from brute force")
+    }
+    assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted.reverse.toSeq) // ranked desc
+    // labels are RANDOM partitions in the testdata (not similarity
+    // clusters), so label-IVF pruning recall is weak by construction —
+    // measured deterministic value 3/10 at nprobe=2. The learned k-means
+    // quantizer below is the real IVF and clears >= 5/10.
+    val recall = ivf.map(_._1).toSet.intersect(bruteForce(10).map(_._1).toSet).size
+    assert(recall >= 3, s"nprobe=2 recall@10 collapsed to $recall/10")
+  }
+
+  test("embedding_topk_ivf_kmeans: results are true-cosine consistent with brute force") {
+    val full = bruteForce(500).toMap
+    val ivf = KMeans.ivfTopK(emb, queryId = 0L, k = 10, nlist = 8, nprobe = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.length == 10)
+    ivf.foreach { case (v, c) =>
+      assert(full.contains(v) && full(v) == c, s"vec $v cosine $c diverges from brute force")
+    }
+    assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted.reverse.toSeq)
+    val recall = ivf.map(_._1).toSet.intersect(bruteForce(10).map(_._1).toSet).size
+    assert(recall >= 5, s"nprobe=3/nlist=8 recall@10 collapsed to $recall/10")
+  }
+}

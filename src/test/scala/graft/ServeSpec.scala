@@ -46,4 +46,42 @@ class ServeSpec extends AnyFunSuite {
     assert(bySeq(7L).head._2 == "error")
     assert(!bySeq.contains(0L)) // malformed line quarantined, never dispatched
   }
+
+  test("full client session through the stream: add, modify, then traverse (ops 1/2/3/4)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_serve_w_").toString
+    val engine = new GraphEngine(spark, new GraphCatalog(spark, tmp))
+    val path3 = "3\n0 1 0\n1 0 1\n0 1 0"           // 1-2-3 path
+    val star5 = "5\n0 1 1 1 1\n1 0 0 0 0\n1 0 0 0 0\n1 0 0 0 0\n1 0 0 0 0" // star at 1
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val responses = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    val q = StreamOps.serveRequests(
+      mem.toDF().toDF("value", "payload"), engine,
+      startVertexOf = _ => 1L,
+      onResponse = (seq, worker, msg) => responses.synchronized {
+        responses += ((seq, worker, msg)); ()
+      })
+    try {
+      // one batch, seq_no order drives replay: add → bfs
+      mem.addData(("10 1 G9.txt", path3), ("11 4 G9.txt", "2"))
+      q.processAllAvailable()
+      // next batch: overwrite with the 5-star, then bfs + dfs-leaves
+      mem.addData(("12 2 G9.txt", star5), ("13 4 G9.txt", "1"), ("14 3 G9.txt", "1"))
+      q.processAllAvailable()
+      // write op with no payload → typed error, stream stays alive
+      mem.addData(("15 1 G8.txt", null))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val bySeq = responses.synchronized { responses.toSeq }.groupBy(_._1)
+    assert(bySeq(10L).head._2 == "primary")
+    assert(bySeq(10L).head._3.startsWith("File successfully added"))
+    assert(bySeq(11L).head._3.endsWith("rows=3")) // path BFS from 2 sees all 3
+    assert(bySeq(12L).head._3.startsWith("File successfully modified"))
+    assert(bySeq(13L).head._3.endsWith("rows=5")) // star BFS from 1 sees all 5
+    assert(bySeq(14L).head._3.endsWith("rows=4")) // star leaves from 1: {2,3,4,5}
+    assert(bySeq(15L).head._2 == "error")
+    assert(bySeq(15L).head._3.contains("matrix payload"))
+  }
 }
