@@ -290,6 +290,10 @@ object SparkEntry {
     "media_features" -> ((s, dir) =>
       Media.extractFeatures(Media.mediaFromDocuments(t(s, dir, "documents")))
         .toDF().orderBy("media_id")),
+    // frame sampling over video payloads (every 2nd 64-byte chunk);
+    // the stub chunker is deterministic arithmetic -> full oracle below
+    "media_frames" -> ((s, dir) =>
+      Media.frameStats(Media.mediaFromDocuments(t(s, dir, "documents")), stride = 2)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -653,5 +657,17 @@ object SparkEntry {
         |                 ELSE n_bytes % 240 + 1 END AS INTEGER) AS height,
         |  mean_intensity
         |FROM m ORDER BY media_id""".stripMargin,
+    // videos are doc_id % 3 == 2; chunk c covers bytes [64c, 64c+64);
+    // kept when c is even; frame_no indexes the KEPT frames (c / 2)
+    "media_frames" ->
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+        |             strlen(text) AS n
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |c AS (SELECT media_id, i, substr(text, CAST(i * 64 + 1 AS INT), 64) AS fb
+        |      FROM v, UNNEST(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS u(i)
+        |      WHERE i % 2 = 0)
+        |SELECT media_id, CAST(i // 2 AS BIGINT) AS frame_no,
+        |       CAST(strlen(fb) AS BIGINT) AS n_bytes, md5(fb) AS frame_md5
+        |FROM c ORDER BY media_id, frame_no""".stripMargin,
   )
 }

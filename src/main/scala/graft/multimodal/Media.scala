@@ -69,6 +69,22 @@ object Media {
     }
   }
 
+  /** Frame inventory as a DataFrame query (oracle-friendly surface over
+    * [[sampleFrames]]): one row per sampled frame with its byte length and
+    * md5 — the metadata a downstream training pipeline joins on without
+    * ever shuffling the frame bytes.
+    */
+  def frameStats(media: Dataset[MediaRow], stride: Int = 2): DataFrame = {
+    import media.sparkSession.implicits._
+    sampleFrames(media, stride)
+      .map(f => (f.media_id, f.frame_no.toLong,
+        f.frame_bytes.length.toLong, f.frame_bytes))
+      .toDF("media_id", "frame_no", "n_bytes", "fb")
+      .select(col("media_id"), col("frame_no"), col("n_bytes"),
+        md5(col("fb")).as("frame_md5"))
+      .orderBy("media_id", "frame_no")
+  }
+
   /** Byte-level stats as a plain DataFrame query (oracle-friendly):
     * (media_id, kind, n_bytes, payload_md5).
     */

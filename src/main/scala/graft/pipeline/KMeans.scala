@@ -32,7 +32,7 @@ object KMeans {
     * by cluster so argmin's lowest-index tie-break ≡ lowest cluster id)
     * is broadcast; the per-row HOFs are gone.
     */
-  private def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.vector_l2_argmin
     val packed = centroids.groupBy()
       .agg(expr("array_sort(collect_list(struct(cluster, centroid)))").as("cs"))
@@ -44,21 +44,36 @@ object KMeans {
       .drop("cids", "cents")
   }
 
+  /** The assignment scan against seed centroids, UNexecuted — exposes the
+    * per-iteration hot-path plan (codegen'd argmin over a broadcast packed
+    * centroid row) for plan audits; [[fit]] checkpoints each iteration so
+    * the scan never appears in the final query's plan.
+    */
+  private[graft] def assignPlan(embeddings: DataFrame, k: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    assign(base, seedCentroids(base, k))
+  }
+
+  /** Seed centroids = the k smallest vec_ids, TakeOrdered to the driver
+    * (parameter-scale) and restarted as a local relation — no global
+    * window (Spark 4 folds constant partition keys away, so a lit(0)
+    * partition would still be a one-partition WindowExec).
+    */
+  private def seedCentroids(base: DataFrame, k: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val seeds = base.orderBy("vec_id").limit(k).select("embedding").collect()
+    seeds.toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](0).map(_.toDouble)) }
+      .toDF("cluster", "centroid")
+  }
+
   /** Returns (vec_id, embedding, cluster) after `iters` Lloyd iterations.
     * Initial centroids: the `k` smallest vec_ids (deterministic).
     */
   def fit(embeddings: DataFrame, k: Int = 10, iters: Int = 5): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val base = embeddings.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-    // Seed centroids are parameter-scale (k rows): TakeOrdered them to the
-    // driver and start from a local relation — no global window, no
-    // single-partition shuffle (Spark 4 folds constant partition keys away,
-    // so a lit(0) partition would still be a one-partition WindowExec).
-    val seeds = base.orderBy("vec_id").limit(k).select("embedding").collect()
-    var centroids = seeds.toSeq.zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Float](0).map(_.toDouble)) }
-      .toDF("cluster", "centroid")
+    var centroids = seedCentroids(base, k)
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = assign(base, centroids)
