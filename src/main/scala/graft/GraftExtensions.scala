@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers every graft native
+  * expression and sketch aggregate as a SQL function at session build
+  * time — the supported way to ship a function library without touching
+  * the session after construction:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions     // config, or
+  * SparkSession.builder().withExtensions(new GraftExtensions()) ...
+  * }}}
+  *
+  * The imperative [[graft.functions.VectorFunctions.register]] stays for
+  * REPL/test use on an already-built session; both routes register the
+  * same builders.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vector_cosine"),
+      info("vector_cosine", "vector_cosine(a, b) - cosine of two float vectors"),
+      (es: Seq[Expression]) => VectorCosine(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("vector_dot"),
+      info("vector_dot", "vector_dot(a, b) - dot product of two float vectors"),
+      (es: Seq[Expression]) => VectorDot(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("vector_l2_argmin"),
+      info("vector_l2_argmin",
+        "vector_l2_argmin(emb, centroids) - index of the nearest centroid by squared L2"),
+      (es: Seq[Expression]) => VectorL2Argmin(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("vector_sign_sketch"),
+      info("vector_sign_sketch",
+        "vector_sign_sketch(emb, seed) - 64-bit hyperplane sign sketch (seed must be a literal int)"),
+      (es: Seq[Expression]) => VectorSignSketch(es.head, es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"vector_sign_sketch seed must be a literal int, got $other")
+      })))
+    ext.injectFunction((FunctionIdentifier("minhash_agg"),
+      info("minhash_agg",
+        "minhash_agg(s, k) - k-permutation MinHash signature sketch (k a literal int)"),
+      (es: Seq[Expression]) => Sketches.MinHashAgg(es.head, es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_agg k must be a literal int, got $other")
+      }).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("simhash_agg"),
+      info("simhash_agg", "simhash_agg(tok) - 64-bit SimHash sketch over token hashes"),
+      (es: Seq[Expression]) => Sketches.SimHashAgg(es.head).toAggregateExpression()))
+  }
+}

@@ -133,6 +133,60 @@ object StreamOps {
     * streaming analogue of [[graft.pipeline.Events.sessionize]]; in batch
     * execution timeouts never fire, so only gap-closed sessions appear.
     */
+  /** Event-time sessionization: like [[sessionizeStream]] but the idle
+    * timeout is an EVENT-TIME timestamp (session end + gap), fired when
+    * the WATERMARK passes it — replay-deterministic (processing-time
+    * timeouts depend on the wall clock of the run) and state bounded by
+    * the watermark contract. Input needs (user_id, ts: timestamp, value).
+    */
+  def sessionizeStreamEventTime(events: DataFrame, gapMs: Long = 1800000L,
+                                watermarkDelay: String = "10 seconds")
+  : Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    // the watermarked ts column must flow INTO the stateful operator
+    // (dropping it detaches the watermark and the analyzer rejects
+    // EventTimeTimeout), hence the ts-carrying row type
+    val typed = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_millis(col("ts")).as("ms"),
+        col("value").cast("double").as("value"),
+        col("ts"))
+      .as[UserEventTs]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[UserEventTs], state: GroupState[SessionState]) =>
+          if (!evs.hasNext && state.hasTimedOut) {
+            // watermark passed session-end + gap: close and clear state
+            val out = state.getOption.filter(_.n > 0)
+              .map(st => SessionOut(uid, st.startMs, st.n, st.sum))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ms)
+            var st = state.getOption.getOrElse(SessionState(0, 0, 0, 0.0))
+            val closed = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              if (st.n == 0) st = SessionState(e.ms, e.ms, 1, e.value)
+              else if (e.ms - st.lastMs > gapMs) {
+                closed += SessionOut(uid, st.startMs, st.n, st.sum)
+                st = SessionState(e.ms, e.ms, 1, e.value)
+              } else st = SessionState(st.startMs, e.ms, st.n + 1, st.sum + e.value)
+            }
+            state.update(st)
+            // must stay ahead of the watermark; max() guards groups fed
+            // only late events
+            val target = st.lastMs + gapMs
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(target, wm + 1))
+            closed.result().iterator
+          }
+      }
+  }
+
   def sessionizeStream(events: Dataset[UserEvent], gapMs: Long = 1800000L)
   : Dataset[SessionOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -168,6 +222,11 @@ object StreamOps {
 }
 
 final case class UserEvent(user_id: Long, ms: Long, value: Double)
+/** [[UserEvent]] plus the raw watermarked timestamp column (see
+  * [[StreamOps.sessionizeStreamEventTime]]).
+  */
+final case class UserEventTs(user_id: Long, ms: Long, value: Double,
+                             ts: java.sql.Timestamp)
 final case class SessionState(startMs: Long, lastMs: Long, n: Int, sum: Double)
 final case class SessionOut(user_id: Long, session_start_ms: Long,
                             n_events: Long, sum_value: Double)

@@ -62,6 +62,34 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time sessionization closes sessions when the watermark passes end+gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val base = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    val sessions = StreamOps.sessionizeStreamEventTime(
+      mem.toDF().toDF("ts", "user_id", "value"),
+      gapMs = 5000L, watermarkDelay = "0 seconds")
+    val q = sessions.toDF().writeStream.format("memory").queryName("et_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 1s apart = one session
+      mem.addData((ts(1000), 1L, 1.0), (ts(2000), 1L, 2.0))
+      q.processAllAvailable()
+      // later traffic pushes the watermark past 2000+5000
+      mem.addData((ts(60000), 2L, 9.0))
+      q.processAllAvailable()
+      // one more batch so the timeout fires against the advanced watermark
+      mem.addData((ts(61000), 2L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, session_start_ms, n_events, sum_value FROM et_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(rows.contains((1L, base + 1000, 2L, 3.0)),
+        s"user 1's session not closed by watermark: $rows")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions (batch-mode parity)") {
     val evs = Seq(
       UserEvent(1, 0, 1.0), UserEvent(1, 1000, 2.0),        // session 1
