@@ -283,6 +283,11 @@ object SparkEntry {
       TextStats.fingerprints(t(s, dir, "documents")).select("doc_id", "md5_fp")),
     "winnow_fingerprint" -> ((s, dir) =>
       TextStats.winnowedFingerprint(t(s, dir, "documents"))),
+    // deterministic hash split + per-source quality quota (curation ops)
+    "train_val_split" -> ((s, dir) =>
+      pipeline.Curation.trainValSplit(t(s, dir, "documents"))),
+    "source_quota" -> ((s, dir) =>
+      pipeline.Curation.sourceQuota(t(s, dir, "documents"), perSource = 5)),
 
     // ---- multimodal columns (binary payloads; codec layer stubbed) -------
     "media_stats" -> ((s, dir) =>
@@ -614,6 +619,23 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "train_val_split" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "source_quota" ->
+      """WITH s AS (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents),
+        |scored AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |  CAST(round(least(1.0, len(t) / 100.0) * 0.5 +
+        |    (CASE WHEN length(text) * 1.0 / len(t) BETWEEN 4 AND 8 THEN 0.5 ELSE 0.0 END), 4) AS DOUBLE) AS quality
+        |  FROM s),
+        |ranked AS (SELECT source, doc_id, quality,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT source, doc_id, rk, quality FROM ranked WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
     // true winnowing (k=3 word-grams, window w=4): same md5 k-gram hashes,
     // same window-min, replayed with DuckDB window functions. i is the
     // 1-based gram start; m = len(t)-2 grams; full windows start at

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * splitting and per-source quota sampling. Both are pure dataflow — the
+  * split is a per-row hash (no global state, stable under re-partitioning
+  * and re-runs, the property reservoir/rand sampling lacks), the quota is
+  * one window over the natural (source) partitioning.
+  */
+object Curation {
+
+  /** Deterministic train/val assignment by content-independent id hash:
+    * first hex nibble of md5(doc_id) < 'c' → train (12/16 = 75%), else
+    * val. Hash-based (not rand()) so the split is reproducible across
+    * engines, runs, and partitionings — the invariant that makes
+    * decontamination and incremental re-runs possible at 100 TB.
+    * Output: (doc_id, split) ordered.
+    */
+  def trainValSplit(documents: DataFrame, trainNibbles: String = "0123456789ab"): DataFrame = {
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1).as("nib"))
+      .select(col("doc_id"),
+        when(expr(s"nib IN (${trainNibbles.map(c => s"'$c'").mkString(", ")})"), "train")
+          .otherwise("val").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source quality quota: keep the top `perSource` docs of each
+    * source by quality score (ties to the smaller doc_id) — the
+    * "N best pages per domain" curation rule. One shuffle on source.
+    * Output: (source, doc_id, rk, quality) ordered.
+    */
+  def sourceQuota(documents: DataFrame, perSource: Int = 5): DataFrame = {
+    val quality = TextStats.qualityScore(documents).select("doc_id", "quality")
+    val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    documents.select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      .join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perSource)
+      .select("source", "doc_id", "rk", "quality")
+      .orderBy("source", "rk")
+  }
+}

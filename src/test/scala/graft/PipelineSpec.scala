@@ -88,6 +88,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getLong(3) == 7)
   }
 
+  test("train/val split is deterministic, total, and id-stable under reorder") {
+    import graft.pipeline.Curation
+    val d = docs((1L to 200L).map(i => (i, s"doc number $i body")): _*)
+    val a = Curation.trainValSplit(d).collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = Curation.trainValSplit(d.orderBy(org.apache.spark.sql.functions.rand(1)))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq == b.toSeq)               // row order never leaks into the split
+    assert(a.length == 200 && a.map(_._1).distinct.length == 200)
+    val train = a.count(_._2 == "train")
+    assert(train > 120 && train < 180, s"~75% expected, got $train/200")
+  }
+
+  test("source quota keeps at most N per source, ranked by quality then doc_id") {
+    import graft.pipeline.Curation
+    val d = (1L to 30L).map(i => (i, s"src${i % 3}", ("w " * (i * 5).toInt).trim))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val out = Curation.sourceQuota(d, perSource = 4).collect()
+    val bySrc = out.groupBy(_.getString(0))
+    assert(bySrc.keySet == Set("src0", "src1", "src2"))
+    bySrc.values.foreach { rows =>
+      assert(rows.length == 4)
+      val qs = rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+      assert(qs == qs.sorted.reverse.toSeq) // ranked by quality desc
+    }
+  }
+
   test("winnowing: hand-computed window mins on a tiny doc") {
     // 7 tokens, k=3 -> 5 grams, w=4 -> 2 full windows (pos 0 and 1)
     val d = docs((1L, "a b c d e f g"))
