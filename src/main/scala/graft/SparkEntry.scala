@@ -58,6 +58,10 @@ object SparkEntry {
     // A5 — same semantics on the GraphX Pregel path
     "bfs_pregel" -> ((s, dir) =>
       GraphOps.bfsLevelsPregel(DerivedGraphs.treeEdges(s, dir), 1L)),
+    // A5 batched — ONE dataflow answers a batch of BFS read requests
+    // (all five region roots), amortizing per-level jobs across requests
+    "bfs_multi" -> ((s, dir) =>
+      GraphOps.bfsLevelsMulti(DerivedGraphs.treeEdges(s, dir), Seq(1L, 2L, 3L, 4L, 5L))),
     // A5 derived — vertices per BFS level
     "reachable_by_level" -> ((s, dir) =>
       bfs(s, dir).groupBy("level").agg(count(lit(1)).cast("long").as("n_vertices"))
@@ -370,6 +374,16 @@ object SparkEntry {
       s"""$bfsSql
          |SELECT lvl AS level, CAST(count(DISTINCT v) AS BIGINT) AS n_vertices FROM bfs
          |GROUP BY lvl ORDER BY level""".stripMargin,
+    "bfs_multi" ->
+      s"""WITH RECURSIVE e AS ($E),
+         |bfs(s, v, lvl) AS (
+         |  SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM (VALUES (1), (2), (3), (4), (5)) AS t(s)
+         |  UNION ALL
+         |  SELECT b.s, e.dst, b.lvl + 1 FROM bfs b JOIN e ON e.src = b.v
+         |)
+         |SELECT s AS start, v AS vertex, CAST(min(lvl) AS BIGINT) AS level
+         |FROM bfs GROUP BY s, v ORDER BY start, level, vertex""".stripMargin,
     "dfs_leaves" ->
       s"""WITH RECURSIVE e AS ($E),
          |reach(v) AS (

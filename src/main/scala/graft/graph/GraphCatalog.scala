@@ -94,6 +94,31 @@ final class GraphCatalog(spark: SparkSession, baseDir: String) {
     vs.dropRight(keep).foreach { case (_, p) => fs.delete(p, true) }
   }
 
+  /** Migration helper: ingest a directory of reference-format graph files
+    * (`G<n>.txt`: first line n, then an n×n adjacency matrix —
+    * `primary_server.c:139-152`) as catalog graphs named by file basename.
+    * A user of the reference points this at their database directory and
+    * every existing graph becomes a queryable snapshot. Existing catalog
+    * entries are modified (new version), new ones added.
+    * Returns the imported graph names in order.
+    */
+  def importMatrixDir(dir: String): Seq[String] = {
+    val d = new Path(dir)
+    val dfs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!dfs.exists(d)) throw new GraphNotFoundException(dir)
+    val files = dfs.listStatus(d).toSeq
+      .filter(s => s.isFile && s.getPath.getName.matches("G\\d{1,2}\\.txt"))
+      .sortBy(_.getPath.getName)
+    files.map { s =>
+      val name = s.getPath.getName.stripSuffix(".txt")
+      // MatrixCodec reads via java.nio (the format is driver-parsed by
+      // design) — hand it the scheme-less local path
+      val (_, edges) = graft.model.MatrixCodec.readMatrixFile(spark, s.getPath.toUri.getPath)
+      if (exists(name)) modify(name, edges) else add(name, edges)
+      name
+    }
+  }
+
   /** Terminate analogue (reference `cleanup (1).c`, SURVEY.md A10): drop all
     * registered graphs. Spark's own lifecycle handles in-flight actions.
     */

@@ -68,6 +68,49 @@ object GraphOps {
     } finally { e.unpersist() }
   }
 
+  /** BFS from MANY start vertices in ONE iterative dataflow: the frontier
+    * carries `(start, vertex)`, so a whole batch of read requests advances
+    * with one join round per level and the per-level job overhead is
+    * amortized across the batch. This is the engine's answer to the
+    * reference's thread-per-request read path (`secondary_server.c:359-378`):
+    * where the reference parallelizes by spawning a thread per request,
+    * the batch here IS one distributed query — n requests cost one
+    * traversal whose frontier is n× wider, not n traversals.
+    * Output: `(start, vertex, level)` ordered.
+    */
+  def bfsLevelsMulti(edges: DataFrame, starts: Seq[Long],
+                     maxLevels: Int = 1000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val levels = scala.collection.mutable.ArrayBuffer(
+        starts.distinct.toDF("start")
+          .withColumn("vertex", col("start")).withColumn("level", lit(0L))
+          .localCheckpoint(true))
+      var frontier = levels.head
+      var visited = frontier.select("start", "vertex")
+      var level = 0L
+      var done = false
+      while (!done && level < maxLevels) {
+        val next = frontier.join(e, frontier("vertex") === e("src"))
+          .select(frontier("start"), e("dst").as("vertex")).distinct()
+          .join(visited, Seq("start", "vertex"), "left_anti")
+          .withColumn("level", lit(level + 1L))
+          .localCheckpoint(true)
+        if (next.isEmpty) done = true
+        else {
+          levels += next
+          frontier = next
+          visited = visited.unionAll(next.select("start", "vertex"))
+          level += 1
+        }
+      }
+      levels.reduce(_ unionAll _).orderBy("start", "level", "vertex")
+    } finally { e.unpersist() }
+  }
+
   /** BFS levels via GraphX Pregel — same contract as [[bfsLevels]], single
     * co-partitioned graph representation; the scale path for deep graphs.
     */

@@ -138,4 +138,24 @@ class EngineSpec extends AnyFunSuite {
       engine.execute(GraphRequest(43, Op.AddGraph, "G7.txt"), GraphPayload(undirected((1, 2))))
     }
   }
+
+  test("importMatrixDir migrates a reference database directory wholesale") {
+    val engine = freshEngine()
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_refdb_").toString
+    // two reference-format graph files + a non-matching file that must be skipped
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dbDir/G1.txt"),
+      "3\n0 1 0\n1 0 1\n0 1 0\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dbDir/G12.txt"),
+      "2\n0 1\n1 0\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dbDir/notes.txt"), "x")
+    val imported = engine.catalog.importMatrixDir(dbDir)
+    assert(imported == Seq("G1", "G12"))
+    assert(engine.catalog.load("G1").count() == 4)  // 2 undirected edges
+    assert(engine.catalog.load("G12").count() == 2)
+    // re-import = modify (new snapshot version), not failure
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dbDir/G12.txt"),
+      "3\n0 1 1\n1 0 0\n1 0 0\n")
+    engine.catalog.importMatrixDir(dbDir)
+    assert(engine.catalog.load("G12").count() == 4)
+  }
 }

@@ -28,7 +28,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     "supplier_part_counts", "cust_no_orders", "bfs_bipartite", "pagerank_top20",
     "term_freq_top50", "tfidf_top_terms", "events_funnel", "asof_last_order",
     "events_within_5s", "embedding_topk_ivf_kmeans", "dfs_leaves_pregel",
-    "cube_orders", "media_frames", "train_val_split", "source_quota")
+    "cube_orders", "media_frames", "train_val_split", "source_quota",
+    "bfs_multi")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {

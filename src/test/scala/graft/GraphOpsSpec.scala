@@ -102,6 +102,24 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-start BFS equals per-start BFS on fixtures and random trees") {
+    def multi(g: org.apache.spark.sql.DataFrame, starts: Seq[Long]) =
+      GraphOps.bfsLevelsMulti(g, starts).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def single(g: org.apache.spark.sql.DataFrame, starts: Seq[Long]) =
+      starts.flatMap(s => GraphOps.bfsLevels(g, s).collect()
+        .map(r => (s, r.getLong(0), r.getLong(1)))).toSet
+    for (g <- Seq(docxG1, docxG2)) {
+      val starts = Seq(1L, 2L, 4L)
+      assert(multi(g, starts) == single(g, starts))
+    }
+    val rng = new scala.util.Random(23)
+    val g = undirected(randomTree(rng): _*)
+    assert(multi(g, Seq(1L, 2L)) == single(g, Seq(1L, 2L)))
+    // duplicate starts collapse
+    assert(multi(docxG1, Seq(1L, 1L, 2L)) == single(docxG1, Seq(1L, 2L)))
+  }
+
   test("Pregel DFS-leaves agrees with the closed form on docx goldens and random trees") {
     def pregelLeaves(g: org.apache.spark.sql.DataFrame, s: Long): Set[Long] =
       GraphOps.dfsLeavesPregel(g, s).collect().map(_.getLong(0)).toSet
