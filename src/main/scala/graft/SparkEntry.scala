@@ -168,6 +168,20 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"), col("total"))
         .orderBy("status", "priority")),
+    // explicit GROUPING SETS: the two 1-D marginals only (neither the
+    // (status, priority) cross nor the grand total) — the shape CUBE and
+    // ROLLUP can't express
+    "grouping_sets_orders" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  round(sum(o_totalprice), 2) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          |ORDER BY status, priority""".stripMargin)
+    }),
     // full CUBE (all 4 grouping sets) over status × order year
     "cube_orders" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -480,6 +494,14 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "grouping_sets_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY status, priority""".stripMargin,
     "cube_orders" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

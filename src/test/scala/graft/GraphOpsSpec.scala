@@ -132,6 +132,16 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("deep graph: Pregel BFS on a 200-vertex path (depth >> the reference's n<=30)") {
+    import spark.implicits._
+    val n = 200
+    val edges = (1 until n).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    val out = GraphOps.bfsLevelsPregel(edges, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == n)
+    (1 to n).foreach(i => assert(out(i.toLong) == i - 1L, s"vertex $i level"))
+  }
+
   test("DFS leaves of a single-vertex tree is the root itself (reference n=1 case)") {
     import spark.implicits._
     // graph with an isolated start: edges exist elsewhere only
