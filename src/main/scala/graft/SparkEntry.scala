@@ -301,6 +301,9 @@ object SparkEntry {
       TextStats.fingerprints(t(s, dir, "documents")).select("doc_id", "md5_fp")),
     "winnow_fingerprint" -> ((s, dir) =>
       TextStats.winnowedFingerprint(t(s, dir, "documents"))),
+    "pii_scrub" -> ((s, dir) => TextStats.scrubPii(t(s, dir, "documents"))),
+    "corpus_profile" -> ((s, dir) => TextStats.corpusProfile(t(s, dir, "documents"))),
+    "events_rolling" -> ((s, dir) => Events.rollingAvg(t(s, dir, "events"))),
     // deterministic hash split + per-source quality quota (curation ops)
     "train_val_split" -> ((s, dir) =>
       pipeline.Curation.trainValSplit(t(s, dir, "documents"))),
@@ -655,6 +658,30 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same char-class-only patterns (the Java/RE2-identical subset);
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all semantics
+    "pii_scrub" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_longnums,
+        |  md5(regexp_replace(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_profile" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(round(avg(n_chars), 2) AS DOUBLE) AS avg_chars,
+        |  CAST(round(quantile_cont(n_chars, 0.5), 2) AS DOUBLE) AS p50_chars,
+        |  CAST(round(quantile_cont(n_chars, 0.95), 2) AS DOUBLE) AS p95_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "events_rolling" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |  CAST(user_id AS BIGINT) AS user_id,
+        |  epoch_ms(ts) AS ms,
+        |  CAST(round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS rolling_avg
+        |FROM events ORDER BY event_id""".stripMargin,
     "train_val_split" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)

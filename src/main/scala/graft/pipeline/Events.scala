@@ -45,6 +45,24 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Rolling per-user metrics: average of the last `frame` event values
+    * (ROWS frame ending at the current row) — the window-FRAME shape
+    * (sessionize only needs lag/running-sum). Ordering inside a user is
+    * (ms, event_id) so ties are deterministic across engines.
+    * Output: (event_id, user_id, ms, rolling_avg) ordered by event_id.
+    */
+  def rollingAvg(events: DataFrame, frame: Int = 3): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    events
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        msOf(events).as("ms"), col("value"))
+      .withColumn("rolling_avg", round(avg("value").over(w), 4))
+      .select("event_id", "user_id", "ms", "rolling_avg")
+      .orderBy("event_id")
+  }
+
   /** Per-event-type stats with a JSON-extracted field from `props`
     * (`get_json_object` ⇔ DuckDB `json_extract_string`).
     */

@@ -115,6 +115,40 @@ object TextStats {
       .orderBy("doc_id", "rn")
   }
 
+  /** PII scrubbing: redact email addresses and long digit runs (7+ —
+    * phone/account-number shaped), reporting match counts on the ORIGINAL
+    * text and the md5 of the scrubbed text. Patterns are plain character
+    * classes only (no lookaround/backrefs), the regex subset Java and RE2
+    * evaluate identically — the cross-engine-parity constraint.
+    * Per-row codegen'd expressions; streams at scan speed.
+    */
+  def scrubPii(documents: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val longNum = "[0-9]{7,}"
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(longNum), lit(0))).cast("long").as("n_longnums"),
+        md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          longNum, "<NUM>").cast("binary")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus profile per source: doc count, mean chars, exact p50/p95 of
+    * doc length (Spark's exact `percentile` ⇔ DuckDB `quantile_cont`,
+    * both linear-interpolating). Profiling is the first query of any
+    * curation run; exact percentiles keep it oracle-checkable
+    * (approx_percentile is partition-order-dependent).
+    */
+  def corpusProfile(documents: DataFrame): DataFrame = {
+    documents.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 2).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.95)"), 2).as("p95_chars"))
+      .orderBy("source")
+  }
+
   /** Winnowing document fingerprint — the published algorithm (Schleimer,
     * Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
     * Fingerprinting", SIGMOD 2003): hash every k-gram IN SEQUENCE ORDER

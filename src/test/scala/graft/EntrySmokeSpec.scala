@@ -29,7 +29,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     "term_freq_top50", "tfidf_top_terms", "events_funnel", "asof_last_order",
     "events_within_5s", "embedding_topk_ivf_kmeans", "dfs_leaves_pregel",
     "cube_orders", "media_frames", "train_val_split", "source_quota",
-    "bfs_multi", "grouping_sets_orders")
+    "bfs_multi", "grouping_sets_orders", "pii_scrub", "corpus_profile",
+    "events_rolling")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {

@@ -115,6 +115,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PII scrub counts and redacts emails + long digit runs") {
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = docs(
+      (1L, "contact alice.smith+x@example.co.uk or call 12345678 now"),
+      (2L, "clean text with short 123 number"))
+    val out = TextStats.scrubPii(d).collect()
+    assert(out(0).getLong(1) == 1 && out(0).getLong(2) == 1)
+    assert(out(0).getString(3) == h("contact <EMAIL> or call <NUM> now"))
+    assert(out(1).getLong(1) == 0 && out(1).getLong(2) == 0)
+    assert(out(1).getString(3) == h("clean text with short 123 number"))
+  }
+
   test("winnowing: hand-computed window mins on a tiny doc") {
     // 7 tokens, k=3 -> 5 grams, w=4 -> 2 full windows (pos 0 and 1)
     val d = docs((1L, "a b c d e f g"))
