@@ -17,11 +17,22 @@ object Bench {
     // absorb ~3s of JIT + session start (measured: first-in-map penalty).
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Per-query isolation: a 51-query session accumulates persisted RDDs
+    // (Dedup/GraphX) and cached plans, and the resulting memory pressure
+    // contaminated later queries' timings in round 2 (BFS family regressed
+    // 2-3.6x with unchanged code). Drop every cache between queries so each
+    // timing measures ONLY its own query.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     // A failing query must NOT masquerade as a fast one: record an explicit
     // error marker (value -1, name listed under "errors") instead of its
     // elapsed time.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
+      isolate()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

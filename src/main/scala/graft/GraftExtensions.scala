@@ -53,7 +53,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"minhash_agg k must be a literal int, got $other")
       }).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("simhash_agg"),
-      info("simhash_agg", "simhash_agg(tok) - 64-bit SimHash sketch over token hashes"),
+      info("simhash_agg",
+        "simhash_agg(hash) - 64-bit SimHash sketch over pre-hashed BIGINT tokens"),
       (es: Seq[Expression]) => Sketches.SimHashAgg(es.head).toAggregateExpression()))
   }
 }

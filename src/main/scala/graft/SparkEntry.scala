@@ -286,12 +286,25 @@ object SparkEntry {
     "embedding_topk_ivf_kmeans" -> ((s, dir) =>
       pipeline.KMeans.ivfTopK(t(s, dir, "embeddings"), queryId = 0L,
         k = 10, nlist = 8, nprobe = 3, iters = 3)),
-    // LSH-banded candidates (3×64-bit sign sketches, 48 4-bit bands —
-    // 100% recall verified on both test corpora), exact-cosine verify;
-    // output identical to the within-label all-pairs formulation the
-    // DuckDB oracle computes
-    "embedding_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.4)),
+    // LSH near-dup at a TRUE near-dup threshold (0.9) — sign-LSH's strong
+    // regime (bit agreement ≥0.856 ⇒ 24 8-bit bands give ~99.97% recall
+    // while pruning ~91% of random pairs). The raw corpus has no pairs
+    // above 0.51 (measured), so the query plants deterministic dups derived
+    // from the same parquet — vec_id<100 duplicated at id+1e6 — and the
+    // DuckDB oracle replays the identical derivation. Output ≡ exact
+    // all-pairs (identical vectors collide in every band).
+    "embedding_neardup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding", "label")
+      val planted = base.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+      Similarity.cosineNearDupPairsLsh(base.unionByName(planted),
+        threshold = 0.9, words = 3, rowsPerBand = 8)
+    }),
+    // the weak-threshold (0.4) semantics, kept as the EXACT within-label
+    // all-pairs operator — the honest plan at a threshold where sign-LSH
+    // cannot prune (information limit, see Similarity.scala scale note)
+    "embedding_neardup_exact" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
     "lang_id" -> ((s, dir) => TextStats.langId(t(s, dir, "documents"))),
     "term_freq_top50" -> ((s, dir) => TextStats.termFreq(t(s, dir, "documents"))),
     "tfidf_top_terms" -> ((s, dir) => TextStats.tfIdfTopTerms(t(s, dir, "documents"))),
@@ -558,6 +571,25 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // full replay of the simhash pipeline: same 60-bit md5-derived token
+    // hashes (Spark conv(substr(md5,1,15),16,10) ≡ DuckDB
+    // ('0x'||substr(md5,1,15))::BIGINT), same sign-sum bits, exact
+    // all-pairs Hamming≤3 (the engine's pigeonhole-blocked candidate set
+    // is exactly this set — property-tested in PropertyOracleSpec)
+    "simhash_pairs" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+        |         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th FROM toks),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN ((th >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h, UNNEST(range(0, 60)) AS u(b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        |       FROM bits GROUP BY doc_id)
+        |SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "ngram_jaccard" -> jaccardSql(0.1),
     "minhash_lsh" -> jaccardSql(0.8),
     "embedding_topk" ->
@@ -573,6 +605,22 @@ object SparkEntry {
         |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
         |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT 10""".stripMargin,
     "embedding_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id < 100),
+        |sims AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+        |         sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) ** 2)) AS na,
+        |         sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) ** 2)) AS nb
+        |  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id,
+        |       UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY a.vec_id, b.vec_id)
+        |SELECT CAST(va AS BIGINT) AS vec_a, CAST(vb AS BIGINT) AS vec_b,
+        |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
+        |FROM sims WHERE dot / (na * nb) >= 0.9 ORDER BY vec_a, vec_b""".stripMargin,
+    "embedding_neardup_exact" ->
       """WITH sims AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb,
         |         SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
@@ -699,14 +747,15 @@ object SparkEntry {
         |  FROM scored)
         |SELECT source, doc_id, rk, quality FROM ranked WHERE rk <= 5
         |ORDER BY source, rk""".stripMargin,
-    // true winnowing (k=3 word-grams, window w=4): same md5 k-gram hashes,
-    // same window-min, replayed with DuckDB window functions. i is the
-    // 1-based gram start; m = len(t)-2 grams; full windows start at
-    // i <= m-w+1 (i = 1 alone when m < w).
+    // true winnowing (k=3 word-grams, window w=4): same 60-bit md5-derived
+    // BIGINT k-gram hashes (Spark conv(substr(md5,1,15),16,10) ≡ DuckDB
+    // ('0x'||substr(md5,1,15))::BIGINT), same window-min, replayed with
+    // DuckDB window functions. i is the 1-based gram start; m = len(t)-2
+    // grams; full windows start at i <= m-w+1 (i = 1 alone when m < w).
     "winnow_fingerprint" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |grams AS (SELECT doc_id, len(t) - 2 AS m, i,
-        |            md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+        |            CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
         |          FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
         |          WHERE len(t) >= 3),
         |wmin AS (SELECT doc_id, m, i,

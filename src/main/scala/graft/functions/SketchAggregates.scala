@@ -87,9 +87,14 @@ object Sketches {
       copy(child = c.head)
   }
 
-  /** 64-bit SimHash of a group of strings: sign-sum of hash bits, emitted
-    * as the packed long (bit b set iff the sum for b is positive). Matches
-    * the exploded formulation over `xxhash64(tok)` (single-arg, seed 42).
+  /** 64-bit SimHash of a group of PRE-HASHED tokens (BIGINT input):
+    * sign-sum of the hash bits, emitted as the packed long (bit b set iff
+    * the sum for b is positive). The hash is an input, not computed here,
+    * so callers can choose an engine-portable hash — [[graft.pipeline.Dedup]]
+    * feeds the first 60 bits of the token md5 as a BIGINT, which DuckDB
+    * reproduces bit-for-bit (`('0x'||substr(md5(tok),1,15))::BIGINT`),
+    * making the whole simhash pair set oracle-replayable. The sketch shape
+    * is unchanged: one 64-counter buffer per group through the shuffle.
     */
   case class SimHashAgg(child: Expression,
                         mutableAggBufferOffset: Int = 0,
@@ -101,7 +106,7 @@ object Sketches {
     override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
       val v = child.eval(input)
       if (v != null) {
-        val h = XxHash64Function.hash(v.asInstanceOf[UTF8String], StringType, 42L)
+        val h = v.asInstanceOf[Long]
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) buf(b) += 1 else buf(b) -= 1
@@ -134,6 +139,15 @@ object Sketches {
       val bb = ByteBuffer.wrap(bytes)
       Array.fill(bytes.length / 4)(bb.getInt)
     }
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case LongType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"simhash_agg takes a pre-hashed BIGINT token, got ${other.simpleString}")
+      }
 
     override def dataType: DataType = LongType
     override def nullable: Boolean = false

@@ -54,17 +54,24 @@ case class VectorCosine(left: Expression, right: Expression) extends FloatVector
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // Every generated local goes through ctx.freshName: with a non-nullable
+  // input, nullSafeCodeGen emits no wrapping if-scope, so two instances in
+  // one Project would otherwise redeclare the same Java locals and janino
+  // would silently push the whole stage back to interpreted eval.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = (double) $a.getFloat(i);
-         |  double y = (double) $b.getFloat(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -89,13 +96,14 @@ case class VectorDot(left: Expression, right: Expression) extends FloatVectorBin
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = dot;
+         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -160,21 +168,25 @@ case class VectorL2Argmin(left: Expression, right: Expression) extends BinaryExp
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (emb, cents) => {
-      val cent = ctx.freshName("cent")
+      val cent = ctx.freshName("cent"); val k = ctx.freshName("k")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c"); val n = ctx.freshName("n")
+      val d = ctx.freshName("d"); val i = ctx.freshName("i")
+      val diff = ctx.freshName("diff")
       s"""
-         |int k = $cents.numElements();
-         |int best = -1; double bestD = Double.POSITIVE_INFINITY;
-         |for (int c = 0; c < k; c++) {
-         |  org.apache.spark.sql.catalyst.util.ArrayData $cent = $cents.getArray(c);
-         |  int n = java.lang.Math.min($emb.numElements(), $cent.numElements());
-         |  double d = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double diff = (double) $emb.getFloat(i) - $cent.getDouble(i);
-         |    d += diff * diff;
+         |int $k = $cents.numElements();
+         |int $best = -1; double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cent = $cents.getArray($c);
+         |  int $n = java.lang.Math.min($emb.numElements(), $cent.numElements());
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $diff = (double) $emb.getFloat($i) - $cent.getDouble($i);
+         |    $d += $diff * $diff;
          |  }
-         |  if (d < bestD) { bestD = d; best = c; }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
          |}
-         |${ev.value} = best;
+         |${ev.value} = $best;
        """.stripMargin
     })
 
@@ -234,24 +246,32 @@ case class VectorSignSketch(child: Expression, seed: Int) extends UnaryExpressio
     sig
   }
 
+  // cosineNearDupPairsLsh puts several VectorSignSketch instances in one
+  // Project; fresh locals keep the generated method janino-compilable even
+  // when the input is non-nullable (no per-instance if-scope).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, emb => {
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val j = ctx.freshName("j"); val acc = ctx.freshName("acc")
+      val blk = ctx.freshName("blk"); val w = ctx.freshName("w")
+      val end = ctx.freshName("end"); val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
       s"""
-         |int n = $emb.numElements();
-         |long sig = 0L;
-         |for (int j = 0; j < 64; j++) {
-         |  double acc = 0.0;
-         |  for (int blk = 0; blk * 64 < n; blk++) {
-         |    long w = graft.functions.VectorSignSketch.mixWord($seed, j, blk);
-         |    int end = java.lang.Math.min(n, blk * 64 + 64);
-         |    for (int i = blk * 64; i < end; i++) {
-         |      double x = (double) $emb.getFloat(i);
-         |      acc += (((w >>> (i & 63)) & 1L) == 1L) ? x : -x;
+         |int $n = $emb.numElements();
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $blk = 0; $blk * 64 < $n; $blk++) {
+         |    long $w = graft.functions.VectorSignSketch.mixWord($seed, $j, $blk);
+         |    int $end = java.lang.Math.min($n, $blk * 64 + 64);
+         |    for (int $i = $blk * 64; $i < $end; $i++) {
+         |      double $x = (double) $emb.getFloat($i);
+         |      $acc += ((($w >>> ($i & 63)) & 1L) == 1L) ? $x : -$x;
          |    }
          |  }
-         |  if (acc >= 0.0) sig |= (1L << j);
+         |  if ($acc >= 0.0) $sig |= (1L << $j);
          |}
-         |${ev.value} = sig;
+         |${ev.value} = $sig;
        """.stripMargin
     })
 

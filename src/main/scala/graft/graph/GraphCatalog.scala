@@ -107,7 +107,7 @@ final class GraphCatalog(spark: SparkSession, baseDir: String) {
     val dfs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!dfs.exists(d)) throw new GraphNotFoundException(dir)
     val files = dfs.listStatus(d).toSeq
-      .filter(s => s.isFile && s.getPath.getName.matches("G\\d{1,2}\\.txt"))
+      .filter(s => s.isFile && s.getPath.getName.matches("G\\d+\\.txt"))
       .sortBy(_.getPath.getName)
     files.map { s =>
       val name = s.getPath.getName.stripSuffix(".txt")

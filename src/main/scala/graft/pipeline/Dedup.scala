@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a large-scale training-data pipeline.
   *
@@ -71,12 +70,12 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, w: Int = 3,
                         threshold: Double = 0.1,
                         maxShingleFreq: Long = 0L): DataFrame = {
-    // Shingles feed both self-join sides plus sizes — persist so the
-    // scan+shingle+distinct stage runs once, not three times. The cache
-    // lives for the session (the result is lazy, so there is no safe point
-    // to unpersist here); long-lived servers should clear between pipelines
-    // (spark.catalog.clearCache) or rely on LRU eviction.
-    val sh0 = shingles(documents, w).persist(StorageLevel.MEMORY_AND_DISK)
+    // Shingles feed both self-join sides plus sizes — materialize once
+    // (eager localCheckpoint) so the scan+shingle+distinct stage runs once,
+    // not three times. Unlike a bare persist, the checkpointed RDD is owned
+    // by this DataFrame: when it goes out of scope the ContextCleaner
+    // reclaims it, so declared queries leave no session-lifetime cache.
+    val sh0 = shingles(documents, w).localCheckpoint(true)
     val sh =
       if (maxShingleFreq <= 0) sh0
       else {
@@ -120,8 +119,9 @@ object Dedup {
                       bands: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
     // Shingles feed three branches (signatures, sizes, verification) —
-    // persist so the scan+shingle stage runs once.
-    val sh = shingles(documents, w).persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize once (eager localCheckpoint, owner-released like `banded`
+    // and `candidates` below) so the scan+shingle stage runs once.
+    val sh = shingles(documents, w).localCheckpoint(true)
     // Signature via the native sketch aggregate: the shuffle carries one
     // 64-long array per doc instead of 64 exploded rows per shingle.
     val sig = sh.groupBy("doc_id")
@@ -159,16 +159,25 @@ object Dedup {
     jaccardOf(inter, sizes, threshold)
   }
 
-  /** 64-bit SimHash per doc from token xxhash64s (sign-sum of bits,
-    * weight 1 per distinct token). Output: (doc_id, simhash).
-    * Uses the native [[graft.functions.Sketches.SimHashAgg]] sketch: one
-    * 64-counter buffer per doc, no 64× bit explosion.
+  /** SimHash per doc (sign-sum of token-hash bits, weight 1 per distinct
+    * token). Output: (doc_id, simhash). Uses the native
+    * [[graft.functions.Sketches.SimHashAgg]] sketch: one 64-counter buffer
+    * per doc, no 64× bit explosion.
+    *
+    * Token hash = first 60 bits of md5 as BIGINT
+    * (`conv(substr(md5,1,15),16,10)`), which DuckDB reproduces exactly as
+    * `('0x'||substr(md5(tok),1,15))::BIGINT` — so the resulting simhashes
+    * (and the pair set of [[simhashPairs]]) are fully oracle-replayable.
+    * Bits 60–63 of every token hash are 0, so those simhash bits are
+    * identically 0 on both engines and Hamming distances are unaffected.
     */
   def simhash(documents: DataFrame): DataFrame = {
     documents
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(CAST(tok AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("th"))
       .groupBy("doc_id")
-      .agg(graft.functions.Sketches.simhash_agg(col("tok")).as("simhash"))
+      .agg(graft.functions.Sketches.simhash_agg(col("th")).as("simhash"))
       .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
       .orderBy("doc_id")
   }

@@ -68,18 +68,28 @@ object KMeans {
       .toDF("cluster", "centroid")
   }
 
-  /** Returns (vec_id, embedding, cluster) after `iters` Lloyd iterations.
-    * Initial centroids: the `k` smallest vec_ids (deterministic).
+  /** Returns (vec_id, embedding, cluster) after `iters` Lloyd iterations,
+    * eagerly materialized. Initial centroids: the `k` smallest vec_ids
+    * (deterministic).
+    *
+    * `base` is persisted for the duration of fit — each of the iters+1
+    * assignment actions would otherwise re-read the source parquet — and
+    * released after the final assignment materializes. At 100 TB the scale
+    * plan is: fit the quantizer on a sample (pass `embeddings.sample(...)`),
+    * then [[assign]] the full corpus once against the learned centroids;
+    * full-corpus Lloyd is never the plan.
     */
   def fit(embeddings: DataFrame, k: Int = 10, iters: Int = 5): DataFrame = {
     val base = embeddings.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-    var centroids = seedCentroids(base, k)
-    var assigned: DataFrame = null
-    for (_ <- 1 to iters) {
-      assigned = assign(base, centroids)
-      centroids = centroidsOf(assigned).localCheckpoint(true) // iteration barrier
-    }
-    assign(base, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = seedCentroids(base, k)
+      for (_ <- 1 to iters) {
+        centroids = centroidsOf(assign(base, centroids)).localCheckpoint(true) // iteration barrier
+      }
+      // eager: the final assignment must materialize while base is cached
+      assign(base, centroids).localCheckpoint(true)
+    } finally { base.unpersist(blocking = false); () }
   }
 
   /** IVF search with the learned quantizer: rank clusters by centroid
@@ -90,7 +100,7 @@ object KMeans {
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
               nlist: Int = 10, nprobe: Int = 2, iters: Int = 3): DataFrame = {
     import graft.functions.VectorFunctions.vector_cosine
-    val fitted = fit(embeddings, nlist, iters).localCheckpoint(true)
+    val fitted = fit(embeddings, nlist, iters) // already eagerly checkpointed
     val qv = Similarity.queryVector(fitted, queryId)
     val qe = typedlit(qv)
     val qd = typedlit(qv.map(_.toDouble))

@@ -157,14 +157,16 @@ object TextStats {
     * Guarantee: any shared token run of ≥ w + k - 1 tokens produces at
     * least one shared fingerprint (property-tested).
     *
-    * Hash = md5 hex (lexicographic min — identical string ordering in
-    * Spark and DuckDB, so the oracle can replay the exact computation;
-    * xxhash64 would be Spark-only). One shuffle: the per-doc window sort.
-    * Docs with fewer than k tokens emit no fingerprints; docs with fewer
-    * than w+k-1 tokens emit the single min over all their gram hashes
-    * (the truncated first window).
+    * Hash = the first 60 bits of the gram's md5 as a BIGINT
+    * (`conv(substr(md5,1,15),16,10)` — DuckDB replays it as
+    * `('0x'||substr(md5,1,15))::BIGINT`, bit-identical), so the window
+    * sort/min carries an 8-byte long instead of a 32-char hex string
+    * (~4× smaller shuffle payload; xxhash64 would be Spark-only). One
+    * shuffle: the per-doc window sort. Docs with fewer than k tokens emit
+    * no fingerprints; docs with fewer than w+k-1 tokens emit the single
+    * min over all their gram hashes (the truncated first window).
     *
-    * Output: (doc_id, fp) — one row per distinct fingerprint hash.
+    * Output: (doc_id, fp: BIGINT) — one row per distinct fingerprint hash.
     */
   def winnowedFingerprint(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -177,7 +179,8 @@ object TextStats {
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), (size(col("t")) - lit(k - 1)).as("m"),
         posexplode(expr(gramExpr)).as(Seq("pos", "g")))
-      .withColumn("h", md5(col("g").cast("binary")))
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(CAST(g AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     grams
       .withColumn("fp", min("h").over(win))

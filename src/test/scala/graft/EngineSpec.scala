@@ -129,6 +129,30 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.catalog.load("GV.txt").count() == 4) // newest kept
   }
 
+  test("MVCC: reader stays stable through concurrent modify + vacuum(keep=1)") {
+    val engine = freshEngine()
+    engine.execute(GraphRequest(1, Op.AddGraph, "GC.txt"), GraphPayload(undirected((1, 2))))
+    engine.execute(GraphRequest(2, Op.ModifyGraph, "GC.txt"),
+      GraphPayload(undirected((1, 2), (2, 3))))
+    // reader takes the CURRENT (latest-complete) snapshot: v2, 4 rows
+    val reader = engine.catalog.load("GC.txt")
+    assert(reader.count() == 4)
+    // a writer races in: two more versions land while the reader is live
+    engine.execute(GraphRequest(3, Op.ModifyGraph, "GC.txt"),
+      GraphPayload(undirected((1, 2), (2, 3), (3, 4))))
+    assert(reader.count() == 4) // still v2 — writes never touch old versions
+    engine.execute(GraphRequest(4, Op.ModifyGraph, "GC.txt"),
+      GraphPayload(undirected((1, 2), (2, 3), (3, 4), (4, 5))))
+    assert(reader.count() == 4)
+    // vacuum retains the newest version only; a reader that re-loads sees it
+    engine.catalog.vacuum("GC.txt", keep = 1)
+    assert(engine.catalog.load("GC.txt").count() == 8)
+    // the documented retention contract: vacuum is the caller's policy and
+    // must not run while readers hold superseded snapshots — a stale
+    // reader's files are gone (typed failure, not silent wrong results)
+    assertThrows[Exception] { reader.count() }
+  }
+
   test("duplicate add fails; response tags follow seq_no + 100") {
     val engine = freshEngine()
     val r = engine.execute(GraphRequest(42, Op.AddGraph, "G7.txt"),

@@ -34,8 +34,8 @@ class ExtensionsSpec extends AnyFunSuite {
       val mh = s2.sql("SELECT minhash_agg(s, 4) AS sig FROM VALUES ('a'), ('b') AS t(s)")
         .collect()(0).getSeq[Long](0)
       assert(mh.length == 4)
-      val sh = s2.sql("SELECT simhash_agg(s) AS h FROM VALUES ('solo') AS t(s)").collect()(0)
-      assert(!sh.isNullAt(0))
+      val sh = s2.sql("SELECT simhash_agg(h) AS h FROM VALUES (CAST(5 AS BIGINT)) AS t(h)").collect()(0)
+      assert(sh.getLong(0) == 5L) // single-input sign-sum identity
       // non-literal seed is a typed error, not a silent misresolve
       assertThrows[Exception] {
         s2.sql("SELECT vector_sign_sketch(array(CAST(1.0 AS FLOAT)), CAST(rand() * 4 AS INT))")

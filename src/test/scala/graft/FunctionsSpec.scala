@@ -67,13 +67,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaAgg == viaExplode)
   }
 
-  test("simhash_agg of a single token equals the token's xxhash64") {
-    val one = Seq((1L, "solo")).toDF("doc_id", "tok")
+  test("simhash_agg of a single hash equals that hash (sign-sum identity)") {
+    // with one input, every 1-bit sums to +1 (set) and every 0-bit to -1
+    // (unset), so the simhash IS the input hash
+    val one = Seq((1L, 0x0123456789abcdeL)).toDF("doc_id", "th")
     val agg = one.groupBy("doc_id")
-      .agg(graft.functions.Sketches.simhash_agg($"tok").as("sh"))
+      .agg(graft.functions.Sketches.simhash_agg($"th").as("sh"))
       .collect()(0).getLong(1)
-    val direct = one.select(xxhash64($"tok")).collect()(0).getLong(0)
-    assert(agg == direct)
+    assert(agg == 0x0123456789abcdeL)
+    // and the md5-derived 60-bit token hash matches DuckDB's
+    // ('0x'||substr(md5('hello world'),1,15))::BIGINT (verified value)
+    val th = spark.sql(
+      "SELECT CAST(conv(substr(md5(CAST('hello world' AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+      .collect()(0).getLong(0)
+    assert(th == 426544247714475757L)
   }
 
   test("vector_l2_argmin picks the nearest centroid, ties to lower index") {

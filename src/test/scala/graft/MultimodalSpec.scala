@@ -34,6 +34,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.frame_no).toSeq == Seq(0, 1))
   }
 
+  test("image kind with a REAL encoded PNG decodes via ImageIO (not the stub)") {
+    // 2×2 PNG: two black pixels, one white, one mid-gray (128,128,128)
+    val im = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    im.setRGB(0, 0, 0x000000); im.setRGB(1, 0, 0xffffff)
+    im.setRGB(0, 1, 0x000000); im.setRGB(1, 1, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val png = bos.toByteArray
+    val rows = Seq(Media.MediaRow(7L, "image", png, "fixture")).toDS()
+    val f = Media.extractFeatures(rows).collect()(0)
+    assert((f.width, f.height) == (2, 2))
+    assert(math.abs(f.mean_intensity - (0.0 + 255.0 + 0.0 + 128.0) / 4) < 1e-9)
+    assert(f.n_bytes == png.length.toLong)
+    // direct codec check: real decode found, garbage falls back to None
+    assert(MediaCodecs.decodeImage(png).isDefined)
+    assert(MediaCodecs.decodeImage("not an image".getBytes).isEmpty)
+  }
+
   test("mediaStats matches a hand computation") {
     val s = Media.mediaStats(Media.mediaFromDocuments(docs)).collect()
     assert(s(0).getLong(2) == 11L)

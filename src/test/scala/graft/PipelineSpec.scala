@@ -132,9 +132,11 @@ class PipelineSpec extends AnyFunSuite {
     // 7 tokens, k=3 -> 5 grams, w=4 -> 2 full windows (pos 0 and 1)
     val d = docs((1L, "a b c d e f g"))
     val out = TextStats.winnowedFingerprint(d, k = 3, w = 4)
-      .collect().map(_.getString(1)).toSet
-    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .collect().map(_.getLong(1)).toSet
+    // first 60 bits of the md5 as BIGINT — same derivation as the operator
+    def h(s: String) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
     val grams = Seq("a b c", "b c d", "c d e", "d e f", "e f g").map(h)
     val expected = Set(grams.slice(0, 4).min, grams.slice(1, 5).min)
     assert(out == expected)
@@ -164,7 +166,7 @@ class PipelineSpec extends AnyFunSuite {
     val d = pairs.flatMap { case (ia, a, ib, b) => Seq((ia, a), (ib, b)) }
     val fps = TextStats.winnowedFingerprint(docs(d: _*), k = 3, w = 4)
       .collect().groupBy(_.getLong(0)).view
-      .mapValues(_.map(_.getString(1)).toSet).toMap
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
     pairs.foreach { case (ia, _, ib, _) =>
       assert(fps(ia).intersect(fps(ib)).nonEmpty,
         s"docs $ia/$ib share a ${6}-token run but no fingerprint")

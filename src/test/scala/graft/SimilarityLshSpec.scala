@@ -52,6 +52,25 @@ class SimilarityLshSpec extends AnyFunSuite {
     assert(nCand < nPairs / 5, s"weak pruning: $nCand of $nPairs pairs are candidates")
   }
 
+  /** The declared embedding_neardup query: planted dups (vec_id<100
+    * duplicated at +1e6) at t=0.9 with 24×8-bit bands — LSH output must
+    * equal the exact all-pairs on the same derived corpus.
+    */
+  test("declared 0.9-regime LSH query equals exact on the planted-dup corpus") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val base = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        .select($"vec_id", $"embedding", $"label")
+      val planted = base.filter($"vec_id" < 100)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label")
+      val corpus = base.unionByName(planted)
+      val lsh = Similarity.cosineNearDupPairsLsh(corpus, threshold = 0.9,
+        words = 3, rowsPerBand = 8).collect().toSeq
+      val exact = Similarity.cosineNearDupPairs(corpus, threshold = 0.9).collect().toSeq
+      assert(lsh == exact, s"LSH/exact divergence at $sf")
+      assert(lsh.nonEmpty, s"degenerate planted-dup corpus at $sf")
+    }
+  }
+
   test("vector_sign_sketch is deterministic and codegen matches interpreted eval") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     import graft.functions.VectorFunctions.vector_sign_sketch

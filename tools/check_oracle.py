@@ -59,8 +59,12 @@ def main():
             continue
         operm = sorted(range(len(ocols)), key=lambda i: ocols[i])
         sperm = sorted(range(len(scols)), key=lambda i: scols[i])
-        ov = [tuple(canon(r[i]) for i in operm) for r in orows]
-        sv = [tuple(canon(r[i]) for i in sperm) for r in srows]
+        # Every declared query ends in a total ORDER BY, but the Spark side
+        # is re-read from a parquet GLOB — part-file ordering is not a
+        # contract. Sort both value lists so the verdict never depends on
+        # file enumeration order.
+        ov = sorted((tuple(canon(r[i]) for i in operm) for r in orows), key=repr)
+        sv = sorted((tuple(canon(r[i]) for i in sperm) for r in srows), key=repr)
         if len(ov) != len(sv):
             print(f"FAIL {name}: rows spark={len(sv)} oracle={len(ov)}")
             n_fail += 1
