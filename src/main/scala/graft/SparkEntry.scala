@@ -322,6 +322,13 @@ object SparkEntry {
       pipeline.Curation.trainValSplit(t(s, dir, "documents"))),
     "source_quota" -> ((s, dir) =>
       pipeline.Curation.sourceQuota(t(s, dir, "documents"), perSource = 5)),
+    // equi-depth length deciles per source (deterministic ntile)
+    "length_strata" -> ((s, dir) =>
+      pipeline.Curation.lengthStrata(t(s, dir, "documents"))),
+    // dedup capstone: connected components over the near-dup pair graph,
+    // canonical keeper per cluster (GraphX CC on the sketch-candidate pairs)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(t(s, dir, "documents"), w = 3, threshold = 0.8)),
 
     // ---- multimodal columns (binary payloads; codec layer stubbed) -------
     "media_stats" -> ((s, dir) =>
@@ -592,6 +599,36 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "ngram_jaccard" -> jaccardSql(0.1),
     "minhash_lsh" -> jaccardSql(0.8),
+    "length_strata" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS stratum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // transitive closure over the exact Jaccard>=0.8 pair graph (the LSH
+    // candidate path has exact recall on the test corpora — minhash_lsh's
+    // own oracle proves it), min-reachable-doc = the component label
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM inter p JOIN sizes sa ON sa.doc_id = p.da
+        |          JOIN sizes sb ON sb.doc_id = p.db
+        |          WHERE p.i * 1.0 / (sa.sz + sb.sz - p.i) >= 0.8),
+        |e AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, r.r FROM reach r JOIN e ON e.a = r.v),
+        |comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |       CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster,
+        |       CAST(CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id
+        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "embedding_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sims AS (

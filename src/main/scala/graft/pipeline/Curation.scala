@@ -29,6 +29,22 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Length stratification: assign every doc an equi-depth decile bucket
+    * of its length WITHIN its source (ntile over (n_chars, doc_id) — the
+    * doc_id tiebreak makes bucket boundaries deterministic across engines
+    * and partitionings). Curation pipelines mix strata to balance short/
+    * long documents; one shuffle on source. Output:
+    * (doc_id, source, n_chars, stratum) ordered.
+    */
+  def lengthStrata(documents: DataFrame, buckets: Int = 10): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      .withColumn("stratum", ntile(buckets).over(w).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source quality quota: keep the top `perSource` docs of each
     * source by quality score (ties to the smaller doc_id) — the
     * "N best pages per domain" curation rule. One shuffle on source.

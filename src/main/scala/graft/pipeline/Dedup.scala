@@ -159,6 +159,37 @@ object Dedup {
     jaccardOf(inter, sizes, threshold)
   }
 
+  /** Near-dup CLUSTERING — the capstone of the dedup pipeline: connected
+    * components over the MinHash-LSH pair graph. Every document gets
+    * `cluster` = the smallest doc_id in its near-dup component (GraphX CC's
+    * label), singletons cluster to themselves, and `keep = 1` marks the
+    * canonical representative — the row a training pipeline actually
+    * retains. Output: (doc_id, cluster, keep) ordered.
+    *
+    * Scale: pairs come from the sketch+banded candidate path (sub-
+    * quadratic); the CC runs on the PAIR graph only (≪ corpus size — near
+    * -dup components are sparse by construction), and the final join back
+    * to the corpus is a broadcast-sized left join in practice.
+    */
+  def dedupClusters(documents: DataFrame, w: Int = 3,
+                    bands: Int = 16, rowsPerBand: Int = 4,
+                    threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(documents, w, bands, rowsPerBand, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true) // small; feeds edges AND vertices
+    val verts = pairs.select(col("doc_a").as("vertex"))
+      .unionAll(pairs.select(col("doc_b").as("vertex"))).distinct()
+    val cc = graft.graph.GraphOps.connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), verts)
+    documents.select(col("doc_id").cast("long").as("doc_id"))
+      .join(cc.withColumnRenamed("vertex", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+      .withColumn("keep",
+        when(col("doc_id") === col("cluster"), 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** SimHash per doc (sign-sum of token-hash bits, weight 1 per distinct
     * token). Output: (doc_id, simhash). Uses the native
     * [[graft.functions.Sketches.SimHashAgg]] sketch: one 64-counter buffer
@@ -188,10 +219,15 @@ object Dedup {
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(documents)
+    // blocks feed BOTH sides of the self-join — materialize once (eager
+    // localCheckpoint, 4 small rows per doc) so the token-hash sketch
+    // aggregation doesn't run twice (the plan otherwise duplicates the
+    // whole scan+explode+ObjectHashAggregate pipeline per side).
     val blocks = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), q -> struct(q AS q, shiftright(simhash, CAST(q * 16 AS INT)) & 65535 AS blk))")).as("qb"))
       .select(col("doc_id"), col("simhash"), col("qb.q"), col("qb.blk"))
+      .localCheckpoint(true)
     val l = blocks.select(col("doc_id").as("da"), col("simhash").as("ha"), col("q"), col("blk"))
     val r = blocks.select(col("doc_id").as("db"), col("simhash").as("hb"), col("q"), col("blk"))
     l.join(r, Seq("q", "blk")).filter(col("da") < col("db"))

@@ -38,6 +38,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("dedup clusters: transitive chain merges, singletons self-cluster") {
+    // jac(1,2)=0.923, jac(2,3)=0.857 (both >= 0.8) but jac(1,3)=0.786 —
+    // only transitivity puts 1 and 3 in one cluster
+    val toks = (1 to 30).map(i => s"w$i")
+    val d = docs(
+      (1L, toks.slice(0, 26).mkString(" ")),
+      (2L, toks.slice(0, 28).mkString(" ")),
+      (3L, toks.slice(2, 30).mkString(" ")),
+      (4L, "q r s t u v"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+    val out = Dedup.dedupClusters(d, w = 3, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L), (4L, 4L, 1L)))
+  }
+
+  test("length strata: deterministic per-source deciles") {
+    import org.apache.spark.sql.functions.lit
+    val d = docs((1L, "aaaaa"), (2L, "a" * 10), (3L, "a" * 15))
+      .withColumn("source", lit("s0"))
+      .unionByName(docs((4L, "bb")).withColumn("source", lit("s1")))
+    val out = pipeline.Curation.lengthStrata(d, buckets = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "s0", 1L), (2L, "s0", 2L), (3L, "s0", 3L), (4L, "s1", 1L)))
+  }
+
   test("simhash: identical docs have identical hashes; hamming 0 pair found") {
     val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "one two three four"))
