@@ -132,14 +132,50 @@ object MediaCodecs {
     }
   }
 
-  /** Dispatch: real ImageIO decode for decodable image payloads; the
-    * deterministic stub otherwise (including image-kind payloads that are
-    * not actually encoded images — e.g. the documents-derived test table,
-    * whose oracle replays the stub arithmetic exactly).
+  /** Real audio decode via the JDK's javax.sound.sampled (WAV/AU/AIFF).
+    * Returns None when the payload is not a decodable audio stream.
+    * Shape: (frames, channels, mean |amplitude| scaled to 0..255 for
+    * 16-bit PCM; raw byte mean otherwise).
     */
-  def decode(kind: String, payload: Array[Byte]): (Int, Int, Double) =
-    if (kind == "image") decodeImage(payload).getOrElse(decodeStub(kind, payload))
-    else decodeStub(kind, payload)
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength.toInt
+        val data = ais.readAllBytes()
+        val mean =
+          if (fmt.getSampleSizeInBits == 16 && data.length >= 2) {
+            var s = 0.0
+            var i = 0
+            while (i + 1 < data.length) {
+              val v =
+                if (fmt.isBigEndian) ((data(i).toInt << 8) | (data(i + 1) & 0xff)).toShort
+                else ((data(i + 1).toInt << 8) | (data(i) & 0xff)).toShort
+              s += math.abs(v.toDouble)
+              i += 2
+            }
+            s / (data.length / 2) / 32768.0 * 255.0
+          } else if (data.nonEmpty) {
+            data.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / data.length
+          } else 0.0
+        Some((frames, fmt.getChannels, mean))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Dispatch: real JDK decode where one exists — ImageIO for image
+    * payloads, javax.sound for audio — with the deterministic stub as the
+    * fallback for undecodable bytes (e.g. the documents-derived test
+    * table, whose oracle replays the stub arithmetic exactly). Video has
+    * no JDK codec and stays stubbed.
+    */
+  def decode(kind: String, payload: Array[Byte]): (Int, Int, Double) = kind match {
+    case "image" => decodeImage(payload).getOrElse(decodeStub(kind, payload))
+    case "audio" => decodeAudio(payload).getOrElse(decodeStub(kind, payload))
+    case _ => decodeStub(kind, payload)
+  }
 
   /** STUB decode: pretends to decode an image/audio/video payload and
     * reports (width, height, mean byte intensity). Deterministic in the

@@ -61,6 +61,23 @@ object StreamOps {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming ingestion dedup — the streaming half of
+    * [[graft.pipeline.Dedup.exactDedup]]: drop any row whose content hash
+    * was already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` is the scale-correct primitive here:
+    * exact streaming dedup needs unbounded state, while the watermark
+    * bound evicts hash state once no duplicate can still arrive — the
+    * standard ingestion-dedup contract (duplicates cluster in time:
+    * retries, replays, double-sends). Output: the surviving rows with
+    * their content_hash.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+                  watermark: String = "10 seconds"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Streaming request server: dispatch a stream of protocol lines into a
     * [[graft.engine.GraphEngine]] via foreachBatch — the streaming analogue
     * of the reference's balancer+server loop (`load_balancer.c:47-72`).

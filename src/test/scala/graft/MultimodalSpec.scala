@@ -52,6 +52,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeImage("not an image".getBytes).isEmpty)
   }
 
+  test("audio kind with a REAL WAV payload decodes via javax.sound (not the stub)") {
+    // 100 frames of constant 16-bit sample 16384, mono, 8 kHz, little-endian
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](200)
+    var i = 0
+    while (i < 200) { pcm(i) = 0x00; pcm(i + 1) = 0x40; i += 2 } // 0x4000 = 16384 LE
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 100)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val rows = Seq(Media.MediaRow(8L, "audio", wav, "fixture")).toDS()
+    val f = Media.extractFeatures(rows).collect()(0)
+    assert((f.width, f.height) == (100, 1)) // frames × channels
+    assert(math.abs(f.mean_intensity - 16384.0 / 32768.0 * 255.0) < 1e-9)
+    // garbage bytes are not decodable audio
+    assert(MediaCodecs.decodeAudio("not audio".getBytes).isEmpty)
+  }
+
   test("mediaStats matches a hand computation") {
     val s = Media.mediaStats(Media.mediaFromDocuments(docs)).collect()
     assert(s(0).getLong(2) == 11L)

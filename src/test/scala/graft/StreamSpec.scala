@@ -62,6 +62,27 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops watermark-window duplicates, keeps first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val base = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    val deduped = StreamOps.dedupStream(
+      mem.toDF().toDF("ts", "doc_id", "text"), watermark = "10 seconds")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), 1L, "alpha"), (ts(1000), 2L, "alpha"), (ts(2000), 3L, "beta"))
+      q.processAllAvailable()
+      // a second batch inside the watermark window: 'alpha' is still a dup
+      mem.addData((ts(3000), 4L, "alpha"), (ts(4000), 5L, "gamma"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("event-time sessionization closes sessions when the watermark passes end+gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
