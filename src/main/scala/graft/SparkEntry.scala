@@ -325,6 +325,9 @@ object SparkEntry {
     // equi-depth length deciles per source (deterministic ntile)
     "length_strata" -> ((s, dir) =>
       pipeline.Curation.lengthStrata(t(s, dir, "documents"))),
+    // deterministic fixed-size uniform sample (hash-ranked TakeOrdered)
+    "hash_sample" -> ((s, dir) =>
+      pipeline.Curation.hashSample(t(s, dir, "documents"), n = 50)),
     // dedup capstone: connected components over the near-dup pair graph,
     // canonical keeper per cluster (GraphX CC on the sketch-candidate pairs)
     "dedup_clusters" -> ((s, dir) =>
@@ -599,6 +602,12 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "ngram_jaccard" -> jaccardSql(0.1),
     "minhash_lsh" -> jaccardSql(0.8),
+    "hash_sample" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+        |FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |LIMIT 50""".stripMargin,
     "length_strata" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
         |  CAST(n_chars AS BIGINT) AS n_chars,

@@ -29,6 +29,27 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic fixed-size uniform sample: the `n` docs with the
+    * smallest md5(doc_id) — a hash-ranked top-n, so the sample is stable
+    * across runs, engines, and partitionings (rand()-based sampling is
+    * none of those), and any two samples of sizes n < m nest
+    * (sample(n) ⊂ sample(m) — the property that makes growing an eval
+    * set reproducible). Executes as distributed TakeOrdered (per-partition
+    * heap + driver merge of n), never a global sort. Output:
+    * (doc_id, sample_rank) ordered by the hash rank.
+    */
+  def hashSample(documents: DataFrame, n: Int = 100): DataFrame = {
+    val w = Window.orderBy(col("h"), col("doc_id"))
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(n)
+      // the window runs over the n surviving rows only — parameter scale
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .select("doc_id", "sample_rank")
+      .orderBy("sample_rank")
+  }
+
   /** Length stratification: assign every doc an equi-depth decile bucket
     * of its length WITHIN its source (ntile over (n_chars, doc_id) — the
     * doc_id tiebreak makes bucket boundaries deterministic across engines

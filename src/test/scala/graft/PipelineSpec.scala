@@ -53,6 +53,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L), (4L, 4L, 1L)))
   }
 
+  test("hash sample: deterministic, nested, hash-ranked") {
+    val d = docs((1 to 20).map(i => (i.toLong, s"doc $i")): _*)
+    val s5 = pipeline.Curation.hashSample(d, 5).collect().map(_.getLong(0)).toSeq
+    val s10 = pipeline.Curation.hashSample(d, 10).collect().map(_.getLong(0)).toSeq
+    assert(s5 == s10.take(5)) // nesting: smaller sample is a prefix
+    assert(s5.toSet.subsetOf((1L to 20L).toSet))
+    // deterministic across runs
+    assert(s5 == pipeline.Curation.hashSample(d, 5).collect().map(_.getLong(0)).toSeq)
+  }
+
   test("length strata: deterministic per-source deciles") {
     import org.apache.spark.sql.functions.lit
     val d = docs((1L, "aaaaa"), (2L, "a" * 10), (3L, "a" * 15))
