@@ -44,4 +44,22 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("dedup_exact")
     assert(p.contains("HashAggregate"), s"no hash aggregate in:\n$p")
   }
+
+  test("hash_sample is a distributed TakeOrdered, not a global sort") {
+    val p = planOf("hash_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
+    // the n-row window AFTER the limit is fine; a pre-limit global Sort is not
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Sort ") && l.contains("global=true") && !l.contains("TakeOrdered")),
+      s"global sort before limit in:\n$p")
+  }
+
+  test("length_strata shuffles once on source (window reuses the partitioning)") {
+    val p = planOf("length_strata")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    // one hashpartitioning(source) for the window + the final rangepartitioning
+    // for the ORDER BY — nothing else
+    assert(exchanges <= 2, s"extra shuffles in:\n$p")
+    assert(p.contains("Window"), s"no window in:\n$p")
+  }
 }
