@@ -91,7 +91,7 @@ object SessionScript {
           case Op.AddGraph | Op.ModifyGraph =>
             val n = it.next().toInt
             val rows = (0 until n).map(_ => it.next())
-            val text = n + "\n" + rows.mkString("\n")
+            val text = s"$n\n${rows.mkString("\n")}"
             GraphPayload(MatrixCodec.edgesDF(spark, MatrixCodec.parseMatrixText(text)._2))
           case _ =>
             StartVertex(it.next().toLong)
