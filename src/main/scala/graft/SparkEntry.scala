@@ -336,8 +336,11 @@ object SparkEntry {
     // ---- multimodal columns (binary payloads; codec layer stubbed) -------
     "media_stats" -> ((s, dir) =>
       Media.mediaStats(Media.mediaFromDocuments(t(s, dir, "documents")))),
+    // realCodecs=false pins the stub arithmetic the DuckDB oracle replays
+    // (payloads here are text-derived, not real containers)
     "media_features" -> ((s, dir) =>
-      Media.extractFeatures(Media.mediaFromDocuments(t(s, dir, "documents")))
+      Media.extractFeatures(Media.mediaFromDocuments(t(s, dir, "documents")),
+          realCodecs = false)
         .toDF().orderBy("media_id")),
     // frame sampling over video payloads (every 2nd 64-byte chunk);
     // the stub chunker is deterministic arithmetic -> full oracle below

@@ -46,12 +46,23 @@ object Media {
   /** Decode + feature-extract, one partition at a time. A real
     * implementation would hold one codec context per partition (the reason
     * for mapPartitions rather than a per-row UDF).
+    *
+    * `realCodecs = false` pins every row to the deterministic stub
+    * arithmetic — the declared oracle query uses it so its DuckDB replay
+    * is exact BY CONSTRUCTION (the test table derives payloads from text;
+    * with the dispatch on, a payload that happened to parse as a real
+    * container would silently diverge from the stub-replaying oracle).
+    * Real binary sources use the default (true): ImageIO / javax.sound
+    * decode with stub fallback for undecodable bytes.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+                      realCodecs: Boolean = true): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, mean) = MediaCodecs.decode(r.kind, r.payload)
+        val (w, h, mean) =
+          if (realCodecs) MediaCodecs.decode(r.kind, r.payload)
+          else MediaCodecs.decodeStub(r.kind, r.payload)
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, h, mean)
       }
     }

@@ -30,7 +30,9 @@ class EntrySmokeSpec extends AnyFunSuite {
     "events_within_5s", "embedding_topk_ivf_kmeans", "dfs_leaves_pregel",
     "cube_orders", "media_frames", "train_val_split", "source_quota",
     "bfs_multi", "grouping_sets_orders", "pii_scrub", "corpus_profile",
-    "events_rolling")
+    "events_rolling", "simhash_pairs", "embedding_neardup",
+    "embedding_neardup_exact", "dedup_clusters", "length_strata",
+    "hash_sample")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {

@@ -48,10 +48,11 @@ class PlanSpec extends AnyFunSuite {
   test("hash_sample is a distributed TakeOrdered, not a global sort") {
     val p = planOf("hash_sample")
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
-    // the n-row window AFTER the limit is fine; a pre-limit global Sort is not
-    assert(!p.linesIterator.exists(l =>
-      l.contains("Sort ") && l.contains("global=true") && !l.contains("TakeOrdered")),
-      s"global sort before limit in:\n$p")
+    // SortExec renders as `Sort [keys], <global>, 0` — at most ONE global
+    // sort may appear (the post-limit one over the n surviving rows); a
+    // regression to a pre-limit full-table sort adds a second.
+    val globalSorts = p.linesIterator.count(_.matches(""".*\bSort \[.*\], true, .*"""))
+    assert(globalSorts <= 1, s"$globalSorts global sorts (pre-limit full sort?) in:\n$p")
   }
 
   test("length_strata shuffles once on source (window reuses the partitioning)") {

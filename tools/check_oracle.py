@@ -59,18 +59,23 @@ def main():
             continue
         operm = sorted(range(len(ocols)), key=lambda i: ocols[i])
         sperm = sorted(range(len(scols)), key=lambda i: scols[i])
-        # Every declared query ends in a total ORDER BY, but the Spark side
-        # is re-read from a parquet GLOB — part-file ordering is not a
-        # contract. Sort both value lists so the verdict never depends on
-        # file enumeration order.
-        ov = sorted((tuple(canon(r[i]) for i in operm) for r in orows), key=repr)
-        sv = sorted((tuple(canon(r[i]) for i in sperm) for r in srows), key=repr)
+        # The driver hashes values in ROW ORDER — compare the same way so a
+        # Spark/oracle ORDER BY divergence fails HERE, not only at the gate.
+        # (Verify writes coalesce(1) single-part parquet, so glob-enumeration
+        # order is not a factor for the Spark side.) When only the order
+        # differs, say so explicitly — it is the bug class that keeps biting.
+        ov = [tuple(canon(r[i]) for i in operm) for r in orows]
+        sv = [tuple(canon(r[i]) for i in sperm) for r in srows]
         if len(ov) != len(sv):
             print(f"FAIL {name}: rows spark={len(sv)} oracle={len(ov)}")
             n_fail += 1
         elif ov != sv:
             bad = next(i for i in range(len(ov)) if ov[i] != sv[i])
-            print(f"FAIL {name}: first diff at row {bad}:\n"
+            kind = ("ORDER-ONLY mismatch (same multiset, different row order "
+                    "— check the ORDER BY / tiebreaks)"
+                    if sorted(ov, key=repr) == sorted(sv, key=repr)
+                    else "value mismatch")
+            print(f"FAIL {name}: {kind}; first diff at row {bad}:\n"
                   f"  spark : {sv[bad]}\n  oracle: {ov[bad]}")
             n_fail += 1
         else:
