@@ -63,6 +63,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(s5 == pipeline.Curation.hashSample(d, 5).collect().map(_.getLong(0)).toSeq)
   }
 
+  test("dedup clusters property: random planted dup groups recover exactly") {
+    // plant groups of near-identical docs (same long base, tiny suffix
+    // variation -> pairwise jaccard >= 0.8 within a group, ~0 across);
+    // expected clustering = the planted grouping, keeper = min doc_id
+    val rnd = new scala.util.Random(13)
+    def baseTokens() = Seq.fill(30)(s"t${rnd.nextInt(5000)}")
+    var next = 0L
+    val groups = (0 until 8).map { _ =>
+      val base = baseTokens()
+      val size = 1 + rnd.nextInt(4)
+      (0 until size).map { _ =>
+        val id = next; next += 1
+        // vary by appending 0-2 tokens: shingle overlap stays >= 28/32
+        (id, (base ++ Seq.fill(rnd.nextInt(3))(s"x${rnd.nextInt(100)}")).mkString(" "))
+      }
+    }
+    val d = docs(groups.flatten: _*)
+    val out = Dedup.dedupClusters(d, w = 3, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    groups.foreach { g =>
+      val ids = g.map(_._1)
+      val expected = ids.min
+      ids.foreach { id =>
+        assert(out(id) == expected, s"doc $id clustered to ${out(id)}, want $expected")
+      }
+    }
+  }
+
   test("length strata: deterministic per-source deciles") {
     import org.apache.spark.sql.functions.lit
     val d = docs((1L, "aaaaa"), (2L, "a" * 10), (3L, "a" * 15))
