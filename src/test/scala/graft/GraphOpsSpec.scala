@@ -132,6 +132,30 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-start BFS amortizes: a batch costs the jobs of its DEEPEST member, not the sum") {
+    // the scale claim behind bfsLevelsMulti (n requests = one traversal
+    // with an n x wider frontier, not n traversals) pinned as a job count:
+    // iteration count is bounded by the batch's max eccentricity, not by
+    // the number of starts
+    val edges = docxG2 // eccentricity from 3 is 5 (the deepest of 1..4)
+    def jobsOf(tag: String, starts: Seq[Long]): Int = {
+      val sc = spark.sparkContext
+      sc.setJobGroup(tag, tag, interruptOnCancel = false)
+      try GraphOps.bfsLevelsMulti(edges, starts).collect()
+      finally sc.clearJobGroup()
+      // the status store is listener-fed (async) — poll until stable
+      var last = -1
+      var n = sc.statusTracker.getJobIdsForGroup(tag).length
+      while (n != last) { last = n; Thread.sleep(200)
+        n = sc.statusTracker.getJobIdsForGroup(tag).length }
+      n
+    }
+    val deepest = jobsOf("bfs-one", Seq(3L))
+    val batch = jobsOf("bfs-four", Seq(1L, 2L, 3L, 4L))
+    assert(batch <= deepest + 1,
+      s"batch of 4 ran $batch jobs vs $deepest for its deepest member alone")
+  }
+
   test("deep graph: Pregel BFS on a 200-vertex path (depth >> the reference's n<=30)") {
     import spark.implicits._
     val n = 200
