@@ -61,6 +61,38 @@ object StreamOps {
         col("n"), col("sum_value"))
   }
 
+  /** Stream-stream interval self-join — the streaming analogue of
+    * [[graft.pipeline.RangeJoin.selfWithin]] (events_within_5s): pairs of
+    * events whose timestamps lie within `withinMs` of each other, emitted
+    * as both sides arrive. Both inputs carry the SAME watermark, which
+    * bounds the join state Spark must buffer (rows older than
+    * watermark − withinMs are evicted) — the property that makes a
+    * stream-stream join runnable forever. `id < id` keeps one row per
+    * unordered pair, as in the batch operator.
+    */
+  def selfWithinStream(events: DataFrame, withinMs: Long = 5000L,
+                       watermark: String = "10 seconds"): DataFrame = {
+    // Stream-stream joins REQUIRE an equality predicate (Spark buckets
+    // join state by key) — same constraint the batch operator solves with
+    // time-bin banding ([[graft.pipeline.RangeJoin]]): the left side
+    // explodes its bin ±1, the right keeps its bin, the equi-join on bin
+    // prunes state lookups, and the exact range predicate (on the
+    // watermarked ts columns, which also bounds the buffered state)
+    // filters the band. Each qualifying pair matches in exactly one bin.
+    val l = events.select(col("event_id").as("id_a"), col("ts").as("ts_a"))
+      .withWatermark("ts_a", watermark)
+      .withColumn("bin", explode(expr(
+        s"transform(sequence(-1, 1), d -> unix_millis(ts_a) div $withinMs + d)")))
+    val r = events.select(col("event_id").as("id_b"), col("ts").as("ts_b"))
+      .withWatermark("ts_b", watermark)
+      .withColumn("bin", expr(s"unix_millis(ts_b) div $withinMs"))
+    l.join(r, Seq("bin")).where(expr(
+      s"""id_a < id_b AND
+         |ts_b >= ts_a - INTERVAL $withinMs MILLISECONDS AND
+         |ts_b <= ts_a + INTERVAL $withinMs MILLISECONDS""".stripMargin))
+      .drop("bin")
+  }
+
   /** Streaming ingestion dedup — the streaming half of
     * [[graft.pipeline.Dedup.exactDedup]]: drop any row whose content hash
     * was already seen within the watermark horizon.

@@ -62,6 +62,26 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval self-join pairs events within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val base = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    val joined = StreamOps.selfWithinStream(
+      mem.toDF().toDF("ts", "event_id"), withinMs = 5000L)
+    val q = joined.writeStream.format("memory").queryName("ss_within")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), 1L), (ts(3000), 2L), (ts(10000), 3L))
+      q.processAllAvailable()
+      mem.addData((ts(12000), 4L)) // within 5s of event 3, across batches
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT id_a, id_b FROM ss_within")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L), (3L, 4L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
