@@ -77,6 +77,20 @@ final class GraphCatalog(spark: SparkSession, baseDir: String) {
     spark.read.parquet(vs.last._2.toString)
   }
 
+  /** Time travel: GraphScan of a SPECIFIC complete snapshot version (as
+    * listed by [[versions]]). The natural consequence of the MVCC layout —
+    * every modify keeps its predecessors until vacuum, so any retained
+    * version stays queryable.
+    */
+  def load(name: String, version: Long): DataFrame =
+    versionsOf(name).find(_._1 == version) match {
+      case Some((_, p)) => spark.read.parquet(p.toString)
+      case None => throw new GraphNotFoundException(s"$name@v$version")
+    }
+
+  /** Complete snapshot versions of `name`, oldest first. */
+  def versions(name: String): Seq[Long] = versionsOf(name).map(_._1)
+
   def exists(name: String): Boolean = versionsOf(name).nonEmpty
 
   def list(): Seq[String] = {

@@ -153,6 +153,20 @@ class EngineSpec extends AnyFunSuite {
     assertThrows[Exception] { reader.count() }
   }
 
+  test("time travel: any retained version stays queryable; vacuum trims the list") {
+    val engine = freshEngine()
+    engine.execute(GraphRequest(1, Op.AddGraph, "GT.txt"), GraphPayload(undirected((1, 2))))
+    engine.execute(GraphRequest(2, Op.ModifyGraph, "GT.txt"),
+      GraphPayload(undirected((1, 2), (2, 3))))
+    assert(engine.catalog.versions("GT.txt") == Seq(1L, 2L))
+    assert(engine.catalog.load("GT.txt", 1L).count() == 2)
+    assert(engine.catalog.load("GT.txt", 2L).count() == 4)
+    assertThrows[GraphNotFoundException] { engine.catalog.load("GT.txt", 9L) }
+    engine.catalog.vacuum("GT.txt", keep = 1)
+    assert(engine.catalog.versions("GT.txt") == Seq(2L))
+    assertThrows[GraphNotFoundException] { engine.catalog.load("GT.txt", 1L) }
+  }
+
   test("duplicate add fails; response tags follow seq_no + 100") {
     val engine = freshEngine()
     val r = engine.execute(GraphRequest(42, Op.AddGraph, "G7.txt"),
