@@ -88,6 +88,19 @@ object SparkEntry {
       GraphOps.bfsLevels(
         GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
         1L, maxLevels = 3)),
+    // A5 weighted generalization — bounded-hop weighted SSSP (Bellman-Ford
+    // relaxation rounds) over the part–supplier graph weighted by
+    // min lineitem quantity; hop bound 3 mirrors bfs_bipartite and keeps
+    // the cyclic-graph oracle a finite recursive relation
+    "sssp_bounded" -> ((s, dir) => {
+      val pe = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk"))
+        .agg(min("l_quantity").cast("long").as("w"))
+      val e = pe.select(col("p").as("src"), (col("sk") + 1000000000L).as("dst"), col("w"))
+        .unionAll(pe.select((col("sk") + 1000000000L).as("src"), col("p").as("dst"), col("w")))
+      GraphOps.ssspBounded(e, 1L, rounds = 3)
+    }),
     // GraphX PageRank on the bipartite graph, oracle-checked against a
     // 10-iteration unrolled power iteration in DuckDB (see pagerankSql);
     // 3-dp rounding on both sides absorbs summation-order float jitter
@@ -478,6 +491,22 @@ object SparkEntry {
         |SELECT CAST(10000000 + o_orderkey AS BIGINT), CAST(1000 + o_custkey AS BIGINT) FROM orders
         |ORDER BY vertex""".stripMargin,
     "pagerank_top20" -> pagerankSql,
+    "sssp_bounded" ->
+      """WITH RECURSIVE pe AS (
+        |  SELECT l_partkey AS p, l_suppkey AS s, CAST(min(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |e AS (
+        |  SELECT CAST(p AS BIGINT) AS src, CAST(1000000000 + s AS BIGINT) AS dst, w FROM pe
+        |  UNION ALL
+        |  SELECT CAST(1000000000 + s AS BIGINT), CAST(p AS BIGINT), w FROM pe),
+        |walk(v, d, hops) AS (
+        |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+        |  UNION
+        |  SELECT e.dst, wk.d + e.w, wk.hops + 1 FROM walk wk JOIN e ON e.src = wk.v
+        |  WHERE wk.hops < 3
+        |)
+        |SELECT v AS vertex, CAST(min(d) AS BIGINT) AS dist FROM walk
+        |GROUP BY v ORDER BY vertex""".stripMargin,
     "graph_scan" -> s"SELECT * FROM ($E) ORDER BY src, dst",
     "graph_add_roundtrip" ->
       """SELECT CAST(1 + n_regionkey AS BIGINT) AS src, CAST(10 + n_nationkey AS BIGINT) AS dst

@@ -239,6 +239,40 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Bounded-hop weighted single-source shortest paths: `rounds` of
+    * Bellman-Ford relaxation as iterative dataflow — the weighted
+    * generalization of [[bfsLevels]] (BFS = SSSP with unit weights).
+    * Returns the minimum path WEIGHT to every vertex reachable within
+    * `rounds` hops; deterministic for integer weights (no float summation
+    * order). Each round is one frontier-join + min-aggregate; the running
+    * best-distance table is localCheckpointed per round (flat lineage,
+    * same discipline as BFS). The hop bound makes the semantics
+    * oracle-replayable on CYCLIC graphs — an unbounded recursive path
+    * enumeration explodes; a bounded one is a finite relation.
+    *
+    * Input: `(src, dst, w)` with BIGINT weights. Output:
+    * `(vertex, dist)` ordered, dist = min weight over paths of ≤ rounds
+    * edges.
+    */
+  def ssspBounded(edges: DataFrame, start: Long, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var dist = Seq((start, 0L)).toDF("vertex", "dist").localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val relaxed = dist.join(e, dist("vertex") === e("src"))
+          .select(e("dst").as("vertex"), (dist("dist") + e("w")).as("dist"))
+        dist = dist.unionAll(relaxed)
+          .groupBy("vertex").agg(min("dist").as("dist"))
+          .localCheckpoint(true)
+      }
+      dist.orderBy("vertex")
+    } finally { e.unpersist(); () }
+  }
+
   /** PageRank via GraphX (fixed iteration count ⇒ deterministic structure;
     * scores rounded by callers). Input treated as directed; symmetrize for
     * undirected semantics.

@@ -156,6 +156,19 @@ class GraphOpsSpec extends AnyFunSuite {
       s"batch of 4 ran $batch jobs vs $deepest for its deepest member alone")
   }
 
+  test("bounded-hop weighted SSSP: cheaper long path wins, hop bound respected") {
+    import SparkTestSession.spark.implicits._
+    // 1→2 costs 10 direct but 2 via 3 (two hops); 4 only reachable in 3 hops
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val r3 = GraphOps.ssspBounded(e, 1L, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r3 == Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 3L))
+    val r1 = GraphOps.ssspBounded(e, 1L, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 10L, 3L -> 1L)) // no 2-hop relax, no 4
+  }
+
   test("deep graph: Pregel BFS on a 200-vertex path (depth >> the reference's n<=30)") {
     import spark.implicits._
     val n = 200
