@@ -276,6 +276,8 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) => Events.funnelUsers(t(s, dir, "events"))),
     "events_type_stats" -> ((s, dir) => Events.typeStats(t(s, dir, "events"))),
     "events_hourly" -> ((s, dir) => Events.hourlyRates(t(s, dir, "events"))),
+    // first-order event-type Markov transition counts (lead window per user)
+    "events_transitions" -> ((s, dir) => Events.typeTransitions(t(s, dir, "events"))),
 
     // ---- LLM-data-pipeline operators ------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(t(s, dir, "documents"))),
@@ -605,6 +607,15 @@ object SparkEntry {
         |  CAST(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 3) AS DOUBLE) AS avg_k,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_transitions" ->
+      """WITH ev AS (SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+        |              epoch_ms(ts) AS ms, event_type FROM events),
+        |seq AS (SELECT event_type AS from_type,
+        |          lead(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS to_type
+        |        FROM ev)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
     "events_hourly" ->
       """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
         |  event_type, CAST(count(*) AS BIGINT) AS n,

@@ -45,6 +45,26 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Event-sequence transition counts: for each user's event stream in
+    * (ms, event_id) order, count consecutive (event_type → next type)
+    * pairs over the whole corpus — the first-order Markov transition
+    * table sequence mining starts from. One shuffle on user_id (the lag
+    * window), then a small aggregate. Output:
+    * (from_type, to_type, n) ordered.
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        msOf(events).as("ms"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Rolling per-user metrics: average of the last `frame` event values
     * (ROWS frame ending at the current row) — the window-FRAME shape
     * (sessionize only needs lag/running-sum). Ordering inside a user is

@@ -53,6 +53,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L), (4L, 4L, 1L)))
   }
 
+  test("event transitions: per-user consecutive type pairs, corpus-wide counts") {
+    import org.apache.spark.sql.functions.col
+    val base = 1700000000000L
+    val ev = Seq(
+      (1L, 1L, new java.sql.Timestamp(base), "view"),
+      (2L, 1L, new java.sql.Timestamp(base + 1000), "click"),
+      (3L, 1L, new java.sql.Timestamp(base + 2000), "view"),
+      (4L, 2L, new java.sql.Timestamp(base + 500), "view"),
+      (5L, 2L, new java.sql.Timestamp(base + 1500), "click"),
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.pipeline.Events.typeTransitions(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out == Map(("view", "click") -> 2L, ("click", "view") -> 1L))
+  }
+
   test("hash sample: deterministic, nested, hash-ranked") {
     val d = docs((1 to 20).map(i => (i.toLong, s"doc $i")): _*)
     val s5 = pipeline.Curation.hashSample(d, 5).collect().map(_.getLong(0)).toSeq
