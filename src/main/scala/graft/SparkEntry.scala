@@ -405,6 +405,23 @@ object SparkEntry {
        |FROM r10 ORDER BY round(r, 3) DESC, vertex LIMIT 20""".stripMargin
   }
 
+  /** Within-label exact cosine pairs ≥ threshold over `rel` (optionally
+    * prefixed with a corpus-defining CTE) — shared by the two
+    * embedding_neardup oracles.
+    */
+  private def cosinePairsSql(cte: String, rel: String, threshold: Double): String =
+    s"""WITH ${cte}sims AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |         SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+       |         sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) ** 2)) AS na,
+       |         sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) ** 2)) AS nb
+       |  FROM $rel a JOIN $rel b ON a.label = b.label AND a.vec_id < b.vec_id,
+       |       UNNEST(range(1, 65)) AS u(i)
+       |  GROUP BY a.vec_id, b.vec_id)
+       |SELECT CAST(va AS BIGINT) AS vec_a, CAST(vb AS BIGINT) AS vec_b,
+       |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
+       |FROM sims WHERE dot / (na * nb) >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+
   private val jaccardSql = { threshold: Double =>
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -693,34 +710,15 @@ object SparkEntry {
         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
         |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT 10""".stripMargin,
-    "embedding_neardup" ->
-      """WITH corpus AS (
-        |  SELECT vec_id, embedding, label FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id < 100),
-        |sims AS (
-        |  SELECT a.vec_id AS va, b.vec_id AS vb,
-        |         SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
-        |         sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) ** 2)) AS na,
-        |         sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) ** 2)) AS nb
-        |  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id,
-        |       UNNEST(range(1, 65)) AS u(i)
-        |  GROUP BY a.vec_id, b.vec_id)
-        |SELECT CAST(va AS BIGINT) AS vec_a, CAST(vb AS BIGINT) AS vec_b,
-        |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
-        |FROM sims WHERE dot / (na * nb) >= 0.9 ORDER BY vec_a, vec_b""".stripMargin,
-    "embedding_neardup_exact" ->
-      """WITH sims AS (
-        |  SELECT a.vec_id AS va, b.vec_id AS vb,
-        |         SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
-        |         sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) ** 2)) AS na,
-        |         sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) ** 2)) AS nb
-        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
-        |       UNNEST(range(1, 65)) AS u(i)
-        |  GROUP BY a.vec_id, b.vec_id)
-        |SELECT CAST(va AS BIGINT) AS vec_a, CAST(vb AS BIGINT) AS vec_b,
-        |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
-        |FROM sims WHERE dot / (na * nb) >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "embedding_neardup" -> cosinePairsSql(
+      cte = """corpus AS (
+              |  SELECT vec_id, embedding, label FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id < 100),
+              |""".stripMargin,
+      rel = "corpus", threshold = 0.9),
+    "embedding_neardup_exact" -> cosinePairsSql(cte = "", rel = "embeddings",
+      threshold = 0.4),
     "lang_id" ->
       s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
          |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

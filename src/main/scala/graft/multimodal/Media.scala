@@ -128,12 +128,15 @@ object MediaCodecs {
     Option(img).map { im =>
       val w = im.getWidth
       val h = im.getHeight
+      // bulk row fetch — per-pixel getRGB pays a bounds+colormodel cost per call
+      val row = new Array[Int](w)
       var sum = 0.0
       var y = 0
       while (y < h) {
+        im.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = im.getRGB(x, y)
+          val rgb = row(x)
           sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
           x += 1
         }

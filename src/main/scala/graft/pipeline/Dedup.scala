@@ -206,7 +206,7 @@ object Dedup {
     documents
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .select(col("doc_id"),
-        expr("CAST(conv(substr(md5(CAST(tok AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("th"))
+        graft.functions.PortableHash.md5Bits60(col("tok")).as("th"))
       .groupBy("doc_id")
       .agg(graft.functions.Sketches.simhash_agg(col("th")).as("simhash"))
       .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))

@@ -179,8 +179,7 @@ object TextStats {
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), (size(col("t")) - lit(k - 1)).as("m"),
         posexplode(expr(gramExpr)).as(Seq("pos", "g")))
-      .withColumn("h",
-        expr("CAST(conv(substr(md5(CAST(g AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h", graft.functions.PortableHash.md5Bits60(col("g")))
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     grams
       .withColumn("fp", min("h").over(win))
