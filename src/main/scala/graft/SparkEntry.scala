@@ -111,6 +111,16 @@ object SparkEntry {
         .select(col("vertex"), round(col("rank"), 3).as("rank"))
         .orderBy(col("rank").desc, col("vertex"))
         .limit(20)),
+    // personalized PageRank from part 1 (GraphX staticPersonalizedPageRank;
+    // oracle = unrolled power iteration with source-only reset + final
+    // normalization, verified bit-equal to 1e-15); 4-dp rounding both sides
+    "ppr_top20" -> ((s, dir) =>
+      GraphOps.personalizedPageRank(
+          GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
+          src = 1L, iters = 10)
+        .select(col("vertex"), round(col("rank"), 4).as("rank"))
+        .orderBy(col("rank").desc, col("vertex"))
+        .limit(20)),
     // GraphX connected components on the customer–order graph
     "connected_components" -> ((s, dir) =>
       GraphOps.connectedComponents(
@@ -384,26 +394,46 @@ object SparkEntry {
     * the working table per step. Both sides round to 3 dp and order by the
     * ROUNDED rank, so last-ulp summation-order jitter can't flip the top-20.
     */
-  private val pagerankSql: String = {
-    val iters = (1 to 10).map { i =>
-      s"""r$i AS (SELECT d.v AS v, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(m.s, 0) AS r
-         |  FROM deg d LEFT JOIN (
-         |    SELECT e.dst AS v, sum(r${i - 1}.r * deg.w) AS s
-         |    FROM e JOIN r${i - 1} ON r${i - 1}.v = e.src JOIN deg ON deg.v = e.src
-         |    GROUP BY e.dst) m ON m.v = d.v)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-       |e AS (
-       |  SELECT CAST(p AS BIGINT) AS src, CAST(1000000000 + s AS BIGINT) AS dst FROM pe
-       |  UNION ALL
-       |  SELECT CAST(1000000000 + s AS BIGINT), CAST(p AS BIGINT) FROM pe
-       |),
-       |deg AS (SELECT src AS v, CAST(1.0 AS DOUBLE) / count(*) AS w FROM e GROUP BY src),
+  /** Ten unrolled power-iteration CTEs with a pluggable per-vertex reset
+    * term — shared by the uniform and personalized PageRank oracles
+    * (DuckDB's recursive CTEs can't re-aggregate the working table).
+    */
+  private def prIters(reset: String): String = (1 to 10).map { i =>
+    s"""r$i AS (SELECT d.v AS v, $reset + CAST(0.85 AS DOUBLE) * coalesce(m.s, 0) AS r
+       |  FROM deg d LEFT JOIN (
+       |    SELECT e.dst AS v, sum(r${i - 1}.r * deg.w) AS s
+       |    FROM e JOIN r${i - 1} ON r${i - 1}.v = e.src JOIN deg ON deg.v = e.src
+       |    GROUP BY e.dst) m ON m.v = d.v)""".stripMargin
+  }.mkString(",\n")
+
+  private val partSuppGraphSql =
+    """pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      |e AS (
+      |  SELECT CAST(p AS BIGINT) AS src, CAST(1000000000 + s AS BIGINT) AS dst FROM pe
+      |  UNION ALL
+      |  SELECT CAST(1000000000 + s AS BIGINT), CAST(p AS BIGINT) FROM pe
+      |),
+      |deg AS (SELECT src AS v, CAST(1.0 AS DOUBLE) / count(*) AS w FROM e GROUP BY src)""".stripMargin
+
+  private val pagerankSql: String =
+    s"""WITH $partSuppGraphSql,
        |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM deg),
-       |$iters
+       |${prIters("CAST(0.15 AS DOUBLE)")}
        |SELECT v AS vertex, CAST(round(r, 3) AS DOUBLE) AS rank
        |FROM r10 ORDER BY round(r, 3) DESC, vertex LIMIT 20""".stripMargin
-  }
+
+  /** GraphX `staticPersonalizedPageRank` replica (semantics verified
+    * empirically to 1e-15: init rank 1 at the source / 0 elsewhere, reset
+    * mass only at the source, final vector normalized to sum 1).
+    */
+  private val pprSql: String =
+    s"""WITH $partSuppGraphSql,
+       |r0 AS (SELECT v, CASE WHEN v = 1 THEN CAST(1.0 AS DOUBLE)
+       |                      ELSE CAST(0.0 AS DOUBLE) END AS r FROM deg),
+       |${prIters("CASE WHEN d.v = 1 THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END")},
+       |tot AS (SELECT sum(r) AS t FROM r10)
+       |SELECT v AS vertex, CAST(round(r / tot.t, 4) AS DOUBLE) AS rank
+       |FROM r10, tot ORDER BY round(r / tot.t, 4) DESC, vertex LIMIT 20""".stripMargin
 
   /** Within-label exact cosine pairs ≥ threshold over `rel` (optionally
     * prefixed with a corpus-defining CTE) — shared by the two
@@ -510,6 +540,7 @@ object SparkEntry {
         |SELECT CAST(10000000 + o_orderkey AS BIGINT), CAST(1000 + o_custkey AS BIGINT) FROM orders
         |ORDER BY vertex""".stripMargin,
     "pagerank_top20" -> pagerankSql,
+    "ppr_top20" -> pprSql,
     "sssp_bounded" ->
       """WITH RECURSIVE pe AS (
         |  SELECT l_partkey AS p, l_suppkey AS s, CAST(min(l_quantity) AS BIGINT) AS w

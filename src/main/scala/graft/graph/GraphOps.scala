@@ -290,6 +290,25 @@ object GraphOps {
     pr.vertices.map { case (v, r) => (v, r) }.toDF("vertex", "rank")
   }
 
+  /** Personalized PageRank from `src` via GraphX (fixed iteration count).
+    * Semantics (GraphX `staticPersonalizedPageRank`): init rank 1 at src /
+    * 0 elsewhere; per iteration r'(v) = resetProb·[v=src] +
+    * (1−resetProb)·Σ_in r(u)·(1/outdeg(u)); callers round scores.
+    */
+  def personalizedPageRank(edges: DataFrame, src: Long, iters: Int = 10,
+                           resetProb: Double = 0.15): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val eRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val g = Graph.fromEdges(eRdd, defaultValue = 1.0,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    val pr = g.staticPersonalizedPageRank(src, iters, resetProb)
+    // lazy result still reads pr's RDDs — do not unpersist before the action
+    pr.vertices.map { case (v, r) => (v, r) }.toDF("vertex", "rank")
+  }
+
   /** Connected components via GraphX (label = min vertex id in component).
     * Isolated vertices are kept by passing the full vertex set explicitly.
     */

@@ -169,6 +169,35 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r1 == Map(1L -> 0L, 2L -> 10L, 3L -> 1L)) // no 2-hop relax, no 4
   }
 
+  test("property: bounded SSSP with rounds >= V equals in-test Dijkstra on random graphs") {
+    import SparkTestSession.spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 3) {
+      val n = 20
+      val edges = (for {
+        s <- 1 to n; d <- 1 to n
+        if s != d && rnd.nextDouble() < 0.12
+      } yield (s.toLong, d.toLong, (1 + rnd.nextInt(9)).toLong)).toSeq
+      // reference Dijkstra on the driver
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+      val dist = scala.collection.mutable.Map(1L -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, 1L))(
+        Ordering.by[(Long, Long), Long](-_._1))
+      while (pq.nonEmpty) {
+        val (d, v) = pq.dequeue()
+        if (dist.getOrElse(v, Long.MaxValue) == d)
+          adj.getOrElse(v, Seq.empty).foreach { case (u, w) =>
+            if (d + w < dist.getOrElse(u, Long.MaxValue)) {
+              dist(u) = d + w; pq.enqueue((d + w, u))
+            }
+          }
+      }
+      val got = GraphOps.ssspBounded(edges.toDF("src", "dst", "w"), 1L, rounds = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == dist.toMap, s"SSSP mismatch on random graph")
+    }
+  }
+
   test("deep graph: Pregel BFS on a 200-vertex path (depth >> the reference's n<=30)") {
     import spark.implicits._
     val n = 200
