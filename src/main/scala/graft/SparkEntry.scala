@@ -82,6 +82,10 @@ object SparkEntry {
         .groupBy(col("degree")).agg(count(lit(1)).cast("long").as("n_vertices"))
         .select(col("degree").cast("long"), col("n_vertices"))
         .orderBy("degree")),
+    // GNN-style neighborhood feature aggregation over the part–supplier
+    // graph: each vertex's degree + min/avg/max degree of its neighbors
+    "neighbor_degree_stats" -> ((s, dir) =>
+      GraphOps.neighborDegreeStats(DerivedGraphs.partSuppEdges(s, dir), dedup = false)),
     // A5 on a CYCLIC graph (the reference assumes trees; the engine doesn't):
     // bounded BFS over the undirected part–supplier graph from part 1
     "bfs_bipartite" -> ((s, dir) =>
@@ -527,6 +531,19 @@ object SparkEntry {
         |)
         |SELECT v AS vertex, CAST(min(lvl) AS BIGINT) AS level FROM bfs
         |GROUP BY v ORDER BY level, vertex""".stripMargin,
+    "neighbor_degree_stats" ->
+      """WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |e AS (
+        |  SELECT CAST(p AS BIGINT) AS src, CAST(1000000000 + s AS BIGINT) AS dst FROM pe
+        |  UNION ALL
+        |  SELECT CAST(1000000000 + s AS BIGINT), CAST(p AS BIGINT) FROM pe),
+        |deg AS (SELECT src AS v, count(*) AS d FROM e GROUP BY src)
+        |SELECT e.src AS vertex, CAST(count(*) AS BIGINT) AS degree,
+        |  CAST(min(nd.d) AS BIGINT) AS n_min_deg,
+        |  CAST(round(avg(nd.d), 4) AS DOUBLE) AS n_avg_deg,
+        |  CAST(max(nd.d) AS BIGINT) AS n_max_deg
+        |FROM e JOIN deg nd ON nd.v = e.dst
+        |GROUP BY e.src ORDER BY vertex""".stripMargin,
     "degree_hist" ->
       """WITH e AS (SELECT DISTINCT l_partkey AS src, 1000000000 + l_suppkey AS dst FROM lineitem),
         |deg AS (SELECT v, count(*) AS d FROM (

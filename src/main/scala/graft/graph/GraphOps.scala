@@ -290,6 +290,26 @@ object GraphOps {
     pr.vertices.map { case (v, r) => (v, r) }.toDF("vertex", "rank")
   }
 
+  /** Neighborhood feature aggregation — the feature-engineering primitive
+    * GNN-style pipelines run before training: for every vertex, its own
+    * degree plus the min/avg/max degree of its 1-hop neighbors. Two
+    * shuffles (degree agg, then the neighbor join re-aggregated on src);
+    * both key on natural graph columns. `dedup` as in [[symmetrize]].
+    * Output: (vertex, degree, n_min_deg, n_avg_deg, n_max_deg) ordered.
+    */
+  def neighborDegreeStats(edges: DataFrame, dedup: Boolean = true): DataFrame = {
+    val e = symmetrize(edges, dedup)
+    val ndeg = degrees(edges, dedup)
+      .select(col("vertex").as("dst"), col("degree").as("ndeg"))
+    e.join(ndeg, "dst")
+      .groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).cast("long").as("degree"),
+        min("ndeg").cast("long").as("n_min_deg"),
+        round(avg("ndeg"), 4).as("n_avg_deg"),
+        max("ndeg").cast("long").as("n_max_deg"))
+      .orderBy("vertex")
+  }
+
   /** Personalized PageRank from `src` via GraphX (fixed iteration count).
     * Semantics (GraphX `staticPersonalizedPageRank`): init rank 1 at src /
     * 0 elsewhere; per iteration r'(v) = resetProb·[v=src] +

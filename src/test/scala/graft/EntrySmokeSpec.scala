@@ -32,7 +32,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     "bfs_multi", "grouping_sets_orders", "pii_scrub", "corpus_profile",
     "events_rolling", "simhash_pairs", "embedding_neardup",
     "embedding_neardup_exact", "dedup_clusters", "length_strata",
-    "hash_sample", "sssp_bounded", "events_transitions", "ppr_top20")
+    "hash_sample", "sssp_bounded", "events_transitions", "ppr_top20",
+    "neighbor_degree_stats")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {

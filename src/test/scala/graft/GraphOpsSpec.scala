@@ -169,6 +169,17 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r1 == Map(1L -> 0L, 2L -> 10L, 3L -> 1L)) // no 2-hop relax, no 4
   }
 
+  test("neighbor degree stats: hand computation on docx G1") {
+    val out = GraphOps.neighborDegreeStats(docxG1).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    // G1: 1-2, 2-3, 2-4, 4-5 → degrees 1:1 2:3 3:1 4:2 5:1
+    assert(out(1L) == ((1L, 3L, 3.0, 3L)))       // neighbor {2}
+    assert(out(2L) == ((3L, 1L, 1.3333, 2L)))    // neighbors {1,3,4}
+    assert(out(4L) == ((2L, 1L, 2.0, 3L)))       // neighbors {2,5}
+    assert(out(5L) == ((1L, 2L, 2.0, 2L)))       // neighbor {4}
+  }
+
   test("property: bounded SSSP with rounds >= V equals in-test Dijkstra on random graphs") {
     import SparkTestSession.spark.implicits._
     val rnd = new scala.util.Random(23)
