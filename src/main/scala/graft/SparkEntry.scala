@@ -97,10 +97,13 @@ object SparkEntry {
     // min lineitem quantity; hop bound 3 mirrors bfs_bipartite and keeps
     // the cyclic-graph oracle a finite recursive relation
     "sssp_bounded" -> ((s, dir) => {
+      // explicit floor BEFORE the BIGINT cast: Spark's double→long cast
+      // truncates while DuckDB's rounds half-to-even — floor is identical
+      // in both engines, so non-integral quantities can't diverge
       val pe = t(s, dir, "lineitem")
         .groupBy(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk"))
-        .agg(min("l_quantity").cast("long").as("w"))
+        .agg(floor(min("l_quantity")).cast("long").as("w"))
       val e = pe.select(col("p").as("src"), (col("sk") + 1000000000L).as("dst"), col("w"))
         .unionAll(pe.select((col("sk") + 1000000000L).as("src"), col("p").as("dst"), col("w")))
       GraphOps.ssspBounded(e, 1L, rounds = 3)
@@ -560,7 +563,7 @@ object SparkEntry {
     "ppr_top20" -> pprSql,
     "sssp_bounded" ->
       """WITH RECURSIVE pe AS (
-        |  SELECT l_partkey AS p, l_suppkey AS s, CAST(min(l_quantity) AS BIGINT) AS w
+        |  SELECT l_partkey AS p, l_suppkey AS s, CAST(floor(min(l_quantity)) AS BIGINT) AS w
         |  FROM lineitem GROUP BY 1, 2),
         |e AS (
         |  SELECT CAST(p AS BIGINT) AS src, CAST(1000000000 + s AS BIGINT) AS dst, w FROM pe

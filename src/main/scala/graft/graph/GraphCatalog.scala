@@ -3,10 +3,23 @@ package graft.graph
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-final class GraphNotFoundException(name: String)
-  extends IllegalStateException(
+final class GraphNotFoundException private (message: String, marker: Boolean)
+  extends IllegalStateException(message) {
+  /** Unregistered graph: the reference's add-before-read rule applies. */
+  def this(name: String) = this(
     s"graph '$name' does not exist — add (op 1) before modify/read " +
-      "(add-before-read rule, reference instructions.txt:18-20)")
+      "(add-before-read rule, reference instructions.txt:18-20)", true)
+}
+
+object GraphNotFoundException {
+  /** Version miss on an EXISTING graph — a retention problem, not a
+    * registration problem; the add-before-read advice would mislead.
+    */
+  private[graph] def version(name: String, v: Long, retained: Seq[Long]) =
+    new GraphNotFoundException(
+      s"version $v of graph '$name' is not available (vacuumed or never " +
+        s"written); retained versions: ${retained.mkString(", ")}", true)
+}
 
 final class GraphAlreadyExistsException(name: String)
   extends IllegalStateException(s"graph '$name' already exists — use modify (op 2)")
@@ -82,11 +95,13 @@ final class GraphCatalog(spark: SparkSession, baseDir: String) {
     * every modify keeps its predecessors until vacuum, so any retained
     * version stays queryable.
     */
-  def load(name: String, version: Long): DataFrame =
-    versionsOf(name).find(_._1 == version) match {
+  def load(name: String, version: Long): DataFrame = {
+    val vs = versionsOf(name)
+    vs.find(_._1 == version) match {
       case Some((_, p)) => spark.read.parquet(p.toString)
-      case None => throw new GraphNotFoundException(s"$name@v$version")
+      case None => throw GraphNotFoundException.version(name, version, vs.map(_._1))
     }
+  }
 
   /** Complete snapshot versions of `name`, oldest first. */
   def versions(name: String): Seq[Long] = versionsOf(name).map(_._1)

@@ -299,8 +299,10 @@ object GraphOps {
     */
   def neighborDegreeStats(edges: DataFrame, dedup: Boolean = true): DataFrame = {
     val e = symmetrize(edges, dedup)
-    val ndeg = degrees(edges, dedup)
-      .select(col("vertex").as("dst"), col("degree").as("ndeg"))
+    // derive neighbor degrees from the SAME symmetrized view rather than
+    // calling degrees() (which would build a second symmetrize — with
+    // dedup=true that is a second full distinct shuffle in the plan)
+    val ndeg = e.groupBy(col("src").as("dst")).agg(count(lit(1)).as("ndeg"))
     e.join(ndeg, "dst")
       .groupBy(col("src").as("vertex"))
       .agg(count(lit(1)).cast("long").as("degree"),

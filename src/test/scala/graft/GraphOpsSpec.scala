@@ -143,12 +143,19 @@ class GraphOpsSpec extends AnyFunSuite {
       sc.setJobGroup(tag, tag, interruptOnCancel = false)
       try GraphOps.bfsLevelsMulti(edges, starts).collect()
       finally sc.clearJobGroup()
-      // the status store is listener-fed (async) — poll until stable
+      // the status store is listener-fed (async) — require a nonzero count
+      // that stays stable across THREE consecutive 300 ms reads (a single
+      // quiet interval can race a stalled listener bus), bounded at 15 s
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var stable = 0
       var last = -1
-      var n = sc.statusTracker.getJobIdsForGroup(tag).length
-      while (n != last) { last = n; Thread.sleep(200)
-        n = sc.statusTracker.getJobIdsForGroup(tag).length }
-      n
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val n = sc.statusTracker.getJobIdsForGroup(tag).length
+        if (n > 0 && n == last) stable += 1 else stable = 0
+        last = n
+        Thread.sleep(300)
+      }
+      last
     }
     val deepest = jobsOf("bfs-one", Seq(3L))
     val batch = jobsOf("bfs-four", Seq(1L, 2L, 3L, 4L))
