@@ -339,6 +339,10 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
     "lang_id" -> ((s, dir) => TextStats.langId(t(s, dir, "documents"))),
     "term_freq_top50" -> ((s, dir) => TextStats.termFreq(t(s, dir, "documents"))),
+    // LM-style bigram counts (duplicates kept, unlike the dedup'd shingles)
+    "bigram_freq_top50" -> ((s, dir) => TextStats.ngramFreq(t(s, dir, "documents"))),
+    // char-distribution Shannon entropy (gibberish/boilerplate detector)
+    "char_entropy" -> ((s, dir) => TextStats.charEntropy(t(s, dir, "documents"))),
     "tfidf_top_terms" -> ((s, dir) => TextStats.tfIdfTopTerms(t(s, dir, "documents"))),
     "quality_score" -> ((s, dir) => TextStats.qualityScore(t(s, dir, "documents"))),
     "token_stats" -> ((s, dir) => TextStats.tokenStats(t(s, dir, "documents"))),
@@ -782,6 +786,18 @@ object SparkEntry {
       """SELECT u.term AS term, CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
         |GROUP BY u.term ORDER BY freq DESC, term LIMIT 50""".stripMargin,
+    "bigram_freq_top50" ->
+      """SELECT t[i] || ' ' || t[i+1] AS gram, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT string_split(text, ' ') AS t FROM documents),
+        |     UNNEST(range(1, len(t))) AS u(i)
+        |GROUP BY 1 ORDER BY freq DESC, gram LIMIT 50""".stripMargin,
+    "char_entropy" ->
+      """WITH chars AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS f FROM chars GROUP BY 1, 2)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chars_distinct,
+        |  CAST(round(-sum(f * log2(f)) / sum(f) + log2(sum(f)), 4) AS DOUBLE) AS entropy
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),

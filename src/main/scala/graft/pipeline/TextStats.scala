@@ -83,6 +83,46 @@ object TextStats {
       .limit(topN)
   }
 
+  /** Corpus n-gram frequencies with duplicates KEPT (language-model
+    * counting — unlike [[graft.pipeline.Dedup.shingles]], which dedups per
+    * doc for set similarity). Output: (gram, freq) top `topN` by
+    * (freq DESC, gram). One shuffle on the gram key; map-side partial
+    * aggregation bounds it.
+    */
+  def ngramFreq(documents: DataFrame, n: Int = 2, topN: Int = 50): DataFrame = {
+    val gramExpr =
+      s"""CASE WHEN size(t) >= $n
+         |THEN transform(sequence(1, size(t) - ${n - 1}),
+         |       i -> concat_ws(' ', ${(0 until n).map(o => s"element_at(t, i + $o)").mkString(", ")}))
+         |ELSE array() END""".stripMargin
+    documents
+      .select(split(col("text"), " ").as("t"))
+      .select(explode(expr(gramExpr)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).cast("long").as("freq"))
+      .orderBy(col("freq").desc, col("gram"))
+      .limit(topN)
+  }
+
+  /** Character-distribution Shannon entropy per doc (bits/char) — the
+    * gibberish/boilerplate detector real corpus filters pair with the
+    * length/stopword heuristics: natural text sits ~4 bits, repeated
+    * padding near 0, random base64 near 6. Explode to (doc, char) pairs,
+    * count, then -Σ p·log2 p; 4-dp rounding absorbs summation-order float
+    * jitter (same convention as tf-idf). Output:
+    * (doc_id, n_chars_distinct, entropy) ordered.
+    */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("f"))
+    counts
+      .groupBy(col("doc_id").cast("long").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chars_distinct"),
+        round((lit(0.0) - sum(col("f") * log2(col("f")))
+          / sum("f") + log2(sum("f"))), 4).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF: top `perDoc` highest-scoring terms per document for docs with
     * id < `maxDocId` (bounded output for the oracle). tf = raw count in
     * doc; idf = ln(N / df) over the WHOLE corpus. Deterministic tiebreak

@@ -53,6 +53,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L), (4L, 4L, 1L)))
   }
 
+  test("bigram freq keeps duplicates; char entropy hand computations") {
+    val d = docs((1L, "a b a b a"), (2L, "x"))
+    val grams = TextStats.ngramFreq(d, n = 2, topN = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(grams == Map("a b" -> 2L, "b a" -> 2L)) // doc 2 too short, dups kept
+    val ent = TextStats.charEntropy(d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // doc 2 "x": one char, entropy 0
+    assert(ent(2L) == ((1L, 0.0)))
+    // doc 1 "a b a b a": chars a×3, b×2, space×4 → H = -Σ p log2 p over 9
+    val h = -Seq(3.0, 2.0, 4.0).map(f => f / 9 * (math.log(f / 9) / math.log(2))).sum
+    assert(ent(1L)._1 == 3L)
+    assert(math.abs(ent(1L)._2 - BigDecimal(h).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("event transitions: per-user consecutive type pairs, corpus-wide counts") {
     import org.apache.spark.sql.functions.col
     val base = 1700000000000L
