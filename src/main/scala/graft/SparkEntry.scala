@@ -248,6 +248,13 @@ object SparkEntry {
         .agg(countDistinct("l_partkey").cast("long").as("n_parts"),
           count(lit(1)).cast("long").as("n_lineitems"))
         .orderBy("suppkey")),
+    // set ops: INTERSECT — customers who ordered in BOTH 1995 and 1996
+    "repeat_customers" -> ((s, dir) => {
+      def custsOf(y: Int) = t(s, dir, "orders")
+        .filter(year(col("o_orderdate").cast("timestamp")) === y)
+        .select(col("o_custkey").cast("long").as("custkey"))
+      custsOf(1995).intersect(custsOf(1996)).orderBy("custkey")
+    }),
     // set ops: customers with no urgent-priority order (left_anti ≡ EXCEPT /
     // NOT IN; the urgent filter keeps the result non-degenerate)
     "cust_no_orders" -> ((s, dir) =>
@@ -338,6 +345,14 @@ object SparkEntry {
     "embedding_neardup_exact" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
     "lang_id" -> ((s, dir) => TextStats.langId(t(s, dir, "documents"))),
+    // pivot/crosstab: language-ID confusion matrix (actual × predicted)
+    "lang_confusion" -> ((s, dir) =>
+      TextStats.langId(t(s, dir, "documents"))
+        .groupBy("lang").pivot("pred_lang", Seq("en", "unk")).count()
+        .select(col("lang"),
+          coalesce(col("en"), lit(0L)).as("pred_en"),
+          coalesce(col("unk"), lit(0L)).as("pred_unk"))
+        .orderBy("lang")),
     "term_freq_top50" -> ((s, dir) => TextStats.termFreq(t(s, dir, "documents"))),
     // LM-style bigram counts (duplicates kept, unlike the dedup'd shingles)
     "bigram_freq_top50" -> ((s, dir) => TextStats.ngramFreq(t(s, dir, "documents"))),
@@ -654,6 +669,21 @@ object SparkEntry {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  CAST(count(*) AS BIGINT) AS n_lineitems
         |FROM lineitem GROUP BY l_suppkey ORDER BY suppkey""".stripMargin,
+    "lang_confusion" ->
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |pred AS (SELECT lang,
+         |  CASE WHEN len(list_filter(t, x -> x IN (${TextStats.Stopwords.map(s => s"'$s'").mkString(", ")}))) * 1.0 / len(t) >= 0.08
+         |       THEN 'en' ELSE 'unk' END AS pred_lang
+         |FROM toks)
+         |SELECT lang,
+         |  CAST(count(*) FILTER (pred_lang = 'en') AS BIGINT) AS pred_en,
+         |  CAST(count(*) FILTER (pred_lang = 'unk') AS BIGINT) AS pred_unk
+         |FROM pred GROUP BY lang ORDER BY lang""".stripMargin,
+    "repeat_customers" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT CAST(o_custkey AS BIGINT) FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY custkey""".stripMargin,
     "cust_no_orders" ->
       """SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
