@@ -397,6 +397,11 @@ object SparkEntry {
     // the stub chunker is deterministic arithmetic -> full oracle below
     "media_frames" -> ((s, dir) =>
       Media.frameStats(Media.mediaFromDocuments(t(s, dir, "documents")), stride = 2)),
+    // image resize to fit 64x64 (stub-pinned: text payloads aren't real
+    // images; the real ImageIO+Graphics2D path is fixture-tested)
+    "media_resize" -> ((s, dir) =>
+      Media.resizeStats(Media.mediaFromDocuments(t(s, dir, "documents")),
+        maxW = 64, maxH = 64, realCodecs = false)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -974,6 +979,18 @@ object SparkEntry {
         |                 WHEN 'audio' THEN 1
         |                 ELSE n_bytes % 240 + 1 END AS INTEGER) AS height,
         |  mean_intensity
+        |FROM m ORDER BY media_id""".stripMargin,
+    // stub resize = first min(len, 64*64) bytes as a 1-byte/pixel raster
+    // of width min(n, 64); images are doc_id % 3 == 0
+    "media_resize" ->
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+        |             least(strlen(text), 4096) AS n
+        |           FROM documents WHERE doc_id % 3 = 0)
+        |SELECT media_id,
+        |  CAST(least(n, 64) AS INTEGER) AS out_w,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE (n + least(n, 64) - 1) // least(n, 64) END AS INTEGER) AS out_h,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  md5(substr(text, 1, CAST(n AS INT))) AS out_md5
         |FROM m ORDER BY media_id""".stripMargin,
     // videos are doc_id % 3 == 2; chunk c covers bytes [64c, 64c+64);
     // kept when c is even; frame_no indexes the KEPT frames (c / 2)

@@ -68,6 +68,43 @@ object Media {
     }
   }
 
+  /** A resize result: target-bounded dimensions + the transformed payload. */
+  final case class Resized(media_id: Long, out_w: Int, out_h: Int,
+                           out_bytes: Array[Byte])
+
+  /** Resize image payloads to fit `(maxW, maxH)` (aspect preserved),
+    * partition-local like every codec op. Real path: ImageIO decode →
+    * bilinear scale → PNG re-encode. Payloads that are not decodable
+    * images go through the deterministic stub transform instead
+    * ([[MediaCodecs.resizeStub]]) — `realCodecs = false` pins the stub for
+    * the declared oracle query (same convention as [[extractFeatures]]).
+    */
+  def resizeImages(media: Dataset[MediaRow], maxW: Int = 64, maxH: Int = 64,
+                   realCodecs: Boolean = true): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, bytes) =
+          if (realCodecs) MediaCodecs.resizeImage(r.payload, maxW, maxH)
+            .getOrElse(MediaCodecs.resizeStub(r.payload, maxW, maxH))
+          else MediaCodecs.resizeStub(r.payload, maxW, maxH)
+        Resized(r.media_id, w, h, bytes)
+      }
+    }
+  }
+
+  /** Oracle-friendly inventory over [[resizeImages]]: one row per resized
+    * image with output dims, byte count, and payload md5.
+    */
+  def resizeStats(media: Dataset[MediaRow], maxW: Int = 64, maxH: Int = 64,
+                  realCodecs: Boolean = true): DataFrame = {
+    resizeImages(media, maxW, maxH, realCodecs).toDF()
+      .select(col("media_id"), col("out_w"), col("out_h"),
+        length(col("out_bytes")).cast("long").as("n_bytes"),
+        md5(col("out_bytes")).as("out_md5"))
+      .orderBy("media_id")
+  }
+
   /** Frame-sample video payloads: every `stride`-th 64-byte chunk becomes a
     * "frame" (stub chunking; a real decoder would seek keyframes).
     */
@@ -122,10 +159,7 @@ object MediaCodecs {
     * Mean intensity = per-pixel (R+G+B)/3, averaged over the image.
     */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: Exception => null }
-    Option(img).map { im =>
+    decodeImageRaw(payload).map { im =>
       val w = im.getWidth
       val h = im.getHeight
       // bulk row fetch — per-pixel getRGB pays a bounds+colormodel cost per call
@@ -190,6 +224,50 @@ object MediaCodecs {
     case "audio" => decodeAudio(payload).getOrElse(decodeStub(kind, payload))
     case _ => decodeStub(kind, payload)
   }
+
+  /** Real image resize via ImageIO + Graphics2D bilinear scaling, PNG
+    * re-encoded. Aspect-preserving fit into (maxW, maxH); images already
+    * inside the box pass through re-encoded at original size. None when
+    * the payload is not a decodable image.
+    */
+  def resizeImage(payload: Array[Byte], maxW: Int,
+                  maxH: Int): Option[(Int, Int, Array[Byte])] = {
+    decodeImageRaw(payload).map { im =>
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / im.getWidth, maxH.toDouble / im.getHeight))
+      val w = math.max(1, math.round(im.getWidth * scale).toInt)
+      val h = math.max(1, math.round(im.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(im, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      (w, h, bos.toByteArray)
+    }
+  }
+
+  /** STUB resize: "scales" a non-decodable payload by treating it as a
+    * 1-byte-per-pixel raster — output = the first maxW·maxH bytes, dims =
+    * the smallest box holding them at width ≤ maxW. Deterministic
+    * arithmetic over the payload, so the documents-derived test table is
+    * oracle-replayable (substr + length in DuckDB).
+    */
+  def resizeStub(payload: Array[Byte], maxW: Int,
+                 maxH: Int): (Int, Int, Array[Byte]) = {
+    val n = math.min(payload.length, maxW * maxH)
+    val w = math.min(n, maxW)
+    val h = if (w == 0) 0 else (n + w - 1) / w
+    (w, h, payload.take(n))
+  }
+
+  private def decodeImageRaw(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
 
   /** STUB decode: pretends to decode an image/audio/video payload and
     * reports (width, height, mean byte intensity). Deterministic in the

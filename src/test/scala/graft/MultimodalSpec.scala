@@ -72,6 +72,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeAudio("not audio".getBytes).isEmpty)
   }
 
+  test("resize: real PNG scales aspect-preserving; stub is raster arithmetic") {
+    // 100x40 PNG → fit 64x64 → scale 0.64 → 64x26
+    val im = new java.awt.image.BufferedImage(100, 40, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val (w, h, out) = MediaCodecs.resizeImage(bos.toByteArray, 64, 64).get
+    assert((w, h) == (64, 26))
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert((decoded.getWidth, decoded.getHeight) == (64, 26))
+    // already-inside-the-box image passes through at original size
+    assert(MediaCodecs.resizeImage(bos.toByteArray, 200, 200).get._1 == 100)
+    // stub: 200-byte payload → 64-wide raster, ceil(200/64)=4 rows
+    val (sw, sh, sb) = MediaCodecs.resizeStub(Array.fill[Byte](200)(7), 64, 64)
+    assert((sw, sh, sb.length) == (64, 4, 200))
+    // end-to-end through the Dataset op on the real fixture
+    val rows = Seq(Media.MediaRow(9L, "image", bos.toByteArray, "fixture")).toDS()
+    val r = Media.resizeImages(rows, 64, 64).collect()(0)
+    assert((r.out_w, r.out_h) == (64, 26))
+  }
+
   test("mediaStats matches a hand computation") {
     val s = Media.mediaStats(Media.mediaFromDocuments(docs)).collect()
     assert(s(0).getLong(2) == 11L)
