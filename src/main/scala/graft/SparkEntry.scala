@@ -248,6 +248,21 @@ object SparkEntry {
         .agg(countDistinct("l_partkey").cast("long").as("n_parts"),
           count(lit(1)).cast("long").as("n_lineitems"))
         .orderBy("suppkey")),
+    // market-basket: frequent co-purchased part pairs. The pair explosion
+    // is bounded PER ORDER (baskets are small — the quadratic term is
+    // per-basket, never corpus-wide), then one aggregate over pair keys;
+    // the shape that scales where a global part×part join would not
+    "frequent_part_pairs" -> ((s, dir) => {
+      val basket = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("okey"),
+          col("l_partkey").cast("long").as("part")).distinct()
+      val a = basket.select(col("okey"), col("part").as("part_a"))
+      val b = basket.select(col("okey"), col("part").as("part_b"))
+      a.join(b, Seq("okey")).filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).cast("long").as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+    }),
     // set ops: INTERSECT — customers who ordered in BOTH 1995 and 1996
     "repeat_customers" -> ((s, dir) => {
       def custsOf(y: Int) = t(s, dir, "orders")
@@ -684,6 +699,13 @@ object SparkEntry {
          |  CAST(count(*) FILTER (pred_lang = 'en') AS BIGINT) AS pred_en,
          |  CAST(count(*) FILTER (pred_lang = 'unk') AS BIGINT) AS pred_unk
          |FROM pred GROUP BY lang ORDER BY lang""".stripMargin,
+    "frequent_part_pairs" ->
+      """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
+        |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem)
+        |SELECT a.part AS part_a, b.part AS part_b, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY n_orders DESC, part_a, part_b""".stripMargin,
     "repeat_customers" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT

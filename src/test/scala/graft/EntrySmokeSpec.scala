@@ -34,7 +34,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     "embedding_neardup_exact", "dedup_clusters", "length_strata",
     "hash_sample", "sssp_bounded", "events_transitions", "ppr_top20",
     "neighbor_degree_stats", "bigram_freq_top50", "char_entropy",
-    "lang_confusion", "repeat_customers", "media_resize")
+    "lang_confusion", "repeat_customers", "media_resize",
+    "frequent_part_pairs")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
