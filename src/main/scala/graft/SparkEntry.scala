@@ -253,9 +253,13 @@ object SparkEntry {
     // per-basket, never corpus-wide), then one aggregate over pair keys;
     // the shape that scales where a global part×part join would not
     "frequent_part_pairs" -> ((s, dir) => {
+      // basket feeds BOTH self-join sides — materialize once (repo-wide
+      // convention for multi-consumer intermediates) so the distinct
+      // aggregation doesn't run twice
       val basket = t(s, dir, "lineitem")
         .select(col("l_orderkey").cast("long").as("okey"),
           col("l_partkey").cast("long").as("part")).distinct()
+        .localCheckpoint(true)
       val a = basket.select(col("okey"), col("part").as("part_a"))
       val b = basket.select(col("okey"), col("part").as("part_b"))
       a.join(b, Seq("okey")).filter(col("part_a") < col("part_b"))
@@ -1002,8 +1006,10 @@ object SparkEntry {
         |                 ELSE n_bytes % 240 + 1 END AS INTEGER) AS height,
         |  mean_intensity
         |FROM m ORDER BY media_id""".stripMargin,
-    // stub resize = first min(len, 64*64) bytes as a 1-byte/pixel raster
-    // of width min(n, 64); images are doc_id % 3 == 0
+    // stub resize = first min(len, 64*64) BYTES as a 1-byte/pixel raster
+    // of width min(n, 64); images are doc_id % 3 == 0. The digest is md5
+    // of the uppercase hex of those bytes (2n hex chars) — byte-exact on
+    // both engines even for non-ASCII text (DuckDB substr counts chars)
     "media_resize" ->
       """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text,
         |             least(strlen(text), 4096) AS n
@@ -1012,7 +1018,7 @@ object SparkEntry {
         |  CAST(least(n, 64) AS INTEGER) AS out_w,
         |  CAST(CASE WHEN n = 0 THEN 0 ELSE (n + least(n, 64) - 1) // least(n, 64) END AS INTEGER) AS out_h,
         |  CAST(n AS BIGINT) AS n_bytes,
-        |  md5(substr(text, 1, CAST(n AS INT))) AS out_md5
+        |  md5(substr(hex(encode(text)), 1, CAST(2 * n AS INT))) AS out_md5
         |FROM m ORDER BY media_id""".stripMargin,
     // videos are doc_id % 3 == 2; chunk c covers bytes [64c, 64c+64);
     // kept when c is even; frame_no indexes the KEPT frames (c / 2)

@@ -94,14 +94,20 @@ object Media {
   }
 
   /** Oracle-friendly inventory over [[resizeImages]]: one row per resized
-    * image with output dims, byte count, and payload md5.
+    * image with output dims, byte count, and a byte digest.
+    *
+    * The digest is md5 of the HEX of the bytes (both engines emit
+    * uppercase hex): DuckDB's md5 only accepts VARCHAR, and
+    * `substr(text, …)` counts CHARACTERS — hashing a raw byte prefix of
+    * non-ASCII text would silently diverge. Hex-encoding first makes the
+    * digest byte-exact for ANY payload on both engines.
     */
   def resizeStats(media: Dataset[MediaRow], maxW: Int = 64, maxH: Int = 64,
                   realCodecs: Boolean = true): DataFrame = {
     resizeImages(media, maxW, maxH, realCodecs).toDF()
       .select(col("media_id"), col("out_w"), col("out_h"),
         length(col("out_bytes")).cast("long").as("n_bytes"),
-        md5(col("out_bytes")).as("out_md5"))
+        md5(hex(col("out_bytes")).cast("binary")).as("out_md5"))
       .orderBy("media_id")
   }
 

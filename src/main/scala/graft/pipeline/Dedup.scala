@@ -22,13 +22,11 @@ object Dedup {
     // shingles per doc" never needs a global shuffle (doc_id is in every key),
     // and the explode emits the already-unique set. The old global
     // `.distinct()` shuffled the full (doc, shingle) set for nothing.
+    // Gram construction is the shared TextStats.kGramExpr.
     documents
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), explode(expr(
-        s"""array_distinct(CASE WHEN size(t) >= $w
-           |THEN transform(sequence(1, size(t) - ${w - 1}),
-           |       i -> concat_ws(' ', ${(0 until w).map(o => s"element_at(t, i + $o)").mkString(", ")}))
-           |ELSE array() END)""".stripMargin)).as("s"))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${TextStats.kGramExpr(w)})")).as("s"))
   }
 
   /** Exact duplicate groups by content hash: one row per distinct text,

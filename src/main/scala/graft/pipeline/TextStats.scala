@@ -13,6 +13,18 @@ object TextStats {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "for")
   private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** SQL expression: the array of space-joined k-grams over a token array
+    * column `t`, in sequence order with duplicates kept (empty below k
+    * tokens). Shared by [[ngramFreq]], [[winnowedFingerprint]] and (with
+    * an `array_distinct` wrapper) [[graft.pipeline.Dedup.shingles]] so the
+    * gram construction cannot silently diverge between operators.
+    */
+  private[pipeline] def kGramExpr(k: Int): String =
+    s"""CASE WHEN size(t) >= $k
+       |THEN transform(sequence(1, size(t) - ${k - 1}),
+       |       i -> concat_ws(' ', ${(0 until k).map(o => s"element_at(t, i + $o)").mkString(", ")}))
+       |ELSE array() END""".stripMargin
+
   /** n-gram/stopword-heuristic language ID: fraction of tokens that are
     * common-English stopwords ≥ 8% ⇒ 'en', else 'unk'. Output one row per
     * doc with the prediction and the ground-truth label for accuracy eval.
@@ -90,14 +102,9 @@ object TextStats {
     * aggregation bounds it.
     */
   def ngramFreq(documents: DataFrame, n: Int = 2, topN: Int = 50): DataFrame = {
-    val gramExpr =
-      s"""CASE WHEN size(t) >= $n
-         |THEN transform(sequence(1, size(t) - ${n - 1}),
-         |       i -> concat_ws(' ', ${(0 until n).map(o => s"element_at(t, i + $o)").mkString(", ")}))
-         |ELSE array() END""".stripMargin
     documents
       .select(split(col("text"), " ").as("t"))
-      .select(explode(expr(gramExpr)).as("gram"))
+      .select(explode(expr(kGramExpr(n))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).cast("long").as("freq"))
       .orderBy(col("freq").desc, col("gram"))
       .limit(topN)
@@ -210,15 +217,10 @@ object TextStats {
     */
   def winnowedFingerprint(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gramExpr =
-      s"""CASE WHEN size(t) >= $k
-         |THEN transform(sequence(1, size(t) - ${k - 1}),
-         |       i -> concat_ws(' ', ${(0 until k).map(o => s"element_at(t, i + $o)").mkString(", ")}))
-         |ELSE array() END""".stripMargin
     val grams = documents
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), (size(col("t")) - lit(k - 1)).as("m"),
-        posexplode(expr(gramExpr)).as(Seq("pos", "g")))
+        posexplode(expr(kGramExpr(k))).as(Seq("pos", "g")))
       .withColumn("h", graft.functions.PortableHash.md5Bits60(col("g")))
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     grams
