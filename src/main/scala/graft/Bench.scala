@@ -31,17 +31,32 @@ object Bench {
     // error marker (value -1, name listed under "errors") instead of its
     // elapsed time.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      isolate()
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          errors += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+    // Median of `reps` isolated runs (default 3): single-shot timings carry
+    // JIT/GC jitter that made round-over-round sub-second deltas
+    // unadjudicable; the median keeps outlier pauses out of the reported
+    // number. SPARK_GRAFT_ONLY=q1,q2 restricts the query set for iteration.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var failed = false
+        var rep = 0
+        while (rep < reps && !failed) {
+          isolate()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              failed = true
+              errors += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+          rep += 1
+        }
+        name -> (if (failed) -1.0 else times.sorted.apply(times.size / 2))
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map(n => s"\"$n\"").mkString("[", ",", "]")

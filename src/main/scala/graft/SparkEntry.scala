@@ -253,13 +253,24 @@ object SparkEntry {
     // per-basket, never corpus-wide), then one aggregate over pair keys;
     // the shape that scales where a global part×part join would not
     "frequent_part_pairs" -> ((s, dir) => {
-      // basket feeds BOTH self-join sides — materialize once (repo-wide
-      // convention for multi-consumer intermediates) so the distinct
-      // aggregation doesn't run twice
-      val basket = t(s, dir, "lineitem")
+      // basket feeds the size guard AND both self-join sides — materialize
+      // once (repo-wide convention for multi-consumer intermediates) so the
+      // distinct aggregation doesn't run twice
+      val maxBasketSize = 1000L
+      val basket0 = t(s, dir, "lineitem")
         .select(col("l_orderkey").cast("long").as("okey"),
           col("l_partkey").cast("long").as("part")).distinct()
         .localCheckpoint(true)
+      // skew guard, the maxShingleFreq analogue (Dedup.ngramJaccardPairs):
+      // the pair explosion is quadratic IN THE BASKET, so one degenerate
+      // giant order (a crawler replay, a bulk account) is a single hot
+      // shuffle key. Drop over-cap baskets BEFORE the self-join — a no-op on
+      // the test data (baskets are ≤ 7 parts), the guard at 100 TB. The
+      // over-cap side is tiny (it lists only pathological orders), so the
+      // anti-join broadcasts.
+      val big = basket0.groupBy("okey").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBasketSize).select("okey")
+      val basket = basket0.join(big, Seq("okey"), "left_anti")
       val a = basket.select(col("okey"), col("part").as("part_a"))
       val b = basket.select(col("okey"), col("part").as("part_b"))
       a.join(b, Seq("okey")).filter(col("part_a") < col("part_b"))

@@ -113,20 +113,21 @@ object TextStats {
   /** Character-distribution Shannon entropy per doc (bits/char) — the
     * gibberish/boilerplate detector real corpus filters pair with the
     * length/stopword heuristics: natural text sits ~4 bits, repeated
-    * padding near 0, random base64 near 6. Explode to (doc, char) pairs,
-    * count, then -Σ p·log2 p; 4-dp rounding absorbs summation-order float
-    * jitter (same convention as tf-idf). Output:
-    * (doc_id, n_chars_distinct, entropy) ordered.
+    * padding near 0, random base64 near 6. The histogram and
+    * `-Σ p·log2 p` are computed per row in one pass by the native
+    * [[graft.functions.CharEntropyStats]] expression — no Exchange, no
+    * (doc, char) row amplification; the op runs at scan speed like the
+    * rest of TextStats. 4-dp rounding absorbs float jitter (same
+    * convention as tf-idf). Output: (doc_id, n_chars_distinct, entropy)
+    * ordered.
     */
   def charEntropy(documents: DataFrame): DataFrame = {
-    val counts = documents
-      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
-      .groupBy("doc_id", "c").agg(count(lit(1)).as("f"))
-    counts
-      .groupBy(col("doc_id").cast("long").as("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_chars_distinct"),
-        round((lit(0.0) - sum(col("f") * log2(col("f")))
-          / sum("f") + log2(sum("f"))), 4).as("entropy"))
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.TextFunctions.char_entropy_stats(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st.n_distinct").as("n_chars_distinct"),
+        round(col("st.entropy"), 4).as("entropy"))
       .orderBy("doc_id")
   }
 

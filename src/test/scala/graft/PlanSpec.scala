@@ -55,6 +55,18 @@ class PlanSpec extends AnyFunSuite {
     assert(globalSorts <= 1, s"$globalSorts global sorts (pre-limit full sort?) in:\n$p")
   }
 
+  test("char_entropy is shuffle-free up to the final sort (native per-row histogram)") {
+    val p = planOf("char_entropy")
+    assert(p.contains("char_entropy_stats"), s"native expression missing in:\n$p")
+    assert(!p.contains("hashpartitioning"), s"unexpected aggregation shuffle in:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate in:\n$p")
+  }
+
+  test("frequent_part_pairs carries the basket-size skew guard (anti-join before the pair self-join)") {
+    val p = planOf("frequent_part_pairs")
+    assert(p.contains("LeftAnti"), s"basket-size guard (left_anti on over-cap baskets) missing in:\n$p")
+  }
+
   test("length_strata shuffles once on source (window reuses the partitioning)") {
     val p = planOf("length_strata")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
