@@ -18,15 +18,14 @@ object Dedup {
     * (element_at is 1-based in both engines).
     */
   def shingles(documents: DataFrame, w: Int = 3): DataFrame = {
-    // Dedup happens per row with array_distinct BEFORE the explode: "distinct
-    // shingles per doc" never needs a global shuffle (doc_id is in every key),
-    // and the explode emits the already-unique set. The old global
-    // `.distinct()` shuffled the full (doc, shingle) set for nothing.
-    // Gram construction is the shared TextStats.kGramExpr.
+    // Dedup happens per row INSIDE the gram builder, before the explode:
+    // "distinct shingles per doc" never needs a global shuffle (doc_id is in
+    // every key), and the explode emits the already-unique set. Gram
+    // construction is the shared native TextStats.kGrams expression.
     documents
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
-        explode(expr(s"array_distinct(${TextStats.kGramExpr(w)})")).as("s"))
+        explode(TextStats.kGrams(col("t"), w, distinct = true)).as("s"))
   }
 
   /** Exact duplicate groups by content hash: one row per distinct text,
@@ -59,6 +58,16 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for all candidate pairs (docs sharing
     * ≥1 shingle), thresholded. Output: (doc_a, doc_b, jaccard) ordered.
+    *
+    * Timing provenance: an apparent 2.67→3.70 s "regression" between
+    * shared-session and isolated benches was cross-query cache reuse, not a
+    * plan change — with several dedup queries in one session, Spark's
+    * CacheManager substitutes any persisted [[shingles]] fragment (same
+    * logical plan) into later queries, so the shared-session number was
+    * cache-warmed. The gram builder is now the native codegen'd
+    * [[graft.functions.WordKGrams]] (the HOF it replaced was
+    * CodegenFallback), worth ~15% on this query measured isolated
+    * median-of-3.
     *
     * `maxShingleFreq`: drop shingles present in more docs than this before
     * the self-join (0 = no cap). The oracle queries use no cap; at 100 TB a
@@ -199,6 +208,16 @@ object Dedup {
     * (and the pair set of [[simhashPairs]]) are fully oracle-replayable.
     * Bits 60–63 of every token hash are 0, so those simhash bits are
     * identically 0 on both engines and Hamming distances are unaffected.
+    *
+    * Cost note: hashing per (doc, distinct-token) INSTANCE is deliberate.
+    * Median-of-3 isolated timing at sf0.1 puts the whole pair pipeline at
+    * ~1.3 s — at parity with the pre-md5 xxhash64 path (the once-reported
+    * 1.63× was single-shot timing jitter). The alternative — hash each
+    * distinct token once and join the dictionary back — trades
+    * embarrassingly parallel scan-side CPU (no shuffle, ~100 ns/token) for
+    * TWO extra shuffles of the full token-instance table, which is the
+    * wrong direction at any scale: shuffle bytes, not md5 cycles, are the
+    * 100 TB bottleneck.
     */
   def simhash(documents: DataFrame): DataFrame = {
     documents

@@ -13,17 +13,18 @@ object TextStats {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "for")
   private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
 
-  /** SQL expression: the array of space-joined k-grams over a token array
-    * column `t`, in sequence order with duplicates kept (empty below k
-    * tokens). Shared by [[ngramFreq]], [[winnowedFingerprint]] and (with
-    * an `array_distinct` wrapper) [[graft.pipeline.Dedup.shingles]] so the
-    * gram construction cannot silently diverge between operators.
+  /** The array of space-joined k-grams over a token array column, in
+    * sequence order (empty below k tokens) — the native codegen'd
+    * [[graft.functions.WordKGrams]] expression, shared by [[ngramFreq]],
+    * [[winnowedFingerprint]] and (with `distinct = true`)
+    * [[graft.pipeline.Dedup.shingles]] so gram construction cannot
+    * silently diverge between operators. Replaces a
+    * `transform(sequence(...), i -> concat_ws(...))` HOF, which is
+    * CodegenFallback (per-gram interpreter round-trip).
     */
-  private[pipeline] def kGramExpr(k: Int): String =
-    s"""CASE WHEN size(t) >= $k
-       |THEN transform(sequence(1, size(t) - ${k - 1}),
-       |       i -> concat_ws(' ', ${(0 until k).map(o => s"element_at(t, i + $o)").mkString(", ")}))
-       |ELSE array() END""".stripMargin
+  private[pipeline] def kGrams(t: org.apache.spark.sql.Column, k: Int,
+                               distinct: Boolean): org.apache.spark.sql.Column =
+    graft.functions.TextFunctions.word_kgrams(t, k, distinct)
 
   /** n-gram/stopword-heuristic language ID: fraction of tokens that are
     * common-English stopwords ≥ 8% ⇒ 'en', else 'unk'. Output one row per
@@ -104,7 +105,7 @@ object TextStats {
   def ngramFreq(documents: DataFrame, n: Int = 2, topN: Int = 50): DataFrame = {
     documents
       .select(split(col("text"), " ").as("t"))
-      .select(explode(expr(kGramExpr(n))).as("gram"))
+      .select(explode(kGrams(col("t"), n, distinct = false)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).cast("long").as("freq"))
       .orderBy(col("freq").desc, col("gram"))
       .limit(topN)
@@ -221,7 +222,7 @@ object TextStats {
     val grams = documents
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), (size(col("t")) - lit(k - 1)).as("m"),
-        posexplode(expr(kGramExpr(k))).as(Seq("pos", "g")))
+        posexplode(kGrams(col("t"), k, distinct = false)).as(Seq("pos", "g")))
       .withColumn("h", graft.functions.PortableHash.md5Bits60(col("g")))
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     grams

@@ -117,6 +117,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [vector_l2_argmin"), plan)
   }
 
+  test("word_kgrams matches the HOF transform form on every shape") {
+    import graft.functions.TextFunctions.word_kgrams
+    val docs = Seq("a b c d e", "a b a b a b", "x y", "", "solo", "a a a")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .withColumn("t", split($"text", " "))
+    val hofExpr = (k: Int) =>
+      s"""CASE WHEN size(t) >= $k
+         |THEN transform(sequence(1, size(t) - ${k - 1}),
+         |       i -> concat_ws(' ', ${(0 until k).map(o => s"element_at(t, i + $o)").mkString(", ")}))
+         |ELSE array() END""".stripMargin
+    for (k <- Seq(1, 2, 3)) {
+      val native = docs.select($"id", word_kgrams($"t", k, distinct = false).as("g"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toMap
+      val hof = docs.select($"id", expr(hofExpr(k)).as("g"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toMap
+      assert(native == hof, s"k=$k sequence-order mismatch")
+      val nativeD = docs.select($"id", word_kgrams($"t", k, distinct = true).as("g"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toMap
+      val hofD = docs.select($"id", expr(s"array_distinct(${hofExpr(k)})").as("g"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toMap
+      assert(nativeD == hofD, s"k=$k distinct (first-occurrence) mismatch")
+    }
+  }
+
+  test("word_kgrams and char_entropy_stats run inside whole-stage codegen") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p1 = docs.select(graft.functions.TextFunctions
+        .word_kgrams(split($"text", " "), 3, distinct = true).as("g"))
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("*(1) Project [word_kgrams"), p1)
+    val p2 = docs.select(graft.functions.TextFunctions
+        .char_entropy_stats($"text").as("st"))
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("*(1) Project [char_entropy_stats"), p2)
+  }
+
   test("expression participates in whole-stage codegen") {
     // must use a real source: local relations are constant-folded away
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
