@@ -15,6 +15,33 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Run a graph computation, eagerly materialize its DataFrame result,
+    * and unpersist every RDD the computation left persisted — except the
+    * single checkpointed RDD backing the returned DataFrame, which the
+    * caller owns (the ContextCleaner reclaims it when the caller drops the
+    * reference). This replaces the old rely-on-ContextCleaner contract:
+    * a long-lived session issuing many graph queries no longer accumulates
+    * MEMORY_AND_DISK Pregel/iteration RDDs until a driver GC happens.
+    *
+    * Only RDD ids that appeared DURING `build` and do not back the result
+    * are released, so persisted data owned by other queries is untouched.
+    * (Concurrent query submission from other threads during `build` could
+    * see its fresh persists released; the engine serializes graph queries
+    * per session, as the tests do.)
+    */
+  private def ownedGraphResult(spark: SparkSession)(build: => DataFrame): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = build.localCheckpoint(eager = true)
+    val keep = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id) && !keep.contains(id)) rdd.unpersist(blocking = false)
+    }
+    out
+  }
+
   /** BFS levels — reference op 4 (`secondary_server.c:94-140`).
     *
     * Level-synchronous frontier expansion as an iterative DataFrame loop:
@@ -38,6 +65,7 @@ object GraphOps {
   def bfsLevels(edges: DataFrame, start: Long, maxLevels: Int = 1000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    ownedGraphResult(spark) {
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -64,8 +92,9 @@ object GraphOps {
           level += 1
         }
       }
-      levels.reduce(_ unionAll _).orderBy("level", "vertex")
+      levels.reduce(_ unionAll _)
     } finally { e.unpersist() }
+    }.orderBy("level", "vertex")
   }
 
   /** BFS from MANY start vertices in ONE iterative dataflow: the frontier
@@ -82,6 +111,7 @@ object GraphOps {
                      maxLevels: Int = 1000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    ownedGraphResult(spark) {
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -107,8 +137,9 @@ object GraphOps {
           level += 1
         }
       }
-      levels.reduce(_ unionAll _).orderBy("start", "level", "vertex")
+      levels.reduce(_ unionAll _)
     } finally { e.unpersist() }
+    }.orderBy("start", "level", "vertex")
   }
 
   /** BFS levels via GraphX Pregel — same contract as [[bfsLevels]], single
@@ -117,28 +148,26 @@ object GraphOps {
   def bfsLevelsPregel(edges: DataFrame, start: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val INF = Long.MaxValue
-    val edgeRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    // Build with explicit vertices so isolated starts still resolve.
-    val g = Graph.fromEdges(edgeRdd, defaultValue = INF,
-      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-      .mapVertices((id, _) => if (id == start) 0L else INF)
-    val res = Pregel(g, INF, activeDirection = EdgeDirection.Out)(
-      (_: VertexId, dist: Long, msg: Long) => math.min(dist, msg),
-      triplet =>
-        if (triplet.srcAttr != INF && triplet.srcAttr + 1 < triplet.dstAttr)
-          Iterator((triplet.dstId, triplet.srcAttr + 1))
-        else Iterator.empty,
-      (a: Long, b: Long) => math.min(a, b))
-    // NOTE: no unpersist here — the returned DataFrame is lazy and still
-    // reads the Pregel result RDDs; ContextCleaner reclaims them once the
-    // caller drops the reference.
-    res.vertices.filter(_._2 != INF)
-      .map { case (v, l) => (v, l) }
-      .toDF("vertex", "level")
-      .orderBy("level", "vertex")
+    ownedGraphResult(spark) {
+      val INF = Long.MaxValue
+      val edgeRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
+        .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      // Build with explicit vertices so isolated starts still resolve.
+      val g = Graph.fromEdges(edgeRdd, defaultValue = INF,
+        edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+        vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+        .mapVertices((id, _) => if (id == start) 0L else INF)
+      val res = Pregel(g, INF, activeDirection = EdgeDirection.Out)(
+        (_: VertexId, dist: Long, msg: Long) => math.min(dist, msg),
+        triplet =>
+          if (triplet.srcAttr != INF && triplet.srcAttr + 1 < triplet.dstAttr)
+            Iterator((triplet.dstId, triplet.srcAttr + 1))
+          else Iterator.empty,
+        (a: Long, b: Long) => math.min(a, b))
+      res.vertices.filter(_._2 != INF)
+        .map { case (v, l) => (v, l) }
+        .toDF("vertex", "level")
+    }.orderBy("level", "vertex")
   }
 
   /** Both-direction view of an edge table — idempotent whether the input
@@ -205,38 +234,38 @@ object GraphOps {
   def dfsLeavesPregel(edges: DataFrame, start: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val INF = Long.MaxValue
-    val edgeRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    val g = Graph.fromEdges(edgeRdd, defaultValue = (INF, -1L),
-      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-      .mapVertices((id, _) => if (id == start) (0L, -1L) else (INF, -1L))
-    def better(a: (Long, Long), b: (Long, Long)): (Long, Long) =
-      if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
-    val res = Pregel(g, (INF, -1L), activeDirection = EdgeDirection.Out)(
-      (_: VertexId, attr: (Long, Long), msg: (Long, Long)) => better(attr, msg),
-      triplet =>
-        // strict <: every dist-d vertex resolves in superstep d, so all its
-        // candidate parents' messages merge (min parent id) in one round
-        if (triplet.srcAttr._1 != INF && triplet.srcAttr._1 + 1 < triplet.dstAttr._1)
-          Iterator((triplet.dstId, (triplet.srcAttr._1 + 1, triplet.srcId)))
-        else Iterator.empty,
-      better)
-    // lazy result still reads res's RDDs — do not unpersist before the action
-    // (union ∪ distinct re-adds an isolated start: Graph.fromEdges only
-    // materializes vertices with edges; the root's row is (start, -1)
-    // either way so the union is exact)
-    val reached = res.vertices.filter(_._2._1 != INF)
-      .map { case (v, (_, p)) => (v, p) }
-      .toDF("vertex", "parent")
-      .unionAll(Seq((start, -1L)).toDF("vertex", "parent"))
-      .distinct()
-    val parents = reached.filter(col("parent") =!= -1L)
-      .select(col("parent").as("vertex")).distinct()
-    reached.join(parents, Seq("vertex"), "left_anti")
-      .select("vertex")
-      .orderBy("vertex")
+    ownedGraphResult(spark) {
+      val INF = Long.MaxValue
+      val edgeRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
+        .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      val g = Graph.fromEdges(edgeRdd, defaultValue = (INF, -1L),
+        edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+        vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+        .mapVertices((id, _) => if (id == start) (0L, -1L) else (INF, -1L))
+      def better(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+        if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
+      val res = Pregel(g, (INF, -1L), activeDirection = EdgeDirection.Out)(
+        (_: VertexId, attr: (Long, Long), msg: (Long, Long)) => better(attr, msg),
+        triplet =>
+          // strict <: every dist-d vertex resolves in superstep d, so all its
+          // candidate parents' messages merge (min parent id) in one round
+          if (triplet.srcAttr._1 != INF && triplet.srcAttr._1 + 1 < triplet.dstAttr._1)
+            Iterator((triplet.dstId, (triplet.srcAttr._1 + 1, triplet.srcId)))
+          else Iterator.empty,
+        better)
+      // (union ∪ distinct re-adds an isolated start: Graph.fromEdges only
+      // materializes vertices with edges; the root's row is (start, -1)
+      // either way so the union is exact)
+      val reached = res.vertices.filter(_._2._1 != INF)
+        .map { case (v, (_, p)) => (v, p) }
+        .toDF("vertex", "parent")
+        .unionAll(Seq((start, -1L)).toDF("vertex", "parent"))
+        .distinct()
+      val parents = reached.filter(col("parent") =!= -1L)
+        .select(col("parent").as("vertex")).distinct()
+      reached.join(parents, Seq("vertex"), "left_anti")
+        .select("vertex")
+    }.orderBy("vertex")
   }
 
   /** Bounded-hop weighted single-source shortest paths: `rounds` of
@@ -257,6 +286,7 @@ object GraphOps {
   def ssspBounded(edges: DataFrame, start: Long, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    ownedGraphResult(edges.sparkSession) {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -269,8 +299,9 @@ object GraphOps {
           .groupBy("vertex").agg(min("dist").as("dist"))
           .localCheckpoint(true)
       }
-      dist.orderBy("vertex")
+      dist
     } finally { e.unpersist(); () }
+    }.orderBy("vertex")
   }
 
   /** PageRank via GraphX (fixed iteration count ⇒ deterministic structure;
@@ -280,14 +311,15 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int = 10, resetProb: Double = 0.15): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val eRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    val g = Graph.fromEdges(eRdd, defaultValue = 1.0,
-      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-    val pr = g.staticPageRank(iters, resetProb)
-    // lazy result still reads pr's RDDs — do not unpersist before the action
-    pr.vertices.map { case (v, r) => (v, r) }.toDF("vertex", "rank")
+    ownedGraphResult(spark) {
+      val eRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
+        .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      val g = Graph.fromEdges(eRdd, defaultValue = 1.0,
+        edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+        vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      val pr = g.staticPageRank(iters, resetProb)
+      pr.vertices.map { case (v, r) => (v, r) }.toDF("vertex", "rank")
+    }
   }
 
   /** Neighborhood feature aggregation — the feature-engineering primitive
@@ -321,14 +353,15 @@ object GraphOps {
                            resetProb: Double = 0.15): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val eRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    val g = Graph.fromEdges(eRdd, defaultValue = 1.0,
-      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-    val pr = g.staticPersonalizedPageRank(src, iters, resetProb)
-    // lazy result still reads pr's RDDs — do not unpersist before the action
-    pr.vertices.map { case (v, r) => (v, r) }.toDF("vertex", "rank")
+    ownedGraphResult(spark) {
+      val eRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
+        .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      val g = Graph.fromEdges(eRdd, defaultValue = 1.0,
+        edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+        vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      val pr = g.staticPersonalizedPageRank(src, iters, resetProb)
+      pr.vertices.map { case (v, r) => (v, r) }.toDF("vertex", "rank")
+    }
   }
 
   /** Connected components via GraphX (label = min vertex id in component).
@@ -337,17 +370,17 @@ object GraphOps {
   def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val vRdd: RDD[(VertexId, Long)] =
-      vertices.select(col("vertex").cast("long")).rdd.map(r => (r.getLong(0), r.getLong(0)))
-    val eRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    val g = Graph(vRdd, eRdd, 0L,
-      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-    val cc = g.connectedComponents()
-    // lazy result still reads cc's RDDs — do not unpersist before the action
-    cc.vertices.map { case (v, c) => (v, c) }
-      .toDF("vertex", "component")
-      .orderBy("vertex")
+    ownedGraphResult(spark) {
+      val vRdd: RDD[(VertexId, Long)] =
+        vertices.select(col("vertex").cast("long")).rdd.map(r => (r.getLong(0), r.getLong(0)))
+      val eRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
+        .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      val g = Graph(vRdd, eRdd, 0L,
+        edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+        vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      val cc = g.connectedComponents()
+      cc.vertices.map { case (v, c) => (v, c) }
+        .toDF("vertex", "component")
+    }.orderBy("vertex")
   }
 }

@@ -226,6 +226,34 @@ class GraphOpsSpec extends AnyFunSuite {
     (1 to n).foreach(i => assert(out(i.toLong) == i - 1L, s"vertex $i level"))
   }
 
+  test("graph queries release their persisted RDDs (owner-managed lifetimes)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val edges = docxG2
+    val verts = edges.select($"src".as("vertex")).distinct()
+    val w = edges.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val runs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "bfsLevels" -> (() => GraphOps.bfsLevels(edges, 1L)),
+      "bfsLevelsMulti" -> (() => GraphOps.bfsLevelsMulti(edges, Seq(1L, 2L))),
+      "bfsLevelsPregel" -> (() => GraphOps.bfsLevelsPregel(edges, 1L)),
+      "dfsLeavesPregel" -> (() => GraphOps.dfsLeavesPregel(edges, 1L)),
+      "ssspBounded" -> (() => GraphOps.ssspBounded(w, 1L, rounds = 3)),
+      "pageRank" -> (() => GraphOps.pageRank(edges, iters = 3)),
+      "personalizedPageRank" -> (() => GraphOps.personalizedPageRank(edges, 1L, iters = 3)),
+      "connectedComponents" -> (() => GraphOps.connectedComponents(edges, verts)),
+    )
+    for ((name, run) <- runs) {
+      val before = sc.getPersistentRDDs.keySet
+      val df = run()
+      df.count()
+      // exactly ONE new persisted RDD may remain: the eagerly checkpointed
+      // result the caller owns (ContextCleaner reclaims it on drop) — the
+      // Pregel/iteration intermediates must all be released by return time
+      val extra = (sc.getPersistentRDDs.keySet -- before).toSeq.sorted
+      assert(extra.size <= 1, s"$name left ${extra.size} persisted RDDs: $extra")
+    }
+  }
+
   test("DFS leaves of a single-vertex tree is the root itself (reference n=1 case)") {
     import spark.implicits._
     // graph with an isolated start: edges exist elsewhere only
