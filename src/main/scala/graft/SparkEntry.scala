@@ -152,6 +152,13 @@ object SparkEntry {
           (seq + 100).cast("long").as("resp_mtype"))
         .orderBy("req_id")
     }),
+    // A11+A7+A8 STREAMING — the same request lines replayed through the
+    // Structured Streaming parse/route path and landed in a batch table via
+    // foreachBatch (Trigger.AvailableNow); checked against the same oracle
+    // family as the batch parser, so the streaming surface is
+    // oracle-checked, not just spec-checked
+    "stream_route_replay" -> ((s, dir) =>
+      streaming.StreamOps.routeReplayBatch(s, s"$dir/orders.parquet")),
     // A11+A8 — request-string parse + response-tag correlation
     "parse_requests" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -644,6 +651,19 @@ object SparkEntry {
         |            ELSE 'secondary_2' END AS worker,
         |       CAST(o_orderkey % 100 + 101 AS BIGINT) AS resp_mtype
         |FROM orders ORDER BY req_id""".stripMargin,
+    "stream_route_replay" ->
+      """WITH reqs AS (SELECT CAST(o_orderkey AS BIGINT) AS req_id,
+        |  CAST(o_orderkey % 100 + 1 AS BIGINT) || ' ' || CAST(o_orderkey % 4 + 1 AS BIGINT)
+        |    || ' G' || CAST(o_orderkey % 9 + 1 AS BIGINT) || '.txt' AS r FROM orders)
+        |SELECT req_id,
+        |  CAST(split_part(r, ' ', 1) AS BIGINT) AS seq_no,
+        |  CAST(split_part(r, ' ', 2) AS BIGINT) AS op_no,
+        |  split_part(r, ' ', 3) AS filename,
+        |  CASE WHEN CAST(split_part(r, ' ', 2) AS BIGINT) IN (1, 2) THEN 'primary'
+        |       WHEN CAST(split_part(r, ' ', 1) AS BIGINT) % 2 = 0 THEN 'secondary_1'
+        |       ELSE 'secondary_2' END AS worker,
+        |  CAST(split_part(r, ' ', 1) AS BIGINT) + 100 AS resp_mtype
+        |FROM reqs ORDER BY req_id""".stripMargin,
     "parse_requests" ->
       """WITH reqs AS (SELECT CAST(o_orderkey AS BIGINT) AS req_id,
         |  CAST(o_orderkey % 100 + 1 AS BIGINT) || ' ' || CAST(o_orderkey % 4 + 1 AS BIGINT)

@@ -110,6 +110,58 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Declared, oracle-checked face of the streaming surface: replay the
+    * orders-derived protocol-line request stream (the same derivation as
+    * the batch `parse_requests` query) through the STREAMING parse/route
+    * path and land it in a batch table via `foreachBatch` — the write path
+    * a real deployment runs (stream in, parquet out), checked against the
+    * same DuckDB oracle as the batch parser.
+    *
+    * Bounded input + `Trigger.AvailableNow` drains every file and stops;
+    * the result is batch-read back and totally ordered, so the output is
+    * identical however the source splits micro-batches. Scale: the
+    * streaming plan is stateless per-row parse/route — no shuffle, no
+    * state store; foreachBatch appends partition-parallel parquet.
+    */
+  def routeReplayBatch(spark: org.apache.spark.sql.SparkSession,
+                       ordersPath: String): DataFrame = {
+    val schema = spark.read.parquet(ordersPath).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_route_")
+    val outDir = s"$tmp/out"
+    // the file streaming source requires a DIRECTORY to monitor; testdata
+    // ships single-file tables, so stage the file behind a symlink (the
+    // ingest-directory layout a streaming deployment actually has)
+    val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
+    val src = java.nio.file.Paths.get(ordersPath)
+    val staged =
+      if (java.nio.file.Files.isDirectory(src)) src
+      else {
+        java.nio.file.Files.createSymbolicLink(
+          inDir.resolve(src.getFileName), src)
+        inDir
+      }
+    val lines = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("o_orderkey").cast("long").as("req_id"),
+        concat_ws(" ", (col("o_orderkey") % 100 + 1).cast("long"),
+          (col("o_orderkey") % 4 + 1).cast("long"),
+          concat(lit("G"), (col("o_orderkey") % 9 + 1).cast("long"), lit(".txt"))).as("value"))
+    val parsed = parseRequests(lines)
+      .withColumn("resp_mtype", col("seq_no") + 100)
+    val q = parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select(col("req_id"), col("seq_no"), col("op_no"), col("filename"),
+        col("worker"), col("resp_mtype"))
+      .orderBy("req_id")
+  }
+
   /** Streaming request server: dispatch a stream of protocol lines into a
     * [[graft.engine.GraphEngine]] via foreachBatch — the streaming analogue
     * of the reference's balancer+server loop (`load_balancer.c:47-72`).

@@ -20,6 +20,28 @@ class StreamSpec extends AnyFunSuite {
     assert(out(4)._2 == "invalid") // op 7 out of range
   }
 
+  test("routeReplayBatch: streamed parse/route lands batch-identical rows") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.routeReplayBatch(spark, s"$dir/orders.parquet")
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("parse_requests")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // parse_requests lacks the worker column; compare the shared columns
+    // (req_id, seq_no, op_no, filename, resp_mtype) row by row
+    assert(streamed.size == batch.size)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(Seq(s(0), s(1), s(2), s(3), s(5)) == b, s"row mismatch: $s vs $b")
+    }
+    // and the router agrees with the batch routing rule on every row
+    streamed.foreach { s =>
+      val (seq, op, worker) = (s(1).asInstanceOf[Long], s(2).asInstanceOf[Long],
+        s(4).asInstanceOf[String])
+      val expected = if (op == 1 || op == 2) "primary"
+        else if (seq % 2 == 0) "secondary_1" else "secondary_2"
+      assert(worker == expected)
+    }
+  }
+
   test("request stream: memory source → parse → windowed rates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
