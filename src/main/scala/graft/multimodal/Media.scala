@@ -223,13 +223,116 @@ object MediaCodecs {
     * payloads, javax.sound for audio — with the deterministic stub as the
     * fallback for undecodable bytes (e.g. the documents-derived test
     * table, whose oracle replays the stub arithmetic exactly). Video has
-    * no JDK codec and stays stubbed.
+    * no JDK codec; its DIMENSIONS come from a real container-header probe
+    * ([[probeVideoDims]] — MP4 tkhd / AVI avih), so only the frame decode
+    * itself remains stubbed (mean intensity falls back to the byte mean).
     */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Double) = kind match {
     case "image" => decodeImage(payload).getOrElse(decodeStub(kind, payload))
     case "audio" => decodeAudio(payload).getOrElse(decodeStub(kind, payload))
+    case "video" => probeVideoDims(payload) match {
+      case Some((w, h)) => (w, h, byteMean(payload))
+      case None => decodeStub(kind, payload)
+    }
     case _ => decodeStub(kind, payload)
   }
+
+  /** Deterministic video container-header probe — no codec required:
+    *  - MP4 / ISO BMFF: walk the top-level box tree to `moov` → `trak` →
+    *    `tkhd` and read the 16.16 fixed-point track width/height (the
+    *    first track with nonzero dims wins — audio tracks carry 0×0);
+    *  - AVI: `RIFF….AVI ` with the 56-byte `avih` main header, dwWidth /
+    *    dwHeight at byte offsets 32/36 of the chunk (little-endian).
+    * Returns None for anything else (then the stub answers).
+    */
+  def probeVideoDims(payload: Array[Byte]): Option[(Int, Int)] =
+    probeMp4Dims(payload).orElse(probeAviDims(payload))
+
+  private def beInt(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def leInt(b: Array[Byte], off: Int): Long =
+    ((b(off + 3) & 0xffL) << 24) | ((b(off + 2) & 0xffL) << 16) |
+      ((b(off + 1) & 0xffL) << 8) | (b(off) & 0xffL)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk ISO BMFF boxes in [start, end); recurse into container boxes on
+    * the moov→trak path; return the first tkhd with nonzero dims.
+    */
+  private def mp4Walk(b: Array[Byte], start: Long, end: Long,
+                      depth: Int): Option[(Int, Int)] = {
+    var off = start
+    while (off + 8 <= end) {
+      val size0 = beInt(b, off.toInt)
+      val typ = fourcc(b, off.toInt + 4)
+      // size==1 → 64-bit largesize follows; size==0 → box runs to EOF
+      val (hdr, size) =
+        if (size0 == 1 && off + 16 <= end)
+          (16L, (beInt(b, off.toInt + 8) << 32) | beInt(b, off.toInt + 12))
+        else if (size0 == 0) (8L, end - off)
+        else (8L, size0)
+      if (size < hdr || off + size > end) return None // corrupt length
+      typ match {
+        case "moov" if depth == 0 =>
+          val r = mp4Walk(b, off + hdr, off + size, 1)
+          if (r.isDefined) return r
+        case "trak" if depth == 1 =>
+          val r = mp4Walk(b, off + hdr, off + size, 2)
+          if (r.isDefined) return r
+        case "tkhd" if depth == 2 =>
+          val c = (off + hdr).toInt
+          if (c < end) {
+            val version = b(c) & 0xff
+            // after version+flags: v0 fixed fields span 72 bytes before
+            // width, v1 (64-bit times) 84 — then 16.16 width, height
+            val wOff = c + 4 + (if (version == 1) 84 else 72)
+            if (wOff + 8 <= end) {
+              val w = (beInt(b, wOff) >> 16).toInt
+              val h = (beInt(b, wOff + 4) >> 16).toInt
+              if (w > 0 && h > 0) return Some((w, h))
+            }
+          }
+        case _ => ()
+      }
+      off += size
+    }
+    None
+  }
+
+  private def probeMp4Dims(b: Array[Byte]): Option[(Int, Int)] = {
+    // an MP4 starts with a box whose type is ftyp/moov/mdat/free/wide/skip
+    if (b.length < 12) return None
+    val t = fourcc(b, 4)
+    if (!Set("ftyp", "moov", "mdat", "free", "skip", "wide").contains(t)) return None
+    mp4Walk(b, 0L, b.length.toLong, 0)
+  }
+
+  private def probeAviDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return None
+    // scan chunk-aligned-ish for the avih fourcc (one 56-byte main header
+    // per file); dwWidth/dwHeight at data offsets 32/36
+    var i = 12
+    while (i + 8 + 40 <= b.length) {
+      if (b(i) == 'a' && b(i + 1) == 'v' && b(i + 2) == 'i' && b(i + 3) == 'h') {
+        val data = i + 8
+        if (data + 40 <= b.length) {
+          val w = leInt(b, data + 32).toInt
+          val h = leInt(b, data + 36).toInt
+          if (w > 0 && h > 0) return Some((w, h)) else return None
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def byteMean(payload: Array[Byte]): Double =
+    if (payload.isEmpty) 0.0
+    else payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / payload.length
 
   /** Real image resize via ImageIO + Graphics2D bilinear scaling, PNG
     * re-encoded. Aspect-preserving fit into (maxW, maxH); images already

@@ -92,6 +92,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert((r.out_w, r.out_h) == (64, 26))
   }
 
+  test("video kind with a REAL MP4 header probes tkhd dims (not the stub)") {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    // tkhd version 0: 4 bytes version+flags, 72 bytes of fixed fields,
+    // then 16.16 fixed-point width (320) and height (240)
+    val tkhd = box("tkhd",
+      Array[Byte](0, 0, 0, 0) ++ Array.fill[Byte](72)(0) ++
+        be32(320L << 16) ++ be32(240L << 16))
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
+        "isomiso2".getBytes("US-ASCII")) ++
+      box("moov", box("trak", tkhd)) ++
+      box("mdat", Array.fill[Byte](32)(5))
+    assert(MediaCodecs.probeVideoDims(mp4).contains((320, 240)))
+    // through the dispatch: dims from the header, mean from the bytes
+    val (w, h, _) = MediaCodecs.decode("video", mp4)
+    assert((w, h) == (320, 240))
+    // a v1 tkhd (64-bit times) shifts the dims by 12 bytes
+    val tkhdV1 = box("tkhd",
+      Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](84)(0) ++
+        be32(1920L << 16) ++ be32(1080L << 16))
+    val mp4v1 = box("moov", box("trak", tkhdV1))
+    assert(MediaCodecs.probeVideoDims(mp4v1).contains((1920, 1080)))
+    // end-to-end through the Dataset op
+    val rows = Seq(Media.MediaRow(10L, "video", mp4, "fixture")).toDS()
+    val f = Media.extractFeatures(rows).collect()(0)
+    assert((f.width, f.height) == (320, 240))
+  }
+
+  test("video kind with a REAL AVI header probes avih dims; garbage stays stubbed") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val avihData = le32(33367) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(100) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(640) ++ le32(480) ++ Array.fill[Byte](16)(0) // dwWidth, dwHeight @ 32/36
+    val inner = "hdrl".getBytes("US-ASCII") ++
+      "avih".getBytes("US-ASCII") ++ le32(avihData.length) ++ avihData
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(4L + inner.length + 8) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(inner.length) ++ inner
+    assert(MediaCodecs.probeVideoDims(avi).contains((640, 480)))
+    // non-container bytes fall back to the deterministic stub
+    val garbage = "0123456789".getBytes("US-ASCII")
+    assert(MediaCodecs.probeVideoDims(garbage).isEmpty)
+    assert(MediaCodecs.decode("video", garbage) ==
+      MediaCodecs.decodeStub("video", garbage))
+  }
+
   test("mediaStats matches a hand computation") {
     val s = Media.mediaStats(Media.mediaFromDocuments(docs)).collect()
     assert(s(0).getLong(2) == 11L)
