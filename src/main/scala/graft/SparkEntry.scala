@@ -285,6 +285,25 @@ object SparkEntry {
         .filter(col("n_orders") >= 2)
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
     }),
+    // triangle counts over the frequent-co-purchase graph (same pair
+    // derivation as frequent_part_pairs, incl. the basket-size guard):
+    // the canonical a<b<c two-join triangle plan, corners exploded
+    "triangle_counts" -> ((s, dir) => {
+      val maxBasketSize = 1000L
+      val basket0 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("okey"),
+          col("l_partkey").cast("long").as("part")).distinct()
+        .localCheckpoint(true)
+      val big = basket0.groupBy("okey").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBasketSize).select("okey")
+      val basket = basket0.join(big, Seq("okey"), "left_anti")
+      val a = basket.select(col("okey"), col("part").as("a"))
+      val b = basket.select(col("okey"), col("part").as("b"))
+      val pairs = a.join(b, Seq("okey")).filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2).select("a", "b")
+      GraphOps.triangleCounts(pairs)
+    }),
     // set ops: INTERSECT — customers who ordered in BOTH 1995 and 1996
     "repeat_customers" -> ((s, dir) => {
       def custsOf(y: Int) = t(s, dir, "orders")
@@ -356,6 +375,9 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
     "embedding_topk" -> ((s, dir) =>
       Similarity.cosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // batch k-NN join: 16 queries answered by ONE broadcast-join scan
+    "embedding_knn_join" -> ((s, dir) =>
+      Similarity.knnJoin(t(s, dir, "embeddings"), maxQueryId = 16L, k = 5)),
     "embedding_topk_ivf" -> ((s, dir) =>
       Similarity.cosineTopKIvf(t(s, dir, "embeddings"), queryId = 0L, k = 10, nprobe = 2)),
     // IVF with a LEARNED coarse quantizer (distributed Lloyd's k-means)
@@ -395,6 +417,12 @@ object SparkEntry {
     "bigram_freq_top50" -> ((s, dir) => TextStats.ngramFreq(t(s, dir, "documents"))),
     // char-distribution Shannon entropy (gibberish/boilerplate detector)
     "char_entropy" -> ((s, dir) => TextStats.charEntropy(t(s, dir, "documents"))),
+    // per-doc n-gram duplication fraction (Gopher/C4-style repetition
+    // filter) — per-row, scan-speed
+    "repetition_score" -> ((s, dir) => TextStats.repetitionScore(t(s, dir, "documents"))),
+    // corpus-fit bigram LM + per-doc cross-entropy scoring (CCNet-style
+    // LM quality filter) in one dataflow
+    "bigram_lm_score" -> ((s, dir) => TextStats.bigramLmScore(t(s, dir, "documents"))),
     "tfidf_top_terms" -> ((s, dir) => TextStats.tfIdfTopTerms(t(s, dir, "documents"))),
     "quality_score" -> ((s, dir) => TextStats.qualityScore(t(s, dir, "documents"))),
     "token_stats" -> ((s, dir) => TextStats.tokenStats(t(s, dir, "documents"))),
@@ -857,6 +885,34 @@ object SparkEntry {
         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
         |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT 10""".stripMargin,
+    "embedding_knn_join" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 16),
+        |sims AS (
+        |  SELECT q.qid, e.vec_id,
+        |         SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |         sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) ** 2)) AS na,
+        |         sqrt(SUM(CAST(q.qe[i] AS DOUBLE) ** 2)) AS nb
+        |  FROM embeddings e, q, UNNEST(range(1, 65)) AS u(i)
+        |  WHERE e.vec_id <> q.qid GROUP BY q.qid, e.vec_id),
+        |ranked AS (SELECT qid, vec_id, CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(dot / (na * nb), 4) DESC, vec_id) AS rn
+        |FROM sims)
+        |SELECT CAST(qid AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS neighbor_id,
+        |       CAST(rn AS BIGINT) AS rn, cosine
+        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "triangle_counts" ->
+      """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
+        |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+        |pairs AS (SELECT a.part AS a, b.part AS b
+        |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT p1.a, p1.b, p2.b AS c FROM pairs p1 JOIN pairs p2 ON p2.a = p1.b
+        |        WHERE EXISTS (SELECT 1 FROM pairs p3 WHERE p3.a = p1.a AND p3.b = p2.b)),
+        |corners AS (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+        |            UNION ALL SELECT c AS v FROM tri)
+        |SELECT CAST(v AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM corners GROUP BY v ORDER BY vertex""".stripMargin,
     "embedding_neardup" -> cosinePairsSql(
       cte = """corpus AS (
               |  SELECT vec_id, embedding, label FROM embeddings
@@ -890,6 +946,29 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_chars_distinct,
         |  CAST(round(-sum(f * log2(f)) / sum(f) + log2(sum(f)), 4) AS DOUBLE) AS entropy
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "repetition_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS grams
+        |      FROM toks)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+        |  CAST(round(CASE WHEN len(grams) = 0 THEN 0.0
+        |       ELSE 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) END, 4) AS DOUBLE) AS dup_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "bigram_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS gram
+        |       FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+        |cnt_big AS (SELECT gram, count(*) AS c12 FROM bg GROUP BY gram),
+        |cnt_ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |per_doc AS (SELECT doc_id, w1, gram, count(*) AS tf FROM bg GROUP BY 1, 2, 3)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(sum(d.tf) AS BIGINT) AS n_bigrams,
+        |  CAST(round(-sum(d.tf * log2(b.c12 * 1.0 / x.c1)) / sum(d.tf), 4) AS DOUBLE) AS cross_entropy
+        |FROM per_doc d JOIN cnt_big b USING (gram) JOIN cnt_ctx x USING (w1)
+        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),

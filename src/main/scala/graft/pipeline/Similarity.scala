@@ -81,6 +81,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN join — one dataflow answers MANY similarity searches:
+    * every vector with `vec_id < maxQueryId` gets its top-k cosine
+    * neighbors from the whole table. The batch analogue of [[cosineTopK]]
+    * (and of the multi-start BFS request batching): n queries cost one
+    * scan against a broadcast query side, not n scans. Scoring is the
+    * codegen'd native cosine; ranking partitions by query on the
+    * 4-dp-rounded score (cross-engine-stable, vec_id tiebreak). Scale
+    * path for huge query sets: coarse-quantize BOTH sides (the
+    * [[KMeans]] IVF quantizer) so the product becomes per-cluster blocks.
+    * Output: (query_id, neighbor_id, rn, cosine) ordered.
+    */
+  def knnJoin(embeddings: DataFrame, maxQueryId: Long = 16L, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosine", round(vector_cosine(col("embedding"), col("qe")), 4))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid").cast("long").as("query_id"),
+        col("vec_id").cast("long").as("neighbor_id"),
+        col("rn").cast("long").as("rn"), col("cosine"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
     * label to avoid the full cross join (pairs across labels are assumed
     * dissimilar — the LSH/IVF contract). Exact within each label bucket:

@@ -132,6 +132,63 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Repetition / boilerplate score — the Gopher/C4-style duplication
+    * filter corpus curation runs next to length and stopword checks:
+    * per doc, the fraction of n-grams (default bigrams, duplicates kept)
+    * that are repeats of an earlier gram. Formulaic spam and
+    * template-stamped pages score high; natural prose near 0. Entirely
+    * per-row ([[graft.functions.WordKGrams]] + array_distinct inside the
+    * projection) — no Exchange except the final sort; streams at scan
+    * speed at any corpus size. Output:
+    * (doc_id, n_grams, n_distinct_grams, dup_frac) ordered.
+    */
+  def repetitionScore(documents: DataFrame, n: Int = 2): DataFrame = {
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        kGrams(split(col("text"), " "), n, distinct = false).as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct_grams"))
+      .withColumn("dup_frac", round(
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("n_distinct_grams") * lit(1.0) / col("n_grams")), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram language-model quality score — the CCNet-style LM filter: fit
+    * a bigram LM on the corpus itself (MLE, no smoothing — every doc
+    * bigram is in the corpus by construction), then score each document by
+    * its cross-entropy under that model,
+    * `-Σ tf·log2( c(w1 w2) / c(w1·) ) / Σ tf` bits per bigram.
+    * Low = formulaic/templated text the corpus has seen many times; high =
+    * rare constructions. The real pipeline shape: corpus-level model fit
+    * and per-document scoring in ONE dataflow.
+    *
+    * Scale: the exploded bigram table is materialized once (eager
+    * localCheckpoint, owner-released) and feeds the two model aggregates
+    * and the per-doc term frequencies; the score joins key on gram/w1
+    * AFTER aggregation, so join-side cardinality is distinct grams, not
+    * token instances. 4-dp rounding absorbs summation-order float jitter
+    * (TF-IDF convention). Output: (doc_id, n_bigrams, cross_entropy)
+    * ordered.
+    */
+  def bigramLmScore(documents: DataFrame): DataFrame = {
+    val bg = documents
+      .select(col("doc_id"), explode(
+        kGrams(split(col("text"), " "), 2, distinct = false)).as("gram"))
+      .withColumn("w1", expr("split_part(gram, ' ', 1)"))
+      .localCheckpoint(true)
+    val cntBig = bg.groupBy("gram").agg(count(lit(1)).as("c12"))
+    val cntCtx = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val perDoc = bg.groupBy("doc_id", "w1", "gram").agg(count(lit(1)).as("tf"))
+    perDoc.join(cntBig, "gram").join(cntCtx, "w1")
+      .groupBy(col("doc_id").cast("long").as("doc_id"))
+      .agg(sum("tf").cast("long").as("n_bigrams"),
+        round((lit(0.0) - sum(col("tf") * log2(col("c12") * lit(1.0) / col("c1"))))
+          / sum("tf"), 4).as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF: top `perDoc` highest-scoring terms per document for docs with
     * id < `maxDocId` (bounded output for the oracle). tf = raw count in
     * doc; idf = ln(N / df) over the WHOLE corpus. Deterministic tiebreak

@@ -153,6 +153,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
   }
 
+  test("knnJoin's per-query rankings agree with single-query cosineTopK") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val knn = Similarity.knnJoin(e, maxQueryId = 2L, k = 4).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(2)).map(r => (r.getLong(1), r.getDouble(3))).toSeq)
+      .toMap
+    for (qid <- Seq(0L, 1L)) {
+      val single = Similarity.cosineTopK(e, qid, 4).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(knn(qid) == single, s"query $qid batch vs single mismatch")
+    }
+  }
+
+  test("triangleCounts on a hand-built graph") {
+    // edges (1,2),(1,3),(2,3),(2,4),(3,4): triangles {1,2,3} and {2,3,4}
+    val p = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val out = graft.graph.GraphOps.triangleCounts(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // a triangle-free graph (path) yields no rows
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(graft.graph.GraphOps.triangleCounts(path).count() == 0L)
+  }
+
   test("IVF pruned search returns the same neighbors when the right cluster is probed") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.1f), 0),
