@@ -233,6 +233,31 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy("status", "oyear")),
 
+    // correlated-subquery shape as a window: orders above 1.5× their
+    // customer's average order value (one shuffle on custkey; the window
+    // avg replaces a per-row correlated scalar subquery)
+    "above_avg_orders" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+      // avg = exact DECIMAL sum ÷ count, NOT a float avg: double summation
+      // order differs between engines and a last-ulp difference would make
+      // the > filter row set diverge. With identical exact operands the
+      // division result is bit-identical — so BOTH emitted doubles are
+      // exact engine-identical values and are deliberately NOT rounded
+      // (rounding raw doubles is itself engine-divergent at .xx5 shortest
+      // -repr boundaries: Spark rounds the shortest decimal representation
+      // half-up, DuckDB rounds the binary value — observed on this data).
+      t(s, dir, "orders")
+        .withColumn("cust_sum", sum(col("o_totalprice").cast("decimal(18,2)")).over(w))
+        .withColumn("cust_cnt", count(lit(1)).over(w))
+        .withColumn("cust_avg", col("cust_sum").cast("double") / col("cust_cnt"))
+        .filter(col("o_totalprice") > lit(1.5) * col("cust_avg"))
+        .select(col("o_orderkey").cast("long").as("orderkey"),
+          col("o_custkey").cast("long").as("custkey"),
+          col("o_totalprice").as("totalprice"),
+          col("cust_avg"))
+        .orderBy("orderkey")
+    }),
     // window dedup-rank: latest order per customer (row_number = the
     // canonical keep-one-per-key pattern in data pipelines)
     "latest_order_per_cust" -> ((s, dir) => {
@@ -358,6 +383,9 @@ object SparkEntry {
     "events_hourly" -> ((s, dir) => Events.hourlyRates(t(s, dir, "events"))),
     // first-order event-type Markov transition counts (lead window per user)
     "events_transitions" -> ((s, dir) => Events.typeTransitions(t(s, dir, "events"))),
+    // SLIDING windows (Spark's window() with a slide < length): 10-minute
+    // windows every 5 — the overlap shape tumbling windows can't express
+    "events_sliding" -> ((s, dir) => Events.slidingRates(t(s, dir, "events"))),
 
     // ---- LLM-data-pipeline operators ------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(t(s, dir, "documents"))),
@@ -433,6 +461,10 @@ object SparkEntry {
     "pii_scrub" -> ((s, dir) => TextStats.scrubPii(t(s, dir, "documents"))),
     "corpus_profile" -> ((s, dir) => TextStats.corpusProfile(t(s, dir, "documents"))),
     "events_rolling" -> ((s, dir) => Events.rollingAvg(t(s, dir, "events"))),
+    // benchmark decontamination: distinct 5-gram overlap of every corpus
+    // doc against the benchmark set (docs 0..9), benchmark grams broadcast
+    "decontaminate" -> ((s, dir) =>
+      pipeline.Curation.decontaminate(t(s, dir, "documents"))),
     // deterministic hash split + per-source quality quota (curation ops)
     "train_val_split" -> ((s, dir) =>
       pipeline.Curation.trainValSplit(t(s, dir, "documents"))),
@@ -808,6 +840,36 @@ object SparkEntry {
         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE to_type IS NOT NULL
         |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+    "events_sliding" ->
+      """WITH ev AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+        |w AS (SELECT ((ms // 300000) - i) * 300000 AS win_start, event_type
+        |      FROM ev, UNNEST(range(0, 2)) AS u(i))
+        |SELECT CAST(win_start AS BIGINT) AS window_start_ms, event_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    "above_avg_orders" ->
+      """WITH a AS (SELECT o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM orders GROUP BY 1)
+        |SELECT CAST(o.o_orderkey AS BIGINT) AS orderkey,
+        |  CAST(o.o_custkey AS BIGINT) AS custkey,
+        |  o.o_totalprice AS totalprice,
+        |  a.avg_price AS cust_avg
+        |FROM orders o JOIN a ON a.o_custkey = o.o_custkey
+        |WHERE o.o_totalprice > 1.5 * a.avg_price ORDER BY orderkey""".stripMargin,
+    "decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+        |      FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+        |bench AS (SELECT DISTINCT s FROM g WHERE doc_id < 10),
+        |shared AS (SELECT g.doc_id, count(*) AS n_shared FROM g JOIN bench USING (s)
+        |           WHERE g.doc_id >= 10 GROUP BY g.doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_grams,
+        |  CAST(CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN shared s ON s.doc_id = d.doc_id
+        |WHERE d.doc_id >= 10 ORDER BY doc_id""".stripMargin,
     "events_hourly" ->
       """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
         |  event_type, CAST(count(*) AS BIGINT) AS n,

@@ -12,6 +12,39 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Benchmark DECONTAMINATION — the overlap check every serious training
+    * pipeline runs before a model ships: count, per corpus document, the
+    * distinct word `k`-grams it shares with a benchmark/eval set (here the
+    * docs with `doc_id < benchmarkMaxId` stand in for the benchmark
+    * suite), and flag any overlap. Grams come from the shared native
+    * builder ([[TextStats.kGrams]], distinct per doc).
+    *
+    * Scale: the benchmark gram set is SMALL by contract (eval suites are
+    * thousands of documents, the corpus is billions) — it broadcasts, so
+    * the check is one semi-join at scan speed over the corpus grams; no
+    * shuffle of corpus-sized data. Output:
+    * (doc_id, n_shared_grams, contaminated) for non-benchmark docs,
+    * ordered.
+    */
+  def decontaminate(documents: DataFrame, benchmarkMaxId: Long = 10L,
+                    k: Int = 5): DataFrame = {
+    val g = documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(TextStats.kGrams(split(col("text"), " "), k, distinct = true)).as("s"))
+    val bench = g.filter(col("doc_id") < benchmarkMaxId).select("s").distinct()
+    val shared = g.filter(col("doc_id") >= benchmarkMaxId)
+      .join(broadcast(bench), Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    documents.select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") >= benchmarkMaxId)
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared_grams"))
+      .withColumn("contaminated",
+        when(col("n_shared_grams") > 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val assignment by content-independent id hash:
     * first hex nibble of md5(doc_id) < 'c' → train (12/16 = 75%), else
     * val. Hash-based (not rand()) so the split is reproducible across

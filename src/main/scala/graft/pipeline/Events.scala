@@ -19,7 +19,7 @@ object Events {
     * past 2^53). Proper timestamps go through unix_millis. Both floor, like
     * DuckDB's epoch_ms.
     */
-  private def msOf(events: DataFrame): Column =
+  private[pipeline] def msOf(events: DataFrame): Column =
     events.schema("ts").dataType match {
       case LongType => expr("ts div 1000000")
       case _ => unix_millis(col("ts"))
@@ -114,6 +114,24 @@ object Events {
         col("first_purchase").cast("long").as("first_purchase"))
       // NULLS LAST matches DuckDB's default ASC placement
       .orderBy(col("user_id").asc_nulls_last)
+  }
+
+  /** SLIDING-window event rates via Spark's `window()` function — windows
+    * of `lenMin` minutes advancing every `slideMin` (each event lands in
+    * len/slide overlapping windows; epoch-aligned starts, the same
+    * convention DuckDB replays with a bin explode). Overlap factor is the
+    * only row amplification; one shuffle on (window, type) with map-side
+    * partial aggregation. Output: (window_start_ms, event_type, n) ordered.
+    */
+  def slidingRates(events: DataFrame, lenMin: Int = 10, slideMin: Int = 5): DataFrame = {
+    events
+      .select(timestamp_millis(msOf(events)).as("t"), col("event_type"))
+      .groupBy(window(col("t"), s"$lenMin minutes", s"$slideMin minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy("window_start_ms", "event_type")
   }
 
   /** Tumbling-hour event rates: (hour_ms, event_type, n, sum_value). */
