@@ -389,6 +389,23 @@ object SparkEntry {
 
     // ---- LLM-data-pipeline operators ------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(t(s, dir, "documents"))),
+    // incremental ingest dedup: docs <250 are the deduplicated corpus
+    // store; the arriving batch = the remaining docs plus PLANTED replays
+    // (texts of docs 0..24 at id+10000 → dup_of_corpus; texts of docs
+    // 250..259 at id+30000 → dup_in_batch) — the corpus has no natural
+    // exact dups, so the query derives them deterministically from the
+    // same parquet and the oracle replays the identical derivation
+    "incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id").between(250, 259))
+          .select((col("doc_id") + 30000L).as("doc_id"), col("text")))
+      Dedup.incrementalDedup(corpus, batch)
+    }),
     // maxShingleFreq=1000: a no-op on the test corpora (max observed
     // docs-per-shingle is 25 at sf0.1) but a real skew guard at web scale —
     // a shingle shared by >1000 docs contributes >half a million candidate
@@ -470,6 +487,11 @@ object SparkEntry {
       pipeline.Curation.trainValSplit(t(s, dir, "documents"))),
     "source_quota" -> ((s, dir) =>
       pipeline.Curation.sourceQuota(t(s, dir, "documents"), perSource = 5)),
+    // weighted data mixing: even-indexed sources contribute 8 docs, odd 4,
+    // ranked by the deterministic id hash (reproducible mixture)
+    "mixture_sample" -> ((s, dir) =>
+      pipeline.Curation.mixtureSample(t(s, dir, "documents"),
+        when(expr("CAST(substr(source, 4) AS INT)") % 2 === 0, 8L).otherwise(4L))),
     // equi-depth length deciles per source (deterministic ntile)
     "length_strata" -> ((s, dir) =>
       pipeline.Curation.lengthStrata(t(s, dir, "documents"))),
@@ -878,6 +900,31 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "incremental_dedup" ->
+      """WITH corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS h
+        |  FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 10000 AS BIGINT), md5(text) FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 30000 AS BIGINT), md5(text)
+        |  FROM documents WHERE doc_id BETWEEN 250 AND 259),
+        |firsts AS (SELECT h, min(doc_id) AS keep_id FROM batch GROUP BY h)
+        |SELECT b.doc_id,
+        |  CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN b.doc_id <> f.keep_id THEN 'dup_in_batch'
+        |       ELSE 'new' END AS status
+        |FROM batch b LEFT JOIN corpus c ON c.h = b.h JOIN firsts f ON f.h = b.h
+        |ORDER BY doc_id""".stripMargin,
+    "mixture_sample" ->
+      """WITH ranked AS (SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn,
+        |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 8 ELSE 4 END AS quota
+        |FROM documents)
+        |SELECT source, doc_id, rn FROM ranked WHERE rn <= quota
+        |ORDER BY source, rn""".stripMargin,
     // full replay of the simhash pipeline: same 60-bit md5-derived token
     // hashes (Spark conv(substr(md5,1,15),16,10) ≡ DuckDB
     // ('0x'||substr(md5,1,15))::BIGINT), same sign-sum bits, exact

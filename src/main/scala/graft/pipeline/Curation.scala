@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Weighted MIXTURE sampling — the data-mixing step that assembles a
+    * training corpus from per-source quotas (upsample curated sources,
+    * downsample crawl): rank each source's documents by the deterministic
+    * id hash (reproducible across engines/runs/partitionings, like
+    * [[trainValSplit]]) and keep the top `quota` rows, where `quota` is a
+    * per-row column (typically a function of `source`). One shuffle on
+    * source; the window reuses that partitioning. Output:
+    * (source, doc_id, rn) ordered.
+    */
+  def mixtureSample(documents: DataFrame,
+                    quota: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    documents
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        quota.as("quota"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= col("quota"))
+      .select("source", "doc_id", "rn")
+      .orderBy("source", "rn")
+  }
+
   /** Benchmark DECONTAMINATION — the overlap check every serious training
     * pipeline runs before a model ships: count, per corpus document, the
     * distinct word `k`-grams it shares with a benchmark/eval set (here the

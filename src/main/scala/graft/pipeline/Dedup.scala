@@ -40,6 +40,35 @@ object Dedup {
       .orderBy("keep_id")
   }
 
+  /** INCREMENTAL exact dedup — the shape a production ingest actually
+    * runs: a new batch arrives, the corpus store is already deduplicated,
+    * and each batch row is classified as `dup_of_corpus` (content hash
+    * already stored), `dup_in_batch` (first occurrence wins within the
+    * batch — smallest doc_id), or `new`. Output: (doc_id, status) ordered.
+    *
+    * Scale: both sides reduce to md5 hashes before any join, so the
+    * corpus ships 16 bytes/doc through the hash-key shuffle; the standard
+    * further prune at 100 TB is a Bloom filter on the corpus hash set
+    * semi-joined map-side first (Spark's runtime-filter rule injects
+    * exactly this when statistics merit it).
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val ch = corpus.select(md5(col("text").cast("binary")).as("h")).distinct()
+    // hashed batch feeds the first-occurrence aggregate AND the joins —
+    // materialize once (repo convention for multi-consumer intermediates)
+    val bh = batch.select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text").cast("binary")).as("h"))
+      .localCheckpoint(true)
+    val firsts = bh.groupBy("h").agg(min("doc_id").as("keep_id"))
+    bh.join(ch.withColumn("in_corpus", lit(1)), Seq("h"), "left")
+      .join(firsts, "h")
+      .select(col("doc_id"),
+        when(col("in_corpus").isNotNull, "dup_of_corpus")
+          .when(col("doc_id") =!= col("keep_id"), "dup_in_batch")
+          .otherwise("new").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Exact Jaccard for a given set of (da, db) intersection counts.
     * Shared tail of the exact and LSH paths.
     */
