@@ -159,6 +159,12 @@ object SparkEntry {
     // oracle-checked, not just spec-checked
     "stream_route_replay" -> ((s, dir) =>
       streaming.StreamOps.routeReplayBatch(s, s"$dir/orders.parquet")),
+    // STREAMING stateful ingestion dedup, oracle-checked: the events table
+    // replayed with planted duplicate sends, dropDuplicatesWithinWatermark
+    // on event_id, foreachBatch into a batch table (see
+    // StreamOps.dedupReplayBatch — the bounded-state dedup primitive)
+    "stream_ingest_dedup" -> ((s, dir) =>
+      streaming.StreamOps.dedupReplayBatch(s, s"$dir/events.parquet")),
     // A11+A8 — request-string parse + response-tag correlation
     "parse_requests" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -733,6 +739,13 @@ object SparkEntry {
         |            ELSE 'secondary_2' END AS worker,
         |       CAST(o_orderkey % 100 + 101 AS BIGINT) AS resp_mtype
         |FROM orders ORDER BY req_id""".stripMargin,
+    // the dedup survivors are exactly the base events (planted duplicates
+    // are identical rows, so dedup restores the original table)
+    "stream_ingest_dedup" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |  CAST(user_id AS BIGINT) AS user_id,
+        |  epoch_ms(ts) AS ms, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "stream_route_replay" ->
       """WITH reqs AS (SELECT CAST(o_orderkey AS BIGINT) AS req_id,
         |  CAST(o_orderkey % 100 + 1 AS BIGINT) || ' ' || CAST(o_orderkey % 4 + 1 AS BIGINT)

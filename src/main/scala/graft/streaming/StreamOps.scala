@@ -162,6 +162,62 @@ object StreamOps {
       .orderBy("req_id")
   }
 
+  /** Second oracle-checked streaming query — the STATEFUL half: replay the
+    * events table as a stream with planted duplicate arrivals (a second
+    * source re-sends the first `dupMaxId` events — the retry/double-send
+    * shape ingestion dedup exists for), drop duplicates by event_id within
+    * the watermark horizon, and land the survivors in a batch table via
+    * foreachBatch. Output value-deterministic however sources interleave:
+    * duplicate rows are IDENTICAL, so whichever copy wins carries the same
+    * columns, and the batch read-back is totally ordered.
+    *
+    * Scale: `dropDuplicatesWithinWatermark` is the bounded-state dedup
+    * primitive — hash state evicts once the watermark passes, so the query
+    * runs forever on an unbounded stream (exact streaming dedup cannot).
+    */
+  def dedupReplayBatch(spark: org.apache.spark.sql.SparkSession,
+                       eventsPath: String, dupMaxId: Long = 1000L): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup_")
+    val outDir = s"$tmp/out"
+    val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
+    val src = java.nio.file.Paths.get(eventsPath)
+    val staged =
+      if (java.nio.file.Files.isDirectory(src)) src
+      else {
+        java.nio.file.Files.createSymbolicLink(inDir.resolve(src.getFileName), src)
+        inDir
+      }
+    def read() = spark.readStream.schema(schema).parquet(staged.toString)
+    // ts arrives as LONG nanos (nanosAsLong) — build the watermark column
+    val withTs = (df: DataFrame) => df
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        expr("timestamp_millis(ts div 1000000)").as("tsw"),
+        col("event_type"), col("value"))
+    val firstSend = withTs(read())
+    val resend = withTs(read()).filter(col("event_id") < dupMaxId)
+    val deduped = firstSend.unionByName(resend)
+      .withWatermark("tsw", "10 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      // value is a RAW double column (bit-identical on both engines) —
+      // deliberately NOT rounded: rounding raw doubles is itself
+      // engine-divergent at .xx5 shortest-repr boundaries
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("tsw")).as("ms"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** Streaming request server: dispatch a stream of protocol lines into a
     * [[graft.engine.GraphEngine]] via foreachBatch — the streaming analogue
     * of the reference's balancer+server loop (`load_balancer.c:47-72`).

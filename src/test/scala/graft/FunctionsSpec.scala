@@ -141,6 +141,29 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("word_kgrams matches a naive sliding-window reference on seeded random inputs") {
+    import graft.functions.TextFunctions.word_kgrams
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "ab", "xyz", "q")
+    val cases = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = cases.toDF("id", "t")
+    for (k <- 1 to 4) {
+      val got = df.select($"id", word_kgrams($"t", k, distinct = false).as("g"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toMap
+      val want = cases.map { case (id, toks) =>
+        id -> (if (toks.size < k) Seq.empty[String]
+               else toks.sliding(k).map(_.mkString(" ")).toSeq)
+      }.toMap
+      assert(got == want, s"k=$k vs sliding reference")
+      val gotD = df.select($"id", word_kgrams($"t", k, distinct = true).as("g"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toMap
+      assert(gotD == want.map { case (id, g) => id -> g.distinct },
+        s"k=$k distinct vs first-occurrence reference")
+    }
+  }
+
   test("word_kgrams and char_entropy_stats run inside whole-stage codegen") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p1 = docs.select(graft.functions.TextFunctions

@@ -42,6 +42,17 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupReplayBatch drops the planted duplicate sends exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamOps.dedupReplayBatch(spark, s"$dir/events.parquet", dupMaxId = 100L)
+      .collect()
+    val base = spark.read.parquet(s"$dir/events.parquet").count()
+    // resent rows (event_id < 100) must be dropped: survivors = base table,
+    // one row per event_id
+    assert(out.length.toLong == base)
+    assert(out.map(_.getLong(0)).distinct.length.toLong == base)
+  }
+
   test("request stream: memory source → parse → windowed rates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
