@@ -128,6 +128,19 @@ object SparkEntry {
         .select(col("vertex"), round(col("rank"), 4).as("rank"))
         .orderBy(col("rank").desc, col("vertex"))
         .limit(20)),
+    // bounded k-core peeling (3 rounds, k=30) over the symmetrized
+    // part–supplier graph — the bounded-iteration contract of sssp_bounded
+    // applied to coreness; real peeling at sf0.01 (~23% of vertices drop)
+    "kcore_bounded" -> ((s, dir) =>
+      GraphOps.kCoreBounded(
+        GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
+        k = 30, rounds = 3)),
+    // bounded synchronous label propagation (3 rounds, min-label
+    // tie-break — deterministic, unlike async LPA) for community detection
+    "label_propagation" -> ((s, dir) =>
+      GraphOps.labelPropagationBounded(
+        GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
+        rounds = 3)),
     // GraphX connected components on the customer–order graph
     "connected_components" -> ((s, dir) =>
       GraphOps.connectedComponents(
@@ -278,6 +291,23 @@ object SparkEntry {
           // o_orderdate is TIMESTAMP_NTZ; UTC session ⇒ cast is the identity instant
           unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"))
         .orderBy("custkey")
+    }),
+    // the explicit salting lever for heavy-tailed join keys, declared:
+    // semantics are salt-invariant (identical rows to a plain join), so
+    // the oracle is the plain join — what the query proves is that the
+    // skew-spreading plan computes the same relation
+    "salted_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("suppkey"),
+          col("s_nationkey").cast("long").as("nationkey"))
+      graph.SkewUtils.saltedJoin(li, sup, "suppkey", salts = 8)
+        .groupBy("nationkey")
+        .agg(round(sum("rev"), 2).as("revenue"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy("nationkey")
     }),
     // distinct aggregation: how many distinct parts each supplier ships
     "supplier_part_counts" -> ((s, dir) =>
@@ -571,6 +601,46 @@ object SparkEntry {
       |),
       |deg AS (SELECT src AS v, CAST(1.0 AS DOUBLE) / count(*) AS w FROM e GROUP BY src)""".stripMargin
 
+  /** Symmetrized part–supplier graph (no degree table) — shared by the
+    * bounded k-core and label-propagation oracles.
+    */
+  private val partSuppSymSql =
+    """pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      |e0 AS (SELECT CAST(p AS BIGINT) AS src, CAST(1000000000 + s AS BIGINT) AS dst FROM pe
+      |       UNION ALL SELECT CAST(1000000000 + s AS BIGINT), CAST(p AS BIGINT) FROM pe)""".stripMargin
+
+  /** Three unrolled peel rounds (degree ≥ 30) — DuckDB recursive CTEs
+    * cannot re-aggregate the working edge set per step, same constraint
+    * as the PageRank oracle.
+    */
+  private val kcoreSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""k$i AS (SELECT src AS v FROM e${i - 1} GROUP BY src HAVING count(*) >= 30),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |        JOIN k$i a ON a.v = e.src JOIN k$i b ON b.v = e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $partSuppSymSql,
+       |$rounds
+       |SELECT src AS vertex, CAST(count(*) AS BIGINT) AS degree
+       |FROM e3 GROUP BY src ORDER BY vertex""".stripMargin
+  }
+
+  /** Three unrolled synchronous LPA rounds, argmax by (count DESC, label). */
+  private val lpaSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""l$i AS (SELECT vertex, label FROM (
+         |  SELECT e.src AS vertex, l.label AS label, count(*) AS n,
+         |    row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, l.label) AS rn
+         |  FROM e0 e JOIN l${i - 1} l ON l.vertex = e.dst GROUP BY e.src, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $partSuppSymSql,
+       |l0 AS (SELECT DISTINCT src AS vertex, src AS label FROM e0),
+       |$rounds
+       |SELECT CAST(vertex AS BIGINT) AS vertex, CAST(label AS BIGINT) AS label
+       |FROM l3 ORDER BY vertex""".stripMargin
+  }
+
   private val pagerankSql: String =
     s"""WITH $partSuppGraphSql,
        |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM deg),
@@ -708,6 +778,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(10000000 + o_orderkey AS BIGINT), CAST(1000 + o_custkey AS BIGINT) FROM orders
         |ORDER BY vertex""".stripMargin,
+    "kcore_bounded" -> kcoreSql,
+    "label_propagation" -> lpaSql,
+    "salted_join_agg" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
     "pagerank_top20" -> pagerankSql,
     "ppr_top20" -> pprSql,
     "sssp_bounded" ->

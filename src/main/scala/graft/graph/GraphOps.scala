@@ -364,6 +364,66 @@ object GraphOps {
     }
   }
 
+  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
+    * vertex with degree < k (and its edges)" over a symmetrized edge set —
+    * the standard coreness computation, hop-bounded exactly like
+    * [[ssspBounded]] so the semantics are a finite, oracle-replayable
+    * relation (full k-core = run until fixpoint; each round is one
+    * degree-aggregate + two semi-joins). Output: the surviving vertices
+    * and their degree within the surviving subgraph, ordered.
+    */
+  def kCoreBounded(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    ownedGraphResult(edges.sparkSession) {
+      var e = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select("src")
+        e = e.join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+      }
+      e.groupBy(col("src").as("vertex"))
+        .agg(count(lit(1)).cast("long").as("degree"))
+    }.orderBy("vertex")
+  }
+
+  /** Bounded synchronous label propagation (community detection): labels
+    * start as the vertex id; each round every vertex adopts the most
+    * frequent label among its neighbors, ties to the SMALLEST label —
+    * fully deterministic, unlike the random-order async variant. Bounded
+    * rounds keep it an oracle-replayable finite relation (the same
+    * bounded-iteration contract as [[ssspBounded]]/[[kCoreBounded]]).
+    * Input contract: a symmetrized edge set (every vertex occurs as both
+    * src and dst), so every vertex receives messages each round. One join
+    * + one count-aggregate + one argmax window per round. Output:
+    * (vertex, label) ordered.
+    */
+  def labelPropagationBounded(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ownedGraphResult(edges.sparkSession) {
+      val e = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .localCheckpoint(true)
+      var lab = e.select(col("src").as("vertex")).distinct()
+        .withColumn("label", col("vertex"))
+        .localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val incoming = e.join(lab.withColumnRenamed("vertex", "dst"), "dst")
+          .select(col("src").as("vertex"), col("label"))
+        val counted = incoming.groupBy("vertex", "label")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("vertex")
+          .orderBy(col("n").desc, col("label").asc)
+        lab = counted.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("vertex", "label")
+          .localCheckpoint(true)
+      }
+      lab
+    }.orderBy("vertex")
+  }
+
   /** Per-vertex triangle counts over an undirected graph given as
     * CANONICAL pairs `(a, b)` with `a < b`, distinct — the classic
     * graph-analytics join plan: enumerate each triangle exactly once as

@@ -226,6 +226,23 @@ class GraphOpsSpec extends AnyFunSuite {
     (1 to n).foreach(i => assert(out(i.toLong) == i - 1L, s"vertex $i level"))
   }
 
+  test("kCoreBounded peels the pendant vertex, keeps the triangle") {
+    // triangle {1,2,3} + pendant 4–1: k=2 drops 4 in round 1, then stable
+    val g = undirected((1, 2), (2, 3), (1, 3), (1, 4))
+    val out = GraphOps.kCoreBounded(g, k = 2, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("labelPropagationBounded finds the two triangle communities (hand-traced)") {
+    // two triangles bridged by 3–4; 3 synchronous min-tie-break rounds
+    // converge to label 1 for {1,2,3} and label 3 for {4,5,6}
+    val g = undirected((1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4))
+    val out = GraphOps.labelPropagationBounded(g, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
   test("graph queries release their persisted RDDs (owner-managed lifetimes)") {
     import spark.implicits._
     val sc = spark.sparkContext
