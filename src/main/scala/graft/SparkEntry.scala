@@ -277,6 +277,40 @@ object SparkEntry {
           col("cust_avg"))
         .orderBy("orderkey")
     }),
+    // date-dimension rollup with an ENGINE-PORTABLE day-of-week:
+    // (epoch_days + 4) % 7 (Sunday = 0) — Spark's dayofweek() and
+    // DuckDB's dayofweek() disagree on numbering, arithmetic doesn't
+    "orders_date_dims" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(((unix_date(col("o_orderdate").cast("date")) + 4) % 7)
+            .cast("long").as("dow"),
+          month(col("o_orderdate").cast("timestamp")).cast("long").as("omonth"),
+          col("o_totalprice"))
+        .groupBy("dow", "omonth")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("dow", "omonth")),
+    // fuzzy string match (levenshtein ≤ 1) with length-band blocking:
+    // edit distance ≤ 1 implies |len(a) − len(b)| ≤ 1, so the left side
+    // explodes its length ±1 and the equi-join on the band replaces the
+    // quadratic theta-join (each pair matches in exactly ONE band — the
+    // right side's own length). At corpus scale the blocking key would be
+    // q-gram/MinHash buckets (Dedup has both); the banding shape is the
+    // same.
+    "fuzzy_supplier_pairs" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"), col("s_name").as("nm"),
+          length(col("s_name")).as("len"))
+      val a = sup.select(col("k").as("supp_a"), col("nm").as("na"),
+          explode(expr("sequence(len - 1, len + 1)")).as("lband"))
+      val b = sup.select(col("k").as("supp_b"), col("nm").as("nb"),
+        col("len").as("lband"))
+      a.join(b, Seq("lband")).filter(col("supp_a") < col("supp_b"))
+        .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select("supp_a", "supp_b", "dist")
+        .orderBy("supp_a", "supp_b")
+    }),
     // window dedup-rank: latest order per customer (row_number = the
     // canonical keep-one-per-key pattern in data pipelines)
     "latest_order_per_cust" -> ((s, dir) => {
@@ -885,6 +919,20 @@ object SparkEntry {
         |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, year(o_orderdate))
         |ORDER BY status, oyear""".stripMargin,
+    "orders_date_dims" ->
+      """SELECT CAST((CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) + 4) % 7 AS BIGINT) AS dow,
+        |  CAST(month(o_orderdate) AS BIGINT) AS omonth,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY dow, omonth""".stripMargin,
+    "fuzzy_supplier_pairs" ->
+      """SELECT CAST(a.s_suppkey AS BIGINT) AS supp_a,
+        |  CAST(b.s_suppkey AS BIGINT) AS supp_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey AND abs(length(a.s_name) - length(b.s_name)) <= 1
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY supp_a, supp_b""".stripMargin,
     "latest_order_per_cust" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey,
         |  CAST(o_orderkey AS BIGINT) AS orderkey,
