@@ -67,6 +67,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"basket-size guard (left_anti on over-cap baskets) missing in:\n$p")
   }
 
+  test("fuzzy_supplier_pairs joins on the length band — no cartesian/nested-loop") {
+    val p = planOf("fuzzy_supplier_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+    assert(p.contains("lband"), s"length-band key missing in:\n$p")
+  }
+
+  test("triangle_counts closes the triangle with a semi-join (single enumeration)") {
+    val p = planOf("triangle_counts")
+    assert(p.contains("LeftSemi"), s"closing-edge semi-join missing in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+  }
+
   test("length_strata shuffles once on source (window reuses the partitioning)") {
     val p = planOf("length_strata")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
