@@ -23,6 +23,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The frequent-co-purchase graph (canonical part pairs sharing ≥2
+    * orders, basket-size skew guard) — shared by triangle_counts,
+    * clustering_coeff, and link_prediction.
+    */
+  private def coPurchasePairs(s: SparkSession, dir: String,
+                              maxBasketSize: Long = 1000L): DataFrame = {
+    val basket0 = t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("okey"),
+        col("l_partkey").cast("long").as("part")).distinct()
+      .localCheckpoint(true)
+    val big = basket0.groupBy("okey").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBasketSize).select("okey")
+    val basket = basket0.join(big, Seq("okey"), "left_anti")
+    val a = basket.select(col("okey"), col("part").as("a"))
+    val b = basket.select(col("okey"), col("part").as("b"))
+    a.join(b, Seq("okey")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2).select("a", "b")
+  }
+
   /** Flagship query on sf=0.001: BFS levels over the derived
     * region→nation→customer→order tree from the root of region 0.
     */
@@ -178,6 +198,11 @@ object SparkEntry {
     // StreamOps.dedupReplayBatch — the bounded-state dedup primitive)
     "stream_ingest_dedup" -> ((s, dir) =>
       streaming.StreamOps.dedupReplayBatch(s, s"$dir/events.parquet")),
+    // STREAMING windowed aggregation, oracle-checked: tumbling 6h windows
+    // per event_type through complete-mode foreachBatch (append mode can
+    // never emit the trailing window — see StreamOps.windowedAggReplayBatch)
+    "stream_windowed_agg" -> ((s, dir) =>
+      streaming.StreamOps.windowedAggReplayBatch(s, s"$dir/events.parquet")),
     // A11+A8 — request-string parse + response-tag correlation
     "parse_requests" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -383,22 +408,16 @@ object SparkEntry {
     // triangle counts over the frequent-co-purchase graph (same pair
     // derivation as frequent_part_pairs, incl. the basket-size guard):
     // the canonical a<b<c two-join triangle plan, corners exploded
-    "triangle_counts" -> ((s, dir) => {
-      val maxBasketSize = 1000L
-      val basket0 = t(s, dir, "lineitem")
-        .select(col("l_orderkey").cast("long").as("okey"),
-          col("l_partkey").cast("long").as("part")).distinct()
-        .localCheckpoint(true)
-      val big = basket0.groupBy("okey").agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") > maxBasketSize).select("okey")
-      val basket = basket0.join(big, Seq("okey"), "left_anti")
-      val a = basket.select(col("okey"), col("part").as("a"))
-      val b = basket.select(col("okey"), col("part").as("b"))
-      val pairs = a.join(b, Seq("okey")).filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2).select("a", "b")
-      GraphOps.triangleCounts(pairs)
-    }),
+    "triangle_counts" -> ((s, dir) =>
+      GraphOps.triangleCounts(coPurchasePairs(s, dir))),
+    // local clustering coefficient over the same graph: 2·tri/(deg·(deg−1)),
+    // exact-integer division → bit-identical double, emitted unrounded
+    "clustering_coeff" -> ((s, dir) =>
+      GraphOps.clusteringCoefficient(coPurchasePairs(s, dir))),
+    // link prediction: top non-adjacent pairs by common-neighbor count
+    // (wedge self-join + anti-join against the edge set)
+    "link_prediction" -> ((s, dir) =>
+      GraphOps.commonNeighborLinks(coPurchasePairs(s, dir), minCommon = 1, k = 100)),
     // set ops: INTERSECT — customers who ordered in BOTH 1995 and 1996
     "repeat_customers" -> ((s, dir) => {
       def custsOf(y: Int) = t(s, dir, "orders")
@@ -453,6 +472,9 @@ object SparkEntry {
     "events_hourly" -> ((s, dir) => Events.hourlyRates(t(s, dir, "events"))),
     // first-order event-type Markov transition counts (lead window per user)
     "events_transitions" -> ((s, dir) => Events.typeTransitions(t(s, dir, "events"))),
+    // exact discrete quantiles per type (PERCENTILE_DISC ⇔ quantile_disc —
+    // outputs are raw input doubles, bit-identical, unrounded)
+    "events_quantiles" -> ((s, dir) => Events.valueQuantiles(t(s, dir, "events"))),
     // SLIDING windows (Spark's window() with a slide < length): 10-minute
     // windows every 5 — the overlap shape tumbling windows can't express
     "events_sliding" -> ((s, dir) => Events.slidingRates(t(s, dir, "events"))),
@@ -484,6 +506,11 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3, threshold = 0.1,
         maxShingleFreq = 1000L)),
+    // directional containment |A∩B|/|A| ≥ 0.5 — the quote/subset cases
+    // Jaccard misses; same candidate join + skew cap as ngram_jaccard
+    "ngram_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"), w = 3,
+        threshold = 0.5, maxShingleFreq = 1000L)),
     "minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), w = 3, threshold = 0.8)),
     "simhash_pairs" -> ((s, dir) =>
@@ -699,6 +726,17 @@ object SparkEntry {
     * prefixed with a corpus-defining CTE) — shared by the two
     * embedding_neardup oracles.
     */
+  /** Shared CTE: the frequent-co-purchase pair graph (canonical a < b).
+    * The Spark side adds a basket-size skew guard that is a no-op at test
+    * SFs (baskets ≤ 7 parts), so the oracle omits it.
+    */
+  private val coPurchaseCteSql =
+    """basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
+      |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+      |pairs AS (SELECT a.part AS a, b.part AS b
+      |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
+      |          GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
   private def cosinePairsSql(cte: String, rel: String, threshold: Double): String =
     s"""WITH ${cte}sims AS (
        |  SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -858,6 +896,12 @@ object SparkEntry {
         |  CAST(user_id AS BIGINT) AS user_id,
         |  epoch_ms(ts) AS ms, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // Spark's window() starts are epoch-aligned: start = ts - ts % len
+    "stream_windowed_agg" ->
+      """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 21600000 AS BIGINT) AS window_ms,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin,
     "stream_route_replay" ->
       """WITH reqs AS (SELECT CAST(o_orderkey AS BIGINT) AS req_id,
         |  CAST(o_orderkey % 100 + 1 AS BIGINT) || ' ' || CAST(o_orderkey % 4 + 1 AS BIGINT)
@@ -1031,6 +1075,11 @@ object SparkEntry {
         |  CAST(CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
         |FROM documents d LEFT JOIN shared s ON s.doc_id = d.doc_id
         |WHERE d.doc_id >= 10 ORDER BY doc_id""".stripMargin,
+    "events_quantiles" ->
+      """SELECT event_type, quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_hourly" ->
       """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
         |  event_type, CAST(count(*) AS BIGINT) AS n,
@@ -1084,6 +1133,22 @@ object SparkEntry {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "ngram_jaccard" -> jaccardSql(0.1),
+    "ngram_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT p.da AS doc_a, p.db AS doc_b,
+        |         CAST(p.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+        |  FROM pairs p JOIN sizes sa ON sa.doc_id = p.da
+        |  UNION ALL
+        |  SELECT p.db, p.da, CAST(p.inter AS DOUBLE) / CAST(sb.sz AS DOUBLE)
+        |  FROM pairs p JOIN sizes sb ON sb.doc_id = p.db)
+        |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, containment
+        |FROM cont WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "minhash_lsh" -> jaccardSql(0.8),
     "hash_sample" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1150,17 +1215,45 @@ object SparkEntry {
         |       CAST(rn AS BIGINT) AS rn, cosine
         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "triangle_counts" ->
-      """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
-        |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
-        |pairs AS (SELECT a.part AS a, b.part AS b
-        |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
-        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+      s"""WITH $coPurchaseCteSql,
         |tri AS (SELECT p1.a, p1.b, p2.b AS c FROM pairs p1 JOIN pairs p2 ON p2.a = p1.b
         |        WHERE EXISTS (SELECT 1 FROM pairs p3 WHERE p3.a = p1.a AND p3.b = p2.b)),
         |corners AS (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
         |            UNION ALL SELECT c AS v FROM tri)
         |SELECT CAST(v AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM corners GROUP BY v ORDER BY vertex""".stripMargin,
+    "clustering_coeff" ->
+      s"""WITH $coPurchaseCteSql,
+        |tri AS (SELECT p1.a, p1.b, p2.b AS c FROM pairs p1 JOIN pairs p2 ON p2.a = p1.b
+        |        WHERE EXISTS (SELECT 1 FROM pairs p3 WHERE p3.a = p1.a AND p3.b = p2.b)),
+        |corners AS (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+        |            UNION ALL SELECT c AS v FROM tri),
+        |tric AS (SELECT v, count(*) AS n_triangles FROM corners GROUP BY v),
+        |deg AS (SELECT v, count(*) AS degree FROM
+        |          (SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs)
+        |        GROUP BY v)
+        |SELECT CAST(d.v AS BIGINT) AS vertex, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CAST(2 * coalesce(t.n_triangles, 0) AS DOUBLE)
+        |    / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS coeff
+        |FROM deg d LEFT JOIN tric t ON t.v = d.v
+        |WHERE d.degree >= 2 ORDER BY vertex""".stripMargin,
+    "link_prediction" ->
+      s"""WITH $coPurchaseCteSql,
+        |adj AS (SELECT a AS v, b AS w FROM pairs UNION ALL SELECT b AS v, a AS w FROM pairs),
+        |deg AS (SELECT v, count(*) AS degree FROM adj GROUP BY v),
+        |wedges AS (SELECT l.v AS a, r.v AS b, count(*) AS common
+        |           FROM adj l JOIN adj r ON l.w = r.w AND l.v < r.v
+        |           GROUP BY 1, 2),
+        |nonedges AS (SELECT w.a, w.b, w.common FROM wedges w
+        |             LEFT JOIN pairs p ON p.a = w.a AND p.b = w.b
+        |             WHERE p.a IS NULL AND w.common >= 1)
+        |SELECT CAST(n.a AS BIGINT) AS a, CAST(n.b AS BIGINT) AS b,
+        |  CAST(n.common AS BIGINT) AS common,
+        |  CAST(n.common AS DOUBLE)
+        |    / CAST(da.degree + db.degree - n.common AS DOUBLE) AS jaccard
+        |FROM nonedges n JOIN deg da ON da.v = n.a JOIN deg db ON db.v = n.b
+        |ORDER BY common DESC, a, b LIMIT 100""".stripMargin,
     "embedding_neardup" -> cosinePairsSql(
       cte = """corpus AS (
               |  SELECT vec_id, embedding, label FROM embeddings

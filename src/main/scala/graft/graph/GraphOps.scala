@@ -449,6 +449,126 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Local clustering coefficient per vertex over an undirected graph given
+    * as CANONICAL pairs `(a, b)` with `a < b`, distinct: the fraction of a
+    * vertex's neighbor pairs that are themselves connected,
+    * `2·triangles(v) / (deg(v)·(deg(v)−1))` — the standard cohesion feature
+    * for graph curation (spam rings score high, crawl frontiers low).
+    *
+    * Scale: reuses the [[triangleCounts]] two-join plan plus one degree
+    * aggregate; the coefficient divides two exact integers, so the double
+    * is bit-identical on any IEEE engine (emitted unrounded — see the
+    * oracle-parity rule on raw-double rounding). Vertices with deg < 2
+    * have no neighbor pair and are excluded. Output:
+    * (vertex, degree, n_triangles, coeff) ordered.
+    */
+  def clusteringCoefficient(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(true) // feeds the triangle join (3 sides) AND degrees
+    val tri = p
+      .join(p.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(p.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).cast("long").as("n_triangles"))
+    val deg = p.select(col("a").as("vertex"))
+      .unionAll(p.select(col("b").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).cast("long").as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("vertex"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("coeff",
+        col("n_triangles") * lit(2.0) / (col("degree") * (col("degree") - 1)))
+      .select("vertex", "degree", "n_triangles", "coeff")
+      .orderBy("vertex")
+  }
+
+  /** Link prediction by common-neighbor counting: for every NON-adjacent
+    * vertex pair sharing ≥ `minCommon` neighbors, emit the common-neighbor
+    * count and the neighborhood Jaccard
+    * `|N(a)∩N(b)| / (deg(a)+deg(b)−|N(a)∩N(b)|)` — the classic
+    * missing-edge candidates a recommender or knowledge-graph-completion
+    * pipeline scores. Input: canonical undirected pairs `(a, b)`, a < b.
+    *
+    * Scale: one self-join of the (symmetrized) adjacency on the shared
+    * middle vertex — the same wedge enumeration as [[triangleCounts]] —
+    * then an anti-join against the edge set to keep non-edges only. Hot
+    * hubs amplify the wedge join exactly as they do triangles; the
+    * mitigation at web scale is a max-degree cap on middle vertices
+    * (`maxMiddleDegree`, 0 = uncapped), which drops wedges through
+    * celebrity hubs — the standard approximation (a shared neighbor of
+    * degree 10⁶ carries no signal). Jaccard divides exact integers
+    * (bit-identical double). Output: top `k` by (common desc, a, b).
+    */
+  def commonNeighborLinks(pairs: DataFrame, minCommon: Long = 2,
+                          k: Int = 100, maxMiddleDegree: Long = 0L): DataFrame = {
+    val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(true) // feeds adjacency (2×), degrees, and the anti-join
+    val adj = p.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(p.select(col("b").as("v"), col("a").as("w")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).cast("long").as("degree"))
+    val mid =
+      if (maxMiddleDegree <= 0) adj
+      else adj.join(
+        deg.filter(col("degree") <= maxMiddleDegree)
+          .select(col("v").as("mid_ok")),
+        col("w") === col("mid_ok"), "left_semi")
+    val wedges = mid.select(col("v").as("a2"), col("w"))
+      .join(mid.select(col("v").as("b2"), col("w")), "w")
+      .filter(col("a2") < col("b2"))
+      .groupBy(col("a2").as("a"), col("b2").as("b"))
+      .agg(count(lit(1)).cast("long").as("common"))
+    val nonEdges = wedges.join(p, Seq("a", "b"), "left_anti")
+      .filter(col("common") >= minCommon)
+    nonEdges
+      .join(deg.select(col("v").as("a"), col("degree").as("deg_a")), "a")
+      .join(deg.select(col("v").as("b"), col("degree").as("deg_b")), "b")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("deg_a") + col("deg_b") - col("common")))
+      .select("a", "b", "common", "jaccard")
+      .orderBy(col("common").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of the
+    * degrees at the two ends of every edge — one scalar summarizing whether
+    * hubs attach to hubs (r > 0, social-network shape) or to leaves
+    * (r < 0, hub-and-spoke/web shape). A standard corpus-graph health
+    * feature: a spam-farm co-link graph is strongly assortative, organic
+    * link graphs disassortative. Input: canonical undirected pairs
+    * `(a, b)`, a < b, distinct.
+    *
+    * Cross-engine determinism: every moment (Σx, Σxy, Σx², over the 2m
+    * directed edge ends) is an exact BIGINT — each undirected pair
+    * contributes symmetrically, so Σx = Σy and Σx² = Σy² and one pass over
+    * the pairs with `deg_a + deg_b` / `2·deg_a·deg_b` / `deg_a² + deg_b²`
+    * computes all of them. The final
+    * `r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)·(n·Σy² − Σy²))` is then a
+    * fixed tree of IEEE ops on exact integers — bit-identical on any
+    * engine, emitted unrounded. Scale: one degree aggregate + one
+    * broadcast-sized join + a global aggregate; no quadratic term.
+    * Output: one row (n_edges, n_vertices, assortativity).
+    */
+  def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(true) // feeds the degree aggregate AND the moment pass
+    val deg = p.select(col("a").as("vertex"))
+      .unionAll(p.select(col("b").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).cast("long").as("degree"))
+    val withDeg = p
+      .join(deg.select(col("vertex").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("vertex").as("b"), col("degree").as("db")), "b")
+    withDeg
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("da") + col("db")).cast("long").as("sx"),
+        sum(col("da") * col("db") * 2).cast("long").as("sxy"),
+        sum(col("da") * col("da") + col("db") * col("db")).cast("long").as("sxx"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).cast("long").as("n_vertices"))))
+      .select(col("m").as("n_edges"), col("n_vertices"),
+        ((col("m") * 2 * col("sxy") - col("sx") * col("sx")).cast("double") /
+          (col("m") * 2 * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+  }
+
   /** Connected components via GraphX (label = min vertex id in component).
     * Isolated vertices are kept by passing the full vertex set explicitly.
     */

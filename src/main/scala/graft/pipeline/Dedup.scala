@@ -129,6 +129,103 @@ object Dedup {
     jaccardOf(inter, sizes, threshold)
   }
 
+  /** DIRECTIONAL n-gram containment `|A∩B| / |A|` — quote/subset
+    * detection: a small doc wholly quoted inside a large one scores 1.0
+    * while its Jaccard stays low, so thresholded Jaccard dedup misses
+    * exactly the containment cases. Output: one row per ORDERED pair
+    * (doc_a = the contained doc, doc_b = the container) with
+    * containment ≥ `threshold`, ordered.
+    *
+    * Scale: same shingle-key candidate self-join as [[ngramJaccardPairs]]
+    * (one intersection count per unordered pair, then two directed rows),
+    * same `maxShingleFreq` hot-key cap. The containment divides two exact
+    * integers — bit-identical double on any IEEE engine, emitted
+    * unrounded.
+    */
+  def ngramContainmentPairs(documents: DataFrame, w: Int = 3,
+                            threshold: Double = 0.5,
+                            maxShingleFreq: Long = 0L): DataFrame = {
+    val sh0 = shingles(documents, w).localCheckpoint(true)
+    val sh =
+      if (maxShingleFreq <= 0) sh0
+      else {
+        val hot = sh0.groupBy("s").agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxShingleFreq).select("s")
+        sh0.join(hot, Seq("s"), "left_anti")
+      }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("da"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("db"), col("s").as("sb"))
+    val inter = a.join(b, col("sa") === col("sb") && col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    // sized pair counts feed BOTH directed branches — materialize once
+    val withSizes = inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
+      .localCheckpoint(true)
+    val directed = withSizes
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("inter").cast("double") / col("sza").cast("double")).as("containment"))
+      .unionAll(withSizes.select(col("db").as("doc_a"), col("da").as("doc_b"),
+        (col("inter").cast("double") / col("szb").cast("double")).as("containment")))
+    directed.filter(col("containment") >= threshold)
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"), col("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Bag-of-words cosine similarity join — the sparse-vector complement of
+    * the set-based Jaccard family: documents as term-frequency vectors, one
+    * row per unordered pair with cosine ≥ `threshold`, found via the
+    * inverted-index join (pairs meet only on shared terms — the classic
+    * sparse all-pairs-similarity plan, Bayardo et al. WWW'07 shape).
+    *
+    * Cross-engine determinism, with NO rounding: tf values and the squared
+    * norms `s = Σtf²` are exact BIGINTs, the pair dot product `Σ tfa·tfb`
+    * is an exact BIGINT, so the threshold test is evaluated in integer form
+    * `dot² ≥ t²·sa·sb` (one double multiply of exact inputs — a fixed IEEE
+    * op tree, no summation-order jitter) and the emitted
+    * `cosine = dot / sqrt(sa·sb)` is likewise a single-op tree over exact
+    * integers — bit-identical on any IEEE engine.
+    *
+    * Scale: the inverted-index join shuffles on the term key; hot terms
+    * (stopwords) make that key quadratic, so `maxDocFreq` drops terms with
+    * document frequency above the cap BEFORE norms are computed — the
+    * standard df-cutoff of sparse similarity search (a term in half the
+    * corpus carries no discriminative weight; dropping it is both the
+    * speed and the quality move). Output: (doc_a, doc_b, cosine) ordered.
+    */
+  def tfCosinePairs(documents: DataFrame, threshold: Double = 0.6,
+                    maxDocFreq: Long = 0L): DataFrame = {
+    val tf0 = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds the df cap, norms, and both join sides
+    val tf =
+      if (maxDocFreq <= 0) tf0
+      else {
+        val hot = tf0.groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("term")
+        tf0.join(hot, Seq("term"), "left_anti")
+      }
+    val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("s2"))
+    val dots = tf.select(col("doc_id").as("da"), col("term"), col("tf").as("tfa"))
+      .join(tf.select(col("doc_id").as("db"), col("term"), col("tf").as("tfb")),
+        "term")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(sum(col("tfa") * col("tfb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("da"), col("s2").as("sa")), "da")
+      .join(norms.select(col("doc_id").as("db"), col("s2").as("sb")), "db")
+      .filter(col("dot") * col("dot") >=
+        lit(threshold * threshold) * (col("sa") * col("sb")))
+      .select(col("da").cast("long").as("doc_a"),
+        col("db").cast("long").as("doc_b"),
+        (col("dot").cast("double") /
+          sqrt((col("sa") * col("sb")).cast("double"))).as("cosine"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash signatures: `numHashes` permutations simulated as
     * `xxhash64(shingle, seed)`; signature k = min over shingles.
     * Output: (doc_id, k, mh).

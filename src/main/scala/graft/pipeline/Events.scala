@@ -95,6 +95,27 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Per-event-type EXACT discrete quantiles of `value` (ANSI
+    * PERCENTILE_DISC: the smallest data value whose cumulative proportion
+    * ≥ p). Discrete — not interpolated — so each output IS a raw input
+    * double and hash-matches any IEEE engine bit-for-bit with no rounding
+    * (DuckDB `quantile_disc` has the same contract).
+    *
+    * Scale: exact grouped quantiles sort within each (small-cardinality)
+    * type group after one shuffle; at extreme per-group volumes the
+    * streaming-sketch alternative is approx_percentile, traded here for
+    * oracle-exactness.
+    */
+  def valueQuantiles(events: DataFrame): DataFrame = {
+    events
+      .groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy("event_type")
+  }
+
   /** Funnel analysis: users whose first view precedes their first click,
     * which precedes their first purchase (conditional-min aggregation —
     * one shuffle on user_id, no self-joins).

@@ -218,6 +218,61 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** Third oracle-checked streaming query — the WINDOWED-AGGREGATE half:
+    * replay the events table as a stream, aggregate per (tumbling window,
+    * event_type), and land the FINAL aggregate state in a batch table.
+    *
+    * Output mode is `complete` + an overwrite sink: append mode can never
+    * emit the trailing window (a window is appended only once the watermark
+    * passes its END, and the watermark never passes the window containing
+    * the stream's max event time), so a bounded replay checked against a
+    * batch oracle needs the full-state mode. Complete mode keeps every
+    * window in the state store — exactly right for a bounded replay or a
+    * small (window × type) keyspace; the unbounded-corpus path with
+    * watermark-evicted state is [[eventRates]] (append mode), whose
+    * semantics this query's oracle also pins (same window arithmetic).
+    *
+    * Scale: the aggregation is a streaming hash agg with partial
+    * (map-side) combine per micro-batch; foreachBatch overwrites
+    * partition-parallel parquet. Window starts are epoch-aligned, so the
+    * DuckDB oracle reproduces them as `epoch_ms - epoch_ms % len`.
+    */
+  def windowedAggReplayBatch(spark: org.apache.spark.sql.SparkSession,
+                             eventsPath: String,
+                             windowLen: String = "6 hours"): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_winagg_")
+    val outDir = s"$tmp/out"
+    val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
+    val src = java.nio.file.Paths.get(eventsPath)
+    val staged =
+      if (java.nio.file.Files.isDirectory(src)) src
+      else {
+        java.nio.file.Files.createSymbolicLink(inDir.resolve(src.getFileName), src)
+        inDir
+      }
+    // ts arrives as LONG nanos (nanosAsLong) — rebuild the event-time column
+    val events = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(expr("timestamp_millis(ts div 1000000)").as("tsw"),
+        col("event_type"), col("value"))
+    val agg = events
+      .groupBy(window(col("tsw"), windowLen), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("window_ms", "event_type")
+  }
+
   /** Streaming request server: dispatch a stream of protocol lines into a
     * [[graft.engine.GraphEngine]] via foreachBatch — the streaming analogue
     * of the reference's balancer+server loop (`load_balancer.c:47-72`).

@@ -243,6 +243,34 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("clusteringCoefficient: triangle corners score 1 (or 1/3 at the hub), pendant excluded") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant edge 1–4 (canonical pairs, a < b)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = GraphOps.clusteringCoefficient(pairs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // vertex 4 has degree 1 — no neighbor pair, excluded
+    assert(out == Map(
+      1L -> ((3L, 1L, 1.0 / 3.0)),
+      2L -> ((2L, 1L, 1.0)),
+      3L -> ((2L, 1L, 1.0))))
+  }
+
+  test("commonNeighborLinks proposes non-edges through shared neighbors; degree cap prunes hubs") {
+    import spark.implicits._
+    // star 1–{2,3,4} plus edge 2–3: non-edges (2,4) and (3,4) share neighbor 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("a", "b")
+    val out = GraphOps.commonNeighborLinks(pairs, minCommon = 1, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // (2,4): deg 2 + deg 1 − 1 common → jaccard 0.5; same for (3,4);
+    // (2,3) is an existing edge — anti-joined away
+    assert(out == Seq((2L, 4L, 1L, 0.5), (3L, 4L, 1L, 0.5)))
+    // capping middle degree at 2 removes the only shared neighbor (deg 3)
+    val capped = GraphOps.commonNeighborLinks(pairs, minCommon = 1, k = 10,
+      maxMiddleDegree = 2L).collect()
+    assert(capped.isEmpty)
+  }
+
   test("graph queries release their persisted RDDs (owner-managed lifetimes)") {
     import spark.implicits._
     val sc = spark.sparkContext

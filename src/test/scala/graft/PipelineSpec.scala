@@ -28,6 +28,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(0).getDouble(2) == 1.0)
   }
 
+  test("ngram containment: a quoted doc scores 1.0 toward its container, "
+    + "the container scores |A∩B|/|B| back") {
+    val d = docs(
+      (1L, "a b c d e"),               // shingles {abc, bcd, cde}
+      (2L, "a b c d e f g h"),         // contains all 3 of doc 1's + 3 more
+      (3L, "q r s t u v"))             // disjoint
+    val out = Dedup.ngramContainmentPairs(d, w = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 2L, 1.0), (2L, 1L, 0.5)))
+  }
+
   test("minhash LSH finds high-jaccard pairs and skips dissimilar ones") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
     val d = docs(
@@ -81,6 +92,16 @@ class PipelineSpec extends AnyFunSuite {
     val out = graft.pipeline.Events.typeTransitions(ev).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(out == Map(("view", "click") -> 2L, ("click", "view") -> 1L))
+  }
+
+  test("valueQuantiles: PERCENTILE_DISC picks the smallest value with CDF >= p") {
+    val ev = (1 to 4).map(i => (i.toLong, "view", i.toDouble)) :+ ((5L, "click", 7.5))
+    val df = ev.toDF("event_id", "event_type", "value")
+    val out = graft.pipeline.Events.valueQuantiles(df).collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // view values {1,2,3,4}: p50 → 2 (CDF 0.5), p90/p99 → 4; discrete, not interpolated
+    assert(out("view") == ((2.0, 4.0, 4.0, 4L)))
+    assert(out("click") == ((7.5, 7.5, 7.5, 1L)))
   }
 
   test("hash sample: deterministic, nested, hash-ranked") {

@@ -53,6 +53,20 @@ class StreamSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).distinct.length.toLong == base)
   }
 
+  test("windowedAggReplayBatch: final complete-mode state equals the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.windowedAggReplayBatch(spark, s"$dir/events.parquet")
+      .collect().map(_.toSeq).toSeq
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .select(expr("ts div 1000000").as("ms"), col("event_type"), col("value"))
+      .groupBy((col("ms") - col("ms") % 21600000L).as("window_ms"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("window_ms", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("request stream: memory source → parse → windowed rates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
