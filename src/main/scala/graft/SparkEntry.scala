@@ -203,6 +203,11 @@ object SparkEntry {
     // never emit the trailing window — see StreamOps.windowedAggReplayBatch)
     "stream_windowed_agg" -> ((s, dir) =>
       streaming.StreamOps.windowedAggReplayBatch(s, s"$dir/events.parquet")),
+    // STREAMING stream-stream interval self-join, oracle-checked: same
+    // semantics (and oracle) as the batch events_within_5s — inner joins
+    // emit on arrival, so an AvailableNow replay in append mode is exact
+    "stream_interval_join" -> ((s, dir) =>
+      streaming.StreamOps.intervalJoinReplayBatch(s, s"$dir/events.parquet")),
     // A11+A8 — request-string parse + response-tag correlation
     "parse_requests" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -418,12 +423,37 @@ object SparkEntry {
     // (wedge self-join + anti-join against the edge set)
     "link_prediction" -> ((s, dir) =>
       GraphOps.commonNeighborLinks(coPurchasePairs(s, dir), minCommon = 1, k = 100)),
+    // degree assortativity (Newman r): one scalar over the same graph —
+    // every moment an exact BIGINT, the final ratio a fixed IEEE op tree
+    "degree_assortativity" -> ((s, dir) =>
+      GraphOps.degreeAssortativity(coPurchasePairs(s, dir))),
     // set ops: INTERSECT — customers who ordered in BOTH 1995 and 1996
     "repeat_customers" -> ((s, dir) => {
       def custsOf(y: Int) = t(s, dir, "orders")
         .filter(year(col("o_orderdate").cast("timestamp")) === y)
         .select(col("o_custkey").cast("long").as("custkey"))
       custsOf(1995).intersect(custsOf(1996)).orderBy("custkey")
+    }),
+    // set ops: EXCEPT — customers who ordered in 1995 but lapsed in 1996
+    "lapsed_customers" -> ((s, dir) => {
+      def custsOf(y: Int) = t(s, dir, "orders")
+        .filter(year(col("o_orderdate").cast("timestamp")) === y)
+        .select(col("o_custkey").cast("long").as("custkey"))
+      custsOf(1995).except(custsOf(1996)).orderBy("custkey")
+    }),
+    // FULL OUTER join: per-customer 1995 vs 1996 order counts, customers
+    // present in either year (the join type the declared surface lacked;
+    // coalesce(0) makes the outer nulls explicit retention-matrix zeros)
+    "cust_year_full" -> ((s, dir) => {
+      def cnts(y: Int) = t(s, dir, "orders")
+        .filter(year(col("o_orderdate").cast("timestamp")) === y)
+        .groupBy(col("o_custkey").cast("long").as("custkey"))
+        .agg(count(lit(1)).cast("long").as(s"n_$y"))
+      cnts(1995).join(cnts(1996), Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+          coalesce(col("n_1996"), lit(0L)).as("n_1996"))
+        .orderBy("custkey")
     }),
     // set ops: customers with no urgent-priority order (left_anti ≡ EXCEPT /
     // NOT IN; the urgent filter keeps the result non-degenerate)
@@ -511,6 +541,14 @@ object SparkEntry {
     "ngram_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(t(s, dir, "documents"), w = 3,
         threshold = 0.5, maxShingleFreq = 1000L)),
+    // bag-of-words cosine pairs via the inverted-index join (df-capped);
+    // integer-exact threshold test, bit-identical cosine — no rounding.
+    // t=0.9 is the near-dup regime: this corpus's shared vocabulary puts
+    // ~57% of ALL pairs above 0.6 (71,783 rows at sf0.01) but only 42
+    // above 0.9 — the threshold IS the selectivity lever here
+    "doc_cosine_pairs" -> ((s, dir) =>
+      Dedup.tfCosinePairs(t(s, dir, "documents"), threshold = 0.9,
+        maxDocFreq = 1000L)),
     "minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), w = 3, threshold = 0.8)),
     "simhash_pairs" -> ((s, dir) =>
@@ -902,6 +940,13 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin,
+    // identical to the batch events_within_5s oracle — the streaming
+    // interval join is pinned to the same semantics
+    "stream_interval_join" ->
+      """WITH ev AS (SELECT CAST(event_id AS BIGINT) AS id, epoch_ms(ts) AS ms FROM events)
+        |SELECT a.id AS id_a, b.id AS id_b, a.ms AS ts_a, b.ms AS ts_b
+        |FROM ev a JOIN ev b ON a.id < b.id AND abs(a.ms - b.ms) <= 5000
+        |ORDER BY id_a, id_b""".stripMargin,
     "stream_route_replay" ->
       """WITH reqs AS (SELECT CAST(o_orderkey AS BIGINT) AS req_id,
         |  CAST(o_orderkey % 100 + 1 AS BIGINT) || ' ' || CAST(o_orderkey % 4 + 1 AS BIGINT)
@@ -1010,6 +1055,23 @@ object SparkEntry {
       """SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT
         |SELECT CAST(o_custkey AS BIGINT) FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY custkey""".stripMargin,
+    "lapsed_customers" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT CAST(o_custkey AS BIGINT) FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY custkey""".stripMargin,
+    "cust_year_full" ->
+      """WITH c95 AS (SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_1995
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |c96 AS (SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_1996
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+        |SELECT coalesce(c95.custkey, c96.custkey) AS custkey,
+        |  CAST(coalesce(n_1995, 0) AS BIGINT) AS n_1995,
+        |  CAST(coalesce(n_1996, 0) AS BIGINT) AS n_1996
+        |FROM c95 FULL OUTER JOIN c96 ON c95.custkey = c96.custkey
         |ORDER BY custkey""".stripMargin,
     "cust_no_orders" ->
       """SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer
@@ -1149,6 +1211,24 @@ object SparkEntry {
         |  FROM pairs p JOIN sizes sb ON sb.doc_id = p.db)
         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, containment
         |FROM cont WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // threshold test in integer form (dot² ≥ t²·sa·sb; `0.9 * 0.9` is the
+    // same IEEE product Spark's lit(threshold*threshold) evaluates) and a
+    // single-op-tree cosine over exact integers — no rounding anywhere
+    "doc_cosine_pairs" ->
+      """WITH tf0 AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |tf AS (SELECT * FROM tf0 WHERE term NOT IN
+        |        (SELECT term FROM tf0 GROUP BY term HAVING count(*) > 1000)),
+        |norms AS (SELECT doc_id, sum(tf * tf) AS s2 FROM tf GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.tf * b.tf) AS dot
+        |         FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+        |  CAST(dot AS DOUBLE) / sqrt(CAST(sa.s2 * sb.s2 AS DOUBLE)) AS cosine
+        |FROM dots JOIN norms sa ON sa.doc_id = da JOIN norms sb ON sb.doc_id = db
+        |WHERE dot * dot >= 0.9 * 0.9 * (sa.s2 * sb.s2)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "minhash_lsh" -> jaccardSql(0.8),
     "hash_sample" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1254,6 +1334,24 @@ object SparkEntry {
         |    / CAST(da.degree + db.degree - n.common AS DOUBLE) AS jaccard
         |FROM nonedges n JOIN deg da ON da.v = n.a JOIN deg db ON db.v = n.b
         |ORDER BY common DESC, a, b LIMIT 100""".stripMargin,
+    // every moment is an exact integer; the final ratio is one fixed IEEE
+    // op tree (2m·Σxy − Σx² over 2m·Σx² − Σx², the symmetric-undirected
+    // simplification of Newman's r) — bit-identical, unrounded
+    "degree_assortativity" ->
+      s"""WITH $coPurchaseCteSql,
+        |deg AS (SELECT v, count(*) AS degree FROM
+        |          (SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs)
+        |        GROUP BY v),
+        |mom AS (SELECT count(*) AS m,
+        |          sum(da.degree + db.degree) AS sx,
+        |          sum(2 * da.degree * db.degree) AS sxy,
+        |          sum(da.degree * da.degree + db.degree * db.degree) AS sxx
+        |        FROM pairs p JOIN deg da ON da.v = p.a JOIN deg db ON db.v = p.b)
+        |SELECT CAST(m AS BIGINT) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+        |  CAST(m * 2 * sxy - sx * sx AS DOUBLE)
+        |    / CAST(m * 2 * sxx - sx * sx AS DOUBLE) AS assortativity
+        |FROM mom""".stripMargin,
     "embedding_neardup" -> cosinePairsSql(
       cte = """corpus AS (
               |  SELECT vec_id, embedding, label FROM embeddings

@@ -273,6 +273,55 @@ object StreamOps {
     spark.read.parquet(outDir).orderBy("window_ms", "event_type")
   }
 
+  /** Fourth oracle-checked streaming query — the STREAM-STREAM JOIN half:
+    * replay the events table as TWO streams and inner-join them within a
+    * ±`withinMs` interval via [[selfWithinStream]] (time-bin banded
+    * equi-join — stream-stream joins require an equality key; the
+    * watermark on both sides bounds the buffered join state). Inner join
+    * results emit as soon as both sides arrive — unlike windowed
+    * aggregates, no trailing-watermark data is withheld, so an
+    * AvailableNow replay emits EVERY qualifying pair and append mode is
+    * exact. Landed via foreachBatch, batch-read back, totally ordered —
+    * the same oracle as the batch `events_within_5s` query, so the batch
+    * and streaming interval-join paths are pinned to identical semantics.
+    *
+    * Scale: join state is hash-partitioned on the time-bin key and
+    * watermark-evicted (rows older than watermark − withinMs drop); the
+    * sink appends partition-parallel parquet.
+    */
+  def intervalJoinReplayBatch(spark: org.apache.spark.sql.SparkSession,
+                              eventsPath: String,
+                              withinMs: Long = 5000L): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ivjoin_")
+    val outDir = s"$tmp/out"
+    val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
+    val src = java.nio.file.Paths.get(eventsPath)
+    val staged =
+      if (java.nio.file.Files.isDirectory(src)) src
+      else {
+        java.nio.file.Files.createSymbolicLink(inDir.resolve(src.getFileName), src)
+        inDir
+      }
+    // ts arrives as LONG nanos (nanosAsLong) — rebuild the event-time column
+    val events = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("event_id").cast("long").as("event_id"),
+        expr("timestamp_millis(ts div 1000000)").as("ts"))
+    val joined = selfWithinStream(events, withinMs, watermark = "10 seconds")
+      .select(col("id_a"), col("id_b"),
+        unix_millis(col("ts_a")).as("ts_a"), unix_millis(col("ts_b")).as("ts_b"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("id_a", "id_b")
+  }
+
   /** Streaming request server: dispatch a stream of protocol lines into a
     * [[graft.engine.GraphEngine]] via foreachBatch — the streaming analogue
     * of the reference's balancer+server loop (`load_balancer.c:47-72`).

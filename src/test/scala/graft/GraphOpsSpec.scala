@@ -271,6 +271,17 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(capped.isEmpty)
   }
 
+  test("degreeAssortativity: a 3-path is perfectly disassortative (r = -1)") {
+    import spark.implicits._
+    // path 1-2-3: each edge joins a degree-1 leaf to the degree-2 middle
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = GraphOps.degreeAssortativity(pairs).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 2L)      // n_edges
+    assert(out(0).getLong(1) == 3L)      // n_vertices
+    assert(out(0).getDouble(2) == -1.0)  // exact: every moment is an integer
+  }
+
   test("graph queries release their persisted RDDs (owner-managed lifetimes)") {
     import spark.implicits._
     val sc = spark.sparkContext

@@ -39,6 +39,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L, 1.0), (2L, 1L, 0.5)))
   }
 
+  test("tf cosine pairs: inverted-index join scores shared-term docs; df cap prunes") {
+    val d = docs(
+      (1L, "a a b"),     // tf a:2 b:1, s2 = 5
+      (2L, "a a b b"),   // tf a:2 b:2, s2 = 8
+      (3L, "z z"))       // disjoint
+    val out = Dedup.tfCosinePairs(d, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // dot(1,2) = 2*2 + 1*2 = 6; cosine = 6/sqrt(5*8) — a single IEEE op tree
+    assert(out == Seq((1L, 2L, 6.0 / math.sqrt(40.0))))
+    // df cap 1 drops both shared terms (each in 2 docs) — no pairs survive
+    assert(Dedup.tfCosinePairs(d, threshold = 0.6, maxDocFreq = 1L).isEmpty)
+  }
+
   test("minhash LSH finds high-jaccard pairs and skips dissimilar ones") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
     val d = docs(

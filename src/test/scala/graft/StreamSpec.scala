@@ -67,6 +67,18 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("intervalJoinReplayBatch: streaming interval join equals the batch range join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.intervalJoinReplayBatch(spark, s"$dir/events.parquet")
+      .collect().map(_.toSeq).toSeq
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), expr("ts div 1000000").as("ms"))
+    val batch = graft.pipeline.RangeJoin.selfWithin(ev, "event_id", "ms", 5000L)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("request stream: memory source → parse → windowed rates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
