@@ -148,6 +148,16 @@ object SparkEntry {
         .select(col("vertex"), round(col("rank"), 4).as("rank"))
         .orderBy(col("rank").desc, col("vertex"))
         .limit(20)),
+    // HITS on the DIRECTED part→supplier graph (hubs = parts, authorities
+    // = suppliers — the principal singular-vector pair of the bipartite
+    // adjacency); oracle = 10-iteration unrolled mutual-reinforcement in
+    // DuckDB; 4-dp rounding both sides (pagerank convention)
+    "hits_top20" -> ((s, dir) =>
+      GraphOps.hits(DerivedGraphs.partSuppEdges(s, dir), iters = 10)
+        .select(col("vertex"), round(col("h"), 4).as("hub"),
+          round(col("a"), 4).as("auth"))
+        .orderBy(col("auth").desc, col("hub").desc, col("vertex"))
+        .limit(20)),
     // bounded k-core peeling (3 rounds, k=30) over the symmetrized
     // part–supplier graph — the bounded-iteration contract of sssp_bounded
     // applied to coreness; real peeling at sf0.01 (~23% of vertices drop)
@@ -341,6 +351,22 @@ object SparkEntry {
         .select("supp_a", "supp_b", "dist")
         .orderBy("supp_a", "supp_b")
     }),
+    // SCD-type-2 interval build: each order's status valid from its date
+    // until the customer's next order (lead window; −1 = still open) —
+    // the temporal-table shape a warehouse derives from event history.
+    // All values exact epoch-ms BIGINTs; one shuffle on custkey.
+    "orders_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("custkey").orderBy("valid_from_ms", "orderkey")
+      t(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("custkey"),
+          col("o_orderkey").cast("long").as("orderkey"),
+          col("o_orderstatus").as("status"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("valid_from_ms"))
+        .withColumn("valid_to_ms",
+          coalesce(lead("valid_from_ms", 1).over(w), lit(-1L)))
+        .orderBy("custkey", "valid_from_ms", "orderkey")
+    }),
     // window dedup-rank: latest order per customer (row_number = the
     // canonical keep-one-per-key pattern in data pipelines)
     "latest_order_per_cust" -> ((s, dir) => {
@@ -505,6 +531,12 @@ object SparkEntry {
     // exact discrete quantiles per type (PERCENTILE_DISC ⇔ quantile_disc —
     // outputs are raw input doubles, bit-identical, unrounded)
     "events_quantiles" -> ((s, dir) => Events.valueQuantiles(t(s, dir, "events"))),
+    // winsorization: clamp value into the per-type [p01, p99] discrete-
+    // quantile band — every output a raw input double, no rounding
+    "events_winsorized" -> ((s, dir) => Events.winsorize(t(s, dir, "events"))),
+    // robust outliers: |value − median| > 3·MAD per type (discrete
+    // quantiles + single IEEE ops — exact cross-engine, no rounding)
+    "events_outliers_mad" -> ((s, dir) => Events.madOutliers(t(s, dir, "events"))),
     // SLIDING windows (Spark's window() with a slide < length): 10-minute
     // windows every 5 — the overlap shape tumbling windows can't express
     "events_sliding" -> ((s, dir) => Events.slidingRates(t(s, dir, "events"))),
@@ -760,6 +792,37 @@ object SparkEntry {
        |SELECT v AS vertex, CAST(round(r / tot.t, 4) AS DOUBLE) AS rank
        |FROM r10, tot ORDER BY round(r / tot.t, 4) DESC, vertex LIMIT 20""".stripMargin
 
+  /** HITS mutual reinforcement, 10 iterations unrolled (auth from hubs,
+    * L2-normalize, hub from auths, L2-normalize — the [[graft.graph
+    * .GraphOps.hits]] semantics exactly; vertices outside a side's support
+    * coalesce to 0 in both engines).
+    */
+  private def hitsIters: String = (1 to 10).map { i =>
+    s"""a${i}s AS MATERIALIZED (SELECT e.dst AS v, sum(h${i - 1}.h) AS s
+       |  FROM e JOIN h${i - 1} ON h${i - 1}.v = e.src GROUP BY e.dst),
+       |a${i}n AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS n FROM a${i}s),
+       |a$i AS MATERIALIZED (SELECT verts.v, coalesce(a${i}s.s / a${i}n.n, 0) AS a
+       |  FROM verts LEFT JOIN a${i}s ON a${i}s.v = verts.v, a${i}n),
+       |h${i}s AS MATERIALIZED (SELECT e.src AS v, sum(a$i.a) AS s
+       |  FROM e JOIN a$i ON a$i.v = e.dst GROUP BY e.src),
+       |h${i}n AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS n FROM h${i}s),
+       |h$i AS MATERIALIZED (SELECT verts.v, coalesce(h${i}s.s / h${i}n.n, 0) AS h
+       |  FROM verts LEFT JOIN h${i}s ON h${i}s.v = verts.v, h${i}n)""".stripMargin
+  }.mkString(",\n")
+
+  private val hitsSql: String =
+    s"""WITH pe AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |e AS MATERIALIZED (SELECT CAST(p AS BIGINT) AS src, CAST(1000000000 + s AS BIGINT) AS dst FROM pe),
+       |verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |h0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) AS h FROM verts),
+       |$hitsIters
+       |SELECT CAST(h10.v AS BIGINT) AS vertex,
+       |  CAST(round(h10.h, 4) AS DOUBLE) AS hub,
+       |  CAST(round(a10.a, 4) AS DOUBLE) AS auth
+       |FROM h10 JOIN a10 ON a10.v = h10.v
+       |ORDER BY round(a10.a, 4) DESC, round(h10.h, 4) DESC, vertex
+       |LIMIT 20""".stripMargin
+
   /** Within-label exact cosine pairs ≥ threshold over `rel` (optionally
     * prefixed with a corpus-defining CTE) — shared by the two
     * embedding_neardup oracles.
@@ -898,6 +961,7 @@ object SparkEntry {
         |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
     "pagerank_top20" -> pagerankSql,
     "ppr_top20" -> pprSql,
+    "hits_top20" -> hitsSql,
     "sssp_bounded" ->
       """WITH RECURSIVE pe AS (
         |  SELECT l_partkey AS p, l_suppkey AS s, CAST(floor(min(l_quantity)) AS BIGINT) AS w
@@ -1022,6 +1086,15 @@ object SparkEntry {
         |  ON a.s_suppkey < b.s_suppkey AND abs(length(a.s_name) - length(b.s_name)) <= 1
         |WHERE levenshtein(a.s_name, b.s_name) <= 1
         |ORDER BY supp_a, supp_b""".stripMargin,
+    "orders_scd2" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |  CAST(o_orderkey AS BIGINT) AS orderkey,
+        |  o_orderstatus AS status,
+        |  epoch_ms(o_orderdate) AS valid_from_ms,
+        |  CAST(coalesce(lead(epoch_ms(o_orderdate)) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate), o_orderkey),
+        |    -1) AS BIGINT) AS valid_to_ms
+        |FROM orders ORDER BY custkey, valid_from_ms, orderkey""".stripMargin,
     "latest_order_per_cust" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey,
         |  CAST(o_orderkey AS BIGINT) AS orderkey,
@@ -1142,6 +1215,29 @@ object SparkEntry {
         |  quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // every output is a raw input double (discrete quantiles +
+    // least/greatest selection) — no rounding anywhere
+    "events_winsorized" ->
+      """WITH q AS (SELECT event_type, quantile_disc(value, 0.01) AS p_lo,
+        |             quantile_disc(value, 0.99) AS p_hi
+        |           FROM events GROUP BY event_type)
+        |SELECT CAST(event_id AS BIGINT) AS event_id, e.event_type, value,
+        |  least(greatest(value, p_lo), p_hi) AS value_w
+        |FROM events e JOIN q USING (event_type) ORDER BY event_id""".stripMargin,
+    // median/MAD are discrete quantiles; |value − med| and 3·MAD are
+    // single IEEE ops — the filter is exact cross-engine
+    "events_outliers_mad" ->
+      """WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+        |             FROM events GROUP BY event_type),
+        |dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |          abs(e.value - m.med) AS adev
+        |        FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_disc(adev, 0.5) AS mad
+        |        FROM dev GROUP BY event_type)
+        |SELECT CAST(event_id AS BIGINT) AS event_id, d.event_type, d.value,
+        |  d.med, md.mad
+        |FROM dev d JOIN mad md USING (event_type)
+        |WHERE d.adev > 3.0 * md.mad ORDER BY event_id""".stripMargin,
     "events_hourly" ->
       """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
         |  event_type, CAST(count(*) AS BIGINT) AS n,

@@ -529,6 +529,52 @@ object GraphOps {
       .limit(k)
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge table —
+    * the link-analysis complement of PageRank: authority = pointed-to by
+    * good hubs, hub = points at good authorities. On a bipartite
+    * part→supplier graph the two scores are the principal singular-vector
+    * pair of the adjacency — the spectral ranking a curation pipeline uses
+    * to score source quality. GraphX ships no HITS, so this is the
+    * canonical iterative-dataflow form: per iteration one join+sum per
+    * direction plus an L2 normalization (a broadcast one-row cross join),
+    * per-round localCheckpoint to cut lineage (the BFS/LPA convention),
+    * all persisted intermediates owner-released.
+    *
+    * Scores are double sums (summation-order jitter) — callers round,
+    * like [[pageRank]]. Output: (vertex, hub, auth) for all vertices.
+    */
+  def hits(edges: DataFrame, iters: Int = 10): DataFrame = {
+    ownedGraphResult(edges.sparkSession) {
+      val e = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .localCheckpoint(true)
+      val verts = e.select(col("src").as("vertex"))
+        .unionAll(e.select(col("dst").as("vertex")))
+        .distinct().localCheckpoint(true)
+      var h = verts.withColumn("h", lit(1.0))
+      var a = verts.withColumn("a", lit(0.0))
+      for (_ <- 1 to iters) {
+        val a0 = e.join(h.withColumnRenamed("vertex", "src"), "src")
+          .groupBy(col("dst").as("vertex")).agg(sum("h").as("a"))
+        val aN = a0.crossJoin(broadcast(
+          a0.agg(sqrt(sum(col("a") * col("a"))).as("norm"))))
+          .select(col("vertex"), (col("a") / col("norm")).as("a"))
+        a = verts.join(aN, Seq("vertex"), "left")
+          .select(col("vertex"), coalesce(col("a"), lit(0.0)).as("a"))
+          .localCheckpoint(true)
+        val h0 = e.join(a.withColumnRenamed("vertex", "dst"), "dst")
+          .groupBy(col("src").as("vertex")).agg(sum("a").as("h"))
+        val hN = h0.crossJoin(broadcast(
+          h0.agg(sqrt(sum(col("h") * col("h"))).as("norm"))))
+          .select(col("vertex"), (col("h") / col("norm")).as("h"))
+        h = verts.join(hN, Seq("vertex"), "left")
+          .select(col("vertex"), coalesce(col("h"), lit(0.0)).as("h"))
+          .localCheckpoint(true)
+      }
+      h.join(a, "vertex")
+    }
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of the
     * degrees at the two ends of every edge — one scalar summarizing whether
     * hubs attach to hubs (r > 0, social-network shape) or to leaves

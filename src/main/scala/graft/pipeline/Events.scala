@@ -116,6 +116,50 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Winsorization — the outlier-clipping normalization a training-data
+    * pipeline applies before feature scaling: per event type, clamp
+    * `value` into its own [p_lo, p_hi] discrete-quantile band. Every
+    * number here is a RAW input double (PERCENTILE_DISC returns data
+    * values; least/greatest select between them) — bit-identical on any
+    * engine with NO rounding. One tiny per-type quantile aggregate
+    * broadcast back over the events — a scan-speed plan at any scale.
+    * Output: (event_id, event_type, value, value_w) ordered.
+    */
+  def winsorize(events: DataFrame, lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    val q = events.groupBy("event_type")
+      .agg(expr(s"percentile_disc($lo) WITHIN GROUP (ORDER BY value)").as("p_lo"),
+        expr(s"percentile_disc($hi) WITHIN GROUP (ORDER BY value)").as("p_hi"))
+    events.join(broadcast(q), "event_type")
+      .select(col("event_id").cast("long").as("event_id"), col("event_type"),
+        col("value"),
+        least(greatest(col("value"), col("p_lo")), col("p_hi")).as("value_w"))
+      .orderBy("event_id")
+  }
+
+  /** Robust outlier detection via the median absolute deviation — the
+    * heavy-tail-safe alternative to z-scores (mean/stddev are themselves
+    * dragged by the outliers they're meant to find): flag events with
+    * `|value − median| > k·MAD` per type. Exact and rounding-free
+    * cross-engine: the median and the MAD are discrete quantiles (raw
+    * input doubles / single-subtraction deviations), and `k·MAD` is one
+    * IEEE multiply. Two tiny per-type aggregates broadcast back over the
+    * scan. Output: flagged rows (event_id, event_type, value, med, mad)
+    * ordered.
+    */
+  def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = events.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+    val dev = events.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("adev") > lit(k) * col("mad"))
+      .select(col("event_id").cast("long").as("event_id"), col("event_type"),
+        col("value"), col("med"), col("mad"))
+      .orderBy("event_id")
+  }
+
   /** Funnel analysis: users whose first view precedes their first click,
     * which precedes their first purchase (conditional-min aggregation —
     * one shuffle on user_id, no self-joins).

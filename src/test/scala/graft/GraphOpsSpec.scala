@@ -271,6 +271,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(capped.isEmpty)
   }
 
+  test("hits: mutual reinforcement ranks the double-pointing hub and shared authority") {
+    import spark.implicits._
+    // bipartite: hubs {1,2,3} → auths {10,11}; 3 points at both
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L)).toDF("src", "dst")
+    val out = GraphOps.hits(e, iters = 10).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    // auths have no out-edges → hub 0; hubs have no in-edges → auth 0
+    assert(out(10L)._1 == 0.0 && out(11L)._1 == 0.0)
+    assert(out(1L)._2 == 0.0 && out(2L)._2 == 0.0 && out(3L)._2 == 0.0)
+    // 10 (pointed at by all three) beats 11; 3 (points at both) beats 1/2,
+    // and 1 and 2 are structurally identical — bit-equal scores
+    assert(out(10L)._2 > out(11L)._2 && out(11L)._2 > 0.0)
+    assert(out(3L)._1 > out(1L)._1 && out(1L)._1 > 0.0)
+    assert(out(1L)._1 == out(2L)._1)
+    // L2-normalized: each side's squared scores sum to 1
+    val sumA = out.values.map(v => v._2 * v._2).sum
+    val sumH = out.values.map(v => v._1 * v._1).sum
+    assert(math.abs(sumA - 1.0) < 1e-9 && math.abs(sumH - 1.0) < 1e-9)
+  }
+
   test("degreeAssortativity: a 3-path is perfectly disassortative (r = -1)") {
     import spark.implicits._
     // path 1-2-3: each edge joins a degree-1 leaf to the degree-2 middle

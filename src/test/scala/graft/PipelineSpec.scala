@@ -117,6 +117,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("click") == ((7.5, 7.5, 7.5, 1L)))
   }
 
+  test("winsorize clamps into the discrete [p01, p99] band; madOutliers flags robustly") {
+    val ev = (1 to 100).map(i => (i.toLong, "view", i.toDouble))
+    val df = ev.toDF("event_id", "event_type", "value")
+    val w = graft.pipeline.Events.winsorize(df).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    // p01 = 1 (CDF 0.01), p99 = 99 (CDF 0.99): 100 clamps down, 1 stays
+    assert(w(100L) == 99.0 && w(1L) == 1.0 && w(50L) == 50.0)
+    // MAD: values {1,2,3,4,100} → med 3, adev {2,1,0,1,97}, MAD 1;
+    // only |100-3| > 3·1 is flagged
+    val ev2 = Seq((1L, "view", 1.0), (2L, "view", 2.0), (3L, "view", 3.0),
+      (4L, "view", 4.0), (5L, "view", 100.0)).toDF("event_id", "event_type", "value")
+    val out = graft.pipeline.Events.madOutliers(ev2).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(out == Seq((5L, 100.0, 3.0, 1.0)))
+  }
+
   test("hash sample: deterministic, nested, hash-ranked") {
     val d = docs((1 to 20).map(i => (i.toLong, s"doc $i")): _*)
     val s5 = pipeline.Curation.hashSample(d, 5).collect().map(_.getLong(0)).toSeq
