@@ -80,6 +80,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
   }
 
+  test("doc_cosine_pairs is an equi-join on the term key with the df cap (no nested loop)") {
+    val p = planOf("doc_cosine_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+    assert(p.contains("LeftAnti"), s"df-cutoff guard (left_anti on hot terms) missing in:\n$p")
+  }
+
+  test("events_winsorized broadcasts the per-type quantile band over the scan") {
+    val p = planOf("events_winsorized")
+    assert(p.contains("BroadcastHashJoin"), s"quantile band not broadcast in:\n$p")
+  }
+
+  test("orders_scd2 is one window over one shuffle (plus the output sort)") {
+    val p = planOf("orders_scd2")
+    assert(p.contains("Window"), s"no window in:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 2, s"extra shuffles in:\n$p")
+  }
+
   test("length_strata shuffles once on source (window reuses the partitioning)") {
     val p = planOf("length_strata")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
