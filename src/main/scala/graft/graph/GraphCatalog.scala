@@ -41,13 +41,33 @@ final class GraphAlreadyExistsException(name: String)
   *
   * At scale the base dir is any Hadoop-compatible FS (HDFS/S3); edge tables
   * are partitioned data, never driver-resident.
+  *
+  * `buckets = Some(n)`: snapshots are written `bucketBy(n, "src")` +
+  * sorted within buckets — the pre-shuffle lever for the traversal
+  * workload. Every BFS/DFS/SSSP round and every degree aggregate keys on
+  * `src`, so a bucketed snapshot lets those joins/aggregates read the edge
+  * table WITHOUT an Exchange (only the small frontier side shuffles to
+  * match) — at 100 TB that deletes a full edge-table shuffle per traversal
+  * round. Implemented as external tables over the same versioned
+  * directories (bucket metadata lives in the session catalog; the files
+  * stay plain parquet, so time travel and non-bucketed readers of the same
+  * paths keep working). Table names are namespaced by a base-dir hash —
+  * two catalogs holding the same graph name never collide in the shared
+  * metastore.
   */
-final class GraphCatalog(spark: SparkSession, baseDir: String) {
+final class GraphCatalog(spark: SparkSession, baseDir: String,
+                         buckets: Option[Int] = None) {
 
   private def fs = new Path(baseDir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def graphDir(name: String): Path = new Path(s"$baseDir/$name")
+
+  private def tableName(name: String, version: Long): String = {
+    val ns = java.lang.Integer.toHexString(baseDir.hashCode)
+    val safe = name.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    f"graft_${ns}_${safe}_v$version%06d"
+  }
 
   private def versionsOf(name: String): Seq[(Long, Path)] = {
     val dir = graphDir(name)
@@ -63,7 +83,16 @@ final class GraphCatalog(spark: SparkSession, baseDir: String) {
   private def writeVersion(name: String, edges: DataFrame): Unit = {
     val next = versionsOf(name).lastOption.map(_._1 + 1).getOrElse(1L)
     val target = new Path(graphDir(name), f"v$next%06d")
-    edges.select("src", "dst").write.mode("errorifexists").parquet(target.toString)
+    buckets match {
+      case Some(n) =>
+        edges.select("src", "dst").write
+          .option("path", target.toString)
+          .bucketBy(n, "src").sortBy("src")
+          .format("parquet").saveAsTable(tableName(name, next))
+      case None =>
+        edges.select("src", "dst").write.mode("errorifexists")
+          .parquet(target.toString)
+    }
   }
 
   /** op 1 — AddGraph (reference `primary_server.c:86-179`). */
@@ -87,7 +116,17 @@ final class GraphCatalog(spark: SparkSession, baseDir: String) {
   def load(name: String): DataFrame = {
     val vs = versionsOf(name)
     if (vs.isEmpty) throw new GraphNotFoundException(name)
-    spark.read.parquet(vs.last._2.toString)
+    loadAt(name, vs.last._1, vs.last._2)
+  }
+
+  /** Path read, upgraded to the catalog-table read (which carries the
+    * bucket-layout metadata Catalyst needs to elide the Exchange) when
+    * this catalog wrote the version bucketed.
+    */
+  private def loadAt(name: String, version: Long, path: Path): DataFrame = {
+    val t = tableName(name, version)
+    if (buckets.isDefined && spark.catalog.tableExists(t)) spark.table(t)
+    else spark.read.parquet(path.toString)
   }
 
   /** Time travel: GraphScan of a SPECIFIC complete snapshot version (as
@@ -98,7 +137,7 @@ final class GraphCatalog(spark: SparkSession, baseDir: String) {
   def load(name: String, version: Long): DataFrame = {
     val vs = versionsOf(name)
     vs.find(_._1 == version) match {
-      case Some((_, p)) => spark.read.parquet(p.toString)
+      case Some((_, p)) => loadAt(name, version, p)
       case None => throw GraphNotFoundException.version(name, version, vs.map(_._1))
     }
   }
@@ -120,7 +159,10 @@ final class GraphCatalog(spark: SparkSession, baseDir: String) {
     */
   def vacuum(name: String, keep: Int = 1): Unit = {
     val vs = versionsOf(name)
-    vs.dropRight(keep).foreach { case (_, p) => fs.delete(p, true) }
+    vs.dropRight(keep).foreach { case (v, p) =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(name, v)}")
+      fs.delete(p, true)
+    }
   }
 
   /** Migration helper: ingest a directory of reference-format graph files
@@ -152,6 +194,8 @@ final class GraphCatalog(spark: SparkSession, baseDir: String) {
     * registered graphs. Spark's own lifecycle handles in-flight actions.
     */
   def dropAll(): Unit = {
+    for (name <- list(); v <- versions(name))
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(name, v)}")
     val base = new Path(baseDir)
     if (fs.exists(base)) fs.delete(base, true)
     ()

@@ -23,23 +23,79 @@ object GraphOps {
     * a long-lived session issuing many graph queries no longer accumulates
     * MEMORY_AND_DISK Pregel/iteration RDDs until a driver GC happens.
     *
-    * Only RDD ids that appeared DURING `build` and do not back the result
-    * are released, so persisted data owned by other queries is untouched.
-    * (Concurrent query submission from other threads during `build` could
-    * see its fresh persists released; the engine serializes graph queries
-    * per session, as the tests do.)
+    * CONCURRENT-QUERY SAFE: RDD ids cannot be attributed to a thread, so
+    * when two graph queries overlap, an id that appeared during query A's
+    * window may actually be query B's intermediate — or B's not-yet-
+    * registered RESULT. [[BuildTracker]] resolves the ambiguity by
+    * DEFERRING: ids that appeared while other builds were in flight are
+    * parked until every overlapping build has finished and registered its
+    * result-backing ids, then released minus all registered keeps. Ids
+    * from a non-overlapped window release immediately (the common,
+    * serialized case — identical behavior to before). Double-unpersist of
+    * an id another query also swept is a harmless no-op. The one remaining
+    * caveat: caller code persisting UNRELATED RDDs concurrently with an
+    * in-flight graph query should persist them outside the query window
+    * or re-persist after (same exposure the old serialized contract had).
     */
   private def ownedGraphResult(spark: SparkSession)(build: => DataFrame): DataFrame = {
     val sc = spark.sparkContext
+    val token = BuildTracker.begin()
     val before = sc.getPersistentRDDs.keySet
-    val out = build.localCheckpoint(eager = true)
+    val out =
+      try build.localCheckpoint(eager = true)
+      catch { case e: Throwable => BuildTracker.abort(token, sc); throw e }
     val keep = out.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }.toSet
-    sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!before.contains(id) && !keep.contains(id)) rdd.unpersist(blocking = false)
-    }
+    val fresh = (sc.getPersistentRDDs.keySet -- before).toSet
+    BuildTracker.finish(token, fresh, keep, sc)
     out
+  }
+
+  /** Ownership ledger for [[ownedGraphResult]]'s persisted-RDD cleanup
+    * under concurrency. Each build takes a token; at finish it reports the
+    * persisted ids that appeared during its window plus the ids backing
+    * its result. Windows that overlapped no other build release their ids
+    * immediately; ambiguous ids wait for every overlapping token to
+    * finish, then release minus every registered keep. All state driver-
+    * side and tiny (integer ids), all transitions under one lock —
+    * contention is per-query, not per-task.
+    */
+  private object BuildTracker {
+    private var nextToken = 0L
+    private var active = Set.empty[Long]
+    /** parked ids → tokens that must finish before release is unambiguous */
+    private final case class Parked(ids: Set[Int], waitFor: Set[Long])
+    private var parked = List.empty[Parked]
+    /** result-backing ids registered by finished builds; pruned lazily
+      * against the live persisted set so it cannot grow unboundedly */
+    private var keepIds = Set.empty[Int]
+
+    def begin(): Long = synchronized { nextToken += 1; active += nextToken; nextToken }
+
+    def abort(token: Long, sc: org.apache.spark.SparkContext): Unit =
+      finish(token, Set.empty, Set.empty, sc)
+
+    def finish(token: Long, fresh: Set[Int], keep: Set[Int],
+               sc: org.apache.spark.SparkContext): Unit = {
+      val toRelease = synchronized {
+        active -= token
+        keepIds ++= keep
+        keepIds = keepIds.filter(sc.getPersistentRDDs.contains) // lazy prune
+        val mine = fresh -- keep
+        val now = List.newBuilder[Int]
+        if (active.isEmpty && parked.isEmpty) now ++= mine
+        else parked ::= Parked(mine, active)
+        parked = parked.flatMap { p =>
+          val rest = p.waitFor - token
+          if (rest.isEmpty) { now ++= (p.ids -- keepIds); None }
+          else Some(p.copy(waitFor = rest))
+        }
+        now.result().filterNot(keepIds.contains)
+      }
+      val live = sc.getPersistentRDDs
+      toRelease.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
   }
 
   /** BFS levels — reference op 4 (`secondary_server.c:94-140`).
@@ -389,6 +445,41 @@ object GraphOps {
     }.orderBy("vertex")
   }
 
+  /** k-core peeling to the FIXPOINT: iterate "drop every vertex with
+    * degree < k" until a round drops nothing — the answer a user means by
+    * "the k-core" (the maximal subgraph in which every vertex has degree
+    * ≥ k). [[kCoreBounded]] is the oracle-replayable bounded variant of
+    * the same round function; this wrapper adds convergence detection:
+    * a round is a fixpoint iff it drops no EDGE, so the per-round test is
+    * one `count()` over the freshly checkpointed edge table (already
+    * materialized — the check is a partition-size sum, not a recompute).
+    * Terminates in ≤ |V| rounds (every non-final round removes ≥ 1
+    * vertex). Output as [[kCoreBounded]]: surviving (vertex, degree-in-
+    * core), ordered.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = Int.MaxValue): DataFrame = {
+    ownedGraphResult(edges.sparkSession) {
+      var e = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .localCheckpoint(true)
+      var nEdges = e.count()
+      var round = 0
+      var converged = nEdges == 0L
+      while (!converged && round < maxRounds) {
+        val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select("src")
+        val next = e.join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+        val nNext = next.count()
+        converged = nNext == nEdges // no edge dropped ⇒ degrees unchanged ⇒ fixpoint
+        e = next; nEdges = nNext; round += 1
+      }
+      e.groupBy(col("src").as("vertex"))
+        .agg(count(lit(1)).cast("long").as("degree"))
+    }.orderBy("vertex")
+  }
+
   /** Bounded synchronous label propagation (community detection): labels
     * start as the vertex id; each round every vertex adopts the most
     * frequent label among its neighbors, ties to the SMALLEST label —
@@ -397,11 +488,16 @@ object GraphOps {
     * bounded-iteration contract as [[ssspBounded]]/[[kCoreBounded]]).
     * Input contract: a symmetrized edge set (every vertex occurs as both
     * src and dst), so every vertex receives messages each round. One join
-    * + one count-aggregate + one argmax window per round. Output:
-    * (vertex, label) ordered.
+    * + one count-aggregate + one `max_by` argmax per round — the argmax is
+    * a second aggregate on the same `vertex` key (the count-agg's hash
+    * partitioning is reused, no extra exchange), NOT a row_number window,
+    * which would add a full sort-exchange per round. The tie-break
+    * (most frequent label, then SMALLEST label) is encoded in the max_by
+    * ordering struct `(n, -label)`: that struct is unique per
+    * (vertex, label) group, so the argmax is fully deterministic.
+    * Output: (vertex, label) ordered.
     */
   def labelPropagationBounded(edges: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     ownedGraphResult(edges.sparkSession) {
       val e = edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"))
@@ -410,19 +506,102 @@ object GraphOps {
         .withColumn("label", col("vertex"))
         .localCheckpoint(true)
       for (_ <- 1 to rounds) {
-        val incoming = e.join(lab.withColumnRenamed("vertex", "dst"), "dst")
-          .select(col("src").as("vertex"), col("label"))
-        val counted = incoming.groupBy("vertex", "label")
-          .agg(count(lit(1)).as("n"))
-        val w = Window.partitionBy("vertex")
-          .orderBy(col("n").desc, col("label").asc)
-        lab = counted.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select("vertex", "label")
-          .localCheckpoint(true)
+        lab = lpaRound(e, lab).localCheckpoint(true)
       }
       lab
     }.orderBy("vertex")
   }
+
+  /** Label propagation to a STABLE labeling: run [[lpaRound]] until a
+    * round changes no vertex's label (the per-round delta test is one
+    * anti-join between two checkpointed (vertex, label) tables — empty ⇒
+    * fixpoint). Synchronous LPA can 2-cycle on bipartite structure
+    * (labels oscillating between the two sides), so `maxRounds` is a
+    * REQUIRED safety bound, not an accuracy knob — the default 100 ends
+    * any oscillator while letting real community structure converge
+    * (typical corpora stabilize in < 10 rounds). Semantics per round are
+    * identical to [[labelPropagationBounded]] (deterministic min-label
+    * tie-break). Output: (vertex, label) ordered.
+    */
+  def labelPropagation(edges: DataFrame, maxRounds: Int = 100): DataFrame = {
+    ownedGraphResult(edges.sparkSession) {
+      val e = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .localCheckpoint(true)
+      var lab = e.select(col("src").as("vertex")).distinct()
+        .withColumn("label", col("vertex"))
+        .localCheckpoint(true)
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        val next = lpaRound(e, lab).localCheckpoint(true)
+        converged = next.join(lab, Seq("vertex", "label"), "left_anti").isEmpty
+        lab = next; round += 1
+      }
+      lab
+    }.orderBy("vertex")
+  }
+
+  /** Single-source shortest paths to the FIXPOINT: Bellman-Ford rounds
+    * (the [[ssspBounded]] round function) until a round improves no
+    * distance and reaches no new vertex — detected by an anti-join of the
+    * new (vertex, dist) table against the previous one (both
+    * checkpointed; min-aggregation makes distances monotonically
+    * non-increasing, so "no row changed" ⇔ fixpoint). Converges in
+    * ≤ |V| − 1 rounds on any graph with non-negative weights; a negative
+    * cycle would relax forever, so `maxRounds` is the standard
+    * Bellman-Ford safety bound (pass |V| to detect: hitting the bound
+    * without converging ⇒ a reachable negative cycle exists).
+    * Output as [[ssspBounded]]: (vertex, dist) ordered.
+    */
+  def sssp(edges: DataFrame, start: Long,
+           maxRounds: Int = Int.MaxValue): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    ownedGraphResult(spark) {
+      val e = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        var dist = Seq((start, 0L)).toDF("vertex", "dist").localCheckpoint(true)
+        var round = 0
+        var converged = false
+        while (!converged && round < maxRounds) {
+          val relaxed = dist.join(e, dist("vertex") === e("src"))
+            .select(e("dst").as("vertex"), (dist("dist") + e("w")).as("dist"))
+          val next = dist.unionAll(relaxed)
+            .groupBy("vertex").agg(min("dist").as("dist"))
+            .localCheckpoint(true)
+          converged = next.join(dist, Seq("vertex", "dist"), "left_anti").isEmpty
+          dist = next; round += 1
+        }
+        dist
+      } finally { e.unpersist(); () }
+    }.orderBy("vertex")
+  }
+
+  /** One synchronous LPA round: every vertex adopts the most frequent
+    * neighbor label, ties to the smallest label (see
+    * [[labelPropagationBounded]] for the determinism argument).
+    *
+    * One data exchange beyond the message join: the explicit
+    * `repartition(vertex)` satisfies the clustered distribution of BOTH
+    * aggregates (hash partitioning on `vertex` co-locates every
+    * `(vertex, label)` group too — a partitioning on a subset of the
+    * grouping keys satisfies the superset), so the label count AND the
+    * max_by argmax both run exchange-free on top of it. Without it the
+    * planner inserts two exchanges — one on (vertex, label), a second on
+    * vertex — and the row_number window this replaced added a full sort
+    * besides.
+    */
+  private def lpaRound(e: DataFrame, lab: DataFrame): DataFrame =
+    e.join(lab.withColumnRenamed("vertex", "dst"), "dst")
+      .select(col("src").as("vertex"), col("label"))
+      .repartition(col("vertex"))
+      .groupBy("vertex", "label")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("vertex")
+      .agg(max_by(col("label"), struct(col("n"), -col("label"))).as("label"))
 
   /** Per-vertex triangle counts over an undirected graph given as
     * CANONICAL pairs `(a, b)` with `a < b`, distinct — the classic
@@ -534,44 +713,75 @@ object GraphOps {
     * good hubs, hub = points at good authorities. On a bipartite
     * part→supplier graph the two scores are the principal singular-vector
     * pair of the adjacency — the spectral ranking a curation pipeline uses
-    * to score source quality. GraphX ships no HITS, so this is the
-    * canonical iterative-dataflow form: per iteration one join+sum per
-    * direction plus an L2 normalization (a broadcast one-row cross join),
-    * per-round localCheckpoint to cut lineage (the BFS/LPA convention),
-    * all persisted intermediates owner-released.
+    * to score source quality. GraphX ships no HITS, so this builds it on
+    * [[org.apache.spark.graphx.Graph.aggregateMessages]] — the same
+    * co-partitioned vertex/edge representation as [[pageRank]], which
+    * ships vertex attributes to statically-placed edge partitions instead
+    * of re-shuffling the edge table twice per round the way a SQL
+    * join-per-half-step plan does.
+    *
+    * Two structural choices keep the round cost minimal:
+    *
+    *   - the update is BILINEAR, so scalar normalization factors commute
+    *     through it — normalize-every-round and normalize-at-the-end give
+    *     the SAME direction. Rounds 1..iters-1 therefore run completely
+    *     UNNORMALIZED and lazy: no per-round norm job, no driver action,
+    *     just two message passes (each round's graph is persisted so the
+    *     single final action computes each once — the staticPageRank
+    *     caching discipline; [[ownedGraphResult]] releases them all);
+    *   - L2 normalization is applied exactly twice, on the final round:
+    *     the last a iterate, then h computed FROM the normalized a —
+    *     matching the textbook recurrence's final round up to float
+    *     associativity.
+    *
+    * Unnormalized magnitudes stay in double range: iterate t scales as
+    * σ₁^(2t) (σ₁ = top singular value, bounded by max degree), so 10
+    * rounds overflow only past σ₁ ~ 1e15 — beyond any real graph's
+    * degree. Initial h = 1 on EVERY vertex is equivalent to 1-on-sources:
+    * a sink's h is never read by the auth message pass (messages flow
+    * src→dst), and sinks' h output is recomputed in the final round.
     *
     * Scores are double sums (summation-order jitter) — callers round,
     * like [[pageRank]]. Output: (vertex, hub, auth) for all vertices.
     */
   def hits(edges: DataFrame, iters: Int = 10): DataFrame = {
-    ownedGraphResult(edges.sparkSession) {
-      val e = edges.select(col("src").cast("long").as("src"),
-          col("dst").cast("long").as("dst"))
-        .localCheckpoint(true)
-      val verts = e.select(col("src").as("vertex"))
-        .unionAll(e.select(col("dst").as("vertex")))
-        .distinct().localCheckpoint(true)
-      var h = verts.withColumn("h", lit(1.0))
-      var a = verts.withColumn("a", lit(0.0))
-      for (_ <- 1 to iters) {
-        val a0 = e.join(h.withColumnRenamed("vertex", "src"), "src")
-          .groupBy(col("dst").as("vertex")).agg(sum("h").as("a"))
-        val aN = a0.crossJoin(broadcast(
-          a0.agg(sqrt(sum(col("a") * col("a"))).as("norm"))))
-          .select(col("vertex"), (col("a") / col("norm")).as("a"))
-        a = verts.join(aN, Seq("vertex"), "left")
-          .select(col("vertex"), coalesce(col("a"), lit(0.0)).as("a"))
-          .localCheckpoint(true)
-        val h0 = e.join(a.withColumnRenamed("vertex", "dst"), "dst")
-          .groupBy(col("src").as("vertex")).agg(sum("a").as("h"))
-        val hN = h0.crossJoin(broadcast(
-          h0.agg(sqrt(sum(col("h") * col("h"))).as("norm"))))
-          .select(col("vertex"), (col("h") / col("norm")).as("h"))
-        h = verts.join(hN, Seq("vertex"), "left")
-          .select(col("vertex"), coalesce(col("h"), lit(0.0)).as("h"))
-          .localCheckpoint(true)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    ownedGraphResult(spark) {
+      val eRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
+        .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      // vertex attr = (h, a); lazily chained rounds, each persisted
+      var g = Graph.fromEdges(eRdd, (1.0, 0.0),
+        edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+        vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      for (_ <- 1 until iters) {
+        val aMsg = g.aggregateMessages[Double](
+          ctx => ctx.sendToDst(ctx.srcAttr._1), _ + _)
+        val gA = g.outerJoinVertices(aMsg)(
+          (_, attr, ao) => (attr._1, ao.getOrElse(0.0)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val hMsg = gA.aggregateMessages[Double](
+          ctx => ctx.sendToSrc(ctx.dstAttr._2), _ + _)
+        g = gA.outerJoinVertices(hMsg)(
+          (_, attr, ho) => (ho.getOrElse(0.0), attr._2))
+          .persist(StorageLevel.MEMORY_AND_DISK)
       }
-      h.join(a, "vertex")
+      // final round: materialize a once, L2-normalize, then h from â
+      val aMsg = g.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr._1), _ + _)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val an = math.sqrt(aMsg.values.map(x => x * x).sum())
+      val gA = g.outerJoinVertices(aMsg)(
+        (_, attr, ao) => (attr._1, ao.getOrElse(0.0) / an))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hMsg = gA.aggregateMessages[Double](
+        ctx => ctx.sendToSrc(ctx.dstAttr._2), _ + _)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hn = math.sqrt(hMsg.values.map(x => x * x).sum())
+      val out = gA.outerJoinVertices(hMsg)(
+        (_, attr, ho) => (ho.getOrElse(0.0) / hn, attr._2))
+      out.vertices.map { case (v, (h, a)) => (v, h, a) }
+        .toDF("vertex", "h", "a")
     }
   }
 

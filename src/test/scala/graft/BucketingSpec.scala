@@ -31,4 +31,48 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
+
+  test("bucketed GraphCatalog: frontier join reads the edge snapshot without an Exchange") {
+    import graft.graph.GraphCatalog
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cat_bucketed_").toString
+    val cat = new GraphCatalog(spark, tmp, buckets = Some(4))
+    val plain = new GraphCatalog(spark, tmp) // same dirs, path-reader view
+    val edges = undirected((1, 2), (1, 4), (2, 5), (2, 7), (3, 4), (6, 7))
+    cat.add("GB", edges)
+    try {
+      val e = cat.load("GB")
+      // the per-round BFS shape: frontier ⋈ edges ON src. The bucketed
+      // snapshot must contribute NO Exchange — only the frontier side
+      // repartitions to match the bucket layout.
+      val frontier = Seq(1L).toDF("src")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = e.join(frontier, "src")
+        val nExchanges = "Exchange hashpartitioning".r
+          .findAllIn(joined.queryExecution.executedPlan.toString).length
+        assert(nExchanges == 1,
+          s"expected only the frontier-side Exchange, got $nExchanges:\n" +
+            joined.queryExecution.executedPlan)
+        // degree aggregate on the bucket key: zero Exchanges
+        val deg = e.groupBy("src").count()
+        assert(!deg.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+          "degree aggregate on bucket key still shuffles")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // correctness: bucketed read == plain path read of the same snapshot
+      val viaBucket = e.orderBy("src", "dst").collect().toSeq
+      val viaPath = plain.load("GB").orderBy("src", "dst").collect().toSeq
+      assert(viaBucket == viaPath)
+      // MVCC still holds: modify writes v2 bucketed; v1 stays time-travelable
+      cat.modify("GB", undirected((1, 2)))
+      assert(cat.versions("GB") == Seq(1L, 2L))
+      assert(cat.load("GB").count() == 2)
+      assert(cat.load("GB", 1L).count() == 12)
+      // vacuum drops the superseded version's table AND files
+      cat.vacuum("GB")
+      assert(cat.versions("GB") == Seq(2L))
+    } finally cat.dropAll()
+  }
 }

@@ -196,4 +196,48 @@ class EngineSpec extends AnyFunSuite {
     engine.catalog.importMatrixDir(dbDir)
     assert(engine.catalog.load("G12").count() == 4)
   }
+
+  test("concurrent graph queries under FAIR pools: correct results, no persisted-RDD leak") {
+    // The reference's core semantic is thread-per-request concurrency
+    // (secondary_server.c:376): many graph queries in flight at once. This
+    // races 8 queries across 4 FAIR pools and checks (a) every racing
+    // result equals its serial baseline, and (b) ownedGraphResult's
+    // cleanup released every intermediate — one query's sweep must NOT
+    // release another in-flight query's fresh persists or its result.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    import graft.graph.GraphOps
+    val sc = spark.sparkContext
+    val edges = undirected((1, 2), (1, 4), (2, 5), (2, 7), (3, 4), (6, 7))
+    def runOne(kind: Int): Seq[String] = {
+      val df = (kind % 4) match {
+        case 0 => GraphOps.pageRank(edges, iters = 3)
+            .selectExpr("vertex", "round(rank, 6) as r")
+        case 1 => GraphOps.bfsLevelsPregel(edges, 1L)
+        case 2 => GraphOps.hits(edges, iters = 5)
+            .selectExpr("vertex", "round(h, 6) as h", "round(a, 6) as a")
+        case _ => GraphOps.labelPropagation(edges, maxRounds = 5)
+      }
+      df.collect().map(_.toString).toSeq.sorted
+    }
+    val baselines = (0 to 3).map(runOne)
+    val before = sc.getPersistentRDDs.keySet
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = (0 until 8).map { i =>
+        Future {
+          sc.setLocalProperty("spark.scheduler.pool", s"q${i % 4}")
+          try i -> runOne(i) finally sc.setLocalProperty("spark.scheduler.pool", null)
+        }
+      }
+      val results = Await.result(Future.sequence(futs), 5.minutes)
+      for ((i, got) <- results)
+        assert(got == baselines(i % 4), s"racing query $i diverged from its serial baseline")
+    } finally pool.shutdown()
+    // every intermediate must be gone; at most one result-backing
+    // checkpoint RDD per racing query may remain until its reference drops
+    val extra = (sc.getPersistentRDDs.keySet -- before).toSeq.sorted
+    assert(extra.size <= 8, s"concurrent sweep leaked intermediates: $extra")
+  }
 }

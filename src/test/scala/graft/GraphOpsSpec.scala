@@ -339,4 +339,164 @@ class GraphOpsSpec extends AnyFunSuite {
     val outP = GraphOps.dfsLeavesPregel(g, 1L).collect().map(_.getLong(0)).toSet
     assert(outP == Set(1L))
   }
+
+  // ---- fixpoint variants (convergence-detecting loops; the bounded
+  // variants above stay the oracle-replayable contract) ----
+
+  test("kCore fixpoint peels a cascading tail the 2-round bounded variant cannot") {
+    // triangle {1,2,3} + pendant chain 1-4-5-6: k=2 must peel 6, then 5,
+    // then 4 — three cascading rounds before the triangle is stable
+    val g = undirected((1, 2), (2, 3), (1, 3), (1, 4), (4, 5), (5, 6))
+    val fix = GraphOps.kCore(g, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fix == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // the 2-round bounded variant still holds vertex 4 (chain not fully peeled)
+    val bounded = GraphOps.kCoreBounded(g, k = 2, rounds = 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(bounded.contains(4L))
+  }
+
+  test("kCore fixpoint of a tree at k=2 is empty; maxRounds stops early") {
+    val path = undirected((1, 2), (2, 3), (3, 4), (4, 5))
+    assert(GraphOps.kCore(path, k = 2).collect().isEmpty)
+    // with maxRounds=1 the peel is cut short: interior survives one round
+    val partial = GraphOps.kCore(path, k = 2, maxRounds = 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(partial == Set(2L, 3L, 4L))
+  }
+
+  test("property: kCore fixpoint invariants on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val n = 18
+      val base = (for {
+        a <- 1 to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.15
+      } yield (a.toLong, b.toLong)).toSeq
+      // plant a known 3-core: clique {101,102,103,104}
+      val clique = (for {
+        a <- 101 to 104; b <- (a + 1) to 104
+      } yield (a.toLong, b.toLong)).toSeq
+      val g = undirected((base ++ clique): _*)
+      val k = 3
+      val core = GraphOps.kCore(g, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // invariant 1: every surviving vertex has degree >= k IN THE SURVIVOR GRAPH
+      assert(core.values.forall(_ >= k), s"trial $trial: degree < $k in core")
+      // invariant 2: the planted clique survives (it is a 3-core witness)
+      assert((101L to 104L).forall(core.contains), s"trial $trial: clique peeled")
+      // invariant 3: fixpoint == bounded with rounds >= |V| (full peel)
+      val boundedFull = GraphOps.kCoreBounded(g, k, rounds = n + 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(core == boundedFull, s"trial $trial: fixpoint != exhaustive bounded")
+      // invariant 4: idempotent — re-peeling the core changes nothing
+      val coreEdges = g.as[(Long, Long)].collect()
+        .filter { case (s, d) => core.contains(s) && core.contains(d) }
+      val again = GraphOps.kCore(coreEdges.toSeq.toDF("src", "dst"), k).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(again == core, s"trial $trial: core not a fixpoint")
+    }
+  }
+
+  test("labelPropagation fixpoint resolves the two triangle communities") {
+    val g = undirected((1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4))
+    val out = GraphOps.labelPropagation(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation terminates on a bipartite 2-cycle oscillator via maxRounds") {
+    // single symmetrized edge 1-2: synchronous LPA swaps labels forever
+    // (1 adopts 2's label while 2 adopts 1's) — only maxRounds ends it
+    val g = undirected((1, 2))
+    val out = GraphOps.labelPropagation(g, maxRounds = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(Set(Map(1L -> 1L, 2L -> 2L), Map(1L -> 2L, 2L -> 1L)).contains(out))
+  }
+
+  test("property: labelPropagation fixpoint is a STABLE labeling on planted communities") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(57)
+    for (trial <- 1 to 2) {
+      // two planted 6-cliques joined by one bridge edge + random intra noise
+      val cliqueA = for { a <- 1 to 6; b <- (a + 1) to 6 } yield (a.toLong, b.toLong)
+      val cliqueB = for { a <- 11 to 16; b <- (a + 1) to 16 } yield (a.toLong, b.toLong)
+      val bridge = Seq((6L, 11L))
+      val g = undirected((cliqueA ++ cliqueB ++ bridge): _*)
+      val out = GraphOps.labelPropagation(g, maxRounds = 50).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // each planted clique is uniformly labeled (bridge endpoints may defect,
+      // but 5 interior members of each clique must agree)
+      assert((1L to 5L).map(out).toSet.size == 1, s"trial $trial: clique A split")
+      assert((12L to 16L).map(out).toSet.size == 1, s"trial $trial: clique B split")
+      // stability: one more bounded round from the fixpoint changes nothing —
+      // replay bounded LPA seeded from scratch for (converged + 1) rounds and
+      // compare against (converged) rounds on a graph that cannot oscillate
+      val r6 = GraphOps.labelPropagationBounded(g, rounds = 6).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val r7 = GraphOps.labelPropagationBounded(g, rounds = 7).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      if (r6 == r7) assert(out == r6, s"trial $trial: fixpoint != stable bounded")
+      val _ = rnd // seed reserved for future noise injection
+    }
+  }
+
+  test("sssp fixpoint equals driver Dijkstra on seeded random weighted graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    for (trial <- 1 to 3) {
+      val n = 20
+      val edges = (for {
+        s <- 1 to n; d <- 1 to n
+        if s != d && rnd.nextDouble() < 0.12
+      } yield (s.toLong, d.toLong, (1 + rnd.nextInt(9)).toLong)).toSeq
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+      val dist = scala.collection.mutable.Map(1L -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, 1L))(
+        Ordering.by[(Long, Long), Long](-_._1))
+      while (pq.nonEmpty) {
+        val (d, v) = pq.dequeue()
+        if (dist.getOrElse(v, Long.MaxValue) == d)
+          adj.getOrElse(v, Seq.empty).foreach { case (u, w) =>
+            if (d + w < dist.getOrElse(u, Long.MaxValue)) {
+              dist(u) = d + w; pq.enqueue((d + w, u))
+            }
+          }
+      }
+      val got = GraphOps.sssp(edges.toDF("src", "dst", "w"), 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == dist.toMap, s"trial $trial: sssp fixpoint != Dijkstra")
+    }
+  }
+
+  test("sssp fixpoint on a weighted path converges without a round budget") {
+    import spark.implicits._
+    val n = 30
+    val e = (1 until n).map(i => (i.toLong, i + 1L, 2L)).toDF("src", "dst", "w")
+    val out = GraphOps.sssp(e, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == n)
+    (1 to n).foreach(i => assert(out(i.toLong) == 2L * (i - 1)))
+  }
+
+  test("fixpoint graph queries release their persisted RDDs") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val edges = docxG2
+    val w = edges.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val runs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "kCore" -> (() => GraphOps.kCore(edges, k = 2)),
+      "labelPropagation" -> (() => GraphOps.labelPropagation(edges, maxRounds = 10)),
+      "sssp" -> (() => GraphOps.sssp(w, 1L)),
+      "hits" -> (() => GraphOps.hits(edges, iters = 5)),
+    )
+    for ((name, run) <- runs) {
+      val before = sc.getPersistentRDDs.keySet
+      run().count()
+      val extra = (sc.getPersistentRDDs.keySet -- before).toSeq.sorted
+      assert(extra.size <= 1, s"$name left ${extra.size} persisted RDDs: $extra")
+    }
+  }
 }

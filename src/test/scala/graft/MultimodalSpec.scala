@@ -150,4 +150,31 @@ class MultimodalSpec extends AnyFunSuite {
       .digest("hello world".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(s(0).getString(3) == md)
   }
+
+  test("VideoDecoder SPI: a registered decoder takes over video decode; clear restores the default") {
+    import graft.multimodal.VideoDecoder
+    val garbage = "0123456789".getBytes("US-ASCII")
+    val stubAnswer = MediaCodecs.decodeStub("video", garbage)
+    // default chain: probe fails on garbage → stub
+    assert(MediaCodecs.decode("video", garbage) == stubAnswer)
+    // inject an "ffmpeg-backed" decoder (deterministic fake with the SPI's
+    // real signature): fixed dims, intensity = first payload byte
+    VideoDecoder.register(new VideoDecoder {
+      def decode(payload: Array[Byte]): Option[(Int, Int, Double)] =
+        if (payload.isEmpty) None
+        else Some((640, 480, (payload(0) & 0xff).toDouble))
+    })
+    try {
+      assert(MediaCodecs.decode("video", garbage) == ((640, 480, '0'.toInt.toDouble)))
+      // a decoder that declines (None) falls back to the default chain
+      VideoDecoder.register(new VideoDecoder {
+        def decode(payload: Array[Byte]): Option[(Int, Int, Double)] = None
+      })
+      assert(MediaCodecs.decode("video", garbage) == stubAnswer)
+    } finally VideoDecoder.clear()
+    assert(MediaCodecs.decode("video", garbage) == stubAnswer)
+    // image/audio dispatch is untouched by registration state
+    assert(MediaCodecs.decode("image", garbage) ==
+      MediaCodecs.decodeStub("image", garbage))
+  }
 }

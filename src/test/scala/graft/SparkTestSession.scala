@@ -13,6 +13,10 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as LONG nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // FAIR scheduling so the concurrent-graph-query test exercises the
+      // reference's thread-per-request model (undeclared pools get default
+      // weight — no allocation file needed)
+      .config("spark.scheduler.mode", "FAIR")
       // static conf: bucketed-table tests write managed tables here
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse_").toString)
