@@ -128,6 +128,16 @@ object SparkEntry {
         .unionAll(pe.select((col("sk") + 1000000000L).as("src"), col("p").as("dst"), col("w")))
       GraphOps.ssspBounded(e, 1L, rounds = 3)
     }),
+    // SSSP to CONVERGENCE (fixpoint Bellman-Ford) on the weighted rooted
+    // FOREST region→nation→customer→order: acyclic with one path per
+    // vertex, so the DuckDB recursive CTE terminates and min() is exact —
+    // the graph where an unbounded-oracle contract is possible. Weight =
+    // dst % 7 + 1: pure BIGINT arithmetic, engine-identical
+    "sssp_fixpoint" -> ((s, dir) =>
+      GraphOps.sssp(
+        DerivedGraphs.treeEdges(s, dir)
+          .withColumn("w", col("dst") % 7 + lit(1)),
+        start = 1L)),
     // GraphX PageRank on the bipartite graph, oracle-checked against a
     // 10-iteration unrolled power iteration in DuckDB (see pagerankSql);
     // 3-dp rounding on both sides absorbs summation-order float jitter
@@ -165,6 +175,15 @@ object SparkEntry {
       GraphOps.kCoreBounded(
         GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
         k = 30, rounds = 3)),
+    // k-core to CONVERGENCE (the fixpoint variant — what a user means by
+    // "the 30-core"): peeling stops when a round drops no edge. The oracle
+    // unrolls 5 peel rounds — measured convergence on this graph is 2
+    // rounds at both sf0.01 and sf0.1, and a peel round past the fixpoint
+    // is a no-op, so the extra unrolled rounds cannot change the relation
+    "kcore_fixpoint" -> ((s, dir) =>
+      GraphOps.kCore(
+        GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
+        k = 30)),
     // bounded synchronous label propagation (3 rounds, min-label
     // tie-break — deterministic, unlike async LPA) for community detection
     "label_propagation" -> ((s, dir) =>
@@ -213,6 +232,12 @@ object SparkEntry {
     // never emit the trailing window — see StreamOps.windowedAggReplayBatch)
     "stream_windowed_agg" -> ((s, dir) =>
       streaming.StreamOps.windowedAggReplayBatch(s, s"$dir/events.parquet")),
+    // STREAMING native session_window replay pinned to the SAME oracle as
+    // the batch events_sessions (session_window merges inclusively at the
+    // gap boundary, matching the batch diff>gap rule; ordinal session ids
+    // derived on the landed table)
+    "stream_sessions" -> ((s, dir) =>
+      streaming.StreamOps.sessionReplayBatch(s, s"$dir/events.parquet")),
     // STREAMING stream-stream interval self-join, oracle-checked: same
     // semantics (and oracle) as the batch events_within_5s — inner joins
     // emit on arrival, so an AvailableNow replay in append mode is exact
@@ -454,6 +479,12 @@ object SparkEntry {
     "degree_assortativity" -> ((s, dir) =>
       GraphOps.degreeAssortativity(coPurchasePairs(s, dir))),
     // set ops: INTERSECT — customers who ordered in BOTH 1995 and 1996
+    // global percent_rank + ntile WITHOUT a single-partition window:
+    // range-partitioned sort + zipWithIndex two-pass rank (the scale-safe
+    // form of the global-ORDER-BY window trap); percent = one exact-int
+    // division, bit-identical; revenue rounded 2dp (order-jittered sum)
+    "revenue_percentiles" -> ((s, dir) =>
+      pipeline.Ranking.revenuePercentiles(t(s, dir, "orders"), k = 10)),
     "repeat_customers" -> ((s, dir) => {
       def custsOf(y: Int) = t(s, dir, "orders")
         .filter(year(col("o_orderdate").cast("timestamp")) === y)
@@ -573,6 +604,12 @@ object SparkEntry {
     "ngram_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(t(s, dir, "documents"), w = 3,
         threshold = 0.5, maxShingleFreq = 1000L)),
+    // sorted-neighborhood dedup (blocked): sort-order adjacency as the
+    // candidate generator (the third family next to the inverted-index
+    // join and LSH banding), verified by the same exact trigram Jaccard
+    "sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"), window = 3,
+        w = 3, threshold = 0.1, blockLen = 8)),
     // bag-of-words cosine pairs via the inverted-index join (df-capped);
     // integer-exact threshold test, bit-identical cosine — no rounding.
     // t=0.9 is the near-dup regime: this corpus's shared vocabulary puts
@@ -740,12 +777,15 @@ object SparkEntry {
       |e0 AS (SELECT CAST(p AS BIGINT) AS src, CAST(1000000000 + s AS BIGINT) AS dst FROM pe
       |       UNION ALL SELECT CAST(1000000000 + s AS BIGINT), CAST(p AS BIGINT) FROM pe)""".stripMargin
 
-  /** Three unrolled peel rounds (degree ≥ 30) — DuckDB recursive CTEs
+  /** `n` unrolled peel rounds (degree ≥ 30) — DuckDB recursive CTEs
     * cannot re-aggregate the working edge set per step, same constraint
-    * as the PageRank oracle.
+    * as the PageRank oracle. The bounded query uses 3 rounds; the
+    * FIXPOINT query uses 5 — measured convergence on this graph is 2
+    * rounds (sf0.01 and sf0.1), and peel rounds past the fixpoint are
+    * no-ops, so 5 unrolled rounds compute the exact fixpoint relation.
     */
-  private val kcoreSql: String = {
-    val rounds = (1 to 3).map { i =>
+  private def kcoreUnrolledSql(n: Int): String = {
+    val rounds = (1 to n).map { i =>
       s"""k$i AS (SELECT src AS v FROM e${i - 1} GROUP BY src HAVING count(*) >= 30),
          |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
          |        JOIN k$i a ON a.v = e.src JOIN k$i b ON b.v = e.dst)""".stripMargin
@@ -753,8 +793,9 @@ object SparkEntry {
     s"""WITH $partSuppSymSql,
        |$rounds
        |SELECT src AS vertex, CAST(count(*) AS BIGINT) AS degree
-       |FROM e3 GROUP BY src ORDER BY vertex""".stripMargin
+       |FROM e$n GROUP BY src ORDER BY vertex""".stripMargin
   }
+  private val kcoreSql: String = kcoreUnrolledSql(3)
 
   /** Three unrolled synchronous LPA rounds, argmax by (count DESC, label). */
   private val lpaSql: String = {
@@ -850,6 +891,27 @@ object SparkEntry {
        |SELECT CAST(va AS BIGINT) AS vec_a, CAST(vb AS BIGINT) AS vec_b,
        |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
        |FROM sims WHERE dot / (na * nb) >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Gaps-and-islands sessionization (30-min gap) — shared by the batch
+    * `events_sessions` query and the streaming `stream_sessions`
+    * session_window replay (one relation, two execution models).
+    */
+  private val sessionsSql: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+      |lagged AS (SELECT user_id, ms, value,
+      |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+      |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM ev),
+      |sessions AS (SELECT user_id, ms, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM lagged)
+      |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sid AS BIGINT) AS session_id,
+      |  CAST(min(ms) AS BIGINT) AS session_start_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+      |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin
 
   private val jaccardSql = { threshold: Double =>
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -952,6 +1014,7 @@ object SparkEntry {
         |SELECT CAST(10000000 + o_orderkey AS BIGINT), CAST(1000 + o_custkey AS BIGINT) FROM orders
         |ORDER BY vertex""".stripMargin,
     "kcore_bounded" -> kcoreSql,
+    "kcore_fixpoint" -> kcoreUnrolledSql(5),
     "label_propagation" -> lpaSql,
     "salted_join_agg" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
@@ -978,6 +1041,19 @@ object SparkEntry {
         |)
         |SELECT v AS vertex, CAST(min(d) AS BIGINT) AS dist FROM walk
         |GROUP BY v ORDER BY vertex""".stripMargin,
+    // acyclic forest, unique path per vertex: UNION ALL recursion
+    // terminates with no hop bound — the true fixpoint relation
+    "sssp_fixpoint" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT src, dst, dst % 7 + 1 AS w FROM (${DerivedGraphs.treeEdgesSql})
+         |),
+         |sp(v, d) AS (
+         |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT e.dst, sp.d + e.w FROM sp JOIN e ON e.src = sp.v
+         |)
+         |SELECT v AS vertex, CAST(min(d) AS BIGINT) AS dist FROM sp
+         |GROUP BY v ORDER BY vertex""".stripMargin,
     "graph_scan" -> s"SELECT * FROM ($E) ORDER BY src, dst",
     "graph_add_roundtrip" ->
       """SELECT CAST(1 + n_regionkey AS BIGINT) AS src, CAST(10 + n_nationkey AS BIGINT) AS dst
@@ -1124,6 +1200,15 @@ object SparkEntry {
         |FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY n_orders DESC, part_a, part_b""".stripMargin,
+    "revenue_percentiles" ->
+      """WITH rev AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |         CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT custkey, revenue,
+        |  CAST(percent_rank() OVER (ORDER BY revenue, custkey) AS DOUBLE) AS pct_rank,
+        |  CAST(ntile(10) OVER (ORDER BY revenue, custkey) AS BIGINT) AS decile
+        |FROM rev ORDER BY custkey""".stripMargin,
     "repeat_customers" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT
@@ -1150,22 +1235,10 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |ORDER BY custkey""".stripMargin,
-    "events_sessions" ->
-      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
-        |lagged AS (SELECT user_id, ms, value,
-        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
-        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM ev),
-        |sessions AS (SELECT user_id, ms, value,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM lagged)
-        |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sid AS BIGINT) AS session_id,
-        |  CAST(min(ms) AS BIGINT) AS session_start_ms,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
-        |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
+    "events_sessions" -> sessionsSql,
+    // one relation, two execution models: the streaming session_window
+    // replay is checked against the SAME sessionization oracle
+    "stream_sessions" -> sessionsSql,
     "events_type_stats" ->
       """SELECT event_type,
         |  CAST(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 3) AS DOUBLE) AS avg_k,
@@ -1291,6 +1364,30 @@ object SparkEntry {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "ngram_jaccard" -> jaccardSql(0.1),
+    "sorted_neighborhood" ->
+      """WITH keyed AS (SELECT doc_id, lower(text) AS k,
+        |                      substr(lower(text), 1, 8) AS blk FROM documents),
+        |nb AS (
+        |  SELECT doc_id AS x, lead(doc_id, 1) OVER (PARTITION BY blk ORDER BY k, doc_id) AS y FROM keyed
+        |  UNION ALL
+        |  SELECT doc_id, lead(doc_id, 2) OVER (PARTITION BY blk ORDER BY k, doc_id) FROM keyed
+        |  UNION ALL
+        |  SELECT doc_id, lead(doc_id, 3) OVER (PARTITION BY blk ORDER BY k, doc_id) FROM keyed),
+        |cands AS (SELECT DISTINCT least(x, y) AS da, greatest(x, y) AS db
+        |          FROM nb WHERE y IS NOT NULL),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT c.da, c.db, count(*) AS inter
+        |          FROM cands c JOIN sh a ON a.doc_id = c.da
+        |          JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |          GROUP BY 1, 2)
+        |SELECT CAST(p.da AS BIGINT) AS doc_a, CAST(p.db AS BIGINT) AS doc_b,
+        |       CAST(round(p.inter * 1.0 / (sa.sz + sb.sz - p.inter), 4) AS DOUBLE) AS jaccard
+        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.da JOIN sizes sb ON sb.doc_id = p.db
+        |WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "ngram_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s

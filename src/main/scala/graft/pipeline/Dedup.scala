@@ -174,6 +174,58 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Sorted-neighborhood dedup (Hernández & Stolfo 1995, the BLOCKED
+    * variant): sort documents by a normalized key, compare each doc only
+    * with its next `window` neighbors in sort order, verify candidates by
+    * exact w-shingle Jaccard. The third candidate-generation family next
+    * to the inverted-index join ([[ngramJaccardPairs]]) and LSH banding
+    * ([[minhashLshPairs]]): near-identical texts share long prefixes, so
+    * they land adjacent in sort order and are found in O(n·window)
+    * comparisons — no quadratic key, no sketch.
+    *
+    * Scale: a GLOBAL sort window would serialize on one partition, so the
+    * sort is blocked — `blockLen` prefix chars of the key partition the
+    * window (`PARTITION BY block ORDER BY key, doc_id`), which is the
+    * standard multi-pass/blocked form and exactly what range-partitioned
+    * executors give you. The miss cases are inherent to the method (docs
+    * differing in their first words sort apart); that is why it composes
+    * with the other families rather than replacing them. Candidate pairs
+    * then drive a pair-keyed shingle join (cost ∝ candidates × doc size,
+    * not corpus²). Output: (doc_a, doc_b, jaccard ≥ threshold) ordered,
+    * same shape/arithmetic as [[ngramJaccardPairs]].
+    */
+  def sortedNeighborhoodPairs(documents: DataFrame, window: Int = 3,
+                              w: Int = 3, threshold: Double = 0.1,
+                              blockLen: Int = 8): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = documents
+      .select(col("doc_id"), lower(col("text")).as("k"))
+      .withColumn("blk", substring(col("k"), 1, blockLen))
+    val ws = Window.partitionBy("blk").orderBy(col("k"), col("doc_id"))
+    // one lead per offset (lead offsets must be literals), unioned; the
+    // pair is canonicalized (sort order ≠ id order) and deduped
+    val cands = (1 to window).map { i =>
+        keyed.select(col("doc_id").as("x"),
+          lead(col("doc_id"), i).over(ws).as("y"))
+      }.reduce(_ unionAll _)
+      .filter(col("y").isNotNull)
+      .select(least(col("x"), col("y")).as("da"),
+        greatest(col("x"), col("y")).as("db"))
+      .distinct()
+      .localCheckpoint(true)
+    val sh = shingles(documents, w).localCheckpoint(true)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // candidate-keyed intersection: expand each pair by side-a shingles,
+    // then match side-b's copy of the same shingle
+    val inter = cands
+      .join(sh.select(col("doc_id").as("da"), col("s").as("sa")), "da")
+      .join(sh.select(col("doc_id").as("db2"), col("s").as("sb")),
+        col("db") === col("db2") && col("sa") === col("sb"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    jaccardOf(inter, sizes, threshold)
+  }
+
   /** Bag-of-words cosine similarity join — the sparse-vector complement of
     * the set-based Jaccard family: documents as term-frequency vectors, one
     * row per unordered pair with cosine ≥ `threshold`, found via the

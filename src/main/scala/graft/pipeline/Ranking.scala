@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Global ranking WITHOUT a single-partition window.
+  *
+  * `Window.orderBy(...)` with no PARTITION BY collapses the whole dataset
+  * onto ONE task — the canonical scale trap for percentile/rank queries.
+  * The distributed form is the two-pass sort-rank: `orderBy` performs a
+  * range-partitioned sort (every partition holds a contiguous key range),
+  * then `zipWithIndex` assigns global indices with one extra job that
+  * counts per-partition sizes and broadcasts the offsets — rank becomes
+  * per-partition arithmetic. Same output as the window, no serialization
+  * point.
+  */
+object Ranking {
+
+  /** Append a 0-based global `idx` column in `sortCols` order (ties must
+    * be broken by the caller's sort columns for determinism).
+    */
+  def withGlobalIndex(df: DataFrame, sortCols: Column*): DataFrame = {
+    val sorted = df.orderBy(sortCols: _*)
+    val schema = sorted.schema.add("idx", LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Per-customer revenue with exact `percent_rank` and `ntile(k)` decile
+    * semantics computed from the global index (rank r of n, zero-based:
+    * pct = r/(n−1); ntile buckets: the first n mod k buckets take
+    * ⌈n/k⌉ rows — the SQL-standard uneven split). The percent is one
+    * division of two exact integers — bit-identical cross-engine; the
+    * revenue sum is order-jittered, so it rounds to 2 dp on both sides.
+    * Output: (custkey, revenue, pct_rank, decile) ordered by custkey.
+    */
+  def revenuePercentiles(orders: DataFrame, k: Int = 10): DataFrame = {
+    val rev = orders
+      .groupBy(col("o_custkey").cast("long").as("custkey"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val idxd = withGlobalIndex(rev, col("revenue"), col("custkey"))
+      .localCheckpoint(true) // feeds both the count and the output
+    idxd.crossJoin(broadcast(idxd.agg(count(lit(1)).as("n"))))
+      .withColumn("pct_rank",
+        when(col("n") === 1, lit(0.0))
+          .otherwise(col("idx").cast("double") / (col("n") - lit(1)).cast("double")))
+      // ntile: q = n div k, r = n mod k; first r buckets hold q+1 rows
+      .withColumn("q", expr(s"n div $k"))
+      .withColumn("r", expr(s"n % $k"))
+      .withColumn("decile",
+        when(col("idx") < col("r") * (col("q") + 1),
+          expr("idx div (q + 1)") + 1)
+          .otherwise(col("r") + expr("(idx - r * (q + 1)) div q") + 1)
+          .cast("long"))
+      .select(col("custkey"), col("revenue"), col("pct_rank"), col("decile"))
+      .orderBy("custkey")
+  }
+}

@@ -308,6 +308,71 @@ object StreamOps {
     spark.read.parquet(outDir).orderBy("window_ms", "event_type")
   }
 
+  /** Fifth oracle-checked streaming query — NATIVE SESSION WINDOWS:
+    * replay the events table through `session_window` (Spark's built-in
+    * merging-session aggregation, the streaming-native form of the batch
+    * gaps-and-islands sessionization) and pin it to the SAME relation as
+    * the batch `events_sessions` query — one oracle, two execution models.
+    *
+    * Two semantic alignments make the relations identical:
+    *   - gap boundary: the batch rule starts a new session when the gap
+    *     EXCEEDS `gapMs` (`diff > gap`), and session_window's merge rule
+    *     is INCLUSIVE (an event at exactly `prev + gap` extends the
+    *     session — pinned by the boundary fixture in StreamSpec), so the
+    *     same `gapMs` yields the same partition of events;
+    *   - session ids: streaming state knows sessions by their start time,
+    *     not ordinal; the read-back derives the batch query's per-user
+    *     ordinal `session_id` by ranking landed sessions on start time
+    *     (pure output shaping on the landed table, not streaming state).
+    *
+    * Complete mode for the same reason as [[windowedAggReplayBatch]]: the
+    * watermark never passes the final session, so append would withhold
+    * it; complete keeps every session in state — right for a bounded
+    * replay, while unbounded deployments run append + watermark eviction.
+    */
+  def sessionReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                         eventsPath: String,
+                         gapMs: Long = 1800000L): DataFrame = {
+    val spark = tunedStatefulSession(spark0)
+    val schema = spark.read.parquet(eventsPath).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess_")
+    val outDir = s"$tmp/out"
+    val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
+    val src = java.nio.file.Paths.get(eventsPath)
+    val staged =
+      if (java.nio.file.Files.isDirectory(src)) src
+      else {
+        java.nio.file.Files.createSymbolicLink(inDir.resolve(src.getFileName), src)
+        inDir
+      }
+    val events = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("timestamp_millis(ts div 1000000)").as("tsw"), col("value"))
+    val agg = events
+      .groupBy(col("user_id"),
+        session_window(col("tsw"), s"$gapMs milliseconds").as("sw"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), unix_millis(col("sw.start")).as("session_start_ms"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start_ms")
+    spark.read.parquet(outDir)
+      .withColumn("session_id", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("session_id"), col("session_start_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Fourth oracle-checked streaming query — the STREAM-STREAM JOIN half:
     * replay the events table as TWO streams and inner-join them within a
     * ±`withinMs` interval via [[selfWithinStream]] (time-bin banded

@@ -11,6 +11,28 @@ class PipelineSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text").withColumn("n_chars",
       org.apache.spark.sql.functions.length($"text").cast("long"))
 
+  test("global rank without a window: percent_rank and ntile match SQL semantics") {
+    import graft.pipeline.Ranking
+    // 7 customers, k=10 > n exercises the uneven-bucket branch fully
+    // (q=0, r=7: every bucket is size 1, deciles 1..7)
+    val orders = (1 to 7).flatMap(c => Seq((c.toLong, c * 100.0)))
+      .toDF("o_custkey", "o_totalprice")
+    val out = Ranking.revenuePercentiles(orders, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    // revenue ascends with custkey → rank == custkey order
+    assert(out.map(_._1).toSeq == (1L to 7L))
+    assert(out.map(_._2).toSeq == (0 to 6).map(_ / 6.0))
+    assert(out.map(_._3).toSeq == (1L to 7L))
+    // n=25, k=10: first 5 buckets take 3 rows, the rest 2 (SQL ntile)
+    val orders25 = (1 to 25).map(c => (c.toLong, c * 10.0)).toDF("o_custkey", "o_totalprice")
+    val deciles = Ranking.revenuePercentiles(orders25, k = 10).collect().map(_.getLong(3))
+    val sizes = deciles.groupBy(identity).view.mapValues(_.length).toMap
+    assert((1L to 5L).forall(sizes(_) == 3) && (6L to 10L).forall(sizes(_) == 2))
+    // single row: percent_rank is defined as 0
+    val one = Ranking.revenuePercentiles(Seq((1L, 5.0)).toDF("o_custkey", "o_totalprice"))
+    assert(one.collect().head.getDouble(2) == 0.0)
+  }
+
   test("exact dedup keeps min doc_id per identical text") {
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
     val out = Dedup.exactDedup(d).collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -26,6 +48,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
     assert(out(0).getDouble(2) == 1.0)
+  }
+
+  test("sorted neighborhood: sort-adjacent near-dups found, sort-distant dups missed by design") {
+    // docs 1/2 share the prefix → same block, adjacent in sort order →
+    // candidate pair, Jaccard 3/5 (shingles {abc,bcd,cde,def} vs
+    // {abc,bcd,cde,xyz... }) — hand-computed below. Doc 4 is a near-dup of
+    // doc 1 but starts with different words: different block → MISSED,
+    // the documented limitation of the family.
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "omega psi chi phi upsilon"),
+      (4L, "zz alpha beta gamma delta epsilon"))
+    val out = Dedup.sortedNeighborhoodPairs(d, window = 3, w = 3,
+        threshold = 0.1, blockLen = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // doc1 shingles: {a b g, b g d, g d e}; doc2: {a b g, b g d, g d z}
+    // inter = 2, union = 4 → 0.5
+    assert(out == Seq((1L, 2L, 0.5)))
+    // degenerate window is rejected, not silently empty
+    assertThrows[IllegalArgumentException] {
+      Dedup.sortedNeighborhoodPairs(d, window = 0)
+    }
   }
 
   test("ngram containment: a quoted doc scores 1.0 toward its container, "

@@ -67,6 +67,36 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sessionReplayBatch: native session_window replay equals batch sessionize, gap boundary included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted boundary corpus: user 1 has gaps of EXACTLY 30 min (same
+    // session under the batch `diff > gap` rule — the case the streaming
+    // side's gap+1 alignment exists for) and one gap of 30 min + 1 ms
+    // (new session in both models); user 2 is a single event
+    val gap = 1800000L
+    val t0 = 1700000000000L
+    val rows = Seq(
+      (1L, t0, 1.0), (1L, t0 + gap, 2.0), (1L, t0 + 2 * gap, 3.0),
+      (1L, t0 + 3 * gap + 1, 4.0),
+      (2L, t0, 5.0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess_fixture_").toString
+    rows.toDF("user_id", "ms", "value")
+      .select(col("user_id"), (col("ms") * 1000000L).as("ts"), col("value"))
+      .write.mode("overwrite").parquet(s"$tmp/events")
+    val streamed = StreamOps.sessionReplayBatch(spark, s"$tmp/events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.toSeq == Seq(
+      (1L, 1L, t0, 3L),             // three events chained at exactly-gap
+      (1L, 2L, t0 + 3 * gap + 1, 1L), // gap+1 ms starts session 2
+      (2L, 1L, t0, 1L)))
+    // and the replay equals the batch sessionize relation on the fixture
+    val batch = graft.pipeline.Events.sessionize(
+        spark.read.parquet(s"$tmp/events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("intervalJoinReplayBatch: streaming interval join equals the batch range join") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
