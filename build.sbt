@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout, not through sbt's logger:
+// the logger truncates long lines (~3 KB), which silently clipped the
+// tail of Bench's single-line JSON (observed: a 98-query map losing its
+// last ~70 entries downstream). StdoutOutput has no line length limit
+// and drops the "[info] " prefix — consumers grep for the JSON itself.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

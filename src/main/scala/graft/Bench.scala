@@ -61,7 +61,15 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map(n => s"\"$n\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout line-length is at the mercy of whatever logger wraps the JVM
+    // (sbt's clips ~3 KB, which once truncated a 98-query map) — always
+    // land the full artifact in a file too
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")), json)
     spark.stop()
   }
 }

@@ -25,6 +25,9 @@ object Plans {
     "embedding_knn_join" -> "query side broadcast (nested-loop by design — the scan IS the k-NN product); codegen'd vector_cosine scoring; exactly one shuffle, on qid, for the per-query rank window.",
     "triangle_counts" -> "canonical a<b<c orientation enumerates each triangle once: pairs checkpointed once feed both join sides and the LeftSemi closing-edge probe; corner explode + two-phase count.",
     "decontaminate" -> "benchmark gram set is broadcast (LeftSemi BroadcastHashJoin) — the corpus-side grams never shuffle; the overlap count is a per-doc aggregate over the semi-join survivors.",
+    "sorted_neighborhood" -> "blocked sorted-neighborhood candidates: ONE Exchange on the block key feeds the sort window (no global-order single partition); candidate pairs checkpoint small; the Jaccard verify joins shingles pair-keyed — cost ∝ candidates × doc size, never corpus².",
+    "label_propagation" -> "one data Exchange per round beyond the message join: the explicit repartition(vertex) satisfies the clustered distribution of BOTH aggregates (label count on (vertex,label) and the max_by argmax on vertex — subset partitioning satisfies the superset), replacing the row_number window's sort Exchange.",
+    "revenue_percentiles" -> "deliberately NOT a window plan: orderBy is a range-partitioned distributed sort and zipWithIndex assigns global ranks with per-partition offsets (the ExistingRDD scan is the indexed result) — the global-ORDER-BY window would serialize the dataset onto one task; percent/ntile are column arithmetic against one broadcast count row.",
   )
 
   def main(args: Array[String]): Unit = {
