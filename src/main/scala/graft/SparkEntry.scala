@@ -673,6 +673,16 @@ object SparkEntry {
     // LM quality filter) in one dataflow
     "bigram_lm_score" -> ((s, dir) => TextStats.bigramLmScore(t(s, dir, "documents"))),
     "tfidf_top_terms" -> ((s, dir) => TextStats.tfIdfTopTerms(t(s, dir, "documents"))),
+    // BM25 lexical retrieval for a literal term set — tf is a per-row array
+    // scan, corpus stats (N, Σdl, df) reduce to ONE broadcast row; no
+    // token-stream explode, no per-term join
+    "bm25_top_docs" -> ((s, dir) =>
+      pipeline.Search.bm25TopDocs(t(s, dir, "documents"), pipeline.Search.QueryTerms)),
+    // reciprocal-rank fusion of the BM25 and doc-length rankings — both
+    // full-corpus rankings via the two-pass global index (range-partitioned
+    // sort + zipWithIndex), not a single-partition row_number window
+    "rrf_fusion" -> ((s, dir) =>
+      pipeline.Search.rrfFusion(t(s, dir, "documents"), pipeline.Search.QueryTerms)),
     "quality_score" -> ((s, dir) => TextStats.qualityScore(t(s, dir, "documents"))),
     "token_stats" -> ((s, dir) => TextStats.tokenStats(t(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) =>
@@ -927,7 +937,49 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** BM25 per-doc scoring CTE (terms = [[pipeline.Search.QueryTerms]],
+    * k1=1.2, b=0.75) — the score expression mirrors
+    * [[pipeline.Search.scored]] operation-for-operation (same literals,
+    * same left-to-right association) so the doubles are bit-identical
+    * before the shared round(4).
+    */
+  private val bm25ScoredSql: String = {
+    val terms = pipeline.Search.QueryTerms
+    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+      s"len(list_filter(string_split(text, ' '), x -> x = '$tm')) AS tf$i"
+    }.mkString(",\n|  ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val contribs = terms.indices.map(i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * (1.2 + 1.0)) / " +
+        s"(tf$i + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n)))")
+      .mkString("\n|    + ")
+    s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |  $tfCols
+       |  FROM documents),
+       |s AS (SELECT count(*) AS n, sum(dl) AS sdl, $dfCols FROM d),
+       |sc AS (SELECT doc_id, dl,
+       |  round($contribs, 4) AS bm25
+       |  FROM d, s)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bm25_top_docs" ->
+      s"""$bm25ScoredSql
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(bm25 AS DOUBLE) AS bm25
+         |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "rrf_fusion" ->
+      s"""$bm25ScoredSql,
+         |lex AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex FROM sc),
+         |lens AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY dl DESC, doc_id) AS rank_len FROM sc)
+         |SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+         |  CAST(rank_lex AS BIGINT) AS rank_lex,
+         |  CAST(rank_len AS BIGINT) AS rank_len,
+         |  CAST(1.0 / (60 + rank_lex) + 1.0 / (60 + rank_len) AS DOUBLE) AS rrf
+         |FROM lex l JOIN lens USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "bfs_levels" ->
       s"""$bfsSql
          |SELECT v AS vertex, CAST(min(lvl) AS BIGINT) AS level FROM bfs

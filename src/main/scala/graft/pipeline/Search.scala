@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over `documents(doc_id, text, ...)`: BM25 scoring for
+  * a literal query-term set, and reciprocal-rank fusion of two rankings —
+  * the retrieval half of a training-data curation stack (the embedding
+  * half lives in [[Similarity]]).
+  *
+  * Engine-portability contract (shared with the DuckDB oracles): every
+  * floating-point score is built from EXACT integer statistics (tf, dl,
+  * df, N — all BIGINT) combined in ONE fixed left-to-right expression, so
+  * both engines evaluate the identical IEEE operation sequence; `ln` is
+  * the one libm call (same precedent as tfidf_top_terms) and results round
+  * to 4 dp on both sides before any ordering decision.
+  *
+  * Scale: tf is a per-row array scan (no shuffle); N/avgdl/df reduce to a
+  * ONE-ROW stats frame that broadcasts back (`crossJoin(broadcast(...))`),
+  * so the whole scorer is scan + one tiny aggregate — no per-term join,
+  * no explode of the token stream. Rankings avoid the single-partition
+  * `Window.orderBy` trap via [[Ranking.withGlobalIndex]] (range-partitioned
+  * sort + zipWithIndex).
+  */
+object Search {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** The declared benchmark query: one common term, one rare term (df 25
+    * of 500 at sf0.01 — the idf contrast), one mid term.
+    */
+  val QueryTerms: Seq[String] = Seq("spark", "dup", "merge")
+
+  /** Per-doc BM25 frame: doc_id, dl (token count), tf_i per query term,
+    * with the corpus stats (n, sdl, df_i) broadcast onto every row.
+    */
+  private def scored(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z]+")),
+      s"terms must be simple lowercase words, got $terms")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      expr(s"size(filter(tk, x -> x = '$t'))").cast("long").as(s"tf$i")
+    }
+    val d = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("tk"))
+      .select(Seq(col("doc_id"), size(col("tk")).cast("long").as("dl")) ++ tfCols: _*)
+    val statAggs =
+      Seq(count(lit(1)).as("n"), sum(col("dl")).as("sdl")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = d.agg(statAggs.head, statAggs.tail: _*)
+    // avgdl as explicit integer-sum / count division — Spark's and DuckDB's
+    // avg() may accumulate differently; sdl/n is bit-identical by contract
+    val avgdl = col("sdl").cast("double") / col("n")
+    // one fixed left-to-right sum of per-term contributions
+    val contribution: Int => Column = i =>
+      log(lit(1.0) + (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+        (col(s"tf$i") * lit(K1 + 1.0)) /
+        (col(s"tf$i") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
+    val score = terms.indices.map(contribution).reduceLeft(_ + _)
+    d.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), round(score, 4).as("bm25"))
+  }
+
+  /** Top-`k` documents by BM25 for the literal `terms` (ties by doc_id).
+    * Output: (doc_id, bm25) ordered by (bm25 DESC, doc_id).
+    */
+  def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
+    scored(docs, terms)
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+
+  /** Reciprocal-rank fusion of the BM25 ranking with a document-length
+    * ranking (the stand-in for any second retriever): rrf =
+    * 1/(60+rank_lex) + 1/(60+rank_len), both ranks 1-based over the FULL
+    * corpus with deterministic (rounded-score, doc_id) tie-breaks.
+    *
+    * Both rankings are computed with the two-pass global index — a fused
+    * multi-retriever ranking at corpus scale must not serialize onto one
+    * task, which `row_number() OVER (ORDER BY ...)` would.
+    * Output: (doc_id, rank_lex, rank_len, rrf) top-`k` by (rrf DESC, doc_id).
+    */
+  def rrfFusion(docs: DataFrame, terms: Seq[String], k: Int = 20,
+                rrfK: Int = 60): DataFrame = {
+    val base = scored(docs, terms).localCheckpoint(true) // feeds both rankings
+    val lex = Ranking.withGlobalIndex(
+        base.select(col("doc_id"), col("bm25")), col("bm25").desc, col("doc_id"))
+      .select(col("doc_id"), (col("idx") + 1).as("rank_lex"))
+    val len = Ranking.withGlobalIndex(
+        base.select(col("doc_id"), col("dl")), col("dl").desc, col("doc_id"))
+      .select(col("doc_id"), (col("idx") + 1).as("rank_len"))
+    // rrf is two IEEE divides + one add on exact integers — bit-identical
+    // cross-engine, so it ships UNROUNDED (rounding a bit-identical double
+    // can diverge: Spark rounds the shortest decimal repr, DuckDB the
+    // binary value)
+    lex.join(len, Seq("doc_id"))
+      .select(col("doc_id"), col("rank_lex"), col("rank_len"),
+        (lit(1.0) / (lit(rrfK) + col("rank_lex")) +
+          lit(1.0) / (lit(rrfK) + col("rank_len"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+}
