@@ -483,6 +483,22 @@ object SparkEntry {
     // range-partitioned sort + zipWithIndex two-pass rank (the scale-safe
     // form of the global-ORDER-BY window trap); percent = one exact-int
     // division, bit-identical; revenue rounded 2dp (order-jittered sum)
+    // 2-D Pareto skyline of part (min price, max size): sort-scan prefix
+    // max over the distinct-price frame, not the quadratic NOT EXISTS the
+    // oracle runs
+    "skyline_parts" -> ((s, dir) =>
+      pipeline.Skyline.skyline2D(t(s, dir, "part"), col("p_partkey"),
+        col("p_retailprice"), col("p_size"))
+        .select(col("sid").as("p_partkey"), col("price"), col("sval").as("psize"))),
+    // exact equi-depth histogram (NTILE semantics) over lineitem price via
+    // the two-pass global index — no single-partition ntile window
+    "equi_depth_hist" -> ((s, dir) =>
+      pipeline.Ranking.equiDepthHistogram(t(s, dir, "lineitem"),
+        col("l_extendedprice"), Seq(col("l_orderkey"), col("l_linenumber")), k = 8)),
+    // long-to-wide pivot: per-day event counts, one column per type
+    "events_pivot" -> ((s, dir) =>
+      Events.dailyTypePivot(t(s, dir, "events"),
+        Seq("click", "error", "purchase", "signup", "view"))),
     "revenue_percentiles" -> ((s, dir) =>
       pipeline.Ranking.revenuePercentiles(t(s, dir, "orders"), k = 10)),
     "repeat_customers" -> ((s, dir) => {
@@ -689,6 +705,10 @@ object SparkEntry {
       TextStats.fingerprints(t(s, dir, "documents")).select("doc_id", "md5_fp")),
     "winnow_fingerprint" -> ((s, dir) =>
       TextStats.winnowedFingerprint(t(s, dir, "documents"))),
+    // passage-level exact dedup: 8-word windows shared by ≥2 distinct docs
+    // (the substring-dup class whole-doc hashing and Jaccard both miss)
+    "passage_dedup" -> ((s, dir) =>
+      Dedup.duplicatePassages(t(s, dir, "documents"))),
     "pii_scrub" -> ((s, dir) => TextStats.scrubPii(t(s, dir, "documents"))),
     "corpus_profile" -> ((s, dir) => TextStats.corpusProfile(t(s, dir, "documents"))),
     "events_rolling" -> ((s, dir) => Events.rollingAvg(t(s, dir, "events"))),
@@ -980,6 +1000,36 @@ object SparkEntry {
          |  CAST(1.0 / (60 + rank_lex) + 1.0 / (60 + rank_len) AS DOUBLE) AS rrf
          |FROM lex l JOIN lens USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "passage_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS passage
+        |      FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i))
+        |SELECT passage, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM g GROUP BY passage HAVING count(*) >= 2 ORDER BY passage""".stripMargin,
+    "skyline_parts" ->
+      """SELECT CAST(a.p_partkey AS BIGINT) AS p_partkey, a.p_retailprice AS price,
+        |  CAST(a.p_size AS BIGINT) AS psize
+        |FROM part a WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+    "equi_depth_hist" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |  ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        |  FROM lineitem)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(v) AS lo, max(v) AS hi
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "events_pivot" ->
+      """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 86400000 AS BIGINT) AS day_ms,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY day_ms""".stripMargin,
     "bfs_levels" ->
       s"""$bfsSql
          |SELECT v AS vertex, CAST(min(lvl) AS BIGINT) AS level FROM bfs

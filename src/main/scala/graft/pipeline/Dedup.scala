@@ -28,6 +28,33 @@ object Dedup {
         explode(TextStats.kGrams(col("t"), w, distinct = true)).as("s"))
   }
 
+  /** Duplicated passages: every distinct `k`-word window that appears in
+    * ≥ `minDocs` DISTINCT documents — the passage-level building block of
+    * exact substring dedup (quotes, boilerplate, licence blocks survive
+    * whole-doc hashing and Jaccard thresholds; they show up here).
+    *
+    * Per-doc distinct k-grams come out of the native codegen'd gram
+    * builder BEFORE the explode, so the group count is a doc count with
+    * no DISTINCT aggregate; the one shuffle groups on the passage. At
+    * 100 TB the group key would be xxhash64(passage) with the text
+    * recovered by a min-doc join — kept as the string here because the
+    * passage IS the payload the curation pipeline wants back.
+    * Output: (passage, n_docs, first_doc) ordered by passage.
+    */
+  def duplicatePassages(documents: DataFrame, k: Int = 8,
+                        minDocs: Long = 2L): DataFrame = {
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        explode(TextStats.kGrams(col("t"), k, distinct = true)).as("passage"))
+      .groupBy("passage")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy("passage")
+  }
+
   /** Exact duplicate groups by content hash: one row per distinct text,
     * keeping the smallest doc_id. Output: (keep_id, n_copies) ordered.
     */

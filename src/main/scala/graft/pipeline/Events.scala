@@ -209,4 +209,23 @@ object Events {
       .agg(count(lit(1)).cast("long").as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("hour_ms", "event_type")
   }
+
+  /** Long-to-wide pivot: per-day event counts, one column per type in
+    * `types` (the explicit value list keeps the schema static — no
+    * pre-scan job — and makes the plan a single partial-aggregating
+    * shuffle on day, exactly the conditional-sum the oracle writes).
+    * Absent (day, type) cells are 0, not null.
+    * Output: (day_ms, n_<type>...) ordered by day_ms.
+    */
+  def dailyTypePivot(events: DataFrame, types: Seq[String]): DataFrame = {
+    val ms = msOf(events)
+    events
+      .select((ms - ms % 86400000L).as("day_ms"), col("event_type"))
+      .groupBy("day_ms")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day_ms") +:
+        types.map(tp => coalesce(col(tp), lit(0L)).cast("long").as(s"n_$tp")): _*)
+      .orderBy("day_ms")
+  }
 }

@@ -29,6 +29,62 @@ object Ranking {
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Append `prev_max`: the max of LongType `valueCol` over all STRICTLY
+    * preceding rows in `sortCols` order (null on the global first row) —
+    * the distributed prefix-max scan. Same two-pass shape as
+    * [[withGlobalIndex]]: per-partition maxima (one tiny collect, one row
+    * per partition) become broadcast prefix offsets, then the scan is
+    * per-partition arithmetic. No single-partition window anywhere.
+    */
+  def withRunningMax(df: DataFrame, valueCol: String, sortCols: Column*): DataFrame = {
+    val sorted = df.orderBy(sortCols: _*).localCheckpoint(true) // feeds both passes
+    val vi = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partMax = rdd.mapPartitionsWithIndex { (i, it) =>
+      var m = Long.MinValue
+      it.foreach { r => val v = r.getLong(vi); if (v > m) m = v }
+      Iterator((i, m))
+    }.collect().sortBy(_._1).map(_._2)
+    // prefix(i) = max over partitions < i; Long.MinValue = "nothing before"
+    val prefix = partMax.scanLeft(Long.MinValue)(math.max).dropRight(1)
+    val schema = sorted.schema.add("prev_max", LongType, nullable = true)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = prefix(i)
+      it.map { r =>
+        val pm: Any = if (run == Long.MinValue) null else run
+        val v = r.getLong(vi)
+        if (v > run) run = v
+        Row.fromSeq(r.toSeq :+ pm)
+      }
+    }
+    sorted.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Exact equi-depth histogram: `k` NTILE buckets over `value` in
+    * (value, tieCols) total order, SQL-standard uneven split (first
+    * n mod k buckets take one extra row). Built on the global index, not
+    * `ntile() OVER (ORDER BY ...)` — the single-task trap. `lo`/`hi` are
+    * raw input doubles (bit-identical cross-engine, unrounded).
+    * Output: (bucket, n_rows, lo, hi) ordered by bucket.
+    */
+  def equiDepthHistogram(df: DataFrame, value: Column, tieCols: Seq[Column],
+                         k: Int): DataFrame = {
+    val base = df.select(value.as("v") +: tieCols: _*)
+    val sortCols = col("v") +: base.schema.names.tail.toSeq.map(col)
+    val idxd = withGlobalIndex(base, sortCols: _*)
+    idxd.crossJoin(broadcast(idxd.agg(count(lit(1)).as("n"))))
+      .withColumn("q", expr(s"n div $k"))
+      .withColumn("r", expr(s"n % $k"))
+      .withColumn("bucket",
+        when(col("idx") < col("r") * (col("q") + 1),
+          expr("idx div (q + 1)") + 1)
+          .otherwise(col("r") + expr("(idx - r * (q + 1)) div q") + 1)
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_rows"), min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Per-customer revenue with exact `percent_rank` and `ntile(k)` decile
     * semantics computed from the global index (rank r of n, zero-based:
     * pct = r/(n−1); ntile buckets: the first n mod k buckets take

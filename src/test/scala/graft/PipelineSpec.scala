@@ -384,4 +384,75 @@ class PipelineSpec extends AnyFunSuite {
         s"docs $ia/$ib share a ${6}-token run but no fingerprint")
     }
   }
+
+  test("duplicatePassages: shared k-window found once per doc pair; within-doc repeats don't count") {
+    val d = docs(
+      (1L, "a b c d x1 y1"),
+      (2L, "z a b c d w"),
+      (3L, "a b c d a b c d"), // window repeats INSIDE doc 3: still one doc
+      (4L, "unrelated text only here"))
+    val out = graft.pipeline.Dedup.duplicatePassages(d, k = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(out.contains(("a b c d", 3L, 1L)))
+    // no passage from doc 4, and nothing with n_docs < 2
+    assert(out.forall(_._2 >= 2L))
+    assert(!out.exists(_._1.contains("unrelated")))
+  }
+
+  test("withRunningMax: strict prefix max across partition boundaries, null on first row") {
+    import graft.pipeline.Ranking
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 9L), (4L, 9L), (5L, 1L))
+      .toDF("k", "v").repartition(4)
+    val out = Ranking.withRunningMax(df, "v", col("k")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(5L), 3L -> Some(5L),
+      4L -> Some(9L), 5L -> Some(9L)))
+  }
+
+  test("equiDepthHistogram: ntile bucket sizes and exact bounds") {
+    import graft.pipeline.Ranking
+    import org.apache.spark.sql.functions.col
+    // n=10, k=3: buckets of 4,3,3 (SQL ntile uneven split)
+    val df = (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "price")
+    val out = Ranking.equiDepthHistogram(df, col("price"), Seq(col("id")), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 4L, 1.0, 4.0), (2L, 3L, 5.0, 7.0), (3L, 3L, 8.0, 10.0)))
+  }
+
+  test("skyline2D: dominance semantics incl. both-dim ties, vs brute force") {
+    import graft.pipeline.Skyline
+    import org.apache.spark.sql.functions.col
+    val pts = Seq(
+      (1L, 10.0, 5L), (2L, 10.0, 5L), // identical points: both survive
+      (3L, 10.0, 4L),                 // dominated within price group
+      (4L, 9.0, 5L),                  // dominates 1/2 (cheaper, same size)
+      (5L, 8.0, 2L),                  // skyline (cheapest-so-far smaller size)
+      (6L, 12.0, 9L),                 // skyline (biggest)
+      (7L, 12.0, 8L))                 // dominated by 6
+    val df = pts.toDF("id", "price", "size")
+    val got = Skyline.skyline2D(df, col("id"), col("price"), col("size"))
+      .collect().map(_.getLong(0)).toSet
+    val brute = pts.filter { case (i, p, sz) =>
+      !pts.exists { case (j, p2, sz2) =>
+        j != i && p2 <= p && sz2 >= sz && (p2 < p || sz2 > sz)
+      }
+    }.map(_._1).toSet
+    assert(got == brute && got == Set(4L, 5L, 6L))
+  }
+
+  test("dailyTypePivot: wide counts with zero-filled absent cells") {
+    val base = 1700006400000L // midnight-aligned? not required — day binning is ms-floor
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(base), "view"),
+      (2L, new java.sql.Timestamp(base + 1000), "view"),
+      (3L, new java.sql.Timestamp(base + 2000), "click"),
+      (4L, new java.sql.Timestamp(base + 86400000L * 2), "view"),
+    ).toDF("event_id", "ts", "event_type")
+    val out = graft.pipeline.Events.dailyTypePivot(ev, Seq("click", "view", "error"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(out.length == 2)
+    assert(out(0)._2 == ((1L, 2L, 0L)))
+    assert(out(1)._2 == ((0L, 1L, 0L)))
+  }
 }
