@@ -649,6 +649,10 @@ object SparkEntry {
     "embedding_topk_ivf_kmeans" -> ((s, dir) =>
       pipeline.KMeans.ivfTopK(t(s, dir, "embeddings"), queryId = 0L,
         k = 10, nlist = 8, nprobe = 3, iters = 3)),
+    // int8 scalar-quantized top-k: per-dim [min,max] codebook (parameter-
+    // scale collect), integer dot product — exact BIGINT, oracle-equal
+    "embedding_quantized_topk" -> ((s, dir) =>
+      Similarity.quantizedTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
     // LSH near-dup at a TRUE near-dup threshold (0.9) — sign-LSH's strong
     // regime (bit agreement ≥0.856 ⇒ 24 8-bit bands give ~99.97% recall
     // while pruning ~91% of random pairs). The raw corpus has no pairs
@@ -1573,6 +1577,20 @@ object SparkEntry {
         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
         |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT 10""".stripMargin,
+    "embedding_quantized_topk" ->
+      """WITH stats AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings, UNNEST(range(1, 65)) AS u(i) GROUP BY i),
+        |codes AS (SELECT e.vec_id, s.i,
+        |    CASE WHEN s.mx - s.mn = 0 THEN 0
+        |         ELSE least(255, CAST(floor((CAST(e.embedding[s.i] AS DOUBLE) - s.mn)
+        |                                    / (s.mx - s.mn) * 256.0) AS BIGINT)) END AS q
+        |  FROM embeddings e, stats s),
+        |qq AS (SELECT i, q FROM codes WHERE vec_id = 0)
+        |SELECT CAST(c.vec_id AS BIGINT) AS vec_id, CAST(sum(c.q * qq.q) AS BIGINT) AS score
+        |FROM codes c JOIN qq ON qq.i = c.i
+        |WHERE c.vec_id <> 0
+        |GROUP BY c.vec_id ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "embedding_knn_join" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 16),
         |sims AS (

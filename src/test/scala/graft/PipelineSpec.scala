@@ -248,6 +248,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
   }
 
+  test("quantizedTopK: hand-computed int8 codes and exact integer scores") {
+    val e = Seq(
+      (0L, Array(1.0f, 1.0f, 7.0f), 0),   // query; dim 3 is constant → code 0
+      (1L, Array(0.0f, 0.0f, 7.0f), 0),
+      (2L, Array(0.5f, 0.25f, 7.0f), 0),
+      (3L, Array(1.0f, 0.0f, 7.0f), 0),
+    ).toDF("vec_id", "embedding", "label")
+    // per-dim [0,1]: code(0)=0, code(0.25)=64, code(0.5)=128, code(1)=255
+    // (floor(1·256)=256 clamps to 255); query codes = (255, 255, 0)
+    val out = Similarity.quantizedTopK(e, 0L, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq(
+      (3L, 255L * 255L),            // 65025
+      (2L, 128L * 255L + 64L * 255L), // 48960
+      (1L, 0L)))
+  }
+
   test("knnJoin's per-query rankings agree with single-query cosineTopK") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val knn = Similarity.knnJoin(e, maxQueryId = 2L, k = 4).collect()
