@@ -243,6 +243,11 @@ object SparkEntry {
     // emit on arrival, so an AvailableNow replay in append mode is exact
     "stream_interval_join" -> ((s, dir) =>
       streaming.StreamOps.intervalJoinReplayBatch(s, s"$dir/events.parquet")),
+    // STREAMING custom state (flatMapGroupsWithState), oracle-checked:
+    // per-user first view→click→purchase chain, buffered until the
+    // watermark finalizes event-time order — batch-split-invariant
+    "stream_funnel" -> ((s, dir) =>
+      streaming.StreamOps.funnelReplayBatch(s, s"$dir/events.parquet")),
     // A11+A8 — request-string parse + response-tag correlation
     "parse_requests" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1345,6 +1350,22 @@ object SparkEntry {
     // one relation, two execution models: the streaming session_window
     // replay is checked against the SAME sessionization oracle
     "stream_sessions" -> sessionsSql,
+    "stream_funnel" ->
+      """WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+        |  epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, min(ms) AS view_ms FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ms) AS click_ms FROM ev e
+        |      JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ms > v.view_ms GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ms) AS purchase_ms FROM ev e
+        |      JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ms > c.click_ms GROUP BY 1)
+        |SELECT v.user_id AS user_id, CAST(v.view_ms AS BIGINT) AS view_ms,
+        |  CAST(c.click_ms AS BIGINT) AS click_ms,
+        |  CAST(p.purchase_ms AS BIGINT) AS purchase_ms
+        |FROM v JOIN c ON c.user_id = v.user_id JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "events_type_stats" ->
       """SELECT event_type,
         |  CAST(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 3) AS DOUBLE) AS avg_k,

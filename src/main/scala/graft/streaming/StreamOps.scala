@@ -549,6 +549,134 @@ object StreamOps {
       }
   }
 
+  /** Stateful funnel detection with flatMapGroupsWithState: per user, the
+    * FIRST view→click→purchase chain in strict event-time order (each
+    * stage strictly later than the last — the greedy earliest-completion
+    * chain, identical to the batch min-over-successive-filters oracle).
+    *
+    * Correctness under arbitrary micro-batch splits: events BUFFER in
+    * state until the watermark passes them, then the finalized prefix
+    * runs through the stage machine in (ms, code) order — so the emitted
+    * chain never depends on arrival order, only on event time. One
+    * emission per user ever (state parks at stage 3 until cleanup).
+    * State is watermark-bounded: each pass drops the processed prefix,
+    * and the event-time timeout (always wm+1, the next advance) removes
+    * exhausted groups.
+    *
+    * Input: (user_id, ts: timestamp, code: int 0=view/1=click/2=purchase);
+    * `ts` must carry the watermark into the operator.
+    */
+  def funnelStream(events: DataFrame, watermarkDelay: String = "10 seconds")
+  : Dataset[FunnelOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val typed = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_millis(col("ts")).as("ms"),
+        col("code").cast("int").as("code"),
+        col("ts"))
+      .as[FunnelEventTs]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[FunnelEventTs], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(0, 0L, 0L, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val all = st.buf ++ evs.map(e => FunnelEv(e.ms, e.code))
+          // only the watermark-finalized prefix may run the stage machine:
+          // later batches cannot carry events ≤ wm, so this prefix is the
+          // complete, final event-time order
+          val (ready, pending) = all.partition(_.ms <= wm)
+          var stage = st.stage
+          var viewMs = st.viewMs
+          var clickMs = st.clickMs
+          val out = Seq.newBuilder[FunnelOut]
+          for (e <- ready.sortBy(ev => (ev.ms, ev.code)) if stage < 3) {
+            if (stage == 0 && e.code == 0) { stage = 1; viewMs = e.ms }
+            else if (stage == 1 && e.code == 1 && e.ms > viewMs) { stage = 2; clickMs = e.ms }
+            else if (stage == 2 && e.code == 2 && e.ms > clickMs) {
+              stage = 3
+              out += FunnelOut(uid, viewMs, clickMs, e.ms)
+            }
+          }
+          val keepBuf = if (stage == 3) Nil else pending
+          if (state.hasTimedOut && keepBuf.isEmpty) state.remove()
+          else {
+            state.update(FunnelState(stage, viewMs, clickMs, keepBuf))
+            state.setTimeoutTimestamp(wm + 1) // fire on the next advance
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Fifth oracle-checked streaming query — the CUSTOM-STATE half
+    * (flatMapGroupsWithState, where session_window/dropDuplicates cover
+    * the built-in state shapes): replay events through [[funnelStream]]
+    * and land completed funnels via foreachBatch.
+    *
+    * Replay completeness: a single far-future SENTINEL row (user −1,
+    * filtered from the output) is staged next to the events file, pushing
+    * the final watermark past every real event so the no-data timeout
+    * batch finalizes every user's buffer — without it, users active
+    * within `watermarkDelay` of the global max timestamp would stay
+    * parked in state when AvailableNow drains. Output is identical
+    * however the source splits batches (see [[funnelStream]]).
+    */
+  def funnelReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                        eventsPath: String): DataFrame = {
+    val spark = tunedStatefulSession(spark0)
+    val schema = spark.read.parquet(eventsPath).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_funnel_")
+    val outDir = s"$tmp/out"
+    val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
+    val src = java.nio.file.Paths.get(eventsPath)
+    val staged =
+      if (java.nio.file.Files.isDirectory(src)) src
+      else {
+        java.nio.file.Files.createSymbolicLink(inDir.resolve(src.getFileName), src)
+        inDir
+      }
+    // sentinel: one row at max(ts) + 1 day for user −1 (same schema as the
+    // source file; ts is LONG nanos under nanosAsLong)
+    val sentinelTs = spark.read.parquet(eventsPath)
+      .agg(max(col("ts"))).head.getLong(0) + 86400L * 1000000000L
+    val sentinelDir = tmp.resolve("sentinel")
+    spark.read.parquet(eventsPath).limit(1)
+      .select(lit(-1L).cast(schema("event_id").dataType).as("event_id"),
+        lit(sentinelTs).cast(schema("ts").dataType).as("ts"),
+        lit(-1L).cast(schema("user_id").dataType).as("user_id"),
+        lit("view").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(sentinelDir.toString)
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(sentinelDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error("sentinel parquet part file not written"))
+    java.nio.file.Files.copy(part, staged.resolve("zz_sentinel.parquet"))
+    val coded = spark.readStream.schema(schema).parquet(staged.toString)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        expr("timestamp_millis(ts div 1000000)").as("ts"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .otherwise(2).as("code"))
+    val q = funnelStream(coded).toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("view_ms"), col("click_ms"), col("purchase_ms"))
+      .orderBy("user_id")
+  }
+
   def sessionizeStream(events: Dataset[UserEvent], gapMs: Long = 1800000L)
   : Dataset[SessionOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -590,5 +718,16 @@ final case class UserEvent(user_id: Long, ms: Long, value: Double)
 final case class UserEventTs(user_id: Long, ms: Long, value: Double,
                              ts: java.sql.Timestamp)
 final case class SessionState(startMs: Long, lastMs: Long, n: Int, sum: Double)
+/** Funnel event row through the watermark-carrying stateful operator. */
+final case class FunnelEventTs(user_id: Long, ms: Long, code: Int,
+                               ts: java.sql.Timestamp)
+final case class FunnelEv(ms: Long, code: Int)
+/** stage: 0 none / 1 view seen / 2 click seen / 3 completed (emitted);
+  * buf holds events the watermark has not yet finalized.
+  */
+final case class FunnelState(stage: Int, viewMs: Long, clickMs: Long,
+                             buf: Seq[FunnelEv])
+final case class FunnelOut(user_id: Long, view_ms: Long, click_ms: Long,
+                           purchase_ms: Long)
 final case class SessionOut(user_id: Long, session_start_ms: Long,
                             n_events: Long, sum_value: Double)

@@ -220,6 +220,61 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream: chain follows event time, not arrival order, across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Int)]
+    val base = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    val funnels = StreamOps.funnelStream(
+      mem.toDF().toDF("ts", "user_id", "code"), watermarkDelay = "10 seconds")
+    val q = funnels.toDF().writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      // user 1's click arrives BEFORE its view in the same batch; the
+      // purchase lands in a LATER batch — event-time order must win
+      mem.addData((ts(2000), 1L, 1), (ts(1000), 1L, 0), (ts(5000), 2L, 0))
+      q.processAllAvailable()
+      mem.addData((ts(3000), 1L, 2), (ts(100000), 3L, 0))
+      q.processAllAvailable()
+      // watermark now passes user 1's buffer; a further batch fires timeouts
+      mem.addData((ts(200000), 3L, 1))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, view_ms, click_ms, purchase_ms FROM funnel_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(rows == Seq((1L, base + 1000, base + 2000, base + 3000)),
+        s"expected exactly user 1's chain, got $rows")
+    } finally q.stop()
+  }
+
+  test("funnelStream: out-of-order stages never complete; one emission per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Int)]
+    val base = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    val funnels = StreamOps.funnelStream(
+      mem.toDF().toDF("ts", "user_id", "code"), watermarkDelay = "0 seconds")
+    val q = funnels.toDF().writeStream.format("memory").queryName("funnel_stream2")
+      .outputMode("append").start()
+    try {
+      // user 1: purchase precedes click in EVENT time → never completes;
+      // user 2: two full chains → only the first emits
+      mem.addData((ts(1000), 1L, 0), (ts(2000), 1L, 2), (ts(3000), 1L, 1),
+        (ts(1000), 2L, 0), (ts(2000), 2L, 1), (ts(3000), 2L, 2),
+        (ts(4000), 2L, 0), (ts(5000), 2L, 1), (ts(6000), 2L, 2))
+      q.processAllAvailable()
+      mem.addData((ts(50000), 9L, 0))
+      q.processAllAvailable()
+      mem.addData((ts(60000), 9L, 1))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, view_ms, click_ms, purchase_ms FROM funnel_stream2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(rows == Seq((2L, base + 1000, base + 2000, base + 3000)),
+        s"expected only user 2's FIRST chain, got $rows")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions (batch-mode parity)") {
     val evs = Seq(
       UserEvent(1, 0, 1.0), UserEvent(1, 1000, 2.0),        // session 1
