@@ -52,6 +52,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"minhash_agg k must be a literal int, got $other")
       }).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("count_min_agg"),
+      info("count_min_agg",
+        "count_min_agg(term, depth, width) - md5-addressed count-min sketch (depth/width literal ints)"),
+      (es: Seq[Expression]) => {
+        def litInt(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"count_min_agg $what must be a literal int, got $other")
+        }
+        Sketches.CountMinAgg(es.head, litInt(es(1), "depth"), litInt(es(2), "width"))
+          .toAggregateExpression()
+      }))
     ext.injectFunction((FunctionIdentifier("simhash_agg"),
       info("simhash_agg",
         "simhash_agg(hash) - 64-bit SimHash sketch over pre-hashed BIGINT tokens"),

@@ -719,6 +719,27 @@ object SparkEntry {
     "passage_dedup" -> ((s, dir) =>
       Dedup.duplicatePassages(t(s, dir, "documents"))),
     "pii_scrub" -> ((s, dir) => TextStats.scrubPii(t(s, dir, "documents"))),
+    // count-min-sketch term frequencies: native fixed-buffer aggregate with
+    // md5-addressed buckets — the sketch CONTENTS are oracle-reproducible,
+    // est_n ≥ true_n by construction
+    "cms_term_counts" -> ((s, dir) => TextStats.cmsTermCounts(t(s, dir, "documents"))),
+    // MERGE INTO (CDC upsert+delete+insert) applied to the orders snapshot
+    // in one full-outer dataflow
+    "merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"), col("o_totalprice"))
+      val changes = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
+          (col("o_totalprice") + 100.0).as("o_totalprice"))
+        .unionByName(base.filter(col("o_orderkey") % 10 === 7)
+          .select(col("o_orderkey"), lit("D").as("op"), col("o_custkey"),
+            col("o_totalprice")))
+        .unionByName(base.filter(col("o_orderkey") % 1000 === 1)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("U").as("op"), col("o_custkey"), col("o_totalprice")))
+      pipeline.Cdc.applyChanges(base, changes, "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
     "corpus_profile" -> ((s, dir) => TextStats.corpusProfile(t(s, dir, "documents"))),
     "events_rolling" -> ((s, dir) => Events.rollingAvg(t(s, dir, "events"))),
     // benchmark decontamination: distinct 5-gram overlap of every corpus
@@ -1009,6 +1030,33 @@ object SparkEntry {
          |  CAST(1.0 / (60 + rank_lex) + 1.0 / (60 + rank_len) AS DOUBLE) AS rrf
          |FROM lex l JOIN lens USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "cms_term_counts" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |buckets AS (SELECT j,
+        |    CAST(('0x' || substr(md5(term || ':' || j), 1, 15)) AS BIGINT) % 256 AS b,
+        |    count(*) AS n
+        |  FROM tok, UNNEST(range(0, 4)) AS u(j) GROUP BY 1, 2),
+        |tru AS (SELECT term, count(*) AS true_n FROM tok GROUP BY 1),
+        |est AS (SELECT t.term, min(bk.n) AS est_n
+        |  FROM tru t JOIN buckets bk
+        |    ON bk.b = CAST(('0x' || substr(md5(t.term || ':' || bk.j), 1, 15)) AS BIGINT) % 256
+        |  GROUP BY 1)
+        |SELECT t.term AS term, CAST(e.est_n AS BIGINT) AS est_n,
+        |  CAST(t.true_n AS BIGINT) AS true_n
+        |FROM tru t JOIN est e ON e.term = t.term ORDER BY term""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+        |SELECT * FROM (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey AS BIGINT) AS o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey + 100000000 AS BIGINT),
+        |    CAST(o_custkey AS BIGINT), o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 1)
+        |ORDER BY o_orderkey""".stripMargin,
     "passage_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS passage

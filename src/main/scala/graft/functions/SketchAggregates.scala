@@ -161,6 +161,96 @@ object Sketches {
       copy(child = c.head)
   }
 
+  /** The md5-60-bit value of raw bytes — BYTE-level parity with the SQL
+    * expression `('0x' || substr(md5(x), 1, 15))::BIGINT`
+    * ([[PortableHash.md5Bits60]]): first 15 hex chars = high 60 bits of
+    * the digest = (first 8 bytes big-endian) >>> 4.
+    */
+  private[functions] def md5Bits60(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    ByteBuffer.wrap(d).getLong >>> 4
+  }
+
+  /** Count-min sketch over a group of strings: `depth`×`width` counters,
+    * row `j` bucketing by the PORTABLE hash md5₆₀(s ++ ":" ++ j) % width —
+    * so the sketch contents (and therefore every estimate read from it)
+    * are bit-reproducible in any engine with md5, unlike Spark's built-in
+    * CountMinSketchAgg (xxhash/Murmur — engine-private). Point estimate =
+    * min over rows of the addressed counter (biased high, never low).
+    *
+    * Scale shape: the buffer is one fixed d×w long array per group
+    * through the shuffle — partial aggregation merges by elementwise add,
+    * the same pattern as HLL++/MinHash. Estimating the full term
+    * dictionary against the one-row sketch is a broadcast cross join.
+    */
+  case class CountMinAgg(child: Expression, depth: Int, width: Int,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](depth * width)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val s = v.asInstanceOf[UTF8String]
+        var j = 0
+        while (j < depth) {
+          val keyed = s.toString + ":" + j
+          val b = (md5Bits60(keyed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            % width).toInt
+          buf(j * width + b) += 1L
+          j += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(buf.length * 8)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      Array.fill(bytes.length / 8)(bb.getLong)
+    }
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"count_min_agg takes a STRING term, got ${other.simpleString}")
+      }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def prettyName: String = "count_min_agg"
+    override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+  }
+
+  def count_min_agg(c: Column, depth: Int, width: Int): Column =
+    Bridge.column(CountMinAgg(Bridge.expression(c), depth, width).toAggregateExpression())
+
   def minhash_agg(c: Column, numHashes: Int): Column =
     Bridge.column(MinHashAgg(Bridge.expression(c), numHashes).toAggregateExpression())
 

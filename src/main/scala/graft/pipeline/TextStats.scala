@@ -291,4 +291,30 @@ object TextStats {
       .distinct()
       .orderBy("doc_id", "fp")
   }
+
+  /** Count-min-sketch term frequencies: build ONE d×w sketch over every
+    * token occurrence (the native [[graft.functions.Sketches.CountMinAgg]]
+    * — fixed-size buffer through the shuffle, elementwise-add merge), then
+    * read the point estimate for every distinct term back out of the
+    * broadcast one-row sketch, next to the exact count. The md5-addressed
+    * buckets make the whole sketch — not just its error bounds —
+    * bit-reproducible in the oracle engine; est_n ≥ true_n always, with
+    * overestimates exactly where bucket collisions land.
+    * Output: (term, est_n, true_n) ordered by term.
+    */
+  def cmsTermCounts(documents: DataFrame, depth: Int = 4,
+                    width: Int = 256): DataFrame = {
+    import graft.functions.{PortableHash, Sketches}
+    val tok = documents.select(explode(split(col("text"), " ")).as("term"))
+    val sk = tok.agg(Sketches.count_min_agg(col("term"), depth, width).as("sk"))
+    val tru = tok.groupBy("term").agg(count(lit(1)).cast("long").as("true_n"))
+    val reads = (0 until depth).map { j =>
+      element_at(col("sk"),
+        (PortableHash.md5Bits60(concat(col("term"), lit(s":$j"))) % width
+          + lit(j * width) + 1).cast("int"))
+    }
+    tru.crossJoin(broadcast(sk))
+      .select(col("term"), least(reads: _*).as("est_n"), col("true_n"))
+      .orderBy("term")
+  }
 }

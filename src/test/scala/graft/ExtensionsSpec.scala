@@ -36,6 +36,11 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(mh.length == 4)
       val sh = s2.sql("SELECT simhash_agg(h) AS h FROM VALUES (CAST(5 AS BIGINT)) AS t(h)").collect()(0)
       assert(sh.getLong(0) == 5L) // single-input sign-sum identity
+      // count-min: 2×4 sketch over 3 occurrences of 'a' — total per row = 3
+      val cm = s2.sql(
+        "SELECT count_min_agg(s, 2, 4) AS sk FROM VALUES ('a'), ('a'), ('a') AS t(s)")
+        .collect()(0).getSeq[Long](0)
+      assert(cm.length == 8 && cm.grouped(4).forall(_.sum == 3L))
       // non-literal seed is a typed error, not a silent misresolve
       assertThrows[Exception] {
         s2.sql("SELECT vector_sign_sketch(array(CAST(1.0 AS FLOAT)), CAST(rand() * 4 AS INT))")

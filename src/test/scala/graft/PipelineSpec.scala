@@ -458,6 +458,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == brute && got == Set(4L, 5L, 6L))
   }
 
+  test("cmsTermCounts: estimates never undercount and match exact counts absent collisions") {
+    val d = docs(
+      (1L, "alpha alpha beta"),
+      (2L, "alpha gamma"),
+      (3L, "beta beta beta"))
+      // partition split exercises the sketch MERGE path
+      .repartition(3)
+    val out = TextStats.cmsTermCounts(d, depth = 4, width = 256).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val byTerm = out.map { case (t, e, n) => t -> ((e, n)) }.toMap
+    assert(byTerm.keySet == Set("alpha", "beta", "gamma"))
+    assert(byTerm("alpha")._2 == 3L && byTerm("beta")._2 == 4L && byTerm("gamma")._2 == 1L)
+    // CMS contract: est ≥ true; 3 terms in 4×256 buckets collide with
+    // probability ~0 — require exactness here (deterministic hashes)
+    out.foreach { case (t, e, n) => assert(e == n, s"term $t: est $e vs true $n") }
+  }
+
+  test("Cdc.applyChanges: upsert replaces, delete drops, insert lands, rest pass through") {
+    import graft.pipeline.Cdc
+    import org.apache.spark.sql.functions.col
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "price")
+    val changes = Seq(
+      (2L, "U", "b2", 25.0),  // update
+      (3L, "D", "", 0.0),     // delete
+      (9L, "U", "z", 90.0))   // insert
+      .toDF("k", "op", "name", "price")
+    val out = Cdc.applyChanges(base, changes, "k").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (9L, "z", 90.0)))
+  }
+
   test("dailyTypePivot: wide counts with zero-filled absent cells") {
     val base = 1700006400000L // midnight-aligned? not required — day binning is ms-floor
     val ev = Seq(
