@@ -28,6 +28,12 @@ object Plans {
     "sorted_neighborhood" -> "blocked sorted-neighborhood candidates: ONE Exchange on the block key feeds the sort window (no global-order single partition); candidate pairs checkpoint small; the Jaccard verify joins shingles pair-keyed — cost ∝ candidates × doc size, never corpus².",
     "label_propagation" -> "one data Exchange per round beyond the message join: the explicit repartition(vertex) satisfies the clustered distribution of BOTH aggregates (label count on (vertex,label) and the max_by argmax on vertex — subset partitioning satisfies the superset), replacing the row_number window's sort Exchange.",
     "revenue_percentiles" -> "deliberately NOT a window plan: orderBy is a range-partitioned distributed sort and zipWithIndex assigns global ranks with per-partition offsets (the ExistingRDD scan is the indexed result) — the global-ORDER-BY window would serialize the dataset onto one task; percent/ntile are column arithmetic against one broadcast count row.",
+    "bm25_top_docs" -> "no token-stream explode: tf is a per-row array filter inside the projection; the corpus stats (N, Σdl, per-term df) reduce to ONE row that rides back via BroadcastNestedLoopJoin; the fixed-order score expression evaluates in the same Project; TakeOrderedAndProject top-k.",
+    "skyline_parts" -> "groupBy(price) pre-aggregate shrinks to the distinct-price frame; the strict prefix-max is the two-pass RDD scan (per-partition maxima → broadcast offsets — no single-partition window); survivors broadcast back as a BroadcastHashJoin against the full table.",
+    "passage_dedup" -> "per-doc DISTINCT 8-grams come out of the native word_kgrams expression before the explode (no global DISTINCT); ONE Exchange on the passage key; two-phase HashAggregate counts docs per passage.",
+    "cms_term_counts" -> "count_min_agg is an ObjectHashAggregate carrying ONE d×w counter array through the shuffle (the exploded formulation would shuffle d rows per token); the estimate read is a broadcast cross join of the one-row sketch against the term dictionary; exact counts shuffle once on term.",
+    "equi_depth_hist" -> "exact NTILE without `ntile() OVER (ORDER BY …)`: range-partitioned sort + zipWithIndex global index, bucket arithmetic against one broadcast count row, final per-bucket aggregate — nothing ever serializes onto one task.",
+    "merge_upsert" -> "MERGE INTO as one co-partitioned full-outer SortMergeJoin on the key; the upsert/delete/pass-through CASE is a codegen'd projection; no driver-side state anywhere.",
   )
 
   def main(args: Array[String]): Unit = {
