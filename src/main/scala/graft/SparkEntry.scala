@@ -495,6 +495,13 @@ object SparkEntry {
       pipeline.Skyline.skyline2D(t(s, dir, "part"), col("p_partkey"),
         col("p_retailprice"), col("p_size"))
         .select(col("sid").as("p_partkey"), col("price"), col("sval").as("psize"))),
+    // Z-order (Morton) layout of lineitem on (partkey, suppkey) into 16
+    // equal files + each file's zone map — BOTH dims bounded per file, the
+    // data-skipping layout a one-dim sort cannot give
+    "zorder_zonemap" -> ((s, dir) =>
+      pipeline.ZOrder.zonemap(t(s, dir, "lineitem"),
+        col("l_partkey"), col("l_suppkey"),
+        Seq(col("l_orderkey"), col("l_linenumber")), files = 16)),
     // exact equi-depth histogram (NTILE semantics) over lineitem price via
     // the two-pass global index — no single-partition ntile window
     "equi_depth_hist" -> ((s, dir) =>
@@ -1072,6 +1079,19 @@ object SparkEntry {
         |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
         |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
         |ORDER BY p_partkey""".stripMargin,
+    "zorder_zonemap" ->
+      """WITH li AS (SELECT l_partkey & 65535 AS x, l_suppkey & 65535 AS y,
+        |    l_orderkey, l_linenumber FROM lineitem),
+        |zz AS (SELECT x, y, l_orderkey, l_linenumber,
+        |    SUM((((x >> b) & 1) << (2 * b)) + (((y >> b) & 1) << (2 * b + 1))) AS z
+        |  FROM li, UNNEST(range(0, 16)) AS t(b)
+        |  GROUP BY x, y, l_orderkey, l_linenumber),
+        |bk AS (SELECT x, y,
+        |    ntile(16) OVER (ORDER BY z, l_orderkey, l_linenumber) AS file_id FROM zz)
+        |SELECT CAST(file_id AS BIGINT) AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(x) AS BIGINT) AS x_lo, CAST(max(x) AS BIGINT) AS x_hi,
+        |  CAST(min(y) AS BIGINT) AS y_lo, CAST(max(y) AS BIGINT) AS y_hi
+        |FROM bk GROUP BY file_id ORDER BY file_id""".stripMargin,
     "equi_depth_hist" ->
       """WITH r AS (SELECT l_extendedprice AS v,
         |  ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket

@@ -71,7 +71,19 @@ object Ranking {
                          k: Int): DataFrame = {
     val base = df.select(value.as("v") +: tieCols: _*)
     val sortCols = col("v") +: base.schema.names.tail.toSeq.map(col)
-    val idxd = withGlobalIndex(base, sortCols: _*)
+    withNtile(base, k, sortCols: _*)
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_rows"), min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** Append the SQL-standard `ntile(k)` bucket (1-based, first n mod k
+    * buckets one row larger) in `sortCols` total order, built on the
+    * global index — shared by [[equiDepthHistogram]] and the
+    * [[ZOrder]] layout so NTILE semantics cannot diverge between them.
+    */
+  def withNtile(df: DataFrame, k: Int, sortCols: Column*): DataFrame = {
+    val idxd = withGlobalIndex(df, sortCols: _*)
     idxd.crossJoin(broadcast(idxd.agg(count(lit(1)).as("n"))))
       .withColumn("q", expr(s"n div $k"))
       .withColumn("r", expr(s"n % $k"))
@@ -80,9 +92,7 @@ object Ranking {
           expr("idx div (q + 1)") + 1)
           .otherwise(col("r") + expr("(idx - r * (q + 1)) div q") + 1)
           .cast("long"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).cast("long").as("n_rows"), min("v").as("lo"), max("v").as("hi"))
-      .orderBy("bucket")
+      .drop("n", "q", "r", "idx")
   }
 
   /** Per-customer revenue with exact `percent_rank` and `ntile(k)` decile

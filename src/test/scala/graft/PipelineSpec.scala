@@ -490,6 +490,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (9L, "z", 90.0)))
   }
 
+  test("zValue interleaves bits; zonemap files are Morton quadrants") {
+    import graft.pipeline.ZOrder
+    import org.apache.spark.sql.functions.col
+    // hand-computed: z(3,1)=0b0111=7, z(2,3)=0b1110=14
+    val zs = Seq((3L, 1L), (2L, 3L)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), bits = 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zs == Seq(7L, 14L))
+    // the 4×4 grid in z-order splits into the four 2×2 quadrants — each
+    // file's zone map bounds BOTH dimensions (a 1-D sort can't)
+    val grid = for (x <- 0 to 3; y <- 0 to 3) yield (x.toLong, y.toLong)
+    val zm = ZOrder.zonemap(grid.toDF("x", "y"), col("x"), col("y"),
+        Seq(col("x").as("t1"), col("y").as("t2")), files = 4, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toSeq
+    assert(zm.map(_._2).forall(_ == 4L))
+    assert(zm.map(_._3).toSet == Set(
+      (0L, 1L, 0L, 1L), (2L, 3L, 0L, 1L), (0L, 1L, 2L, 3L), (2L, 3L, 2L, 3L)))
+  }
+
   test("dailyTypePivot: wide counts with zero-filled absent cells") {
     val base = 1700006400000L // midnight-aligned? not required — day binning is ms-floor
     val ev = Seq(
