@@ -552,6 +552,30 @@ object SparkEntry {
 
     // as-of join: each event gets the user's most recent prior order
     // (backward as-of on (user, time); DuckDB's native ASOF JOIN is the oracle)
+    // last-touch attribution: every purchase attributed to the user's most
+    // recent click at-or-before it — the as-of union-and-carry composition
+    // on the event stream itself (oracle = DuckDB ASOF LEFT JOIN)
+    "attribution_last_touch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ms = if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000000") else unix_millis(col("ts").cast("timestamp"))
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").cast("long").as("purchase_id"),
+          col("user_id").cast("long").as("k"), ms.as("ts"))
+      // as-of build sides must be unique per (key, ts): ms-collisions keep
+      // the max event_id deterministically
+      val build = ev.filter(col("event_type") === "click")
+        .select(col("user_id").cast("long").as("k"), ms.as("ts"),
+          col("event_id").cast("long").as("eid"))
+        .groupBy("k", "ts").agg(max("eid").as("click_id"))
+        .withColumn("click_ms", col("ts"))
+      pipeline.AsOf.joinBackward(probe, build, "k", "ts", Seq("click_id", "click_ms"))
+        .select(col("purchase_id"), col("k").as("user_id"),
+          col("ts").as("purchase_ms"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("click_ms"), lit(-1L)).as("click_ms"))
+        .orderBy("purchase_id")
+    }),
     "asof_last_order" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val ms = if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -725,6 +749,18 @@ object SparkEntry {
     // (the substring-dup class whole-doc hashing and Jaccard both miss)
     "passage_dedup" -> ((s, dir) =>
       Dedup.duplicatePassages(t(s, dir, "documents"))),
+    // inverted index build: term → df + sorted posting list (per-doc
+    // dedup BEFORE the explode; one shuffle on the term — the search-index
+    // construction step; postings ship as a joined string for the oracle,
+    // a real layout would keep the sorted array per term shard)
+    "inverted_index" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).cast("long").as("df"),
+          array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
+        .orderBy("term")),
     "pii_scrub" -> ((s, dir) => TextStats.scrubPii(t(s, dir, "documents"))),
     // count-min-sketch term frequencies: native fixed-buffer aggregate with
     // md5-addressed buckets — the sketch CONTENTS are oracle-reproducible,
@@ -1828,6 +1864,25 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b, a.ms AS ts_a, b.ms AS ts_b
         |FROM ev a JOIN ev b ON a.id < b.id AND abs(a.ms - b.ms) <= 5000
         |ORDER BY id_a, id_b""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH p AS (SELECT CAST(event_id AS BIGINT) AS purchase_id,
+        |    CAST(user_id AS BIGINT) AS k, epoch_ms(ts) AS pms
+        |  FROM events WHERE event_type = 'purchase'),
+        |c0 AS (SELECT CAST(user_id AS BIGINT) AS k, epoch_ms(ts) AS ms,
+        |    max(CAST(event_id AS BIGINT)) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.purchase_id AS purchase_id, p.k AS user_id,
+        |  CAST(p.pms AS BIGINT) AS purchase_ms,
+        |  CAST(coalesce(c0.click_id, -1) AS BIGINT) AS click_id,
+        |  CAST(coalesce(c0.ms, -1) AS BIGINT) AS click_ms
+        |FROM p ASOF LEFT JOIN c0 ON p.k = c0.k AND p.pms >= c0.ms
+        |ORDER BY p.purchase_id""".stripMargin,
+    "inverted_index" ->
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+        |FROM t GROUP BY term ORDER BY term""".stripMargin,
     "asof_last_order" ->
       """WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS k,
         |  epoch_ms(o_orderdate) AS order_ms,

@@ -35,7 +35,9 @@ class EntrySmokeSpec extends AnyFunSuite {
     "hash_sample", "sssp_bounded", "events_transitions", "ppr_top20",
     "neighbor_degree_stats", "bigram_freq_top50", "char_entropy",
     "lang_confusion", "repeat_customers", "media_resize",
-    "frequent_part_pairs")
+    "frequent_part_pairs", "bm25_top_docs", "rrf_fusion", "skyline_parts",
+    "equi_depth_hist", "events_pivot", "embedding_quantized_topk",
+    "cms_term_counts", "merge_upsert", "zorder_zonemap", "inverted_index")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
