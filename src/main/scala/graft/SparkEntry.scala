@@ -819,6 +819,13 @@ object SparkEntry {
       Media.extractFeatures(Media.mediaFromDocuments(t(s, dir, "documents")),
           realCodecs = false)
         .toDF().orderBy("media_id")),
+    // perceptual average-hash per media row (multimodal near-dup key);
+    // stub-pinned byte-chunk aHash — integer cross-multiplication bits,
+    // exactly replayable in SQL
+    "media_phash" -> ((s, dir) =>
+      Media.perceptualHash(Media.mediaFromDocuments(t(s, dir, "documents")),
+          realCodecs = false)
+        .toDF().orderBy("media_id")),
     // frame sampling over video payloads (every 2nd 64-byte chunk);
     // the stub chunker is deterministic arithmetic -> full oracle below
     "media_frames" -> ((s, dir) =>
@@ -1995,6 +2002,26 @@ object SparkEntry {
     // the STUB codec is deterministic arithmetic over the payload bytes
     // (doc text is pure ASCII, so codepoint sum == byte sum) — which makes
     // even the stubbed decode oracle-checkable end to end
+    "media_phash" ->
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+        |    CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT media_id, n, ((i - 1) * 64) // n AS j,
+        |    CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS v
+        |  FROM m, UNNEST(range(1, n + 1)) AS u(i)),
+        |tot AS (SELECT media_id, sum(v) AS ts FROM b GROUP BY 1),
+        |ch AS (SELECT media_id, n, j, sum(v) AS cs, count(*) AS cc
+        |  FROM b GROUP BY 1, 2, 3),
+        |bits AS (SELECT c.media_id, c.j FROM ch c JOIN tot t USING (media_id)
+        |  WHERE c.cs * c.n > t.ts * c.cc),
+        |agg AS (SELECT media_id,
+        |    sum(CASE WHEN j >= 32 THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT))
+        |        ELSE 0 END) AS hi,
+        |    sum(CASE WHEN j < 32 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |        ELSE 0 END) AS lo
+        |  FROM bits GROUP BY 1)
+        |SELECT m.media_id AS media_id, CAST(coalesce(a.hi, 0) AS BIGINT) AS phash_hi,
+        |  CAST(coalesce(a.lo, 0) AS BIGINT) AS phash_lo
+        |FROM m LEFT JOIN agg a USING (media_id) ORDER BY media_id""".stripMargin,
     "media_features" ->
       """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

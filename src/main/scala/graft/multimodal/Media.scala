@@ -43,6 +43,36 @@ object Media {
       .as[MediaRow]
   }
 
+  /** Perceptual-hash row: the 64-bit average-hash split into two
+    * non-negative BIGINT halves.
+    */
+  final case class PHash(media_id: Long, phash_hi: Long, phash_lo: Long)
+
+  /** 64-bit perceptual average-hash per media row — the image near-dup
+    * key (hamming-close hashes ⇒ visually-near-identical images; exact
+    * dups hash equal, so groupBy(phash) is the multimodal analogue of
+    * text exact-dedup). Real path: 8×8 luminance aHash over the decoded
+    * image; stub path (and `realCodecs = false`, which the oracle query
+    * pins): the byte-chunk aHash — both decide bits by exact integer
+    * cross-multiplication, no FP. Banding/pairing reuses the SimHash
+    * hamming machinery downstream.
+    */
+  def perceptualHash(media: Dataset[MediaRow],
+                     realCodecs: Boolean = true): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bits =
+          if (realCodecs && r.kind == "image")
+            MediaCodecs.imageAHashBits(r.payload)
+              .getOrElse(MediaCodecs.byteAHashBits(r.payload))
+          else MediaCodecs.byteAHashBits(r.payload)
+        val (hi, lo) = MediaCodecs.packAHashBits(bits)
+        PHash(r.media_id, hi, lo)
+      }
+    }
+  }
+
   /** Decode + feature-extract, one partition at a time. A real
     * implementation would hold one codec context per partition (the reason
     * for mapPartitions rather than a per-row UDF).
@@ -379,6 +409,89 @@ object MediaCodecs {
   private def decodeImageRaw(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
+
+  /** Real perceptual average-hash: 8×8 luminance grid over the decoded
+    * image, bit (cy·8+cx) set iff the cell's mean luminance exceeds the
+    * image mean. The comparison is EXACT integer cross-multiplication
+    * (cellSum·totalCnt > totalSum·cellCnt) — no FP means, so the bits
+    * are deterministic for identical pixels on any platform. None when
+    * the payload is not a decodable image.
+    */
+  def imageAHashBits(payload: Array[Byte]): Option[Array[Boolean]] =
+    decodeImageRaw(payload).map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val cellSum = new Array[Long](64)
+      val cellCnt = new Array[Long](64)
+      var totalSum = 0L
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        im.getRGB(0, y, w, 1, row, 0, w)
+        val cy = (y.toLong * 8 / h).toInt
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          val j = cy * 8 + (x.toLong * 8 / w).toInt
+          cellSum(j) += lum
+          cellCnt(j) += 1
+          totalSum += lum
+          x += 1
+        }
+        y += 1
+      }
+      val totalCnt = w.toLong * h
+      Array.tabulate(64)(j => cellSum(j) * totalCnt > totalSum * cellCnt(j))
+    }
+
+  /** STUB average-hash over raw payload bytes: 64 contiguous index-range
+    * chunks (byte i → chunk (i·64) div n), bit j set iff the chunk's byte
+    * mean exceeds the payload mean — the same exact integer
+    * cross-multiplication as [[imageAHashBits]], so the whole hash is
+    * replayable in SQL over the text-derived test payloads (ASCII:
+    * codepoint == byte).
+    */
+  def byteAHashBits(payload: Array[Byte]): Array[Boolean] = {
+    val n = payload.length
+    val bits = new Array[Boolean](64)
+    if (n == 0) return bits
+    val chunkSum = new Array[Long](64)
+    val chunkCnt = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val j = (i.toLong * 64 / n).toInt
+      val v = payload(i) & 0xff
+      chunkSum(j) += v
+      chunkCnt(j) += 1
+      total += v
+      i += 1
+    }
+    var j = 0
+    while (j < 64) {
+      bits(j) = chunkSum(j) * n > total * chunkCnt(j)
+      j += 1
+    }
+    bits
+  }
+
+  /** Pack 64 hash bits into two non-negative BIGINT halves (hi = bits
+    * 32..63, lo = 0..31) — two positive longs instead of one sign-risky
+    * 64-bit value, so SQL replication never overflows.
+    */
+  def packAHashBits(bits: Array[Boolean]): (Long, Long) = {
+    var hi = 0L
+    var lo = 0L
+    var j = 0
+    while (j < 64) {
+      if (bits(j)) {
+        if (j >= 32) hi |= 1L << (j - 32) else lo |= 1L << j
+      }
+      j += 1
+    }
+    (hi, lo)
+  }
 
   /** STUB decode: pretends to decode an image/audio/video payload and
     * reports (width, height, mean byte intensity). Deterministic in the

@@ -52,6 +52,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeImage("not an image".getBytes).isEmpty)
   }
 
+  test("perceptual aHash: real image path lights the bright half; stub is hand-computable") {
+    // 16×16 PNG: left half black, right half white → aHash cells in
+    // columns 4..7 of every row are above the mean (bits where cx >= 4)
+    val im = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      im.setRGB(x, y, if (x >= 8) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val bits = MediaCodecs.imageAHashBits(bos.toByteArray).get
+    for (j <- 0 until 64)
+      assert(bits(j) == (j % 8 >= 4), s"bit $j (cell col ${j % 8})")
+    // identical pixels ⇒ identical hash through the Dataset operator
+    val rows = Seq(Media.MediaRow(1L, "image", bos.toByteArray, "f"),
+      Media.MediaRow(2L, "image", bos.toByteArray, "f")).toDS()
+    val hs = Media.perceptualHash(rows).collect().sortBy(_.media_id)
+    assert(hs(0).phash_hi == hs(1).phash_hi && hs(0).phash_lo == hs(1).phash_lo)
+    assert(hs(0).phash_hi != 0L || hs(0).phash_lo != 0L)
+    // stub: 128 bytes, second half high → chunks 32..63 above mean; the
+    // packed halves are all-ones hi, all-zeros lo
+    val payload = Array.tabulate(128)(i => if (i >= 64) 200.toByte else 10.toByte)
+    val (hi, lo) = MediaCodecs.packAHashBits(MediaCodecs.byteAHashBits(payload))
+    assert(hi == 0xffffffffL && lo == 0L)
+    // constant payload: no chunk exceeds the mean → zero hash
+    val (h0, l0) = MediaCodecs.packAHashBits(
+      MediaCodecs.byteAHashBits(Array.fill(100)(42.toByte)))
+    assert(h0 == 0L && l0 == 0L)
+  }
+
   test("audio kind with a REAL WAV payload decodes via javax.sound (not the stub)") {
     // 100 frames of constant 16-bit sample 16384, mono, 8 kHz, little-endian
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
