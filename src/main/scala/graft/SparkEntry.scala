@@ -826,6 +826,29 @@ object SparkEntry {
       Media.perceptualHash(Media.mediaFromDocuments(t(s, dir, "documents")),
           realCodecs = false)
         .toDF().orderBy("media_id")),
+    // exact-dup media groups by perceptual hash — the multimodal analogue
+    // of text exact-dedup (equal aHash ⇒ same chunk-profile payload). The
+    // raw corpus has no exact dups, so the query plants deterministic
+    // copies (doc_id < 50 re-ingested at id+1e6 — the re-crawl shape) and
+    // the oracle replays the identical derivation
+    "media_dup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Media.perceptualHash(Media.mediaFromDocuments(docs.unionByName(planted)),
+          realCodecs = false)
+        .toDF()
+        .groupBy("phash_hi", "phash_lo")
+        .agg(count(lit(1)).cast("long").as("n_media"), min("media_id").as("keep_id"))
+        .filter(col("n_media") > 1)
+        .orderBy("keep_id")
+    }),
+    // exact two-sample KS drift statistic between two sources' length
+    // distributions — integer-numerator max (no per-value FP), one
+    // bit-identical division at the end
+    "drift_ks" -> ((s, dir) =>
+      pipeline.Drift.ksStatistic(t(s, dir, "documents"), col("source"),
+        col("n_chars"), "src0", "src1")),
     // frame sampling over video payloads (every 2nd 64-byte chunk);
     // the stub chunker is deterministic arithmetic -> full oracle below
     "media_frames" -> ((s, dir) =>
@@ -1062,6 +1085,34 @@ object SparkEntry {
        |  round($contribs, 4) AS bm25
        |  FROM d, s)""".stripMargin
   }
+
+  /** The stub byte-chunk aHash ([[Media.perceptualHash]] with
+    * `realCodecs = false`) as a relation `ph(media_id, phash_hi,
+    * phash_lo)` — shared by the media_phash and media_dup_groups oracles.
+    * Bits decide by integer cross-multiplication; ASCII text makes
+    * codepoint == byte.
+    */
+  private def mediaPhashCte(rel: String): String =
+    s"""WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+      |    CAST(strlen(text) AS BIGINT) AS n FROM $rel),
+      |b AS (SELECT media_id, n, ((i - 1) * 64) // n AS j,
+      |    CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS v
+      |  FROM m, UNNEST(range(1, n + 1)) AS u(i)),
+      |tot AS (SELECT media_id, sum(v) AS ts FROM b GROUP BY 1),
+      |ch AS (SELECT media_id, n, j, sum(v) AS cs, count(*) AS cc
+      |  FROM b GROUP BY 1, 2, 3),
+      |bits AS (SELECT c.media_id, c.j FROM ch c JOIN tot t USING (media_id)
+      |  WHERE c.cs * c.n > t.ts * c.cc),
+      |agg AS (SELECT media_id,
+      |    sum(CASE WHEN j >= 32 THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT))
+      |        ELSE 0 END) AS hi,
+      |    sum(CASE WHEN j < 32 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+      |        ELSE 0 END) AS lo
+      |  FROM bits GROUP BY 1),
+      |ph AS (SELECT m.media_id AS media_id,
+      |    CAST(coalesce(a.hi, 0) AS BIGINT) AS phash_hi,
+      |    CAST(coalesce(a.lo, 0) AS BIGINT) AS phash_lo
+      |  FROM m LEFT JOIN agg a USING (media_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "bm25_top_docs" ->
@@ -2003,25 +2054,30 @@ object SparkEntry {
     // (doc text is pure ASCII, so codepoint sum == byte sum) — which makes
     // even the stubbed decode oracle-checkable end to end
     "media_phash" ->
-      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text,
-        |    CAST(strlen(text) AS BIGINT) AS n FROM documents),
-        |b AS (SELECT media_id, n, ((i - 1) * 64) // n AS j,
-        |    CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS v
-        |  FROM m, UNNEST(range(1, n + 1)) AS u(i)),
-        |tot AS (SELECT media_id, sum(v) AS ts FROM b GROUP BY 1),
-        |ch AS (SELECT media_id, n, j, sum(v) AS cs, count(*) AS cc
-        |  FROM b GROUP BY 1, 2, 3),
-        |bits AS (SELECT c.media_id, c.j FROM ch c JOIN tot t USING (media_id)
-        |  WHERE c.cs * c.n > t.ts * c.cc),
-        |agg AS (SELECT media_id,
-        |    sum(CASE WHEN j >= 32 THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT))
-        |        ELSE 0 END) AS hi,
-        |    sum(CASE WHEN j < 32 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-        |        ELSE 0 END) AS lo
-        |  FROM bits GROUP BY 1)
-        |SELECT m.media_id AS media_id, CAST(coalesce(a.hi, 0) AS BIGINT) AS phash_hi,
-        |  CAST(coalesce(a.lo, 0) AS BIGINT) AS phash_lo
-        |FROM m LEFT JOIN agg a USING (media_id) ORDER BY media_id""".stripMargin,
+      s"""${mediaPhashCte("documents")}
+         |SELECT media_id, phash_hi, phash_lo FROM ph ORDER BY media_id""".stripMargin,
+    "media_dup_groups" ->
+      s"""${mediaPhashCte("(SELECT doc_id, text FROM documents UNION ALL " +
+           "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)")}
+         |SELECT phash_hi, phash_lo, CAST(count(*) AS BIGINT) AS n_media,
+         |  CAST(min(media_id) AS BIGINT) AS keep_id
+         |FROM ph GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+    "drift_ks" ->
+      """WITH d AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT v, sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS b FROM d GROUP BY 1),
+        |cum AS (SELECT v,
+        |    sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM c),
+        |t AS (SELECT sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS nb FROM d)
+        |SELECT CAST(cum.v AS BIGINT) AS at_value,
+        |  CAST(abs(ca * nb - cb * na) AS BIGINT) AS ks_num,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(abs(ca * nb - cb * na) AS DOUBLE) / (na * nb) AS ks
+        |FROM cum, t ORDER BY abs(ca * nb - cb * na) DESC, cum.v LIMIT 1""".stripMargin,
     "media_features" ->
       """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -60,6 +60,40 @@ object Ranking {
     sorted.sparkSession.createDataFrame(out, schema)
   }
 
+  /** Append inclusive running sums `cum_<c>` of the LongType columns
+    * `sumCols` in `sortCols` order — the distributed prefix-sum scan,
+    * same two-pass shape as [[withRunningMax]] (per-partition totals →
+    * broadcast offsets → per-partition scan).
+    */
+  def withRunningSums(df: DataFrame, sumCols: Seq[String],
+                      sortCols: Column*): DataFrame = {
+    val sorted = df.orderBy(sortCols: _*).localCheckpoint(true) // feeds both passes
+    val vis = sumCols.map(sorted.schema.fieldIndex).toArray
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      val s = new Array[Long](vis.length)
+      it.foreach { r =>
+        var c = 0
+        while (c < vis.length) { s(c) += r.getLong(vis(c)); c += 1 }
+      }
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val prefix = partSums.scanLeft(new Array[Long](vis.length)) { (acc, s) =>
+      Array.tabulate(vis.length)(c => acc(c) + s(c))
+    }.dropRight(1)
+    val schema = sumCols.foldLeft(sorted.schema)((sch, c) =>
+      sch.add(s"cum_$c", LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val run = prefix(i).clone()
+      it.map { r =>
+        var c = 0
+        while (c < vis.length) { run(c) += r.getLong(vis(c)); c += 1 }
+        Row.fromSeq(r.toSeq ++ run.toList) // toList COPIES — run keeps mutating
+      }
+    }
+    sorted.sparkSession.createDataFrame(out, schema)
+  }
+
   /** Exact equi-depth histogram: `k` NTILE buckets over `value` in
     * (value, tieCols) total order, SQL-standard uneven split (first
     * n mod k buckets take one extra row). Built on the global index, not

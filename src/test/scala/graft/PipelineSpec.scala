@@ -490,6 +490,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (9L, "z", 90.0)))
   }
 
+  test("withRunningSums: inclusive multi-column prefix sums across partitions") {
+    import graft.pipeline.Ranking
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 10L, 1L), (2L, 20L, 2L), (3L, 30L, 3L), (4L, 40L, 4L))
+      .toDF("k", "x", "y").repartition(3)
+    val out = Ranking.withRunningSums(df, Seq("x", "y"), col("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, 10L, 1L), (2L, 30L, 3L), (3L, 60L, 6L), (4L, 100L, 10L)))
+  }
+
+  test("ksStatistic: hand-computed integer-numerator KS with min-value tie-break") {
+    import graft.pipeline.Drift
+    import org.apache.spark.sql.functions.col
+    // A = {1,2}, B = {2,3}: numerator peaks at 2 for v∈{1,2} → at_value 1,
+    // ks = 2/(2·2) = 0.5
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val r = Drift.ksStatistic(df, col("g"), col("v"), "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      == ((1L, 2L, 2L, 2L, 0.5)))
+    // identical distributions: KS numerator 0 everywhere
+    val same = Seq(("a", 5L), ("b", 5L)).toDF("g", "v")
+    assert(Drift.ksStatistic(same, col("g"), col("v"), "a", "b")
+      .collect()(0).getDouble(4) == 0.0)
+  }
+
   test("zValue interleaves bits; zonemap files are Morton quadrants") {
     import graft.pipeline.ZOrder
     import org.apache.spark.sql.functions.col
