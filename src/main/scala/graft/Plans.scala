@@ -34,6 +34,10 @@ object Plans {
     "cms_term_counts" -> "count_min_agg is an ObjectHashAggregate carrying ONE d×w counter array through the shuffle (the exploded formulation would shuffle d rows per token); the estimate read is a broadcast cross join of the one-row sketch against the term dictionary; exact counts shuffle once on term.",
     "equi_depth_hist" -> "exact NTILE without `ntile() OVER (ORDER BY …)`: range-partitioned sort + zipWithIndex global index, bucket arithmetic against one broadcast count row, final per-bucket aggregate — nothing ever serializes onto one task.",
     "merge_upsert" -> "MERGE INTO as one co-partitioned full-outer SortMergeJoin on the key; the upsert/delete/pass-through CASE is a codegen'd projection; no driver-side state anywhere.",
+    "zorder_zonemap" -> "Morton z-values are pure BIGINT bit arithmetic inside the scan Project; file assignment is the two-pass global index (range-partitioned sort + zipWithIndex — the ExistingRDD), zone maps one per-file aggregate.",
+    "attribution_last_touch" -> "as-of as union-and-carry: both event sides union, ONE Exchange on user_id, one window sort carries the latest click struct forward — no range cross-join, no per-row probe.",
+    "drift_ks" -> "the distinct-value frame aggregates once; cumulative counts are the two-pass prefix-sum scan (ExistingRDD, no single-partition window); the KS max is decided on exact integer numerators with one broadcast totals row.",
+    "media_phash" -> "perceptual hashing is a partition-local Dataset map (one codec context per partition, payloads never shuffle); the only Exchange is the final order by media_id.",
   )
 
   def main(args: Array[String]): Unit = {
