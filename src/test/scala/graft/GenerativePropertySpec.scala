@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+import org.scalatest.funsuite.AnyFunSuite
+
+import SparkTestSession._
+
+/** Generative (ScalaCheck) properties for the distributed scan/layout
+  * primitives added in round 5 — each checked against an in-memory
+  * reference implementation on random inputs, with partition counts
+  * randomized so the two-pass prefix machinery crosses partition
+  * boundaries in every shape.
+  */
+class GenerativePropertySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  // each trial runs several local Spark jobs — 15 random shapes per
+  // property keeps the suite's wall-clock sane while still crossing many
+  // partition layouts
+  private val params = Parameters.default.withMinSuccessfulTests(15)
+
+  private def assertHolds(p: Prop, what: String): Unit = {
+    val r = check(params, p)
+    assert(r.passed, s"$what failed: ${r.status}")
+  }
+
+  test("property: skyline2D equals the brute-force dominance filter") {
+    val pts = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 8L), Gen.chooseNum(0L, 8L)))
+    assertHolds(Prop.forAll(pts, Gen.chooseNum(1, 5)) { (ps, nPart) =>
+      val rows = ps.zipWithIndex.map { case ((p, s), i) => (i.toLong, p.toDouble, s) }
+      val df = rows.toDF("id", "price", "size").repartition(nPart)
+      val got = pipeline.Skyline.skyline2D(df, col("id"), col("price"), col("size"))
+        .collect().map(_.getLong(0)).toSet
+      val brute = rows.filter { case (i, p, s) =>
+        !rows.exists { case (j, p2, s2) =>
+          j != i && p2 <= p && s2 >= s && (p2 < p || s2 > s)
+        }
+      }.map(_._1).toSet
+      got == brute
+    }, "skyline vs brute force")
+  }
+
+  test("property: withRunningSums / withRunningMax equal scanLeft references") {
+    val vals = Gen.listOfN(20, Gen.chooseNum(-50L, 50L))
+    assertHolds(Prop.forAll(vals, Gen.chooseNum(1, 6)) { (vs, nPart) =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("k", "v").repartition(nPart)
+      val sums = pipeline.Ranking.withRunningSums(df, Seq("v"), col("k"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).map(_._2).toSeq
+      val wantSums = vs.scanLeft(0L)(_ + _).tail
+      val maxes = pipeline.Ranking.withRunningMax(df, "v", col("k"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1).map(_._2).toSeq
+      val wantMaxes = None +: vs.init.scanLeft(Long.MinValue)(math.max)
+        .tail.map(Some(_))
+      sums == wantSums && maxes == wantMaxes
+    }, "prefix scans vs scanLeft")
+  }
+
+  test("property: withNtile matches SQL NTILE sizes and order monotonicity") {
+    val vals = Gen.listOfN(23, Gen.chooseNum(0L, 9L))
+    assertHolds(Prop.forAll(vals, Gen.chooseNum(1, 7), Gen.chooseNum(2, 6)) {
+      (vs, nPart, k) =>
+        val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        val df = rows.toDF("k", "v").repartition(nPart)
+        val out = pipeline.Ranking.withNtile(df, k, col("v"), col("k"))
+          .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+          .sortBy(t => (t._1, t._2)) // (v, k, bucket) in rank order
+        val n = vs.length
+        val q = n / k
+        val r = n % k
+        val wantSizes = (1 to k).map(b => if (b <= r) q + 1 else q)
+        val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+        val sizesOk = (1 to k).forall(b => sizes.getOrElse(b.toLong, 0) == wantSizes(b - 1))
+        val monotone = out.map(_._3).sliding(2).forall(p => p.head <= p.last)
+        sizesOk && monotone
+    }, "ntile sizes + monotone buckets")
+  }
+
+  test("property: CMS estimates never undercount on random corpora") {
+    val docGen = Gen.listOfN(12, Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e")))
+    assertHolds(Prop.forAll(docGen) { texts =>
+      val df = texts.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      pipeline.TextStats.cmsTermCounts(df, depth = 2, width = 8).collect()
+        .forall(r => r.getLong(1) >= r.getLong(2))
+    }, "CMS est >= true")
+  }
+}
