@@ -82,6 +82,22 @@ object SparkEntry {
     // (all five region roots), amortizing per-level jobs across requests
     "bfs_multi" -> ((s, dir) =>
       GraphOps.bfsLevelsMulti(DerivedGraphs.treeEdges(s, dir), Seq(1L, 2L, 3L, 4L, 5L))),
+    // closeness + harmonic centrality of the five region roots from ONE
+    // multi-source BFS dataflow — EXACT arithmetic throughout: sum-of-
+    // distances is BIGINT, and harmonic (Σ 1/d) is computed over the
+    // common denominator 2520 = lcm(1..10) so the only FP op is one final
+    // bit-identical division (tree depth 3 ≪ 10)
+    "graph_centrality" -> ((s, dir) =>
+      GraphOps.bfsLevelsMulti(DerivedGraphs.treeEdges(s, dir), Seq(1L, 2L, 3L, 4L, 5L))
+        .filter(col("level") >= 1)
+        .groupBy(col("start"), col("level")).agg(count(lit(1)).as("n"))
+        .groupBy(col("start"))
+        .agg(sum(col("n")).cast("long").as("n_reached"),
+          sum(col("n") * col("level")).cast("long").as("sum_dist"),
+          sum(col("n") * expr("2520 div level")).cast("long").as("hnum"))
+        .select(col("start"), col("n_reached"), col("sum_dist"),
+          (col("hnum").cast("double") / 2520.0).as("harmonic"))
+        .orderBy("start")),
     // A5 derived — vertices per BFS level
     "reachable_by_level" -> ((s, dir) =>
       bfs(s, dir).groupBy("level").agg(count(lit(1)).cast("long").as("n_vertices"))
@@ -805,6 +821,11 @@ object SparkEntry {
     // deterministic fixed-size uniform sample (hash-ranked TakeOrdered)
     "hash_sample" -> ((s, dir) =>
       pipeline.Curation.hashSample(t(s, dir, "documents"), n = 50)),
+    // deterministic WEIGHTED sample: priority = hash/weight (longer docs
+    // proportionally favored), one bit-identical division — no libm pow
+    "weighted_sample" -> ((s, dir) =>
+      pipeline.Curation.weightedSample(t(s, dir, "documents"),
+        col("n_chars"), n = 50)),
     // dedup capstone: connected components over the near-dup pair graph,
     // canonical keeper per cluster (GraphX CC on the sketch-candidate pairs)
     "dedup_clusters" -> ((s, dir) =>
@@ -1223,6 +1244,20 @@ object SparkEntry {
          |)
          |SELECT s AS start, v AS vertex, CAST(min(lvl) AS BIGINT) AS level
          |FROM bfs GROUP BY s, v ORDER BY start, level, vertex""".stripMargin,
+    "graph_centrality" ->
+      s"""WITH RECURSIVE e AS ($E),
+         |bfs(s, v, lvl) AS (
+         |  SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM (VALUES (1), (2), (3), (4), (5)) AS t(s)
+         |  UNION ALL
+         |  SELECT b.s, e.dst, b.lvl + 1 FROM bfs b JOIN e ON e.src = b.v
+         |),
+         |lv AS (SELECT s, v, min(lvl) AS l FROM bfs GROUP BY 1, 2),
+         |c AS (SELECT s, l, count(*) AS n FROM lv WHERE l >= 1 GROUP BY 1, 2)
+         |SELECT CAST(s AS BIGINT) AS start, CAST(sum(n) AS BIGINT) AS n_reached,
+         |  CAST(sum(n * l) AS BIGINT) AS sum_dist,
+         |  CAST(sum(n * (2520 // l)) AS DOUBLE) / 2520.0 AS harmonic
+         |FROM c GROUP BY s ORDER BY start""".stripMargin,
     "dfs_leaves" ->
       s"""WITH RECURSIVE e AS ($E),
          |reach(v) AS (
@@ -1718,6 +1753,13 @@ object SparkEntry {
         |FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
         |LIMIT 50""".stripMargin,
+    "weighted_sample" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(n_chars AS BIGINT) AS w,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, w, CAST(h AS DOUBLE) / w AS priority
+        |FROM d ORDER BY priority, doc_id LIMIT 50""".stripMargin,
     "length_strata" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
         |  CAST(n_chars AS BIGINT) AS n_chars,

@@ -105,6 +105,26 @@ object Curation {
       .orderBy("sample_rank")
   }
 
+  /** Deterministic WEIGHTED-priority sample: rank every doc by
+    * priority = md5₆₀(doc_id) / weight ascending and keep the first `n` —
+    * heavier docs draw proportionally smaller priorities, so selection
+    * probability grows with weight while staying fully reproducible (the
+    * exponential-jump A-Res scheme needs pow(), whose libm bits differ
+    * across engines; this rational form needs ONE IEEE division, which
+    * doesn't). TakeOrdered shape like [[hashSample]] — no global sort
+    * materialization, per-partition heaps + driver merge of n.
+    * Output: (doc_id, w, priority) ordered by (priority, doc_id).
+    */
+  def weightedSample(documents: DataFrame, weight: org.apache.spark.sql.Column,
+                     n: Int = 100): DataFrame = {
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"), weight.cast("long").as("w"),
+        graft.functions.PortableHash.md5Bits60(col("doc_id").cast("string")).as("h"))
+      .withColumn("priority", col("h").cast("double") / col("w"))
+      .orderBy(col("priority"), col("doc_id")).limit(n)
+      .select("doc_id", "w", "priority")
+  }
+
   /** Length stratification: assign every doc an equi-depth decile bucket
     * of its length WITHIN its source (ntile over (n_chars, doc_id) — the
     * doc_id tiebreak makes bucket boundaries deterministic across engines
