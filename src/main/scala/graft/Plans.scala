@@ -38,6 +38,7 @@ object Plans {
     "attribution_last_touch" -> "as-of as union-and-carry: both event sides union, ONE Exchange on user_id, one window sort carries the latest click struct forward — no range cross-join, no per-row probe.",
     "drift_ks" -> "the distinct-value frame aggregates once; cumulative counts are the two-pass prefix-sum scan (ExistingRDD, no single-partition window); the KS max is decided on exact integer numerators with one broadcast totals row.",
     "media_phash" -> "perceptual hashing is a partition-local Dataset map (one codec context per partition, payloads never shuffle); the only Exchange is the final order by media_id.",
+    "topk_per_group" -> "the custom whole-operator extension: GroupTopKPartial keeps a bounded k-row heap per key on the MAP side, so the single hash Exchange carries ≤ k·|keys| rows per partition instead of the table; GroupTopKFinal repeats the heap pass on clustered input for the exact answer — the partial-aggregation shape for top-k, vs the window plan's full shuffle + full per-partition sort.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -527,6 +527,20 @@ object SparkEntry {
     "events_pivot" -> ((s, dir) =>
       Events.dailyTypePivot(t(s, dir, "events"),
         Seq("click", "error", "purchase", "signup", "view"))),
+    // per-group top-k via the custom WHOLE-OPERATOR Catalyst extension
+    // (logical node + strategy + partial/final physical heaps): top-3
+    // lineitems per supplier by price — the shuffle carries ≤ 3·|keys|
+    // rows per partition, not the table
+    "topk_per_group" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("suppkey"),
+        col("l_orderkey").cast("long").as("orderkey"),
+        col("l_linenumber").cast("long").as("linenumber"),
+        col("l_extendedprice").as("price"))
+      graft.plans.GroupTopK.topKPerKey(li, Seq(col("suppkey")),
+          Seq(col("price").desc, col("orderkey"), col("linenumber")), k = 3)
+        .orderBy("suppkey", "orderkey", "linenumber")
+    }),
     "revenue_percentiles" -> ((s, dir) =>
       pipeline.Ranking.revenuePercentiles(t(s, dir, "orders"), k = 10)),
     "repeat_customers" -> ((s, dir) => {
@@ -1753,6 +1767,16 @@ object SparkEntry {
         |FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
         |LIMIT 50""".stripMargin,
+    "topk_per_group" ->
+      """WITH r AS (SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+        |    CAST(l_orderkey AS BIGINT) AS orderkey,
+        |    CAST(l_linenumber AS BIGINT) AS linenumber,
+        |    l_extendedprice AS price,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT suppkey, orderkey, linenumber, price FROM r WHERE rn <= 3
+        |ORDER BY suppkey, orderkey, linenumber""".stripMargin,
     "weighted_sample" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |    CAST(n_chars AS BIGINT) AS w,

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GroupTopK
+import SparkTestSession._
+
+class GroupTopKSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 40.0),
+    ("b", 5L, 5.0), ("b", 6L, 5.0), ("b", 7L, 5.0),
+    ("c", 8L, 1.0)
+  ).toDF("k", "id", "v").repartition(3)
+
+  test("topKPerKey keeps the first k rows per key in the declared total order") {
+    val out = GroupTopK.topKPerKey(df, Seq(col("k")),
+        Seq(col("v").desc, col("id")), k = 2)
+      .orderBy("k", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      ("a", 2L, 30.0), ("a", 4L, 40.0),  // top-2 by v desc = ids 4, 2
+      ("b", 5L, 5.0), ("b", 6L, 5.0),    // all-tied: id tiebreak keeps 5, 6
+      ("c", 8L, 1.0)))
+  }
+
+  test("plan shape: partial heap under final heap with ONE hash Exchange between") {
+    val q = GroupTopK.topKPerKey(df, Seq(col("k")), Seq(col("v").desc, col("id")), 2)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("GroupTopKPartial"), physical)
+    assert(physical.contains("GroupTopKFinal"), physical)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(physical).length
+    assert(exchanges == 1, s"want exactly one hash Exchange:\n$physical")
+    // partial must run BELOW the exchange (map-side), final above
+    val pi = physical.indexOf("GroupTopKPartial")
+    val fi = physical.indexOf("GroupTopKFinal")
+    val ei = physical.indexOf("Exchange hashpartitioning")
+    assert(fi < ei && ei < pi, s"final/exchange/partial order wrong:\n$physical")
+  }
+
+  test("property: equals the row_number window formulation on random data") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val rows = Gen.listOfN(40,
+      Gen.zip(Gen.oneOf("x", "y", "z"), Gen.chooseNum(0L, 9L)))
+    val r = check(Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(rows, Gen.chooseNum(1, 5)) { (rs, k) =>
+        val d = rs.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v.toDouble) }
+          .toDF("k", "id", "v").repartition(4)
+        val got = GroupTopK.topKPerKey(d, Seq(col("k")),
+            Seq(col("v").desc, col("id")), k)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy(col("v").desc, col("id"))
+        val want = d.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        got == want
+      })
+    assert(r.passed, s"window parity failed: ${r.status}")
+  }
+}
