@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the per-group top-k planner strategy
+    // (sessions built without extensions get it lazily via
+    // GroupTopK.topKPerKey's experimental-strategies registration)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopK.Strategy)
     ext.injectFunction((FunctionIdentifier("vector_cosine"),
       info("vector_cosine", "vector_cosine(a, b) - cosine of two float vectors"),
       (es: Seq[Expression]) => VectorCosine(es.head, es(1))))

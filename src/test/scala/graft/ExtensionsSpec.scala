@@ -41,6 +41,18 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT count_min_agg(s, 2, 4) AS sk FROM VALUES ('a'), ('a'), ('a') AS t(s)")
         .collect()(0).getSeq[Long](0)
       assert(cm.length == 8 && cm.grouped(4).forall(_.sum == 3L))
+      // the injected planner strategy plans GroupTopK WITHOUT the lazy
+      // experimental-strategies fallback (strip it first to prove it)
+      import org.apache.spark.sql.functions.col
+      s2.experimental.extraStrategies = Nil
+      import s2.implicits._
+      val tk = graft.plans.GroupTopK.topKPerKey(
+        Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v"),
+        Seq(col("k")), Seq(col("v").desc), k = 1)
+      s2.experimental.extraStrategies = Nil // undo topKPerKey's re-registration
+      assert(tk.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == Set(("a", 2L), ("b", 3L)))
+      assert(tk.queryExecution.executedPlan.toString.contains("GroupTopKFinal"))
       // non-literal seed is a typed error, not a silent misresolve
       assertThrows[Exception] {
         s2.sql("SELECT vector_sign_sketch(array(CAST(1.0 AS FLOAT)), CAST(rand() * 4 AS INT))")
