@@ -98,6 +98,12 @@ object SparkEntry {
         .select(col("start"), col("n_reached"), col("sum_dist"),
           (col("hnum").cast("double") / 2520.0).as("harmonic"))
         .orderBy("start")),
+    // bottom-up subtree aggregation (reverse of BFS's top-down flow):
+    // descendant counts to the fixpoint on the derived forest — the
+    // hierarchical-rollup shape; oracle counts recursive ancestor→
+    // descendant paths
+    "subtree_sizes" -> ((s, dir) =>
+      GraphOps.subtreeSizes(DerivedGraphs.treeEdges(s, dir))),
     // A5 derived — vertices per BFS level
     "reachable_by_level" -> ((s, dir) =>
       bfs(s, dir).groupBy("level").agg(count(lit(1)).cast("long").as("n_vertices"))
@@ -1258,6 +1264,21 @@ object SparkEntry {
          |)
          |SELECT s AS start, v AS vertex, CAST(min(lvl) AS BIGINT) AS level
          |FROM bfs GROUP BY s, v ORDER BY start, level, vertex""".stripMargin,
+    "subtree_sizes" ->
+      s"""WITH RECURSIVE e AS ($E),
+         |r(a, v) AS (
+         |  SELECT src, dst FROM e
+         |  UNION ALL
+         |  SELECT r.a, e.dst FROM r JOIN e ON e.src = r.v
+         |),
+         |d AS (SELECT a, count(*) AS n FROM r GROUP BY 1),
+         |-- explicit DISTINCT: under WITH RECURSIVE, DuckDB gives a plain
+         |-- UNION in a sibling CTE recursive-union semantics (no dedup)
+         |verts AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e))
+         |SELECT CAST(verts.v AS BIGINT) AS vertex,
+         |  CAST(coalesce(d.n, 0) AS BIGINT) AS n_desc
+         |FROM verts LEFT JOIN d ON d.a = verts.v ORDER BY vertex""".stripMargin,
     "graph_centrality" ->
       s"""WITH RECURSIVE e AS ($E),
          |bfs(s, v, lvl) AS (

@@ -825,6 +825,42 @@ object GraphOps {
           .as("assortativity"))
   }
 
+  /** BOTTOM-UP subtree aggregation — the reverse of the BFS family's
+    * top-down flow: descendant counts per vertex on a DAG-forest, by
+    * iterating `cnt(v) ← Σ_children (1 + cnt(child))` until no vertex
+    * changes (depth-many rounds; on a tree the fixpoint is exactly the
+    * subtree size). The hierarchical-rollup shape (org charts, category
+    * trees, sampled betweenness on trees) — one join + one aggregate per
+    * round, leaf-ward levels settle first.
+    * Output: (vertex, n_desc) ordered, isolated/leaf vertices at 0.
+    */
+  def subtreeSizes(edges: DataFrame, maxRounds: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    ownedGraphResult(spark) {
+      val e = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .localCheckpoint(true)
+      val vertices = e.select(col("src").as("vertex"))
+        .unionAll(e.select(col("dst").as("vertex")))
+        .distinct().localCheckpoint(true)
+      var cnt = vertices.withColumn("n_desc", lit(0L)).localCheckpoint(true)
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        val fromChildren = e.join(cnt, e("dst") === cnt("vertex"))
+          .groupBy(col("src").as("vertex"))
+          .agg(sum(col("n_desc") + 1).as("nd"))
+        val next = vertices.join(fromChildren, Seq("vertex"), "left")
+          .select(col("vertex"), coalesce(col("nd"), lit(0L)).cast("long").as("n_desc"))
+          .localCheckpoint(true)
+        converged = next.join(cnt, Seq("vertex", "n_desc"), "left_anti").isEmpty
+        cnt = next
+        round += 1
+      }
+      cnt
+    }.orderBy("vertex")
+  }
+
   /** Connected components via GraphX (label = min vertex id in component).
     * Isolated vertices are kept by passing the full vertex set explicitly.
     */

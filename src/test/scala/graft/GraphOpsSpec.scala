@@ -481,6 +481,21 @@ class GraphOpsSpec extends AnyFunSuite {
     (1 to n).foreach(i => assert(out(i.toLong) == 2L * (i - 1)))
   }
 
+  test("subtreeSizes: hand-traced descendant counts; deep chain converges") {
+    import spark.implicits._
+    // 1→{2,3}, 2→{4,5}: n_desc 1→4, 2→2, leaves 0
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L)).toDF("src", "dst")
+    val out = GraphOps.subtreeSizes(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 4L, 2L -> 2L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+    // depth-6 chain: vertex i has 6 - i descendants (bottom-up rounds
+    // must propagate the full depth)
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val c = GraphOps.subtreeSizes(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(c == (1L to 6L).map(i => i -> (6L - i)).toMap)
+  }
+
   test("fixpoint graph queries release their persisted RDDs") {
     import spark.implicits._
     val sc = spark.sparkContext
