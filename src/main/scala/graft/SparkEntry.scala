@@ -821,6 +821,9 @@ object SparkEntry {
     }),
     "corpus_profile" -> ((s, dir) => TextStats.corpusProfile(t(s, dir, "documents"))),
     "events_rolling" -> ((s, dir) => Events.rollingAvg(t(s, dir, "events"))),
+    // hourly volume anomalies: z-scores from exact BIGINT moments — one
+    // fixed op tree, bit-identical, unrounded
+    "events_anomalies" -> ((s, dir) => Events.hourlyAnomalies(t(s, dir, "events"))),
     // benchmark decontamination: distinct 5-gram overlap of every corpus
     // doc against the benchmark set (docs 0..9), benchmark grams broadcast
     "decontaminate" -> ((s, dir) =>
@@ -1675,6 +1678,16 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+    "events_anomalies" ->
+      """WITH h AS (SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS nh, CAST(sum(n) AS BIGINT) AS sn,
+        |    CAST(sum(n * n) AS BIGINT) AS snn FROM h)
+        |SELECT hour_ms, n,
+        |  CAST(n * nh - sn AS DOUBLE) / sqrt(CAST(nh * snn - sn * sn AS DOUBLE)) AS z
+        |FROM h, m
+        |WHERE abs(CAST(n * nh - sn AS DOUBLE) / sqrt(CAST(nh * snn - sn * sn AS DOUBLE))) > 2.5
+        |ORDER BY hour_ms""".stripMargin,
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

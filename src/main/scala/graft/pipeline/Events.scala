@@ -210,6 +210,31 @@ object Events {
       .orderBy("hour_ms", "event_type")
   }
 
+  /** Volume-anomaly detection: hours whose event count deviates from the
+    * corpus mean by more than `zThreshold` population standard
+    * deviations. The z-score is built from EXACT integer moments
+    * (N, Σn, Σn² — all BIGINT) in one fixed op tree,
+    * z = (n·N − Σn) / √(N·Σn² − (Σn)²), so there is no FP-summation-
+    * order hazard anywhere and the doubles ship unrounded. One shuffle
+    * (the hourly count), moments broadcast back as one row.
+    * Output: (hour_ms, n, z) ordered by hour_ms.
+    */
+  def hourlyAnomalies(events: DataFrame, zThreshold: Double = 2.5): DataFrame = {
+    val ms = msOf(events)
+    val hourly = events
+      .select((ms - ms % 3600000L).as("hour_ms"))
+      .groupBy("hour_ms").agg(count(lit(1)).cast("long").as("n"))
+    val moments = hourly.agg(count(lit(1)).cast("long").as("nh"),
+      sum("n").cast("long").as("sn"),
+      sum(col("n") * col("n")).cast("long").as("snn"))
+    hourly.crossJoin(broadcast(moments))
+      .withColumn("z", (col("n") * col("nh") - col("sn")).cast("double") /
+        sqrt((col("nh") * col("snn") - col("sn") * col("sn")).cast("double")))
+      .filter(abs(col("z")) > zThreshold)
+      .select(col("hour_ms").cast("long"), col("n"), col("z"))
+      .orderBy("hour_ms")
+  }
+
   /** Long-to-wide pivot: per-day event counts, one column per type in
     * `types` (the explicit value list keeps the schema static — no
     * pre-scan job — and makes the plan a single partial-aggregating
