@@ -824,6 +824,9 @@ object SparkEntry {
     // hourly volume anomalies: z-scores from exact BIGINT moments — one
     // fixed op tree, bit-identical, unrounded
     "events_anomalies" -> ((s, dir) => Events.hourlyAnomalies(t(s, dir, "events"))),
+    // cohort retention matrix: dedup (user, week) FIRST so the aggregate
+    // is a plain count, never a COUNT DISTINCT
+    "cohort_retention" -> ((s, dir) => Events.cohortRetention(t(s, dir, "events"))),
     // benchmark decontamination: distinct 5-gram overlap of every corpus
     // doc against the benchmark set (docs 0..9), benchmark grams broadcast
     "decontaminate" -> ((s, dir) =>
@@ -1678,6 +1681,15 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+    "cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+        |    epoch_ms(ts) - epoch_ms(ts) % 604800000 AS wk FROM events),
+        |fw AS (SELECT u, min(wk) AS cw FROM uw GROUP BY 1)
+        |SELECT CAST(fw.cw AS BIGINT) AS cohort_ms,
+        |  CAST((uw.wk - fw.cw) // 604800000 AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM uw JOIN fw ON fw.u = uw.u
+        |GROUP BY 1, 2 ORDER BY cohort_ms, week_offset""".stripMargin,
     "events_anomalies" ->
       """WITH h AS (SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
         |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),

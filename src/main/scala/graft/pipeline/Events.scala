@@ -210,6 +210,29 @@ object Events {
       .orderBy("hour_ms", "event_type")
   }
 
+  /** Cohort retention: users grouped by first-seen week (their cohort),
+    * counted in every subsequent week they were active — the retention
+    * matrix. The plan dedups (user, week) pairs FIRST, so the final
+    * aggregate is a plain count, not a COUNT DISTINCT (whose per-group
+    * dedup state is the classic retention-query scale trap); the cohort
+    * join shuffles on user_id, the same key the dedup used. Week
+    * arithmetic is pure epoch-ms integer math, engine-identical.
+    * Output: (cohort_ms, week_offset, n_users) ordered.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weekMs = 604800000L
+    val ms = msOf(events)
+    val uw = events
+      .select(col("user_id").cast("long").as("u"), (ms - ms % weekMs).as("wk"))
+      .distinct()
+    val firstWeek = uw.groupBy("u").agg(min("wk").as("cw"))
+    uw.join(firstWeek, Seq("u"))
+      .groupBy(col("cw").cast("long").as("cohort_ms"),
+        expr(s"(wk - cw) div $weekMs").cast("long").as("week_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy("cohort_ms", "week_offset")
+  }
+
   /** Volume-anomaly detection: hours whose event count deviates from the
     * corpus mean by more than `zThreshold` population standard
     * deviations. The z-score is built from EXACT integer moments
