@@ -533,6 +533,17 @@ object SparkEntry {
     "events_pivot" -> ((s, dir) =>
       Events.dailyTypePivot(t(s, dir, "events"),
         Seq("click", "error", "purchase", "signup", "view"))),
+    // wide-to-long UNPIVOT (stack) of the pivot output — the round trip
+    // recovers the original long-form counts exactly (zero-filled cells
+    // drop back out), which is what the oracle computes directly
+    "events_unpivot" -> ((s, dir) =>
+      Events.dailyTypePivot(t(s, dir, "events"),
+          Seq("click", "error", "purchase", "signup", "view"))
+        .select(col("day_ms"), expr(
+          "stack(5, 'click', n_click, 'error', n_error, 'purchase', n_purchase, " +
+            "'signup', n_signup, 'view', n_view) AS (event_type, n)"))
+        .filter(col("n") > 0)
+        .orderBy("day_ms", "event_type")),
     // per-group top-k via the custom WHOLE-OPERATOR Catalyst extension
     // (logical node + strategy + partial/final physical heaps): top-3
     // lineitems per supplier by price — the shuffle carries ≤ 3·|keys|
@@ -1681,6 +1692,10 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+    "events_unpivot" ->
+      """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 86400000 AS BIGINT) AS day_ms,
+        |  event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day_ms, event_type""".stripMargin,
     "cohort_retention" ->
       """WITH uw AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
         |    epoch_ms(ts) - epoch_ms(ts) % 604800000 AS wk FROM events),

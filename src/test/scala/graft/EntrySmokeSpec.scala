@@ -37,7 +37,10 @@ class EntrySmokeSpec extends AnyFunSuite {
     "lang_confusion", "repeat_customers", "media_resize",
     "frequent_part_pairs", "bm25_top_docs", "rrf_fusion", "skyline_parts",
     "equi_depth_hist", "events_pivot", "embedding_quantized_topk",
-    "cms_term_counts", "merge_upsert", "zorder_zonemap", "inverted_index")
+    "cms_term_counts", "merge_upsert", "zorder_zonemap", "inverted_index",
+    "topk_per_group", "subtree_sizes", "graph_centrality", "weighted_sample",
+    "drift_ks", "media_phash", "media_dup_groups", "cohort_retention",
+    "attribution_last_touch", "events_unpivot")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
