@@ -838,6 +838,17 @@ object SparkEntry {
     // cohort retention matrix: dedup (user, week) FIRST so the aggregate
     // is a plain count, never a COUNT DISTINCT
     "cohort_retention" -> ((s, dir) => Events.cohortRetention(t(s, dir, "events"))),
+    // growth curve: cumulative distinct users via the first-seen rewrite
+    // + distributed prefix-sum scan (no COUNT(DISTINCT) OVER)
+    "cumulative_users" -> ((s, dir) => Events.cumulativeUsers(t(s, dir, "events"))),
+    // eccentricity of the five region roots (max BFS level + reach count)
+    // from the same one multi-start dataflow
+    "graph_eccentricity" -> ((s, dir) =>
+      GraphOps.bfsLevelsMulti(DerivedGraphs.treeEdges(s, dir), Seq(1L, 2L, 3L, 4L, 5L))
+        .groupBy("start")
+        .agg(max("level").cast("long").as("eccentricity"),
+          count(lit(1)).cast("long").as("n_reachable"))
+        .orderBy("start")),
     // benchmark decontamination: distinct 5-gram overlap of every corpus
     // doc against the benchmark set (docs 0..9), benchmark grams broadcast
     "decontaminate" -> ((s, dir) =>
@@ -1696,6 +1707,27 @@ object SparkEntry {
       """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 86400000 AS BIGINT) AS day_ms,
         |  event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day_ms, event_type""".stripMargin,
+    "cumulative_users" ->
+      """WITH fd AS (SELECT CAST(user_id AS BIGINT) AS u,
+        |    min(epoch_ms(ts) - epoch_ms(ts) % 86400000) AS first_day
+        |  FROM events GROUP BY 1),
+        |pd AS (SELECT first_day AS day_ms, count(*) AS n FROM fd GROUP BY 1)
+        |SELECT CAST(day_ms AS BIGINT) AS day_ms, CAST(n AS BIGINT) AS new_users,
+        |  CAST(sum(n) OVER (ORDER BY day_ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM pd ORDER BY day_ms""".stripMargin,
+    "graph_eccentricity" ->
+      s"""WITH RECURSIVE e AS ($E),
+         |bfs(s, v, lvl) AS (
+         |  SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM (VALUES (1), (2), (3), (4), (5)) AS t(s)
+         |  UNION ALL
+         |  SELECT b.s, e.dst, b.lvl + 1 FROM bfs b JOIN e ON e.src = b.v
+         |),
+         |lv AS (SELECT s, v, min(lvl) AS l FROM bfs GROUP BY 1, 2)
+         |SELECT CAST(s AS BIGINT) AS start, CAST(max(l) AS BIGINT) AS eccentricity,
+         |  CAST(count(*) AS BIGINT) AS n_reachable
+         |FROM lv GROUP BY s ORDER BY start""".stripMargin,
     "cohort_retention" ->
       """WITH uw AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
         |    epoch_ms(ts) - epoch_ms(ts) % 604800000 AS wk FROM events),

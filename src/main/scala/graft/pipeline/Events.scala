@@ -233,6 +233,27 @@ object Events {
       .orderBy("cohort_ms", "week_offset")
   }
 
+  /** Cumulative distinct users per day — the growth curve. COUNT(DISTINCT)
+    * OVER is unsupported (and unbounded-state) in most engines; the
+    * first-seen rewrite makes it exact and cheap: each user contributes
+    * once on their first-seen day, per-day new-user counts prefix-sum via
+    * the distributed scan ([[Ranking.withRunningSums]]). Days without new
+    * users carry no row (the curve is defined at its jump points).
+    * Output: (day_ms, new_users, cum_users) ordered.
+    */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val ms = msOf(events)
+    val perDay = events
+      .select(col("user_id").cast("long").as("u"), (ms - ms % 86400000L).as("day_ms"))
+      .groupBy("u").agg(min("day_ms").as("first_day"))
+      .groupBy(col("first_day").as("day_ms"))
+      .agg(count(lit(1)).cast("long").as("new_users"))
+    Ranking.withRunningSums(perDay, Seq("new_users"), col("day_ms"))
+      .select(col("day_ms").cast("long").as("day_ms"), col("new_users"),
+        col("cum_new_users").as("cum_users"))
+      .orderBy("day_ms")
+  }
+
   /** Volume-anomaly detection: hours whose event count deviates from the
     * corpus mean by more than `zThreshold` population standard
     * deviations. The z-score is built from EXACT integer moments
