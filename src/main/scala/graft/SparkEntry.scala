@@ -73,6 +73,18 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3/A4 as a FIRST-CLASS DataSource V2: the reference's matrix-text
+    // format behind spark.read.format("graft-matrix") — file-per-partition
+    // scan, column pruning pushed down; write side via the codec sink
+    "matrix_source_scan" -> ((s, dir) => {
+      val edges = t(s, dir, "nation")
+        .select((lit(1) + col("n_regionkey")).cast("long").as("src"),
+          (lit(10) + col("n_nationkey")).cast("long").as("dst"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_").toString
+      MatrixCodec.writeMatrixFile(edges, 34, s"$tmp/G1.txt")
+      s.read.format("graft-matrix").load(tmp)
+        .orderBy("graph_id", "src", "dst")
+    }),
     // A5 — BFS level-order traversal (iterative DataFrame fixpoint)
     "bfs_levels" -> ((s, dir) => bfs(s, dir)),
     // A5 — same semantics on the GraphX Pregel path
@@ -1429,6 +1441,10 @@ object SparkEntry {
     "graph_add_roundtrip" ->
       """SELECT CAST(1 + n_regionkey AS BIGINT) AS src, CAST(10 + n_nationkey AS BIGINT) AS dst
         |FROM nation ORDER BY src, dst""".stripMargin,
+    "matrix_source_scan" ->
+      """SELECT 'G1' AS graph_id, CAST(1 + n_regionkey AS BIGINT) AS src,
+        |  CAST(10 + n_nationkey AS BIGINT) AS dst
+        |FROM nation ORDER BY graph_id, src, dst""".stripMargin,
     "route_assignment" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS req_id,
         |       CAST(o_orderkey % 100 + 1 AS BIGINT) AS seq_no,

@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.MatrixCodec
+
+/** DataSource V2 connector for the reference's on-disk graph format
+  * (`G<gno>.txt`: first line n, then an n×n matrix — reference
+  * `primary_server.c:139-152` / `secondary_server.c:272-286`), so the
+  * format is a FIRST-CLASS Spark source:
+  *
+  * {{{ spark.read.format("graft-matrix").load(dirOrFile) }}}
+  *
+  * Schema: (graph_id STRING, src BIGINT, dst BIGINT) — graph_id from the
+  * filename stem, edges per [[MatrixCodec.parseMatrixText]] (any nonzero
+  * cell, 1-based ids). A directory load takes every `G*.txt` inside (the
+  * reference's database layout); each file is one [[InputPartition]], so
+  * a many-graph database scans file-parallel. Column pruning is pushed
+  * down ([[SupportsPushDownRequiredColumns]]); the scan materializes only
+  * the requested columns. Files in this format are ≤ KBs by construction
+  * (the reference caps n at 30), so per-file parse cost is trivial —
+  * parquet edge tables remain the at-scale path.
+  */
+class MatrixDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-matrix"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MatrixDataSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "graft-matrix needs a path")
+    new MatrixTable(MatrixDataSource.expand(path))
+  }
+}
+
+object MatrixDataSource {
+  val Schema: StructType = new StructType()
+    .add("graph_id", StringType, nullable = false)
+    .add("src", LongType, nullable = false)
+    .add("dst", LongType, nullable = false)
+
+  /** A file stays itself; a directory expands to its `G*.txt` members
+    * (sorted — deterministic partition order).
+    */
+  private[sources] def expand(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala
+        .filter(f => f.getFileName.toString.matches("G.*\\.txt"))
+        .map(_.toString).toSeq.sorted
+    } else Seq(path)
+  }
+}
+
+private[sources] class MatrixTable(paths: Seq[String])
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-matrix(${paths.mkString(",")})"
+  override def schema(): StructType = MatrixDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MatrixScanBuilder(paths)
+}
+
+private[sources] class MatrixScanBuilder(paths: Seq[String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = MatrixDataSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new MatrixScan(paths, required)
+}
+
+private[sources] class MatrixScan(paths: Seq[String], required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(MatrixFilePartition(_)).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MatrixReaderFactory(required.fieldNames)
+}
+
+private[sources] case class MatrixFilePartition(path: String) extends InputPartition
+
+private[sources] class MatrixReaderFactory(columns: Array[String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[MatrixFilePartition].path
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val (_, edges) = MatrixCodec.parseMatrixText(text)
+    val stem = {
+      val f = java.nio.file.Paths.get(path).getFileName.toString
+      if (f.endsWith(".txt")) f.dropRight(4) else f
+    }
+    val gid = UTF8String.fromString(stem)
+    val it = edges.iterator
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val (s, d) = it.next()
+        current = InternalRow.fromSeq(columns.toSeq.map {
+          case "graph_id" => gid
+          case "src" => s
+          case "dst" => d
+          case other => throw new IllegalArgumentException(s"unknown column $other")
+        })
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
