@@ -85,6 +85,43 @@ object SparkEntry {
       s.read.format("graft-matrix").load(tmp)
         .orderBy("graph_id", "src", "dst")
     }),
+    // A2 time travel in the correctness gate: add v1, modify to v2 (drop
+    // even-dst edges), diff latest vs version 1 through the MVCC catalog
+    "graph_version_diff" -> ((s, dir) => {
+      val edges = t(s, dir, "nation")
+        .select((lit(1) + col("n_regionkey")).cast("long").as("src"),
+          (lit(10) + col("n_nationkey")).cast("long").as("dst"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vdiff_").toString
+      val cat = new GraphCatalog(s, s"$tmp/graphs")
+      cat.add("G1", edges)
+      cat.modify("G1", edges.filter(col("dst") % 2 =!= 0))
+      val v1 = cat.load("G1", 1L).select(col("src"), col("dst"))
+      val v2 = cat.load("G1").select(col("src").as("src2"), col("dst").as("dst2"))
+      v1.join(v2, v1("src") === v2("src2") && v1("dst") === v2("dst2"), "full_outer")
+        .select(coalesce(col("src"), col("src2")).as("src"),
+          coalesce(col("dst"), col("dst2")).as("dst"),
+          when(col("src2").isNull, "removed")
+            .when(col("src").isNull, "added").otherwise("kept").as("change"))
+        .orderBy("src", "dst")
+    }),
+    // cardinality estimation (linear counting): distinct md5 buckets →
+    // -m·ln(empty/m); the BITMAP is deterministic, so the estimate is
+    // oracle-reproducible next to the exact count — the cardinality
+    // sibling of the count-min frequency sketch
+    "linear_count_users" -> ((s, dir) => {
+      val m = 16384
+      val ev = t(s, dir, "events")
+      val used = ev.select(
+          (graft.functions.PortableHash.md5Bits60(col("user_id").cast("string")) % m).as("b"))
+        .distinct().agg(count(lit(1)).cast("long").as("n_used"))
+      val exact = ev.agg(countDistinct(col("user_id")).cast("long").as("exact_users"))
+      used.crossJoin(exact)
+        .select(col("n_used"),
+          round(lit(-m.toDouble) *
+            log((lit(m.toLong) - col("n_used")).cast("double") / lit(m.toDouble)), 4)
+            .as("est_users"),
+          col("exact_users"))
+    }),
     // A5 — BFS level-order traversal (iterative DataFrame fixpoint)
     "bfs_levels" -> ((s, dir) => bfs(s, dir)),
     // A5 — same semantics on the GraphX Pregel path
@@ -1445,6 +1482,23 @@ object SparkEntry {
       """SELECT 'G1' AS graph_id, CAST(1 + n_regionkey AS BIGINT) AS src,
         |  CAST(10 + n_nationkey AS BIGINT) AS dst
         |FROM nation ORDER BY graph_id, src, dst""".stripMargin,
+    "graph_version_diff" ->
+      """SELECT CAST(1 + n_regionkey AS BIGINT) AS src,
+        |  CAST(10 + n_nationkey AS BIGINT) AS dst,
+        |  CASE WHEN (10 + n_nationkey) % 2 = 0 THEN 'removed' ELSE 'kept' END AS change
+        |FROM nation ORDER BY src, dst""".stripMargin,
+    "linear_count_users" ->
+      """WITH b AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 16384 AS b
+        |  FROM events),
+        |u AS (SELECT CAST(count(*) AS BIGINT) AS n_used FROM b),
+        |e AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users FROM events)
+        |SELECT n_used,
+        |  CAST(round(-16384.0 * ln(CAST(16384 - n_used AS DOUBLE) / 16384.0), 4)
+        |    AS DOUBLE) AS est_users,
+        |  exact_users
+        |FROM u, e""".stripMargin,
     "route_assignment" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS req_id,
         |       CAST(o_orderkey % 100 + 1 AS BIGINT) AS seq_no,

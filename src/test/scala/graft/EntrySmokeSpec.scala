@@ -40,7 +40,9 @@ class EntrySmokeSpec extends AnyFunSuite {
     "cms_term_counts", "merge_upsert", "zorder_zonemap", "inverted_index",
     "topk_per_group", "subtree_sizes", "graph_centrality", "weighted_sample",
     "drift_ks", "media_phash", "media_dup_groups", "cohort_retention",
-    "attribution_last_touch", "events_unpivot")
+    "attribution_last_touch", "events_unpivot", "matrix_source_scan",
+    "graph_version_diff", "linear_count_users", "graph_eccentricity",
+    "cumulative_users")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
