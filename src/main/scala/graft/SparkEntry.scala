@@ -890,6 +890,10 @@ object SparkEntry {
     // growth curve: cumulative distinct users via the first-seen rewrite
     // + distributed prefix-sum scan (no COUNT(DISTINCT) OVER)
     "cumulative_users" -> ((s, dir) => Events.cumulativeUsers(t(s, dir, "events"))),
+    // per-type cadence profile: exact discrete quantiles of per-user
+    // inter-arrival gaps — integer-exact, rounding-free
+    "events_interarrival" -> ((s, dir) =>
+      Events.interArrivalQuantiles(t(s, dir, "events"))),
     // eccentricity of the five region roots (max BFS level + reach count)
     // from the same one multi-start dataflow
     "graph_eccentricity" -> ((s, dir) =>
@@ -1777,6 +1781,17 @@ object SparkEntry {
       """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 86400000 AS BIGINT) AS day_ms,
         |  event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day_ms, event_type""".stripMargin,
+    "events_interarrival" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_ms,
+        |  CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap_ms,
+        |  CAST(count(*) AS BIGINT) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "cumulative_users" ->
       """WITH fd AS (SELECT CAST(user_id AS BIGINT) AS u,
         |    min(epoch_ms(ts) - epoch_ms(ts) % 86400000) AS first_day

@@ -233,6 +233,28 @@ object Events {
       .orderBy("cohort_ms", "week_offset")
   }
 
+  /** Per-user event cadence: EXACT discrete quantiles of the inter-arrival
+    * gap (ms between a user's consecutive events) per event type of the
+    * LATER event — the latency/cadence profile. Gaps are BIGINT
+    * differences off one lag window (shuffle on user_id); PERCENTILE_DISC
+    * returns raw gap values, so every output is integer-exact with no
+    * rounding. Output: (event_type, p50_gap_ms, p90_gap_ms, n_gaps).
+    */
+  def interArrivalQuantiles(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        msOf(events).as("ms"), col("event_type"))
+      .withColumn("gap", col("ms") - lag("ms", 1).over(byUser))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)").cast("long").as("p50_gap_ms"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)").cast("long").as("p90_gap_ms"),
+        count(lit(1)).cast("long").as("n_gaps"))
+      .orderBy("event_type")
+  }
+
   /** Cumulative distinct users per day — the growth curve. COUNT(DISTINCT)
     * OVER is unsupported (and unbounded-state) in most engines; the
     * first-seen rewrite makes it exact and cheap: each user contributes
