@@ -894,6 +894,35 @@ object SparkEntry {
     // inter-arrival gaps — integer-exact, rounding-free
     "events_interarrival" -> ((s, dir) =>
       Events.interArrivalQuantiles(t(s, dir, "events"))),
+    // the custom GroupTopK operator over AGGREGATED input: 2 busiest
+    // hours per event type (generality check — same operator, different
+    // upstream shape)
+    "topk_hours_per_type" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ms = if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000000") else unix_millis(col("ts").cast("timestamp"))
+      val hourly = ev.select((ms - ms % 3600000L).as("hour_ms"), col("event_type"))
+        .groupBy("event_type", "hour_ms").agg(count(lit(1)).cast("long").as("n"))
+      graft.plans.GroupTopK.topKPerKey(hourly, Seq(col("event_type")),
+          Seq(col("n").desc, col("hour_ms")), k = 2)
+        .select(col("event_type"), col("hour_ms").cast("long"), col("n"))
+        .orderBy("event_type", "hour_ms")
+    }),
+    // novelty scoring: fraction of a doc's distinct 3-grams whose FIRST
+    // corpus occurrence (min doc_id) is this doc — the freshness signal
+    // incremental dedup ranks by; integers + one bit-identical division
+    "gram_novelty" -> ((s, dir) => {
+      val grams = Dedup.shingles(t(s, dir, "documents"), w = 3)
+      val first = grams.groupBy("s").agg(min("doc_id").as("first_doc"))
+      grams.join(first, "s")
+        .groupBy(col("doc_id").cast("long").as("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .cast("long").as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_grams"))
+        .orderBy("doc_id")
+    }),
     // eccentricity of the five region roots (max BFS level + reach count)
     // from the same one multi-start dataflow
     "graph_eccentricity" -> ((s, dir) =>
@@ -1781,6 +1810,27 @@ object SparkEntry {
       """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 86400000 AS BIGINT) AS day_ms,
         |  event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day_ms, event_type""".stripMargin,
+    "topk_hours_per_type" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, hour_ms, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n DESC, hour_ms) AS rn
+        |  FROM h)
+        |SELECT event_type, hour_ms, n FROM r WHERE rn <= 2
+        |ORDER BY event_type, hour_ms""".stripMargin,
+    "gram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |f AS (SELECT s, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS novelty
+        |FROM g JOIN f USING (s) GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
     "events_interarrival" ->
       """WITH g AS (SELECT event_type,
         |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER
