@@ -1233,7 +1233,7 @@ object SparkEntry {
        |  FROM documents),
        |s AS (SELECT count(*) AS n, sum(dl) AS sdl, $dfCols FROM d),
        |sc AS (SELECT doc_id, dl,
-       |  round($contribs, 4) AS bm25
+       |  $contribs AS bm25
        |  FROM d, s)""".stripMargin
   }
 
@@ -1880,7 +1880,8 @@ object SparkEntry {
         |SELECT hour_ms, n,
         |  CAST(n * nh - sn AS DOUBLE) / sqrt(CAST(nh * snn - sn * sn AS DOUBLE)) AS z
         |FROM h, m
-        |WHERE abs(CAST(n * nh - sn AS DOUBLE) / sqrt(CAST(nh * snn - sn * sn AS DOUBLE))) > 2.5
+        |WHERE nh * snn - sn * sn > 0
+        |  AND abs(CAST(n * nh - sn AS DOUBLE) / sqrt(CAST(nh * snn - sn * sn AS DOUBLE))) > 2.5
         |ORDER BY hour_ms""".stripMargin,
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies

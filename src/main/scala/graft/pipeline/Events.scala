@@ -283,6 +283,11 @@ object Events {
     * z = (n·N − Σn) / √(N·Σn² − (Σn)²), so there is no FP-summation-
     * order hazard anywhere and the doubles ship unrounded. One shuffle
     * (the hourly count), moments broadcast back as one row.
+    * Zero variance (every hour identical, or a single hour) makes z
+    * undefined (0/0 = NaN — which Spark's `>` drops but DuckDB sorts above
+    * every number); the exact-integer guard N·Σn² − (Σn)² > 0 excludes the
+    * degenerate corpus identically in both engines: no hour is anomalous
+    * when there is no variance.
     * Output: (hour_ms, n, z) ordered by hour_ms.
     */
   def hourlyAnomalies(events: DataFrame, zThreshold: Double = 2.5): DataFrame = {
@@ -294,6 +299,7 @@ object Events {
       sum("n").cast("long").as("sn"),
       sum(col("n") * col("n")).cast("long").as("snn"))
     hourly.crossJoin(broadcast(moments))
+      .filter(col("nh") * col("snn") - col("sn") * col("sn") > 0)
       .withColumn("z", (col("n") * col("nh") - col("sn")).cast("double") /
         sqrt((col("nh") * col("snn") - col("sn") * col("sn")).cast("double")))
       .filter(abs(col("z")) > zThreshold)

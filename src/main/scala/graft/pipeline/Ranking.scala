@@ -40,20 +40,34 @@ object Ranking {
     val sorted = df.orderBy(sortCols: _*).localCheckpoint(true) // feeds both passes
     val vi = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
+    // (seen, max) per partition: an explicit emptiness flag, NOT a
+    // Long.MinValue sentinel — a genuine MinValue data value must still
+    // report itself as a preceding max downstream.
     val partMax = rdd.mapPartitionsWithIndex { (i, it) =>
+      var seen = false
       var m = Long.MinValue
-      it.foreach { r => val v = r.getLong(vi); if (v > m) m = v }
-      Iterator((i, m))
+      it.foreach { r =>
+        val v = r.getLong(vi)
+        if (!seen || v > m) m = v
+        seen = true
+      }
+      Iterator((i, (seen, m)))
     }.collect().sortBy(_._1).map(_._2)
-    // prefix(i) = max over partitions < i; Long.MinValue = "nothing before"
-    val prefix = partMax.scanLeft(Long.MinValue)(math.max).dropRight(1)
+    // prefix(i) = (any row before partition i, max over partitions < i)
+    val prefix = partMax.scanLeft((false, Long.MinValue)) {
+      case ((ps, pm), (s, m)) =>
+        if (!s) (ps, pm)
+        else if (!ps || m > pm) (true, m)
+        else (ps, pm)
+    }.dropRight(1)
     val schema = sorted.schema.add("prev_max", LongType, nullable = true)
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      var run = prefix(i)
+      var (seenRun, run) = prefix(i)
       it.map { r =>
-        val pm: Any = if (run == Long.MinValue) null else run
+        val pm: Any = if (!seenRun) null else run
         val v = r.getLong(vi)
-        if (v > run) run = v
+        if (!seenRun || v > run) run = v
+        seenRun = true
         Row.fromSeq(r.toSeq :+ pm)
       }
     }

@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * floating-point score is built from EXACT integer statistics (tf, dl,
   * df, N — all BIGINT) combined in ONE fixed left-to-right expression, so
   * both engines evaluate the identical IEEE operation sequence; `ln` is
-  * the one libm call (same precedent as tfidf_top_terms) and results round
-  * to 4 dp on both sides before any ordering decision.
+  * the one libm call (same precedent as tfidf_top_terms) and scores ship
+  * UNROUNDED — rounding a bit-identical double is the hazard, not the fix
+  * (Spark rounds the shortest decimal repr, DuckDB the binary value, so
+  * they can disagree exactly at decimal boundaries); ordering decisions
+  * use the raw score with doc_id tie-breaks.
   *
   * Scale: tf is a per-row array scan (no shuffle); N/avgdl/df reduce to a
   * ONE-ROW stats frame that broadcasts back (`crossJoin(broadcast(...))`),
@@ -60,7 +63,7 @@ object Search {
         (col(s"tf$i") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
     val score = terms.indices.map(contribution).reduceLeft(_ + _)
     d.crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("dl"), round(score, 4).as("bm25"))
+      .select(col("doc_id"), col("dl"), score.as("bm25"))
   }
 
   /** Top-`k` documents by BM25 for the literal `terms` (ties by doc_id).
@@ -75,7 +78,7 @@ object Search {
   /** Reciprocal-rank fusion of the BM25 ranking with a document-length
     * ranking (the stand-in for any second retriever): rrf =
     * 1/(60+rank_lex) + 1/(60+rank_len), both ranks 1-based over the FULL
-    * corpus with deterministic (rounded-score, doc_id) tie-breaks.
+    * corpus with deterministic (score, doc_id) tie-breaks.
     *
     * Both rankings are computed with the two-pass global index — a fused
     * multi-retriever ranking at corpus scale must not serialize onto one

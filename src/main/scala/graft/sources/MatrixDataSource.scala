@@ -26,9 +26,12 @@ import graft.model.MatrixCodec
   * reference's database layout); each file is one [[InputPartition]], so
   * a many-graph database scans file-parallel. Column pruning is pushed
   * down ([[SupportsPushDownRequiredColumns]]); the scan materializes only
-  * the requested columns. Files in this format are ≤ KBs by construction
-  * (the reference caps n at 30), so per-file parse cost is trivial —
-  * parquet edge tables remain the at-scale path.
+  * the requested columns. All file IO goes through the Hadoop FileSystem
+  * API, so the source loads from any supported filesystem (`file:`,
+  * `hdfs:`, object stores with their connectors on the classpath), not
+  * just the driver-local disk. Files in this format are ≤ KBs by
+  * construction (the reference caps n at 30), so per-file parse cost is
+  * trivial — parquet edge tables remain the at-scale path.
   */
 class MatrixDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-matrix"
@@ -49,16 +52,36 @@ object MatrixDataSource {
     .add("dst", LongType, nullable = false)
 
   /** A file stays itself; a directory expands to its `G*.txt` members
-    * (sorted — deterministic partition order).
+    * (sorted — deterministic partition order). Listing runs on the driver
+    * through the Hadoop FileSystem resolved from the ACTIVE session's
+    * Hadoop conf, exactly how Spark's own file sources list.
     */
   private[sources] def expand(path: String): Seq[String] = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.isDirectory(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(p).iterator().asScala
-        .filter(f => f.getFileName.toString.matches("G.*\\.txt"))
-        .map(_.toString).toSeq.sorted
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.getFileStatus(p).isDirectory) {
+      fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.matches("G.*\\.txt"))
+        .map(_.getPath.toString).sorted
     } else Seq(path)
+  }
+
+  /** Read a whole (KB-sized by format construction) matrix file through
+    * the Hadoop FS API — runs on the EXECUTOR, so it resolves the
+    * filesystem from a fresh Hadoop conf (default resources; the formats
+    * this source targets carry the scheme in the path itself).
+    */
+  private[sources] def readFully(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val len = fs.getFileStatus(p).getLen
+    require(len <= (16L << 20), s"matrix file $path is ${len}B; format caps files at KBs")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
   }
 }
 
@@ -96,12 +119,10 @@ private[sources] class MatrixReaderFactory(columns: Array[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[MatrixFilePartition].path
-    val text = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val text = MatrixDataSource.readFully(path)
     val (_, edges) = MatrixCodec.parseMatrixText(text)
     val stem = {
-      val f = java.nio.file.Paths.get(path).getFileName.toString
+      val f = new org.apache.hadoop.fs.Path(path).getName
       if (f.endsWith(".txt")) f.dropRight(4) else f
     }
     val gid = UTF8String.fromString(stem)

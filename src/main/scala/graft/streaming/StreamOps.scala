@@ -156,23 +156,36 @@ object StreamOps {
     * streaming plan is stateless per-row parse/route — no shuffle, no
     * state store; foreachBatch appends partition-parallel parquet.
     */
+  /** Stage `path` as a directory of parquet SYMLINKS under `tmp/in`: the
+    * file streaming source requires a directory to monitor (testdata ships
+    * single-file tables), and a replay harness that adds control rows (the
+    * funnel sentinel) must never write into the caller's dataset — using a
+    * source directory directly would mutate the shared table for every
+    * later read. Both shapes (file, directory) get the same symlink view.
+    */
+  private def stageInput(tmp: java.nio.file.Path, path: String): java.nio.file.Path = {
+    val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
+    val src = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(src)) {
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(src)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(f =>
+          java.nio.file.Files.createSymbolicLink(inDir.resolve(f.getFileName), f))
+      finally listing.close()
+    } else {
+      java.nio.file.Files.createSymbolicLink(inDir.resolve(src.getFileName), src)
+    }
+    inDir
+  }
+
   def routeReplayBatch(spark: org.apache.spark.sql.SparkSession,
                        ordersPath: String): DataFrame = {
     val schema = spark.read.parquet(ordersPath).schema
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_route_")
     val outDir = s"$tmp/out"
-    // the file streaming source requires a DIRECTORY to monitor; testdata
-    // ships single-file tables, so stage the file behind a symlink (the
-    // ingest-directory layout a streaming deployment actually has)
-    val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
-    val src = java.nio.file.Paths.get(ordersPath)
-    val staged =
-      if (java.nio.file.Files.isDirectory(src)) src
-      else {
-        java.nio.file.Files.createSymbolicLink(
-          inDir.resolve(src.getFileName), src)
-        inDir
-      }
+    val staged = stageInput(tmp, ordersPath)
     val lines = spark.readStream.schema(schema).parquet(staged.toString)
       .select(col("o_orderkey").cast("long").as("req_id"),
         concat_ws(" ", (col("o_orderkey") % 100 + 1).cast("long"),
@@ -214,14 +227,7 @@ object StreamOps {
     val schema = spark.read.parquet(eventsPath).schema
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup_")
     val outDir = s"$tmp/out"
-    val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
-    val src = java.nio.file.Paths.get(eventsPath)
-    val staged =
-      if (java.nio.file.Files.isDirectory(src)) src
-      else {
-        java.nio.file.Files.createSymbolicLink(inDir.resolve(src.getFileName), src)
-        inDir
-      }
+    val staged = stageInput(tmp, eventsPath)
     def read() = spark.readStream.schema(schema).parquet(staged.toString)
     // ts arrives as LONG nanos (nanosAsLong) — build the watermark column
     val withTs = (df: DataFrame) => df
@@ -278,14 +284,7 @@ object StreamOps {
     val schema = spark.read.parquet(eventsPath).schema
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_winagg_")
     val outDir = s"$tmp/out"
-    val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
-    val src = java.nio.file.Paths.get(eventsPath)
-    val staged =
-      if (java.nio.file.Files.isDirectory(src)) src
-      else {
-        java.nio.file.Files.createSymbolicLink(inDir.resolve(src.getFileName), src)
-        inDir
-      }
+    val staged = stageInput(tmp, eventsPath)
     // ts arrives as LONG nanos (nanosAsLong) — rebuild the event-time column
     val events = spark.readStream.schema(schema).parquet(staged.toString)
       .select(expr("timestamp_millis(ts div 1000000)").as("tsw"),
@@ -337,14 +336,7 @@ object StreamOps {
     val schema = spark.read.parquet(eventsPath).schema
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess_")
     val outDir = s"$tmp/out"
-    val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
-    val src = java.nio.file.Paths.get(eventsPath)
-    val staged =
-      if (java.nio.file.Files.isDirectory(src)) src
-      else {
-        java.nio.file.Files.createSymbolicLink(inDir.resolve(src.getFileName), src)
-        inDir
-      }
+    val staged = stageInput(tmp, eventsPath)
     val events = spark.readStream.schema(schema).parquet(staged.toString)
       .select(col("user_id").cast("long").as("user_id"),
         expr("timestamp_millis(ts div 1000000)").as("tsw"), col("value"))
@@ -396,14 +388,7 @@ object StreamOps {
     val schema = spark.read.parquet(eventsPath).schema
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ivjoin_")
     val outDir = s"$tmp/out"
-    val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
-    val src = java.nio.file.Paths.get(eventsPath)
-    val staged =
-      if (java.nio.file.Files.isDirectory(src)) src
-      else {
-        java.nio.file.Files.createSymbolicLink(inDir.resolve(src.getFileName), src)
-        inDir
-      }
+    val staged = stageInput(tmp, eventsPath)
     // ts arrives as LONG nanos (nanosAsLong) — rebuild the event-time column
     val events = spark.readStream.schema(schema).parquet(staged.toString)
       .select(col("event_id").cast("long").as("event_id"),
@@ -630,14 +615,7 @@ object StreamOps {
     val schema = spark.read.parquet(eventsPath).schema
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_funnel_")
     val outDir = s"$tmp/out"
-    val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
-    val src = java.nio.file.Paths.get(eventsPath)
-    val staged =
-      if (java.nio.file.Files.isDirectory(src)) src
-      else {
-        java.nio.file.Files.createSymbolicLink(inDir.resolve(src.getFileName), src)
-        inDir
-      }
+    val staged = stageInput(tmp, eventsPath)
     // sentinel: one row at max(ts) + 1 day for user −1 (same schema as the
     // source file; ts is LONG nanos under nanosAsLong)
     val sentinelTs = spark.read.parquet(eventsPath)

@@ -40,6 +40,15 @@ class MatrixSourceSpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("loads through the Hadoop FS API: explicit file: URI directory scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_uri_")
+    writeGraph(dir, "G1.txt", 2, Seq((1L, 2L), (2L, 1L)))
+    writeGraph(dir, "G2.txt", 2, Seq((2L, 2L)))
+    val out = spark.read.format("graft-matrix").load(s"file://$dir")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("G1", 1L, 2L), ("G1", 2L, 1L), ("G2", 2L, 2L)))
+  }
+
   test("roundtrip: codec-written file reads back identically through the source") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_rt_")
     val edges = Seq((1L, 3L), (3L, 1L), (2L, 2L))
