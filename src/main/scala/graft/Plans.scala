@@ -22,7 +22,7 @@ object Plans {
     "sssp_bounded" -> "final Bellman-Ford round shown (earlier rounds are checkpointed away): the V-sized distance table joins the persisted edge set, unions, min-aggregates — never a path enumeration; weights are floored to BIGINT identically in both engines (explicit floor — double→long cast rounding differs).",
     "neighbor_degree_stats" -> "two natural-key shuffles: degree aggregation, then the neighbor join re-aggregated on src; both HashAggregates two-phase (partial map-side).",
     "char_entropy" -> "NO Exchange before the final sort: the native char_entropy_stats expression computes the per-row code-point histogram inside WholeStageCodegen — the old explode+double-aggregate shape shuffled one row per character.",
-    "embedding_knn_join" -> "query side broadcast (nested-loop by design — the scan IS the k-NN product); codegen'd vector_cosine scoring; exactly one shuffle, on qid, for the per-query rank window.",
+    "embedding_knn_join" -> "query side broadcast (nested-loop by design — the scan IS the k-NN product); codegen'd vector_cosine scoring; per-query pruning DOGFOODS the engine's own GroupTopK operator (map-side k-row heaps, the single hash Exchange carries ≤ k rows per query per partition, spill-safe key cap); the rank window runs over only the ≤k survivors and reuses the GroupTopK final pass's partitioning — no second Exchange.",
     "triangle_counts" -> "canonical a<b<c orientation enumerates each triangle once: pairs checkpointed once feed both join sides and the LeftSemi closing-edge probe; corner explode + two-phase count.",
     "decontaminate" -> "benchmark gram set is broadcast (LeftSemi BroadcastHashJoin) — the corpus-side grams never shuffle; the overlap count is a per-doc aggregate over the semi-join survivors.",
     "sorted_neighborhood" -> "blocked sorted-neighborhood candidates: ONE Exchange on the block key feeds the sort window (no global-order single partition); candidate pairs checkpoint small; the Jaccard verify joins shingles pair-keyed — cost ∝ candidates × doc size, never corpus².",

@@ -44,6 +44,29 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // ANN approximation contract as an AUDITABLE ARTIFACT: the two IVF
+    // searches are the only declared queries without a SQL oracle
+    // (approximate recall is not a relation); their floors live in
+    // PropertyOracleSpec assertions. Surface the measured recall@10 here —
+    // same parameters as the declared queries — so the contract is
+    // re-measured and inspectable every round, not only inside sbt test.
+    if (only.isEmpty) try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val truth = pipeline.Similarity.cosineTopK(emb, queryId = 0L, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      def recall(df: org.apache.spark.sql.DataFrame): Int =
+        df.collect().map(_.getLong(0)).toSet.intersect(truth).size
+      val rLabel = recall(
+        pipeline.Similarity.cosineTopKIvf(emb, queryId = 0L, k = 10, nprobe = 2))
+      val rKmeans = recall(pipeline.KMeans.ivfTopK(emb, queryId = 0L,
+        k = 10, nlist = 8, nprobe = 3, iters = 3))
+      Files.writeString(Paths.get(s"$outDir/recall.json"),
+        s"""{"k":10,"query_vec_id":0,"sf_dir":"$sfDir",""" +
+          s""""embedding_topk_ivf":{"recall_at_10":$rLabel,"floor":3,"nprobe":2},""" +
+          s""""embedding_topk_ivf_kmeans":{"recall_at_10":$rKmeans,"floor":5,"nlist":8,"nprobe":3}}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] recall artifact failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -128,8 +128,14 @@ object Similarity {
     * neighbors from the whole table. The batch analogue of [[cosineTopK]]
     * (and of the multi-start BFS request batching): n queries cost one
     * scan against a broadcast query side, not n scans. Scoring is the
-    * codegen'd native cosine; ranking partitions by query on the
-    * 4-dp-rounded score (cross-engine-stable, vec_id tiebreak). Scale
+    * codegen'd native cosine on the 4-dp-rounded score
+    * (cross-engine-stable, vec_id tiebreak). Per-query pruning DOGFOODS
+    * the engine's own [[graft.plans.GroupTopK]] whole-operator extension:
+    * the shuffle carries ≤ k rows per query per partition instead of the
+    * full n×q scored product — the exact shape the window formulation
+    * (`row_number() OVER (PARTITION BY qid)`) gets wrong at scale. The
+    * rank is then a window over only the ≤k survivors, which reuses the
+    * GroupTopK final pass's hash partitioning (no second Exchange). Scale
     * path for huge query sets: coarse-quantize BOTH sides (the
     * [[KMeans]] IVF quantizer) so the product becomes per-cluster blocks.
     * Output: (query_id, neighbor_id, rn, cosine) ordered.
@@ -141,9 +147,10 @@ object Similarity {
     val scored = embeddings.select(col("vec_id"), col("embedding"))
       .join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cosine", round(vector_cosine(col("embedding"), col("qe")), 4))
+    val pruned = graft.plans.GroupTopK.topKPerKey(scored, Seq(col("qid")),
+      Seq(col("cosine").desc, col("vec_id")), k)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    pruned.withColumn("rn", row_number().over(w))
       .select(col("qid").cast("long").as("query_id"),
         col("vec_id").cast("long").as("neighbor_id"),
         col("rn").cast("long").as("rn"), col("cosine"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -38,14 +38,34 @@ object GroupTopK {
       copy(child = c)
   }
 
+  /** Session conf capping the partial pass's in-memory key map (distinct
+    * keys per input partition before fallback). Mirrors the role of
+    * Spark's ObjectHashAggregate fallback threshold: hash-based pruning
+    * while the working set fits, graceful degradation when it doesn't.
+    */
+  val MaxKeysConfKey = "spark.graft.groupTopK.maxKeysInMemory"
+  val MaxKeysDefault = 262144
+
   /** Physical operator. `partial = true` runs map-side on whatever
     * partitioning exists (emits ≤ k rows per key per partition);
     * `partial = false` declares [[ClusteredDistribution]] on the keys, so
     * EnsureRequirements inserts exactly one hash Exchange of the partial
     * survivors, and the same bounded-heap pass is then exact.
+    *
+    * Memory safety: the partial pass's heap map grows with DISTINCT KEYS
+    * per partition, which at 100 TB with high-cardinality keys can exceed
+    * executor memory (k·|keys| buffered rows). Once the map reaches
+    * `maxKeys`, rows of NEW keys fall back to PASS-THROUGH — emitted
+    * unpruned, exactly as if their heap held fewer than k rows.
+    * Correctness is unaffected (the final clustered pass re-applies the
+    * same bounded-heap pruning exactly); only map-side reduction degrades,
+    * the same contract as hash-aggregate spill fallback. The final pass
+    * never caps: it must be exact, and clustering bounds its per-partition
+    * key count to |keys| / numPartitions — the standard hash-agg bound.
     */
   case class GroupTopKExec(groupKeys: Seq[Expression], order: Seq[SortOrder],
-                           k: Int, partial: Boolean, child: SparkPlan)
+                           k: Int, partial: Boolean, maxKeys: Int,
+                           child: SparkPlan)
     extends UnaryExecNode {
     override def output: Seq[Attribute] = child.output
     override def nodeName: String =
@@ -56,11 +76,17 @@ object GroupTopK {
       else if (groupKeys.isEmpty) Seq(AllTuples)
       else Seq(ClusteredDistribution(groupKeys))
 
+    // row-preserving per partition: downstream operators keyed on the same
+    // columns (e.g. a ranking window over the ≤k survivors) reuse the
+    // final pass's hash partitioning instead of re-shuffling
+    override def outputPartitioning: Partitioning = child.outputPartitioning
+
     override protected def doExecute(): RDD[InternalRow] = {
       val kLocal = k
       val keysLocal = groupKeys
       val orderLocal = order
       val childOutput = child.output
+      val capLocal = if (partial) maxKeys else Int.MaxValue
       child.execute().mapPartitions { it =>
         val keyProj = UnsafeProjection.create(keysLocal, childOutput)
         val ord = GenerateOrdering.generate(orderLocal, childOutput)
@@ -72,21 +98,46 @@ object GroupTopK {
           override def compare(a: InternalRow, b: InternalRow): Int =
             ord.compare(b, a)
         }
-        it.foreach { row =>
-          val key = keyProj(row)
-          var heap = heaps.get(key)
-          if (heap == null) {
-            heap = new java.util.PriorityQueue[InternalRow](kLocal, rev)
-            heaps.put(key.copy(), heap)
+        // Lazy interleaving iterator: consumes input filling the heaps;
+        // overflow-key rows stream straight through (never buffered), the
+        // surviving heap rows flush after input exhausts.
+        new Iterator[InternalRow] {
+          private var passthrough: InternalRow = _
+          private var flush: java.util.Iterator[InternalRow] = _
+          private def fill(): Unit = {
+            while (passthrough == null && flush == null) {
+              if (!it.hasNext) {
+                val all = new java.util.ArrayList[InternalRow]()
+                heaps.values().forEach(h => all.addAll(h))
+                flush = all.iterator()
+              } else {
+                val row = it.next()
+                val key = keyProj(row)
+                var heap = heaps.get(key)
+                if (heap == null && heaps.size() < capLocal) {
+                  heap = new java.util.PriorityQueue[InternalRow](kLocal, rev)
+                  heaps.put(key.copy(), heap)
+                }
+                if (heap == null) passthrough = row // cap hit: emit unpruned
+                else if (heap.size < kLocal) heap.add(row.copy())
+                else if (ord.compare(row, heap.peek()) < 0) {
+                  heap.poll()
+                  heap.add(row.copy())
+                }
+              }
+            }
           }
-          if (heap.size < kLocal) heap.add(row.copy())
-          else if (ord.compare(row, heap.peek()) < 0) {
-            heap.poll()
-            heap.add(row.copy())
+          override def hasNext: Boolean = {
+            if (passthrough != null) true
+            else if (flush != null) flush.hasNext
+            else { fill(); passthrough != null || flush.hasNext }
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException("empty GroupTopK partition")
+            if (passthrough != null) { val r = passthrough; passthrough = null; r }
+            else flush.next()
           }
         }
-        import scala.jdk.CollectionConverters._
-        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
       }
     }
 
@@ -95,13 +146,18 @@ object GroupTopK {
   }
 
   /** Planner strategy: partial map-side pass under the exact clustered
-    * pass — the partial-aggregation shape for top-k.
+    * pass — the partial-aggregation shape for top-k. The partial cap is
+    * read from the session conf at planning time (driver side).
     */
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case GroupTopKNode(keys, order, k, child) =>
-        GroupTopKExec(keys, order, k, partial = false,
-          GroupTopKExec(keys, order, k, partial = true, planLater(child))) :: Nil
+        val maxKeys = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString(MaxKeysConfKey, MaxKeysDefault.toString).toInt
+        require(maxKeys >= 1, s"$MaxKeysConfKey must be >= 1")
+        GroupTopKExec(keys, order, k, partial = false, Int.MaxValue,
+          GroupTopKExec(keys, order, k, partial = true, maxKeys,
+            planLater(child))) :: Nil
       case _ => Nil
     }
   }

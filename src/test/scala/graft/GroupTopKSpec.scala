@@ -40,6 +40,39 @@ class GroupTopKSpec extends AnyFunSuite {
     assert(fi < ei && ei < pi, s"final/exchange/partial order wrong:\n$physical")
   }
 
+  test("fallback: keys far beyond the in-memory cap produce the same output") {
+    // 500 distinct keys × 6 rows against a cap of 7 in-memory heaps per
+    // partition: nearly every partial-pass row takes the pass-through
+    // fallback, and the final clustered pass must still prune exactly.
+    val n = 3000
+    val big = spark.range(n).select(
+      (col("id") % 500).cast("string").as("k"),
+      col("id").as("id"),
+      (col("id") * 37 % 101).cast("double").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc, col("id"))
+    val want = big.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val prev = spark.conf.getOption(GroupTopK.MaxKeysConfKey)
+    spark.conf.set(GroupTopK.MaxKeysConfKey, "7")
+    try {
+      val capped = GroupTopK.topKPerKey(big, Seq(col("k")),
+          Seq(col("v").desc, col("id")), k = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(capped == want)
+      // plan shape unchanged under the cap
+      val physical = GroupTopK.topKPerKey(big, Seq(col("k")),
+        Seq(col("v").desc, col("id")), 2).queryExecution.executedPlan.toString
+      assert(physical.contains("GroupTopKPartial") &&
+        physical.contains("GroupTopKFinal"), physical)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(GroupTopK.MaxKeysConfKey, v)
+        case None => spark.conf.unset(GroupTopK.MaxKeysConfKey)
+      }
+    }
+  }
+
   test("property: equals the row_number window formulation on random data") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters}

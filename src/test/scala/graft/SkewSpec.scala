@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 import graft.graph.SkewUtils
 import SparkTestSession._
@@ -59,6 +61,52 @@ class SkewSpec extends AnyFunSuite {
     val uncappedHotPairs = sh.as("a").join(sh.as("b"),
       $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id").count()
     assert(uncappedHotPairs >= 19900L)
+  }
+
+  test("AQE splits a planted hot-key join partition at runtime (skew=true)") {
+    // The decision rule a 100 TB operator needs, demonstrated live:
+    // AQE's skew-join handles SHUFFLE-SIZE skew in a join by splitting the
+    // oversized partition into sub-tasks (replicating the matching rows of
+    // the other side), so for a plain big⋈small inner join no explicit
+    // salting is required — THIS test. SkewUtils.saltedJoin remains the
+    // lever where AQE cannot act: aggregation skew (skew-join rewrites
+    // only joins) and self-join candidate explosions where one key is n²
+    // work regardless of how the partition splits (the ngram cap test
+    // above). Thresholds here are shrunk only to make toy data cross the
+    // same ratios a production hot key crosses at scale.
+    val tuned = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      // key 1 holds ~99% of 60k payload rows — one reducer's partition is
+      // MBs against a 64 KB skew threshold. The payload must derive from
+      // id (a literal would be constant-folded out of the shuffle and the
+      // big side would shuffle 8-byte keys only).
+      val big = spark.range(60000).select(
+        org.apache.spark.sql.functions.when($"id" % 100 =!= 0, 1L)
+          .otherwise($"id" % 50 + 2).as("k"),
+        org.apache.spark.sql.functions.expr(
+          "repeat(cast(id as string), 30)").as("payload"))
+      val small = spark.range(60).select(($"id" + 1).as("k"),
+        org.apache.spark.sql.functions.lit("t").as("tag"))
+      val joined = big.join(small, "k")
+      // execute THIS queryExecution (count() would plan a separate one and
+      // leave joined's adaptive plan unfinalized)
+      val n = joined.toLocalIterator().asScala.size
+      assert(n == 60000) // every big row matches exactly one small row
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$planStr")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("hotKeys surfaces the dominant key first") {
