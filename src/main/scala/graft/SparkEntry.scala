@@ -537,6 +537,34 @@ object SparkEntry {
         .filter(col("n_orders") >= 2)
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
     }),
+    // association rules over the same baskets: directional ante→cons pairs
+    // with confidence = n_ab/n_a and lift = n_ab·N/(n_a·n_c) — counts are
+    // exact BIGINTs, each score one fixed-order double expression shipped
+    // unrounded; the pair explosion stays per-basket (same guard story as
+    // frequent_part_pairs), item counts and the one-row basket total join
+    // back broadcast-sized
+    "assoc_rules_top50" -> ((s, dir) => {
+      val basket = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("okey"),
+          col("l_partkey").cast("long").as("part")).distinct()
+        .localCheckpoint(true) // feeds item counts, the total, both join sides
+      val itemN = basket.groupBy("part").agg(count(lit(1)).cast("long").as("cnt"))
+      val tot = basket.agg(countDistinct("okey").cast("long").as("n_b"))
+      val a = basket.select(col("okey"), col("part").as("ante"))
+      val b = basket.select(col("okey"), col("part").as("cons"))
+      a.join(b, Seq("okey")).filter(col("ante") =!= col("cons"))
+        .groupBy("ante", "cons").agg(count(lit(1)).cast("long").as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .join(itemN.select(col("part").as("ante"), col("cnt").as("n_a")), "ante")
+        .join(itemN.select(col("part").as("cons"), col("cnt").as("n_c")), "cons")
+        .crossJoin(broadcast(tot))
+        .select(col("ante"), col("cons"), col("n_ab"),
+          (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+          ((col("n_ab").cast("double") * col("n_b").cast("double")) /
+            (col("n_a").cast("double") * col("n_c").cast("double"))).as("lift"))
+        .orderBy(col("lift").desc, col("ante"), col("cons"))
+        .limit(50)
+    }),
     // triangle counts over the frequent-co-purchase graph (same pair
     // derivation as frequent_part_pairs, incl. the basket-size guard):
     // the canonical a<b<c two-join triangle plan, corners exploded
@@ -609,6 +637,27 @@ object SparkEntry {
     }),
     "revenue_percentiles" -> ((s, dir) =>
       pipeline.Ranking.revenuePercentiles(t(s, dir, "orders"), k = 10)),
+    // RFM quartile segmentation — three distributed ntile passes (recency/
+    // frequency/monetary) over the customer frame, no single-task window
+    "rfm_segments" -> ((s, dir) =>
+      pipeline.Ranking.rfmSegments(t(s, dir, "orders"), k = 4)),
+    // order-to-ship SLA profile: exact integer latency days joined on the
+    // natural co-key, PERCENTILE_DISC per priority (raw values, unrounded)
+    "ship_latency_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("lat_days", datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_days)")
+            .cast("long").as("p50_days"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_days)")
+            .cast("long").as("p90_days"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy("o_orderpriority")
+    }),
     "repeat_customers" -> ((s, dir) => {
       def custsOf(y: Int) = t(s, dir, "orders")
         .filter(year(col("o_orderdate").cast("timestamp")) === y)
@@ -719,6 +768,15 @@ object SparkEntry {
     // SLIDING windows (Spark's window() with a slide < length): 10-minute
     // windows every 5 — the overlap shape tumbling windows can't express
     "events_sliding" -> ((s, dir) => Events.slidingRates(t(s, dir, "events"))),
+    // most-likely next event per type: anti-join argmax over the transition
+    // table, probability = one division of exact BIGINTs (unrounded)
+    "markov_next_event" -> ((s, dir) => Events.markovNextEvent(t(s, dir, "events"))),
+    // largest hourly traffic drops below the running peak — pure-BIGINT
+    // prefix-max via the distributed two-pass scan (no global-sort window)
+    "hourly_drawdown" -> ((s, dir) => Events.hourlyDrawdown(t(s, dir, "events"))),
+    // two-proportion A/B z-test on a deterministic md5 user split — the
+    // statistic is one fixed IEEE op tree over four exact BIGINT counts
+    "ab_test_conversion" -> ((s, dir) => Events.abTestConversion(t(s, dir, "events"))),
 
     // ---- LLM-data-pipeline operators ------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(t(s, dir, "documents"))),
@@ -816,6 +874,9 @@ object SparkEntry {
     "term_freq_top50" -> ((s, dir) => TextStats.termFreq(t(s, dir, "documents"))),
     // LM-style bigram counts (duplicates kept, unlike the dedup'd shingles)
     "bigram_freq_top50" -> ((s, dir) => TextStats.ngramFreq(t(s, dir, "documents"))),
+    // PMI collocation mining: ln(c12·T/(c1·c2)) over exact BIGINT counts,
+    // one fixed-order double expression (BM25 contract), unrounded
+    "bigram_pmi_top50" -> ((s, dir) => TextStats.bigramPmi(t(s, dir, "documents"))),
     // char-distribution Shannon entropy (gibberish/boilerplate detector)
     "char_entropy" -> ((s, dir) => TextStats.charEntropy(t(s, dir, "documents"))),
     // per-doc n-gram duplication fraction (Gopher/C4-style repetition
@@ -1268,8 +1329,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "bm25_top_docs" ->
       s"""$bm25ScoredSql
-         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(bm25 AS DOUBLE) AS bm25
-         |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(round(bm25, 4) AS DOUBLE) AS bm25
+         |FROM sc ORDER BY sc.bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "rrf_fusion" ->
       s"""$bm25ScoredSql,
          |lex AS (SELECT doc_id,
@@ -1674,6 +1736,20 @@ object SparkEntry {
         |FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY n_orders DESC, part_a, part_b""".stripMargin,
+    "assoc_rules_top50" ->
+      """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
+        |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+        |item AS (SELECT part, CAST(count(*) AS BIGINT) AS cnt FROM basket GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_b FROM basket),
+        |pr AS (SELECT a.part AS ante, b.part AS cons, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM basket a JOIN basket b ON a.okey = b.okey AND a.part <> b.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.ante AS ante, pr.cons AS cons, pr.n_ab AS n_ab,
+        |  CAST(pr.n_ab AS DOUBLE) / CAST(ia.cnt AS DOUBLE) AS confidence,
+        |  (CAST(pr.n_ab AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+        |    / (CAST(ia.cnt AS DOUBLE) * CAST(ic.cnt AS DOUBLE)) AS lift
+        |FROM pr JOIN item ia ON ia.part = pr.ante JOIN item ic ON ic.part = pr.cons, tot t
+        |ORDER BY lift DESC, ante, cons LIMIT 50""".stripMargin,
     "revenue_percentiles" ->
       """WITH rev AS (
         |  SELECT CAST(o_custkey AS BIGINT) AS custkey,
@@ -1683,6 +1759,29 @@ object SparkEntry {
         |  CAST(percent_rank() OVER (ORDER BY revenue, custkey) AS DOUBLE) AS pct_rank,
         |  CAST(ntile(10) OVER (ORDER BY revenue, custkey) AS BIGINT) AS decile
         |FROM rev ORDER BY custkey""".stripMargin,
+    "rfm_segments" ->
+      """WITH maxd AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        |base AS (SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |                   CAST((SELECT maxd FROM maxd) AS DATE)) AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT custkey, recency_days, n_orders, revenue,
+        |  CAST(ntile(4) OVER (ORDER BY recency_days, custkey) AS BIGINT) AS r_q,
+        |  CAST(ntile(4) OVER (ORDER BY n_orders, custkey) AS BIGINT) AS f_q,
+        |  CAST(ntile(4) OVER (ORDER BY revenue, custkey) AS BIGINT) AS m_q
+        |FROM base ORDER BY custkey""".stripMargin,
+    "ship_latency_quantiles" ->
+      """WITH j AS (SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |                   CAST(l_shipdate AS DATE)) AS BIGINT) AS lat_days
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority,
+        |  CAST(quantile_disc(lat_days, 0.5) AS BIGINT) AS p50_days,
+        |  CAST(quantile_disc(lat_days, 0.9) AS BIGINT) AS p90_days,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "repeat_customers" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT
@@ -1743,6 +1842,53 @@ object SparkEntry {
         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE to_type IS NOT NULL
         |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+    "markov_next_event" ->
+      """WITH ev AS (SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+        |              epoch_ms(ts) AS ms, event_type FROM events),
+        |seq AS (SELECT event_type AS from_type,
+        |          lead(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS to_type
+        |        FROM ev),
+        |tc AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |       FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM tc GROUP BY 1)
+        |SELECT a.from_type AS from_type, a.to_type AS next_type, a.n AS n,
+        |  t.n_from AS n_from, CAST(a.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+        |FROM tc a JOIN tot t ON t.from_type = a.from_type
+        |WHERE NOT EXISTS (SELECT 1 FROM tc b WHERE b.from_type = a.from_type
+        |  AND (b.n > a.n OR (b.n = a.n AND b.to_type < a.to_type)))
+        |ORDER BY from_type""".stripMargin,
+    "hourly_drawdown" ->
+      """WITH h AS (SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |r AS (SELECT hour_ms, n,
+        |    max(n) OVER (ORDER BY hour_ms ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS peak_before
+        |  FROM h)
+        |SELECT hour_ms, n, CAST(peak_before AS BIGINT) AS peak_before,
+        |  CAST(peak_before - n AS BIGINT) AS drawdown
+        |FROM r WHERE peak_before IS NOT NULL AND peak_before - n >= 1
+        |ORDER BY hour_ms""".stripMargin,
+    "ab_test_conversion" ->
+      """WITH u AS (SELECT CAST(user_id AS BIGINT) AS u,
+        |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 100.0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |  FROM events GROUP BY 1),
+        |arms AS (SELECT converted,
+        |    CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS arm FROM u),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM arms)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |     - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |  / sqrt(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |         * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+        |FROM c
+        |WHERE n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+        |  AND conv_a + conv_b < n_a + n_b""".stripMargin,
     "events_sliding" ->
       """WITH ev AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
         |w AS (SELECT ((ms // 300000) - i) * 300000 AS win_start, event_type
@@ -2169,6 +2315,21 @@ object SparkEntry {
         |FROM (SELECT string_split(text, ' ') AS t FROM documents),
         |     UNNEST(range(1, len(t))) AS u(i)
         |GROUP BY 1 ORDER BY freq DESC, gram LIMIT 50""".stripMargin,
+    "bigram_pmi_top50" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t_tok FROM toks),
+        |bg AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i] || ' ' || t[i+1] AS gram
+        |       FROM (SELECT string_split(text, ' ') AS t FROM documents),
+        |            UNNEST(range(1, len(t))) AS u(i)),
+        |bc AS (SELECT gram, w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |       FROM bg GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+        |sc AS (SELECT bc.gram AS gram, bc.c12 AS c12,
+        |  ln((CAST(bc.c12 AS DOUBLE) * CAST(t.t_tok AS DOUBLE))
+        |     / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS pmi_raw
+        |FROM bc JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2, tot t)
+        |SELECT gram, c12, CAST(round(pmi_raw, 4) AS DOUBLE) AS pmi
+        |FROM sc ORDER BY pmi_raw DESC, gram LIMIT 50""".stripMargin,
     "char_entropy" ->
       """WITH chars AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),
         |cnt AS (SELECT doc_id, c, count(*) AS f FROM chars GROUP BY 1, 2)

@@ -307,6 +307,100 @@ object Events {
       .orderBy("hour_ms")
   }
 
+  /** First-order Markov next-event prediction: for every event type, the
+    * most likely successor — the argmax row of the [[typeTransitions]]
+    * table per from_type, with the transition probability as one division
+    * of exact BIGINT counts (bit-identical cross-engine, unrounded).
+    * The argmax is an anti-join against any strictly better row
+    * (more observations, or equal observations and lexicographically
+    * smaller successor) — the formulation both engines evaluate
+    * identically, with no reliance on engine-specific arg_max tie rules.
+    * Scale: the transitions table is |types|² rows — the anti-join and
+    * the totals join are broadcast-sized whatever the corpus size.
+    * Output: (from_type, next_type, n, n_from, p) ordered by from_type.
+    */
+  def markovNextEvent(events: DataFrame): DataFrame = {
+    val trans = typeTransitions(events).localCheckpoint(true) // three consumers
+    val totals = trans.groupBy("from_type").agg(sum("n").cast("long").as("n_from"))
+    val better = trans.select(col("from_type"),
+      col("to_type").as("bt"), col("n").as("bn"))
+    trans.join(better,
+        trans("from_type") === better("from_type") &&
+          (col("bn") > col("n") ||
+            (col("bn") === col("n") && col("bt") < col("to_type"))),
+        "left_anti")
+      .join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type").as("next_type"), col("n"),
+        col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+      .orderBy("from_type")
+  }
+
+  /** Largest traffic DROPS: per hour, the peak hourly event count over all
+    * STRICTLY preceding hours and the drawdown below that peak — pure
+    * BIGINT end to end (no doubles anywhere). The prefix-max is the
+    * distributed two-pass scan ([[Ranking.withRunningMax]] — per-partition
+    * maxima broadcast as offsets), never `max() OVER (ORDER BY …)`'s
+    * single-task sort. Output: hours with drawdown ≥ `minDrop`
+    * (hour_ms, n, peak_before, drawdown) ordered by hour_ms.
+    */
+  def hourlyDrawdown(events: DataFrame, minDrop: Long = 1L): DataFrame = {
+    val ms = msOf(events)
+    val hourly = events
+      .select((ms - ms % 3600000L).as("hour_ms"))
+      .groupBy("hour_ms").agg(count(lit(1)).cast("long").as("n"))
+    Ranking.withRunningMax(hourly, "n", col("hour_ms"))
+      .filter(col("prev_max").isNotNull &&
+        col("prev_max") - col("n") >= minDrop)
+      .select(col("hour_ms").cast("long").as("hour_ms"), col("n"),
+        col("prev_max").as("peak_before"),
+        (col("prev_max") - col("n")).as("drawdown"))
+      .orderBy("hour_ms")
+  }
+
+  /** Two-proportion A/B conversion test: users split deterministically by
+    * the portable 60-bit md5 hash (arm A = even hash), conversion = the
+    * user has ≥1 HIGH-VALUE purchase (value > 100 — plain purchase is
+    * saturated in this corpus: every user converts and the pooled
+    * variance degenerates to 0/0). The z statistic is built ONLY from the
+    * four exact BIGINT counts (n_a, conv_a, n_b, conv_b) in one fixed
+    * IEEE op tree — identical evaluation order in both engines, shipped
+    * unrounded (same contract as BM25). The exact-integer guard keeps the
+    * degenerate corpora (empty arm, all-converted, none-converted — where
+    * z is undefined and ANSI Spark would raise where DuckDB yields
+    * NaN/Inf) out identically on both sides: such input yields zero rows.
+    * One shuffle (per-user aggregate); the rest is a one-row reduction.
+    * Output: one row (n_a, conv_a, n_b, conv_b, z).
+    */
+  def abTestConversion(events: DataFrame, minValue: Double = 100.0): DataFrame = {
+    import graft.functions.PortableHash.md5Bits60
+    val users = events
+      .select(col("user_id").cast("long").as("u"), col("event_type"), col("value"))
+      .groupBy("u")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > minValue, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("arm", pmod(md5Bits60(col("u").cast("string")), lit(2L)))
+    val counts = users.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(col("arm") === 0L, col("converted")).otherwise(0L)).cast("long").as("conv_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(col("arm") === 1L, col("converted")).otherwise(0L)).cast("long").as("conv_b"))
+    // z = (pa − pb) / sqrt(p·(1−p)·(1/na + 1/nb)), pooled p — every input
+    // an exact integer, each division written once, fixed order
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    counts
+      .filter(col("n_a") > 0 && col("n_b") > 0 &&
+        col("conv_a") + col("conv_b") > 0 &&
+        col("conv_a") + col("conv_b") < col("n_a") + col("n_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        ((pa - pb) / sqrt(p * (lit(1.0) - p) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double")))).as("z"))
+  }
+
   /** Long-to-wide pivot: per-day event counts, one column per type in
     * `types` (the explicit value list keeps the schema static — no
     * pre-scan job — and makes the plan a single partial-aggregating

@@ -143,6 +143,39 @@ object Ranking {
       .drop("n", "q", "r", "idx")
   }
 
+  /** RFM segmentation — the classic lifecycle-marketing scoring: per
+    * customer, Recency (days since last order, against the corpus max
+    * date), Frequency (order count) and Monetary (revenue), each bucketed
+    * into `k` quantile bands with the SQL-standard NTILE semantics of
+    * [[withNtile]] (ascending metric, custkey tiebreak — so r_q 1 = most
+    * recent, f_q/m_q k = best). Three global-index passes over the
+    * customer-sized frame, all distributed (no single-task window);
+    * recency is exact integer day arithmetic; revenue rounds 2 dp (the
+    * one order-jittered double sum, [[revenuePercentiles]] precedent).
+    * Output: (custkey, recency_days, n_orders, revenue, r_q, f_q, m_q)
+    * ordered by custkey.
+    */
+  def rfmSegments(orders: DataFrame, k: Int = 4): DataFrame = {
+    val maxD = orders.agg(max(col("o_orderdate")).as("maxd"))
+    val base = orders
+      .groupBy(col("o_custkey").cast("long").as("custkey"))
+      .agg(max("o_orderdate").as("lastd"),
+        count(lit(1)).cast("long").as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .crossJoin(broadcast(maxD))
+      .withColumn("recency_days",
+        datediff(col("maxd").cast("date"), col("lastd").cast("date")).cast("long"))
+      .select("custkey", "recency_days", "n_orders", "revenue")
+      .localCheckpoint(true) // feeds three sequential ntile passes
+    val r = withNtile(base, k, col("recency_days"), col("custkey"))
+      .withColumnRenamed("bucket", "r_q")
+    val f = withNtile(r, k, col("n_orders"), col("custkey"))
+      .withColumnRenamed("bucket", "f_q")
+    withNtile(f, k, col("revenue"), col("custkey"))
+      .withColumnRenamed("bucket", "m_q")
+      .orderBy("custkey")
+  }
+
   /** Per-customer revenue with exact `percent_rank` and `ntile(k)` decile
     * semantics computed from the global index (rank r of n, zero-based:
     * pct = r/(n−1); ntile buckets: the first n mod k buckets take

@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   * Engine-portability contract (shared with the DuckDB oracles): every
   * floating-point score is built from EXACT integer statistics (tf, dl,
   * df, N — all BIGINT) combined in ONE fixed left-to-right expression, so
-  * both engines evaluate the identical IEEE operation sequence; `ln` is
-  * the one libm call (same precedent as tfidf_top_terms) and scores ship
-  * UNROUNDED — rounding a bit-identical double is the hazard, not the fix
-  * (Spark rounds the shortest decimal repr, DuckDB the binary value, so
-  * they can disagree exactly at decimal boundaries); ordering decisions
-  * use the raw score with doc_id tie-breaks.
+  * both engines evaluate the identical IEEE operation sequence — except
+  * `ln`, a libm call the JVM and DuckDB round differently in the last ulp
+  * (measured on bigram PMI). So every ORDERING decision uses the raw
+  * double with doc_id tie-breaks (identical ranking wherever scores
+  * differ by more than a ulp), and the SHIPPED bm25 rounds to 4 dp to
+  * absorb the ulp (tfidf precedent); rrf itself is built from exact
+  * integer ranks (two IEEE divides) and ships unrounded.
   *
   * Scale: tf is a per-row array scan (no shuffle); N/avgdl/df reduce to a
   * ONE-ROW stats frame that broadcasts back (`crossJoin(broadcast(...))`),
@@ -71,9 +72,9 @@ object Search {
     */
   def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
     scored(docs, terms)
-      .select(col("doc_id"), col("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
 
   /** Reciprocal-rank fusion of the BM25 ranking with a document-length
     * ranking (the stand-in for any second retriever): rrf =

@@ -189,6 +189,45 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** PMI collocation mining: pointwise mutual information of each corpus
+    * bigram, `pmi = ln( c12·T / (c1·c2) )` (c12 bigram count, c1/c2
+    * unigram counts, T total tokens). Every count is an exact BIGINT and
+    * the ln argument is ONE fixed-order double expression (products in
+    * double — BIGINT products of 1e12-scale counts would overflow at
+    * corpus scale) — but `ln` itself is a libm call the JVM and DuckDB
+    * round differently in the last ulp (measured: 1-ulp diff on this
+    * corpus), so the SHIPPED score rounds to 4 dp while the ORDERING uses
+    * the raw double with a gram tiebreak (identical ranking wherever
+    * scores differ by more than a ulp — the tfidf precedent). `minCount`
+    * drops unstable rare bigrams. Scale: one exploded-token shuffle feeds both
+    * count aggregates; the score join keys on DISTINCT grams/words, never
+    * token instances; T broadcasts as one row.
+    * Output: top `topN` by (pmi DESC, gram) — (gram, c12, pmi).
+    */
+  def bigramPmi(documents: DataFrame, minCount: Long = 5L, topN: Int = 50): DataFrame = {
+    val toks = documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .localCheckpoint(true) // feeds unigram counts and the total
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+    val total = toks.agg(count(lit(1)).cast("long").as("t_tok"))
+    val big = documents
+      .select(explode(kGrams(split(col("text"), " "), 2, distinct = false)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).cast("long").as("c12"))
+      .filter(col("c12") >= minCount)
+      .withColumn("w1", expr("split_part(gram, ' ', 1)"))
+      .withColumn("w2", expr("split_part(gram, ' ', 2)"))
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("gram"), col("c12"),
+        log((col("c12").cast("double") * col("t_tok").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double"))).as("pmi_raw"))
+      .orderBy(col("pmi_raw").desc, col("gram"))
+      .limit(topN)
+      .select(col("gram"), col("c12"), round(col("pmi_raw"), 4).as("pmi"))
+  }
+
   /** TF-IDF: top `perDoc` highest-scoring terms per document for docs with
     * id < `maxDocId` (bounded output for the oracle). tf = raw count in
     * doc; idf = ln(N / df) over the WHOLE corpus. Deterministic tiebreak
