@@ -85,6 +85,20 @@ object SparkEntry {
       s.read.format("graft-matrix").load(tmp)
         .orderBy("graph_id", "src", "dst")
     }),
+    // A4 write side as a FIRST-CLASS DSv2 sink: df.write.format("graft-
+    // matrix") — the sink declares clustered-by-graph_id + sorted order
+    // (RequiresDistributionAndOrdering), Spark plans the shuffle+sort, one
+    // deterministic G<id>.txt per graph lands, and the scan reads it back
+    "matrix_sink_roundtrip" -> ((s, dir) => {
+      val edges = t(s, dir, "nation")
+        .select(lit("G7").as("graph_id"),
+          (col("n_nationkey") + 1).cast("long").as("src"),
+          (col("n_regionkey") + 1).cast("long").as("dst"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_rt_").toString
+      edges.write.format("graft-matrix").mode("append").save(tmp)
+      s.read.format("graft-matrix").load(tmp)
+        .orderBy("src", "dst")
+    }),
     // A2 time travel in the correctness gate: add v1, modify to v2 (drop
     // even-dst edges), diff latest vs version 1 through the MVCC catalog
     "graph_version_diff" -> ((s, dir) => {
@@ -1577,6 +1591,10 @@ object SparkEntry {
       """SELECT 'G1' AS graph_id, CAST(1 + n_regionkey AS BIGINT) AS src,
         |  CAST(10 + n_nationkey AS BIGINT) AS dst
         |FROM nation ORDER BY graph_id, src, dst""".stripMargin,
+    "matrix_sink_roundtrip" ->
+      """SELECT 'G7' AS graph_id, CAST(n_nationkey + 1 AS BIGINT) AS src,
+        |  CAST(n_regionkey + 1 AS BIGINT) AS dst
+        |FROM nation ORDER BY src, dst""".stripMargin,
     "graph_version_diff" ->
       """SELECT CAST(1 + n_regionkey AS BIGINT) AS src,
         |  CAST(10 + n_nationkey AS BIGINT) AS dst,

@@ -3,9 +3,11 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution => V2Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -19,6 +21,7 @@ import graft.model.MatrixCodec
   * format is a FIRST-CLASS Spark source:
   *
   * {{{ spark.read.format("graft-matrix").load(dirOrFile) }}}
+  * {{{ df.write.format("graft-matrix").save(dir)       // one G<id>.txt per graph_id }}}
   *
   * Schema: (graph_id STRING, src BIGINT, dst BIGINT) — graph_id from the
   * filename stem, edges per [[MatrixCodec.parseMatrixText]] (any nonzero
@@ -41,7 +44,7 @@ class MatrixDataSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "graft-matrix needs a path")
-    new MatrixTable(MatrixDataSource.expand(path))
+    new MatrixTable(path)
   }
 }
 
@@ -85,14 +88,113 @@ object MatrixDataSource {
   }
 }
 
-private[sources] class MatrixTable(paths: Seq[String])
-  extends Table with SupportsRead {
-  override def name(): String = s"graft-matrix(${paths.mkString(",")})"
+private[sources] class MatrixTable(path: String)
+  extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-matrix($path)"
   override def schema(): StructType = MatrixDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MatrixScanBuilder(paths)
+    new MatrixScanBuilder(MatrixDataSource.expand(path))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MatrixWriteBuilder(path, info)
+}
+
+/** V2 write: one matrix-text file per graph_id. The format needs WHOLE
+  * graphs per writer, so [[MatrixWrite]] declares
+  * [[RequiresDistributionAndOrdering]] — clustered by graph_id, sorted by
+  * (graph_id, src, dst) — and Spark plans the shuffle+sort; each writer
+  * then streams grouped, deterministically ordered rows and flushes one
+  * file per graph boundary. That is the DSv2-native way to push a sink's
+  * layout requirement INTO the planner rather than documenting it at the
+  * call site. Truncate is a no-op (each graph file is overwritten
+  * whole-file; stale graphs from previous writes are the caller's dir
+  * hygiene, as with the reference's G*.txt database directory).
+  */
+private[sources] class MatrixWriteBuilder(path: String, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this
+  override def build(): Write = new MatrixWrite(path, info.schema())
+}
+
+private[sources] class MatrixWrite(path: String, schema: StructType)
+  extends Write with RequiresDistributionAndOrdering {
+  require(MatrixDataSource.Schema.fieldNames.forall(schema.fieldNames.contains),
+    s"graft-matrix write needs columns (graph_id, src, dst), got ${schema.simpleString}")
+  override def requiredDistribution(): V2Distribution =
+    Distributions.clustered(Array(Expressions.identity("graph_id")))
+  override def requiredOrdering(): Array[V2SortOrder] = Array(
+    Expressions.sort(Expressions.identity("graph_id"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.identity("src"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.identity("dst"), SortDirection.ASCENDING))
+  override def toBatch: BatchWrite = new MatrixBatchWrite(path, schema.fieldNames)
+}
+
+private[sources] class MatrixBatchWrite(path: String, fields: Array[String])
+  extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()).mkdirs(p)
+    new MatrixWriterFactory(path, fields)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class MatrixWriterFactory(dir: String, fields: Array[String])
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new MatrixDataWriter(dir, fields)
+}
+
+private[sources] case class MatrixFilesWritten(paths: Seq[String])
+  extends WriterCommitMessage
+
+private[sources] class MatrixDataWriter(dir: String, fields: Array[String])
+  extends DataWriter[InternalRow] {
+  private val gi = fields.indexOf("graph_id")
+  private val si = fields.indexOf("src")
+  private val di = fields.indexOf("dst")
+  private var gid: String = _
+  private val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+  // the dense text format is quadratic in n — refuse silly graphs rather
+  // than writing gigabytes (the reference caps n at 30)
+  private val MaxN = 4096L
+
+  private def flush(): Unit = if (gid != null) {
+    val n = edges.iterator.flatMap(e => Iterator(e._1, e._2)).max
+    require(n <= MaxN, s"graph $gid has max vertex id $n; " +
+      s"matrix text is n² cells and this sink caps n at $MaxN")
+    val out = new org.apache.hadoop.fs.Path(dir, s"$gid.txt")
+    val fs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val stream = fs.create(out, true)
+    try stream.write(MatrixCodec.renderMatrixText(n.toInt, edges.toSeq)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally stream.close()
+    written += out.toString
+    edges.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val g = row.getUTF8String(gi).toString
+    if (g != gid) { flush(); gid = g }
+    edges += ((row.getLong(si), row.getLong(di)))
+  }
+  override def commit(): WriterCommitMessage = {
+    flush()
+    MatrixFilesWritten(written.toSeq)
+  }
+  override def abort(): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    written.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, false)
+    }
+  }
+  override def close(): Unit = ()
 }
 
 private[sources] class MatrixScanBuilder(paths: Seq[String])

@@ -49,6 +49,48 @@ class MatrixSourceSpec extends AnyFunSuite {
     assert(out == Set(("G1", 1L, 2L), ("G1", 2L, 1L), ("G2", 2L, 2L)))
   }
 
+  test("V2 write: one file per graph_id, clustering/order planned by Spark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_write_")
+    // rows deliberately interleaved and unsorted: the sink's declared
+    // RequiresDistributionAndOrdering must regroup and order them
+    val edges = Seq(
+      ("G2", 2L, 1L), ("G1", 1L, 2L), ("G2", 1L, 2L),
+      ("G1", 2L, 1L), ("G1", 2L, 3L), ("G2", 2L, 2L))
+      .toDF("graph_id", "src", "dst").repartition(4)
+    edges.write.format("graft-matrix").mode("append").save(dir.toString)
+    val files = {
+      val listing = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".txt")).toSet // Hadoop local FS adds .crc sidecars
+      } finally listing.close()
+    }
+    assert(files == Set("G1.txt", "G2.txt"), files.toString)
+    val back = spark.read.format("graft-matrix").load(dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back == Set(
+      ("G1", 1L, 2L), ("G1", 2L, 1L), ("G1", 2L, 3L),
+      ("G2", 1L, 2L), ("G2", 2L, 1L), ("G2", 2L, 2L)))
+    // deterministic bytes: G1 has 3 vertices -> 3x3 matrix
+    assert(java.nio.file.Files.readString(dir.resolve("G1.txt"))
+      == MatrixCodec.renderMatrixText(3, Seq((1L, 2L), (2L, 1L), (2L, 3L))))
+  }
+
+  test("V2 write: overwrite mode replaces a graph file whole") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_write_ow_")
+    Seq(("G1", 1L, 2L), ("G1", 2L, 1L)).toDF("graph_id", "src", "dst")
+      .write.format("graft-matrix").mode("append").save(dir.toString)
+    Seq(("G1", 2L, 2L)).toDF("graph_id", "src", "dst")
+      .write.format("graft-matrix").mode("overwrite").save(dir.toString)
+    val back = spark.read.format("graft-matrix")
+      .load(dir.resolve("G1.txt").toString)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(back == Set((2L, 2L)))
+  }
+
   test("roundtrip: codec-written file reads back identically through the source") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_rt_")
     val edges = Seq((1L, 3L), (3L, 1L), (2L, 2L))
