@@ -39,6 +39,11 @@ object Plans {
     "drift_ks" -> "the distinct-value frame aggregates once; cumulative counts are the two-pass prefix-sum scan (ExistingRDD, no single-partition window); the KS max is decided on exact integer numerators with one broadcast totals row.",
     "media_phash" -> "perceptual hashing is a partition-local Dataset map (one codec context per partition, payloads never shuffle); the only Exchange is the final order by media_id.",
     "topk_per_group" -> "the custom whole-operator extension: GroupTopKPartial keeps a bounded k-row heap per key on the MAP side, so the single hash Exchange carries ≤ k·|keys| rows per partition instead of the table; GroupTopKFinal repeats the heap pass on clustered input for the exact answer — the partial-aggregation shape for top-k, vs the window plan's full shuffle + full per-partition sort.",
+    "assoc_rules_top50" -> "market-basket association rules: the pair explosion is per-basket (okey equi-join, basket-bounded); item counts and the one-row basket total ride back as broadcast joins; confidence/lift are fixed-order double expressions over exact BIGINT counts; TakeOrdered top-50.",
+    "rfm_segments" -> "three quantile dimensions WITHOUT ntile() OVER (ORDER BY …)'s single task: each pass is a range-partitioned sort + zipWithIndex global index (the ExistingRDD scans) + bucket arithmetic against one broadcast count row; the customer aggregate shuffles once on custkey.",
+    "hourly_drawdown" -> "pure-BIGINT prefix-max: hourly counts aggregate once, then the two-pass distributed scan (per-partition maxima collected as a tiny offset array, broadcast back) — no max() OVER (ORDER BY) serialization point anywhere; every value integer-exact.",
+    "bigram_pmi_top50" -> "one exploded-token Exchange feeds both the unigram aggregate and (via the native kGrams builder) the bigram counts; score joins key on DISTINCT grams/words — never token instances; the corpus total is one broadcast row; TakeOrdered on the raw double with the shipped score rounded.",
+    "matrix_sink_roundtrip" -> "the DSv2 WRITE path: the sink's RequiresDistributionAndOrdering (clustered by graph_id, sorted graph_id/src/dst) makes the planner insert the shuffle+sort — look for the Exchange/Sort the sink itself demanded; each writer then streams whole graphs and lands one deterministic file per graph boundary.",
   )
 
   def main(args: Array[String]): Unit = {

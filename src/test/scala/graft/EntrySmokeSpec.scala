@@ -42,7 +42,9 @@ class EntrySmokeSpec extends AnyFunSuite {
     "drift_ks", "media_phash", "media_dup_groups", "cohort_retention",
     "attribution_last_touch", "events_unpivot", "matrix_source_scan",
     "graph_version_diff", "linear_count_users", "graph_eccentricity",
-    "cumulative_users")
+    "cumulative_users", "markov_next_event", "hourly_drawdown",
+    "ab_test_conversion", "bigram_pmi_top50", "assoc_rules_top50",
+    "rfm_segments", "ship_latency_quantiles", "matrix_sink_roundtrip")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
