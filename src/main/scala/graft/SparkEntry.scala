@@ -233,6 +233,28 @@ object SparkEntry {
         .select(col("vertex"), round(col("rank"), 3).as("rank"))
         .orderBy(col("rank").desc, col("vertex"))
         .limit(20)),
+    // WEIGHTED PageRank over the weighted co-purchase graph (w = shared
+    // baskets): transition probability follows edge strength — the
+    // DataFrame power iteration with one join + one agg per round; oracle
+    // = the same 10 iterations unrolled in DuckDB; 4-dp rounding
+    "wpagerank_top20" -> ((s, dir) => {
+      val basket = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("okey"),
+          col("l_partkey").cast("long").as("part")).distinct()
+        .localCheckpoint(true)
+      val a = basket.select(col("okey"), col("part").as("a"))
+      val b = basket.select(col("okey"), col("part").as("b"))
+      val pc = a.join(b, Seq("okey")).filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).cast("double").as("w"))
+        .filter(col("w") >= 2)
+      val e = pc.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(pc.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      GraphOps.weightedPageRank(e, iters = 10)
+        .select(col("vertex").cast("long").as("vertex"),
+          round(col("r"), 4).as("rank"))
+        .orderBy(col("rank").desc, col("vertex"))
+        .limit(20)
+    }),
     // personalized PageRank from part 1 (GraphX staticPersonalizedPageRank;
     // oracle = unrolled power iteration with source-only reset + final
     // normalization, verified bit-equal to 1e-15); 4-dp rounding both sides
@@ -1006,6 +1028,18 @@ object SparkEntry {
         .agg(max("level").cast("long").as("eccentricity"),
           count(lit(1)).cast("long").as("n_reachable"))
         .orderBy("start")),
+    // diameter LOWER BOUND: max root eccentricity from the same multi-
+    // start BFS (the standard sampled-diameter estimate) + which root
+    // attains it — pure integers end to end
+    "graph_diameter_lb" -> ((s, dir) => {
+      val ecc = GraphOps
+        .bfsLevelsMulti(DerivedGraphs.treeEdges(s, dir), Seq(1L, 2L, 3L, 4L, 5L))
+        .groupBy("start").agg(max("level").as("ecc"))
+      val m = ecc.agg(max("ecc").as("me"))
+      ecc.crossJoin(broadcast(m)).filter(col("ecc") === col("me"))
+        .agg(max("ecc").cast("long").as("diameter_lb"),
+          min("start").cast("long").as("widest_root"))
+    }),
     // benchmark decontamination: distinct 5-gram overlap of every corpus
     // doc against the benchmark set (docs 0..9), benchmark grams broadcast
     "decontaminate" -> ((s, dir) =>
@@ -1171,6 +1205,36 @@ object SparkEntry {
        |SELECT CAST(vertex AS BIGINT) AS vertex, CAST(label AS BIGINT) AS label
        |FROM l3 ORDER BY vertex""".stripMargin
   }
+
+  /** Weighted-PageRank rounds unrolled (the [[graft.graph.GraphOps
+    * .weightedPageRank]] recurrence exactly; reset written `(1.0 - 0.15)`
+    * so both engines constant-fold the identical IEEE subtraction).
+    */
+  private def wprIters: String = (1 to 10).map { i =>
+    s"""wr$i AS MATERIALIZED (SELECT verts.v,
+       |  0.15 + (1.0 - 0.15) * coalesce(s.s, 0) AS r
+       |  FROM verts LEFT JOIN (
+       |    SELECT ne.dst AS v, sum(wr${i - 1}.r * ne.p) AS s
+       |    FROM ne JOIN wr${i - 1} ON wr${i - 1}.v = ne.src GROUP BY 1) s
+       |  ON s.v = verts.v)""".stripMargin
+  }.mkString(",\n")
+
+  private val wpagerankSql: String =
+    s"""WITH basket AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
+       |  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+       |pc AS MATERIALIZED (SELECT a.part AS a, b.part AS b, CAST(count(*) AS DOUBLE) AS w
+       |  FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM pc
+       |  UNION ALL SELECT b, a, w FROM pc),
+       |ow AS (SELECT src, sum(w) AS tw FROM e GROUP BY 1),
+       |ne AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.tw AS p
+       |  FROM e JOIN ow ON ow.src = e.src),
+       |verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+       |wr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM verts),
+       |$wprIters
+       |SELECT CAST(v AS BIGINT) AS vertex, CAST(round(r, 4) AS DOUBLE) AS rank
+       |FROM wr10 ORDER BY round(r, 4) DESC, vertex LIMIT 20""".stripMargin
 
   private val pagerankSql: String =
     s"""WITH $partSuppGraphSql,
@@ -1552,6 +1616,7 @@ object SparkEntry {
         |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
         |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
     "pagerank_top20" -> pagerankSql,
+    "wpagerank_top20" -> wpagerankSql,
     "ppr_top20" -> pprSql,
     "hits_top20" -> hitsSql,
     "sssp_bounded" ->
@@ -2027,6 +2092,20 @@ object SparkEntry {
          |SELECT CAST(s AS BIGINT) AS start, CAST(max(l) AS BIGINT) AS eccentricity,
          |  CAST(count(*) AS BIGINT) AS n_reachable
          |FROM lv GROUP BY s ORDER BY start""".stripMargin,
+    "graph_diameter_lb" ->
+      s"""WITH RECURSIVE e AS ($E),
+         |bfs(s, v, lvl) AS (
+         |  SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM (VALUES (1), (2), (3), (4), (5)) AS t(s)
+         |  UNION ALL
+         |  SELECT b.s, e.dst, b.lvl + 1 FROM bfs b JOIN e ON e.src = b.v
+         |),
+         |lv AS (SELECT s, v, min(lvl) AS l FROM bfs GROUP BY 1, 2),
+         |ecc AS (SELECT s, max(l) AS ecc FROM lv GROUP BY 1)
+         |SELECT CAST(max(ecc) AS BIGINT) AS diameter_lb,
+         |  CAST(min(CASE WHEN ecc = (SELECT max(ecc) FROM ecc) THEN s END) AS BIGINT)
+         |    AS widest_root
+         |FROM ecc""".stripMargin,
     "cohort_retention" ->
       """WITH uw AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
         |    epoch_ms(ts) - epoch_ms(ts) % 604800000 AS wk FROM events),

@@ -378,6 +378,49 @@ object GraphOps {
     }
   }
 
+  /** WEIGHTED PageRank over a weighted directed edge table `(src, dst, w)`:
+    * r'(v) = reset + (1−reset)·Σ_{u→v} r(u)·w(u,v)/W(u), W(u) the source's
+    * total out-weight — the importance walk where transition probability
+    * follows edge strength (co-purchase counts, citation weights), which
+    * uniform PageRank flattens. DataFrame power iteration with a fixed
+    * round count: the normalized edge table is built once and persisted;
+    * each round is ONE join + ONE aggregate on the vertex key with the
+    * intermediate checkpointed (bounded lineage, the SSSP discipline).
+    * Dangling mass: vertices enter via the symmetrized/weighted input —
+    * every vertex with no out-edges keeps only reset mass, as in GraphX's
+    * staticPageRank. Scores are double sums — callers round (pagerank
+    * convention). Output: (vertex, rank), all vertices.
+    */
+  def weightedPageRank(edges: DataFrame, iters: Int = 10,
+                       resetProb: Double = 0.15): DataFrame = {
+    val spark = edges.sparkSession
+    ownedGraphResult(spark) {
+      val e = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val outW = e.groupBy("src").agg(sum("w").as("tw"))
+        val norm = e.join(outW, "src")
+          .select(col("src"), col("dst"), (col("w") / col("tw")).as("p"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val verts = e.select(col("src").as("vertex"))
+          .unionAll(e.select(col("dst").as("vertex"))).distinct()
+          .localCheckpoint(true)
+        var r = verts.withColumn("r", lit(1.0)).localCheckpoint(true)
+        for (_ <- 1 to iters) {
+          val contrib = r.join(norm, r("vertex") === norm("src"))
+            .groupBy(norm("dst").as("vertex"))
+            .agg(sum(r("r") * norm("p")).as("s"))
+          r = verts.join(contrib, Seq("vertex"), "left")
+            .select(col("vertex"), (lit(resetProb) +
+              lit(1 - resetProb) * coalesce(col("s"), lit(0.0))).as("r"))
+            .localCheckpoint(true)
+        }
+        r
+      } finally { e.unpersist(); () }
+    }
+  }
+
   /** Neighborhood feature aggregation — the feature-engineering primitive
     * GNN-style pipelines run before training: for every vertex, its own
     * degree plus the min/avg/max degree of its 1-hop neighbors. Two

@@ -80,6 +80,57 @@ class GenerativePropertySpec extends AnyFunSuite {
     }, "ntile sizes + monotone buckets")
   }
 
+  test("property: markovNextEvent picks (max n, min successor) per type") {
+    val evGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0L, 4L), Gen.oneOf("v", "c", "p")))
+    assertHolds(Prop.forAll(evGen, Gen.chooseNum(1, 5)) { (evs, nPart) =>
+      val rows = evs.zipWithIndex.map { case ((u, tp), i) =>
+        (i.toLong, i.toLong * 1000000L, u, tp, 0.0, "{}")
+      }
+      // ts is LONG nanos (the testdata shape under nanosAsLong)
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(nPart)
+      // reference: per-user (ts, id)-ordered successor counts, then argmax
+      val trans = rows.groupBy(_._3).values.flatMap { us =>
+        us.sortBy(r => (r._2, r._1)).map(_._4).sliding(2)
+          .collect { case Seq(a, b) => (a, b) }
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val want = trans.keys.map(_._1).toSet.map { ft: String =>
+        val cands = trans.collect { case ((f, t), n) if f == ft => (t, n) }
+        val best = cands.toSeq.sortBy { case (t, n) => (-n, t) }.head
+        (ft, best._1, best._2.toLong)
+      }
+      val got = pipeline.Events.markovNextEvent(df)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      got == want
+    }, "markov argmax vs in-memory reference")
+  }
+
+  test("property: hourlyDrawdown equals the window prefix-max reference") {
+    val cnts = Gen.listOfN(12, Gen.chooseNum(1, 6))
+    assertHolds(Prop.forAll(cnts, Gen.chooseNum(1, 5)) { (ns, nPart) =>
+      // ns(i) events in hour i
+      val rows = ns.zipWithIndex.flatMap { case (n, h) =>
+        (0 until n).map(j => ((h * 100 + j).toLong,
+          h.toLong * 3600000L * 1000000L + j, 1L, "view", 0.0, "{}"))
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(nPart)
+      val got = pipeline.Events.hourlyDrawdown(df, minDrop = 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+      val want = ns.zipWithIndex.flatMap { case (n, h) =>
+        val before = ns.take(h)
+        if (before.isEmpty) None
+        else {
+          val peak = before.max
+          if (peak - n >= 1) Some((h.toLong * 3600000L, peak.toLong, (peak - n).toLong))
+          else None
+        }
+      }
+      got == want
+    }, "drawdown vs scan reference")
+  }
+
   test("property: CMS estimates never undercount on random corpora") {
     val docGen = Gen.listOfN(12, Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e")))
     assertHolds(Prop.forAll(docGen) { texts =>
