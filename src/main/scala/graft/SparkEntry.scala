@@ -355,6 +355,11 @@ object SparkEntry {
     // watermark finalizes event-time order — batch-split-invariant
     "stream_funnel" -> ((s, dir) =>
       streaming.StreamOps.funnelReplayBatch(s, s"$dir/events.parquet")),
+    // STREAMING update-mode serving path, oracle-checked: per-user running
+    // totals whose changed keys MERGE into a serving table every batch —
+    // the streaming face of the CDC upsert; final table = plain GROUP BY
+    "stream_user_totals" -> ((s, dir) =>
+      streaming.StreamOps.userTotalsReplayBatch(s, s"$dir/events.parquet")),
     // A11+A8 — request-string parse + response-tag correlation
     "parse_requests" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1895,6 +1900,11 @@ object SparkEntry {
     // one relation, two execution models: the streaming session_window
     // replay is checked against the SAME sessionization oracle
     "stream_sessions" -> sessionsSql,
+    "stream_user_totals" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
     "stream_funnel" ->
       """WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
         |  epoch_ms(ts) AS ms FROM events),

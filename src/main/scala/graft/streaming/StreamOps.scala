@@ -258,6 +258,61 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** Seventh oracle-checked streaming query — the UPDATE-MODE SERVING
+    * path: an unwindowed running aggregate (per-user totals) whose
+    * changed keys are MERGED into a serving table every micro-batch —
+    * the streaming-upsert pattern that keeps a dashboard/feature table
+    * current without recomputing it (the lambda-architecture serving
+    * half, and the streaming face of the CDC MERGE the batch engine has
+    * in [[graft.pipeline.Cdc]]).
+    *
+    * Update mode emits, per batch, only keys whose aggregate CHANGED,
+    * carrying the new cumulative value from the state store; the upsert
+    * overwrites those keys in the target, so after AvailableNow drains,
+    * the target holds every user's total REGARDLESS of how the source
+    * split micro-batches — the last emission per key is the full
+    * aggregate. (Complete mode would rewrite every key every batch;
+    * append could never emit an unwindowed aggregate at all.)
+    *
+    * Scale: the streaming agg is a hash agg with map-side combine per
+    * batch and per-key state; the upsert is the one full-outer-shaped
+    * anti-join+union per batch on the serving key. Rounding happens at
+    * the END (state stays raw; sums are order-jittered → 2 dp, the
+    * sessionize convention). Output: (user_id, n_events, sum_value).
+    */
+  def userTotalsReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                            eventsPath: String): DataFrame = {
+    val spark = tunedStatefulSession(spark0)
+    val schema = spark.read.parquet(eventsPath).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_totals_")
+    val target = s"$tmp/target"
+    val staged = stageInput(tmp, eventsPath)
+    val agg = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("user_id").cast("long").as("user_id"), col("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"), sum("value").as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val changed = batch.localCheckpoint(true)
+        val merged =
+          if (!new java.io.File(target).exists()) changed
+          else changed.sparkSession.read.parquet(target)
+            .join(changed, Seq("user_id"), "left_anti")
+            .unionByName(changed)
+            // materialize BEFORE overwriting the directory being read
+            .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(target)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(target)
+      .select(col("user_id"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   /** Third oracle-checked streaming query — the WINDOWED-AGGREGATE half:
     * replay the events table as a stream, aggregate per (tumbling window,
     * event_type), and land the FINAL aggregate state in a batch table.
