@@ -40,6 +40,22 @@ class GroupTopKSpec extends AnyFunSuite {
     assert(fi < ei && ei < pi, s"final/exchange/partial order wrong:\n$physical")
   }
 
+  test("downstream same-key window reuses the final pass's partitioning") {
+    // knnJoin's shape: rank the ≤k survivors per key. The window must NOT
+    // re-shuffle — GroupTopKFinal propagates its child Exchange's hash
+    // partitioning, so exactly ONE hash Exchange appears in the whole plan.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc, col("id"))
+    val q = GroupTopK.topKPerKey(df, Seq(col("k")), Seq(col("v").desc, col("id")), 2)
+      .withColumn("rn", row_number().over(w))
+    val physical = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(physical).length
+    assert(exchanges == 1, s"window added a second Exchange:\n$physical")
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == Set(("a", 4L, 1), ("a", 2L, 2), ("b", 5L, 1), ("b", 6L, 2),
+      ("c", 8L, 1)))
+  }
+
   test("fallback: keys far beyond the in-memory cap produce the same output") {
     // 500 distinct keys × 6 rows against a cap of 7 in-memory heaps per
     // partition: nearly every partial-pass row takes the pass-through
