@@ -44,6 +44,7 @@ object Plans {
     "hourly_drawdown" -> "pure-BIGINT prefix-max: hourly counts aggregate once, then the two-pass distributed scan (per-partition maxima collected as a tiny offset array, broadcast back) — no max() OVER (ORDER BY) serialization point anywhere; every value integer-exact.",
     "bigram_pmi_top50" -> "one exploded-token Exchange feeds both the unigram aggregate and (via the native kGrams builder) the bigram counts; score joins key on DISTINCT grams/words — never token instances; the corpus total is one broadcast row; TakeOrdered on the raw double with the shipped score rounded.",
     "matrix_sink_roundtrip" -> "the DSv2 WRITE path: the sink's RequiresDistributionAndOrdering (clustered by graph_id, sorted graph_id/src/dst) makes the planner insert the shuffle+sort — look for the Exchange/Sort the sink itself demanded; each writer then streams whole graphs and lands one deterministic file per graph boundary.",
+    "wpagerank_top20" -> "final weighted-PageRank round shown (earlier rounds checkpointed away): the rank vector joins the once-persisted normalized edge table, aggregates contributions per destination, and left-joins back onto the vertex frame — one join + one agg per round, bounded lineage; transition weights normalized once, not per round.",
   )
 
   def main(args: Array[String]): Unit = {

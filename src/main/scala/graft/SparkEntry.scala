@@ -611,6 +611,20 @@ object SparkEntry {
     // the canonical a<b<c two-join triangle plan, corners exploded
     "triangle_counts" -> ((s, dir) =>
       GraphOps.triangleCounts(coPurchasePairs(s, dir))),
+    // degree-distribution power-law MLE (dmin=1): alpha = 1 + n/Σ ln d —
+    // the graph-health scalar (spam farms vs organic graphs); ln sums are
+    // order/ulp-jittered → round 4; zero-variance (all degree 1) corpora
+    // excluded identically in both engines
+    "powerlaw_alpha" -> ((s, dir) => {
+      val pairs = coPurchasePairs(s, dir)
+      val deg = pairs.select(col("a").as("v")).unionAll(pairs.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).cast("long").as("d"))
+      deg.agg(count(lit(1)).cast("long").as("n_vertices"),
+          sum(log(col("d").cast("double"))).as("sl"))
+        .filter(col("sl") > 0)
+        .select(col("n_vertices"),
+          round(lit(1.0) + col("n_vertices").cast("double") / col("sl"), 4).as("alpha"))
+    }),
     // local clustering coefficient over the same graph: 2·tri/(deg·(deg−1)),
     // exact-integer division → bit-identical double, emitted unrounded
     "clustering_coeff" -> ((s, dir) =>
@@ -818,6 +832,17 @@ object SparkEntry {
     // two-proportion A/B z-test on a deterministic md5 user split — the
     // statistic is one fixed IEEE op tree over four exact BIGINT counts
     "ab_test_conversion" -> ((s, dir) => Events.abTestConversion(t(s, dir, "events"))),
+    // funnel stage counts per A/B arm — exact BIGINT, no rate doubles
+    "funnel_by_arm" -> ((s, dir) => Events.funnelByArm(t(s, dir, "events"))),
+    // corpus-level session health: bounce count + exact discrete median
+    // session length over the sessionized table
+    "session_stats" -> ((s, dir) =>
+      Events.sessionize(t(s, dir, "events"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("long").as("n_bounce"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
+            .cast("long").as("p50_events"),
+          max("n_events").cast("long").as("max_events"))),
 
     // ---- LLM-data-pipeline operators ------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(t(s, dir, "documents"))),
@@ -1622,6 +1647,15 @@ object SparkEntry {
         |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
     "pagerank_top20" -> pagerankSql,
     "wpagerank_top20" -> wpagerankSql,
+    "powerlaw_alpha" ->
+      s"""WITH $coPurchaseCteSql,
+         |deg AS (SELECT v, count(*) AS d FROM
+         |  (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY 1),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         |  sum(ln(CAST(d AS DOUBLE))) AS sl FROM deg)
+         |SELECT n_vertices,
+         |  CAST(round(1.0 + CAST(n_vertices AS DOUBLE) / sl, 4) AS DOUBLE) AS alpha
+         |FROM m WHERE sl > 0""".stripMargin,
     "ppr_top20" -> pprSql,
     "hits_top20" -> hitsSql,
     "sssp_bounded" ->
@@ -1905,6 +1939,28 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "funnel_by_arm" ->
+      """WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u, event_type,
+        |              epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT u,
+        |    min(CASE WHEN event_type = 'view' THEN ms END) AS fv,
+        |    min(CASE WHEN event_type = 'click' THEN ms END) AS fc,
+        |    min(CASE WHEN event_type = 'purchase' THEN ms END) AS fp
+        |  FROM ev GROUP BY 1),
+        |a AS (SELECT fv, fc, fp,
+        |    CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS arm
+        |  FROM f)
+        |SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        |  CAST(sum(CASE WHEN fv < fc THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+        |  CAST(sum(CASE WHEN fv < fc AND fc < fp THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+        |FROM a GROUP BY arm ORDER BY arm""".stripMargin,
+    "session_stats" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+         |  CAST(quantile_disc(n_events, 0.5) AS BIGINT) AS p50_events,
+         |  CAST(max(n_events) AS BIGINT) AS max_events
+         |FROM ($sessionsSql) s""".stripMargin,
     "stream_funnel" ->
       """WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
         |  epoch_ms(ts) AS ms FROM events),

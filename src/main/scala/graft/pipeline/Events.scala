@@ -401,6 +401,33 @@ object Events {
             lit(1.0) / col("n_b").cast("double")))).as("z"))
   }
 
+  /** Funnel conversion by A/B arm: per md5-split arm (the
+    * [[abTestConversion]] split), how many users reach each funnel stage
+    * (any view; first view before first click; that before first
+    * purchase — the [[funnelUsers]] chain). All exact BIGINT counts, no
+    * rate doubles — downstream dashboards divide. One shuffle (per-user
+    * conditional mins), then a 2-row aggregate.
+    * Output: (arm, n_users, n_viewed, n_clicked, n_purchased) ordered.
+    */
+  def funnelByArm(events: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.md5Bits60
+    val ms = msOf(events)
+    events
+      .select(col("user_id").cast("long").as("u"), col("event_type"), ms.as("ms"))
+      .groupBy("u")
+      .agg(min(when(col("event_type") === "view", col("ms"))).as("fv"),
+        min(when(col("event_type") === "click", col("ms"))).as("fc"),
+        min(when(col("event_type") === "purchase", col("ms"))).as("fp"))
+      .withColumn("arm", pmod(md5Bits60(col("u").cast("string")), lit(2L)))
+      .groupBy("arm")
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(when(col("fv").isNotNull, 1L).otherwise(0L)).cast("long").as("n_viewed"),
+        sum(when(col("fv") < col("fc"), 1L).otherwise(0L)).cast("long").as("n_clicked"),
+        sum(when(col("fv") < col("fc") && col("fc") < col("fp"), 1L)
+          .otherwise(0L)).cast("long").as("n_purchased"))
+      .orderBy("arm")
+  }
+
   /** Long-to-wide pivot: per-day event counts, one column per type in
     * `types` (the explicit value list keeps the schema static — no
     * pre-scan job — and makes the plan a single partial-aggregating

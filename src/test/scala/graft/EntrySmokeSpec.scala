@@ -45,7 +45,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     "cumulative_users", "markov_next_event", "hourly_drawdown",
     "ab_test_conversion", "bigram_pmi_top50", "assoc_rules_top50",
     "rfm_segments", "ship_latency_quantiles", "matrix_sink_roundtrip",
-    "wpagerank_top20", "graph_diameter_lb", "stream_user_totals")
+    "wpagerank_top20", "graph_diameter_lb", "stream_user_totals",
+    "funnel_by_arm", "session_stats", "powerlaw_alpha")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
