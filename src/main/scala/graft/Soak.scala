@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Soak {
 
-  /** The ten slowest queries of the round-5 bench (bench_local.json). */
+  /** The slowest queries of the round-6 bench (BENCH_r06.json):
+    * round 5's ten plus wpagerank_top20, round 6's new slowest.
+    */
   val SlowQueries: Seq[String] = Seq(
-    "subtree_sizes", "label_propagation", "stream_interval_join",
-    "ngram_containment", "bfs_bipartite", "hits_top20", "pagerank_top20",
-    "clustering_coeff", "link_prediction", "ngram_jaccard")
+    "wpagerank_top20", "subtree_sizes", "label_propagation",
+    "stream_interval_join", "ngram_containment", "bfs_bipartite",
+    "hits_top20", "pagerank_top20", "clustering_coeff", "link_prediction",
+    "ngram_jaccard")
 
   val Copies = 10
   val Stride = 4000000000L // > SupplierBase + any key: copies stay disjoint
@@ -53,6 +56,12 @@ object Soak {
       .withColumn("l_orderkey", offset("l_orderkey", i))
       .withColumn("l_partkey", offset("l_partkey", i))
       .withColumn("l_suppkey", offset("l_suppkey", i))
+    // part/supplier replicate WITH the same key offsets lineitem uses, so
+    // every copy's l_partkey/l_suppkey FKs resolve inside that copy —
+    // without this, copies 1..9 would dangle and any part/supplier join
+    // would quietly match only copy 0, skewing the 10× ratio
+    case "part" => df.withColumn("p_partkey", offset("p_partkey", i))
+    case "supplier" => df.withColumn("s_suppkey", offset("s_suppkey", i))
     case "documents" => df
       .withColumn("doc_id", offset("doc_id", i))
       .withColumn("text", concat_ws(" ",
@@ -65,8 +74,9 @@ object Soak {
   }
 
   private val ScaledTables =
-    Seq("customer", "orders", "lineitem", "documents", "events")
-  private val SharedTables = Seq("region", "nation", "part", "supplier")
+    Seq("customer", "orders", "lineitem", "part", "supplier",
+      "documents", "events")
+  private val SharedTables = Seq("region", "nation")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

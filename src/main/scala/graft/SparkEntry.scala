@@ -23,19 +23,34 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The frequent-co-purchase graph (canonical part pairs sharing ≥2
-    * orders, basket-size skew guard) — shared by triangle_counts,
-    * clustering_coeff, and link_prediction.
+  /** Distinct (okey, part) baskets with the basket-size skew guard —
+    * THE basket derivation for every market-basket query. The pair
+    * explosion downstream is quadratic IN THE BASKET, so one degenerate
+    * giant order (a crawler replay, a bulk account) is a single hot
+    * shuffle key at 100 TB; over-cap baskets are dropped BEFORE any
+    * self-join (a no-op on the test data, baskets ≤ 7 parts — the
+    * maxShingleFreq analogue, see Dedup.ngramJaccardPairs). The over-cap
+    * side lists only pathological orders, so the anti-join broadcasts.
+    * Materialized once: it feeds the guard plus every consumer side.
     */
-  private def coPurchasePairs(s: SparkSession, dir: String,
-                              maxBasketSize: Long = 1000L): DataFrame = {
+  private def guardedBasket(s: SparkSession, dir: String,
+                            maxBasketSize: Long = 1000L): DataFrame = {
     val basket0 = t(s, dir, "lineitem")
       .select(col("l_orderkey").cast("long").as("okey"),
         col("l_partkey").cast("long").as("part")).distinct()
       .localCheckpoint(true)
     val big = basket0.groupBy("okey").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBasketSize).select("okey")
-    val basket = basket0.join(big, Seq("okey"), "left_anti")
+    basket0.join(big, Seq("okey"), "left_anti")
+  }
+
+  /** The frequent-co-purchase graph (canonical part pairs sharing ≥2
+    * orders, basket-size skew guard via [[guardedBasket]]) — shared by
+    * triangle_counts, clustering_coeff, and link_prediction.
+    */
+  private def coPurchasePairs(s: SparkSession, dir: String,
+                              maxBasketSize: Long = 1000L): DataFrame = {
+    val basket = guardedBasket(s, dir, maxBasketSize)
     val a = basket.select(col("okey"), col("part").as("a"))
     val b = basket.select(col("okey"), col("part").as("b"))
     a.join(b, Seq("okey")).filter(col("a") < col("b"))
@@ -129,7 +144,7 @@ object SparkEntry {
           (graft.functions.PortableHash.md5Bits60(col("user_id").cast("string")) % m).as("b"))
         .distinct().agg(count(lit(1)).cast("long").as("n_used"))
       val exact = ev.agg(countDistinct(col("user_id")).cast("long").as("exact_users"))
-      used.crossJoin(exact)
+      used.crossJoin(broadcast(exact))
         .select(col("n_used"),
           round(lit(-m.toDouble) *
             log((lit(m.toLong) - col("n_used")).cast("double") / lit(m.toDouble)), 4)
@@ -234,14 +249,14 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("vertex"))
         .limit(20)),
     // WEIGHTED PageRank over the weighted co-purchase graph (w = shared
-    // baskets): transition probability follows edge strength — the
-    // DataFrame power iteration with one join + one agg per round; oracle
-    // = the same 10 iterations unrolled in DuckDB; 4-dp rounding
+    // baskets, guardedBasket derivation): transition probability follows
+    // edge strength — the DataFrame power iteration with one join + one
+    // agg per round; oracle = the same 10 iterations unrolled in DuckDB;
+    // 3-dp rounding both sides (ranks are 10 rounds of shuffle-order-
+    // jittered double sums over divided weights — same hazard class as
+    // pagerank_top20, same margin)
     "wpagerank_top20" -> ((s, dir) => {
-      val basket = t(s, dir, "lineitem")
-        .select(col("l_orderkey").cast("long").as("okey"),
-          col("l_partkey").cast("long").as("part")).distinct()
-        .localCheckpoint(true)
+      val basket = guardedBasket(s, dir)
       val a = basket.select(col("okey"), col("part").as("a"))
       val b = basket.select(col("okey"), col("part").as("b"))
       val pc = a.join(b, Seq("okey")).filter(col("a") < col("b"))
@@ -251,7 +266,7 @@ object SparkEntry {
         .unionAll(pc.select(col("b").as("src"), col("a").as("dst"), col("w")))
       GraphOps.weightedPageRank(e, iters = 10)
         .select(col("vertex").cast("long").as("vertex"),
-          round(col("r"), 4).as("rank"))
+          round(col("r"), 3).as("rank"))
         .orderBy(col("rank").desc, col("vertex"))
         .limit(20)
     }),
@@ -553,24 +568,9 @@ object SparkEntry {
     // per-basket, never corpus-wide), then one aggregate over pair keys;
     // the shape that scales where a global part×part join would not
     "frequent_part_pairs" -> ((s, dir) => {
-      // basket feeds the size guard AND both self-join sides — materialize
-      // once (repo-wide convention for multi-consumer intermediates) so the
-      // distinct aggregation doesn't run twice
-      val maxBasketSize = 1000L
-      val basket0 = t(s, dir, "lineitem")
-        .select(col("l_orderkey").cast("long").as("okey"),
-          col("l_partkey").cast("long").as("part")).distinct()
-        .localCheckpoint(true)
-      // skew guard, the maxShingleFreq analogue (Dedup.ngramJaccardPairs):
-      // the pair explosion is quadratic IN THE BASKET, so one degenerate
-      // giant order (a crawler replay, a bulk account) is a single hot
-      // shuffle key. Drop over-cap baskets BEFORE the self-join — a no-op on
-      // the test data (baskets are ≤ 7 parts), the guard at 100 TB. The
-      // over-cap side is tiny (it lists only pathological orders), so the
-      // anti-join broadcasts.
-      val big = basket0.groupBy("okey").agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") > maxBasketSize).select("okey")
-      val basket = basket0.join(big, Seq("okey"), "left_anti")
+      // baskets come guarded (over-cap anti-join) from the shared
+      // derivation — see guardedBasket for the skew story
+      val basket = guardedBasket(s, dir)
       val a = basket.select(col("okey"), col("part").as("part_a"))
       val b = basket.select(col("okey"), col("part").as("part_b"))
       a.join(b, Seq("okey")).filter(col("part_a") < col("part_b"))
@@ -581,14 +581,13 @@ object SparkEntry {
     // association rules over the same baskets: directional ante→cons pairs
     // with confidence = n_ab/n_a and lift = n_ab·N/(n_a·n_c) — counts are
     // exact BIGINTs, each score one fixed-order double expression shipped
-    // unrounded; the pair explosion stays per-basket (same guard story as
-    // frequent_part_pairs), item counts and the one-row basket total join
-    // back broadcast-sized
+    // unrounded; baskets come guarded through the SAME guardedBasket
+    // derivation as frequent_part_pairs (over-cap anti-join before the
+    // self-join — pinned in PlanSpec), so item counts, the total, and both
+    // pair sides all see the guarded corpus; itemN and the one-row total
+    // join back broadcast-sized
     "assoc_rules_top50" -> ((s, dir) => {
-      val basket = t(s, dir, "lineitem")
-        .select(col("l_orderkey").cast("long").as("okey"),
-          col("l_partkey").cast("long").as("part")).distinct()
-        .localCheckpoint(true) // feeds item counts, the total, both join sides
+      val basket = guardedBasket(s, dir) // feeds item counts, the total, both join sides
       val itemN = basket.groupBy("part").agg(count(lit(1)).cast("long").as("cnt"))
       val tot = basket.agg(countDistinct("okey").cast("long").as("n_b"))
       val a = basket.select(col("okey"), col("part").as("ante"))
@@ -1263,8 +1262,8 @@ object SparkEntry {
        |verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
        |wr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM verts),
        |$wprIters
-       |SELECT CAST(v AS BIGINT) AS vertex, CAST(round(r, 4) AS DOUBLE) AS rank
-       |FROM wr10 ORDER BY round(r, 4) DESC, vertex LIMIT 20""".stripMargin
+       |SELECT CAST(v AS BIGINT) AS vertex, CAST(round(r, 3) AS DOUBLE) AS rank
+       |FROM wr10 ORDER BY round(r, 3) DESC, vertex LIMIT 20""".stripMargin
 
   private val pagerankSql: String =
     s"""WITH $partSuppGraphSql,

@@ -63,7 +63,7 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/recall.json"),
         s"""{"k":10,"query_vec_id":0,"sf_dir":"$sfDir",""" +
           s""""embedding_topk_ivf":{"recall_at_10":$rLabel,"floor":3,"nprobe":2},""" +
-          s""""embedding_topk_ivf_kmeans":{"recall_at_10":$rKmeans,"floor":5,"nlist":8,"nprobe":3}}""")
+          s""""embedding_topk_ivf_kmeans":{"recall_at_10":$rKmeans,"floor":8,"nlist":8,"nprobe":3}}""")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] recall artifact failed: ${e.getMessage}")
     }

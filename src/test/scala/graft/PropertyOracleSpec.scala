@@ -64,7 +64,10 @@ class PropertyOracleSpec extends AnyFunSuite {
       assert(full.contains(v) && full(v) == c, s"vec $v cosine $c diverges from brute force")
     }
     assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted.reverse.toSeq)
+    // measured deterministic value 9/10 (RECALL.json) — floor 8 so a
+    // silent recall regression (e.g. a quantizer or seeding change
+    // dropping it to 6) FAILS CI instead of passing under a slack floor
     val recall = ivf.map(_._1).toSet.intersect(bruteForce(10).map(_._1).toSet).size
-    assert(recall >= 5, s"nprobe=3/nlist=8 recall@10 collapsed to $recall/10")
+    assert(recall >= 8, s"nprobe=3/nlist=8 recall@10 collapsed to $recall/10 (measured 9, floor 8)")
   }
 }
