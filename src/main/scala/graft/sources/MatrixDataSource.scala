@@ -72,13 +72,16 @@ object MatrixDataSource {
   }
 
   /** Read a whole (KB-sized by format construction) matrix file through
-    * the Hadoop FS API — runs on the EXECUTOR, so it resolves the
-    * filesystem from a fresh Hadoop conf (default resources; the formats
-    * this source targets carry the scheme in the path itself).
+    * the Hadoop FS API — runs on the EXECUTOR against the conf captured
+    * from the DRIVER session (a [[org.apache.spark.util
+    * .SerializableConfiguration]] shipped in the reader factory), so
+    * `spark.hadoop.*` settings — object-store credentials, custom
+    * filesystems — behave identically to the driver-side listing.
     */
-  private[sources] def readFully(path: String): String = {
+  private[sources] def readFully(path: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
     require(len <= (16L << 20), s"matrix file $path is ${len}B; format caps files at KBs")
     val buf = new Array[Byte](len.toInt)
@@ -131,35 +134,94 @@ private[sources] class MatrixWrite(path: String, schema: StructType)
   override def toBatch: BatchWrite = new MatrixBatchWrite(path, schema.fieldNames)
 }
 
+/** Staged two-phase commit, the FileOutputCommitter contract re-expressed
+  * for the one-file-per-graph format: tasks write ONLY attempt-unique
+  * temp files (`_tmp_<taskId>_G<id>.txt` — invisible to the scan's
+  * `G*.txt` filter), final `G<id>.txt` names appear atomically at JOB
+  * commit via rename on the driver. So a task dying mid-write leaves no
+  * truncated final file; a failed/speculative attempt's abort deletes its
+  * OWN temp files only (never a sibling's output — the paths differ by
+  * taskId); and Spark's commit coordinator guarantees at most one
+  * attempt's message per partition reaches `commit`, so exactly one
+  * rename per graph wins. Leftover temps from hard-killed attempts are
+  * swept at job commit/abort (concurrent jobs into one directory are not
+  * a supported layout, same as the reference's G*.txt database dir).
+  */
 private[sources] class MatrixBatchWrite(path: String, fields: Array[String])
   extends BatchWrite {
+  private val conf = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  private def fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(org.apache.spark.sql.SparkSession.active
-      .sessionState.newHadoopConf()).mkdirs(p)
-    new MatrixWriterFactory(path, fields)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    new MatrixWriterFactory(path, fields, conf)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case MatrixFilesStaged(staged) => staged.foreach { case (gid, tmp) =>
+        val src = new org.apache.hadoop.fs.Path(tmp)
+        val dst = new org.apache.hadoop.fs.Path(path, s"$gid.txt")
+        if (fs.exists(dst)) fs.delete(dst, false) // overwrite semantics
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"graft-matrix commit: rename $src -> $dst failed")
+      }
+      case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }
+    sweepTemps()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case MatrixFilesStaged(staged) => staged.foreach { case (_, tmp) =>
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+      case _ => ()
+    }
+    sweepTemps()
+  }
+
+  /** Remove orphan temp files (attempts that died without running their
+    * abort — executor crash, JVM kill). Every live temp of THIS job has
+    * already been renamed (commit) or deleted (abort) by this point.
+    */
+  private def sweepTemps(): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(dirPath)) fs.listStatus(dirPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(MatrixDataWriter.TmpPrefix))
+      .foreach(st => fs.delete(st.getPath, false))
+  }
 }
 
-private[sources] class MatrixWriterFactory(dir: String, fields: Array[String])
+private[sources] class MatrixWriterFactory(dir: String, fields: Array[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new MatrixDataWriter(dir, fields)
+    new MatrixDataWriter(dir, fields, taskId, conf)
 }
 
-private[sources] case class MatrixFilesWritten(paths: Seq[String])
+/** Job-commit message: (graph_id, staged temp path) per graph this task
+  * wrote — the driver renames each into its final `G<id>.txt` name.
+  */
+private[sources] case class MatrixFilesStaged(staged: Seq[(String, String)])
   extends WriterCommitMessage
 
-private[sources] class MatrixDataWriter(dir: String, fields: Array[String])
+private[sources] object MatrixDataWriter {
+  val TmpPrefix = "_tmp_"
+}
+
+private[sources] class MatrixDataWriter(dir: String, fields: Array[String],
+    taskId: Long, conf: org.apache.spark.util.SerializableConfiguration)
   extends DataWriter[InternalRow] {
   private val gi = fields.indexOf("graph_id")
   private val si = fields.indexOf("src")
   private val di = fields.indexOf("dst")
   private var gid: String = _
   private val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val staged = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
   // the dense text format is quadratic in n — refuse silly graphs rather
   // than writing gigabytes (the reference caps n at 30)
   private val MaxN = 4096L
@@ -168,13 +230,16 @@ private[sources] class MatrixDataWriter(dir: String, fields: Array[String])
     val n = edges.iterator.flatMap(e => Iterator(e._1, e._2)).max
     require(n <= MaxN, s"graph $gid has max vertex id $n; " +
       s"matrix text is n² cells and this sink caps n at $MaxN")
-    val out = new org.apache.hadoop.fs.Path(dir, s"$gid.txt")
-    val fs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // attempt-unique temp name: taskId differs across retries/speculative
+    // attempts, so attempts never touch each other's files
+    val out = new org.apache.hadoop.fs.Path(dir,
+      s"${MatrixDataWriter.TmpPrefix}${taskId}_$gid.txt")
+    val fs = out.getFileSystem(conf.value)
     val stream = fs.create(out, true)
     try stream.write(MatrixCodec.renderMatrixText(n.toInt, edges.toSeq)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally stream.close()
-    written += out.toString
+    staged += ((gid, out.toString))
     edges.clear()
   }
 
@@ -185,13 +250,12 @@ private[sources] class MatrixDataWriter(dir: String, fields: Array[String])
   }
   override def commit(): WriterCommitMessage = {
     flush()
-    MatrixFilesWritten(written.toSeq)
+    MatrixFilesStaged(staged.toSeq)
   }
   override def abort(): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    written.foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(conf).delete(hp, false)
+    staged.foreach { case (_, tmp) =>
+      val hp = new org.apache.hadoop.fs.Path(tmp)
+      hp.getFileSystem(conf.value).delete(hp, false)
     }
   }
   override def close(): Unit = ()
@@ -212,16 +276,22 @@ private[sources] class MatrixScan(paths: Seq[String], required: StructType)
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(MatrixFilePartition(_)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new MatrixReaderFactory(required.fieldNames)
+    // capture the DRIVER session's Hadoop conf here (driver-side call) so
+    // executor-side reads resolve filesystems with the same spark.hadoop.*
+    // settings the listing used
+    new MatrixReaderFactory(required.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
 private[sources] case class MatrixFilePartition(path: String) extends InputPartition
 
-private[sources] class MatrixReaderFactory(columns: Array[String])
+private[sources] class MatrixReaderFactory(columns: Array[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[MatrixFilePartition].path
-    val text = MatrixDataSource.readFully(path)
+    val text = MatrixDataSource.readFully(path, conf.value)
     val (_, edges) = MatrixCodec.parseMatrixText(text)
     val stem = {
       val f = new org.apache.hadoop.fs.Path(path).getName

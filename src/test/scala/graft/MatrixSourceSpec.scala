@@ -91,6 +91,40 @@ class MatrixSourceSpec extends AnyFunSuite {
     assert(back == Set((2L, 2L)))
   }
 
+  test("V2 write: staged commit leaves no temp files and only final G*.txt names") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_stage_")
+    Seq(("G1", 1L, 2L), ("G2", 2L, 1L)).toDF("graph_id", "src", "dst")
+      .write.format("graft-matrix").mode("append").save(dir.toString)
+    val names = {
+      val listing = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(_.endsWith(".crc")).toSet
+      } finally listing.close()
+    }
+    assert(names == Set("G1.txt", "G2.txt"),
+      s"expected only final names after job commit, got $names")
+    assert(!names.exists(_.startsWith("_tmp_")), s"staged temps leaked: $names")
+  }
+
+  test("V2 write: an orphan temp from a dead attempt is swept at job commit, final files untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_sweep_")
+    // simulate a hard-killed attempt: a stale staged file no abort() cleaned
+    java.nio.file.Files.writeString(dir.resolve("_tmp_999_G7.txt"),
+      MatrixCodec.renderMatrixText(2, Seq((1L, 2L))))
+    Seq(("G1", 1L, 2L)).toDF("graph_id", "src", "dst")
+      .write.format("graft-matrix").mode("append").save(dir.toString)
+    assert(!java.nio.file.Files.exists(dir.resolve("_tmp_999_G7.txt")),
+      "orphan temp not swept by job commit")
+    // the orphan never became a visible graph; the committed one did
+    val back = spark.read.format("graft-matrix").load(dir.toString)
+      .collect().map(_.getString(0)).toSet
+    assert(back == Set("G1"))
+  }
+
   test("roundtrip: codec-written file reads back identically through the source") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_rt_")
     val edges = Seq((1L, 3L), (3L, 1L), (2L, 2L))
