@@ -53,6 +53,40 @@ class StreamSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).distinct.length.toLong == base)
   }
 
+  test("mergeIntoBucketedServing rewrites ONLY buckets containing changed keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_merge_").toString
+    val target = s"$dir/serving"
+    def bucketFiles(): Map[String, Set[(String, Long)]] = {
+      val root = new java.io.File(target)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    }
+    // seed: 64 keys -> all 16 buckets populated
+    StreamOps.mergeIntoBucketedServing(
+      (0L until 64L).map(k => (k, 1L, k.toDouble)).toDF("user_id", "n_events", "sum_value"),
+      target, "user_id")
+    val before = bucketFiles()
+    assert(before.keySet.size == 16, s"expected 16 bucket dirs, got ${before.keySet}")
+    // incremental batch touching TWO keys in the same bucket (5 and 21 -> bucket=5)
+    StreamOps.mergeIntoBucketedServing(
+      Seq((5L, 9L, 99.0), (21L, 9L, 99.0)).toDF("user_id", "n_events", "sum_value"),
+      target, "user_id")
+    val after = bucketFiles()
+    assert(after("bucket=5") != before("bucket=5"), "changed bucket was not rewritten")
+    (before.keySet - "bucket=5").foreach { b =>
+      assert(after(b) == before(b), s"untouched $b was rewritten: ${before(b)} -> ${after(b)}")
+    }
+    // upsert semantics: changed keys replaced, all 62 others intact
+    val got = spark.read.parquet(target)
+      .select("user_id", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = (0L until 64L).filterNot(k => k == 5L || k == 21L)
+      .map(k => (k, 1L, k.toDouble)).toSet + ((5L, 9L, 99.0)) + ((21L, 9L, 99.0))
+    assert(got == expected)
+  }
+
   test("windowedAggReplayBatch: final complete-mode state equals the batch aggregate") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
