@@ -141,15 +141,18 @@ object Media {
       .orderBy("media_id")
   }
 
-  /** Frame-sample video payloads: every `stride`-th 64-byte chunk becomes a
-    * "frame" (stub chunking; a real decoder would seek keyframes).
+  /** Frame-sample video payloads. An injected [[VideoDecoder]] (SPI:
+    * registered or ServiceLoader-discovered, resolved PER EXECUTOR JVM
+    * inside the task) that answers `frames` makes the extraction real;
+    * payloads no decoder claims fall back to the deterministic stub
+    * chunking (every `stride`-th 64-byte chunk — the oracle's arithmetic).
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      MediaCodecs.frameSampleStub(r.payload, stride).zipWithIndex.map {
-        case (bytes, i) => Frame(r.media_id, i, bytes)
-      }
+      VideoDecoder.active.flatMap(_.frames(r.payload))
+        .getOrElse(MediaCodecs.frameSampleStub(r.payload, stride))
+        .zipWithIndex.map { case (bytes, i) => Frame(r.media_id, i, bytes) }
     }
   }
 

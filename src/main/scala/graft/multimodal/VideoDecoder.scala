@@ -18,6 +18,14 @@ trait VideoDecoder extends Serializable {
     * falls back to the container probe + stub chain).
     */
   def decode(payload: Array[Byte]): Option[(Int, Int, Double)]
+
+  /** Real frame extraction: the decoded frames of one video payload (raw
+    * bytes per frame, decoder-defined pixel layout), or None when these
+    * bytes are not decodable here — [[Media.sampleFrames]] then falls
+    * back to its stub chunking. Default None so dimension-only decoders
+    * (a probe wrapper, a metadata-only codec) satisfy the SPI unchanged.
+    */
+  def frames(payload: Array[Byte]): Option[Seq[Array[Byte]]] = None
 }
 
 /** Resolution: an explicitly registered decoder wins, else

@@ -179,6 +179,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(s(0).getString(3) == md)
   }
 
+  test("VideoDecoder SPI end-to-end: ServiceLoader-discovered decoder makes decode AND frame sampling real") {
+    import graft.multimodal.{SyntheticRawVideoDecoder, VideoDecoder}
+    VideoDecoder.clear() // no explicit registration: discovery must answer
+    assert(VideoDecoder.active.exists(_.isInstanceOf[SyntheticRawVideoDecoder]),
+      s"ServiceLoader did not discover the test-scope decoder: ${VideoDecoder.active}")
+    val f0 = Array.fill(12)(10.toByte)
+    val f1 = Array.fill(12)(30.toByte)
+    val payload = SyntheticRawVideoDecoder.container(4, 3, Seq(f0, f1))
+    // decode: true container dims + true pixel mean — values neither the
+    // probe (no MP4/AVI header here) nor the stub could produce
+    assert(MediaCodecs.decode("video", payload) == ((4, 3, 20.0)))
+    // frame sampling: REAL frame boundaries (2 frames of w*h=12 bytes),
+    // not the stub's 64-byte chunking (which would yield ONE 34-byte chunk)
+    val ds = Seq(Media.MediaRow(1L, "video", payload, "spi")).toDS()
+    val frames = Media.sampleFrames(ds).collect().sortBy(_.frame_no)
+    assert(frames.length == 2)
+    assert(frames(0).frame_bytes.toSeq == f0.toSeq)
+    assert(frames(1).frame_bytes.toSeq == f1.toSeq)
+    // a payload the decoder declines keeps the stub chain end to end
+    val garbage = ("x" * 100).getBytes("US-ASCII")
+    assert(MediaCodecs.decode("video", garbage) == MediaCodecs.decodeStub("video", garbage))
+    val stubFrames = Media.sampleFrames(
+      Seq(Media.MediaRow(2L, "video", garbage, "spi")).toDS()).collect()
+    assert(stubFrames.map(_.frame_bytes.toSeq).toSeq ==
+      MediaCodecs.frameSampleStub(garbage, 2).map(_.toSeq).toSeq)
+  }
+
   test("VideoDecoder SPI: a registered decoder takes over video decode; clear restores the default") {
     import graft.multimodal.VideoDecoder
     val garbage = "0123456789".getBytes("US-ASCII")
