@@ -408,25 +408,34 @@ object GraphOps {
           .localCheckpoint(true)
         var r = verts.withColumn("r", lit(1.0)).localCheckpoint(true)
         for (_ <- 1 to iters) {
-          // unqualified name resolution: with lineage unbroken between
-          // checkpoints, dataframe-qualified refs (r("…")/norm("…")) trip
-          // the ambiguous-self-join check — rename the rank side so every
-          // column name is unique across the join
-          val contrib = r.select(col("vertex").as("rv"), col("r").as("rr"))
-            .join(norm, col("rv") === col("src"))
-            .groupBy(col("dst").as("vertex"))
-            .agg(sum(col("rr") * col("p")).as("s"))
-          r = verts.join(contrib, Seq("vertex"), "left")
-            .select(col("vertex"), (lit(resetProb) +
-              lit(1 - resetProb) * coalesce(col("s"), lit(0.0))).as("r"))
-            // per-round checkpoint MEASURED faster than every-3rd (5.5 s
-            // vs 8.1 s at sf0.1): the deep multi-round plan costs more in
-            // re-analysis/AQE compilation than the extra materializations
-            .localCheckpoint(true)
+          // per-round checkpoint MEASURED faster than every-3rd (5.5 s
+          // vs 8.1 s at sf0.1): the deep multi-round plan costs more in
+          // re-analysis/AQE compilation than the extra materializations
+          r = wprRound(verts, norm, r, resetProb).localCheckpoint(true)
         }
         r
       } finally { e.unpersist(); () }
     }
+  }
+
+  /** One weighted-PageRank round: ONE join (ranks × normalized edges) +
+    * ONE vertex-key aggregate + the reset-mass left join — exposed
+    * package-private so PlanSpec can pin the per-iteration plan shape
+    * (this is the body [[weightedPageRank]] checkpoints every round).
+    * Unqualified name resolution: with lineage unbroken between
+    * checkpoints, dataframe-qualified refs (r("…")/norm("…")) trip the
+    * ambiguous-self-join check — rename the rank side so every column
+    * name is unique across the join.
+    */
+  private[graft] def wprRound(verts: DataFrame, norm: DataFrame, r: DataFrame,
+                              resetProb: Double): DataFrame = {
+    val contrib = r.select(col("vertex").as("rv"), col("r").as("rr"))
+      .join(norm, col("rv") === col("src"))
+      .groupBy(col("dst").as("vertex"))
+      .agg(sum(col("rr") * col("p")).as("s"))
+    verts.join(contrib, Seq("vertex"), "left")
+      .select(col("vertex"), (lit(resetProb) +
+        lit(1 - resetProb) * coalesce(col("s"), lit(0.0))).as("r"))
   }
 
   /** Neighborhood feature aggregation — the feature-engineering primitive

@@ -99,6 +99,61 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"extra shuffles in:\n$p")
   }
 
+  test("assoc_rules_top50 carries the basket-size skew guard (anti-join before the pair self-join)") {
+    val p = planOf("assoc_rules_top50")
+    assert(p.contains("LeftAnti"), s"basket-size guard (left_anti on over-cap baskets) missing in:\n$p")
+  }
+
+  test("wpagerank_top20 final stage reads a checkpointed round (no re-derivation, no extra shuffle)") {
+    val p = planOf("wpagerank_top20")
+    // per-round localCheckpoint discipline: the served result is a top-k
+    // over the LAST ROUND'S MATERIALIZED rdd — lineage truncated, so the
+    // final stage is shuffle-free and nothing re-runs the iteration chain
+    assert(p.contains("Scan ExistingRDD"), s"final round not checkpoint-materialized in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered in:\n$p")
+    assert(!p.contains("Exchange"), s"unexpected shuffle after the checkpointed round in:\n$p")
+  }
+
+  test("wpagerank round body: ONE vertex-key shuffle per iteration, joins broadcast, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val e = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (2L, 3L, 2.0), (3L, 2L, 2.0))
+      .toDF("src", "dst", "w")
+    val outW = e.groupBy("src").agg(sum("w").as("tw"))
+    val norm = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("tw")).as("p"))
+    val verts = e.select(col("src").as("vertex"))
+      .unionAll(e.select(col("dst").as("vertex"))).distinct().localCheckpoint(true)
+    val r = verts.withColumn("r", lit(1.0)).localCheckpoint(true)
+    val p = graph.GraphOps.wprRound(verts, norm, r, 0.15)
+      .queryExecution.executedPlan.toString
+    // the ONLY per-round hash shuffle is the vertex-key contribution
+    // aggregate (keyed on dst); the norm-build shuffle in this unpersisted
+    // spec plan is amortized once per run in weightedPageRank (persisted)
+    val dstShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(dst"))
+    assert(dstShuffles == 1, s"$dstShuffles dst-key shuffles (want exactly 1) in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rank-side join not broadcast at this scale in:\n$p")
+  }
+
+  test("hourly_drawdown prefix-max is distributed (no window, no single-partition sort)") {
+    val p = planOf("hourly_drawdown")
+    // the running max is the two-pass per-partition-offsets scan, NEVER
+    // `max() OVER (ORDER BY ...)` — which would be a Window over an
+    // Exchange SinglePartition (one task holding every hour)
+    assert(!p.contains("Window"), s"window operator in the prefix-max path:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition exchange in:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"two-pass running max not materialized in:\n$p")
+  }
+
+  test("markov_next_event argmax is an anti-join (no row_number window sort)") {
+    val p = planOf("markov_next_event")
+    assert(p.contains("LeftAnti"), s"anti-join argmax missing in:\n$p")
+    assert(!p.contains("Window"), s"window operator (row_number argmax?) in:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition exchange in:\n$p")
+  }
+
   test("length_strata shuffles once on source (window reuses the partitioning)") {
     val p = planOf("length_strata")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
