@@ -151,6 +151,62 @@ object SparkEntry {
             .as("est_users"),
           col("exact_users"))
     }),
+    // KMV (k-minimum-values) distinct sketch next to the exact count: keep
+    // the k smallest distinct 60-bit hashes (a distributed TakeOrdered —
+    // mergeable, O(k) state), estimate (k−1)·2^60/h_k. All BIGINT until
+    // ONE final division — bit-identical, shipped unrounded. The third
+    // cardinality sketch next to linear counting and HLL.
+    "kmv_distinct_users" -> ((s, dir) => {
+      val k = 64
+      val ev = t(s, dir, "events")
+      val topk = ev.select(
+          graft.functions.PortableHash.md5Bits60(col("user_id").cast("string")).as("h"))
+        .distinct().orderBy("h").limit(k)
+        .agg(count(lit(1)).cast("long").as("n_kept"), max("h").as("h_k"))
+      val exact = ev.agg(countDistinct(col("user_id")).cast("long").as("exact_users"))
+      topk.crossJoin(broadcast(exact))
+        .select(col("n_kept"), col("h_k"),
+          // fewer distinct values than k ⇒ the sketch holds them ALL and
+          // the count is exact (standard KMV degenerate case)
+          when(col("n_kept") < k, col("exact_users").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+              col("h_k").cast("double")).as("est_users"),
+          col("exact_users"))
+    }),
+    // HyperLogLog distinct sketch with a PURE-INTEGER harmonic sum:
+    // m=256 registers over the same portable 60-bit hash (bucket = h mod
+    // m, rank = leading zeros of the remaining 52 bits + 1 via exact
+    // bit-length string ops — no libm log2), Σ 2^(−Mj) kept scaled as
+    // Σ 2^(53−Mj) in BIGINT so both engines agree bit-for-bit; ONE double
+    // expression at the end (+ the standard small-range linear-counting
+    // branch, whose single ln is why est ships rounded 4 dp). Register
+    // state is 256 bytes regardless of cardinality — the shape that
+    // counts 100 TB in one pass.
+    "hll_distinct_users" -> ((s, dir) => {
+      val m = 256
+      val ev = t(s, dir, "events")
+      val regs = ev.select(
+          graft.functions.PortableHash.md5Bits60(col("user_id").cast("string")).as("h"))
+        .distinct()
+        .select((col("h") % m).as("bucket"), expr("h div 256").as("rem"))
+        .select(col("bucket"),
+          when(col("rem") === 0L, lit(53)).otherwise(lit(53) - length(bin(col("rem")))).as("rank"))
+        .groupBy("bucket").agg(max("rank").as("mj"))
+        .agg(count(lit(1)).cast("long").as("n_used"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).cast("long").as("sp_used"))
+      val exact = ev.agg(countDistinct(col("user_id")).cast("long").as("exact_users"))
+      val sprime = (col("sp_used") +
+        (lit(m.toLong) - col("n_used")) * lit(9007199254740992L)) // + 2^53 per empty register
+      val rawEst = lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(65536.0) *
+        lit(9007199254740992.0) / sprime.cast("double")
+      regs.crossJoin(broadcast(exact))
+        .select(col("n_used"), (lit(m.toLong) - col("n_used")).as("n_empty"),
+          sprime.cast("long").as("sprime"),
+          round(when(rawEst <= lit(640.0) && col("n_used") < m, // small-range correction
+              lit(256.0) * log(lit(256.0) / (lit(m.toLong) - col("n_used")).cast("double")))
+            .otherwise(rawEst), 4).as("est_users"),
+          col("exact_users"))
+    }),
     // A5 — BFS level-order traversal (iterative DataFrame fixpoint)
     "bfs_levels" -> ((s, dir) => bfs(s, dir)),
     // A5 — same semantics on the GraphX Pregel path
@@ -412,6 +468,87 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("custkey"))
         .limit(10)
     }),
+    // TPC-H Q3 shape: top 10 still-unshipped orders of one market segment
+    // by in-flight revenue. The segment filter PRUNES the customer dim
+    // before a broadcast; the date filters push into BOTH parquet scans;
+    // revenue aggregates per order key (one shuffle). The classic
+    // "selective dim × big fact" plan at 100 TB: nothing wide ever
+    // shuffles, the fact table is filtered at the scan.
+    "segment_priority_revenue" -> ((s, dir) => {
+      val cutoff = "1997-01-01"
+      val c = broadcast(t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").cast("string").as("orderdate"),
+          col("o_orderpriority"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("orderdate"), col("o_orderpriority"))
+        .agg(round(sum("rev"), 2).as("revenue"))
+        .select(col("o_orderkey").cast("long").as("orderkey"),
+          col("orderdate"),
+          col("o_orderpriority").as("priority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("orderkey"))
+        .limit(10)
+    }),
+    // TPC-H Q5 shape: revenue kept "local" — customer and supplier in the
+    // SAME nation — per nation. Two broadcast dims (customer/supplier key
+    // → nationkey maps), nation name joined broadcast at the end; the
+    // only wide shuffle is the order↔lineitem join, and the same-nation
+    // predicate drops rows BEFORE the aggregate.
+    "local_supplier_volume" -> ((s, dir) => {
+      val cn = broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("cnat")))
+      val sn = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("snat")))
+      val n = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      o.join(cn, o("o_custkey") === cn("c_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(sn, l("l_suppkey") === sn("s_suppkey"))
+        .filter(col("cnat") === col("snat"))
+        .join(n, col("cnat") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum("rev"), 2).as("revenue"),
+          count(lit(1)).cast("long").as("n_items"))
+        .orderBy("n_name")
+    }),
+    // TPC-H Q7 shape: cross-border trade flows — revenue shipped from
+    // each supplier nation to each DIFFERENT customer nation. Same
+    // broadcast-dim discipline as Q5. Revenue is summed in EXACT BIGINT
+    // ten-thousandths (prices carry 2 decimals, discounts 2 → per-row
+    // revenue is a true 4-dp decimal; the per-row ×1e4 round is >1e-6
+    // from any tie, so both engines land the same integer) with ONE final
+    // division — bit-identical, no rounding contract. (At 100 TB group
+    // sums approaching 2^53 would move this to DECIMAL(38,4) sums.)
+    "nation_flow_pairs" -> ((s, dir) => {
+      val cn = broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("cnat")))
+      val sn = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("snat")))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(10000))
+          .cast("long").as("rev_c4"))
+      o.join(cn, o("o_custkey") === cn("c_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(sn, l("l_suppkey") === sn("s_suppkey"))
+        .filter(col("cnat") =!= col("snat"))
+        .groupBy(col("snat").cast("long").as("supp_nation"),
+          col("cnat").cast("long").as("cust_nation"))
+        .agg((sum("rev_c4").cast("double") / lit(10000.0)).as("revenue"),
+          count(lit(1)).cast("long").as("n_items"))
+        .orderBy("supp_nation", "cust_nation")
+    }),
     "rollup_orders" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
@@ -632,6 +769,26 @@ object SparkEntry {
     // (wedge self-join + anti-join against the edge set)
     "link_prediction" -> ((s, dir) =>
       GraphOps.commonNeighborLinks(coPurchasePairs(s, dir), minCommon = 1, k = 100)),
+    // 2-hop reach: |{w : d(v,w) ≤ 2}| per vertex over the co-purchase
+    // graph — the neighborhood-size feature GNN samplers budget against.
+    // ONE wedge self-join (bounded upstream by the basket guard) unioned
+    // with the 1-hop edges, distinct, then a vertex-key count; never a
+    // matrix power or per-vertex BFS
+    "two_hop_reach" -> ((s, dir) => {
+      val pairs = coPurchasePairs(s, dir).localCheckpoint(true) // both directions
+      val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true) // feeds the wedge join twice + the 1-hop union
+      val hop2 = e.select(col("src"), col("dst").as("mid"))
+        .join(e.select(col("src").as("mid"), col("dst").as("w2")), "mid")
+        .select(col("src"), col("w2").as("v"))
+        .filter(col("src") =!= col("v"))
+      e.select(col("src"), col("dst").as("v")).unionAll(hop2)
+        .distinct()
+        .groupBy(col("src").cast("long").as("vertex"))
+        .agg(count(lit(1)).cast("long").as("n_reach2"))
+        .orderBy("vertex")
+    }),
     // degree assortativity (Newman r): one scalar over the same graph —
     // every moment an exact BIGINT, the final ratio a fixed IEEE op tree
     "degree_assortativity" -> ((s, dir) =>
@@ -942,6 +1099,10 @@ object SparkEntry {
     // PMI collocation mining: ln(c12·T/(c1·c2)) over exact BIGINT counts,
     // one fixed-order double expression (BM25 contract), unrounded
     "bigram_pmi_top50" -> ((s, dir) => TextStats.bigramPmi(t(s, dir, "documents"))),
+    // Zipf exponent of the term-frequency distribution (vocabulary-health
+    // scalar): OLS on the log-log rank/freq line, ranks via the two-pass
+    // global index — no single-partition window over the vocabulary
+    "zipf_alpha_terms" -> ((s, dir) => TextStats.zipfAlpha(t(s, dir, "documents"))),
     // char-distribution Shannon entropy (gibberish/boilerplate detector)
     "char_entropy" -> ((s, dir) => TextStats.charEntropy(t(s, dir, "documents"))),
     // per-doc n-gram duplication fraction (Gopher/C4-style repetition
@@ -1703,6 +1864,40 @@ object SparkEntry {
         |  CAST(10 + n_nationkey AS BIGINT) AS dst,
         |  CASE WHEN (10 + n_nationkey) % 2 = 0 THEN 'removed' ELSE 'kept' END AS change
         |FROM nation ORDER BY src, dst""".stripMargin,
+    "kmv_distinct_users" ->
+      """WITH h AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS h_k FROM k),
+        |e AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users FROM events)
+        |SELECT n_kept, h_k,
+        |  CAST(CASE WHEN n_kept < 64 THEN CAST(exact_users AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE) END AS DOUBLE) AS est_users,
+        |  exact_users
+        |FROM a, e""".stripMargin,
+    "hll_distinct_users" ->
+      """WITH h AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |rk AS (SELECT h % 256 AS bucket,
+        |    CASE WHEN h // 256 = 0 THEN 53
+        |         ELSE 53 - length(printf('%b', h // 256)) END AS rank FROM h),
+        |reg AS (SELECT bucket, max(rank) AS mj FROM rk GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
+        |               CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS sp_used FROM reg),
+        |ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users FROM events),
+        |s AS (SELECT n_used, CAST(256 - n_used AS BIGINT) AS n_empty,
+        |        CAST(sp_used + (256 - n_used) * 9007199254740992 AS BIGINT) AS sprime
+        |      FROM agg),
+        |r AS (SELECT *, (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+        |        / CAST(sprime AS DOUBLE) AS raw_est FROM s)
+        |SELECT n_used, n_empty, sprime,
+        |  CAST(round(CASE WHEN raw_est <= 640.0 AND n_used < 256
+        |    THEN 256.0 * ln(256.0 / CAST(n_empty AS DOUBLE))
+        |    ELSE raw_est END, 4) AS DOUBLE) AS est_users,
+        |  exact_users
+        |FROM r, ex""".stripMargin,
     "linear_count_users" ->
       """WITH b AS (SELECT DISTINCT
         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -1783,6 +1978,40 @@ object SparkEntry {
         |GROUP BY c_custkey
         |ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, custkey
         |LIMIT 10""".stripMargin,
+    "segment_priority_revenue" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+        |  o_orderpriority AS priority,
+        |  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, orderkey
+        |LIMIT 10""".stripMargin,
+    "local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    "nation_flow_pairs" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS supp_nation,
+        |  CAST(c_nationkey AS BIGINT) AS cust_nation,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+        |       AS DOUBLE) / 10000.0 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE c_nationkey <> s_nationkey
+        |GROUP BY 1, 2 ORDER BY supp_nation, cust_nation""".stripMargin,
     "rollup_orders" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
@@ -2433,6 +2662,16 @@ object SparkEntry {
         |    / CAST(da.degree + db.degree - n.common AS DOUBLE) AS jaccard
         |FROM nonedges n JOIN deg da ON da.v = n.a JOIN deg db ON db.v = n.b
         |ORDER BY common DESC, a, b LIMIT 100""".stripMargin,
+    "two_hop_reach" ->
+      s"""WITH $coPurchaseCteSql,
+        |e AS (SELECT a AS src, b AS dst FROM pairs
+        |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |h2 AS (SELECT e1.src AS src, e2.dst AS v
+        |       FROM e e1 JOIN e e2 ON e2.src = e1.dst WHERE e1.src <> e2.dst),
+        |r AS (SELECT DISTINCT src, v FROM
+        |       (SELECT src, dst AS v FROM e UNION ALL SELECT src, v FROM h2))
+        |SELECT CAST(src AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_reach2
+        |FROM r GROUP BY 1 ORDER BY vertex""".stripMargin,
     // every moment is an exact integer; the final ratio is one fixed IEEE
     // op tree (2m·Σxy − Σx² over 2m·Σx² − Σx², the symmetric-undirected
     // simplification of Newman's r) — bit-identical, unrounded
@@ -2492,6 +2731,18 @@ object SparkEntry {
         |FROM bc JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2, tot t)
         |SELECT gram, c12, CAST(round(pmi_raw, 4) AS DOUBLE) AS pmi
         |FROM sc ORDER BY pmi_raw DESC, gram LIMIT 50""".stripMargin,
+    "zipf_alpha_terms" ->
+      """WITH tf AS (SELECT u.term AS term, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |rk AS (SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE)) AS x,
+        |              ln(CAST(freq AS DOUBLE)) AS y FROM tf),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM rk)
+        |SELECT n_terms,
+        |  CAST(round(-(CAST(n_terms AS DOUBLE) * sxy - sx * sy) /
+        |             (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 3) AS DOUBLE) AS alpha
+        |FROM m WHERE n_terms >= 2""".stripMargin,
     "char_entropy" ->
       """WITH chars AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),
         |cnt AS (SELECT doc_id, c, count(*) AS f FROM chars GROUP BY 1, 2)

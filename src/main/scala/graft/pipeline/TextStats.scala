@@ -96,6 +96,37 @@ object TextStats {
       .limit(topN)
   }
 
+  /** Zipf exponent of the corpus term-frequency distribution: OLS slope
+    * of ln(freq) on ln(rank) over terms with `freq >= minFreq`, alpha =
+    * −slope — the vocabulary-health scalar (natural corpora sit near 1;
+    * template/spam corpora drift far off). Ranks come from the two-pass
+    * global index ([[Ranking.withGlobalIndex]] — range-partitioned sort +
+    * per-partition offsets), NEVER a single-partition row_number window:
+    * at 100 TB the vocabulary is hundreds of millions of terms. The five
+    * regression moments reduce in one aggregate; per-row `ln` is libm and
+    * sums are shuffle-order-jittered → alpha ships rounded 3 dp.
+    * Degenerate corpora (fewer than 2 ranked terms — zero x-variance)
+    * yield zero rows identically in both engines.
+    * Output: one row (n_terms, alpha).
+    */
+  def zipfAlpha(documents: DataFrame, minFreq: Long = 2L): DataFrame = {
+    val freqs = documents
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("freq"))
+      .filter(col("freq") >= minFreq)
+    Ranking.withGlobalIndex(freqs, col("freq").desc, col("term"))
+      .select(log((col("idx") + 1L).cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_terms") >= 2)
+      .select(col("n_terms"),
+        round(-(col("n_terms").cast("double") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms").cast("double") * col("sxx") - col("sx") * col("sx")), 3)
+          .as("alpha"))
+  }
+
   /** Corpus n-gram frequencies with duplicates KEPT (language-model
     * counting — unlike [[graft.pipeline.Dedup.shingles]], which dedups per
     * doc for set similarity). Output: (gram, freq) top `topN` by

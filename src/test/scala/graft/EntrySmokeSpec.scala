@@ -46,7 +46,10 @@ class EntrySmokeSpec extends AnyFunSuite {
     "ab_test_conversion", "bigram_pmi_top50", "assoc_rules_top50",
     "rfm_segments", "ship_latency_quantiles", "matrix_sink_roundtrip",
     "wpagerank_top20", "graph_diameter_lb", "stream_user_totals",
-    "funnel_by_arm", "session_stats", "powerlaw_alpha")
+    "funnel_by_arm", "session_stats", "powerlaw_alpha",
+    "kmv_distinct_users", "hll_distinct_users", "segment_priority_revenue",
+    "local_supplier_volume", "nation_flow_pairs", "two_hop_reach",
+    "zipf_alpha_terms")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {

@@ -154,6 +154,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"single-partition exchange in:\n$p")
   }
 
+  test("segment_priority_revenue pushes both date filters to the scans and broadcasts the dim") {
+    val p = planOf("segment_priority_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"order-date filter not pushed in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"ship-date filter not pushed in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast in:\n$p")
+  }
+
+  test("nation_flow_pairs broadcasts every dimension (no cartesian, no dim shuffle)") {
+    val p = planOf("nation_flow_pairs")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"only $bhj broadcast joins (customer+supplier dims should broadcast) in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+  }
+
+  test("kmv_distinct_users keeps the k smallest hashes via distributed TakeOrdered") {
+    val p = planOf("kmv_distinct_users")
+    assert(p.contains("TakeOrderedAndProject"), s"min-k not TakeOrdered in:\n$p")
+    assert(!p.contains("Window"), s"window in the sketch path:\n$p")
+  }
+
   test("length_strata shuffles once on source (window reuses the partitioning)") {
     val p = planOf("length_strata")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
