@@ -207,6 +207,49 @@ object SparkEntry {
             .otherwise(rawEst), 4).as("est_users"),
           col("exact_users"))
     }),
+    // KMV SET OPERATIONS: union/intersection cardinality across two user
+    // segments from their sketches alone — the audience-overlap question
+    // answered WITHOUT ever co-shuffling the raw sets (each segment scan
+    // reduces to k=64 hashes; the overlap math runs on 128 rows). Union
+    // sketch = min-k of the merged sketches; Jaccard ρ = fraction of
+    // union-sketch hashes present in BOTH per-segment sketches;
+    // est_inter = ρ·est_union. Exact BIGINTs throughout, a fixed IEEE op
+    // tree at the end; the n<k degenerate case (sf0.001) is exact in both
+    // engines. Exact counts ship alongside for auditability.
+    "kmv_segment_overlap" -> ((s, dir) => {
+      val k = 64
+      val ev = t(s, dir, "events")
+      def sketch(tpe: String): DataFrame = ev
+        .filter(col("event_type") === tpe)
+        .select(graft.functions.PortableHash.md5Bits60(
+          col("user_id").cast("string")).as("h"))
+        .distinct().orderBy("h").limit(k) // distributed TakeOrdered
+        .localCheckpoint(true) // ≤ k rows; feeds the union AND a membership join
+      val sa = sketch("purchase")
+      val sb = sketch("signup")
+      val u = sa.unionAll(sb).distinct().orderBy("h").limit(k)
+      val flags = u
+        .join(sa.withColumn("in_a", lit(1L)), Seq("h"), "left")
+        .join(sb.withColumn("in_b", lit(1L)), Seq("h"), "left")
+        .agg(count(lit(1)).cast("long").as("n_u"), max("h").as("h_k"),
+          sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+            .cast("long").as("n_both"))
+      val ua = ev.filter(col("event_type") === "purchase").select("user_id")
+      val ub = ev.filter(col("event_type") === "signup").select("user_id")
+      val exact = ua.unionAll(ub).agg(countDistinct(col("user_id")).cast("long")
+          .as("exact_union"))
+        .crossJoin(broadcast(ua.distinct().join(ub.distinct(), Seq("user_id"))
+          .agg(count(lit(1)).cast("long").as("exact_inter"))))
+      val estUnion = when(col("n_u") < k, col("n_u").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+          col("h_k").cast("double"))
+      flags.crossJoin(broadcast(exact))
+        .select(col("n_u"), col("n_both"), col("h_k"),
+          estUnion.as("est_union"),
+          (col("n_both").cast("double") / col("n_u").cast("double") * estUnion)
+            .as("est_inter"),
+          col("exact_union"), col("exact_inter"))
+    }),
     // A5 — BFS level-order traversal (iterative DataFrame fixpoint)
     "bfs_levels" -> ((s, dir) => bfs(s, dir)),
     // A5 — same semantics on the GraphX Pregel path
@@ -1259,6 +1302,12 @@ object SparkEntry {
     // canonical keeper per cluster (GraphX CC on the sketch-candidate pairs)
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(t(s, dir, "documents"), w = 3, threshold = 0.8)),
+    // split-by-CLUSTER: near-dup twins can never straddle train/val (the
+    // eval-leakage failure of per-doc splitting); zero shuffles on top of
+    // the clustering — the split hash is a per-row expression
+    "leakage_safe_split" -> ((s, dir) =>
+      pipeline.Curation.clusterSafeSplit(
+        Dedup.dedupClusters(t(s, dir, "documents"), w = 3, threshold = 0.8))),
 
     // ---- multimodal columns (binary payloads; codec layer stubbed) -------
     "media_stats" -> ((s, dir) =>
@@ -1485,6 +1534,27 @@ object SparkEntry {
     * The Spark side adds a basket-size skew guard that is a no-op at test
     * SFs (baskets ≤ 7 parts), so the oracle omits it.
     */
+  /** The near-dup clustering CTE chain (shingle Jaccard ≥ 0.8 pairs →
+    * recursive connected components) shared by `dedup_clusters` and
+    * `leakage_safe_split`. Callers prepend `WITH RECURSIVE`.
+    */
+  private val dedupClusterCteSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT da, db FROM inter p JOIN sizes sa ON sa.doc_id = p.da
+      |          JOIN sizes sb ON sb.doc_id = p.db
+      |          WHERE p.i * 1.0 / (sa.sz + sb.sz - p.i) >= 0.8),
+      |e AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+      |reach(v, r) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT e.b, r.r FROM reach r JOIN e ON e.a = r.v),
+      |comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v)""".stripMargin
+
   private val coPurchaseCteSql =
     """basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
       |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
@@ -1898,6 +1968,32 @@ object SparkEntry {
         |    ELSE raw_est END, 4) AS DOUBLE) AS est_users,
         |  exact_users
         |FROM r, ex""".stripMargin,
+    "kmv_segment_overlap" ->
+      """WITH sa AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'purchase' ORDER BY h LIMIT 64),
+        |sb AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'signup' ORDER BY h LIMIT 64),
+        |u AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+        |      ORDER BY h LIMIT 64),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_u, max(u.h) AS h_k,
+        |        CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        |      FROM u LEFT JOIN sa ON sa.h = u.h LEFT JOIN sb ON sb.h = u.h),
+        |eu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
+        |       FROM events WHERE event_type IN ('purchase', 'signup')),
+        |ei AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM
+        |        (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') a
+        |        JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup') b
+        |        USING (user_id)),
+        |est AS (SELECT *, CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+        |          ELSE 63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE) END AS est_union
+        |        FROM f)
+        |SELECT n_u, n_both, h_k, est_union,
+        |  CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE) * est_union AS est_inter,
+        |  exact_union, exact_inter
+        |FROM est, eu, ei""".stripMargin,
     "linear_count_users" ->
       """WITH b AS (SELECT DISTINCT
         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -2559,27 +2655,23 @@ object SparkEntry {
     // candidate path has exact recall on the test corpora — minhash_lsh's
     // own oracle proves it), min-reachable-doc = the component label
     "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (SELECT da, db FROM inter p JOIN sizes sa ON sa.doc_id = p.da
-        |          JOIN sizes sb ON sb.doc_id = p.db
-        |          WHERE p.i * 1.0 / (sa.sz + sb.sz - p.i) >= 0.8),
-        |e AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
-        |reach(v, r) AS (
-        |  SELECT a, a FROM e
-        |  UNION
-        |  SELECT e.b, r.r FROM reach r JOIN e ON e.a = r.v),
-        |comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v)
+      s"""WITH RECURSIVE $dedupClusterCteSql
         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
         |       CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster,
         |       CAST(CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id
         |            THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "leakage_safe_split" ->
+      s"""WITH RECURSIVE $dedupClusterCteSql,
+        |cl AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |              CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+        |       FROM documents d LEFT JOIN comp c ON c.v = d.doc_id)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin,
     "embedding_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sims AS (

@@ -84,6 +84,30 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe split: assign train/val by the hash of the document's
+    * near-dup CLUSTER representative, not the document itself, so a
+    * near-duplicate pair can never straddle the split boundary — the
+    * eval-contamination failure mode of per-doc splitting (a val doc
+    * whose near-dup twin sits in train leaks the answer). `clustered` is
+    * [[graft.pipeline.Dedup.dedupClusters]] output (doc_id, cluster, …);
+    * the split hash is computed per ROW from the cluster id (no extra
+    * join, no cluster-table materialization — the cluster id is already
+    * on every row), so the operator adds zero shuffles on top of the
+    * clustering. Same nibble rule as [[trainValSplit]] (12/16 → train).
+    * Output: (doc_id, cluster, split) ordered.
+    */
+  def clusterSafeSplit(clustered: DataFrame,
+                       trainNibbles: String = "0123456789ab"): DataFrame = {
+    clustered
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("cluster").cast("long").as("cluster"),
+        substring(md5(col("cluster").cast("string").cast("binary")), 1, 1).as("nib"))
+      .select(col("doc_id"), col("cluster"),
+        when(expr(s"nib IN (${trainNibbles.map(c => s"'$c'").mkString(", ")})"), "train")
+          .otherwise("val").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic fixed-size uniform sample: the `n` docs with the
     * smallest md5(doc_id) — a hash-ranked top-n, so the sample is stable
     * across runs, engines, and partitionings (rand()-based sampling is
