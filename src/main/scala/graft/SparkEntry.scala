@@ -832,6 +832,17 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_reach2"))
         .orderBy("vertex")
     }),
+    // node2vec/DeepWalk sampling: deterministic hash-seeded walks over
+    // the co-purchase graph — the skip-gram corpus generator, exactly
+    // replayable by the oracle because the "random" draw is the portable
+    // md5 argmin, not rand()
+    "graph_random_walks" -> ((s, dir) => {
+      val pairs = coPurchasePairs(s, dir)
+      GraphOps.randomWalks(
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"))),
+        steps = 3)
+    }),
     // degree assortativity (Newman r): one scalar over the same graph —
     // every moment an exact BIGINT, the final ratio a fixed IEEE op tree
     "degree_assortativity" -> ((s, dir) =>
@@ -2764,6 +2775,39 @@ object SparkEntry {
         |       (SELECT src, dst AS v FROM e UNION ALL SELECT src, v FROM h2))
         |SELECT CAST(src AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_reach2
         |FROM r GROUP BY 1 ORDER BY vertex""".stripMargin,
+    "graph_random_walks" ->
+      s"""WITH $coPurchaseCteSql,
+        |e AS (SELECT a AS src, b AS dst FROM pairs
+        |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |w0 AS (SELECT DISTINCT src AS walk, src AS v FROM e),
+        |c1 AS (SELECT w0.walk AS walk, e.dst AS dst,
+        |         CAST(('0x' || substr(md5(concat_ws('_', w0.walk, 1, e.dst)), 1, 15))
+        |              AS BIGINT) AS h
+        |       FROM w0 JOIN e ON e.src = w0.v),
+        |w1 AS (SELECT walk, dst AS v FROM (SELECT walk, dst,
+        |         row_number() OVER (PARTITION BY walk ORDER BY h, dst) AS rn
+        |       FROM c1) q WHERE rn = 1),
+        |c2 AS (SELECT w1.walk AS walk, e.dst AS dst,
+        |         CAST(('0x' || substr(md5(concat_ws('_', w1.walk, 2, e.dst)), 1, 15))
+        |              AS BIGINT) AS h
+        |       FROM w1 JOIN e ON e.src = w1.v),
+        |w2 AS (SELECT walk, dst AS v FROM (SELECT walk, dst,
+        |         row_number() OVER (PARTITION BY walk ORDER BY h, dst) AS rn
+        |       FROM c2) q WHERE rn = 1),
+        |c3 AS (SELECT w2.walk AS walk, e.dst AS dst,
+        |         CAST(('0x' || substr(md5(concat_ws('_', w2.walk, 3, e.dst)), 1, 15))
+        |              AS BIGINT) AS h
+        |       FROM w2 JOIN e ON e.src = w2.v),
+        |w3 AS (SELECT walk, dst AS v FROM (SELECT walk, dst,
+        |         row_number() OVER (PARTITION BY walk ORDER BY h, dst) AS rn
+        |       FROM c3) q WHERE rn = 1)
+        |SELECT CAST(walk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step,
+        |       CAST(v AS BIGINT) AS vertex
+        |FROM (SELECT walk, 0 AS step, v FROM w0
+        |      UNION ALL SELECT walk, 1, v FROM w1
+        |      UNION ALL SELECT walk, 2, v FROM w2
+        |      UNION ALL SELECT walk, 3, v FROM w3) allsteps
+        |ORDER BY walk, step""".stripMargin,
     // every moment is an exact integer; the final ratio is one fixed IEEE
     // op tree (2m·Σxy − Σx² over 2m·Σx² − Σx², the symmetric-undirected
     // simplification of Newman's r) — bit-identical, unrounded

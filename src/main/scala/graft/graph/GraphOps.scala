@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.graphx.{Edge, EdgeDirection, Graph, Pregel, VertexId}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -436,6 +437,50 @@ object GraphOps {
     verts.join(contrib, Seq("vertex"), "left")
       .select(col("vertex"), (lit(resetProb) +
         lit(1 - resetProb) * coalesce(col("s"), lit(0.0))).as("r"))
+  }
+
+  /** Deterministic fixed-length random walks — the node2vec/DeepWalk
+    * sampling primitive that turns a graph into skip-gram/GNN training
+    * sequences. One walk starts at every distinct source vertex; at step
+    * i a walk moves to the neighbor minimizing the portable 60-bit md5
+    * of (walk, i, neighbor) — a deterministic stand-in for a uniform
+    * draw: uniform over neighbors like rand(), but reproducible across
+    * engines, runs, and partitionings (the property rand() walks lack,
+    * and what makes the walk corpus exactly DuckDB-replayable). Per
+    * step: ONE positions×edges equi-join on the vertex key + ONE
+    * per-walk argmin window (row_number over walk → (hash, dst) — a
+    * distributed partition-key window, never a global sort); candidate
+    * volume per step is |walks| × avg-degree, the node2vec budget.
+    * Walks reaching a dead-end vertex (no out-edge) simply stop — the
+    * join drops them. Each step is eagerly checkpointed (the measured
+    * per-round discipline of [[weightedPageRank]]). Output:
+    * (walk, step, vertex) for steps 0..`steps`, ordered.
+    */
+  def randomWalks(edges: DataFrame, steps: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
+    ownedGraphResult(spark) {
+      val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).localCheckpoint(true)
+      var cur = e.select(col("src").as("walk")).distinct()
+        .select(col("walk"), col("walk").as("v")).localCheckpoint(true)
+      val acc = scala.collection.mutable.ArrayBuffer(
+        cur.select(col("walk"), lit(0L).as("step"), col("v")))
+      for (i <- 1 to steps) {
+        val w = Window.partitionBy("walk").orderBy(col("h"), col("dst"))
+        cur = cur.join(e, col("v") === col("src"))
+          .select(col("walk"), col("dst"),
+            graft.functions.PortableHash.md5Bits60(
+              concat_ws("_", col("walk"), lit(i), col("dst"))).as("h"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("walk"), col("dst").as("v"))
+          .localCheckpoint(true)
+        acc += cur.select(col("walk"), lit(i.toLong).as("step"), col("v"))
+      }
+      acc.reduce(_ unionAll _)
+        .select(col("walk"), col("step"), col("v").as("vertex"))
+        .orderBy("walk", "step")
+    }
   }
 
   /** Neighborhood feature aggregation — the feature-engineering primitive
