@@ -832,6 +832,22 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_reach2"))
         .orderBy("vertex")
     }),
+    // SCC over a directed cycle-rich graph derived from supplier keys
+    // (s → 7s and s → 13s mod |S| — two deterministic out-edges per
+    // vertex; keys are 0-based so the map is closed over the key range
+    // and every vertex is a source). The one driver-side value is the
+    // dim-table COUNT: it sets the modulus and the provably-sufficient
+    // outer-round cap (≥ one SCC confirmed per peel round). GraphX
+    // labels each vertex with its SCC's min id — exactly the oracle's
+    // mutual-reachability min.
+    "scc_components" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("v"))
+      val n = sup.count()
+      val e = sup.select(col("v").as("src"), ((col("v") * 7) % n).as("dst"))
+        .unionAll(sup.select(col("v").as("src"), ((col("v") * 13) % n).as("dst")))
+        .distinct()
+      GraphOps.stronglyConnectedComponents(e, numIter = math.max(16L, n).toInt)
+    }),
     // node2vec/DeepWalk sampling: deterministic hash-seeded walks over
     // the co-purchase graph — the skip-gram corpus generator, exactly
     // replayable by the oracle because the "random" draw is the portable
@@ -2775,6 +2791,21 @@ object SparkEntry {
         |       (SELECT src, dst AS v FROM e UNION ALL SELECT src, v FROM h2))
         |SELECT CAST(src AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_reach2
         |FROM r GROUP BY 1 ORDER BY vertex""".stripMargin,
+    "scc_components" ->
+      """WITH RECURSIVE n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM supplier),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS src,
+        |         (CAST(s_suppkey AS BIGINT) * 7) % n.n AS dst FROM supplier, n
+        |  UNION ALL
+        |  SELECT CAST(s_suppkey AS BIGINT),
+        |         (CAST(s_suppkey AS BIGINT) * 13) % n.n FROM supplier, n) q),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst)
+        |SELECT a.src AS vertex, CAST(min(a.dst) AS BIGINT) AS scc
+        |FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src
+        |GROUP BY 1 ORDER BY vertex""".stripMargin,
     "graph_random_walks" ->
       s"""WITH $coPurchaseCteSql,
         |e AS (SELECT a AS src, b AS dst FROM pairs

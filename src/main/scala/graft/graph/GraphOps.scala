@@ -982,6 +982,37 @@ object GraphOps {
   /** Connected components via GraphX (label = min vertex id in component).
     * Isolated vertices are kept by passing the full vertex set explicitly.
     */
+  /** Strongly connected components of a DIRECTED graph — GraphX's
+    * Pregel-based peel-and-color implementation (the published
+    * distributed SCC recipe: iteratively trim trivial vertices, color by
+    * min-id forward propagation, confirm colors by backward reachability
+    * within the color class, peel confirmed SCCs — the FW-BW/coloring
+    * family of Orzan and Slota–Madduri), which labels every vertex with
+    * the smallest vertex id of its SCC. Composing the platform's
+    * operator is deliberate (SURVEY preference order: existing op before
+    * custom plan): it already carries the Pregel checkpoint/unpersist
+    * discipline at scale. `numIter` caps the outer peel rounds; every
+    * round confirms at least one SCC (each color root's), so
+    * numIter = |V| is provably sufficient and the loop exits early on
+    * real graphs (cycle-rich graphs converge in a handful of rounds).
+    * Output: (vertex, scc) ordered.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, numIter: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    ownedGraphResult(spark) {
+      val eRdd: RDD[Edge[Int]] = edges
+        .select(col("src").cast("long"), col("dst").cast("long")).rdd
+        .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      val g = Graph.fromEdges(eRdd, 0L,
+        edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+        vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      g.stronglyConnectedComponents(numIter).vertices
+        .map { case (v, c) => (v, c) }
+        .toDF("vertex", "scc")
+    }.orderBy("vertex")
+  }
+
   def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
