@@ -207,6 +207,32 @@ object SparkEntry {
             .otherwise(rawEst), 4).as("est_users"),
           col("exact_users"))
     }),
+    // PER-GROUP KMV: distinct-user sketch per event_type, the k smallest
+    // hashes per group kept by the engine's own GroupTopK operator
+    // (bounded map-side heaps, spill-safe — the same physical op behind
+    // topk_per_group and knnJoin, dogfooded here as a SKETCH builder:
+    // per-key min-k IS the KMV state). Estimate math identical to
+    // kmv_distinct_users; exact per-group counts alongside.
+    "kmv_users_per_type" -> ((s, dir) => {
+      val k = 64
+      val ev = t(s, dir, "events")
+      val hashes = ev.select(col("event_type"),
+          graft.functions.PortableHash.md5Bits60(col("user_id").cast("string")).as("h"))
+        .distinct()
+      val sk = graft.plans.GroupTopK.topKPerKey(hashes, Seq(col("event_type")),
+          Seq(col("h")), k = k)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_kept"), max("h").as("h_k"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).cast("long").as("exact_users"))
+      sk.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_kept"), col("h_k"),
+          when(col("n_kept") < k, col("exact_users").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+              col("h_k").cast("double")).as("est_users"),
+          col("exact_users"))
+        .orderBy("event_type")
+    }),
     // KMV SET OPERATIONS: union/intersection cardinality across two user
     // segments from their sketches alone — the audience-overlap question
     // answered WITHOUT ever co-shuffling the raw sets (each segment scan
@@ -1995,6 +2021,22 @@ object SparkEntry {
         |    ELSE raw_est END, 4) AS DOUBLE) AS est_users,
         |  exact_users
         |FROM r, ex""".stripMargin,
+    "kmv_users_per_type" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |k AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS h_k
+        |      FROM k WHERE rn <= 64 GROUP BY 1),
+        |e AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |      FROM events GROUP BY 1)
+        |SELECT a.event_type AS event_type, n_kept, h_k,
+        |  CASE WHEN n_kept < 64 THEN CAST(exact_users AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE) END AS est_users,
+        |  exact_users
+        |FROM a JOIN e ON e.event_type = a.event_type
+        |ORDER BY event_type""".stripMargin,
     "kmv_segment_overlap" ->
       """WITH sa AS (SELECT DISTINCT
         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
