@@ -944,6 +944,14 @@ object SparkEntry {
     }),
     "revenue_percentiles" -> ((s, dir) =>
       pipeline.Ranking.revenuePercentiles(t(s, dir, "orders"), k = 10)),
+    // error bars at data scale: deterministic Poisson bootstrap CI for
+    // mean order value — per-(row, replica) weights from integer hash
+    // thresholds (no rand(), no floating point until the replica means),
+    // 64 replicas in one scan via scan-local explode + map-side combine
+    "bootstrap_ci_mean" -> ((s, dir) =>
+      pipeline.Bootstrap.poissonCiMean(
+        t(s, dir, "orders").select(col("o_orderkey").cast("long").as("id"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")))),
     // RFM quartile segmentation — three distributed ntile passes (recency/
     // frequency/monetary) over the customer frame, no single-task window
     "rfm_segments" -> ((s, dir) =>
@@ -2274,6 +2282,35 @@ object SparkEntry {
         |  CAST(percent_rank() OVER (ORDER BY revenue, custkey) AS DOUBLE) AS pct_rank,
         |  CAST(ntile(10) OVER (ORDER BY revenue, custkey) AS BIGINT) AS decile
         |FROM rev ORDER BY custkey""".stripMargin,
+    "bootstrap_ci_mean" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |reps AS (SELECT id, cents, b FROM base, UNNEST(range(0, 64)) AS r(b)),
+        |hw AS (SELECT b, cents,
+        |    CASE WHEN h < 424136118829305344 THEN 0
+        |         WHEN h < 848272237658610688 THEN 1
+        |         WHEN h < 1060340297073263360 THEN 2
+        |         WHEN h < 1131029650211480960 THEN 3
+        |         WHEN h < 1148701988496035328 THEN 4
+        |         WHEN h < 1152236456152946176 THEN 5
+        |         WHEN h < 1152825534095764608 THEN 6
+        |         WHEN h < 1152909688087595776 THEN 7
+        |         WHEN h < 1152920207336574720 THEN 8
+        |         ELSE 9 END AS w
+        |  FROM (SELECT b, cents,
+        |          CAST(('0x' || substr(md5(concat_ws('_', id, b)), 1, 15)) AS BIGINT) AS h
+        |        FROM reps) q),
+        |m AS (SELECT b, CAST(sum(w * cents) AS BIGINT) AS swc,
+        |             CAST(sum(w) AS BIGINT) AS sw FROM hw GROUP BY b),
+        |mm AS (SELECT b, CAST(swc AS DOUBLE) / (CAST(sw AS DOUBLE) * 100.0) AS m FROM m),
+        |rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM mm),
+        |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |              CAST(sum(cents) AS BIGINT) AS sc FROM base)
+        |SELECT n_rows,
+        |  CAST(sc AS DOUBLE) / (CAST(n_rows AS DOUBLE) * 100.0) AS mean_value,
+        |  (SELECT m FROM rk WHERE rn = 2) AS ci_lo,
+        |  (SELECT m FROM rk WHERE rn = 63) AS ci_hi
+        |FROM pt""".stripMargin,
     "rfm_segments" ->
       """WITH maxd AS (SELECT max(o_orderdate) AS maxd FROM orders),
         |base AS (SELECT CAST(o_custkey AS BIGINT) AS custkey,
