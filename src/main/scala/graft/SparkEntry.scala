@@ -1069,6 +1069,9 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) => Events.funnelUsers(t(s, dir, "events"))),
     "events_type_stats" -> ((s, dir) => Events.typeStats(t(s, dir, "events"))),
     "events_hourly" -> ((s, dir) => Events.hourlyRates(t(s, dir, "events"))),
+    // EWMA-smoothed hourly volume: exact power-of-two kernel weights,
+    // banded kernel join — never a single-partition time-axis window
+    "events_ewma" -> ((s, dir) => Events.hourlyEwma(t(s, dir, "events"))),
     // first-order event-type Markov transition counts (lead window per user)
     "events_transitions" -> ((s, dir) => Events.typeTransitions(t(s, dir, "events"))),
     // exact discrete quantiles per type (PERCENTILE_DISC ⇔ quantile_disc —
@@ -2531,6 +2534,20 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+    "events_ewma" ->
+      """WITH hourly AS (SELECT
+        |    CAST((epoch_ms(ts) - epoch_ms(ts) % 3600000) // 3600000 AS BIGINT) AS h,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |pairs AS (SELECT a.h AS t, b.h AS i, b.x AS x
+        |          FROM hourly a JOIN hourly b ON b.h BETWEEN a.h - 9 AND a.h),
+        |w AS (SELECT t,
+        |        CAST(sum((1::BIGINT << CAST(9 - (t - i) AS INT)) * x) AS BIGINT) AS num,
+        |        CAST(sum(1::BIGINT << CAST(9 - (t - i) AS INT)) AS BIGINT) AS den
+        |      FROM pairs GROUP BY t)
+        |SELECT CAST(t * 3600000 AS BIGINT) AS hour_ms, hourly.x AS n_events,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
+        |FROM w JOIN hourly ON hourly.h = w.t
+        |ORDER BY hour_ms""".stripMargin,
     "events_unpivot" ->
       """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 86400000 AS BIGINT) AS day_ms,
         |  event_type, CAST(count(*) AS BIGINT) AS n

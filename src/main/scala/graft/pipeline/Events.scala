@@ -210,6 +210,48 @@ object Events {
       .orderBy("hour_ms", "event_type")
   }
 
+  /** EWMA-smoothed hourly event volume — the time-series smoothing
+    * primitive behind rate dashboards and anomaly baselines. α = 1/2
+    * over a `kernelHours` lookback, so the weight for lag d is 2^(K−1−d)
+    * — an EXACT BIGINT: the weighted numerator and the present-weight
+    * denominator are exact integer sums and each smoothed value spends
+    * exactly ONE IEEE division (bit-identical cross-engine, shipped
+    * unrounded). Hours with no events drop out of BOTH sums — gap-aware
+    * normalization, not zero-fill. The kernel lookup is a BANDED
+    * self-join (bin = hour div K; each target covers its bin and the
+    * previous, sources carry their own bin — the [[RangeJoin]] recipe),
+    * ONE equi-join shuffle with ≤ 2K candidates per target; NEVER a
+    * single-partition ordered window over the time axis (the
+    * hourly_drawdown discipline: a global `ROWS BETWEEN 9 PRECEDING`
+    * window would serialize the whole series through one task).
+    * Output: (hour_ms, n_events, ewma) ordered.
+    */
+  def hourlyEwma(events: DataFrame, kernelHours: Int = 10): DataFrame = {
+    val k = kernelHours
+    val ms = msOf(events)
+    val hourly = events.select((ms - ms % 3600000L).as("hm"))
+      .groupBy("hm").agg(count(lit(1)).cast("long").as("x"))
+      .select(expr("hm div 3600000").as("h"), col("x"))
+      .localCheckpoint(true) // small (one row per hour); feeds BOTH join sides
+    val targets = hourly
+      .select(col("h").as("t"),
+        explode(array(expr(s"h div $k") - 1, expr(s"h div $k"))).as("bin"))
+    val sources = hourly
+      .select(expr(s"h div $k").as("bin"), col("h").as("i"), col("x"))
+    targets.join(sources, "bin")
+      .filter(col("t") - col("i") >= 0 && col("t") - col("i") <= k - 1)
+      .select(col("t"), col("x"),
+        expr(s"CAST(shiftleft(CAST(1 AS BIGINT), CAST(${k - 1} - (t - i) AS INT)) AS BIGINT)")
+          .as("w"))
+      .groupBy("t")
+      .agg(sum(col("w") * col("x")).cast("long").as("num"),
+        sum(col("w")).cast("long").as("den"))
+      .join(hourly.select(col("h").as("t"), col("x")), Seq("t"))
+      .select((col("t") * 3600000L).as("hour_ms"), col("x").as("n_events"),
+        (col("num").cast("double") / col("den").cast("double")).as("ewma"))
+      .orderBy("hour_ms")
+  }
+
   /** Cohort retention: users grouped by first-seen week (their cohort),
     * counted in every subsequent week they were active — the retention
     * matrix. The plan dedups (user, week) pairs FIRST, so the final
