@@ -466,21 +466,29 @@ object GraphOps {
       val acc = scala.collection.mutable.ArrayBuffer(
         cur.select(col("walk"), lit(0L).as("step"), col("v")))
       for (i <- 1 to steps) {
-        val w = Window.partitionBy("walk").orderBy(col("h"), col("dst"))
-        cur = cur.join(e, col("v") === col("src"))
-          .select(col("walk"), col("dst"),
-            graft.functions.PortableHash.md5Bits60(
-              concat_ws("_", col("walk"), lit(i), col("dst"))).as("h"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("walk"), col("dst").as("v"))
-          .localCheckpoint(true)
+        cur = walkStep(cur, e, i).localCheckpoint(true)
         acc += cur.select(col("walk"), lit(i.toLong).as("step"), col("v"))
       }
       acc.reduce(_ unionAll _)
         .select(col("walk"), col("step"), col("v").as("vertex"))
         .orderBy("walk", "step")
     }
+  }
+
+  /** One walk step: candidates via the positions×edges equi-join, winner
+    * via the per-walk (hash, dst) argmin window — exposed package-private
+    * so PlanSpec can pin the per-step plan shape (equi-join, distributed
+    * window; this is the body [[randomWalks]] checkpoints every step).
+    */
+  private[graft] def walkStep(cur: DataFrame, e: DataFrame, i: Int): DataFrame = {
+    val w = Window.partitionBy("walk").orderBy(col("h"), col("dst"))
+    cur.join(e, col("v") === col("src"))
+      .select(col("walk"), col("dst"),
+        graft.functions.PortableHash.md5Bits60(
+          concat_ws("_", col("walk"), lit(i), col("dst"))).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("walk"), col("dst").as("v"))
   }
 
   /** Neighborhood feature aggregation — the feature-engineering primitive

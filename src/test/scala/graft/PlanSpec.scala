@@ -176,6 +176,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window in the sketch path:\n$p")
   }
 
+  test("random-walk step: equi-join candidates, per-walk window (no cartesian, no single partition)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+      .localCheckpoint(true)
+    val cur = e.select(col("src").as("walk")).distinct()
+      .select(col("walk"), col("walk").as("v")).localCheckpoint(true)
+    val p = graph.GraphOps.walkStep(cur, e, 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidate join not an equi-join in:\n$p")
+    assert(p.contains("Window"), s"argmin window missing in:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition exchange in:\n$p")
+  }
+
+  test("kmv_users_per_type builds per-key sketch state through the GroupTopK operator") {
+    val p = planOf("kmv_users_per_type")
+    assert(p.contains("GroupTopKPartial") && p.contains("GroupTopKFinal"),
+      s"per-key min-k not routed through GroupTopK in:\n$p")
+    assert(!p.contains("Window"), s"window in the sketch path:\n$p")
+  }
+
+  test("bootstrap_ci_mean replica sums combine map-side (explode feeds a partial aggregate)") {
+    val p = planOf("bootstrap_ci_mean")
+    assert(p.contains("Generate explode"), s"replica explode missing in:\n$p")
+    assert(p.contains("partial_sum"),
+      s"replica sums not partially aggregated before the shuffle in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+  }
+
+  test("events_ewma kernel join is banded (equi-join on bin, no time-axis window)") {
+    val p = planOf("events_ewma")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"kernel lookup degenerated to a non-equi join in:\n$p")
+    assert(!p.contains("Window"), s"time-axis window in:\n$p")
+  }
+
   test("length_strata shuffles once on source (window reuses the partitioning)") {
     val p = planOf("length_strata")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
