@@ -500,6 +500,10 @@ object SparkEntry {
     // the streaming face of the CDC upsert; final table = plain GROUP BY
     "stream_user_totals" -> ((s, dir) =>
       streaming.StreamOps.userTotalsReplayBatch(s, s"$dir/events.parquet")),
+    // mergeable-sketch serving: KMV state merged per micro-batch equals
+    // the batch sketch bit-for-bit, so the batch oracle replays it
+    "stream_kmv_users" -> ((s, dir) =>
+      streaming.StreamOps.kmvReplayBatch(s, s"$dir/events.parquet")),
     // A11+A8 — request-string parse + response-tag correlation
     "parse_requests" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -2048,6 +2052,16 @@ object SparkEntry {
         |  exact_users
         |FROM a JOIN e ON e.event_type = a.event_type
         |ORDER BY event_type""".stripMargin,
+    "stream_kmv_users" ->
+      """WITH h AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS h_k FROM k)
+        |SELECT n_kept, h_k,
+        |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE) END AS est_users
+        |FROM a""".stripMargin,
     "kmv_segment_overlap" ->
       """WITH sa AS (SELECT DISTINCT
         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h

@@ -308,6 +308,69 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** Eighth oracle-checked streaming query — the MERGEABLE-SKETCH
+    * serving path: a KMV distinct-user sketch maintained across
+    * micro-batches. Each batch reduces to its k smallest distinct user
+    * hashes (a distributed TakeOrdered — the batch's sketch); the
+    * foreachBatch merge unions the incoming sketch with the persisted
+    * one and keeps the k smallest. KMV merge = min-k of the union:
+    * associative, commutative, and duplicate-insensitive, so the final
+    * state is independent of how the source split into micro-batches —
+    * and bit-identical to the BATCH sketch over the same rows, which is
+    * why the plain batch oracle replays it exactly. This is the
+    * streaming cardinality answer at 100 TB: state is k hashes
+    * regardless of |users|, where exact streaming COUNT(DISTINCT) state
+    * grows with the key space. Estimate math as `kmv_distinct_users`
+    * (n<k degenerate case: the sketch IS the full distinct set, count
+    * exact). Output: one row (n_kept, h_k, est_users).
+    */
+  def kmvReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                     eventsPath: String): DataFrame = {
+    val spark = tunedStatefulSession(spark0)
+    val k = 64
+    val schema = spark.read.parquet(eventsPath).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_kmv_")
+    val state = s"$tmp/state"
+    // This replay COPIES the input into a 4-file split (not the usual
+    // symlink staging): the whole point here is the CROSS-BATCH merge,
+    // and a single-file source under AvailableNow is one micro-batch.
+    // maxFilesPerTrigger=1 then forces 4 genuine merge rounds; the KMV
+    // merge property is what makes the result split-invariant.
+    val inDir = s"$tmp/in"
+    spark.read.parquet(eventsPath).repartition(4).write.parquet(inDir)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .select(graft.functions.PortableHash.md5Bits60(
+        col("user_id").cast("string")).as("h"))
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.distinct().orderBy("h").limit(k)
+        val merged =
+          if (!new java.io.File(state).exists()) bs
+          else spark.read.parquet(state).unionByName(bs)
+            .distinct().orderBy("h").limit(k)
+            // materialize BEFORE overwriting the file being read
+            .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(state)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"KMV merge replay ran $batches non-empty micro-batches; " +
+        "the cross-batch merge path requires at least 2")
+    spark.read.parquet(state)
+      .agg(count(lit(1)).cast("long").as("n_kept"), max("h").as("h_k"))
+      .select(col("n_kept"), col("h_k"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            col("h_k").cast("double")).as("est_users"))
+  }
+
   /** Incremental upsert of `changed` rows into a hash-bucketed parquet
     * serving table: the table is laid out as FIXED partition dirs
     * `bucket=0..nBuckets-1` (bucket = pmod(key, nBuckets) — deterministic,
