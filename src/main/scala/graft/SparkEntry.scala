@@ -1366,6 +1366,31 @@ object SparkEntry {
     "weighted_sample" -> ((s, dir) =>
       pipeline.Curation.weightedSample(t(s, dir, "documents"),
         col("n_chars"), n = 50)),
+    // GPT-style concat-then-chunk sequence packing: hash-shuffled docs,
+    // distributed token prefix sum, pure integer chunk arithmetic
+    "sequence_packing" -> ((s, dir) =>
+      pipeline.Curation.sequencePacking(t(s, dir, "documents"))),
+    // incremental aggregate maintenance: per-user totals maintained from
+    // a base aggregate + a delta batch via one full-outer merge — equals
+    // the full recompute exactly (the oracle IS the full recompute).
+    // Exact integer cents; the delta split is a deterministic id hash
+    "incremental_agg_maintenance" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def aggOf(df: DataFrame) = df.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n"), sum("cents").cast("long").as("sc"))
+      val base = aggOf(ev.filter(col("event_id") % 5 =!= 0))
+      val delta = aggOf(ev.filter(col("event_id") % 5 === 0))
+      base.select(col("user_id"), col("n").as("bn"), col("sc").as("bsc"))
+        .join(delta.select(col("user_id"), col("n").as("dn"), col("sc").as("dsc")),
+          Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+          ((coalesce(col("bsc"), lit(0L)) + coalesce(col("dsc"), lit(0L))).cast("double")
+            / 100.0).as("sum_value"))
+        .orderBy("user_id")
+    }),
     // dedup capstone: connected components over the near-dup pair graph,
     // canonical keeper per cluster (GraphX CC on the sketch-candidate pairs)
     "dedup_clusters" -> ((s, dir) =>
@@ -2799,6 +2824,23 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "sequence_packing" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "incremental_agg_maintenance" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
     "leakage_safe_split" ->
       s"""WITH RECURSIVE $dedupClusterCteSql,
         |cl AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,

@@ -108,6 +108,30 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Context-window sequence packing — the LLM-training assembly step:
+    * documents are (deterministically) shuffled, concatenated, and
+    * chunked into fixed `window`-token training sequences; each doc
+    * learns which sequence it starts in and at what offset (docs
+    * spanning a boundary continue into the next sequence — GPT-style
+    * concat-then-chunk). The shuffle order is the id-hash total order
+    * (reproducible, like every sampler here); the global token prefix
+    * sum is [[Ranking.withRunningSums]] — per-partition subtotals become
+    * broadcast offsets, NEVER a single-partition `SUM() OVER` window
+    * (the vocabulary-scale trap: at 100 TB the corpus is billions of
+    * docs). Pure integer arithmetic end to end. Output:
+    * (doc_id, n_tokens, seq_id, seq_offset) ordered.
+    */
+  def sequencePacking(documents: DataFrame, window: Long = 2048L): DataFrame = {
+    val d = documents.select(col("doc_id").cast("long").as("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      graft.functions.PortableHash.md5Bits60(col("doc_id").cast("string")).as("h"))
+    Ranking.withRunningSums(d, Seq("n_tokens"), col("h"), col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum_n_tokens - n_tokens) div $window").as("seq_id"),
+        ((col("cum_n_tokens") - col("n_tokens")) % window).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic fixed-size uniform sample: the `n` docs with the
     * smallest md5(doc_id) — a hash-ranked top-n, so the sample is stable
     * across runs, engines, and partitionings (rand()-based sampling is

@@ -51,7 +51,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     "local_supplier_volume", "nation_flow_pairs", "two_hop_reach",
     "zipf_alpha_terms", "leakage_safe_split", "kmv_segment_overlap",
     "graph_random_walks", "scc_components", "kmv_users_per_type",
-    "bootstrap_ci_mean", "events_ewma", "stream_kmv_users")
+    "bootstrap_ci_mean", "events_ewma", "stream_kmv_users",
+    "sequence_packing", "incremental_agg_maintenance")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
