@@ -45,6 +45,19 @@ object Plans {
     "bigram_pmi_top50" -> "one exploded-token Exchange feeds both the unigram aggregate and (via the native kGrams builder) the bigram counts; score joins key on DISTINCT grams/words — never token instances; the corpus total is one broadcast row; TakeOrdered on the raw double with the shipped score rounded.",
     "matrix_sink_roundtrip" -> "the DSv2 WRITE path: the sink's RequiresDistributionAndOrdering (clustered by graph_id, sorted graph_id/src/dst) makes the planner insert the shuffle+sort — look for the Exchange/Sort the sink itself demanded; each writer then streams whole graphs and lands one deterministic file per graph boundary.",
     "wpagerank_top20" -> "final weighted-PageRank round shown (earlier rounds checkpointed away): the rank vector joins the once-persisted normalized edge table, aggregates contributions per destination, and left-joins back onto the vertex frame — one join + one agg per round, bounded lineage; transition weights normalized once, not per round.",
+    "segment_priority_revenue" -> "the TPC-H Q3 shape: segment-pruned customer dim broadcast; BOTH date filters appear in PushedFilters of their parquet scans; revenue aggregates once per order key — nothing wide ever shuffles.",
+    "nation_flow_pairs" -> "the TPC-H Q7 shape: customer and supplier nation maps broadcast; the only wide shuffle is orders⋈lineitem; the cross-border predicate drops rows before the aggregate; revenue sums exact BIGINT ten-thousandths with one final division.",
+    "kmv_distinct_users" -> "KMV sketch: the k smallest distinct hashes ARE a distributed TakeOrderedAndProject (per-partition heaps, driver merge of k) — no window, no global sort; estimate arithmetic against one broadcast exact-count row.",
+    "hll_distinct_users" -> "HyperLogLog with a pure-integer harmonic sum: bucket/rank arithmetic inside the scan Project, 256-register aggregate, Σ2^(53−Mj) kept BIGINT so both engines agree bit-for-bit; one double expression at the end.",
+    "kmv_users_per_type" -> "per-group KMV: the per-key min-k state is the engine's own GroupTopKPartial/Final pair (bounded map-side heaps, spill-safe) — per-key min-k IS the sketch; no window fallback anywhere.",
+    "two_hop_reach" -> "2-hop neighborhood size: ONE wedge self-join over the basket-guarded co-purchase edges unioned with the 1-hop set, distinct, one vertex-key count — never a matrix power, never per-vertex BFS.",
+    "zipf_alpha_terms" -> "vocabulary-health scalar: term ranks come from the range-partitioned sort + zipWithIndex global index (the ExistingRDD scan), never ROW_NUMBER() OVER (ORDER BY) — the five OLS moments reduce in one aggregate.",
+    "kmv_segment_overlap" -> "set operations on sketches: three TakeOrdered min-k sketches (segment A, segment B, union), membership flags via two ≤k-row joins, estimates from a fixed IEEE op tree — the raw user sets are never co-shuffled.",
+    "bootstrap_ci_mean" -> "Poisson bootstrap: the 64-replica explode is scan-local and feeds a PARTIAL aggregate (map-side combine), so the only shuffle carries ≤ B rows per partition; weights come from integer hash thresholds inside codegen; CI bounds are a parameter-scale 64-row sort.",
+    "events_ewma" -> "EWMA without a time-axis window: the 10-hour kernel is a banded equi-join (bin = hour div 10, targets cover bin and bin−1); power-of-two weights stay exact BIGINT; one IEEE division per smoothed value.",
+    "sequence_packing" -> "concat-then-chunk packing: hash-shuffled doc order, token prefix sums from the two-pass running-sums scan (per-partition subtotals broadcast as offsets — the ExistingRDD), chunk assignment is pure integer arithmetic in the projection.",
+    "incremental_agg_maintenance" -> "aggregate-level view maintenance: base and delta aggregates merge through ONE co-partitioned full-outer join on the key; exact integer cents; equals the full recompute bit-for-bit.",
+    "leakage_safe_split" -> "split-by-cluster: the near-dup clustering plan (sketch-banded candidates + GraphX CC on the pair graph only) with the split decided by a per-row hash of the cluster id — zero additional Exchanges on top of the clustering.",
   )
 
   def main(args: Array[String]): Unit = {
@@ -79,6 +92,24 @@ object Plans {
     sb.append("no interpreted HOF on the full-table scan.\n\n```\n")
     sb.append(assignDf.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
     sb.append("\n```\n")
+    // the random-walk per-step hot path is checkpointed away each round
+    // (like the k-means assignment) — dump the step body directly
+    locally {
+      import org.apache.spark.sql.functions.col
+      val e = spark.read.parquet(s"$sfDir/nation.parquet")
+        .select((col("n_nationkey") % 5).as("src"),
+          ((col("n_nationkey") * 3) % 5).as("dst")).localCheckpoint(true)
+      val cur = e.select(col("src").as("walk")).distinct()
+        .select(col("walk"), col("walk").as("v")).localCheckpoint(true)
+      val stepDf = graph.GraphOps.walkStep(cur, e, 1)
+      sb.append("\n## random_walk_step (per-iteration body)\n\n")
+      sb.append("the per-step hot path graph_random_walks checkpoints every round: ")
+      sb.append("candidates via the positions×edges equi-join, winner via the ")
+      sb.append("per-walk (hash, dst) argmin window — a distributed partition-key ")
+      sb.append("window, never a global sort.\n\n```\n")
+      sb.append(stepDf.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
+      sb.append("\n```\n")
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${Commentary.size} plans)")
     spark.stop()
