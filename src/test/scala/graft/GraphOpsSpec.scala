@@ -514,4 +514,40 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(extra.size <= 1, s"$name left ${extra.size} persisted RDDs: $extra")
     }
   }
+
+  test("stronglyConnectedComponents: cycles collapse to min-id, DAG vertices stay singletons") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), // 3-cycle {1,2,3}
+      (3L, 4L), (4L, 5L), (5L, 4L),           // 2-cycle {4,5} downstream
+      (3L, 7L), (6L, 6L))                     // DAG sink 7; self-loop 6
+      .toDF("src", "dst")
+    val got = GraphOps.stronglyConnectedComponents(e, numIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
+  }
+
+  test("randomWalks: dead ends stop walks; runs are reproducible; every step follows an edge") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphOps.randomWalks(path, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // walks start at SOURCE vertices only (1 and 2); both hit the dead
+    // end at 3 and stop — no phantom steps
+    assert(got == Set((1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L),
+      (2L, 0L, 2L), (2L, 1L, 3L)))
+    val g = docxG1
+    def run() = GraphOps.randomWalks(g, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run()
+    assert(a.sameElements(run()), "walks must be reproducible run-to-run")
+    val adj = g.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    a.groupBy(_._1).values.foreach { steps =>
+      steps.toSeq.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, u), (_, _, v)) =>
+          assert(adj.contains((u, v)), s"walk transition ($u,$v) is not an edge")
+        case _ => ()
+      }
+    }
+  }
 }
