@@ -622,6 +622,186 @@ object SparkEntry {
           count(lit(1)).cast("long").as("n_items"))
         .orderBy("supp_nation", "cust_nation")
     }),
+    // TPC-H Q4 shape: order-priority counts over orders that had at
+    // least one lineitem shipped >30 days after the order date — EXISTS
+    // as a LEFT SEMI join (the probe side never duplicates: one hit ends
+    // the match, so the fact table contributes keys, not rows). Both
+    // scans prune to the two/three columns the query needs; the semi
+    // join is the only shuffle.
+    "priority_semijoin_counts" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAY"), "left_semi")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+        .orderBy("priority")
+    }),
+    // TPC-H Q6 shape: the pure scan-side query — no join at all. All
+    // three predicates push into the parquet scan (PushedFilters carries
+    // the shipdate range and quantity bound; ReadSchema is 4 columns of
+    // 11), then ONE partial+final aggregate — at 100 TB this is the
+    // query that proves pushdown works. Revenue in exact BIGINT
+    // ten-thousandths (price 2 dp × discount 2 dp = true 4-dp decimal)
+    // with one final division — bit-identical cross-engine. The discount
+    // band uses midpoint bounds (0.045/0.075) so no data value ever sits
+    // ON a predicate boundary.
+    "banded_scan_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.045 && col("l_discount") <= 0.075 &&
+          col("l_quantity") < 24)
+        .select(round(col("l_extendedprice") * col("l_discount") * lit(10000))
+          .cast("long").as("rev_c4"))
+        .agg((sum("rev_c4").cast("double") / lit(10000.0)).as("revenue"),
+          count(lit(1)).cast("long").as("n_items"))),
+    // TPC-H Q11 shape: suppliers whose shipped value exceeds 1/1000 of
+    // the GLOBAL total — the HAVING-vs-global-scalar plan. The
+    // per-supplier aggregate is materialized ONCE (localCheckpoint) and
+    // feeds both the one-row total and the filter, so the fact table is
+    // scanned once; the total joins back broadcast. Value is exact
+    // BIGINT cents so the threshold compare can't flip cross-engine.
+    "value_concentration" -> ((s, dir) => {
+      val per = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy(col("l_suppkey").cast("long").as("suppkey"))
+        .agg(sum("cents").as("value_cents"))
+        .localCheckpoint(true)
+      val total = per.agg(sum("value_cents").as("total_cents"))
+      per.crossJoin(broadcast(total))
+        .filter(col("value_cents") * 1000 > col("total_cents"))
+        .select(col("suppkey"), (col("value_cents").cast("double") / 100.0).as("value"))
+        .orderBy(col("value").desc, col("suppkey"))
+    }),
+    // TPC-H Q13 shape: the distribution of orders-per-customer INCLUDING
+    // zero-order customers — left outer join + DOUBLE aggregate (first
+    // keyed on customer, then on the count itself). count(o_orderkey)
+    // skips the outer join's nulls, so idle customers land in bucket 0.
+    // All BIGINT exact.
+    "order_count_distribution" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).cast("long").as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // TPC-H Q14 shape: promo revenue share for one ship-year. The part
+    // dim broadcasts carrying only a typed flag; numerator and
+    // denominator come from the SAME aggregate pass (conditional sum
+    // — no second scan), and the share is ONE division of two exact
+    // BIGINT ten-thousandths sums, rounded once.
+    "promo_revenue_share" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), (col("p_type") === "PROMO").cast("int").as("is_promo")))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(10000))
+            .cast("long").as("rev_c4"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .agg(sum(when(col("is_promo") === 1, col("rev_c4")).otherwise(0L)).as("promo_c4"),
+          sum("rev_c4").as("total_c4"))
+        .select(round(lit(100.0) * col("promo_c4") / col("total_c4"), 4).as("promo_share"),
+          (col("promo_c4").cast("double") / 10000.0).as("promo_rev"),
+          (col("total_c4").cast("double") / 10000.0).as("total_rev"))
+    }),
+    // TPC-H Q17 shape: revenue from "small" lineitems — quantity under
+    // 20% of that part's average. The correlated scalar subquery of the
+    // reference SQL becomes ONE per-part pre-aggregate joined back
+    // broadcast (parts ≪ facts). The threshold compare is EXACT
+    // integers: qty×5×cnt < Σqty (quantities are integral), so no
+    // cross-engine FP flip on the boundary. Per-brand rollup output.
+    "small_qty_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val perPart = l.groupBy(col("l_partkey").as("pk"))
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+      val p = broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand")))
+      l.join(broadcast(perPart), col("l_partkey") === col("pk"))
+        .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg((sum("cents").cast("double") / 100.0).as("small_rev"),
+          count(lit(1)).cast("long").as("n_small"))
+        .orderBy("brand")
+    }),
+    // TPC-H Q18 shape: orders whose total quantity exceeds a cap, joined
+    // back to their customer — groupBy-HAVING on the fact FIRST (the
+    // selective side: ~5% of orders survive), THEN the dim joins, so the
+    // wide join moves only survivors. Quantity sums are exact integers.
+    "large_order_customers" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"),
+        col("o_totalprice"))
+      val c = broadcast(t(s, dir, "customer").select(col("c_custkey"), col("c_name")))
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("l_orderkey").cast("long").as("orderkey"),
+          col("orderdate_ms"), round(col("o_totalprice"), 2).as("totalprice"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("orderkey"))
+    }),
+    // TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    // multi-supplier order — the EXISTS + NOT-EXISTS double correlation,
+    // decomposed as one LEFT SEMI join (some OTHER supplier shipped in
+    // the order) plus one LEFT ANTI join (no OTHER supplier shipped
+    // LATE). Late = shipped >60 days after the order date. The late set
+    // is materialized once and feeds both the count granularity and the
+    // anti side. All counts exact.
+    "sole_late_suppliers" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .select(col("l_orderkey").as("okey1"), col("l_suppkey").as("skey1"))
+        .localCheckpoint(true)
+      val others = l.select(col("l_orderkey").as("okey2"), col("l_suppkey").as("skey2")).distinct()
+      val lateDistinct = late.select(col("okey1").as("okey3"), col("skey1").as("skey3")).distinct()
+      val sup = broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")))
+      late
+        .join(others, col("okey1") === col("okey2") && col("skey1") =!= col("skey2"), "left_semi")
+        .join(lateDistinct, col("okey1") === col("okey3") && col("skey1") =!= col("skey3"), "left_anti")
+        .join(sup, col("skey1") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).cast("long").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+    // TPC-H Q22 shape: "rich but idle" — customers with above-average
+    // positive balance and no orders IN THE FINAL YEAR of the data
+    // (every customer has lifetime orders here, so idleness is
+    // recency-based), per nation. The global average enters as a one-row
+    // broadcast; the compare is exact in cents×count integers (no FP
+    // average); the idleness test is a LEFT ANTI join whose date filter
+    // pushes into the orders scan before any shuffle.
+    "idle_rich_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val posStats = c.filter(col("bal_cents") > 0)
+        .agg(sum("bal_cents").as("sum_cents"), count(lit(1)).as("n_pos"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-08-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(posStats))
+        .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).cast("long").as("n_cust"),
+          (sum("bal_cents").cast("double") / 100.0).as("total_bal"))
+        .orderBy("nationkey")
+    }),
     "rollup_orders" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
@@ -2227,6 +2407,105 @@ object SparkEntry {
         |JOIN supplier ON s_suppkey = l_suppkey
         |WHERE c_nationkey <> s_nationkey
         |GROUP BY 1, 2 ORDER BY supp_nation, cust_nation""".stripMargin,
+    "priority_semijoin_counts" ->
+      """SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "banded_scan_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.045 AND l_discount <= 0.075 AND l_quantity < 24""".stripMargin,
+    "value_concentration" ->
+      """WITH per AS (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+        |         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM per)
+        |SELECT suppkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
+        |FROM per, tot WHERE value_cents * 1000 > total_cents
+        |ORDER BY value DESC, suppkey""".stripMargin,
+    "order_count_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "promo_revenue_share" ->
+      """WITH l AS (
+        |  SELECT l_partkey,
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev_c4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |j AS (
+        |  SELECT CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END AS promo, rev_c4
+        |  FROM l JOIN part ON l_partkey = p_partkey)
+        |SELECT
+        |  CAST(round(100.0 * CAST(SUM(promo) AS BIGINT) / CAST(SUM(rev_c4) AS BIGINT), 4) AS DOUBLE)
+        |    AS promo_share,
+        |  CAST(SUM(promo) AS DOUBLE) / 10000.0 AS promo_rev,
+        |  CAST(SUM(rev_c4) AS DOUBLE) / 10000.0 AS total_rev
+        |FROM j""".stripMargin,
+    "small_qty_revenue" ->
+      """WITH l AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |pp AS (SELECT l_partkey AS pk, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |              CAST(count(*) AS BIGINT) AS cnt
+        |       FROM l GROUP BY 1)
+        |SELECT p_brand AS brand,
+        |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS small_rev,
+        |  CAST(count(*) AS BIGINT) AS n_small
+        |FROM l JOIN pp ON l_partkey = pk JOIN part ON l_partkey = p_partkey
+        |WHERE qty * 5 * cnt < sum_qty
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "large_order_customers" ->
+      """WITH tq AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+        |SELECT c_name, CAST(l_orderkey AS BIGINT) AS orderkey,
+        |  CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms,
+        |  CAST(round(o_totalprice, 2) AS DOUBLE) AS totalprice, total_qty
+        |FROM tq JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_qty DESC, orderkey""".stripMargin,
+    "sole_late_suppliers" ->
+      """WITH late AS (
+        |  SELECT l_orderkey AS okey, l_suppkey AS skey
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |lated AS (SELECT DISTINCT okey, skey FROM late),
+        |alld AS (SELECT DISTINCT l_orderkey AS okey, l_suppkey AS skey FROM lineitem)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.skey
+        |WHERE EXISTS (SELECT 1 FROM alld a WHERE a.okey = l1.okey AND a.skey <> l1.skey)
+        |  AND NOT EXISTS (SELECT 1 FROM lated t WHERE t.okey = l1.okey AND t.skey <> l1.skey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "idle_rich_customers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |st AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents,
+        |              CAST(count(*) AS BIGINT) AS n_pos
+        |       FROM c WHERE bal_cents > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(bal_cents) AS DOUBLE) / 100.0 AS total_bal
+        |FROM c, st
+        |WHERE bal_cents * n_pos > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-08-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rollup_orders" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
