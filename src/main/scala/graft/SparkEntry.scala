@@ -1356,6 +1356,11 @@ object SparkEntry {
     // scale collect), integer dot product — exact BIGINT, oracle-equal
     "embedding_quantized_topk" -> ((s, dir) =>
       Similarity.quantizedTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // product quantization: 8 bytes/vector + ADC lookup scoring — the
+    // third ANN regime (IVF prunes candidates, SQ shrinks the scan, PQ
+    // compresses the representation); exact-integer, oracle-replicable
+    "embedding_topk_pq" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
     // LSH near-dup at a TRUE near-dup threshold (0.9) — sign-LSH's strong
     // regime (bit agreement ≥0.856 ⇒ 24 8-bit bands give ~99.97% recall
     // while pruning ~91% of random pairs). The raw corpus has no pairs
@@ -1414,6 +1419,9 @@ object SparkEntry {
     "rrf_fusion" -> ((s, dir) =>
       pipeline.Search.rrfFusion(t(s, dir, "documents"), pipeline.Search.QueryTerms)),
     "quality_score" -> ((s, dir) => TextStats.qualityScore(t(s, dir, "documents"))),
+    // Gopher-style hard-filter rules (per-rule booleans + keep flag) —
+    // the ingestion gate a training pipeline runs BEFORE any scoring
+    "gopher_rules" -> ((s, dir) => TextStats.gopherRules(t(s, dir, "documents"))),
     "token_stats" -> ((s, dir) => TextStats.tokenStats(t(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextStats.fingerprints(t(s, dir, "documents")).select("doc_id", "md5_fp")),
@@ -3156,6 +3164,34 @@ object SparkEntry {
         |FROM codes c JOIN qq ON qq.i = c.i
         |WHERE c.vec_id <> 0
         |GROUP BY c.vec_id ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "embedding_topk_pq" ->
+      """WITH stats AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings, UNNEST(range(1, 65)) AS u(i) GROUP BY i),
+        |codes AS (SELECT e.vec_id, s.i,
+        |    CASE WHEN s.mx - s.mn = 0 THEN 0
+        |         ELSE least(255, CAST(floor((CAST(e.embedding[s.i] AS DOUBLE) - s.mn)
+        |                                    / (s.mx - s.mn) * 256.0) AS BIGINT)) END AS q
+        |  FROM embeddings e, stats s),
+        |sub AS (SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS s, i, q FROM codes),
+        |anch AS (SELECT vec_id AS aid, s, i, q AS aq FROM sub WHERE vec_id < 16),
+        |dists AS (
+        |  SELECT v.vec_id, v.s, a.aid, SUM((v.q - a.aq) * (v.q - a.aq)) AS d
+        |  FROM sub v JOIN anch a ON a.s = v.s AND a.i = v.i
+        |  GROUP BY 1, 2, 3),
+        |assign AS (
+        |  SELECT vec_id, s, aid,
+        |         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, aid) AS rn
+        |  FROM dists),
+        |qt AS (
+        |  SELECT a.s, a.aid, SUM((qq.q - a.aq) * (qq.q - a.aq)) AS t
+        |  FROM anch a JOIN (SELECT s, i, q FROM sub WHERE vec_id = 0) qq
+        |    ON qq.s = a.s AND qq.i = a.i
+        |  GROUP BY 1, 2)
+        |SELECT CAST(v.vec_id AS BIGINT) AS vec_id, CAST(SUM(qt.t) AS BIGINT) AS adc_dist
+        |FROM assign v JOIN qt ON qt.s = v.s AND qt.aid = v.aid
+        |WHERE v.rn = 1 AND v.vec_id <> 0
+        |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     "embedding_knn_join" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 16),
         |sims AS (
@@ -3443,6 +3479,30 @@ object SparkEntry {
         |  CAST(round(least(1.0, len(t) / 100.0) * 0.5 +
         |    (CASE WHEN length(text) * 1.0 / len(t) BETWEEN 4 AND 8 THEN 0.5 ELSE 0.0 END), 4) AS DOUBLE) AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+    "gopher_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |         length(replace(text, ' ', '')) AS nc
+        |  FROM documents),
+        |tf AS (SELECT doc_id, u.tok AS tok, count(*) AS c
+        |       FROM toks, UNNEST(t) AS u(tok) GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, max(c) AS max_tok FROM tf GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, len(t) AS n_tokens, nc,
+        |         len(list_intersect(list_distinct(t),
+        |             ['the','a','of','to','and','in','that','is'])) AS n_stop
+        |  FROM toks)
+        |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens BETWEEN 30 AND 50000 AS BIGINT) AS wc_ok,
+        |  CAST(9 * n_tokens <= 2 * nc AND nc <= 5 * n_tokens AS BIGINT) AS mwl_ok,
+        |  CAST(n_stop >= 2 AS BIGINT) AS stop_ok,
+        |  CAST(5 * max_tok <= n_tokens AS BIGINT) AS rep_ok,
+        |  CAST((n_tokens BETWEEN 30 AND 50000) AND
+        |       (9 * n_tokens <= 2 * nc AND nc <= 5 * n_tokens) AND
+        |       n_stop >= 2 AND 5 * max_tok <= n_tokens AS BIGINT) AS keep
+        |FROM base b JOIN mx ON b.doc_id = mx.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "token_stats" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -123,6 +123,84 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization (PQ) top-k, the third point on the ANN
+    * accuracy/cost curve after IVF (cosineTopKIvf: prune WHICH vectors
+    * to score) and SQ (quantizedTopK: shrink HOW each is scored): PQ
+    * compresses each vector to `m` small codes — here 8 subspaces of 8
+    * dims, 16 centroids each, so 8 bytes per vector instead of 256 — and
+    * scores via an asymmetric-distance (ADC) lookup table built once
+    * from the query (Jégou et al., TPAMI 2011). Everything runs on the
+    * SAME int8 grid as [[quantizedTopK]], and the codebook is
+    * data-anchored (centroid j of every subspace = the int8 subvector of
+    * vec_id j) — deterministically reconstructable by the oracle, and
+    * swappable for [[KMeans]] centroids without touching the dataflow.
+    * At 100 TB the scan reads 8 codes/vector, the per-row work is m
+    * argmins over 16 candidates in exact integers, the ADC table (m×16
+    * BIGINTs) rides into codegen as literals, and the top-k is a
+    * TakeOrdered — no shuffle, no FP, no rounding contract.
+    * Output: (vec_id, adc_dist) ordered by (adc_dist ASC, vec_id).
+    */
+  def pqTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
+             m: Int = 8, nCentroids: Int = 16): DataFrame = {
+    val stats = embeddings
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy("i").collect()
+    val mins = stats.map(_.getDouble(1))
+    val ranges = stats.indices.map(i => stats(i).getDouble(2) - mins(i)).toArray
+    val dim = mins.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    def quantize(x: Double, i: Int): Long =
+      if (ranges(i) == 0.0) 0L
+      else math.min(255L, math.floor((x - mins(i)) / ranges(i) * 256.0).toLong)
+    // anchor codebook + query codes: parameter-scale collects (16+1 rows),
+    // like the SQ [mn,mx] frame and the k-means seeds
+    val anchors: Array[Array[Long]] = embeddings
+      .filter(col("vec_id") < nCentroids).select("vec_id", "embedding")
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).zipWithIndex.map { case (x, i) => quantize(x.toDouble, i) }.toArray)
+    require(anchors.length == nCentroids, s"need vec_ids 0..${nCentroids - 1} as anchors")
+    val qCodes = queryVector(embeddings, queryId).zipWithIndex
+      .map { case (x, i) => quantize(x.toDouble, i) }
+    // ADC table: T(s)(j) = ‖query_s − anchor_j,s‖² in exact ints
+    val adcTable: Array[Array[Long]] = Array.tabulate(m) { s =>
+      Array.tabulate(nCentroids) { j =>
+        (0 until sub).map { d =>
+          val diff = qCodes(s * sub + d) - anchors(j)(s * sub + d); diff * diff
+        }.sum
+      }
+    }
+    val minsL = typedlit(mins.toSeq)
+    val rangesL = typedlit(ranges.toSeq)
+    val codes = zip_with(
+      zip_with(col("embedding"), minsL, (x, mn) => x.cast("double") - mn),
+      rangesL,
+      (d, r) => when(r === 0.0, 0L)
+        .otherwise(least(lit(255L), floor(d / r * lit(256.0)))))
+    // per-subspace assignment (argmin over 16 literal centroids, first-min
+    // = lowest centroid id) feeding the ADC lookup — one scan-side select
+    val adcCols = (0 until m).map { s =>
+      val arr = slice(col("codes"), s * sub + 1, sub)
+      val dists = array((0 until nCentroids).map { j =>
+        aggregate(
+          zip_with(arr, typedlit(anchors(j).slice(s * sub, s * sub + sub).toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+      }: _*)
+      element_at(typedlit(adcTable(s).toSeq),
+        array_position(dists, array_min(dists)).cast("int")).as(s"adc_$s")
+    }
+    embeddings.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id").cast("long").as("vec_id"), codes.as("codes"))
+      .select(col("vec_id") +: adcCols: _*)
+      .select(col("vec_id"),
+        (0 until m).map(s => col(s"adc_$s")).reduce(_ + _).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch k-NN join — one dataflow answers MANY similarity searches:
     * every vector with `vec_id < maxQueryId` gets its top-k cosine
     * neighbors from the whole table. The batch analogue of [[cosineTopK]]

@@ -41,6 +41,50 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style RULE-BASED quality gate (Rae et al. 2021 §A1.1.1,
+    * arXiv:2112.11446): each document gets a boolean per rule plus the
+    * conjunction. Rules (bounds calibrated to this synthetic corpus so
+    * every rule discriminates; the production knobs are the same shape):
+    *  1. word count within [30, 50000];
+    *  2. mean word length within [4.5, 5.0] — compared EXACTLY as
+    *     9·n_tokens ≤ 2·chars and chars ≤ 5·n_tokens (no FP division);
+    *  3. at least 2 distinct stopwords present (the "stop word filter"
+    *     that kills boilerplate/navigation pages);
+    *  4. most frequent token ≤ 20% of the document — 5·max_tok ≤
+    *     n_tokens exact.
+    * The max-token frequency is a per-row sort + linear run-length scan
+    * (a higher-order aggregate over the sorted token array) — NO
+    * explode/shuffle, so the gate runs at parquet-scan speed and scales
+    * embarrassingly at 100 TB. Complements [[qualityScore]] (a soft
+    * score) with the hard-filter stage a training pipeline actually
+    * gates ingestion on.
+    */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val stop = array(Seq("the", "a", "of", "to", "and", "in", "that", "is").map(lit): _*)
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("t"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("max_tok", expr(
+        "aggregate(sort_array(t), " +
+          "struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS best), " +
+          "(acc, x) -> struct(x AS prev, " +
+          "  IF(x = acc.prev, acc.run + 1, 1) AS run, " +
+          "  GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1)) AS best), " +
+          "acc -> acc.best)").cast("long"))
+      .withColumn("n_stop", size(array_intersect(array_distinct(col("t")), stop)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= 30 && col("n_tokens") <= 50000).cast("long").as("wc_ok"),
+        (lit(9) * col("n_tokens") <= lit(2) * col("nc") &&
+          col("nc") <= lit(5) * col("n_tokens")).cast("long").as("mwl_ok"),
+        (col("n_stop") >= 2).cast("long").as("stop_ok"),
+        (lit(5) * col("max_tok") <= col("n_tokens")).cast("long").as("rep_ok"))
+      .withColumn("keep",
+        (col("wc_ok") * col("mwl_ok") * col("stop_ok") * col("rep_ok")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Quality score: 0.5·min(1, n_tokens/100) + 0.5·[avg token length ∈ [4,8]].
     * Also emits the raw components (punct count over `.,!`).
     */

@@ -265,6 +265,39 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 0L)))
   }
 
+  test("pqTopK: hand-computed assignments and exact ADC distances") {
+    // dim 2, m=2 (one dim per subspace), 2 anchors = vec_ids 0 and 1.
+    // int8 grid per dim [0,1]: 0→0, 0.5→128, 1→255 (clamped).
+    val e = Seq(
+      (0L, Array(0.0f, 0.0f), 0), // query + anchor 0 → codes (0, 0)
+      (1L, Array(1.0f, 1.0f), 0), // anchor 1 → codes (255, 255)
+      (2L, Array(0.0f, 1.0f), 0), // codes (0, 255) → assigned (a0, a1)
+      (3L, Array(0.5f, 0.5f), 0), // codes (128, 128) → (a1, a1): 127² < 128²
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.pqTopK(e, 0L, k = 3, m = 2, nCentroids = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // ADC table vs query: T[s][a0] = 0, T[s][a1] = 255² = 65025
+    assert(out == Seq((2L, 65025L), (1L, 130050L), (3L, 130050L)))
+  }
+
+  test("gopherRules: each rule discriminates on crafted documents") {
+    val keepTokens = Seq("the", "a") ++ (0 until 28).map(i => f"wrd$i%02d") // 5-char words
+    val docs = Seq(
+      (0L, Seq.fill(35)("alpha").mkString(" "), "en", "s", 0L), // repetition + no stopwords
+      (1L, keepTokens.mkString(" "), "en", "s", 0L),            // passes all four
+      (2L, Seq.fill(10)("the").mkString(" "), "en", "s", 0L),   // too short
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextStats.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // (wc_ok, mwl_ok, stop_ok, rep_ok, keep)
+    // doc0: mean word length 5.0 (boundary-inclusive), max token 35/35
+    assert(got(0L) == (1L, 1L, 0L, 0L, 0L))
+    // doc1: mean = (3 + 1 + 28·5)/30 = 4.8 ∈ [4.5, 5]; max token 1/30
+    assert(got(1L) == (1L, 1L, 1L, 1L, 1L))
+    assert(got(2L)._1 == 0L && got(2L)._5 == 0L)
+  }
+
   test("knnJoin's per-query rankings agree with single-query cosineTopK") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val knn = Similarity.knnJoin(e, maxQueryId = 2L, k = 4).collect()
