@@ -504,6 +504,11 @@ object SparkEntry {
     // the batch sketch bit-for-bit, so the batch oracle replays it
     "stream_kmv_users" -> ((s, dir) =>
       streaming.StreamOps.kmvReplayBatch(s, s"$dir/events.parquet")),
+    // streaming count-min heavy-hitter serving: LINEAR sketch merged
+    // cell-wise across micro-batches ⇒ split-invariant ⇒ batch-oracle-
+    // exact (see StreamOps.cmsReplayBatch)
+    "stream_cms_types" -> ((s, dir) =>
+      streaming.StreamOps.cmsReplayBatch(s, s"$dir/events.parquet")),
     // A11+A8 — request-string parse + response-tag correlation
     "parse_requests" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -2275,6 +2280,20 @@ object SparkEntry {
         |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
         |       ELSE 63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE) END AS est_users
         |FROM a""".stripMargin,
+    "stream_cms_types" ->
+      """WITH buckets AS (SELECT j,
+        |    CAST(('0x' || substr(md5(event_type || ':' || j), 1, 15)) AS BIGINT) % 256 AS b,
+        |    count(*) AS n
+        |  FROM events, UNNEST(range(0, 4)) AS u(j) GROUP BY 1, 2),
+        |tru AS (SELECT event_type, count(*) AS true_n FROM events GROUP BY 1),
+        |est AS (SELECT t.event_type, min(bk.n) AS est_n
+        |  FROM tru t JOIN buckets bk
+        |    ON bk.b = CAST(('0x' || substr(md5(t.event_type || ':' || bk.j), 1, 15)) AS BIGINT) % 256
+        |  GROUP BY 1)
+        |SELECT t.event_type AS event_type, CAST(e.est_n AS BIGINT) AS est_n,
+        |  CAST(t.true_n AS BIGINT) AS true_n
+        |FROM tru t JOIN est e ON e.event_type = t.event_type
+        |ORDER BY event_type""".stripMargin,
     "kmv_segment_overlap" ->
       """WITH sa AS (SELECT DISTINCT
         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h

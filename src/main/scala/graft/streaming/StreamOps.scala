@@ -371,6 +371,75 @@ object StreamOps {
             col("h_k").cast("double")).as("est_users"))
   }
 
+  /** Ninth oracle-checked streaming query — the LINEAR-sketch serving
+    * path: a count-min sketch over event types maintained across
+    * micro-batches (the heavy-hitters companion to [[kmvReplayBatch]]'s
+    * order-statistic sketch). Each batch reduces to ONE d×w array via
+    * the native [[graft.functions.Sketches.CountMinAgg]] (fixed-size
+    * buffer through the shuffle); the foreachBatch merge is an
+    * elementwise zip_with ADD with the persisted array. CMS is LINEAR —
+    * sketch(A ⊎ B) = sketch(A) + sketch(B) cell-wise — so the merged
+    * state is independent of how the source split into micro-batches
+    * and EQUALS the batch sketch over the same rows, which is why the
+    * plain batch oracle replays it exactly. This is streaming
+    * heavy-hitter serving at 100 TB: state is d×w longs regardless of
+    * key cardinality, and any key's estimate is readable at any time
+    * without touching the raw stream again. Estimates are served next
+    * to exact counts (est_n ≥ true_n always, the CMS one-sided bound).
+    * Output: (event_type, est_n, true_n) ordered by event_type.
+    */
+  def cmsReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                     eventsPath: String): DataFrame = {
+    import graft.functions.{PortableHash, Sketches}
+    val spark = tunedStatefulSession(spark0)
+    val (depth, width) = (4, 256)
+    val schema = spark.read.parquet(eventsPath).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cms_")
+    val state = s"$tmp/state"
+    // split copy + maxFilesPerTrigger=1 forces genuine cross-batch merge
+    // rounds (a single-file source under AvailableNow is ONE micro-batch)
+    val inDir = s"$tmp/in"
+    spark.read.parquet(eventsPath).repartition(4).write.parquet(inDir)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .select(col("event_type"))
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.agg(
+          Sketches.count_min_agg(col("event_type"), depth, width).as("sk"))
+        val merged =
+          if (!new java.io.File(state).exists()) bs
+          else spark.read.parquet(state).withColumnRenamed("sk", "sk0")
+            .crossJoin(bs)
+            .select(zip_with(col("sk0"), col("sk"), (a, b) => a + b).as("sk"))
+            // materialize BEFORE overwriting the file being read
+            .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(state)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"CMS merge replay ran $batches non-empty micro-batches; " +
+        "the cross-batch merge path requires at least 2")
+    val sk = spark.read.parquet(state)
+    val tru = spark.read.parquet(eventsPath)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("true_n"))
+    val reads = (0 until depth).map { j =>
+      element_at(col("sk"),
+        (PortableHash.md5Bits60(concat(col("event_type"), lit(s":$j"))) % width
+          + lit(j * width) + 1).cast("int"))
+    }
+    tru.crossJoin(broadcast(sk))
+      .select(col("event_type"), least(reads: _*).as("est_n"), col("true_n"))
+      .orderBy("event_type")
+  }
+
   /** Incremental upsert of `changed` rows into a hash-bucketed parquet
     * serving table: the table is laid out as FIXED partition dirs
     * `bucket=0..nBuckets-1` (bucket = pmod(key, nBuckets) — deterministic,

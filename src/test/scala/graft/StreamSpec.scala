@@ -87,6 +87,32 @@ class StreamSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("cmsReplayBatch: cross-batch cell-wise merge equals the batch sketch (linearity)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{PortableHash, Sketches}
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = StreamOps.cmsReplayBatch(spark, path)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch twin: ONE CountMinAgg over the whole input, identical reads —
+    // linearity says the micro-batch-merged sketch must equal it exactly
+    val ev = spark.read.parquet(path)
+    val sk = ev.agg(Sketches.count_min_agg(col("event_type"), 4, 256).as("sk"))
+    val tru = ev.groupBy("event_type").agg(count(lit(1)).cast("long").as("true_n"))
+    val reads = (0 until 4).map { j =>
+      element_at(col("sk"),
+        (PortableHash.md5Bits60(concat(col("event_type"), lit(s":$j"))) % 256
+          + lit(j * 256) + 1).cast("int"))
+    }
+    val batch = tru.crossJoin(broadcast(sk))
+      .select(col("event_type"), least(reads: _*).as("est_n"), col("true_n"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+    streamed.foreach { case (et, est, tru0) =>
+      assert(est >= tru0, s"CMS one-sided bound violated for $et: $est < $tru0")
+    }
+  }
+
   test("windowedAggReplayBatch: final complete-mode state equals the batch aggregate") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
