@@ -1453,6 +1453,9 @@ object SparkEntry {
     // md5-addressed buckets — the sketch CONTENTS are oracle-reproducible,
     // est_n ≥ true_n by construction
     "cms_term_counts" -> ((s, dir) => TextStats.cmsTermCounts(t(s, dir, "documents"))),
+    // distributed BPE tokenizer training: 5 merge rounds over the word
+    // vocabulary, exact weighted pair counts, argmax rule per round
+    "bpe_merges" -> ((s, dir) => TextStats.bpeMerges(t(s, dir, "documents"), rounds = 5)),
     // MERGE INTO (CDC upsert+delete+insert) applied to the orders snapshot
     // in one full-outer dataflow
     "merge_upsert" -> ((s, dir) => {
@@ -1982,6 +1985,49 @@ object SparkEntry {
         |SELECT t.term AS term, CAST(e.est_n AS BIGINT) AS est_n,
         |  CAST(t.true_n AS BIGINT) AS true_n
         |FROM tru t JOIN est e ON e.term = t.term ORDER BY term""".stripMargin,
+    // five unrolled merge rounds: pair-count + argmax + literal fuse per
+    // round — the SQL replica of the driver-controlled BPE loop
+    "bpe_merges" ->
+      """WITH v0 AS (
+        |  SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS seq, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |p1 AS (SELECT p.l AS l, p.r AS r, SUM(n) AS pn FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS p
+        |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS t, n FROM v0)) GROUP BY 1, 2),
+        |b1 AS (SELECT l, r, pn FROM p1 ORDER BY pn DESC, l, r LIMIT 1),
+        |v1 AS (SELECT replace(seq, '(' || (SELECT l FROM b1) || ')(' || (SELECT r FROM b1) || ')',
+        |                      '(' || (SELECT l FROM b1) || (SELECT r FROM b1) || ')') AS seq, n FROM v0),
+        |p2 AS (SELECT p.l AS l, p.r AS r, SUM(n) AS pn FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS p
+        |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS t, n FROM v1)) GROUP BY 1, 2),
+        |b2 AS (SELECT l, r, pn FROM p2 ORDER BY pn DESC, l, r LIMIT 1),
+        |v2 AS (SELECT replace(seq, '(' || (SELECT l FROM b2) || ')(' || (SELECT r FROM b2) || ')',
+        |                      '(' || (SELECT l FROM b2) || (SELECT r FROM b2) || ')') AS seq, n FROM v1),
+        |p3 AS (SELECT p.l AS l, p.r AS r, SUM(n) AS pn FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS p
+        |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS t, n FROM v2)) GROUP BY 1, 2),
+        |b3 AS (SELECT l, r, pn FROM p3 ORDER BY pn DESC, l, r LIMIT 1),
+        |v3 AS (SELECT replace(seq, '(' || (SELECT l FROM b3) || ')(' || (SELECT r FROM b3) || ')',
+        |                      '(' || (SELECT l FROM b3) || (SELECT r FROM b3) || ')') AS seq, n FROM v2),
+        |p4 AS (SELECT p.l AS l, p.r AS r, SUM(n) AS pn FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS p
+        |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS t, n FROM v3)) GROUP BY 1, 2),
+        |b4 AS (SELECT l, r, pn FROM p4 ORDER BY pn DESC, l, r LIMIT 1),
+        |v4 AS (SELECT replace(seq, '(' || (SELECT l FROM b4) || ')(' || (SELECT r FROM b4) || ')',
+        |                      '(' || (SELECT l FROM b4) || (SELECT r FROM b4) || ')') AS seq, n FROM v3),
+        |p5 AS (SELECT p.l AS l, p.r AS r, SUM(n) AS pn FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS p
+        |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS t, n FROM v4)) GROUP BY 1, 2),
+        |b5 AS (SELECT l, r, pn FROM p5 ORDER BY pn DESC, l, r LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, l, r, CAST(pn AS BIGINT) AS pair_n FROM b1
+        |  UNION ALL SELECT 2, l, r, CAST(pn AS BIGINT) FROM b2
+        |  UNION ALL SELECT 3, l, r, CAST(pn AS BIGINT) FROM b3
+        |  UNION ALL SELECT 4, l, r, CAST(pn AS BIGINT) FROM b4
+        |  UNION ALL SELECT 5, l, r, CAST(pn AS BIGINT) FROM b5
+        |)
+        |ORDER BY step""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
         |SELECT * FROM (

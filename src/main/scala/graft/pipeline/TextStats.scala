@@ -406,6 +406,61 @@ object TextStats {
       .orderBy("doc_id", "fp")
   }
 
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016,
+    * arXiv:1508.07909), the merge-rule learning loop every LLM data
+    * pipeline runs before token counting: start from characters, then
+    * `rounds` times pick the most frequent adjacent symbol pair
+    * (weighted by word frequency, tiebreak lexicographic) and fuse it
+    * everywhere. The corpus-scale work is ONE pass: corpus → word
+    * vocabulary with counts (the classic BPE trick — merges operate on
+    * the vocab, weighted by count, never on raw text again). Each round
+    * is then a pair-explode + sum over the vocab (distributed; vocab ≪
+    * corpus but can itself be huge — nothing here collects it) and the
+    * argmax rule is the ONLY driver-side row (control-plane, like the
+    * k-means seeds). Symbol sequences ride as FULLY-DELIMITED strings —
+    * `(t)(a)(b)` — so a merge is a literal `replace('(l)(r)', '(lr)')`:
+    * consecutive occurrences share no characters, which makes one
+    * non-overlapping left-to-right replace pass exactly the greedy BPE
+    * application in both engines (a shared-space sentinel would skip
+    * every second occurrence of back-to-back pairs). The vocab is
+    * localCheckpointed per round: 5 chained replaces, not a 5-deep lazy
+    * plan re-derived each round.
+    * Output: (step, l, r, pair_n) — one row per learned merge rule.
+    */
+  def bpeMerges(documents: DataFrame, rounds: Int = 5): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var vocab = documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("n"))
+      .select(regexp_replace(col("w"), "(.)", "($1)").as("seq"), col("n"))
+      .localCheckpoint(true)
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to rounds) {
+      val best = vocab
+        .select(col("n"),
+          split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\(").as("syms"))
+        // zip of two shifted slices (NOT sequence(1, size-1): Spark's
+        // sequence DESCENDS when stop < start, so 1-symbol words would
+        // index out of bounds under ANSI)
+        .select(col("n"), explode(expr(
+          "zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)), " +
+            "slice(syms, 2, greatest(size(syms) - 1, 0)), " +
+            "(a, b) -> struct(a AS l, b AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("n").as("pn"))
+        .orderBy(col("pn").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, pn) = (best.getString(0), best.getString(1), best.getLong(2))
+      rules += ((step.toLong, l, r, pn))
+      // symbols are corpus tokens ([a-z0-9]) — safe as SQL literals
+      vocab = vocab
+        .select(expr(s"replace(seq, '($l)($r)', '($l$r)')").as("seq"), col("n"))
+        .localCheckpoint(true)
+    }
+    rules.toSeq.toDF("step", "l", "r", "pair_n").orderBy("step")
+  }
+
   /** Count-min-sketch term frequencies: build ONE d×w sketch over every
     * token occurrence (the native [[graft.functions.Sketches.CountMinAgg]]
     * — fixed-size buffer through the shuffle, elementwise-add merge), then

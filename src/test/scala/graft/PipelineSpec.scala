@@ -298,6 +298,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L)._1 == 0L && got(2L)._5 == 0L)
   }
 
+  test("bpeMerges: hand-computed merge rules, including the overlap-run case") {
+    // corpus: "abab" ×3, "aaa" ×2 → vocab {abab:3, aaa:2}
+    // round 1 pairs: (a,b)=6, (b,a)=3, (a,a)=4 → merge (a,b) n=6
+    //   abab → ' ab ab ', aaa unchanged
+    // round 2 pairs: (ab,ab)=3, (a,a)=4 → merge (a,a) n=4
+    //   aaa: ' a a a ' → left-to-right non-overlapping → ' aa a '
+    // round 3 pairs: (ab,ab)=3, (aa,a)=2 → merge (ab,ab) n=3
+    val docs = Seq(
+      (0L, "abab abab aaa", "en", "s", 0L),
+      (1L, "abab aaa", "en", "s", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextStats.bpeMerges(docs, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, "a", "b", 6L), (2L, "a", "a", 4L), (3L, "ab", "ab", 3L)))
+  }
+
   test("knnJoin's per-query rankings agree with single-query cosineTopK") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val knn = Similarity.knnJoin(e, maxQueryId = 2L, k = 4).collect()
