@@ -221,4 +221,43 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"extra shuffles in:\n$p")
     assert(p.contains("Window"), s"no window in:\n$p")
   }
+
+  test("banded_scan_revenue pushes every predicate into the one joinless scan") {
+    val p = planOf("banded_scan_revenue")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), s"shipdate range not pushed in:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+  }
+
+  test("priority_semijoin_counts runs EXISTS as a semi join (no row duplication)") {
+    val p = planOf("priority_semijoin_counts")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi join in:\n$p")
+  }
+
+  test("sole_late_suppliers: double correlation = one semi + one anti, top-20 is TakeOrdered") {
+    val p = planOf("sole_late_suppliers")
+    assert(p.contains("LeftSemi"), s"other-supplier EXISTS not a semi join in:\n$p")
+    assert(p.contains("LeftAnti"), s"no-other-late NOT EXISTS not an anti join in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered in:\n$p")
+  }
+
+  test("idle_rich_customers: anti join's recency filter reaches the orders scan") {
+    val p = planOf("idle_rich_customers")
+    assert(p.contains("LeftAnti"), s"idleness test not an anti join in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,2000-08-01"),
+      s"recency filter not pushed into the orders scan in:\n$p")
+  }
+
+  test("value_concentration scans the fact once (checkpointed aggregate feeds total AND filter)") {
+    val p = planOf("value_concentration")
+    assert(!p.contains("FileScan"),
+      s"lineitem rescanned — the per-supplier aggregate should be materialized once in:\n$p")
+  }
+
+  test("promo_revenue_share: numerator and denominator from ONE lineitem pass") {
+    val p = planOf("promo_revenue_share")
+    val factScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(factScans == 1, s"$factScans lineitem scans (conditional agg should need 1) in:\n$p")
+  }
 }
