@@ -395,6 +395,15 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("vertex"))
         .limit(20)
     }),
+    // Katz centrality over the symmetrized co-purchase graph: raw walk
+    // counts attenuated by exact 2^-l weights — BIGINT numerator, one
+    // final power-of-two division, no rounding contract
+    "katz_top20" -> ((s, dir) => {
+      val pc = coPurchasePairs(s, dir)
+      val e = pc.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pc.select(col("b").as("src"), col("a").as("dst")))
+      GraphOps.katzCentrality(e, rounds = 4, k = 20)
+    }),
     // personalized PageRank from part 1 (GraphX staticPersonalizedPageRank;
     // oracle = unrolled power iteration with source-only reset + final
     // normalization, verified bit-equal to 1e-15); 4-dp rounding both sides
@@ -2209,6 +2218,30 @@ object SparkEntry {
         |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
     "pagerank_top20" -> pagerankSql,
     "wpagerank_top20" -> wpagerankSql,
+    // four unrolled per-LEVEL aggregated walk-count CTEs (never walk
+    // enumeration) with 2^(L-l) integer weights
+    "katz_top20" ->
+      s"""WITH $coPurchaseCteSql,
+        |e AS (SELECT a AS src, b AS dst FROM pairs
+        |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |x1 AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+        |x2 AS (SELECT e.dst AS v, CAST(SUM(x1.c) AS BIGINT) AS c
+        |       FROM e JOIN x1 ON x1.v = e.src GROUP BY 1),
+        |x3 AS (SELECT e.dst AS v, CAST(SUM(x2.c) AS BIGINT) AS c
+        |       FROM e JOIN x2 ON x2.v = e.src GROUP BY 1),
+        |x4 AS (SELECT e.dst AS v, CAST(SUM(x3.c) AS BIGINT) AS c
+        |       FROM e JOIN x3 ON x3.v = e.src GROUP BY 1),
+        |num AS (SELECT v, CAST(SUM(w) AS BIGINT) AS num FROM (
+        |    SELECT v, c * 8 AS w FROM x1
+        |    UNION ALL SELECT v, c * 4 FROM x2
+        |    UNION ALL SELECT v, c * 2 FROM x3
+        |    UNION ALL SELECT v, c * 1 FROM x4) GROUP BY v),
+        |verts AS (SELECT DISTINCT src AS v FROM e)
+        |SELECT CAST(verts.v AS BIGINT) AS vertex,
+        |  CAST(coalesce(num.num, 0) AS BIGINT) AS num,
+        |  CAST(coalesce(num.num, 0) AS DOUBLE) / 16.0 AS katz
+        |FROM verts LEFT JOIN num ON num.v = verts.v
+        |ORDER BY coalesce(num.num, 0) DESC, vertex LIMIT 20""".stripMargin,
     "powerlaw_alpha" ->
       s"""WITH $coPurchaseCteSql,
          |deg AS (SELECT v, count(*) AS d FROM

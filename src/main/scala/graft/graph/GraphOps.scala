@@ -439,6 +439,50 @@ object GraphOps {
         lit(1 - resetProb) * coalesce(col("s"), lit(0.0))).as("r"))
   }
 
+  /** Katz centrality (Katz 1953) with attenuation α = 1/2 over a FIXED
+    * round count: katz(v) = Σ_{l=1..L} walks_l(v) · α^l, walks_l(v) the
+    * number of length-l walks ENDING at v. Unlike PageRank's normalized
+    * random walk this weights raw walk COUNTS, so hub adjacency
+    * compounds. α = 2^-1 keeps the whole computation in EXACT BIGINT:
+    * the numerator accumulates walks_l · 2^(L-l) (integers), ordering
+    * uses the integer numerator, and katz = num / 2^L is ONE final
+    * division by a power of two — bit-identical cross-engine, no
+    * rounding contract (the graph_centrality lcm trick, applied to a
+    * cyclic graph). Each round is ONE join + ONE vertex-key aggregate,
+    * checkpointed (the power-iteration discipline); the oracle unrolls
+    * the L rounds as chained aggregated CTEs — per-LEVEL aggregation,
+    * never walk enumeration, so the oracle scales with |V|, not walk
+    * multiplicity. Walk counts grow like (max degree)^L: L defaults
+    * small; at 100 TB move the numerator to DECIMAL(38,0) before 2^63.
+    * Output: (vertex, num, katz) top `k` by (num DESC, vertex).
+    */
+  def katzCentrality(edges: DataFrame, rounds: Int = 4, k: Int = 20): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds=$rounds out of the exact-BIGINT regime")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("vertex"))
+      .unionAll(e.select(col("dst").as("vertex"))).distinct()
+      .localCheckpoint(true)
+    var x = verts.select(col("vertex").as("v")).withColumn("c", lit(1L))
+      .localCheckpoint(true)
+    var acc: DataFrame = null
+    for (l <- 1 to rounds) {
+      x = e.join(x.select(col("v").as("sv"), col("c")), col("src") === col("sv"))
+        .groupBy(col("dst").as("v")).agg(sum("c").as("c"))
+        .localCheckpoint(true)
+      val contrib = x.select(col("v"), (col("c") * lit(1L << (rounds - l))).as("contrib"))
+      acc = if (acc == null) contrib else acc.unionAll(contrib)
+    }
+    val num = acc.groupBy("v").agg(sum("contrib").as("num"))
+    verts.join(num, col("vertex") === col("v"), "left")
+      .select(col("vertex"), coalesce(col("num"), lit(0L)).as("num"))
+      .select(col("vertex"), col("num"),
+        (col("num").cast("double") / lit((1L << rounds).toDouble)).as("katz"))
+      .orderBy(col("num").desc, col("vertex"))
+      .limit(k)
+  }
+
   /** Deterministic fixed-length random walks — the node2vec/DeepWalk
     * sampling primitive that turns a graph into skip-gram/GNN training
     * sequences. One walk starts at every distinct source vertex; at step

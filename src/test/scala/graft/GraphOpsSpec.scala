@@ -527,6 +527,18 @@ class GraphOpsSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
   }
 
+  test("katzCentrality: hand-computed walk counts on a cycle, exact 2^-l weights") {
+    import spark.implicits._
+    // 3-cycle 1→2→3→1 plus chord 1→3; L=2:
+    //   walks_1 (indegree): 1:1, 2:1, 3:2
+    //   walks_2 (Σ walks_1 over in-neighbors): 1:2, 2:1, 3:2
+    //   num = 2·walks_1 + walks_2 → 1:4, 2:3, 3:6; katz = num/4
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val got = GraphOps.katzCentrality(e, rounds = 2, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((3L, 6L, 1.5), (1L, 4L, 1.0), (2L, 3L, 0.75)))
+  }
+
   test("randomWalks: dead ends stop walks; runs are reproducible; every step follows an edge") {
     import spark.implicits._
     val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
