@@ -1421,6 +1421,9 @@ object SparkEntry {
     // corpus-fit bigram LM + per-doc cross-entropy scoring (CCNet-style
     // LM quality filter) in one dataflow
     "bigram_lm_score" -> ((s, dir) => TextStats.bigramLmScore(t(s, dir, "documents"))),
+    // DSIR importance weights: target-vs-raw unigram LM log-ratio — the
+    // importance-resampling data selector (resample ∝ exp(weight))
+    "dsir_weights" -> ((s, dir) => TextStats.dsirWeights(t(s, dir, "documents"))),
     "tfidf_top_terms" -> ((s, dir) => TextStats.tfIdfTopTerms(t(s, dir, "documents"))),
     // BM25 lexical retrieval for a literal term set — tf is a per-row array
     // scan, corpus stats (N, Σdl, df) reduce to ONE broadcast row; no
@@ -3505,6 +3508,23 @@ object SparkEntry {
         |  CAST(round(-sum(d.tf * log2(b.c12 * 1.0 / x.c1)) / sum(d.tf), 4) AS DOUBLE) AS cross_entropy
         |FROM per_doc d JOIN cnt_big b USING (gram) JOIN cnt_ctx x USING (w1)
         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+    "dsir_weights" ->
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_target,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |raw AS (SELECT w, CAST(count(*) AS BIGINT) AS cr FROM toks GROUP BY 1),
+        |tgt AS (SELECT w, CAST(count(*) AS BIGINT) AS ct FROM toks WHERE is_target = 1 GROUP BY 1),
+        |norms AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(SUM(cr) AS BIGINT) AS nr FROM raw),
+        |ntgt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM toks WHERE is_target = 1),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+        |  CAST(round(SUM(t.tf * ln(
+        |    ((coalesce(g.ct, 0) + 1.0) * CAST(n.nr + n.v AS DOUBLE)) /
+        |    ((r.cr + 1.0) * CAST(q.nt + n.v AS DOUBLE)))), 4) + 0.0 AS DOUBLE) AS dsir_weight
+        |FROM tf t JOIN raw r USING (w) LEFT JOIN tgt g USING (w), norms n, ntgt q
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),

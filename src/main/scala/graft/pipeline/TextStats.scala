@@ -264,6 +264,51 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance weight (Xie et al. 2023, arXiv:2302.03169): score
+    * every raw-corpus document by how TARGET-like it is — the
+    * importance-resampling selector that picks pretraining data matching
+    * a trusted domain. Target = one source's documents; weight(d) =
+    * log p_target(d) − log p_raw(d) under two Laplace-smoothed unigram
+    * LMs, i.e. Σ_w tf·ln[ (ct(w)+1)·(Nr+V) / ((cr(w)+1)·(Nt+V)) ].
+    * Positive = looks like the target domain; a pipeline resamples
+    * ∝ exp(weight). All counts exact BIGINT; each token contributes ONE
+    * ln of a fixed-order double ratio (integer products < 2^53, so the
+    * ratio is bit-identical cross-engine and only the libm ln diverges
+    * in the last ulp — absorbed by 4-dp shipping + doc_id ordering, the
+    * bigram_lm_score convention). Scale: the exploded token table is
+    * materialized once and feeds both LMs and the per-doc tfs; score
+    * joins key on DISTINCT words, never token instances; the two LM
+    * normalizers broadcast as one-row frames.
+    * Output: (doc_id, n_tokens, dsir_weight) ordered by doc_id.
+    */
+  def dsirWeights(documents: DataFrame, targetSource: String = "src0"): DataFrame = {
+    val toks = documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        (col("source") === targetSource).cast("int").as("is_target"),
+        explode(split(col("text"), " ")).as("w"))
+      .localCheckpoint(true)
+    val raw = toks.groupBy("w").agg(count(lit(1)).cast("long").as("cr"))
+      .localCheckpoint(true) // feeds the vocab/normalizer row AND the join
+    val tgt = toks.filter(col("is_target") === 1)
+      .groupBy("w").agg(count(lit(1)).cast("long").as("ct"))
+    val norms = raw.agg(count(lit(1)).cast("long").as("v"), sum("cr").as("nr"))
+      .crossJoin(toks.filter(col("is_target") === 1)
+        .agg(count(lit(1)).cast("long").as("nt")))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).cast("long").as("tf"))
+    tf.join(raw, "w").join(tgt, Seq("w"), "left")
+      .crossJoin(broadcast(norms))
+      .withColumn("ct0", coalesce(col("ct"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        // + 0.0 normalizes IEEE −0.0 (a near-zero negative sum rounds to
+        // −0.0 in one engine and 0.0 in the other — measured at sf0.1)
+        (round(sum(col("tf") * log(
+          ((col("ct0") + lit(1.0)) * (col("nr") + col("v")).cast("double")) /
+            ((col("cr") + lit(1.0)) * (col("nt") + col("v")).cast("double")))), 4)
+          + lit(0.0)).as("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
   /** PMI collocation mining: pointwise mutual information of each corpus
     * bigram, `pmi = ln( c12·T / (c1·c2) )` (c12 bigram count, c1/c2
     * unigram counts, T total tokens). Every count is an exact BIGINT and

@@ -298,6 +298,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L)._1 == 0L && got(2L)._5 == 0L)
   }
 
+  test("dsirWeights: target-vocabulary docs score positive, off-target negative") {
+    val docs = Seq(
+      (0L, "aa aa aa", "en", "src0", 0L), // target domain speaks "aa"
+      (1L, "aa aa", "en", "src0", 0L),
+      (2L, "bb bb bb", "en", "src1", 0L), // raw-only vocabulary
+      (3L, "bb bb", "en", "src1", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = TextStats.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // per-token log-ratios: aa → ln(6·12/(6·7)) > 0, bb → ln(1·12/(6·7)) < 0
+    assert(w(0L) > 0 && w(1L) > 0, s"target docs not positive: $w")
+    assert(w(2L) < 0 && w(3L) < 0, s"off-target docs not negative: $w")
+    assert(w(0L) > w(1L), "longer target doc should accumulate more evidence")
+  }
+
   test("bpeMerges: hand-computed merge rules, including the overlap-run case") {
     // corpus: "abab" ×3, "aaa" ×2 → vocab {abab:3, aaa:2}
     // round 1 pairs: (a,b)=6, (b,a)=3, (a,a)=4 → merge (a,b) n=6
