@@ -140,4 +140,67 @@ class GenerativePropertySpec extends AnyFunSuite {
         .forall(r => r.getLong(1) >= r.getLong(2))
     }, "CMS est >= true")
   }
+
+  /** In-memory BPE reference: same greedy left-to-right merge application
+    * and (count DESC, l, r) rule selection as the distributed operator.
+    */
+  private def refBpe(words: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
+    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { b += (l + r); i += 2 }
+        else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    var vocab = words.groupBy(identity).toVector
+      .map { case (w, g) => (w.map(_.toString).toVector, g.size.toLong) }
+    (1 to rounds).map { step =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, n) <- vocab; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) += n
+      val ((l, r), n) = pc.toSeq.minBy { case ((l0, r0), n0) => (-n0, l0, r0) }
+      vocab = vocab.map { case (syms, cnt) => (applyMerge(syms, l, r), cnt) }
+      (step.toLong, l, r, n)
+    }
+  }
+
+  test("property: bpeMerges equals the in-memory greedy reference on random corpora") {
+    // words of length 4-6 over {a, b}: dense pair collisions, runs, and
+    // back-to-back pair occurrences — three rounds always have a pair left
+    val wordGen = Gen.chooseNum(4, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
+    val corpus = Gen.listOfN(10, wordGen)
+    assertHolds(Prop.forAll(corpus, Gen.chooseNum(1, 4)) { (words, nPart) =>
+      val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text").repartition(nPart)
+      val got = pipeline.TextStats.bpeMerges(df, rounds = 3).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      got == refBpe(words, 3)
+    }, "BPE vs greedy reference")
+  }
+
+  test("property: katzCentrality equals the in-memory matrix-power reference") {
+    val edgeGen = Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 6L), Gen.chooseNum(1L, 6L)))
+      .map(_.distinct)
+    assertHolds(Prop.forAll(edgeGen, Gen.chooseNum(1, 4)) { (es, nPart) =>
+      es.isEmpty || {
+        val df = es.toDF("src", "dst").repartition(nPart)
+        val got = graph.GraphOps.katzCentrality(df, rounds = 3, k = 100).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val verts = es.flatMap { case (s, d) => Seq(s, d) }.distinct
+        var x = verts.map(v => v -> 1L).toMap
+        val num = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for (l <- 1 to 3) {
+          val next = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+          for ((s, d) <- es) next(d) += x.getOrElse(s, 0L)
+          x = next.toMap
+          for ((v, c) <- x) num(v) += c * (1L << (3 - l))
+        }
+        val want = verts.map(v => (v, num(v)))
+          .sortBy { case (v, n) => (-n, v) }
+        got == want
+      }
+    }, "Katz vs matrix powers")
+  }
 }
