@@ -1394,6 +1394,10 @@ object SparkEntry {
     // cannot prune (information limit, see Similarity.scala scale note)
     "embedding_neardup_exact" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
+    // SemDeDup: cluster-scoped semantic dedup with a deterministic
+    // greedy-by-id keep policy — per-cluster kept/dropped tallies
+    "semdedup_clusters" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), threshold = 0.4)),
     "lang_id" -> ((s, dir) => TextStats.langId(t(s, dir, "documents"))),
     // pivot/crosstab: language-ID confusion matrix (actual × predicted)
     "lang_confusion" -> ((s, dir) =>
@@ -3434,6 +3438,24 @@ object SparkEntry {
       rel = "corpus", threshold = 0.9),
     "embedding_neardup_exact" -> cosinePairsSql(cte = "", rel = "embeddings",
       threshold = 0.4),
+    "semdedup_clusters" ->
+      """WITH sims AS (
+        |  SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
+        |         SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+        |         sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) ** 2)) AS na,
+        |         sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) ** 2)) AS nb
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+        |       UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |dropped AS (SELECT DISTINCT label, vb FROM sims WHERE dot / (na * nb) >= 0.4),
+        |drops AS (SELECT label, CAST(count(*) AS BIGINT) AS n_dropped FROM dropped GROUP BY 1),
+        |base AS (SELECT CAST(label AS BIGINT) AS label,
+        |                CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings GROUP BY 1)
+        |SELECT base.label, base.n_vectors,
+        |  CAST(coalesce(drops.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  CAST(base.n_vectors - coalesce(drops.n_dropped, 0) AS BIGINT) AS n_kept
+        |FROM base LEFT JOIN drops ON drops.label = base.label
+        |ORDER BY base.label""".stripMargin,
     "lang_id" ->
       s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
          |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

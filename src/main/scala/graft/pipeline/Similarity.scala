@@ -253,6 +253,35 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication inside embedding clusters — the pruning structure that
+    * makes web-scale semantic dedup tractable: candidate pairs form only
+    * WITHIN a cluster (here the label coarse partition, swappable for
+    * [[KMeans]] assignments), never across the corpus, so the pair space
+    * is Σ|cluster|², not |corpus|². Keep policy is deterministic
+    * greedy-by-id: a vector is dropped iff some LOWER-id vector in its
+    * cluster clears the cosine threshold — ONE distinct projection of
+    * the pair join (no iterative group collapse), order-free,
+    * oracle-exact. Scoring is the codegen'd native cosine.
+    * Output: (label, n_vectors, n_dropped, n_kept) per cluster.
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val a = embeddings.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = embeddings.select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      .filter(vector_cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("label").cast("long").as("dl"), col("vb").as("dropv")).distinct()
+    val base = embeddings.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"))
+    val drops = dropped.groupBy(col("dl").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_dropped"))
+    base.join(drops, Seq("label"), "left")
+      .select(col("label"), col("n_vectors"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vectors") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("label")
+  }
+
   /** Near-dup pairs via hyperplane-LSH banding: `words` 64-bit sign
     * sketches per vector ([[graft.functions.VectorSignSketch]], seeds
     * 1..words), cut into `rowsPerBand`-bit bands; candidates = pairs

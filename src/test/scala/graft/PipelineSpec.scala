@@ -298,6 +298,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L)._1 == 0L && got(2L)._5 == 0L)
   }
 
+  test("semDedup: in-cluster dup dropped, identical cross-cluster vector kept") {
+    val v = Array.fill(4)(1.0f)
+    val w = Array(1.0f, -1.0f, 1.0f, -1.0f) // orthogonal to v
+    val e = Seq(
+      (0L, v, 0), (1L, v, 0),  // exact dup inside cluster 0 → 1 dropped
+      (2L, w, 0),              // orthogonal survivor in cluster 0
+      (3L, v, 1),              // same vector, OTHER cluster → kept
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.semDedup(e, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 3L, 1L, 2L), (1L, 1L, 0L, 1L)))
+  }
+
   test("dsirWeights: target-vocabulary docs score positive, off-target negative") {
     val docs = Seq(
       (0L, "aa aa aa", "en", "src0", 0L), // target domain speaks "aa"
