@@ -488,6 +488,12 @@ object SparkEntry {
     // never emit the trailing window — see StreamOps.windowedAggReplayBatch)
     "stream_windowed_agg" -> ((s, dir) =>
       streaming.StreamOps.windowedAggReplayBatch(s, s"$dir/events.parquet")),
+    // STREAMING stream-static enrichment join: per-micro-batch broadcast
+    // of the customer dim (stateless — no state store), windowed agg
+    // keyed by the joined-in market segment
+    "stream_enrich" -> ((s, dir) =>
+      streaming.StreamOps.enrichReplayBatch(s, s"$dir/events.parquet",
+        s"$dir/customer.parquet")),
     // STREAMING native session_window replay pinned to the SAME oracle as
     // the batch events_sessions (session_window merges inclusively at the
     // gap boundary, matching the batch diff>gap rule; ordinal session ids
@@ -688,6 +694,25 @@ object SparkEntry {
         .filter(col("value_cents") * 1000 > col("total_cents"))
         .select(col("suppkey"), (col("value_cents").cast("double") / 100.0).as("value"))
         .orderBy(col("value").desc, col("suppkey"))
+    }),
+    // Gini coefficient of per-customer spend — the inequality summary a
+    // curation pipeline tracks per source before rebalancing quotas.
+    // Spend is EXACT BIGINT cents; the 1-based rank comes from the
+    // distributed two-pass global index (per-partition offsets — NEVER a
+    // single-task unpartitioned window); G = (2·Σ rank·x − (n+1)·Σx) /
+    // (n·Σx) is a ratio of exact integers with ONE final IEEE division
+    "gini_revenue" -> ((s, dir) => {
+      val per = t(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("custkey").agg(sum("cents").as("spend"))
+      val ranked = pipeline.Ranking.withGlobalIndex(per, col("spend"), col("custkey"))
+      ranked.agg(count(lit(1)).cast("long").as("n"),
+          sum("spend").as("sx"),
+          sum((col("idx") + 1) * col("spend")).as("srx"))
+        .select(col("n").as("n_customers"),
+          ((col("srx") * 2 - (col("n") + 1) * col("sx")).cast("double")
+            / (col("n") * col("sx")).cast("double")).as("gini"))
     }),
     // TPC-H Q13 shape: the distribution of orders-per-customer INCLUDING
     // zero-order customers — left outer join + DOUBLE aggregate (first
@@ -928,6 +953,28 @@ object SparkEntry {
           coalesce(lead("valid_from_ms", 1).over(w), lit(-1L)))
         .orderBy("custkey", "valid_from_ms", "orderkey")
     }),
+    // gaps-and-islands: per customer, runs of CONSECUTIVE active order
+    // months (island id = month_index − dense_rank, the classic trick) —
+    // the engagement-streak feature behind retention scoring. Windows
+    // are PARTITIONED BY the natural key, so the sort parallelizes
+    // across customers — never a global single-task window. All-integer.
+    "order_streaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = t(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("midx"))
+        .distinct()
+      val w = Window.partitionBy("custkey").orderBy("midx")
+      val isl = m.withColumn("island", col("midx") - dense_rank().over(w))
+        .groupBy("custkey", "island").agg(count(lit(1)).cast("long").as("streak"))
+      isl.groupBy("custkey")
+        .agg(max("streak").as("longest_streak"),
+          count(lit(1)).cast("long").as("n_islands"),
+          sum("streak").as("n_active_months"))
+        .orderBy(col("longest_streak").desc, col("custkey"))
+        .limit(100)
+    }),
     // window dedup-rank: latest order per customer (row_number = the
     // canonical keep-one-per-key pattern in data pipelines)
     "latest_order_per_cust" -> ((s, dir) => {
@@ -1036,6 +1083,11 @@ object SparkEntry {
     // (wedge self-join + anti-join against the edge set)
     "link_prediction" -> ((s, dir) =>
       GraphOps.commonNeighborLinks(coPurchasePairs(s, dir), minCommon = 1, k = 100)),
+    // resource-allocation link prediction: common neighbors weighted by
+    // 1/deg(middle) in exact ⌊1e9/deg⌋ fixed point — ordered by the
+    // BIGINT score, the double is a final constant rescale
+    "resource_allocation_links" -> ((s, dir) =>
+      GraphOps.resourceAllocationLinks(coPurchasePairs(s, dir), k = 100)),
     // 2-hop reach: |{w : d(v,w) ≤ 2}| per vertex over the co-purchase
     // graph — the neighborhood-size feature GNN samplers budget against.
     // ONE wedge self-join (bounded upstream by the basket guard) unioned
@@ -1408,6 +1460,22 @@ object SparkEntry {
           coalesce(col("unk"), lit(0L)).as("pred_unk"))
         .orderBy("lang")),
     "term_freq_top50" -> ((s, dir) => TextStats.termFreq(t(s, dir, "documents"))),
+    // Heaps'-law vocabulary growth per source: β = ln(types)/ln(tokens) —
+    // the sublinear vocab exponent a corpus profile tracks to spot
+    // synthetic/templated sources (β near 0 = closed vocab, near 1 =
+    // open). Counts are exact BIGINTs; the two logs + one division are
+    // the only IEEE ops, shipped rounded 4dp (same contract as
+    // powerlaw_alpha)
+    "heaps_beta_per_source" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          countDistinct(col("term")).as("n_types"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(log(col("n_types").cast("double"))
+            / log(col("n_tokens").cast("double")), 4).as("heaps_beta"))
+        .orderBy("source")),
     // LM-style bigram counts (duplicates kept, unlike the dedup'd shingles)
     "bigram_freq_top50" -> ((s, dir) => TextStats.ngramFreq(t(s, dir, "documents"))),
     // PMI collocation mining: ln(c12·T/(c1·c2)) over exact BIGINT counts,
@@ -2440,6 +2508,12 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin,
+    "stream_enrich" ->
+      """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 21600000 AS BIGINT) AS window_ms,
+        |  c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON c_custkey = user_id
+        |GROUP BY 1, 2 ORDER BY window_ms, segment""".stripMargin,
     // identical to the batch events_within_5s oracle — the streaming
     // interval join is pinned to the same semantics
     "stream_interval_join" ->
@@ -2544,6 +2618,17 @@ object SparkEntry {
         |SELECT suppkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
         |FROM per, tot WHERE value_cents * 1000 > total_cents
         |ORDER BY value DESC, suppkey""".stripMargin,
+    "gini_revenue" ->
+      """WITH per AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT spend,
+        |        row_number() OVER (ORDER BY spend, custkey) AS rnk FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(2 * sum(rnk * spend) - (count(*) + 1) * sum(spend) AS DOUBLE)
+        |    / CAST(count(*) * sum(spend) AS DOUBLE) AS gini
+        |FROM r""".stripMargin,
     "order_count_distribution" ->
       """WITH pc AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
@@ -3353,6 +3438,20 @@ object SparkEntry {
         |    / CAST(da.degree + db.degree - n.common AS DOUBLE) AS jaccard
         |FROM nonedges n JOIN deg da ON da.v = n.a JOIN deg db ON db.v = n.b
         |ORDER BY common DESC, a, b LIMIT 100""".stripMargin,
+    "resource_allocation_links" ->
+      s"""WITH $coPurchaseCteSql,
+        |adj AS (SELECT a AS v, b AS w FROM pairs UNION ALL SELECT b AS v, a AS w FROM pairs),
+        |deg AS (SELECT v, count(*) AS degree FROM adj GROUP BY v),
+        |mid AS (SELECT adj.v, adj.w, 1000000000 // d.degree AS rw
+        |        FROM adj JOIN deg d ON d.v = adj.w),
+        |wedges AS (SELECT l.v AS a, r.v AS b, count(*) AS common, sum(l.rw) AS ra_fp
+        |           FROM mid l JOIN mid r ON l.w = r.w AND l.v < r.v GROUP BY 1, 2),
+        |nonedges AS (SELECT w.a, w.b, w.common, w.ra_fp FROM wedges w
+        |             LEFT JOIN pairs p ON p.a = w.a AND p.b = w.b WHERE p.a IS NULL)
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(common AS BIGINT) AS common, CAST(ra_fp AS BIGINT) AS ra_fp,
+        |  CAST(ra_fp AS DOUBLE) / 1e9 AS ra
+        |FROM nonedges ORDER BY ra_fp DESC, a, b LIMIT 100""".stripMargin,
     "two_hop_reach" ->
       s"""WITH $coPurchaseCteSql,
         |e AS (SELECT a AS src, b AS dst FROM pairs
@@ -3468,6 +3567,24 @@ object SparkEntry {
       """SELECT u.term AS term, CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
         |GROUP BY u.term ORDER BY freq DESC, term LIMIT 50""".stripMargin,
+    "heaps_beta_per_source" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS n_types,
+        |  round(ln(count(DISTINCT term)) / ln(count(*)), 4) AS heaps_beta
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents) u
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "order_streaks" ->
+      """WITH m AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS midx
+        |  FROM orders),
+        |i AS (SELECT custkey,
+        |        midx - dense_rank() OVER (PARTITION BY custkey ORDER BY midx) AS island
+        |      FROM m),
+        |st AS (SELECT custkey, island, count(*) AS streak FROM i GROUP BY 1, 2)
+        |SELECT custkey, CAST(max(streak) AS BIGINT) AS longest_streak,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(streak) AS BIGINT) AS n_active_months
+        |FROM st GROUP BY 1 ORDER BY longest_streak DESC, custkey LIMIT 100""".stripMargin,
     "bigram_freq_top50" ->
       """SELECT t[i] || ' ' || t[i+1] AS gram, CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT string_split(text, ' ') AS t FROM documents),

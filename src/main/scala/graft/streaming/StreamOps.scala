@@ -528,6 +528,54 @@ object StreamOps {
     spark.read.parquet(outDir).orderBy("window_ms", "event_type")
   }
 
+  /** Stream-static ENRICHMENT JOIN — the canonical streaming dimension
+    * lookup: every micro-batch of the event stream joins a STATIC
+    * customer dim executor-side via broadcast (a stateless stream-static
+    * inner join — no state store, no shuffle of the stream side), then
+    * feeds the same tumbling-window aggregate shape as
+    * [[windowedAggReplayBatch]], keyed by the ENRICHED attribute
+    * (market segment) that only exists after the join.
+    *
+    * At 100 TB the dim side is small by construction (dimensions are
+    * ~1e-4 of fact scale), so the broadcast is the plan you'd pick on a
+    * real cluster; Spark re-resolves the static side per micro-batch,
+    * which is also the upgrade path to a slowly-changing dim. Complete
+    * mode for the usual bounded-replay reason: the watermark never
+    * passes the final window.
+    */
+  def enrichReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                        eventsPath: String, customerPath: String,
+                        windowLen: String = "6 hours"): DataFrame = {
+    val spark = tunedStatefulSession(spark0)
+    val schema = spark.read.parquet(eventsPath).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_enrich_")
+    val outDir = s"$tmp/out"
+    val staged = stageInput(tmp, eventsPath)
+    // ts arrives as LONG nanos (nanosAsLong) — rebuild the event-time column
+    val events = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(expr("timestamp_millis(ts div 1000000)").as("tsw"),
+        col("user_id"), col("value"))
+    val dim = broadcast(spark.read.parquet(customerPath)
+      .select(col("c_custkey").cast("long").as("user_id"),
+        col("c_mktsegment").as("segment")))
+    val agg = events.join(dim, "user_id") // stream-static, stateless
+      .groupBy(window(col("tsw"), windowLen), col("segment"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_ms"),
+        col("segment"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("window_ms", "segment")
+  }
+
   /** Fifth oracle-checked streaming query — NATIVE SESSION WINDOWS:
     * replay the events table through `session_window` (Spark's built-in
     * merging-session aggregation, the streaming-native form of the batch
