@@ -1124,6 +1124,12 @@ object SparkEntry {
         .distinct()
       GraphOps.stronglyConnectedComponents(e, numIter = math.max(16L, n).toInt)
     }),
+    // maximal independent set: parallel greedy-priority fixpoint (Luby
+    // with a static portable-hash priority) — identical result to the
+    // sequential greedy, O(log n) expected rounds; the oracle replays
+    // the rounds verbatim as unrolled CTEs
+    "graph_mis" -> ((s, dir) =>
+      GraphOps.maximalIndependentSet(coPurchasePairs(s, dir))),
     // node2vec/DeepWalk sampling: deterministic hash-seeded walks over
     // the co-purchase graph — the skip-gram corpus generator, exactly
     // replayable by the oracle because the "random" draw is the portable
@@ -1934,6 +1940,49 @@ object SparkEntry {
       |pairs AS (SELECT a.part AS a, b.part AS b
       |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
       |          GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** Unrolled parallel-greedy MIS rounds for the DuckDB oracle: round k
+    * admits the undecided local-priority-minima and removes their
+    * neighbors — the exact per-round rule of
+    * [[graft.graph.GraphOps.maximalIndependentSet]]. Trailing rounds
+    * past convergence are no-ops over empty CTEs, so `rounds` only has
+    * to be an UPPER bound on the measured round count.
+    */
+  private def misOracleSql(rounds: Int): String = {
+    // every CTE is MATERIALIZED: the unrolled rounds reference each level
+    // several times, and DuckDB's default inlining would otherwise
+    // re-scan the lineitem parquet once per reference (measured: blows
+    // the open-file limit at 16 rounds)
+    val blocks = (1 to rounds).map { k =>
+      s"""blocked$k AS MATERIALIZED (SELECT DISTINCT e.v FROM e
+         |  JOIN und${k - 1} a ON a.v = e.v JOIN und${k - 1} b ON b.v = e.u
+         |  WHERE b.h < a.h OR (b.h = a.h AND e.u < e.v)),
+         |win$k AS MATERIALIZED (SELECT v FROM und${k - 1}
+         |  WHERE v NOT IN (SELECT v FROM blocked$k)),
+         |lose$k AS MATERIALIZED (SELECT DISTINCT e.v FROM e JOIN win$k w ON w.v = e.u),
+         |und$k AS MATERIALIZED (SELECT * FROM und${k - 1}
+         |  WHERE v NOT IN (SELECT v FROM win$k)
+         |    AND v NOT IN (SELECT v FROM lose$k))""".stripMargin
+    }.mkString(",\n")
+    val allWins = (1 to rounds).map(k => s"SELECT v FROM win$k").mkString(" UNION ALL ")
+    s"""WITH basket AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
+       |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+       |pairs AS MATERIALIZED (SELECT a.part AS a, b.part AS b
+       |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
+       |          GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS MATERIALIZED (SELECT a AS v, b AS u FROM pairs
+       |                   UNION ALL SELECT b AS v, a AS u FROM pairs),
+       |vert AS MATERIALIZED (SELECT DISTINCT v FROM e),
+       |und0 AS MATERIALIZED (SELECT v,
+       |    CAST(('0x' || substr(md5('mis_' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM vert),
+       |$blocks,
+       |allin AS ($allWins)
+       |SELECT CAST(vert.v AS BIGINT) AS vertex,
+       |  CAST(CASE WHEN allin.v IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_mis
+       |FROM vert LEFT JOIN allin ON allin.v = vert.v
+       |ORDER BY vertex""".stripMargin
+  }
 
   private def cosinePairsSql(cte: String, rel: String, threshold: Double): String =
     s"""WITH ${cte}sims AS (
@@ -3462,6 +3511,7 @@ object SparkEntry {
         |       (SELECT src, dst AS v FROM e UNION ALL SELECT src, v FROM h2))
         |SELECT CAST(src AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_reach2
         |FROM r GROUP BY 1 ORDER BY vertex""".stripMargin,
+    "graph_mis" -> misOracleSql(rounds = 16),
     "scc_components" ->
       """WITH RECURSIVE n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM supplier),
         |e AS (SELECT DISTINCT src, dst FROM (

@@ -901,6 +901,73 @@ object GraphOps {
       .limit(k)
   }
 
+  /** Maximal independent set by PARALLEL greedy priority — the
+    * Blelloch/Fineman/Shun form of Luby's algorithm with one static
+    * priority per vertex: each round, every undecided vertex whose
+    * portable-hash priority is a LOCAL MINIMUM among its undecided
+    * neighbors enters the set, its neighbors leave, and the rest go
+    * again. With a fixed priority order this fixpoint computes EXACTLY
+    * the sequential lexicographically-first greedy MIS — but in
+    * O(log n) expected parallel rounds instead of n sequential steps,
+    * which is what makes it runnable on a cluster (the MIS is the
+    * classic diversity-sampling primitive: pick a maximal set of
+    * pairwise non-adjacent documents from a similarity graph).
+    *
+    * Determinism: priority = md5Bits60("mis_" ‖ v), ties broken by
+    * vertex id — both portable, so a SQL oracle can replay the rounds
+    * verbatim. Each round is two semi/anti-joins plus a distinct on a
+    * geometrically shrinking vertex set; per-round localCheckpoint
+    * keeps lineage flat (Pregel discipline). The round count is
+    * asserted against `maxRounds` so a non-converging input fails loud.
+    *
+    * Output: EVERY vertex with an `in_mis` 0/1 flag, totally ordered.
+    */
+  def maximalIndependentSet(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val vertices = p.select(col("a").as("v")).unionAll(p.select(col("b").as("v")))
+      .distinct().localCheckpoint(true)
+    var und = vertices
+      .withColumn("h", graft.functions.PortableHash.md5Bits60(
+        concat_ws("_", lit("mis"), col("v"))))
+      .localCheckpoint(true)
+    var edges = p.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(p.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint(true) // symmetric adjacency, shrinks every round
+    val winnersAcc = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var round = 0
+    var remaining = und.count()
+    while (remaining > 0) {
+      require(round < maxRounds, s"MIS did not converge in $maxRounds rounds")
+      // v is blocked iff some UNDECIDED neighbor u has smaller (h, id)
+      val eh = edges
+        .join(und.select(col("v"), col("h").as("hv")), "v")
+        .join(und.select(col("v").as("u"), col("h").as("hu")), "u")
+      val blocked = eh.filter(col("hu") < col("hv") ||
+          (col("hu") === col("hv") && col("u") < col("v")))
+        .select("v").distinct()
+      val winners = und.join(blocked, Seq("v"), "left_anti").select("v")
+        .localCheckpoint(true) // feeds the accumulator AND two joins below
+      winnersAcc += winners
+      val losers = edges.join(winners.select(col("v").as("u")), Seq("u"))
+        .select("v").distinct()
+      val decided = winners.unionAll(losers)
+      und = und.join(decided, Seq("v"), "left_anti").localCheckpoint(true)
+      edges = edges
+        .join(und.select("v"), Seq("v"), "left_semi")
+        .join(und.select(col("v").as("u")), Seq("u"), "left_semi")
+        .localCheckpoint(true)
+      remaining = und.count()
+      round += 1
+    }
+    val inMis = winnersAcc.reduce(_ unionAll _)
+    vertices
+      .join(inMis.withColumn("in_mis", lit(1L)), Seq("v"), "left_outer")
+      .select(col("v").as("vertex"),
+        coalesce(col("in_mis"), lit(0L)).as("in_mis"))
+      .orderBy("vertex")
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge table —
     * the link-analysis complement of PageRank: authority = pointed-to by
     * good hubs, hub = points at good authorities. On a bipartite

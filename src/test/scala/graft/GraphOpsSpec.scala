@@ -515,6 +515,35 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("maximalIndependentSet: equals the sequential greedy MIS; independent and maximal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val rnd = new scala.util.Random(7)
+    val es = (1 to 150).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val got = GraphOps.maximalIndependentSet(es.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inMis = got.filter(_._2 == 1L).keySet
+    val adj = es.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (e <- es) // independence: no edge inside the set
+      assert(!(inMis(e._1) && inMis(e._2)), s"edge $e inside MIS")
+    for (v <- got.keys if !inMis(v)) // maximality: every outsider is blocked
+      assert(adj.getOrElse(v, Set.empty).exists(inMis), s"$v addable")
+    // the parallel fixpoint must equal the SEQUENTIAL greedy under the
+    // same (hash, id) priority — the semantic contract of the operator
+    val vs = got.keys.toSeq
+    val h = vs.toDF("v").select(col("v"),
+        graft.functions.PortableHash.md5Bits60(
+          concat_ws("_", lit("mis"), col("v"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val greedy = scala.collection.mutable.Set.empty[Long]
+    for (v <- vs.sortBy(v => (h(v), v)))
+      if (!adj.getOrElse(v, Set.empty).exists(greedy)) greedy += v
+    assert(inMis == greedy.toSet)
+  }
+
   test("stronglyConnectedComponents: cycles collapse to min-id, DAG vertices stay singletons") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), // 3-cycle {1,2,3}
