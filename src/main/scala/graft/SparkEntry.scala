@@ -695,6 +695,33 @@ object SparkEntry {
         .select(col("suppkey"), (col("value_cents").cast("double") / 100.0).as("value"))
         .orderBy(col("value").desc, col("suppkey"))
     }),
+    // Herfindahl–Hirschman market concentration per nation: HHI =
+    // Σ shareᵢ² over each nation's suppliers. Squared cents overflow
+    // BIGINT, so the sum of squares rides EXACT DECIMAL(18)×DECIMAL(18)
+    // products (order-independent, unlike a double sum); the only IEEE
+    // ops are the final square + divide of exact totals — bit-identical
+    "hhi_nation_suppliers" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"))
+        .groupBy("suppkey").agg(sum("c").as("cents"))
+      val per = rev.join(
+        broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("suppkey"),
+            col("s_nationkey").cast("long").as("nationkey"))), "suppkey")
+      val agg = per.groupBy("nationkey")
+        .agg(count(lit(1)).cast("long").as("n_suppliers"),
+          sum(col("cents").cast("decimal(18,0)") * col("cents").cast("decimal(18,0)"))
+            .as("ssq"),
+          sum("cents").as("tot"))
+      agg.join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("nationkey"),
+            col("n_name").as("nation"))), "nationkey")
+        .select(col("nation"), col("n_suppliers"),
+          (col("ssq").cast("double")
+            / (col("tot").cast("double") * col("tot").cast("double"))).as("hhi"))
+        .orderBy("nation")
+    }),
     // Gini coefficient of per-customer spend — the inequality summary a
     // curation pipeline tracks per source before rebalancing quotas.
     // Spend is EXACT BIGINT cents; the 1-based rank comes from the
@@ -1130,6 +1157,12 @@ object SparkEntry {
     // the rounds verbatim as unrolled CTEs
     "graph_mis" -> ((s, dir) =>
       GraphOps.maximalIndependentSet(coPurchasePairs(s, dir))),
+    // greedy maximal matching: the MIS fixpoint on the LINE graph —
+    // each doc pairs with at most one duplicate partner; equals the
+    // sequential greedy matching, replayed by the oracle in unrolled
+    // rounds
+    "graph_matching" -> ((s, dir) =>
+      GraphOps.maximalMatching(coPurchasePairs(s, dir))),
     // node2vec/DeepWalk sampling: deterministic hash-seeded walks over
     // the co-purchase graph — the skip-gram corpus generator, exactly
     // replayable by the oracle because the "random" draw is the portable
@@ -1984,6 +2017,40 @@ object SparkEntry {
        |ORDER BY vertex""".stripMargin
   }
 
+  /** Unrolled greedy-matching rounds for the DuckDB oracle — the line-graph
+    * analogue of [[misOracleSql]]: round k admits undecided edges whose
+    * priority beats every endpoint-sharing undecided edge, then evicts
+    * all edges touching a matched endpoint. MATERIALIZED for the same
+    * re-scan reason as the MIS oracle.
+    */
+  private def matchingOracleSql(rounds: Int): String = {
+    val blocks = (1 to rounds).map { k =>
+      s"""ep${k - 1} AS MATERIALIZED (SELECT a AS p, a, b, h FROM e${k - 1}
+         |  UNION ALL SELECT b, a, b, h FROM e${k - 1}),
+         |win$k AS MATERIALIZED (SELECT x.a, x.b FROM e${k - 1} x WHERE NOT EXISTS (
+         |  SELECT 1 FROM ep${k - 1} l JOIN ep${k - 1} y ON y.p = l.p
+         |  WHERE l.a = x.a AND l.b = x.b AND (y.a <> x.a OR y.b <> x.b)
+         |    AND (y.h < x.h OR (y.h = x.h AND (y.a < x.a OR (y.a = x.a AND y.b < x.b)))))),
+         |mp$k AS MATERIALIZED (SELECT a AS p FROM win$k UNION ALL SELECT b FROM win$k),
+         |e$k AS MATERIALIZED (SELECT * FROM e${k - 1} x
+         |  WHERE NOT EXISTS (SELECT 1 FROM mp$k m WHERE m.p = x.a)
+         |    AND NOT EXISTS (SELECT 1 FROM mp$k m WHERE m.p = x.b))""".stripMargin
+    }.mkString(",\n")
+    val allWins = (1 to rounds).map(k => s"SELECT a, b FROM win$k").mkString(" UNION ALL ")
+    s"""WITH basket AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
+       |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+       |pairs AS MATERIALIZED (SELECT a.part AS a, b.part AS b
+       |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
+       |          GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT a, b,
+       |    CAST(('0x' || substr(md5('match_' || CAST(a AS VARCHAR) || '_'
+       |      || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM pairs),
+       |$blocks
+       |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+       |FROM ($allWins) ORDER BY a, b""".stripMargin
+  }
+
   private def cosinePairsSql(cte: String, rel: String, threshold: Double): String =
     s"""WITH ${cte}sims AS (
        |  SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -2667,6 +2734,19 @@ object SparkEntry {
         |SELECT suppkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
         |FROM per, tot WHERE value_cents * 1000 > total_cents
         |ORDER BY value DESC, suppkey""".stripMargin,
+    "hhi_nation_suppliers" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |per AS (SELECT s_nationkey, cents FROM rev JOIN supplier ON s_suppkey = l_suppkey),
+        |agg AS (SELECT s_nationkey, count(*) AS ns,
+        |          SUM(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0))) AS ssq,
+        |          CAST(SUM(cents) AS BIGINT) AS tot
+        |        FROM per GROUP BY 1)
+        |SELECT n_name AS nation, CAST(ns AS BIGINT) AS n_suppliers,
+        |  CAST(ssq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS hhi
+        |FROM agg JOIN nation ON n_nationkey = s_nationkey ORDER BY nation""".stripMargin,
     "gini_revenue" ->
       """WITH per AS (
         |  SELECT CAST(o_custkey AS BIGINT) AS custkey,
@@ -3512,6 +3592,7 @@ object SparkEntry {
         |SELECT CAST(src AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_reach2
         |FROM r GROUP BY 1 ORDER BY vertex""".stripMargin,
     "graph_mis" -> misOracleSql(rounds = 16),
+    "graph_matching" -> matchingOracleSql(rounds = 16),
     "scc_components" ->
       """WITH RECURSIVE n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM supplier),
         |e AS (SELECT DISTINCT src, dst FROM (

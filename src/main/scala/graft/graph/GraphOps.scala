@@ -960,12 +960,67 @@ object GraphOps {
       remaining = und.count()
       round += 1
     }
-    val inMis = winnersAcc.reduce(_ unionAll _)
+    val inMis =
+      if (winnersAcc.isEmpty) vertices.limit(0)
+      else winnersAcc.reduce(_ unionAll _)
     vertices
       .join(inMis.withColumn("in_mis", lit(1L)), Seq("v"), "left_outer")
       .select(col("v").as("vertex"),
         coalesce(col("in_mis"), lit(0L)).as("in_mis"))
       .orderBy("vertex")
+  }
+
+  /** Greedy maximal MATCHING by parallel edge priority — the
+    * [[maximalIndependentSet]] fixpoint lifted to the LINE graph (two
+    * edges conflict iff they share an endpoint): each round, every
+    * undecided edge whose portable-hash priority beats all adjacent
+    * undecided edges enters the matching and evicts them. With a static
+    * priority this equals the SEQUENTIAL greedy matching (a 1/2-approx
+    * of maximum matching) in O(log m) expected parallel rounds — the
+    * pairing primitive behind near-dup record merging, where each
+    * document may be fused with at most ONE duplicate partner.
+    *
+    * Each round: one endpoint-explosion self-join on a shrinking edge
+    * set + two anti-joins; per-round localCheckpoint keeps lineage flat.
+    * Priority = md5Bits60("match_a_b") with (a, b) tiebreak — portable,
+    * so the SQL oracle replays rounds verbatim. Output: matched edges.
+    */
+  def maximalMatching(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    var und = p.withColumn("h", graft.functions.PortableHash.md5Bits60(
+        concat_ws("_", lit("match"), col("a"), col("b"))))
+      .localCheckpoint(true)
+    val acc = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var round = 0
+    var remaining = und.count()
+    while (remaining > 0) {
+      require(round < maxRounds, s"matching did not converge in $maxRounds rounds")
+      val ep = und.select(col("a").as("p"), col("a"), col("b"), col("h"))
+        .unionAll(und.select(col("b").as("p"), col("a"), col("b"), col("h")))
+        .localCheckpoint(true) // feeds both sides of the conflict join
+      val blocked = ep
+        .join(ep.select(col("p"), col("a").as("a2"), col("b").as("b2"),
+          col("h").as("h2")), "p")
+        .filter((col("a2") =!= col("a") || col("b2") =!= col("b")) &&
+          (col("h2") < col("h") ||
+            (col("h2") === col("h") && (col("a2") < col("a") ||
+              (col("a2") === col("a") && col("b2") < col("b"))))))
+        .select("a", "b").distinct()
+      val winners = und.join(blocked, Seq("a", "b"), "left_anti")
+        .select("a", "b").localCheckpoint(true)
+      acc += winners
+      val wp = winners.select(col("a").as("p"))
+        .unionAll(winners.select(col("b").as("p"))).distinct()
+        .localCheckpoint(true) // feeds two anti-joins
+      und = und
+        .join(wp.withColumnRenamed("p", "a"), Seq("a"), "left_anti")
+        .join(wp.withColumnRenamed("p", "b"), Seq("b"), "left_anti")
+        .select(col("a"), col("b"), col("h"))
+        .localCheckpoint(true)
+      remaining = und.count()
+      round += 1
+    }
+    if (acc.isEmpty) p.limit(0) else acc.reduce(_ unionAll _).orderBy("a", "b")
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge table —
