@@ -2741,7 +2741,7 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1),
         |per AS (SELECT s_nationkey, cents FROM rev JOIN supplier ON s_suppkey = l_suppkey),
         |agg AS (SELECT s_nationkey, count(*) AS ns,
-        |          SUM(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0))) AS ssq,
+        |          SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ssq,
         |          CAST(SUM(cents) AS BIGINT) AS tot
         |        FROM per GROUP BY 1)
         |SELECT n_name AS nation, CAST(ns AS BIGINT) AS n_suppliers,
