@@ -6,6 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.model.MatrixCodec
 import SparkTestSession._
 
+/** Local FS under a test-only `graftfs://` scheme, discoverable ONLY through
+  * a `fs.graftfs.impl` conf key — lets a spec prove which Hadoop conf a
+  * filesystem resolution actually used.
+  */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+}
+
 class MatrixSourceSpec extends AnyFunSuite {
 
   private def writeGraph(dir: java.nio.file.Path, name: String,
@@ -123,6 +131,54 @@ class MatrixSourceSpec extends AnyFunSuite {
     val back = spark.read.format("graft-matrix").load(dir.toString)
       .collect().map(_.getString(0)).toSet
     assert(back == Set("G1"))
+  }
+
+  test("V2 write: a task failing mid-write aborts the job with no truncated or ghost files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_abort_")
+    // GBAD trips the writer's MaxN guard INSIDE flush() — i.e. after the
+    // task has already staged other work — so this exercises the real
+    // abort path: DataWriter.abort deletes the attempt's own temps,
+    // BatchWrite.abort deletes every staged temp from succeeded sibling
+    // tasks, and no rename ever ran (renames happen only at job commit)
+    val bad = Seq(("G1", 1L, 2L), ("G1", 2L, 1L), ("GBAD", 1L, 9999L))
+      .toDF("graph_id", "src", "dst").repartition(4)
+    intercept[Exception] {
+      bad.write.format("graft-matrix").mode("append").save(dir.toString)
+    }
+    val names = {
+      val listing = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(_.endsWith(".crc")).toSet
+      } finally listing.close()
+    }
+    assert(!names.exists(_.endsWith(".txt")),
+      s"aborted job must leave no final or truncated graph files, got $names")
+    assert(!names.exists(_.startsWith("_tmp_")),
+      s"aborted job must clean all staged temps, got $names")
+  }
+
+  test("executor-side reads resolve filesystems from the SESSION Hadoop conf") {
+    // Register a custom scheme ONLY via the session conf (the spark.hadoop.*
+    // channel), with FS caching off so every resolution re-reads the conf it
+    // was handed: if the scan's executor-side readFully used a fresh
+    // `new Configuration()` instead of the SerializableConfiguration captured
+    // from the driver, graftfs:// would fail with "No FileSystem for scheme".
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    hc.setBoolean("fs.graftfs.impl.disable.cache", true)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_conf_")
+      writeGraph(dir, "G1.txt", 2, Seq((1L, 2L), (2L, 2L)))
+      val out = spark.read.format("graft-matrix").load(s"graftfs://$dir")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set(("G1", 1L, 2L), ("G1", 2L, 2L)))
+    } finally {
+      hc.unset("fs.graftfs.impl")
+      hc.unset("fs.graftfs.impl.disable.cache")
+    }
   }
 
   test("roundtrip: codec-written file reads back identically through the source") {
