@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
+  /** State/serving-table existence through the Hadoop FileSystem API with
+    * the SESSION conf — NOT `java.io.File`, which is local-FS only: on an
+    * HDFS/S3 target an existing table would read as absent, the
+    * pruned-read/anti-join merge path would be skipped, and a dynamic
+    * overwrite would then drop unchanged sibling keys in touched buckets.
+    */
+  private def pathExists(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Child session with isolated SQLConf tuned for the STATEFUL replay
     * queries: fewer shuffle partitions, because each stateful operator
     * instantiates one state store PER partition PER micro-batch — a
@@ -349,7 +361,7 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val bs = batch.distinct().orderBy("h").limit(k)
         val merged =
-          if (!new java.io.File(state).exists()) bs
+          if (!pathExists(spark, state)) bs
           else spark.read.parquet(state).unionByName(bs)
             .distinct().orderBy("h").limit(k)
             // materialize BEFORE overwriting the file being read
@@ -411,7 +423,7 @@ object StreamOps {
         val bs = batch.agg(
           Sketches.count_min_agg(col("event_type"), depth, width).as("sk"))
         val merged =
-          if (!new java.io.File(state).exists()) bs
+          if (!pathExists(spark, state)) bs
           else spark.read.parquet(state).withColumnRenamed("sk", "sk0")
             .crossJoin(bs)
             .select(zip_with(col("sk0"), col("sk"), (a, b) => a + b).as("sk"))
@@ -464,7 +476,7 @@ object StreamOps {
     val touched = withB.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     val merged =
-      if (!new java.io.File(target).exists()) withB
+      if (!pathExists(spark, target)) withB
       else spark.read.parquet(target)
         // partition pruning: only changed buckets are read at all
         .filter(col("bucket").isin(touched: _*))
