@@ -1234,9 +1234,9 @@ object SparkEntry {
     "revenue_percentiles" -> ((s, dir) =>
       pipeline.Ranking.revenuePercentiles(t(s, dir, "orders"), k = 10)),
     // error bars at data scale: deterministic Poisson bootstrap CI for
-    // mean order value — per-(row, replica) weights from integer hash
-    // thresholds (no rand(), no floating point until the replica means),
-    // 64 replicas in one scan via scan-local explode + map-side combine
+    // mean order value — ONE md5 per row expanded to 64 replica weights
+    // through a 2-universal prime-field family (no rand(), no floating
+    // point until the replica means), scan-local explode + map-side combine
     "bootstrap_ci_mean" -> ((s, dir) =>
       pipeline.Bootstrap.poissonCiMean(
         t(s, dir, "orders").select(col("o_orderkey").cast("long").as("id"),
@@ -2933,21 +2933,28 @@ object SparkEntry {
     "bootstrap_ci_mean" ->
       """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-        |reps AS (SELECT id, cents, b FROM base, UNNEST(range(0, 64)) AS r(b)),
+        |hh AS (SELECT cents, h & 1073741823 AS h0, h >> 30 AS h1
+        |  FROM (SELECT cents,
+        |          CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |        FROM base) q0),
+        |consts AS (SELECT b,
+        |    1 + (CAST(('0x' || substr(md5('bca_' || b), 1, 15)) AS BIGINT) % 1073741788) AS a,
+        |    1 + (CAST(('0x' || substr(md5('bcc_' || b), 1, 15)) AS BIGINT) % 1073741788) AS c
+        |  FROM range(64) t(b)),
         |hw AS (SELECT b, cents,
-        |    CASE WHEN h < 424136118829305344 THEN 0
-        |         WHEN h < 848272237658610688 THEN 1
-        |         WHEN h < 1060340297073263360 THEN 2
-        |         WHEN h < 1131029650211480960 THEN 3
-        |         WHEN h < 1148701988496035328 THEN 4
-        |         WHEN h < 1152236456152946176 THEN 5
-        |         WHEN h < 1152825534095764608 THEN 6
-        |         WHEN h < 1152909688087595776 THEN 7
-        |         WHEN h < 1152920207336574720 THEN 8
+        |    CASE WHEN v < 395007529 THEN 0
+        |         WHEN v < 790015058 THEN 1
+        |         WHEN v < 987518823 THEN 2
+        |         WHEN v < 1053353411 THEN 3
+        |         WHEN v < 1069812058 THEN 4
+        |         WHEN v < 1073103787 THEN 5
+        |         WHEN v < 1073652409 THEN 6
+        |         WHEN v < 1073730784 THEN 7
+        |         WHEN v < 1073740580 THEN 8
         |         ELSE 9 END AS w
-        |  FROM (SELECT b, cents,
-        |          CAST(('0x' || substr(md5(concat_ws('_', id, b)), 1, 15)) AS BIGINT) AS h
-        |        FROM reps) q),
+        |  FROM (SELECT co.b AS b, cents,
+        |          (h0 * co.a + h1 * co.c + co.b) % 1073741789 AS v
+        |        FROM hh CROSS JOIN consts co) q),
         |m AS (SELECT b, CAST(sum(w * cents) AS BIGINT) AS swc,
         |             CAST(sum(w) AS BIGINT) AS sw FROM hw GROUP BY b),
         |mm AS (SELECT b, CAST(swc AS DOUBLE) / (CAST(sw AS DOUBLE) * 100.0) AS m FROM m),

@@ -16,4 +16,16 @@ object PortableHash {
     */
   def md5Bits60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Driver-side Scala twin of [[md5Bits60]] over a UTF-8 string — same
+    * bits as the Column form on the same text, and as DuckDB's
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`. For parameter-scale
+    * constant derivation (e.g. per-replica bootstrap coefficients) that
+    * both engines must re-derive identically.
+    */
+  def md5Bits60Of(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) >>> 4
+  }
 }

@@ -184,4 +184,17 @@ class FunctionsSpec extends AnyFunSuite {
     // '*(n)' marks operators inside a WholeStageCodegen stage
     assert(plan.contains("*(1) Project [vector_cosine"), plan)
   }
+
+  test("md5Bits60Of (driver Scala) matches md5Bits60 (Column) bit-for-bit") {
+    // the bootstrap's per-replica coefficients are derived driver-side with
+    // md5Bits60Of while the oracle re-derives them engine-side — any
+    // divergence between the twins silently breaks that parity
+    val samples = Seq("bca_0", "bca_63", "bcc_7", "", "42", "graft")
+    val viaColumn = samples.toDF("s")
+      .select(graft.functions.PortableHash.md5Bits60($"s"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaScala = samples.map(graft.functions.PortableHash.md5Bits60Of)
+    assert(viaColumn == viaScala)
+    assert(viaScala.forall(h => h >= 0L && h < (1L << 60)))
+  }
 }

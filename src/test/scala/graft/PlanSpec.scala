@@ -200,7 +200,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("bootstrap_ci_mean replica sums combine map-side (explode feeds a partial aggregate)") {
     val p = planOf("bootstrap_ci_mean")
-    assert(p.contains("Generate explode"), s"replica explode missing in:\n$p")
+    assert(p.contains("Generate posexplode"), s"replica explode missing in:\n$p")
     assert(p.contains("partial_sum"),
       s"replica sums not partially aggregated before the shuffle in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
