@@ -28,10 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Soak {
 
-  /** The slowest queries of the round-6 bench (BENCH_r06.json):
-    * round 5's ten plus wpagerank_top20, round 6's new slowest.
+  /** The slowest queries of the round-7 bench (BENCH_r07.json): the
+    * round-6 list plus round 7's five heavies (bootstrap, MIS, SCC,
+    * Katz, random walks — the new fixpoint/explode shapes whose scaling
+    * is exactly what a soak must witness).
     */
   val SlowQueries: Seq[String] = Seq(
+    "bootstrap_ci_mean", "graph_mis", "scc_components", "katz_top20",
+    "graph_random_walks",
     "wpagerank_top20", "subtree_sizes", "label_propagation",
     "stream_interval_join", "ngram_containment", "bfs_bipartite",
     "hits_top20", "pagerank_top20", "clustering_coeff", "link_prediction",
