@@ -452,10 +452,25 @@ object GraphOps {
     * checkpointed (the power-iteration discipline); the oracle unrolls
     * the L rounds as chained aggregated CTEs — per-LEVEL aggregation,
     * never walk enumeration, so the oracle scales with |V|, not walk
-    * multiplicity. Walk counts grow like (max degree)^L: L defaults
-    * small; at 100 TB move the numerator to DECIMAL(38,0) before 2^63.
+    * multiplicity. Walk counts grow like (max degree)^L, so the loop
+    * PROVES each level fits before computing it: next-level counts are
+    * bounded by max_count · max-in-degree, and the attenuated numerator
+    * by Σ maxC_l · 2^(L-l) — both tracked in BigInt driver-side (the
+    * per-round max is a one-row control-plane read off the checkpointed
+    * frontier). A too-deep run on a too-dense graph fails LOUD with the
+    * bound in the message instead of wrapping (non-ANSI) or throwing a
+    * bare ARITHMETIC_OVERFLOW mid-job (ANSI); past the guard, move the
+    * numerator to DECIMAL(38,0).
     * Output: (vertex, num, katz) top `k` by (num DESC, vertex).
     */
+  /** One Katz level (UNMATERIALIZED — the loop checkpoints): walk counts
+    * advance one step via ONE edge×frontier equi-join + ONE vertex-key
+    * aggregate. Factored out so PlanSpec pins the production level body.
+    */
+  private[graft] def katzLevel(e: DataFrame, x: DataFrame): DataFrame =
+    e.join(x.select(col("v").as("sv"), col("c")), col("src") === col("sv"))
+      .groupBy(col("dst").as("v")).agg(sum("c").as("c"))
+
   def katzCentrality(edges: DataFrame, rounds: Int = 4, k: Int = 20): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds=$rounds out of the exact-BIGINT regime")
     val e = edges.select(col("src").cast("long").as("src"),
@@ -464,13 +479,25 @@ object GraphOps {
     val verts = e.select(col("src").as("vertex"))
       .unionAll(e.select(col("dst").as("vertex"))).distinct()
       .localCheckpoint(true)
+    val maxInDeg = math.max(1L, e.groupBy("dst")
+      .agg(count(lit(1)).as("d")).agg(max("d")).collect()(0).getLong(0))
     var x = verts.select(col("vertex").as("v")).withColumn("c", lit(1L))
       .localCheckpoint(true)
     var acc: DataFrame = null
+    var maxC = 1L
+    var numBound = BigInt(0)
     for (l <- 1 to rounds) {
-      x = e.join(x.select(col("v").as("sv"), col("c")), col("src") === col("sv"))
-        .groupBy(col("dst").as("v")).agg(sum("c").as("c"))
-        .localCheckpoint(true)
+      require(BigInt(maxC) * maxInDeg <= Long.MaxValue,
+        s"katzCentrality: level-$l walk counts could reach " +
+          s"${BigInt(maxC) * maxInDeg} > 2^63-1; lower `rounds` or move " +
+          "the numerator to DECIMAL(38,0)")
+      x = katzLevel(e, x).localCheckpoint(true)
+      val mrow = x.agg(max("c")).collect()(0)
+      maxC = if (mrow.isNullAt(0)) 0L else mrow.getLong(0) // empty frontier: DAG deeper than its diameter
+      numBound += BigInt(maxC) * (1L << (rounds - l))
+      require(numBound <= Long.MaxValue,
+        s"katzCentrality: attenuated numerator bound $numBound exceeds " +
+          "BIGINT; lower `rounds` or move the numerator to DECIMAL(38,0)")
       val contrib = x.select(col("v"), (col("c") * lit(1L << (rounds - l))).as("contrib"))
       acc = if (acc == null) contrib else acc.unionAll(contrib)
     }
@@ -922,6 +949,31 @@ object GraphOps {
     *
     * Output: EVERY vertex with an `in_mis` 0/1 flag, totally ordered.
     */
+  /** One MIS round's winner derivation (UNMATERIALIZED — the loop
+    * checkpoints): v wins iff no UNDECIDED neighbor u has smaller
+    * priority (h, id). One blocked-join over the current edge set + one
+    * anti-join against the undecided set — no cartesian, no window.
+    * Factored out so PlanSpec pins the production round body.
+    */
+  private[graft] def misWinners(und: DataFrame, edges: DataFrame): DataFrame = {
+    val eh = edges
+      .join(und.select(col("v"), col("h").as("hv")), "v")
+      .join(und.select(col("v").as("u"), col("h").as("hu")), "u")
+    val blocked = eh.filter(col("hu") < col("hv") ||
+        (col("hu") === col("hv") && col("u") < col("v")))
+      .select("v").distinct()
+    und.join(blocked, Seq("v"), "left_anti").select("v")
+  }
+
+  /** Restrict the symmetric adjacency to edges whose BOTH endpoints are
+    * still undecided — two semi-joins, so the per-round edge set SHRINKS
+    * geometrically (the property that bounds MIS round cost).
+    */
+  private[graft] def misShrinkEdges(edges: DataFrame, und: DataFrame): DataFrame =
+    edges
+      .join(und.select("v"), Seq("v"), "left_semi")
+      .join(und.select(col("v").as("u")), Seq("u"), "left_semi")
+
   def maximalIndependentSet(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val spark = pairs.sparkSession
     val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
@@ -939,24 +991,14 @@ object GraphOps {
     var remaining = und.count()
     while (remaining > 0) {
       require(round < maxRounds, s"MIS did not converge in $maxRounds rounds")
-      // v is blocked iff some UNDECIDED neighbor u has smaller (h, id)
-      val eh = edges
-        .join(und.select(col("v"), col("h").as("hv")), "v")
-        .join(und.select(col("v").as("u"), col("h").as("hu")), "u")
-      val blocked = eh.filter(col("hu") < col("hv") ||
-          (col("hu") === col("hv") && col("u") < col("v")))
-        .select("v").distinct()
-      val winners = und.join(blocked, Seq("v"), "left_anti").select("v")
+      val winners = misWinners(und, edges)
         .localCheckpoint(true) // feeds the accumulator AND two joins below
       winnersAcc += winners
       val losers = edges.join(winners.select(col("v").as("u")), Seq("u"))
         .select("v").distinct()
       val decided = winners.unionAll(losers)
       und = und.join(decided, Seq("v"), "left_anti").localCheckpoint(true)
-      edges = edges
-        .join(und.select("v"), Seq("v"), "left_semi")
-        .join(und.select(col("v").as("u")), Seq("u"), "left_semi")
-        .localCheckpoint(true)
+      edges = misShrinkEdges(edges, und).localCheckpoint(true)
       remaining = und.count()
       round += 1
     }

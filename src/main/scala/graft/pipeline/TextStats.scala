@@ -495,12 +495,17 @@ object TextStats {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("n").as("pn"))
         .orderBy(col("pn").desc, col("l"), col("r"))
-        .limit(1).collect()(0)
-      val (l, r, pn) = (best.getString(0), best.getString(1), best.getLong(2))
+        .limit(1).collect()
+      require(best.nonEmpty, s"BPE round $step: corpus has no adjacent " +
+        "symbol pairs to merge (vocabulary is all single-symbol words)")
+      val (l, r, pn) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       rules += ((step.toLong, l, r, pn))
-      // symbols are corpus tokens ([a-z0-9]) — safe as SQL literals
+      // lit() keeps learned symbols out of SQL text — a token containing a
+      // quote or backslash merges correctly instead of breaking the parse
       vocab = vocab
-        .select(expr(s"replace(seq, '($l)($r)', '($l$r)')").as("seq"), col("n"))
+        .select(replace(col("seq"), lit(s"($l)($r)"), lit(s"($l$r)")).as("seq"),
+          col("n"))
         .localCheckpoint(true)
     }
     rules.toSeq.toDF("step", "l", "r", "pair_n").orderBy("step")

@@ -137,6 +137,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"rank-side join not broadcast at this scale in:\n$p")
   }
 
+  test("MIS round body: blocked-join + anti-join winners, semi-join edge shrink, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val p0 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val und = p0.select(col("a").as("v")).unionAll(p0.select(col("b").as("v")))
+      .distinct()
+      .withColumn("h", graft.functions.PortableHash.md5Bits60(
+        concat_ws("_", lit("mis"), col("v"))))
+      .localCheckpoint(true)
+    val edges = p0.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(p0.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint(true)
+    val pw = graph.GraphOps.misWinners(und, edges)
+      .queryExecution.executedPlan.toString
+    assert(pw.contains("LeftAnti"), s"winners not an anti-join against blocked in:\n$pw")
+    assert(!pw.contains("CartesianProduct") && !pw.contains("BroadcastNestedLoop"),
+      s"cartesian in the MIS blocked-join:\n$pw")
+    assert(!pw.contains("Window"), s"window in the MIS round body:\n$pw")
+    val pe = graph.GraphOps.misShrinkEdges(edges, und)
+      .queryExecution.executedPlan.toString
+    val semis = pe.linesIterator.count(_.contains("LeftSemi"))
+    assert(semis == 2, s"$semis semi-joins (want 2: one per endpoint) in:\n$pe")
+    assert(!pe.contains("CartesianProduct"), s"cartesian in the MIS edge shrink:\n$pe")
+  }
+
+  test("katz level body: ONE vertex-key shuffle per level, frontier join broadcast, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      .localCheckpoint(true)
+    val x = e.select(col("src").as("v")).distinct().withColumn("c", lit(1L))
+      .localCheckpoint(true)
+    val p = graph.GraphOps.katzLevel(e, x)
+      .queryExecution.executedPlan.toString
+    val keyShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(keyShuffles == 1, s"$keyShuffles hash shuffles (want exactly the dst aggregate) in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cartesian in the katz level join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"frontier join not broadcast at this scale in:\n$p")
+  }
+
   test("hourly_drawdown prefix-max is distributed (no window, no single-partition sort)") {
     val p = planOf("hourly_drawdown")
     // the running max is the two-pass per-partition-offsets scan, NEVER
