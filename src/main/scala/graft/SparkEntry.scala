@@ -1451,8 +1451,11 @@ object SparkEntry {
     // batch k-NN join: 16 queries answered by ONE broadcast-join scan
     "embedding_knn_join" -> ((s, dir) =>
       Similarity.knnJoin(t(s, dir, "embeddings"), maxQueryId = 16L, k = 5)),
+    // label partitions aren't learned clusters, so this needs a wider
+    // probe than the k-means IVF below: nprobe=4 of 10 labels = a 2.5×
+    // scan prune at measured recall 7/10 (RECALL.json; floor 6)
     "embedding_topk_ivf" -> ((s, dir) =>
-      Similarity.cosineTopKIvf(t(s, dir, "embeddings"), queryId = 0L, k = 10, nprobe = 2)),
+      Similarity.cosineTopKIvf(t(s, dir, "embeddings"), queryId = 0L, k = 10, nprobe = 4)),
     // IVF with a LEARNED coarse quantizer (distributed Lloyd's k-means)
     "embedding_topk_ivf_kmeans" -> ((s, dir) =>
       pipeline.KMeans.ivfTopK(t(s, dir, "embeddings"), queryId = 0L,

@@ -57,7 +57,7 @@ object Verify {
       def recall(df: org.apache.spark.sql.DataFrame): Int =
         df.collect().map(_.getLong(0)).toSet.intersect(truth).size
       val rLabel = recall(
-        pipeline.Similarity.cosineTopKIvf(emb, queryId = 0L, k = 10, nprobe = 2))
+        pipeline.Similarity.cosineTopKIvf(emb, queryId = 0L, k = 10, nprobe = 4))
       val rKmeans = recall(pipeline.KMeans.ivfTopK(emb, queryId = 0L,
         k = 10, nlist = 8, nprobe = 3, iters = 3))
       // PQ is oracle-EXACT (integer ADC), so correctness is gated by SQL;
@@ -68,7 +68,7 @@ object Verify {
       val rPq = recall(pipeline.Similarity.pqTopK(emb, queryId = 0L, k = 10))
       Files.writeString(Paths.get(s"$outDir/recall.json"),
         s"""{"k":10,"query_vec_id":0,"sf_dir":"$sfDir",""" +
-          s""""embedding_topk_ivf":{"recall_at_10":$rLabel,"floor":3,"nprobe":2},""" +
+          s""""embedding_topk_ivf":{"recall_at_10":$rLabel,"floor":6,"nprobe":4},""" +
           s""""embedding_topk_ivf_kmeans":{"recall_at_10":$rKmeans,"floor":8,"nlist":8,"nprobe":3},""" +
           s""""embedding_topk_pq":{"recall_at_10":$rPq,"oracle":"exact-sql","m":8,"n_centroids":16}}""")
     } catch { case e: Throwable =>

@@ -40,7 +40,7 @@ class PropertyOracleSpec extends AnyFunSuite {
     */
   test("embedding_topk_ivf: results are true-cosine consistent with brute force") {
     val full = bruteForce(500).toMap
-    val ivf = Similarity.cosineTopKIvf(emb, queryId = 0L, k = 10, nprobe = 2).collect()
+    val ivf = Similarity.cosineTopKIvf(emb, queryId = 0L, k = 10, nprobe = 4).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(ivf.length == 10)
     ivf.foreach { case (v, c) =>
@@ -48,11 +48,12 @@ class PropertyOracleSpec extends AnyFunSuite {
     }
     assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted.reverse.toSeq) // ranked desc
     // labels are RANDOM partitions in the testdata (not similarity
-    // clusters), so label-IVF pruning recall is weak by construction —
-    // measured deterministic value 3/10 at nprobe=2. The learned k-means
-    // quantizer below is the real IVF and clears >= 5/10.
+    // clusters) — the true top-10 spans 7 of the 10 labels — so label-IVF
+    // needs a wider probe than a learned quantizer: nprobe=4 measures
+    // 7/10 (still a 2.5× scan prune). The k-means quantizer below is the
+    // canonical IVF (9/10 at nprobe=3 of nlist=8).
     val recall = ivf.map(_._1).toSet.intersect(bruteForce(10).map(_._1).toSet).size
-    assert(recall >= 3, s"nprobe=2 recall@10 collapsed to $recall/10")
+    assert(recall >= 6, s"nprobe=4 recall@10 collapsed to $recall/10 (measured 7, floor 6)")
   }
 
   test("embedding_topk_ivf_kmeans: results are true-cosine consistent with brute force") {
