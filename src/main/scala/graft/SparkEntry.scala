@@ -868,6 +868,232 @@ object SparkEntry {
           (sum("bal_cents").cast("double") / 100.0).as("total_bal"))
         .orderBy("nationkey")
     }),
+    // TPC-H Q2 shape: each part's CHEAPEST supplier in one region — the
+    // correlated-MIN decomposed as per-(part, supplier) aggregate →
+    // per-part min → equality join back, with a min(suppkey) tiebreak.
+    // The region restriction prunes the supplier dim BEFORE the
+    // broadcast; every compare is exact BIGINT cents — no FP flip can
+    // pick a different winner cross-engine.
+    "min_cost_part_supplier" -> ((s, dir) => {
+      val sup = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val cost = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"))
+        .join(sup, col("l_suppkey") === sup("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum("c").as("cost_cents"))
+      val minCost = cost.groupBy(col("l_partkey").as("pk"))
+        .agg(min("cost_cents").as("min_cents"))
+      cost.join(minCost,
+          col("l_partkey") === col("pk") && col("cost_cents") === col("min_cents"))
+        .groupBy(col("l_partkey").cast("long").as("partkey"))
+        .agg(min(col("l_suppkey").cast("long")).as("suppkey"),
+          min("min_cents").as("cost_cents"))
+        .orderBy("partkey")
+    }),
+    // TPC-H Q8 shape: market share per order-year — among orders by
+    // ASIA-region customers, the revenue fraction supplied from INSIDE
+    // the region. Numerator and denominator come from ONE conditional
+    // aggregate pass over the join (no second scan); both are exact
+    // BIGINT ten-thousandths, and the share is their single bit-identical
+    // IEEE division — shipped unrounded, no rounding contract.
+    "regional_market_share" -> ((s, dir) => {
+      val asiaN = broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey")))
+      val cn = broadcast(t(s, dir, "customer")
+        .join(asiaN, col("c_nationkey") === asiaN("n_nationkey"), "left_semi")
+        .select(col("c_custkey")))
+      val snAsia = broadcast(t(s, dir, "supplier")
+        .join(asiaN, col("s_nationkey") === asiaN("n_nationkey"), "left_semi")
+        .select(col("s_suppkey").as("asia_sk")))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .join(cn, col("o_custkey") === cn("c_custkey"), "left_semi")
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(10000))
+          .cast("long").as("rev_c4"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(snAsia, col("l_suppkey") === col("asia_sk"), "left_outer")
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("asia_sk").isNotNull, col("rev_c4")).otherwise(0L))
+            .as("local_c4"),
+          sum("rev_c4").as("total_c4"))
+        .select(col("o_year"),
+          (col("local_c4").cast("double") / col("total_c4").cast("double"))
+            .as("local_share"),
+          (col("total_c4").cast("double") / 10000.0).as("total_rev"))
+        .orderBy("o_year")
+    }),
+    // TPC-H Q9 shape: profit per supplier nation per order-year — revenue
+    // minus retail cost of goods (p_retailprice × quantity standing in
+    // for ps_supplycost). The part cost rides a broadcast as exact
+    // cents; profit sums are BIGINT ten-thousandths with ONE final
+    // division. The only wide shuffle is orders↔lineitem; part, supplier
+    // and nation are all broadcast dims.
+    "nation_profit_yearly" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part").select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("retail_cents")))
+      val sn = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val n = broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(10000))
+          .cast("long").as("rev_c4"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg((sum(col("rev_c4") - col("retail_cents") * col("qty") * lit(100L))
+          .cast("double") / 10000.0).as("profit"))
+        .orderBy(col("nation"), col("o_year"))
+    }),
+    // TPC-H Q10 shape: the quarter's top customers by RETURNED revenue —
+    // returnflag filter pushed into the lineitem scan, date filter into
+    // the orders scan, customer and nation broadcast AFTER the aggregate
+    // (only 20 survivors reach the dims... logically; Spark broadcasts
+    // pre-limit but the dim is small either way). Ordering is on the
+    // exact BIGINT revenue, division happens once at ship-out.
+    "returned_revenue_customers" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(10000))
+            .cast("long").as("rev_c4"))
+      val c = broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum("rev_c4").as("ret_c4"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_custkey").cast("long").as("custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("nationkey"),
+          (col("ret_c4").cast("double") / 10000.0).as("returned_rev"),
+          col("ret_c4"))
+        .orderBy(col("ret_c4").desc, col("custkey"))
+        .limit(20)
+        .drop("ret_c4")
+    }),
+    // TPC-H Q12 shape: shipping-lag classes × order-priority counts —
+    // the two-way conditional aggregate (high/low priority per lag
+    // class) in ONE pass over the order↔lineitem join. Lag classes from
+    // exact day arithmetic; counts exact BIGINT.
+    "shiplag_priority_counts" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(
+          when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAY"), "FAST")
+            .when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAY"), "NORMAL")
+            .otherwise("SLOW").as("lag_class"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_high"))
+        .groupBy("lag_class")
+        .agg(sum(when(col("is_high"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("is_high"), 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("lag_class")
+    }),
+    // TPC-H Q15 shape: the quarter's TOP revenue supplier(s) — the
+    // per-supplier aggregate materialized ONCE (localCheckpoint) feeds
+    // both the one-row max and the equality filter, so the fact scans
+    // once (the Q11 discipline with max instead of a threshold). The
+    // winner test is exact-BIGINT equality: no FP tie hazard.
+    "top_quarter_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(10000))
+            .cast("long").as("rev_c4"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum("rev_c4").as("total_c4"))
+        .localCheckpoint(true)
+      val top = rev.agg(max("total_c4").as("max_c4"))
+      val sup = broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_c4") === col("max_c4"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_suppkey").cast("long").as("suppkey"), col("s_name"),
+          (col("total_c4").cast("double") / 10000.0).as("total_rev"))
+        .orderBy("suppkey")
+    }),
+    // TPC-H Q19 shape: disjunctive multi-attribute predicates — three
+    // (brand × size-band × quantity-band) conjunctions OR-ed together.
+    // The part attributes ride a broadcast; the OR-of-ANDs filter runs
+    // AFTER the key join (it spans both tables so neither scan can
+    // evaluate it alone, the Q19 lesson); revenue exact c4.
+    "disjunctive_band_revenue" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(10000))
+            .cast("long").as("rev_c4"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#7" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg((sum("rev_c4").cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).cast("long").as("n_items"))
+    }),
+    // TPC-H Q20 shape: "excess" suppliers of PROMO parts — the
+    // nested-semi-join chain with two RELATIVE thresholds (scale-free:
+    // no magic absolute constants that stop selecting at 10× data). A
+    // supplier DOMINATES a part when its shipped quantity exceeds 2× the
+    // per-supplier mean for that part (exact cross-multiplied integers:
+    // sq·ns > 2·tot); winners dominate more than 2× the mean number of
+    // parts. Shape: per-(part, supplier) agg → per-part totals broadcast
+    // → dominance filter → per-supplier count vs one-row mean → semi-join
+    // into the supplier dim, nation broadcast. Every compare is BIGINT.
+    "excess_share_suppliers" -> ((s, dir) => {
+      val promo = broadcast(t(s, dir, "part")
+        .filter(col("p_type") === "PROMO").select(col("p_partkey")))
+      val qty = t(s, dir, "lineitem")
+        .join(promo, col("l_partkey") === promo("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val perPs = qty.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum("qty").as("sq")).localCheckpoint(true)
+      val perPart = perPs.groupBy(col("l_partkey").as("pk"))
+        .agg(sum("sq").as("tot"), count(lit(1)).as("ns"))
+      val dom = perPs.join(broadcast(perPart), col("l_partkey") === col("pk"))
+        .filter(col("sq") * col("ns") > lit(2L) * col("tot"))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_dom"))
+        .localCheckpoint(true)
+      val st = dom.agg(sum("n_dom").as("s_dom"), count(lit(1)).as("n_sup"))
+      val winners = dom.crossJoin(broadcast(st))
+        .filter(col("n_dom") * col("n_sup") > lit(2L) * col("s_dom"))
+        .select(col("l_suppkey"))
+      val n = broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+      t(s, dir, "supplier")
+        .join(winners, col("s_suppkey") === winners("l_suppkey"), "left_semi")
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").cast("long").as("suppkey"), col("s_name"),
+          col("n_name").as("nation"))
+        .orderBy("suppkey")
+    }),
     "rollup_orders" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
@@ -2836,6 +3062,120 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-08-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "min_cost_part_supplier" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_cents
+        |  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM sup)
+        |  GROUP BY 1, 2),
+        |mn AS (SELECT l_partkey AS pk, min(cost_cents) AS min_cents FROM cost GROUP BY 1)
+        |SELECT CAST(l_partkey AS BIGINT) AS partkey,
+        |  CAST(min(l_suppkey) AS BIGINT) AS suppkey,
+        |  CAST(min(min_cents) AS BIGINT) AS cost_cents
+        |FROM cost JOIN mn ON l_partkey = pk AND cost_cents = min_cents
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "regional_market_share" ->
+      """WITH asia AS (
+        |  SELECT n_nationkey FROM nation JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |j AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev_c4,
+        |    CASE WHEN s_nationkey IN (SELECT n_nationkey FROM asia) THEN 1 ELSE 0 END AS is_local
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                      WHERE c_nationkey IN (SELECT n_nationkey FROM asia)))
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN is_local = 1 THEN rev_c4 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(rev_c4) AS DOUBLE) AS local_share,
+        |  CAST(SUM(rev_c4) AS DOUBLE) / 10000.0 AS total_rev
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "nation_profit_yearly" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+        |         - CAST(round(p_retailprice * 100) AS BIGINT)
+        |           * CAST(l_quantity AS BIGINT) * 100) AS DOUBLE) / 10000.0 AS profit
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "returned_revenue_customers" ->
+      """WITH agg AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+        |         AS BIGINT) AS ret_c4
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY 1)
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, c_name,
+        |  CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(ret_c4 AS DOUBLE) / 10000.0 AS returned_rev
+        |FROM agg JOIN customer ON c_custkey = o_custkey
+        |ORDER BY ret_c4 DESC, custkey LIMIT 20""".stripMargin,
+    "shiplag_priority_counts" ->
+      """SELECT
+        |  CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'FAST'
+        |       WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY THEN 'NORMAL'
+        |       ELSE 'SLOW' END AS lag_class,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "top_quarter_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+        |         AS BIGINT) AS total_c4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT CAST(l_suppkey AS BIGINT) AS suppkey, s_name,
+        |  CAST(total_c4 AS DOUBLE) / 10000.0 AS total_rev
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_c4 = (SELECT max(total_c4) FROM rev)
+        |ORDER BY suppkey""".stripMargin,
+    "disjunctive_band_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+        |       AS DOUBLE) / 10000.0 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "excess_share_suppliers" ->
+      """WITH qty AS (
+        |  SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey AS pk, CAST(SUM(sq) AS BIGINT) AS tot,
+        |               CAST(count(*) AS BIGINT) AS ns FROM qty GROUP BY 1),
+        |dom AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_dom
+        |        FROM qty JOIN tot ON l_partkey = pk WHERE sq * ns > 2 * tot
+        |        GROUP BY 1),
+        |st AS (SELECT CAST(SUM(n_dom) AS BIGINT) AS s_dom,
+        |              CAST(count(*) AS BIGINT) AS n_sup FROM dom),
+        |winners AS (SELECT l_suppkey FROM dom, st WHERE n_dom * n_sup > 2 * s_dom)
+        |SELECT CAST(s_suppkey AS BIGINT) AS suppkey, s_name, n_name AS nation
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM winners)
+        |ORDER BY suppkey""".stripMargin,
     "rollup_orders" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
