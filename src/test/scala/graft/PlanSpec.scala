@@ -303,4 +303,65 @@ class PlanSpec extends AnyFunSuite {
     val factScans = p.linesIterator.count(_.contains("lineitem.parquet"))
     assert(factScans == 1, s"$factScans lineitem scans (conditional agg should need 1) in:\n$p")
   }
+
+  test("min_cost_part_supplier: region-pruned supplier semi-join rides a broadcast") {
+    val p = planOf("min_cost_part_supplier")
+    assert(p.contains("LeftSemi"), s"supplier restriction not a semi join in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"pruned supplier set not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+  }
+
+  test("regional_market_share: numerator and denominator from ONE lineitem pass") {
+    val p = planOf("regional_market_share")
+    val factScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(factScans == 1, s"$factScans lineitem scans (conditional agg should need 1) in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"region-pruned dims not broadcast in:\n$p")
+  }
+
+  test("nation_profit_yearly broadcasts part, supplier and nation dims") {
+    val p = planOf("nation_profit_yearly")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"only $bhj broadcast joins (part+supplier+nation should broadcast) in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+  }
+
+  test("returned_revenue_customers pushes returnflag and date filters into the scans, top-20 is TakeOrdered") {
+    val p = planOf("returned_revenue_customers")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag filter not pushed in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"order-date filter not pushed in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered in:\n$p")
+  }
+
+  test("shiplag_priority_counts: both class counts from ONE pass over the join") {
+    val p = planOf("shiplag_priority_counts")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      s"lineitem rescanned in:\n$p")
+    assert(p.linesIterator.count(_.contains("orders.parquet")) == 1,
+      s"orders rescanned in:\n$p")
+  }
+
+  test("top_quarter_supplier scans the fact once (checkpointed aggregate feeds max AND filter)") {
+    val p = planOf("top_quarter_supplier")
+    assert(!p.contains("lineitem.parquet"),
+      s"lineitem rescanned — the per-supplier aggregate should be materialized once in:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"aggregate not checkpoint-materialized in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim not broadcast in:\n$p")
+  }
+
+  test("disjunctive_band_revenue: part attributes ride a broadcast, no cartesian") {
+    val p = planOf("disjunctive_band_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+  }
+
+  test("excess_share_suppliers: winner pick is a semi join over the checkpointed dominance agg") {
+    // the promo-prune semi join and per-part broadcast live BEHIND the
+    // localCheckpoint (materialized once); the served plan reads the
+    // checkpointed dominance counts and semi-joins the supplier dim
+    val p = planOf("excess_share_suppliers")
+    assert(p.contains("LeftSemi"), s"winner pick not a semi join in:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"dominance agg not checkpoint-materialized in:\n$p")
+    assert(!p.contains("lineitem.parquet"), s"fact rescanned past the checkpoint in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+  }
 }
