@@ -424,6 +424,28 @@ object SparkEntry {
           round(col("a"), 4).as("auth"))
         .orderBy(col("auth").desc, col("hub").desc, col("vertex"))
         .limit(20)),
+    // sampled-source betweenness (Brandes dependency accumulation from 4
+    // md5-drawn supplier sources, depth ≤ 4) over the symmetrized
+    // part–supplier graph — exact betweenness is O(V·E), DOA at 100 TB;
+    // source sampling is the published estimator (Bader et al. 2007) and
+    // the sample is portable md5-argmin, so the oracle draws the SAME
+    // sources. δ sums are all-positive doubles (no cancellation): 3-dp
+    // rounding both sides absorbs summation-order jitter, ordering is on
+    // the ROUNDED value + vertex tiebreak (pagerank convention).
+    "betweenness_top50" -> ((s, dir) => {
+      val srcs = t(s, dir, "supplier")
+        .select((lit(DerivedGraphs.SupplierBase) + col("s_suppkey"))
+            .cast("long").as("s"),
+          graft.functions.PortableHash.md5Bits60(
+            concat_ws("_", lit("btw"), col("s_suppkey"))).as("h"))
+        .orderBy("h", "s").limit(4).select("s")
+      GraphOps.betweennessSampled(
+          GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
+          srcs, maxDepth = 4)
+        .select(col("vertex"), round(col("bc"), 3).as("bc"))
+        .orderBy(col("bc").desc, col("vertex"))
+        .limit(50)
+    }),
     // bounded k-core peeling (3 rounds, k=30) over the symmetrized
     // part–supplier graph — the bounded-iteration contract of sssp_bounded
     // applied to coreness; real peeling at sf0.01 (~23% of vertices drop)
@@ -2086,6 +2108,55 @@ object SparkEntry {
        |FROM l3 ORDER BY vertex""".stripMargin
   }
 
+  /** Brandes betweenness from 4 md5-drawn sources, unrolled: forward
+    * levels f1..f4 (σ as exact BIGINT sums, first-discovery enforced by
+    * per-earlier-level NOT EXISTS — DuckDB recursive CTEs can't
+    * re-aggregate, same constraint as the PageRank oracle), then backward
+    * dependency b3..b1 with the deepest level seeding δ = 0. δ terms are
+    * all positive, so engine divergence is summation-order ulp jitter —
+    * absorbed by the shared 3-dp rounding contract.
+    */
+  private val betweennessSql: String = {
+    val maxDepth = 4
+    val fwd = (1 to maxDepth).map { i =>
+      val guards = (0 until i).map(j =>
+        s"NOT EXISTS (SELECT 1 FROM f$j p$j WHERE p$j.s = f${i - 1}.s AND p$j.v = e.dst)")
+        .mkString("\n|    AND ")
+      s"""f$i AS MATERIALIZED (
+         |  SELECT f${i - 1}.s AS s, e.dst AS v,
+         |    CAST(sum(f${i - 1}.sigma) AS BIGINT) AS sigma
+         |  FROM f${i - 1} JOIN e0 e ON e.src = f${i - 1}.v
+         |  WHERE $guards
+         |  GROUP BY f${i - 1}.s, e.dst)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (maxDepth - 1 to 1 by -1).map { i =>
+      s"""b$i AS MATERIALIZED (
+         |  SELECT f$i.s AS s, f$i.v AS v, f$i.sigma AS sigma,
+         |    coalesce(sum(CAST(f$i.sigma AS DOUBLE) / CAST(c.sigma AS DOUBLE)
+         |      * (1.0 + c.delta)), 0.0) AS delta
+         |  FROM f$i
+         |  LEFT JOIN e0 e ON e.src = f$i.v
+         |  LEFT JOIN b${i + 1} c ON c.s = f$i.s AND c.v = e.dst
+         |  GROUP BY f$i.s, f$i.v, f$i.sigma)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to maxDepth).map(i => s"SELECT v, delta FROM b$i")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH $partSuppSymSql,
+       |sv AS (SELECT CAST(1000000000 + s_suppkey AS BIGINT) AS v,
+       |  CAST(('0x' || substr(md5('btw_' || CAST(s_suppkey AS VARCHAR)), 1, 15))
+       |    AS BIGINT) AS h
+       |  FROM supplier),
+       |srcs AS (SELECT v FROM sv ORDER BY h, v LIMIT 4),
+       |f0 AS (SELECT v AS s, v, CAST(1 AS BIGINT) AS sigma FROM srcs),
+       |$fwd,
+       |b$maxDepth AS (SELECT s, v, sigma, CAST(0.0 AS DOUBLE) AS delta FROM f$maxDepth),
+       |$bwd,
+       |alld AS ($union),
+       |bcv AS (SELECT v, sum(delta) AS bc FROM alld GROUP BY v)
+       |SELECT CAST(v AS BIGINT) AS vertex, CAST(round(bc, 3) AS DOUBLE) AS bc
+       |FROM bcv ORDER BY round(bc, 3) DESC, v LIMIT 50""".stripMargin
+  }
+
   /** Weighted-PageRank rounds unrolled (the [[graft.graph.GraphOps
     * .weightedPageRank]] recurrence exactly; reset written `(1.0 - 0.15)`
     * so both engines constant-fold the identical IEEE subtraction).
@@ -2673,6 +2744,7 @@ object SparkEntry {
          |FROM m WHERE sl > 0""".stripMargin,
     "ppr_top20" -> pprSql,
     "hits_top20" -> hitsSql,
+    "betweenness_top50" -> betweennessSql,
     "sssp_bounded" ->
       """WITH RECURSIVE pe AS (
         |  SELECT l_partkey AS p, l_suppkey AS s, CAST(floor(min(l_quantity)) AS BIGINT) AS w

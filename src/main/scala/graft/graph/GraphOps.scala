@@ -227,6 +227,100 @@ object GraphOps {
     }.orderBy("level", "vertex")
   }
 
+  /** Sampled-source betweenness centrality — Brandes' dependency
+    * accumulation (Brandes 2001) from a deterministic source sample,
+    * depth-bounded; the standard scalable estimator (exact betweenness is
+    * O(V·E) — a non-starter at 100 TB; sampling k sources is the published
+    * approximation, Bader et al. 2007).
+    *
+    * Definition computed: for each source s in `sources`, the directed
+    * Brandes dependency δ_s(v) over shortest paths of length ≤ `maxDepth`
+    * from s, summed over sources. No ÷2 undirected correction is applied —
+    * callers with symmetric edges get the directed-dependency sum, the
+    * quantity the oracle replays.
+    *
+    * Dataflow (multi-source, level-synchronous — the [[bfsLevelsMulti]]
+    * batching shape):
+    *  - Forward: per level ONE (s,v)-keyed aggregate computes σ (shortest-
+    *    path counts, exact BIGINT — ANSI mode makes a σ overflow on a
+    *    pathological dense graph fail loud, the Katz discipline) and an
+    *    anti-join against the visited set enforces "first discovery only".
+    *  - Backward: from the deepest level up, δ(v) = Σ_children σ_v/σ_w ·
+    *    (1+δ_w) — one equi-join + one (s,v)-keyed aggregate per level.
+    * Every level is localCheckpoint'ed (flat lineage); the frontier is
+    * broadcast-sized relative to edges so AQE broadcast-joins it.
+    *
+    * Output: `(vertex BIGINT, bc DOUBLE)` — RAW doubles; δ sums are
+    * positive (no cancellation) so cross-engine drift is last-ulp
+    * summation-order jitter — callers ship a rounded value.
+    */
+  def betweennessSampled(edges: DataFrame, sources: DataFrame,
+                         maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    ownedGraphResult(spark) {
+      val e = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // forward: levels(l) = (s, v, sigma) for vertices first reached at l
+        val levels = scala.collection.mutable.ArrayBuffer(
+          sources.select(col("s").cast("long").as("s"))
+            .withColumn("v", col("s")).withColumn("sigma", lit(1L))
+            .localCheckpoint(true))
+        var frontier = levels.head
+        var visited = frontier.select("s", "v")
+        var depth = 0
+        var done = false
+        while (!done && depth < maxDepth) {
+          val next = frontier.join(e, col("v") === col("src"))
+            .select(col("s"), col("dst").as("nv"), col("sigma"))
+            .groupBy(col("s"), col("nv")).agg(sum("sigma").as("sigma"))
+            .select(col("s"), col("nv").as("v"), col("sigma"))
+            .join(visited, Seq("s", "v"), "left_anti")
+            .localCheckpoint(true)
+          if (next.isEmpty) done = true
+          else {
+            levels += next
+            frontier = next
+            visited = visited.unionAll(next.select("s", "v"))
+            depth += 1
+          }
+        }
+        if (levels.length < 2)
+          levels.head.select(col("v").as("vertex"), lit(0.0).as("bc")).limit(0)
+        else {
+          // backward: deepest level seeds delta = 0 and IS part of the output
+          // (its vertices carry zero dependency — the oracle's row set too)
+          val acc = scala.collection.mutable.ArrayBuffer[DataFrame]()
+          var childd = levels.last.withColumn("delta", lit(0.0))
+            .localCheckpoint(true)
+          acc += childd
+          for (l <- levels.length - 2 to 1 by -1) {
+            val child = childd.select(col("s").as("cs"), col("v").as("cv"),
+              col("sigma").as("csigma"), col("delta").as("cdelta"))
+            val cur = levels(l)
+            val contrib = cur.join(e, col("v") === col("src"))
+              .select(col("s"), col("v"), col("sigma"), col("dst"))
+              .join(child, col("s") === col("cs") && col("dst") === col("cv"))
+              .select(col("s"), col("v"),
+                (col("sigma").cast("double") / col("csigma").cast("double") *
+                  (lit(1.0) + col("cdelta"))).as("c"))
+              .groupBy("s", "v").agg(sum("c").as("delta"))
+            val dl = cur.join(contrib, Seq("s", "v"), "left_outer")
+              .select(col("s"), col("v"), col("sigma"),
+                coalesce(col("delta"), lit(0.0)).as("delta"))
+              .localCheckpoint(true)
+            acc += dl
+            childd = dl
+          }
+          acc.reduce(_ unionAll _)
+            .groupBy(col("v").as("vertex"))
+            .agg(sum("delta").as("bc"))
+        }
+      } finally { e.unpersist() }
+    }
+  }
+
   /** Both-direction view of an edge table — idempotent whether the input
     * stores one direction or both.
     *

@@ -568,6 +568,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Seq((3L, 6L, 1.5), (1L, 4L, 1.0), (2L, 3L, 0.75)))
   }
 
+  test("betweennessSampled: hand-traced Brandes dependencies on a path and a star") {
+    import spark.implicits._
+    // path 1—2—3, all three vertices as sources, depth 2:
+    //   s=1: δ(2)=σ2/σ3·(1+0)=1   s=3: δ(2)=1   s=2: δ(1)=δ(3)=0
+    // ⇒ bc = {1:0, 2:2, 3:0}; every vertex reached at level ≥ 1 appears
+    val path = undirected((1, 2), (2, 3))
+    val all3 = Seq(1L, 2L, 3L).toDF("s")
+    val got = GraphOps.betweennessSampled(path, all3, maxDepth = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 2.0, 3L -> 0.0))
+    // star center 9 with leaves 5,6,7, single source 5, depth 2:
+    //   δ(9) = (1+δ(6)) + (1+δ(7)) = 2; leaves 6,7 carry 0
+    val star = undirected((5, 9), (6, 9), (7, 9))
+    val from5 = Seq(5L).toDF("s")
+    val gotStar = GraphOps.betweennessSampled(star, from5, maxDepth = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(gotStar == Map(9L -> 2.0, 6L -> 0.0, 7L -> 0.0))
+    // depth cap 1: no vertex has a child level, all dependencies are 0
+    val capped = GraphOps.betweennessSampled(star, from5, maxDepth = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(capped == Map(9L -> 0.0))
+  }
+
   test("randomWalks: dead ends stop walks; runs are reproducible; every step follows an edge") {
     import spark.implicits._
     val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
