@@ -475,6 +475,34 @@ object TextStats {
   def bpeMerges(documents: DataFrame, rounds: Int = 5): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    bpeTrain(documents, rounds)._1.toDF("step", "l", "r", "pair_n")
+      .orderBy("step")
+  }
+
+  /** BPE ENCODING applied corpus-wide: train `rounds` merges
+    * ([[bpeMerges]]' loop), then count the resulting tokens. Because the
+    * merges already operate on the counted word vocabulary, "encode the
+    * corpus" costs ONE more explode over the final vocab weighted by word
+    * count — the corpus text is never touched again (at 100 TB the vocab
+    * is millions of rows where the corpus is trillions of tokens).
+    * Output: the `k` most frequent post-merge tokens, `(token, cnt)`,
+    * count-desc with lexicographic tiebreak — exact BIGINT counts.
+    */
+  def bpeTokenFrequencies(documents: DataFrame, rounds: Int = 5,
+                          k: Int = 30): DataFrame = {
+    val vocab = bpeTrain(documents, rounds)._2
+    vocab
+      .select(explode(split(expr("substring(seq, 2, length(seq) - 2)"),
+        "\\)\\(")).as("token"), col("n"))
+      .groupBy("token").agg(sum("n").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+  }
+
+  /** Shared BPE training loop: returns (merge rules, final encoded word
+    * vocabulary `(seq, n)` with all `rounds` merges applied).
+    */
+  private def bpeTrain(documents: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     var vocab = documents
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).cast("long").as("n"))
@@ -508,7 +536,7 @@ object TextStats {
           col("n"))
         .localCheckpoint(true)
     }
-    rules.toSeq.toDF("step", "l", "r", "pair_n").orderBy("step")
+    (rules.toSeq, vocab)
   }
 
   /** Count-min-sketch term frequencies: build ONE d×w sketch over every
