@@ -2453,6 +2453,100 @@ object SparkEntry {
       |    CAST(coalesce(a.lo, 0) AS BIGINT) AS phash_lo
       |  FROM m LEFT JOIN agg a USING (media_id))""".stripMargin
 
+  /** Label-IVF DuckDB replay: the probe set is a pure function of the data
+    * (per-label mean centroid, ranked by cosine against the query vector,
+    * ties by label), so the oracle re-derives it in SQL and brute-forces
+    * the exact cosine over ONLY the nprobe probed labels — the same
+    * replay trick as `betweenness_top50`. Probe ranking is FP (engine
+    * sums differ in the last ulp) but the measured 4th→5th label margin
+    * is 0.027 (sf0.01) / 0.065 (sf0.1), eleven orders above ulp noise.
+    */
+  private def ivfLabelSql(nprobe: Int, k: Int): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cent AS (
+       |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+       |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+       |  GROUP BY label, i),
+       |cc AS (
+       |  SELECT c.label, SUM(c.m * CAST(q.qe[c.i] AS DOUBLE)) AS dot,
+       |         sqrt(SUM(c.m * c.m)) AS na,
+       |         sqrt(SUM(CAST(q.qe[c.i] AS DOUBLE) ** 2)) AS nb
+       |  FROM cent c, q GROUP BY c.label),
+       |probe AS (SELECT label FROM cc
+       |  ORDER BY dot / (na * nb) DESC, label LIMIT $nprobe),
+       |sims AS (
+       |  SELECT e.vec_id,
+       |         SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+       |         sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) ** 2)) AS na,
+       |         sqrt(SUM(CAST(q.qe[i] AS DOUBLE) ** 2)) AS nb
+       |  FROM embeddings e JOIN probe p ON e.label = p.label, q,
+       |       UNNEST(range(1, 65)) AS u(i)
+       |  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
+       |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
+
+  /** K-means-IVF DuckDB replay: every step of [[pipeline.KMeans]] is a
+    * deterministic relational fixpoint — seeds = the nlist smallest
+    * vec_ids, assignment = L2 argmin with cluster-id tiebreak, update =
+    * per-cluster per-dim mean — so `iters` Lloyd rounds unroll to CTE
+    * chains (the `kcore_fixpoint` template), then the probe (top-nprobe
+    * clusters by squared L2 to the query, ties by cluster) and the exact
+    * cosine over probed clusters replay [[pipeline.KMeans.ivfTopK]].
+    * Argmin margins are FP-robust: min best-vs-2nd gap per round ≥ 6.7e-6
+    * (sf0.01) / 1.4e-5 (sf0.1), probe 3rd→4th gap ≥ 9.5e-3 — far above
+    * cross-engine ulp drift in the summed distances.
+    */
+  private def ivfKmeansUnrolledSql(iters: Int, nlist: Int, nprobe: Int, k: Int): String = {
+    // iters assignment/update rounds + one final assignment (round iters+1),
+    // mirroring KMeans.fit (loop) + the eager final assign.
+    val last = iters + 1
+    val rounds = (1 to last).map { n =>
+      val upd =
+        if (n < last)
+          s""",
+             |c$n AS (
+             |  SELECT a.cluster, u.i, avg(CAST(e.embedding[u.i] AS DOUBLE)) AS m
+             |  FROM a$n a JOIN e USING (vec_id), UNNEST(range(1, 65)) AS u(i)
+             |  GROUP BY a.cluster, u.i)""".stripMargin
+        else ""
+      s"""d$n AS (
+         |  SELECT e.vec_id, c.cluster,
+         |         SUM((CAST(e.embedding[c.i] AS DOUBLE) - c.m) ** 2) AS dist
+         |  FROM e, c${n - 1} c GROUP BY e.vec_id, c.cluster),
+         |a$n AS (SELECT vec_id, (array_agg(cluster ORDER BY dist, cluster))[1] AS cluster
+         |  FROM d$n GROUP BY vec_id)$upd""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+       |c0 AS (
+       |  SELECT r.cluster, u.i, CAST(r.embedding[u.i] AS DOUBLE) AS m
+       |  FROM (SELECT vec_id, embedding,
+       |               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+       |        FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT $nlist)) r,
+       |       UNNEST(range(1, 65)) AS u(i)),
+       |$rounds,
+       |c$last AS (
+       |  SELECT a.cluster, u.i, avg(CAST(e.embedding[u.i] AS DOUBLE)) AS m
+       |  FROM a$last a JOIN e USING (vec_id), UNNEST(range(1, 65)) AS u(i)
+       |  GROUP BY a.cluster, u.i),
+       |probe AS (
+       |  SELECT c.cluster FROM c$last c, q
+       |  GROUP BY c.cluster
+       |  ORDER BY SUM((CAST(q.qe[c.i] AS DOUBLE) - c.m) ** 2), c.cluster LIMIT $nprobe),
+       |sims AS (
+       |  SELECT e.vec_id,
+       |         SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+       |         sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) ** 2)) AS na,
+       |         sqrt(SUM(CAST(q.qe[i] AS DOUBLE) ** 2)) AS nb
+       |  FROM e JOIN a$last USING (vec_id) JOIN probe USING (cluster), q,
+       |       UNNEST(range(1, 65)) AS u(i)
+       |  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
+       |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "bm25_top_docs" ->
       s"""$bm25ScoredSql
@@ -3891,6 +3985,9 @@ object SparkEntry {
         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
         |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT 10""".stripMargin,
+    "embedding_topk_ivf" -> ivfLabelSql(nprobe = 4, k = 10),
+    "embedding_topk_ivf_kmeans" ->
+      ivfKmeansUnrolledSql(iters = 3, nlist = 8, nprobe = 3, k = 10),
     "embedding_quantized_topk" ->
       """WITH stats AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
         |    max(CAST(embedding[i] AS DOUBLE)) AS mx

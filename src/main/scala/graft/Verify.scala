@@ -45,12 +45,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // ANN approximation contract as an AUDITABLE ARTIFACT: the two IVF
-    // searches are the only declared queries without a SQL oracle
-    // (approximate recall is not a relation); their floors live in
-    // PropertyOracleSpec assertions. Surface the measured recall@10 here —
-    // same parameters as the declared queries — so the contract is
-    // re-measured and inspectable every round, not only inside sbt test.
-    if (only.isEmpty) try {
+    // searches are correctness-gated by deterministic DuckDB replay
+    // oracles (probe set re-derived in SQL), but they remain APPROXIMATE
+    // vs the exact scan — recall@10 against brute-force truth is the
+    // quality contract, floored in PropertyOracleSpec. Re-measure it
+    // whenever the IVF queries are dumped and write through to the
+    // repo-root RECALL.json so the artifact can never go stale.
+    if (only.forall(_.exists(_.startsWith("embedding_topk_ivf")))) try {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val truth = pipeline.Similarity.cosineTopK(emb, queryId = 0L, k = 10)
         .collect().map(_.getLong(0)).toSet
@@ -66,11 +67,16 @@ object Verify {
       // (16 random anchors, L2-vs-cosine objective), same regime as
       // label-IVF's 3/10.
       val rPq = recall(pipeline.Similarity.pqTopK(emb, queryId = 0L, k = 10))
-      Files.writeString(Paths.get(s"$outDir/recall.json"),
+      val recallJson =
         s"""{"k":10,"query_vec_id":0,"sf_dir":"$sfDir",""" +
           s""""embedding_topk_ivf":{"recall_at_10":$rLabel,"floor":6,"nprobe":4},""" +
           s""""embedding_topk_ivf_kmeans":{"recall_at_10":$rKmeans,"floor":8,"nlist":8,"nprobe":3},""" +
-          s""""embedding_topk_pq":{"recall_at_10":$rPq,"oracle":"exact-sql","m":8,"n_centroids":16}}""")
+          s""""embedding_topk_pq":{"recall_at_10":$rPq,"oracle":"exact-sql","m":8,"n_centroids":16}}"""
+      Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
+      // keep the committed artifact in lockstep with the measurement
+      // (Verify runs from the repo root; skip silently elsewhere)
+      val repoRecall = Paths.get("RECALL.json")
+      if (Files.exists(repoRecall)) Files.writeString(repoRecall, recallJson)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] recall artifact failed: ${e.getMessage}")
     }

@@ -72,7 +72,7 @@ object Similarity {
     val best = cent
       .select(col("label"),
         (dot(col("centroid"), qd) / (norm(col("centroid")) * norm(qd))).as("cc"))
-      .orderBy(col("cc").desc).limit(nprobe).select("label")
+      .orderBy(col("cc").desc, col("label")).limit(nprobe).select("label")
     embeddings.join(broadcast(best), "label")
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id").cast("long"),
