@@ -3442,7 +3442,8 @@ object SparkEntry {
     "bootstrap_ci_mean" ->
       """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-        |hh AS (SELECT cents, h & 1073741823 AS h0, h >> 30 AS h1
+        |hh AS (SELECT cents, (h & 1073741823) % 1073741789 AS h0,
+        |    (h >> 30) % 1073741789 AS h1
         |  FROM (SELECT cents,
         |          CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         |        FROM base) q0),

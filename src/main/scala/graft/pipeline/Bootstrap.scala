@@ -67,11 +67,15 @@ object Bootstrap {
     // tagged replica indices, so the oracle replays the derivation in SQL
     val aC = (0 until b).map(j => 1L + PortableHash.md5Bits60Of(s"bca_$j") % (P - 1))
     val cC = (0 until b).map(j => 1L + PortableHash.md5Bits60Of(s"bcc_$j") % (P - 1))
+    // the 30-bit slices are reduced mod P so (h0, h1) are true Z_p field
+    // elements — P is just below 2^30, so without the reduction the 35
+    // top residues would alias and the family would only be approximately
+    // 2-universal
     val hashed = df.select(col("cents"),
         PortableHash.md5Bits60(col("id").cast("string")).as("h"))
       .select(col("cents"),
-        col("h").bitwiseAND(lit((1L << 30) - 1)).as("h0"),
-        shiftright(col("h"), 30).as("h1"))
+        (col("h").bitwiseAND(lit((1L << 30) - 1)) % lit(P)).as("h0"),
+        (shiftright(col("h"), 30) % lit(P)).as("h1"))
     // one md5 per ROW above; B field draws per row here — cheap int ops
     val vCols = (0 until b).map { j =>
       (col("h0") * lit(aC(j)) + col("h1") * lit(cC(j)) + lit(j.toLong)) % lit(P)
