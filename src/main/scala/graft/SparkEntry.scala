@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.graph.{DerivedGraphs, GraphCatalog, GraphOps}
 import graft.model.MatrixCodec
 import graft.multimodal.Media
-import graft.pipeline.{Dedup, Events, Similarity, TextStats}
+import graft.pipeline.{Dedup, Events, IvfParams, Similarity, TextStats}
 
 /** Driver contract — one named query per implemented operator
   * (SURVEY.md §2 Table A + the LLM-pipeline extensions), each with a
@@ -1703,11 +1703,15 @@ object SparkEntry {
     // probe than the k-means IVF below: nprobe=4 of 10 labels = a 2.5×
     // scan prune at measured recall 7/10 (RECALL.json; floor 6)
     "embedding_topk_ivf" -> ((s, dir) =>
-      Similarity.cosineTopKIvf(t(s, dir, "embeddings"), queryId = 0L, k = 10, nprobe = 4)),
+      Similarity.cosineTopKIvf(t(s, dir, "embeddings"),
+        queryId = IvfParams.QueryVecId, k = IvfParams.K,
+        nprobe = IvfParams.Label.Nprobe)),
     // IVF with a LEARNED coarse quantizer (distributed Lloyd's k-means)
     "embedding_topk_ivf_kmeans" -> ((s, dir) =>
-      pipeline.KMeans.ivfTopK(t(s, dir, "embeddings"), queryId = 0L,
-        k = 10, nlist = 8, nprobe = 3, iters = 3)),
+      pipeline.KMeans.ivfTopK(t(s, dir, "embeddings"),
+        queryId = IvfParams.QueryVecId, k = IvfParams.K,
+        nlist = IvfParams.Kmeans.Nlist, nprobe = IvfParams.Kmeans.Nprobe,
+        iters = IvfParams.Kmeans.Iters)),
     // int8 scalar-quantized top-k: per-dim [min,max] codebook (parameter-
     // scale collect), integer dot product — exact BIGINT, oracle-equal
     "embedding_quantized_topk" -> ((s, dir) =>
@@ -2462,10 +2466,11 @@ object SparkEntry {
     * is 0.027 (sf0.01) / 0.065 (sf0.1), eleven orders above ulp noise.
     */
   private def ivfLabelSql(nprobe: Int, k: Int): String =
-    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+       |  WHERE vec_id = ${IvfParams.QueryVecId}),
        |cent AS (
        |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
-       |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+       |  FROM embeddings, UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i)
        |  GROUP BY label, i),
        |cc AS (
        |  SELECT c.label, SUM(c.m * CAST(q.qe[c.i] AS DOUBLE)) AS dot,
@@ -2480,8 +2485,8 @@ object SparkEntry {
        |         sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) ** 2)) AS na,
        |         sqrt(SUM(CAST(q.qe[i] AS DOUBLE) ** 2)) AS nb
        |  FROM embeddings e JOIN probe p ON e.label = p.label, q,
-       |       UNNEST(range(1, 65)) AS u(i)
-       |  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+       |       UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i)
+       |  WHERE e.vec_id <> ${IvfParams.QueryVecId} GROUP BY e.vec_id)
        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
        |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
@@ -2507,7 +2512,8 @@ object SparkEntry {
           s""",
              |c$n AS (
              |  SELECT a.cluster, u.i, avg(CAST(e.embedding[u.i] AS DOUBLE)) AS m
-             |  FROM a$n a JOIN e USING (vec_id), UNNEST(range(1, 65)) AS u(i)
+             |  FROM a$n a JOIN e USING (vec_id),
+             |       UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i)
              |  GROUP BY a.cluster, u.i)""".stripMargin
         else ""
       s"""d$n AS (
@@ -2517,18 +2523,20 @@ object SparkEntry {
          |a$n AS (SELECT vec_id, (array_agg(cluster ORDER BY dist, cluster))[1] AS cluster
          |  FROM d$n GROUP BY vec_id)$upd""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+       |  WHERE vec_id = ${IvfParams.QueryVecId}),
        |e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
        |c0 AS (
        |  SELECT r.cluster, u.i, CAST(r.embedding[u.i] AS DOUBLE) AS m
        |  FROM (SELECT vec_id, embedding,
        |               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
        |        FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT $nlist)) r,
-       |       UNNEST(range(1, 65)) AS u(i)),
+       |       UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i)),
        |$rounds,
        |c$last AS (
        |  SELECT a.cluster, u.i, avg(CAST(e.embedding[u.i] AS DOUBLE)) AS m
-       |  FROM a$last a JOIN e USING (vec_id), UNNEST(range(1, 65)) AS u(i)
+       |  FROM a$last a JOIN e USING (vec_id),
+       |       UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i)
        |  GROUP BY a.cluster, u.i),
        |probe AS (
        |  SELECT c.cluster FROM c$last c, q
@@ -2540,8 +2548,8 @@ object SparkEntry {
        |         sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) ** 2)) AS na,
        |         sqrt(SUM(CAST(q.qe[i] AS DOUBLE) ** 2)) AS nb
        |  FROM e JOIN a$last USING (vec_id) JOIN probe USING (cluster), q,
-       |       UNNEST(range(1, 65)) AS u(i)
-       |  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+       |       UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i)
+       |  WHERE e.vec_id <> ${IvfParams.QueryVecId} GROUP BY e.vec_id)
        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
        |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
@@ -3986,9 +3994,12 @@ object SparkEntry {
         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
         |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT 10""".stripMargin,
-    "embedding_topk_ivf" -> ivfLabelSql(nprobe = 4, k = 10),
+    "embedding_topk_ivf" ->
+      ivfLabelSql(nprobe = IvfParams.Label.Nprobe, k = IvfParams.K),
     "embedding_topk_ivf_kmeans" ->
-      ivfKmeansUnrolledSql(iters = 3, nlist = 8, nprobe = 3, k = 10),
+      ivfKmeansUnrolledSql(iters = IvfParams.Kmeans.Iters,
+        nlist = IvfParams.Kmeans.Nlist, nprobe = IvfParams.Kmeans.Nprobe,
+        k = IvfParams.K),
     "embedding_quantized_topk" ->
       """WITH stats AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
         |    max(CAST(embedding[i] AS DOUBLE)) AS mx

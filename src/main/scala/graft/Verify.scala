@@ -52,31 +52,47 @@ object Verify {
     // whenever the IVF queries are dumped and write through to the
     // repo-root RECALL.json so the artifact can never go stale.
     if (only.forall(_.exists(_.startsWith("embedding_topk_ivf")))) try {
+      import pipeline.IvfParams
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val truth = pipeline.Similarity.cosineTopK(emb, queryId = 0L, k = 10)
+      val truth = pipeline.Similarity.cosineTopK(emb,
+        queryId = IvfParams.QueryVecId, k = IvfParams.K)
         .collect().map(_.getLong(0)).toSet
       def recall(df: org.apache.spark.sql.DataFrame): Int =
         df.collect().map(_.getLong(0)).toSet.intersect(truth).size
-      val rLabel = recall(
-        pipeline.Similarity.cosineTopKIvf(emb, queryId = 0L, k = 10, nprobe = 4))
-      val rKmeans = recall(pipeline.KMeans.ivfTopK(emb, queryId = 0L,
-        k = 10, nlist = 8, nprobe = 3, iters = 3))
+      val rLabel = recall(pipeline.Similarity.cosineTopKIvf(emb,
+        queryId = IvfParams.QueryVecId, k = IvfParams.K,
+        nprobe = IvfParams.Label.Nprobe))
+      val rKmeans = recall(pipeline.KMeans.ivfTopK(emb,
+        queryId = IvfParams.QueryVecId, k = IvfParams.K,
+        nlist = IvfParams.Kmeans.Nlist, nprobe = IvfParams.Kmeans.Nprobe,
+        iters = IvfParams.Kmeans.Iters))
       // PQ is oracle-EXACT (integer ADC), so correctness is gated by SQL;
       // this line audits its approximation QUALITY vs float cosine truth —
       // low on this unclustered random-vector testdata by construction
       // (16 random anchors, L2-vs-cosine objective), same regime as
       // label-IVF's 3/10.
-      val rPq = recall(pipeline.Similarity.pqTopK(emb, queryId = 0L, k = 10))
+      val rPq = recall(pipeline.Similarity.pqTopK(emb,
+        queryId = IvfParams.QueryVecId, k = IvfParams.K))
       val recallJson =
-        s"""{"k":10,"query_vec_id":0,"sf_dir":"$sfDir",""" +
-          s""""embedding_topk_ivf":{"recall_at_10":$rLabel,"floor":6,"nprobe":4},""" +
-          s""""embedding_topk_ivf_kmeans":{"recall_at_10":$rKmeans,"floor":8,"nlist":8,"nprobe":3},""" +
-          s""""embedding_topk_pq":{"recall_at_10":$rPq,"oracle":"exact-sql","m":8,"n_centroids":16}}"""
+        s"""{"k":${IvfParams.K},"query_vec_id":${IvfParams.QueryVecId},"sf_dir":"$sfDir",""" +
+          s""""embedding_topk_ivf":{"recall_at_10":$rLabel,""" +
+          s""""floor":${IvfParams.Label.RecallFloor},"nprobe":${IvfParams.Label.Nprobe}},""" +
+          s""""embedding_topk_ivf_kmeans":{"recall_at_10":$rKmeans,""" +
+          s""""floor":${IvfParams.Kmeans.RecallFloor},"nlist":${IvfParams.Kmeans.Nlist},""" +
+          s""""nprobe":${IvfParams.Kmeans.Nprobe}},""" +
+          s""""embedding_topk_pq":{"recall_at_10":$rPq,"oracle":"exact-sql",""" +
+          s""""m":${IvfParams.Pq.M},"n_centroids":${IvfParams.Pq.NCentroids}}}"""
       Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
-      // keep the committed artifact in lockstep with the measurement
-      // (Verify runs from the repo root; skip silently elsewhere)
+      // keep the committed artifact in lockstep with the measurement —
+      // but ONLY for the canonical scale the floors describe (sf0.01, the
+      // driver's verify scale): a Verify run against sf0.1 from the repo
+      // root must not overwrite the committed sf0.01 record (the floors
+      // and measured values are scale-specific). Runs from other cwds
+      // skip silently (no repo-root RECALL.json present).
       val repoRecall = Paths.get("RECALL.json")
-      if (Files.exists(repoRecall)) Files.writeString(repoRecall, recallJson)
+      if (Files.exists(repoRecall) &&
+          sfDir.stripSuffix("/").endsWith("sf0.01"))
+        Files.writeString(repoRecall, recallJson)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] recall artifact failed: ${e.getMessage}")
     }
