@@ -30,6 +30,16 @@ object IvfParams {
       * similarity clusters — see RECALL.json). */
     val MeasuredRecall = 7
     val RecallFloor = 6
+    /** Floor on the centroid-cosine gap between the Nprobe-th and
+      * (Nprobe+1)-th ranked label. The DuckDB replay oracle re-derives
+      * the probe set with its own FP sums, so the oracle only stays
+      * hash-stable while this margin dwarfs cross-engine ulp drift
+      * (~1e-12 on a 64-term double sum). Measured 0.027 (sf0.01) /
+      * 0.065 (sf0.1); a testdata regeneration that collapses it below
+      * this floor fails PropertyOracleSpec loudly instead of making
+      * CORRECTNESS flaky.
+      */
+    val ProbeMarginFloor = 1e-3
   }
 
   /** K-means IVF (learned coarse quantizer, distributed Lloyd's). */
@@ -40,6 +50,18 @@ object IvfParams {
     /** Measured 9/10 on sf0.01 (RECALL.json). */
     val MeasuredRecall = 9
     val RecallFloor = 8
+    /** Floor on the smallest best-vs-second L2 argmin gap across all
+      * vectors and all Lloyd rounds (assignment rounds 1..Iters+1). The
+      * unrolled DuckDB oracle replays every assignment with its own FP
+      * sums; one flipped argmin reshapes every later round. Measured
+      * min gap 6.7e-6 (sf0.01) / 1.4e-5 (sf0.1) vs ~1e-12 ulp drift.
+      */
+    val ArgminMarginFloor = 1e-6
+    /** Floor on the query-to-centroid squared-L2 gap between the
+      * Nprobe-th and (Nprobe+1)-th ranked cluster of the final
+      * centroids. Measured 9.5e-3 (sf0.01).
+      */
+    val ProbeMarginFloor = 1e-3
   }
 
   /** Product quantization (oracle-exact integer ADC; recall is audited,

@@ -2,14 +2,23 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, KMeans, Similarity}
+import graft.pipeline.{Dedup, IvfParams, KMeans, Similarity}
 import SparkTestSession._
 
 /** Property oracles for the declared queries DuckDB cannot replay
-  * (Spark-specific xxhash64, pruning heuristics): the invariants the
-  * driver's rows-only check can't see, verified in-Spark on the real
-  * testdata. These are the "oracle" halves of simhash_pairs,
+  * structurally (Spark-specific xxhash64, pruning heuristics): the
+  * invariants the driver's rows-only check can't see, verified in-Spark
+  * on the real testdata. These are the "oracle" halves of simhash_pairs,
   * embedding_topk_ivf and embedding_topk_ivf_kmeans.
+  *
+  * The two IVF queries additionally carry DuckDB replay oracles
+  * (SparkEntry.oracleSql) that re-derive the probe set with DuckDB's own
+  * FP sums. Those replays are only hash-stable while every ranking
+  * decision (probe selection, per-round L2 argmin) sits far above
+  * cross-engine ulp drift, so the margin tests below measure the actual
+  * best-vs-second gaps on the live testdata and fail loudly if a
+  * regeneration ever collapses one below its [[IvfParams]] floor —
+  * instead of CORRECTNESS going silently flaky.
   */
 class PropertyOracleSpec extends AnyFunSuite {
   import spark.implicits._
@@ -31,7 +40,7 @@ class PropertyOracleSpec extends AnyFunSuite {
   }
 
   private def bruteForce(k: Int): Seq[(Long, Double)] =
-    Similarity.cosineTopK(emb, queryId = 0L, k = k).collect()
+    Similarity.cosineTopK(emb, queryId = IvfParams.QueryVecId, k = k).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
   /** IVF property: every returned neighbor carries its TRUE cosine (same
@@ -40,9 +49,10 @@ class PropertyOracleSpec extends AnyFunSuite {
     */
   test("embedding_topk_ivf: results are true-cosine consistent with brute force") {
     val full = bruteForce(500).toMap
-    val ivf = Similarity.cosineTopKIvf(emb, queryId = 0L, k = 10, nprobe = 4).collect()
+    val ivf = Similarity.cosineTopKIvf(emb, queryId = IvfParams.QueryVecId,
+      k = IvfParams.K, nprobe = IvfParams.Label.Nprobe).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
-    assert(ivf.length == 10)
+    assert(ivf.length == IvfParams.K)
     ivf.foreach { case (v, c) =>
       assert(full.contains(v) && full(v) == c, s"vec $v cosine $c diverges from brute force")
     }
@@ -52,15 +62,19 @@ class PropertyOracleSpec extends AnyFunSuite {
     // needs a wider probe than a learned quantizer: nprobe=4 measures
     // 7/10 (still a 2.5× scan prune). The k-means quantizer below is the
     // canonical IVF (9/10 at nprobe=3 of nlist=8).
-    val recall = ivf.map(_._1).toSet.intersect(bruteForce(10).map(_._1).toSet).size
-    assert(recall >= 6, s"nprobe=4 recall@10 collapsed to $recall/10 (measured 7, floor 6)")
+    val recall = ivf.map(_._1).toSet.intersect(bruteForce(IvfParams.K).map(_._1).toSet).size
+    assert(recall >= IvfParams.Label.RecallFloor,
+      s"nprobe=${IvfParams.Label.Nprobe} recall@10 collapsed to $recall/10 " +
+        s"(measured ${IvfParams.Label.MeasuredRecall}, floor ${IvfParams.Label.RecallFloor})")
   }
 
   test("embedding_topk_ivf_kmeans: results are true-cosine consistent with brute force") {
     val full = bruteForce(500).toMap
-    val ivf = KMeans.ivfTopK(emb, queryId = 0L, k = 10, nlist = 8, nprobe = 3, iters = 3)
+    val ivf = KMeans.ivfTopK(emb, queryId = IvfParams.QueryVecId, k = IvfParams.K,
+      nlist = IvfParams.Kmeans.Nlist, nprobe = IvfParams.Kmeans.Nprobe,
+      iters = IvfParams.Kmeans.Iters)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    assert(ivf.length == 10)
+    assert(ivf.length == IvfParams.K)
     ivf.foreach { case (v, c) =>
       assert(full.contains(v) && full(v) == c, s"vec $v cosine $c diverges from brute force")
     }
@@ -68,7 +82,102 @@ class PropertyOracleSpec extends AnyFunSuite {
     // measured deterministic value 9/10 (RECALL.json) — floor 8 so a
     // silent recall regression (e.g. a quantizer or seeding change
     // dropping it to 6) FAILS CI instead of passing under a slack floor
-    val recall = ivf.map(_._1).toSet.intersect(bruteForce(10).map(_._1).toSet).size
-    assert(recall >= 8, s"nprobe=3/nlist=8 recall@10 collapsed to $recall/10 (measured 9, floor 8)")
+    val recall = ivf.map(_._1).toSet.intersect(bruteForce(IvfParams.K).map(_._1).toSet).size
+    assert(recall >= IvfParams.Kmeans.RecallFloor,
+      s"nprobe=${IvfParams.Kmeans.Nprobe}/nlist=${IvfParams.Kmeans.Nlist} recall@10 " +
+        s"collapsed to $recall/10 (measured ${IvfParams.Kmeans.MeasuredRecall}, " +
+        s"floor ${IvfParams.Kmeans.RecallFloor})")
+  }
+
+  // ---- FP-margin guards for the DuckDB replay oracles -------------------
+  //
+  // Driver-side double-precision replication of the deterministic
+  // pipelines (sf0.01 embeddings fit trivially on the driver). Summation
+  // order differs from both engines by at most ~1e-12 on 64-term sums,
+  // five-plus orders below every floor, so a margin measured here bounds
+  // the cross-engine one.
+
+  /** (vec_id, label, embedding as double) collected once. */
+  private lazy val rawVecs: Array[(Long, Long, Array[Double])] =
+    emb.select(col("vec_id").cast("long"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+
+  private lazy val queryVec: Array[Double] =
+    rawVecs.find(_._1 == IvfParams.QueryVecId).get._3
+
+  private def meanVec(vs: Iterable[Array[Double]]): Array[Double] = {
+    val d = vs.head.length
+    val m = new Array[Double](d)
+    vs.foreach(v => (0 until d).foreach(i => m(i) += v(i)))
+    (0 until d).foreach(i => m(i) /= vs.size)
+    m
+  }
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def sqL2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    a.indices.foreach { i => val d = a(i) - b(i); s += d * d }
+    s
+  }
+
+  test("label-IVF probe margin: nprobe-th vs next label cosine gap above floor") {
+    val cents = rawVecs.groupBy(_._2).view.mapValues(g => meanVec(g.map(_._3))).toMap
+    val ranked = cents.toSeq
+      .map { case (label, c) => (label, cosine(c, queryVec)) }
+      .sortBy { case (label, cc) => (-cc, label) }
+    assert(ranked.size > IvfParams.Label.Nprobe, "testdata has too few labels to probe-prune")
+    val margin = ranked(IvfParams.Label.Nprobe - 1)._2 - ranked(IvfParams.Label.Nprobe)._2
+    assert(margin >= IvfParams.Label.ProbeMarginFloor,
+      f"label probe margin collapsed to $margin%.3g " +
+        f"(floor ${IvfParams.Label.ProbeMarginFloor}%.0e, measured 0.027 on sf0.01): " +
+        "the DuckDB replay oracle for embedding_topk_ivf is no longer ulp-safe")
+  }
+
+  test("k-means-IVF margins: per-round argmin gaps and probe gap above floors") {
+    import IvfParams.Kmeans._
+    // seeds = the Nlist smallest vec_ids (KMeans.seedCentroids)
+    var centroids: Seq[(Long, Array[Double])] =
+      rawVecs.sortBy(_._1).take(Nlist).zipWithIndex
+        .map { case ((_, _, e), i) => (i.toLong, e) }.toSeq
+    var minGap = Double.MaxValue
+    var assigned: Array[(Long, Array[Double], Long)] = null
+    // rounds 1..Iters update centroids; round Iters+1 is the final assign
+    // (KMeans.fit: `iters` update loops + one eager final assignment)
+    (1 to Iters + 1).foreach { _ =>
+      assigned = rawVecs.map { case (id, _, e) =>
+        val byDist = centroids
+          .map { case (c, m) => (c, sqL2(e, m)) }
+          .sortBy { case (c, d) => (d, c) }
+        if (byDist.size > 1) {
+          val gap = byDist(1)._2 - byDist.head._2
+          if (gap < minGap) minGap = gap
+        }
+        (id, e, byDist.head._1)
+      }
+      centroids = assigned.groupBy(_._3).view
+        .mapValues(g => meanVec(g.map(_._2))).toSeq
+        .sortBy(_._1).map { case (c, m) => (c, m) }
+    }
+    assert(minGap >= ArgminMarginFloor,
+      f"min best-vs-second L2 argmin gap collapsed to $minGap%.3g " +
+        f"(floor $ArgminMarginFloor%.0e, measured 6.7e-6 on sf0.01): " +
+        "the unrolled Lloyd oracle for embedding_topk_ivf_kmeans is no longer ulp-safe")
+    // probe = top-Nprobe clusters of the FINAL-assignment centroids by
+    // squared L2 to the query (KMeans.ivfTopK re-derives centroidsOf(fitted))
+    val ranked = centroids
+      .map { case (c, m) => (c, sqL2(queryVec, m)) }
+      .sortBy { case (c, d) => (d, c) }
+    assert(ranked.size > Nprobe, "final quantizer collapsed below nprobe clusters")
+    val probeGap = ranked(Nprobe)._2 - ranked(Nprobe - 1)._2
+    assert(probeGap >= ProbeMarginFloor,
+      f"k-means probe margin collapsed to $probeGap%.3g " +
+        f"(floor $ProbeMarginFloor%.0e, measured 9.5e-3 on sf0.01): " +
+        "the probe selection in the replay oracle is no longer ulp-safe")
   }
 }
