@@ -254,6 +254,43 @@ object GraphOps {
     * positive (no cancellation) so cross-engine drift is last-ulp
     * summation-order jitter — callers ship a rounded value.
     */
+  /** One forward Brandes level (UNMATERIALIZED — the loop checkpoints):
+    * the frontier advances one step via ONE edge equi-join, σ accumulates
+    * in ONE (s,v)-keyed aggregate, and the anti-join against the visited
+    * set enforces "first discovery only". Factored out so PlanSpec pins
+    * the production level body (the [[katzLevel]] discipline).
+    */
+  private[graft] def brandesForwardLevel(e: DataFrame, frontier: DataFrame,
+                                         visited: DataFrame): DataFrame =
+    frontier.join(e, col("v") === col("src"))
+      .select(col("s"), col("dst").as("nv"), col("sigma"))
+      .groupBy(col("s"), col("nv")).agg(sum("sigma").as("sigma"))
+      .select(col("s"), col("nv").as("v"), col("sigma"))
+      .join(visited, Seq("s", "v"), "left_anti")
+
+  /** One backward Brandes level (UNMATERIALIZED): dependency flows up one
+    * level — δ(v) = Σ_children σ_v/σ_w · (1+δ_w) — via ONE edge equi-join,
+    * ONE (s,child)-keyed equi-join, and ONE (s,v)-keyed aggregate,
+    * left-outer-coalesced back onto the level's vertices (vertices with no
+    * child on a shortest path carry δ = 0). Factored out so PlanSpec pins
+    * the production level body.
+    */
+  private[graft] def brandesBackwardLevel(e: DataFrame, cur: DataFrame,
+                                          childd: DataFrame): DataFrame = {
+    val child = childd.select(col("s").as("cs"), col("v").as("cv"),
+      col("sigma").as("csigma"), col("delta").as("cdelta"))
+    val contrib = cur.join(e, col("v") === col("src"))
+      .select(col("s"), col("v"), col("sigma"), col("dst"))
+      .join(child, col("s") === col("cs") && col("dst") === col("cv"))
+      .select(col("s"), col("v"),
+        (col("sigma").cast("double") / col("csigma").cast("double") *
+          (lit(1.0) + col("cdelta"))).as("c"))
+      .groupBy("s", "v").agg(sum("c").as("delta"))
+    cur.join(contrib, Seq("s", "v"), "left_outer")
+      .select(col("s"), col("v"), col("sigma"),
+        coalesce(col("delta"), lit(0.0)).as("delta"))
+  }
+
   def betweennessSampled(edges: DataFrame, sources: DataFrame,
                          maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
@@ -272,11 +309,7 @@ object GraphOps {
         var depth = 0
         var done = false
         while (!done && depth < maxDepth) {
-          val next = frontier.join(e, col("v") === col("src"))
-            .select(col("s"), col("dst").as("nv"), col("sigma"))
-            .groupBy(col("s"), col("nv")).agg(sum("sigma").as("sigma"))
-            .select(col("s"), col("nv").as("v"), col("sigma"))
-            .join(visited, Seq("s", "v"), "left_anti")
+          val next = brandesForwardLevel(e, frontier, visited)
             .localCheckpoint(true)
           if (next.isEmpty) done = true
           else {
@@ -296,19 +329,7 @@ object GraphOps {
             .localCheckpoint(true)
           acc += childd
           for (l <- levels.length - 2 to 1 by -1) {
-            val child = childd.select(col("s").as("cs"), col("v").as("cv"),
-              col("sigma").as("csigma"), col("delta").as("cdelta"))
-            val cur = levels(l)
-            val contrib = cur.join(e, col("v") === col("src"))
-              .select(col("s"), col("v"), col("sigma"), col("dst"))
-              .join(child, col("s") === col("cs") && col("dst") === col("cv"))
-              .select(col("s"), col("v"),
-                (col("sigma").cast("double") / col("csigma").cast("double") *
-                  (lit(1.0) + col("cdelta"))).as("c"))
-              .groupBy("s", "v").agg(sum("c").as("delta"))
-            val dl = cur.join(contrib, Seq("s", "v"), "left_outer")
-              .select(col("s"), col("v"), col("sigma"),
-                coalesce(col("delta"), lit(0.0)).as("delta"))
+            val dl = brandesBackwardLevel(e, levels(l), childd)
               .localCheckpoint(true)
             acc += dl
             childd = dl

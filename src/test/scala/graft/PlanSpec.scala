@@ -180,6 +180,50 @@ class PlanSpec extends AnyFunSuite {
       s"frontier join not broadcast at this scale in:\n$p")
   }
 
+  test("brandes forward level: one (s,v) sigma aggregate + visited anti-join, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      .localCheckpoint(true)
+    val frontier = e.select(col("src").as("s")).distinct()
+      .withColumn("v", col("s")).withColumn("sigma", lit(1L))
+      .localCheckpoint(true)
+    val visited = frontier.select("s", "v").localCheckpoint(true)
+    val p = graph.GraphOps.brandesForwardLevel(e, frontier, visited)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"),
+      s"first-discovery-only not an anti-join against visited in:\n$p")
+    val keyShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles == 1,
+      s"$keyShuffles hash shuffles (want exactly the (s,v) sigma aggregate) in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cartesian in the forward level join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"frontier/visited joins not broadcast at this scale in:\n$p")
+    assert(!p.contains("Window"), s"window in the forward level body:\n$p")
+  }
+
+  test("brandes backward level: one equi-join chain + one (s,v) delta aggregate, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      .localCheckpoint(true)
+    val cur = e.select(col("src").as("s")).distinct()
+      .withColumn("v", col("s")).withColumn("sigma", lit(1L))
+      .localCheckpoint(true)
+    val childd = cur.withColumn("delta", lit(0.0)).localCheckpoint(true)
+    val p = graph.GraphOps.brandesBackwardLevel(e, cur, childd)
+      .queryExecution.executedPlan.toString
+    val keyShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles == 1,
+      s"$keyShuffles hash shuffles (want exactly the (s,v) delta aggregate) in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cartesian in the backward level joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"child/contrib joins not broadcast at this scale in:\n$p")
+    assert(!p.contains("Window"), s"window in the backward level body:\n$p")
+  }
+
   test("hourly_drawdown prefix-max is distributed (no window, no single-partition sort)") {
     val p = planOf("hourly_drawdown")
     // the running max is the two-pass per-partition-offsets scan, NEVER
