@@ -84,4 +84,68 @@ class ServeSpec extends AnyFunSuite {
     assert(bySeq(15L).head._2 == "error")
     assert(bySeq(15L).head._3.contains("matrix payload"))
   }
+
+  /** The reference's shipped client script, replayed through the STREAMING
+    * serve path (not just SessionScript/the parser): three adds, a modify,
+    * the DFS read, and the final out-of-range probe — `inp.txt:36-39` is
+    * the `6 / 4 / G3.txt / 0` block whose start vertex 0 would index
+    * `adj[-1]` in the reference (`secondary_server.c:242`); here it must
+    * surface as a typed error RESPONSE on the stream, with the query alive
+    * to serve the next request.
+    */
+  test("the reference's inp.txt replays through streaming serve; vertex-0 probe is a typed error") {
+    val path = java.nio.file.Paths.get("/root/reference/inp.txt")
+    assume(java.nio.file.Files.exists(path), "reference checkout not present")
+    import scala.jdk.CollectionConverters._
+    // reshape the interactive script (seq/op/fname lines + multi-line
+    // payload) into the stream's protocol: one (line, payload) row per
+    // request — the payload column is the shared-memory analogue
+    val it = java.nio.file.Files.readAllLines(path).asScala
+      .map(_.trim).filter(_.nonEmpty).iterator.buffered
+    val reqs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (it.hasNext) {
+      val seq = it.next(); val op = it.next(); val fname = it.next()
+      val payload = op match {
+        case "1" | "2" =>
+          val n = it.next()
+          (n +: (0 until n.toInt).map(_ => it.next())).mkString("\n")
+        case _ => it.next() // start vertex digits
+      }
+      reqs += ((s"$seq $op $fname", payload))
+    }
+    assert(reqs.length == 6, s"inp.txt parsed to ${reqs.length} requests, want 6")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_serve_inp_").toString
+    val engine = new GraphEngine(spark, new GraphCatalog(spark, tmp))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val responses = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    val q = StreamOps.serveRequests(
+      mem.toDF().toDF("value", "payload"), engine,
+      startVertexOf = _ => sys.error("inp.txt payloads carry every start vertex"),
+      onResponse = (seq, worker, msg) => responses.synchronized {
+        responses += ((seq, worker, msg)); ()
+      })
+    try {
+      // one micro-batch per request: the reference client is serial
+      reqs.foreach { r => mem.addData(r); q.processAllAvailable() }
+    } finally q.stop()
+
+    val bySeq = responses.synchronized { responses.toSeq }.groupBy(_._1)
+    assert(bySeq.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // adds G1 (5-path), G2 (2-path), G3 (5-star) land on the primary
+    (1L to 3L).foreach { n =>
+      assert(bySeq(n).head._2 == "primary", s"request $n not routed to primary")
+      assert(bySeq(n).head._3.startsWith("File successfully added"))
+    }
+    assert(bySeq(4L).head._3.startsWith("File successfully modified"))
+    // request 5: DFS G3 from 3 → leaves {1,4,5}; odd read seq → secondary_2
+    assert(bySeq(5L).head._2 == "secondary_2")
+    assert(bySeq(5L).head._3.endsWith("rows=3"))
+    // request 6 (inp.txt:36-39): BFS G3 from vertex 0 → typed error on the
+    // response channel, naming the reference's adj[-1] hazard
+    assert(bySeq(6L).head._2 == "error")
+    assert(bySeq(6L).head._3.contains("start vertex 0"))
+    assert(bySeq(6L).head._3.contains("adj[-1]"))
+  }
 }
