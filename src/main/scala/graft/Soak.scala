@@ -43,7 +43,6 @@ object Soak {
 
   val Copies = 10
   val Stride = 4000000000L // > SupplierBase + any key: copies stay disjoint
-  val TsStrideNanos: Long = 365L * 24 * 3600 * 1000000000L
 
   private def offset(c: String, i: Int): Column =
     (col(c) + lit(i.toLong * Stride)).cast("long").as(c)
@@ -73,7 +72,9 @@ object Soak {
     case "events" => df
       .withColumn("event_id", offset("event_id", i))
       .withColumn("user_id", offset("user_id", i))
-      .withColumn("ts", (col("ts") + lit(i.toLong * TsStrideNanos)).as("ts"))
+      // one year per copy, in the source's own ts flavor (TsCompat)
+      .withColumn("ts", TsCompat.plusDays(df.schema("ts").dataType, i.toLong * 365L)
+        .cast(df.schema("ts").dataType))
     case _ => df
   }
 
@@ -86,9 +87,15 @@ object Soak {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_soak_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Override for partition-count experiments: the artifact's ratios are
+    // measured with partitions = cpus at BOTH scales, the per-SF tuning a
+    // real deployment would set; raising this at 10× data tests whether a
+    // high ratio is a fixed-partition-count artifact or genuine work.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SOAK_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1554,8 +1554,7 @@ object SparkEntry {
     // on the event stream itself (oracle = DuckDB ASOF LEFT JOIN)
     "attribution_last_touch" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val ms = if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000000") else unix_millis(col("ts").cast("timestamp"))
+      val ms = graft.TsCompat.msOf(ev)
       val probe = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").cast("long").as("purchase_id"),
           col("user_id").cast("long").as("k"), ms.as("ts"))
@@ -1575,8 +1574,7 @@ object SparkEntry {
     }),
     "asof_last_order" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val ms = if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000000") else unix_millis(col("ts").cast("timestamp"))
+      val ms = graft.TsCompat.msOf(ev)
       val probe = ev.select(col("event_id").cast("long").as("event_id"),
         col("user_id").cast("long").as("k"), ms.as("ts"))
       val build = t(s, dir, "orders")
@@ -1595,8 +1593,7 @@ object SparkEntry {
     // equi-join on time bins — not a nested-loop theta join)
     "events_within_5s" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val ms = if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000000") else unix_millis(col("ts").cast("timestamp"))
+      val ms = graft.TsCompat.msOf(ev)
       pipeline.RangeJoin.selfWithin(
         ev.select(col("event_id"), ms.as("ms")), "event_id", "ms", 5000L)
     }),
@@ -1871,8 +1868,7 @@ object SparkEntry {
     // upstream shape)
     "topk_hours_per_type" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val ms = if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000000") else unix_millis(col("ts").cast("timestamp"))
+      val ms = graft.TsCompat.msOf(ev)
       val hourly = ev.select((ms - ms % 3600000L).as("hour_ms"), col("event_type"))
         .groupBy("event_type", "hour_ms").agg(count(lit(1)).cast("long").as("n"))
       graft.plans.GroupTopK.topKPerKey(hourly, Seq(col("event_type")),

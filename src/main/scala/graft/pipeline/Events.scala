@@ -3,8 +3,6 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
-
 /** Event-stream analytics over `events(event_id, ts, user_id, event_type,
   * value, props)`. Window functions partition by user — the natural shuffle
   * key; at 100 TB this is one shuffle on user_id and everything downstream
@@ -12,18 +10,13 @@ import org.apache.spark.sql.types.LongType
   */
 object Events {
 
-  /** Epoch millis from `ts`. The testdata's `events.ts` is parquet
-    * TIMESTAMP(NANOS), which Spark (with
-    * `spark.sql.legacy.parquet.nanosAsLong=true`) surfaces as a LONG of
-    * nanoseconds — integer-divide it (double division would lose precision
-    * past 2^53). Proper timestamps go through unix_millis. Both floor, like
-    * DuckDB's epoch_ms.
+  /** Epoch millis from `ts`, whatever physical flavor the source ships
+    * (LONG nanos under `nanosAsLong`, TIMESTAMP, or the regenerated
+    * testdata's TIMESTAMP_NTZ) — delegated to [[graft.TsCompat]], the one
+    * place that knows them all. Floors like DuckDB's epoch_ms.
     */
   private[pipeline] def msOf(events: DataFrame): Column =
-    events.schema("ts").dataType match {
-      case LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts"))
-    }
+    graft.TsCompat.msOf(events)
 
   /** Gap-based sessionization (30-minute inactivity). Timestamps are
     * compared in epoch millis (unix_millis ⇔ DuckDB epoch_ms — both floor).

@@ -241,11 +241,12 @@ object StreamOps {
     val outDir = s"$tmp/out"
     val staged = stageInput(tmp, eventsPath)
     def read() = spark.readStream.schema(schema).parquet(staged.toString)
-    // ts arrives as LONG nanos (nanosAsLong) — build the watermark column
+    // event-time watermark column from ts, whatever flavor the source
+    // ships (LONG nanos / TIMESTAMP / TIMESTAMP_NTZ — TsCompat)
     val withTs = (df: DataFrame) => df
       .select(col("event_id").cast("long").as("event_id"),
         col("user_id").cast("long").as("user_id"),
-        expr("timestamp_millis(ts div 1000000)").as("tsw"),
+        graft.TsCompat.eventTimeOf(df).as("tsw"),
         col("event_type"), col("value"))
     val firstSend = withTs(read())
     val resend = withTs(read()).filter(col("event_id") < dupMaxId)
@@ -518,9 +519,9 @@ object StreamOps {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_winagg_")
     val outDir = s"$tmp/out"
     val staged = stageInput(tmp, eventsPath)
-    // ts arrives as LONG nanos (nanosAsLong) — rebuild the event-time column
+    // event-time column from ts, physical-flavor-agnostic (TsCompat)
     val events = spark.readStream.schema(schema).parquet(staged.toString)
-      .select(expr("timestamp_millis(ts div 1000000)").as("tsw"),
+      .select(graft.TsCompat.eventTimeExpr(schema("ts").dataType).as("tsw"),
         col("event_type"), col("value"))
     val agg = events
       .groupBy(window(col("tsw"), windowLen), col("event_type"))
@@ -563,9 +564,9 @@ object StreamOps {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_enrich_")
     val outDir = s"$tmp/out"
     val staged = stageInput(tmp, eventsPath)
-    // ts arrives as LONG nanos (nanosAsLong) — rebuild the event-time column
+    // event-time column from ts, physical-flavor-agnostic (TsCompat)
     val events = spark.readStream.schema(schema).parquet(staged.toString)
-      .select(expr("timestamp_millis(ts div 1000000)").as("tsw"),
+      .select(graft.TsCompat.eventTimeExpr(schema("ts").dataType).as("tsw"),
         col("user_id"), col("value"))
     val dim = broadcast(spark.read.parquet(customerPath)
       .select(col("c_custkey").cast("long").as("user_id"),
@@ -620,7 +621,8 @@ object StreamOps {
     val staged = stageInput(tmp, eventsPath)
     val events = spark.readStream.schema(schema).parquet(staged.toString)
       .select(col("user_id").cast("long").as("user_id"),
-        expr("timestamp_millis(ts div 1000000)").as("tsw"), col("value"))
+        graft.TsCompat.eventTimeExpr(schema("ts").dataType).as("tsw"),
+        col("value"))
     val agg = events
       .groupBy(col("user_id"),
         session_window(col("tsw"), s"$gapMs milliseconds").as("sw"))
@@ -670,10 +672,10 @@ object StreamOps {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ivjoin_")
     val outDir = s"$tmp/out"
     val staged = stageInput(tmp, eventsPath)
-    // ts arrives as LONG nanos (nanosAsLong) — rebuild the event-time column
+    // event-time column from ts, physical-flavor-agnostic (TsCompat)
     val events = spark.readStream.schema(schema).parquet(staged.toString)
       .select(col("event_id").cast("long").as("event_id"),
-        expr("timestamp_millis(ts div 1000000)").as("ts"))
+        graft.TsCompat.eventTimeExpr(schema("ts").dataType).as("ts"))
     val joined = selfWithinStream(events, withinMs, watermark = "10 seconds")
       .select(col("id_a"), col("id_b"),
         unix_millis(col("ts_a")).as("ts_a"), unix_millis(col("ts_b")).as("ts_b"))
@@ -897,14 +899,16 @@ object StreamOps {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_funnel_")
     val outDir = s"$tmp/out"
     val staged = stageInput(tmp, eventsPath)
-    // sentinel: one row at max(ts) + 1 day for user −1 (same schema as the
-    // source file; ts is LONG nanos under nanosAsLong)
-    val sentinelTs = spark.read.parquet(eventsPath)
-      .agg(max(col("ts"))).head.getLong(0) + 86400L * 1000000000L
+    // sentinel: one row at max(ts) + 1 day for user −1, built WITHOUT
+    // collecting a typed ts value — the +1 day stays in the source's own
+    // physical ts flavor (TsCompat.plusDays), so the sentinel file's
+    // schema always matches the stream's
     val sentinelDir = tmp.resolve("sentinel")
-    spark.read.parquet(eventsPath).limit(1)
+    spark.read.parquet(eventsPath)
+      .agg(max(col("ts")).as("ts"))
       .select(lit(-1L).cast(schema("event_id").dataType).as("event_id"),
-        lit(sentinelTs).cast(schema("ts").dataType).as("ts"),
+        graft.TsCompat.plusDays(schema("ts").dataType, 1)
+          .cast(schema("ts").dataType).as("ts"),
         lit(-1L).cast(schema("user_id").dataType).as("user_id"),
         lit("view").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
@@ -917,7 +921,7 @@ object StreamOps {
     val coded = spark.readStream.schema(schema).parquet(staged.toString)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"),
-        expr("timestamp_millis(ts div 1000000)").as("ts"),
+        graft.TsCompat.eventTimeExpr(schema("ts").dataType).as("ts"),
         when(col("event_type") === "view", 0)
           .when(col("event_type") === "click", 1)
           .otherwise(2).as("code"))

@@ -118,8 +118,9 @@ class StreamSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.windowedAggReplayBatch(spark, s"$dir/events.parquet")
       .collect().map(_.toSeq).toSeq
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .select(expr("ts div 1000000").as("ms"), col("event_type"), col("value"))
+    val batchSrc = spark.read.parquet(s"$dir/events.parquet")
+    val batch = batchSrc
+      .select(graft.TsCompat.msOf(batchSrc).as("ms"), col("event_type"), col("value"))
       .groupBy((col("ms") - col("ms") % 21600000L).as("window_ms"), col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("window_ms", "event_type")
@@ -162,8 +163,8 @@ class StreamSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.intervalJoinReplayBatch(spark, s"$dir/events.parquet")
       .collect().map(_.toSeq).toSeq
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), expr("ts div 1000000").as("ms"))
+    val evSrc = spark.read.parquet(s"$dir/events.parquet")
+    val ev = evSrc.select(col("event_id"), graft.TsCompat.msOf(evSrc).as("ms"))
     val batch = graft.pipeline.RangeJoin.selfWithin(ev, "event_id", "ms", 5000L)
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch)
