@@ -44,6 +44,27 @@ object Soak {
   val Copies = 10
   val Stride = 4000000000L // > SupplierBase + any key: copies stay disjoint
 
+  /** Standing adjudications for ratios that drew scrutiny, emitted into
+    * the artifact so the measurement note travels with the number.
+    * Method (round 10, SOAK_ADJUDICATION.json): re-measure at 32 vs 128
+    * shuffle partitions at the 10× scale — a ratio that melts with more
+    * partitions is "fixed partition count too small for 10× data" (fix:
+    * size partitions with data, per the deployment guidance); one that
+    * doesn't is the shape itself.
+    */
+  val Adjudications: Map[String, String] = Map(
+    "subtree_sizes" -> ("irreducible two-pass shape, NOT partition-starved: " +
+      "128 partitions at 10x data is SLOWER (16.1s -> 20.9s; per-partition " +
+      "offset rows grow with partition count); the ratio is the second " +
+      "full pass over 10x data"),
+    "bootstrap_ci_mean" -> ("partially partition-count: 10x run 35.3s -> " +
+      "27.1s at 128 partitions (size partitions with data at scale); " +
+      "remainder is the 10x scan-side Poisson expansion itself — shuffle " +
+      "volume stays B x partitions, constant in input rows"),
+    "link_prediction" -> ("partially partition-count: 10x run 32.2s -> " +
+      "26.3s at 128 partitions; remainder is the guardedBasket-capped " +
+      "candidate-pair build, linear in baskets by construction"))
+
   private def offset(c: String, i: Int): Column =
     (col(c) + lit(i.toLong * Stride)).cast("long").as(c)
 
@@ -119,11 +140,21 @@ object Soak {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
     }
+    // Median of reps isolated runs (the Bench discipline): single-shot
+    // ratios carried JIT/GC jitter. NOTE in-session isolation is NOT
+    // enough across MANY queries — a 16-query soak session measured
+    // round 10 inflated late queries up to 6× (codegen/metaspace growth
+    // survives clearCache+gc); `tools/soak_all.sh` runs one JVM per
+    // query and merges, which is how the committed artifact is built.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "3").toInt
     def time(name: String, dir: String): Double = {
-      isolate()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        isolate()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(times.size / 2)
     }
     // JVM/codegen warm-up so the first timed pair is comparable
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -140,8 +171,11 @@ object Soak {
     val qs = rows.map { case (n, b, s, r) =>
       f"""\"$n\":{\"base_sec\":$b%.3f,\"scaled_sec\":$s%.3f,\"ratio\":$r%.2f}"""
     }.mkString("{", ",", "}")
+    val notes = rows.flatMap { case (n, _, _, _) =>
+      Adjudications.get(n).map(a => s""""$n":"$a"""")
+    }.mkString("{", ",", "}")
     val json =
-      f"""{"copies":$Copies,"src":"$srcDir","queries":$qs,"max_ratio":$maxRatio%.2f}"""
+      f"""{"copies":$Copies,"src":"$srcDir","shuffle_partitions":$shufflePartitions,"queries":$qs,"notes":$notes,"max_ratio":$maxRatio%.2f}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_sf1.json")), json)

@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Per-query-JVM soak: one sbt/Spark JVM per query (in-session isolation is
+# not enough across many queries — codegen/metaspace growth inflated late
+# queries up to 6x in a shared 16-query session, measured round 10), then
+# merge the per-query artifacts into SOAK_sf1.json.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+PARTS=${SOAK_PARTS_DIR:-/tmp/graft_soak_parts}
+mkdir -p "$PARTS"
+QUERIES=$(python3 - <<'EOF'
+import re
+src = open('src/main/scala/graft/Soak.scala').read()
+block = re.search(r'SlowQueries: Seq\[String\] = Seq\((.*?)\)', src, re.S).group(1)
+print(' '.join(re.findall(r'"([a-z0-9_]+)"', block)))
+EOF
+)
+[ -n "$QUERIES" ] || { echo "could not extract SlowQueries list" >&2; exit 1; }
+for q in $QUERIES; do
+  echo "== soaking $q" >&2
+  SPARK_GRAFT_SOAK_ONLY="$q" SPARK_GRAFT_SOAK_OUT="$PARTS/$q.json" \
+    SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    sbt -batch 'runMain graft.Soak' >/dev/null 2>&1 \
+    || { echo "SOAK FAILED for $q" >&2; exit 1; }
+done
+python3 - "$PARTS" <<'EOF'
+import json, sys, glob, os
+parts = sorted(glob.glob(os.path.join(sys.argv[1], '*.json')))
+queries, notes = {}, {}
+meta = None
+for p in parts:
+    d = json.load(open(p))
+    meta = d
+    queries.update(d['queries'])
+    notes.update(d.get('notes', {}))
+out = {'copies': meta['copies'], 'src': meta['src'],
+       'shuffle_partitions': meta.get('shuffle_partitions'),
+       'isolation': 'one JVM per query (tools/soak_all.sh), median of reps',
+       'queries': queries, 'notes': notes,
+       'max_ratio': max(q['ratio'] for q in queries.values())}
+json.dump(out, open('SOAK_sf1.json', 'w'))
+print(json.dumps(out))
+EOF
