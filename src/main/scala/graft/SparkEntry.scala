@@ -890,6 +890,70 @@ object SparkEntry {
           (sum("bal_cents").cast("double") / 100.0).as("total_bal"))
         .orderBy("nationkey")
     }),
+    // TPC-H Q5 shape: local-supplier revenue per nation — the classic
+    // six-table join whose distinguishing predicate is that the ORDERING
+    // customer and the SHIPPING supplier sit in the SAME nation of one
+    // region. Customer/supplier/nation/region are broadcast dims carrying
+    // nationkey; the only wide shuffle is orders↔lineitem; the same-nation
+    // test is an exact integer equality applied after the dim joins, and
+    // the date filter pushes into the orders scan. Revenue in exact BIGINT
+    // ten-thousandths, ordering on the BIGINT, ONE division at ship-out.
+    "local_supplier_revenue" -> ((s, dir) => {
+      val eur = broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      val c = broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("cnat"))
+        .join(eur.select(col("n_nationkey")), col("cnat") === col("n_nationkey"), "left_semi"))
+      val sup = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("snat")))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(10000))
+          .cast("long").as("rev_c4"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("cnat") === col("snat"))
+        .join(eur.select(col("n_nationkey").as("nk"), col("n_name")),
+          col("snat") === col("nk"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(sum("rev_c4").as("rev_c4s"),
+          count(lit(1)).cast("long").as("n_items"))
+        .orderBy(col("rev_c4s").desc, col("nation"))
+        .select(col("nation"),
+          (col("rev_c4s").cast("double") / 10000.0).as("revenue"),
+          col("n_items"))
+    }),
+    // TPC-H Q16 shape: supplier variety per part profile — how many
+    // DISTINCT suppliers ship each (brand, type, size), for parts outside
+    // one brand, excluding blacklisted suppliers (negative balance — the
+    // testdata's stand-in for Q16's complaints NOT IN). The exclusion is a
+    // broadcast LEFT ANTI join (6 rows), the part profile a broadcast dim
+    // with its brand filter applied BEFORE the broadcast, and the distinct
+    // supplier count shuffles once on the (brand, type, size) key after a
+    // distinct over (part, supplier) pairs. All-integer output.
+    "supplier_part_variety" -> ((s, dir) => {
+      val excl = broadcast(t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_sk")))
+      val p = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(excl, col("l_suppkey") === col("bad_sk"), "left_anti")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"), col("p_type").as("ptype"),
+          col("p_size").cast("long").as("psize"))
+        .agg(countDistinct(col("l_suppkey")).cast("long").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("brand"), col("ptype"), col("psize"))
+        .limit(50)
+    }),
     // TPC-H Q2 shape: each part's CHEAPEST supplier in one region — the
     // correlated-MIN decomposed as per-(part, supplier) aggregate →
     // per-part min → equality join back, with a min(suppkey) tiebreak.
@@ -3232,6 +3296,35 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-08-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "local_supplier_revenue" ->
+      """WITH eur AS (
+        |  SELECT n_nationkey, n_name FROM nation
+        |  JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'EUROPE'),
+        |j AS (
+        |  SELECT e.n_name,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev_c4
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN eur e ON e.n_nationkey = s_nationkey
+        |  WHERE c_nationkey = s_nationkey
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT n_name AS nation,
+        |  CAST(SUM(rev_c4) AS DOUBLE) / 10000.0 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM j GROUP BY 1 ORDER BY SUM(rev_c4) DESC, n_name""".stripMargin,
+    "supplier_part_variety" ->
+      """SELECT p_brand AS brand, p_type AS ptype,
+        |  CAST(p_size AS BIGINT) AS psize,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, brand, ptype, psize LIMIT 50""".stripMargin,
     "min_cost_part_supplier" ->
       """WITH sup AS (
         |  SELECT s_suppkey FROM supplier

@@ -398,6 +398,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
   }
 
+  test("local_supplier_revenue: dims broadcast, date filter pushed, fact scanned once") {
+    val p = planOf("local_supplier_revenue")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"only $bhj broadcast joins (customer+supplier+nation dims) in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date filter not pushed into the orders scan in:\n$p")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      s"lineitem rescanned in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+  }
+
+  test("supplier_part_variety: exclusion is an anti join, brand filter pushed, top-50 TakeOrdered") {
+    val p = planOf("supplier_part_variety")
+    assert(p.contains("LeftAnti"),
+      s"supplier blacklist not a broadcast anti join in:\n$p")
+    assert(p.contains("Not(EqualTo(p_brand,Brand#1))"),
+      s"brand exclusion not pushed into the part scan in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 not TakeOrdered in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+  }
+
   test("excess_share_suppliers: winner pick is a semi join over the checkpointed dominance agg") {
     // the promo-prune semi join and per-part broadcast live BEHIND the
     // localCheckpoint (materialized once); the served plan reads the
