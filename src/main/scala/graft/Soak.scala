@@ -105,6 +105,11 @@ object Soak {
   private val SharedTables = Seq("region", "nation")
 
   def main(args: Array[String]): Unit = {
+    // `--list` prints the query set and exits (no Spark session): the
+    // per-query-JVM driver (tools/soak_all.sh) reads it from here instead
+    // of regex-scraping this source file, which silently truncated at the
+    // first ')' inside the Seq block.
+    if (args.contains("--list")) { println("SOAK_QUERIES: " + SlowQueries.mkString(" ")); return }
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_soak_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -147,6 +152,7 @@ object Soak {
     // survives clearCache+gc); `tools/soak_all.sh` runs one JVM per
     // query and merges, which is how the committed artifact is built.
     val reps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_SOAK_REPS=$reps must be >= 1")
     def time(name: String, dir: String): Double = {
       val times = (1 to reps).map { _ =>
         isolate()
@@ -154,7 +160,10 @@ object Soak {
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      times.sorted.apply(times.size / 2)
+      // true median: upper-middle alone would bias even rep counts to
+      // the worse observation (reps=2 would report the max)
+      val s = times.sorted
+      (s(s.size / 2) + s((s.size - 1) / 2)) / 2
     }
     // JVM/codegen warm-up so the first timed pair is comparable
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -27,10 +27,15 @@ object TsCompat {
 
   /** Epoch-millis expression for a `ts` of physical type `t`. LONG nanos
     * are integer-divided (double division would lose precision past
-    * 2^53); timestamps floor through `unix_millis`.
+    * 2^53) with an explicit FLOOR — Spark's `div` truncates toward zero,
+    * which would put pre-epoch instants 1 ms above what `unix_millis`
+    * (floorDiv) and DuckDB `epoch_ms` (floor) produce; the positive-mod
+    * correction keeps all three flavors identical on any instant.
+    * Timestamps floor through `unix_millis`.
     */
   def msExpr(t: DataType): Column = t match {
-    case LongType => expr("ts div 1000000")
+    case LongType =>
+      expr("(ts - ((ts % 1000000) + 1000000) % 1000000) div 1000000")
     case TimestampType => unix_millis(col("ts"))
     case TimestampNTZType => unix_millis(col("ts").cast("timestamp"))
     case other => throw new IllegalArgumentException(

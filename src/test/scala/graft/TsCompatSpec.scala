@@ -33,6 +33,21 @@ class TsCompatSpec extends AnyFunSuite {
         s"flavor ${df.schema("ts").dataType} diverged")
   }
 
+  test("msOf FLOORS pre-epoch instants on every flavor (div truncation would round up)") {
+    // 1.5 ms BEFORE epoch: floor is -2 ms. A truncating `ts div 1000000`
+    // on the nanos flavor would give -1, diverging from unix_millis
+    // (floorDiv) and DuckDB epoch_ms (floor) by one millisecond.
+    val negNanos = -1500000L
+    val negLong = Seq(negNanos).toDF("ts")
+    val negTs = Seq(1).toDF("i")
+      .select(expr(s"timestamp_micros(${negNanos / 1000})").as("ts"))
+    val negNtz = Seq(1).toDF("i")
+      .select(expr(s"timestamp_micros(${negNanos / 1000})").cast("timestamp_ntz").as("ts"))
+    for (df <- Seq(negLong, negTs, negNtz))
+      assert(one(df, TsCompat.msOf(df)) == -2L,
+        s"flavor ${df.schema("ts").dataType} did not floor")
+  }
+
   test("eventTimeOf yields the same ms-precision TIMESTAMP from all three flavors") {
     for (df <- Seq(asLong, asTimestamp, asNtz))
       assert(one(df, unix_millis(TsCompat.eventTimeOf(df))) == wantMs,

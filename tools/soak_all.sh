@@ -7,14 +7,13 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 PARTS=${SOAK_PARTS_DIR:-/tmp/graft_soak_parts}
 mkdir -p "$PARTS"
-QUERIES=$(python3 - <<'EOF'
-import re
-src = open('src/main/scala/graft/Soak.scala').read()
-block = re.search(r'SlowQueries: Seq\[String\] = Seq\((.*?)\)', src, re.S).group(1)
-print(' '.join(re.findall(r'"([a-z0-9_]+)"', block)))
-EOF
-)
-[ -n "$QUERIES" ] || { echo "could not extract SlowQueries list" >&2; exit 1; }
+# stale parts from an aborted or differently-configured earlier run must
+# not leak into the merged artifact
+rm -f "$PARTS"/*.json
+# the authoritative query list comes from Soak itself, not a source scrape
+QUERIES=$(sbt -batch 'runMain graft.Soak --list' 2>/dev/null \
+  | sed -n 's/^SOAK_QUERIES: //p')
+[ -n "$QUERIES" ] || { echo "could not obtain SlowQueries list" >&2; exit 1; }
 for q in $QUERIES; do
   echo "== soaking $q" >&2
   SPARK_GRAFT_SOAK_ONLY="$q" SPARK_GRAFT_SOAK_OUT="$PARTS/$q.json" \
@@ -22,9 +21,10 @@ for q in $QUERIES; do
     sbt -batch 'runMain graft.Soak' >/dev/null 2>&1 \
     || { echo "SOAK FAILED for $q" >&2; exit 1; }
 done
-python3 - "$PARTS" <<'EOF'
+python3 - "$PARTS" "$(echo "$QUERIES" | wc -w)" <<'EOF'
 import json, sys, glob, os
 parts = sorted(glob.glob(os.path.join(sys.argv[1], '*.json')))
+expected = int(sys.argv[2])
 queries, notes = {}, {}
 meta = None
 for p in parts:
@@ -32,6 +32,8 @@ for p in parts:
     meta = d
     queries.update(d['queries'])
     notes.update(d.get('notes', {}))
+assert len(queries) == expected, \
+    f"merged {len(queries)} queries, expected {expected} — stale or missing parts"
 out = {'copies': meta['copies'], 'src': meta['src'],
        'shuffle_partitions': meta.get('shuffle_partitions'),
        'isolation': 'one JVM per query (tools/soak_all.sh), median of reps',
