@@ -28,14 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Soak {
 
-  /** The slowest queries of the round-7 bench (BENCH_r07.json): the
-    * round-6 list plus round 7's five heavies (bootstrap, MIS, SCC,
-    * Katz, random walks — the new fixpoint/explode shapes whose scaling
-    * is exactly what a soak must witness).
+  /** The slowest queries of the recent benches: the round-6 list, round
+    * 7's five heavies (bootstrap, MIS, SCC, Katz, random walks — the new
+    * fixpoint/explode shapes whose scaling is exactly what a soak must
+    * witness), plus round 8's betweenness (bench worst-2 since).
     */
   val SlowQueries: Seq[String] = Seq(
     "bootstrap_ci_mean", "graph_mis", "scc_components", "katz_top20",
-    "graph_random_walks",
+    "graph_random_walks", "betweenness_top50",
     "wpagerank_top20", "subtree_sizes", "label_propagation",
     "stream_interval_join", "ngram_containment", "bfs_bipartite",
     "hits_top20", "pagerank_top20", "clustering_coeff", "link_prediction",

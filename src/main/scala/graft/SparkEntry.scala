@@ -527,6 +527,12 @@ object SparkEntry {
     // emit on arrival, so an AvailableNow replay in append mode is exact
     "stream_interval_join" -> ((s, dir) =>
       streaming.StreamOps.intervalJoinReplayBatch(s, s"$dir/events.parquet")),
+    // STREAMING in-flight benchmark decontamination: corpus docs arrive
+    // as a multi-batch stream, the benchmark gram set rides a static
+    // broadcast, per-doc flags are complete within each micro-batch
+    // (document rows are atomic) — same oracle as the batch decontaminate
+    "stream_decontaminate" -> ((s, dir) =>
+      streaming.StreamOps.decontaminateReplayBatch(s, s"$dir/documents.parquet")),
     // STREAMING custom state (flatMapGroupsWithState), oracle-checked:
     // per-user first view→click→purchase chain, buffered until the
     // watermark finalizes event-time order — batch-split-invariant
@@ -3748,6 +3754,21 @@ object SparkEntry {
         |FROM orders o JOIN a ON a.o_custkey = o.o_custkey
         |WHERE o.o_totalprice > 1.5 * a.avg_price ORDER BY orderkey""".stripMargin,
     "decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+        |      FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+        |bench AS (SELECT DISTINCT s FROM g WHERE doc_id < 10),
+        |shared AS (SELECT g.doc_id, count(*) AS n_shared FROM g JOIN bench USING (s)
+        |           WHERE g.doc_id >= 10 GROUP BY g.doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_grams,
+        |  CAST(CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN shared s ON s.doc_id = d.doc_id
+        |WHERE d.doc_id >= 10 ORDER BY doc_id""".stripMargin,
+    // the streaming replay lands the SAME relation as the batch operator
+    // (per-doc flags are micro-batch-complete), so the oracle is identical
+    "stream_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT DISTINCT doc_id,
         |        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s

@@ -691,6 +691,63 @@ object StreamOps {
     spark.read.parquet(outDir).orderBy("id_a", "id_b")
   }
 
+  /** In-flight benchmark decontamination of a DOCUMENT stream — the
+    * stream-curation shape for a training pipeline: filter arriving
+    * corpus docs against the eval benchmarks at INGEST, before anything
+    * lands. The benchmark's distinct k-grams are a STATIC side built once
+    * and broadcast (benchmark-sized — a search-structure parameter, like
+    * a dim table); each arriving doc explodes its distinct k-grams,
+    * semi-joins that broadcast, and aggregates back to a per-doc
+    * contamination flag INSIDE its micro-batch. A document row is atomic,
+    * so the per-doc aggregate never spans batches — stateless streaming,
+    * no watermark, no state store, which is exactly why the union of
+    * batch outputs equals [[graft.pipeline.Curation.decontaminate]] and
+    * the SAME DuckDB oracle replays this stream. The 4-file split copy +
+    * maxFilesPerTrigger=1 forces real multi-batch execution (a
+    * single-file source under AvailableNow is ONE micro-batch).
+    * Output: (doc_id, n_shared_grams, contaminated) ordered by doc_id.
+    */
+  def decontaminateReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                               documentsPath: String,
+                               benchmarkMaxId: Long = 10L,
+                               k: Int = 5): DataFrame = {
+    val spark = tunedStatefulSession(spark0)
+    val schema = spark.read.parquet(documentsPath).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_decon_")
+    val outDir = s"$tmp/out"
+    val inDir = s"$tmp/in"
+    val docs = spark.read.parquet(documentsPath)
+    docs.filter(col("doc_id") >= benchmarkMaxId)
+      .repartition(4).write.parquet(inDir)
+    def grams(df: DataFrame) = df.select(
+      col("doc_id").cast("long").as("doc_id"),
+      explode(graft.functions.TextFunctions.word_kgrams(
+        split(col("text"), " "), k, distinct = true)).as("s"))
+    val bench = grams(docs.filter(col("doc_id") < benchmarkMaxId))
+      .select("s").distinct().localCheckpoint(true)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val shared = grams(batch)
+          .join(broadcast(bench), Seq("s"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        batch.select(col("doc_id").cast("long").as("doc_id"))
+          .join(shared, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared_grams"))
+          .withColumn("contaminated",
+            when(col("n_shared_grams") > 0, 1L).otherwise(0L))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** Streaming request server: dispatch a stream of protocol lines into a
     * [[graft.engine.GraphEngine]] via foreachBatch — the streaming analogue
     * of the reference's balancer+server loop (`load_balancer.c:47-72`).

@@ -87,6 +87,21 @@ class StreamSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("decontaminateReplayBatch: multi-batch stream flags equal the batch operator") {
+    val dir = "/root/testdata/sf0.001"
+    val res = StreamOps.decontaminateReplayBatch(spark, s"$dir/documents.parquet")
+    // the staged 4-file split + maxFilesPerTrigger=1 must yield REAL
+    // multi-batch execution (each non-empty micro-batch appends its own
+    // part files) — a single-batch run would prove nothing cross-batch
+    assert(res.inputFiles.length >= 2,
+      s"only ${res.inputFiles.length} output parts — stream collapsed to one micro-batch")
+    val streamed = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = graft.pipeline.Curation.decontaminate(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("cmsReplayBatch: cross-batch cell-wise merge equals the batch sketch (linearity)") {
     import org.apache.spark.sql.functions._
     import graft.functions.{PortableHash, Sketches}
