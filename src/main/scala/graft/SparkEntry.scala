@@ -2621,6 +2621,25 @@ object SparkEntry {
        |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
   }
 
+  /** ONE oracle for both decontamination twins (batch + streaming replay):
+    * the streaming operator shares the batch kernel
+    * (Curation.contaminationFlags), so sharing the SQL here makes the
+    * claimed identity structural rather than hand-maintained.
+    */
+  private val DeconOracleSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+      |      FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+      |bench AS (SELECT DISTINCT s FROM g WHERE doc_id < 10),
+      |shared AS (SELECT g.doc_id, count(*) AS n_shared FROM g JOIN bench USING (s)
+      |           WHERE g.doc_id >= 10 GROUP BY g.doc_id)
+      |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+      |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_grams,
+      |  CAST(CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      |FROM documents d LEFT JOIN shared s ON s.doc_id = d.doc_id
+      |WHERE d.doc_id >= 10 ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "bm25_top_docs" ->
       s"""$bm25ScoredSql
@@ -3753,34 +3772,11 @@ object SparkEntry {
         |  a.avg_price AS cust_avg
         |FROM orders o JOIN a ON a.o_custkey = o.o_custkey
         |WHERE o.o_totalprice > 1.5 * a.avg_price ORDER BY orderkey""".stripMargin,
-    "decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT DISTINCT doc_id,
-        |        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
-        |      FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
-        |bench AS (SELECT DISTINCT s FROM g WHERE doc_id < 10),
-        |shared AS (SELECT g.doc_id, count(*) AS n_shared FROM g JOIN bench USING (s)
-        |           WHERE g.doc_id >= 10 GROUP BY g.doc_id)
-        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-        |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_grams,
-        |  CAST(CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
-        |FROM documents d LEFT JOIN shared s ON s.doc_id = d.doc_id
-        |WHERE d.doc_id >= 10 ORDER BY doc_id""".stripMargin,
+    "decontaminate" -> DeconOracleSql,
     // the streaming replay lands the SAME relation as the batch operator
-    // (per-doc flags are micro-batch-complete), so the oracle is identical
-    "stream_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT DISTINCT doc_id,
-        |        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
-        |      FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
-        |bench AS (SELECT DISTINCT s FROM g WHERE doc_id < 10),
-        |shared AS (SELECT g.doc_id, count(*) AS n_shared FROM g JOIN bench USING (s)
-        |           WHERE g.doc_id >= 10 GROUP BY g.doc_id)
-        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-        |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_grams,
-        |  CAST(CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
-        |FROM documents d LEFT JOIN shared s ON s.doc_id = d.doc_id
-        |WHERE d.doc_id >= 10 ORDER BY doc_id""".stripMargin,
+    // (per-doc flags are micro-batch-complete; shared kernel), so the
+    // oracle IS the batch one
+    "stream_decontaminate" -> DeconOracleSql,
     "events_quantiles" ->
       """SELECT event_type, quantile_disc(value, 0.5) AS p50,
         |  quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99,

@@ -48,22 +48,44 @@ object Curation {
     * (doc_id, n_shared_grams, contaminated) for non-benchmark docs,
     * ordered.
     */
-  def decontaminate(documents: DataFrame, benchmarkMaxId: Long = 10L,
-                    k: Int = 5): DataFrame = {
-    val g = documents
-      .select(col("doc_id").cast("long").as("doc_id"),
-        explode(TextStats.kGrams(split(col("text"), " "), k, distinct = true)).as("s"))
-    val bench = g.filter(col("doc_id") < benchmarkMaxId).select("s").distinct()
-    val shared = g.filter(col("doc_id") >= benchmarkMaxId)
-      .join(broadcast(bench), Seq("s"), "left_semi")
+  /** Shared parameters of the batch and streaming decontamination twins —
+    * one definition so the pair (and their common oracle) cannot drift.
+    */
+  val DefaultBenchmarkMaxId = 10L
+  val DefaultDeconK = 5
+
+  /** Distinct k-grams per doc — the gram construction both twins share. */
+  private[graft] def docGrams(documents: DataFrame, k: Int): DataFrame =
+    documents.select(col("doc_id").cast("long").as("doc_id"),
+      explode(TextStats.kGrams(split(col("text"), " "), k, distinct = true)).as("s"))
+
+  /** Per-doc contamination flags of `corpus` against a benchmark gram
+    * set — the shared kernel of [[decontaminate]] and
+    * [[graft.streaming.StreamOps.decontaminateReplayBatch]]: any change
+    * to the gram/semi-join/flag logic lands in BOTH twins by
+    * construction, which is what lets one DuckDB oracle check both.
+    * Unordered (callers order).
+    */
+  private[graft] def contaminationFlags(corpus: DataFrame, benchGrams: DataFrame,
+                                        k: Int): DataFrame = {
+    val shared = docGrams(corpus, k)
+      .join(broadcast(benchGrams), Seq("s"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    documents.select(col("doc_id").cast("long").as("doc_id"))
-      .filter(col("doc_id") >= benchmarkMaxId)
+    corpus.select(col("doc_id").cast("long").as("doc_id"))
       .join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared_grams"))
       .withColumn("contaminated",
         when(col("n_shared_grams") > 0, 1L).otherwise(0L))
+  }
+
+  def decontaminate(documents: DataFrame,
+                    benchmarkMaxId: Long = DefaultBenchmarkMaxId,
+                    k: Int = DefaultDeconK): DataFrame = {
+    val bench = docGrams(documents.filter(col("doc_id") < benchmarkMaxId), k)
+      .select("s").distinct()
+    contaminationFlags(
+      documents.filter(col("doc_id").cast("long") >= benchmarkMaxId), bench, k)
       .orderBy("doc_id")
   }
 

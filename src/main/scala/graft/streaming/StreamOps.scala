@@ -709,43 +709,40 @@ object StreamOps {
     */
   def decontaminateReplayBatch(spark0: org.apache.spark.sql.SparkSession,
                                documentsPath: String,
-                               benchmarkMaxId: Long = 10L,
-                               k: Int = 5): DataFrame = {
+                               benchmarkMaxId: Long =
+                                 graft.pipeline.Curation.DefaultBenchmarkMaxId,
+                               k: Int = graft.pipeline.Curation.DefaultDeconK)
+  : DataFrame = {
+    import graft.pipeline.Curation
     val spark = tunedStatefulSession(spark0)
-    val schema = spark.read.parquet(documentsPath).schema
+    val docs = spark.read.parquet(documentsPath)
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_decon_")
     val outDir = s"$tmp/out"
     val inDir = s"$tmp/in"
-    val docs = spark.read.parquet(documentsPath)
     docs.filter(col("doc_id") >= benchmarkMaxId)
       .repartition(4).write.parquet(inDir)
-    def grams(df: DataFrame) = df.select(
-      col("doc_id").cast("long").as("doc_id"),
-      explode(graft.functions.TextFunctions.word_kgrams(
-        split(col("text"), " "), k, distinct = true)).as("s"))
-    val bench = grams(docs.filter(col("doc_id") < benchmarkMaxId))
+    val bench = Curation.docGrams(docs.filter(col("doc_id") < benchmarkMaxId), k)
       .select("s").distinct().localCheckpoint(true)
-    val src = spark.readStream.schema(schema)
+    val src = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val shared = grams(batch)
-          .join(broadcast(bench), Seq("s"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-        batch.select(col("doc_id").cast("long").as("doc_id"))
-          .join(shared, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared_grams"))
-          .withColumn("contaminated",
-            when(col("n_shared_grams") > 0, 1L).otherwise(0L))
+        // the SHARED kernel with the batch operator — equivalence by
+        // construction, not by parallel copies
+        Curation.contaminationFlags(batch, bench, k)
           .write.mode("append").parquet(outDir)
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir).orderBy("doc_id")
+    // an all-benchmark corpus yields zero micro-batches and no output
+    // dir; match the batch operator's empty relation instead of crashing
+    if (!new java.io.File(outDir).exists())
+      spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_shared_grams"), col("id").as("contaminated"))
+    else spark.read.parquet(outDir).orderBy("doc_id")
   }
 
   /** Streaming request server: dispatch a stream of protocol lines into a
