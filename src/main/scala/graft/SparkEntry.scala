@@ -941,9 +941,11 @@ object SparkEntry {
     // one brand, excluding blacklisted suppliers (negative balance — the
     // testdata's stand-in for Q16's complaints NOT IN). The exclusion is a
     // broadcast LEFT ANTI join (6 rows), the part profile a broadcast dim
-    // with its brand filter applied BEFORE the broadcast, and the distinct
-    // supplier count shuffles once on the (brand, type, size) key after a
-    // distinct over (part, supplier) pairs. All-integer output.
+    // with its brand filter applied BEFORE the broadcast. NO pre-distinct
+    // over (part, supplier): its shuffle key co-keys nothing downstream
+    // (the group key is the part profile) and countDistinct dedups within
+    // groups anyway — one full shuffle of the fact for zero benefit at
+    // 100 TB. All-integer output.
     "supplier_part_variety" -> ((s, dir) => {
       val excl = broadcast(t(s, dir, "supplier")
         .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_sk")))
@@ -951,7 +953,7 @@ object SparkEntry {
         .filter(col("p_brand") =!= "Brand#1")
         .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
       t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(col("l_partkey"), col("l_suppkey"))
         .join(excl, col("l_suppkey") === col("bad_sk"), "left_anti")
         .join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand").as("brand"), col("p_type").as("ptype"),
