@@ -48,7 +48,7 @@ object Plans {
     "segment_priority_revenue" -> "the TPC-H Q3 shape: segment-pruned customer dim broadcast; BOTH date filters appear in PushedFilters of their parquet scans; revenue aggregates once per order key — nothing wide ever shuffles.",
     "nation_flow_pairs" -> "the TPC-H Q7 shape: customer and supplier nation maps broadcast; the only wide shuffle is orders⋈lineitem; the cross-border predicate drops rows before the aggregate; revenue sums exact BIGINT ten-thousandths with one final division.",
     "kmv_distinct_users" -> "KMV sketch: the k smallest distinct hashes ARE a distributed TakeOrderedAndProject (per-partition heaps, driver merge of k) — no window, no global sort; estimate arithmetic against one broadcast exact-count row.",
-    "hll_distinct_users" -> "HyperLogLog with a pure-integer harmonic sum: bucket/rank arithmetic inside the scan Project, 256-register aggregate, Σ2^(53−Mj) kept BIGINT so both engines agree bit-for-bit; one double expression at the end.",
+    "hll_distinct_users" -> "HyperLogLog with a pure-integer harmonic sum: bucket/rank arithmetic inside the scan Project; the register build is ONE two-phase aggregate with map-side partial max — no pre-distinct on the hash (max-rank is duplicate-insensitive, the HLL insert rule), so ≤256 register rows cross the wire per partition; Σ2^(53−Mj) kept BIGINT so both engines agree bit-for-bit; one double expression at the end.",
     "kmv_users_per_type" -> "per-group KMV: the per-key min-k state is the engine's own GroupTopKPartial/Final pair (bounded map-side heaps, spill-safe) — per-key min-k IS the sketch; no window fallback anywhere.",
     "two_hop_reach" -> "2-hop neighborhood size: ONE wedge self-join over the basket-guarded co-purchase edges unioned with the 1-hop set, distinct, one vertex-key count — never a matrix power, never per-vertex BFS.",
     "zipf_alpha_terms" -> "vocabulary-health scalar: term ranks come from the range-partitioned sort + zipWithIndex global index (the ExistingRDD scan), never ROW_NUMBER() OVER (ORDER BY) — the five OLS moments reduce in one aggregate.",

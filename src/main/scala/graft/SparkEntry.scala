@@ -185,9 +185,13 @@ object SparkEntry {
     "hll_distinct_users" -> ((s, dir) => {
       val m = 256
       val ev = t(s, dir, "events")
+      // NO pre-distinct on h: max-rank per bucket is duplicate-insensitive
+      // (the HLL insert rule), so the register build is ONE aggregation
+      // with map-side partial max into ≤ m rows per partition — the
+      // distinct would shuffle the full |events| hash set first, the
+      // opposite of how an HLL is supposed to stream
       val regs = ev.select(
           graft.functions.PortableHash.md5Bits60(col("user_id").cast("string")).as("h"))
-        .distinct()
         .select((col("h") % m).as("bucket"), expr("h div 256").as("rem"))
         .select(col("bucket"),
           when(col("rem") === 0L, lit(53)).otherwise(lit(53) - length(bin(col("rem")))).as("rank"))

@@ -398,6 +398,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
   }
 
+  test("hll_distinct_users register build: map-side partial max, no pre-distinct hash shuffle") {
+    val p = planOf("hll_distinct_users")
+    // the HLL insert rule (max rank per bucket) is duplicate-insensitive,
+    // so the register build must be ONE two-phase aggregate — a distinct
+    // over the raw 60-bit hash would shuffle the full hash set first and
+    // appear as an aggregate keyed on h
+    assert(!p.contains("keys=[h#"),
+      s"pre-distinct on the raw hash shuffles the full hash set in:\n$p")
+    assert(p.contains("partial_max"),
+      s"register build not a map-side partial max in:\n$p")
+  }
+
   test("local_supplier_revenue: dims broadcast, date filter pushed, fact scanned once") {
     val p = planOf("local_supplier_revenue")
     val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
