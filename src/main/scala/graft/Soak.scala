@@ -129,6 +129,39 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
 
     new java.io.File(workDir).mkdirs()
+    // Stale-replica guard: the replica build is skipped when workDir files
+    // exist, so a testdata REGENERATION (the driver rewrites
+    // /root/testdata with changed physical types between rounds) would
+    // silently leave a /tmp replica built from the OLD data — base
+    // timings on new data, scaled timings on old, and TsCompat makes the
+    // mismatch run without error. Fingerprint the source (file name +
+    // size + mtime per table) and wipe the replica when it changes.
+    locally {
+      val fp = (SharedTables ++ ScaledTables).map { name =>
+        val dir = new java.io.File(s"$srcDir/$name.parquet")
+        val files = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        s"$name=[${files.mkString(",")}]"
+      }.mkString("\n") + s"\ncopies=$Copies\n"
+      val fpFile = java.nio.file.Paths.get(workDir, ".src_fingerprint")
+      val stale = !java.nio.file.Files.exists(fpFile) ||
+        java.nio.file.Files.readString(fpFile) != fp
+      if (stale) {
+        (SharedTables ++ ScaledTables).foreach { name =>
+          val d = new java.io.File(s"$workDir/$name.parquet")
+          if (d.exists()) {
+            System.err.println(s"[soak] source fingerprint changed — rebuilding replica $name")
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              f.delete(); ()
+            }
+            rm(d)
+          }
+        }
+        java.nio.file.Files.writeString(fpFile, fp)
+      }
+    }
     for (name <- SharedTables ++ ScaledTables) {
       val out = s"$workDir/$name.parquet"
       if (!new java.io.File(out).exists()) {

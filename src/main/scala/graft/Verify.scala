@@ -84,15 +84,19 @@ object Verify {
           s""""m":${IvfParams.Pq.M},"n_centroids":${IvfParams.Pq.NCentroids}}}"""
       Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
       // keep the committed artifact in lockstep with the measurement —
-      // but ONLY for the canonical scale the floors describe (sf0.01, the
-      // driver's verify scale): a Verify run against sf0.1 from the repo
-      // root must not overwrite the committed sf0.01 record (the floors
-      // and measured values are scale-specific). Runs from other cwds
-      // skip silently (no repo-root RECALL.json present).
-      val repoRecall = Paths.get("RECALL.json")
-      if (Files.exists(repoRecall) &&
-          sfDir.stripSuffix("/").endsWith("sf0.01"))
-        Files.writeString(repoRecall, recallJson)
+      // per SCALE: the canonical sf0.01 record (the driver's verify
+      // scale) stays RECALL.json; every other scale writes its own
+      // RECALL.<scale>.json (e.g. RECALL.sf0.1.json for the bench scale)
+      // instead of silently skipping, so the bench scale has a recall
+      // record too. The floors and measured values are scale-specific.
+      // Runs from other cwds skip silently (no repo-root RECALL.json
+      // present to anchor on).
+      if (Files.exists(Paths.get("RECALL.json"))) {
+        val scale = Paths.get(sfDir.stripSuffix("/")).getFileName.toString
+        val target =
+          if (scale == "sf0.01") "RECALL.json" else s"RECALL.$scale.json"
+        Files.writeString(Paths.get(target), recallJson)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[verify] recall artifact failed: ${e.getMessage}")
     }

@@ -30,6 +30,9 @@ object IvfParams {
       * similarity clusters — see RECALL.json). */
     val MeasuredRecall = 7
     val RecallFloor = 6
+    /** Measured 6/10 on sf0.1, the bench scale (RECALL.sf0.1.json). */
+    val MeasuredRecallSf01 = 6
+    val RecallFloorSf01 = 5
     /** Floor on the centroid-cosine gap between the Nprobe-th and
       * (Nprobe+1)-th ranked label. The DuckDB replay oracle re-derives
       * the probe set with its own FP sums, so the oracle only stays
@@ -50,6 +53,11 @@ object IvfParams {
     /** Measured 9/10 on sf0.01 (RECALL.json). */
     val MeasuredRecall = 9
     val RecallFloor = 8
+    /** Measured 10/10 on sf0.1, the bench scale (RECALL.sf0.1.json) —
+      * the learned quantizer IMPROVES with more data (tighter clusters),
+      * unlike the random-partition label quantizer above. */
+    val MeasuredRecallSf01 = 10
+    val RecallFloorSf01 = 9
     /** Floor on the smallest best-vs-second L2 argmin gap across all
       * vectors and all Lloyd rounds (assignment rounds 1..Iters+1). The
       * unrolled DuckDB oracle replays every assignment with its own FP

@@ -958,6 +958,11 @@ object StreamOps {
     // physical ts flavor (TsCompat.plusDays), so the sentinel file's
     // schema always matches the stream's
     val sentinelDir = tmp.resolve("sentinel")
+    // An empty (or all-null-ts) source would make max(ts) NULL and the
+    // sentinel would carry a null event-time — the stream then silently
+    // misbehaves instead of failing. Fail loudly up front.
+    require(!spark.read.parquet(eventsPath).where(col("ts").isNotNull).isEmpty,
+      s"funnelReplayBatch: no non-null ts rows in $eventsPath — cannot build watermark sentinel")
     spark.read.parquet(eventsPath)
       .agg(max(col("ts")).as("ts"))
       .select(lit(-1L).cast(schema("event_id").dataType).as("event_id"),

@@ -180,4 +180,36 @@ class PropertyOracleSpec extends AnyFunSuite {
         f"(floor $ProbeMarginFloor%.0e, measured 9.5e-3 on sf0.01): " +
         "the probe selection in the replay oracle is no longer ulp-safe")
   }
+
+  // ---- bench-scale (sf0.1) recall floors --------------------------------
+  //
+  // RECALL.json floors only covered the driver's verify scale (sf0.01);
+  // the bench scale had no recorded recall guard at all. Verify now
+  // writes RECALL.sf0.1.json for sf0.1 runs, and this test keeps the
+  // committed artifact honest by re-measuring recall@10 live on the
+  // sf0.1 testdata against the IvfParams floors (measured − 1, the same
+  // derivation as the sf0.01 floors).
+
+  test("sf0.1 (bench scale) recall@10 stays above the RECALL.sf0.1.json floors") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val truth = Similarity.cosineTopK(emb01, queryId = IvfParams.QueryVecId,
+      k = IvfParams.K).collect().map(_.getLong(0)).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Int =
+      df.collect().map(_.getLong(0)).toSet.intersect(truth).size
+    val rLabel = recall(Similarity.cosineTopKIvf(emb01,
+      queryId = IvfParams.QueryVecId, k = IvfParams.K,
+      nprobe = IvfParams.Label.Nprobe))
+    assert(rLabel >= IvfParams.Label.RecallFloorSf01,
+      s"sf0.1 label-IVF recall@10 collapsed to $rLabel/10 " +
+        s"(measured ${IvfParams.Label.MeasuredRecallSf01}, " +
+        s"floor ${IvfParams.Label.RecallFloorSf01})")
+    val rKmeans = recall(KMeans.ivfTopK(emb01,
+      queryId = IvfParams.QueryVecId, k = IvfParams.K,
+      nlist = IvfParams.Kmeans.Nlist, nprobe = IvfParams.Kmeans.Nprobe,
+      iters = IvfParams.Kmeans.Iters))
+    assert(rKmeans >= IvfParams.Kmeans.RecallFloorSf01,
+      s"sf0.1 k-means-IVF recall@10 collapsed to $rKmeans/10 " +
+        s"(measured ${IvfParams.Kmeans.MeasuredRecallSf01}, " +
+        s"floor ${IvfParams.Kmeans.RecallFloorSf01})")
+  }
 }

@@ -29,6 +29,13 @@ queries, notes = {}, {}
 meta = None
 for p in parts:
     d = json.load(open(p))
+    # all parts must have been measured under ONE config — a part rerun
+    # with e.g. SPARK_GRAFT_SOAK_SHUFFLE=128 must not silently merge into
+    # an artifact that reports a single config for mixed measurements
+    cfg = (d['copies'], d['src'], d.get('shuffle_partitions'))
+    if meta is not None:
+        prev = (meta['copies'], meta['src'], meta.get('shuffle_partitions'))
+        assert cfg == prev, f"part {p} config {cfg} != {prev} — rerun under one config"
     meta = d
     queries.update(d['queries'])
     notes.update(d.get('notes', {}))
