@@ -291,26 +291,58 @@ object GraphOps {
         coalesce(col("delta"), lit(0.0)).as("delta"))
   }
 
+  /** Unpersist the localCheckpoint RDDs backing `df` (Dataset.unpersist
+    * only touches the CacheManager entry, never the checkpoint RDD). The
+    * caller must have eagerly materialized every frame still needed —
+    * a released local checkpoint cannot be recomputed.
+    */
+  private def releaseCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** `backwardProbe` (test hook): called after each backward step's
+    * cleanup with the number of the algorithm's OWN checkpoint frames
+    * still persisted (forward levels not yet consumed + childd +
+    * accumulator; the persisted edge table is not counted). Counting only
+    * owned ids keeps the GraphOpsSpec assertion immune to concurrent
+    * suites persisting unrelated RDDs in the shared session.
+    */
   def betweennessSampled(edges: DataFrame, sources: DataFrame,
-                         maxDepth: Int): DataFrame = {
+                         maxDepth: Int,
+                         backwardProbe: Int => Unit = _ => ()): DataFrame = {
     val spark = edges.sparkSession
     ownedGraphResult(spark) {
       val e = edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
+        // ids of the checkpoints THIS invocation created, for the probe
+        val ownedCkpt = scala.collection.mutable.Set.empty[Int]
+        def track(df: DataFrame): DataFrame = {
+          df.queryExecution.analyzed.foreach {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              ownedCkpt += lr.rdd.id
+            case _ => ()
+          }
+          df
+        }
+        def liveOwned(): Int =
+          ownedCkpt.count(spark.sparkContext.getPersistentRDDs.contains)
         // forward: levels(l) = (s, v, sigma) for vertices first reached at l
         val levels = scala.collection.mutable.ArrayBuffer(
-          sources.select(col("s").cast("long").as("s"))
+          track(sources.select(col("s").cast("long").as("s"))
             .withColumn("v", col("s")).withColumn("sigma", lit(1L))
-            .localCheckpoint(true))
+            .localCheckpoint(true)))
         var frontier = levels.head
         var visited = frontier.select("s", "v")
         var depth = 0
         var done = false
         while (!done && depth < maxDepth) {
-          val next = brandesForwardLevel(e, frontier, visited)
-            .localCheckpoint(true)
+          val next = track(brandesForwardLevel(e, frontier, visited)
+            .localCheckpoint(true))
           if (next.isEmpty) done = true
           else {
             levels += next
@@ -323,18 +355,45 @@ object GraphOps {
           levels.head.select(col("v").as("vertex"), lit(0.0).as("bc")).limit(0)
         else {
           // backward: deepest level seeds delta = 0 and IS part of the output
-          // (its vertices carry zero dependency — the oracle's row set too)
-          val acc = scala.collection.mutable.ArrayBuffer[DataFrame]()
-          var childd = levels.last.withColumn("delta", lit(0.0))
-            .localCheckpoint(true)
-          acc += childd
+          // (its vertices carry zero dependency — the oracle's row set too).
+          //
+          // MEMORY HYGIENE (round 11): the previous shape held EVERY
+          // forward level AND every backward delta frame checkpointed
+          // until one final union — on a deep graph at 100× the
+          // accumulated blocks for all levels × both directions stay
+          // pinned. Instead the (v, delta) accumulation folds into ONE
+          // re-checkpointed running frame, and each step releases the
+          // forward level it consumed, the childd it superseded, and the
+          // accumulator it folded. Live checkpoints mid-pass = the
+          // not-yet-consumed forward levels + childd + accumulator,
+          // shrinking net one per step (GraphOpsSpec pins the monotone
+          // decrease and the ≤3-frame terminal state via backwardProbe).
+          // levels(0) (the sources frontier) never enters the backward
+          // pass — release it before the walk.
+          releaseCheckpoints(levels(0))
+          var childd = track(levels.last.withColumn("delta", lit(0.0))
+            .localCheckpoint(true))
+          releaseCheckpoints(levels.last) // folded into childd just above
+          // lazy projection — the first fold (or the final aggregate)
+          // reads it straight off childd's checkpoint
+          var accUnion = childd.select(col("v"), col("delta"))
           for (l <- levels.length - 2 to 1 by -1) {
-            val dl = brandesBackwardLevel(e, levels(l), childd)
-              .localCheckpoint(true)
-            acc += dl
+            val dl = track(brandesBackwardLevel(e, levels(l), childd)
+              .localCheckpoint(true))
+            val nextAcc = track(accUnion
+              .unionAll(dl.select(col("v"), col("delta")))
+              .localCheckpoint(true))
+            // dl and nextAcc are materialized: everything the step read
+            // can go (releasing the lazy first accUnion double-releases
+            // childd's RDD — a harmless no-op)
+            releaseCheckpoints(levels(l))
+            releaseCheckpoints(childd)
+            releaseCheckpoints(accUnion)
             childd = dl
+            accUnion = nextAcc
+            backwardProbe(liveOwned())
           }
-          acc.reduce(_ unionAll _)
+          accUnion
             .groupBy(col("v").as("vertex"))
             .agg(sum("delta").as("bc"))
         }

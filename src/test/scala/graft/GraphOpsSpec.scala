@@ -591,6 +591,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(capped == Map(9L -> 0.0))
   }
 
+  test("betweennessSampled: backward pass releases level checkpoints as it consumes them") {
+    import spark.implicits._
+    // 6-vertex path from a single source ⇒ 6 forward levels, 4 backward
+    // steps. Expected live OWNED checkpoints after each step's cleanup
+    // (backwardProbe contract — forward levels not yet consumed + childd
+    // + accumulator): [5, 4, 3, 2]. Without the release discipline the
+    // old shape held every frame: the count would GROW (8, 10, 12, 14).
+    val path = undirected((1, 2), (2, 3), (3, 4), (4, 5), (5, 6))
+    val src = Seq(1L).toDF("s")
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val got = GraphOps.betweennessSampled(path, src, maxDepth = 6,
+        backwardProbe = counts += _)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // behavior unchanged: hand-traced Brandes dependencies on the path
+    // (δ(v) = number of shortest-path descendants below v)
+    assert(got == Map(2L -> 4.0, 3L -> 3.0, 4L -> 2.0, 5L -> 1.0, 6L -> 0.0))
+    assert(counts.size == 4, s"expected 4 backward steps, probed $counts")
+    assert(counts.zip(counts.tail).forall { case (a, b) => b < a },
+      s"live checkpoint count must shrink every backward step: $counts")
+    // mid-backward terminal state: only childd + the accumulator remain
+    assert(counts.last <= 2,
+      s"more than 2 level checkpoints live at end of backward pass: $counts")
+  }
+
   test("randomWalks: dead ends stop walks; runs are reproducible; every step follows an edge") {
     import spark.implicits._
     val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
