@@ -46,6 +46,8 @@ object Bench {
     "triangle_counts", "simhash_pairs", "stream_funnel", "kcore_bounded",
     "sssp_bounded", "dfs_leaves", "resource_allocation_links", "rrf_fusion",
     "local_supplier_revenue", "stream_user_totals",
+    // round-11 additions measured >=2s isolated:
+    "stream_graph_maintain",
   )
   private val LightChunk = 10
 

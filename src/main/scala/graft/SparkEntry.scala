@@ -537,6 +537,14 @@ object SparkEntry {
     // (document rows are atomic) — same oracle as the batch decontaminate
     "stream_decontaminate" -> ((s, dir) =>
       streaming.StreamOps.decontaminateReplayBatch(s, s"$dir/documents.parquet")),
+    // STREAMING incremental graph maintenance: micro-batched edge adds
+    // land as MVCC snapshot versions (op 1/2) while connected components
+    // are maintained per batch by CONTRACTION, never recomputed (op 3/4
+    // interleaved with writes — instructions.txt:18-20). On the rooted
+    // region→nation→customer→order forest the final components are the
+    // five region trees, which the oracle replays by lineage joins.
+    "stream_graph_maintain" -> ((s, dir) =>
+      streaming.StreamOps.graphMaintainReplayBatch(s, dir)),
     // STREAMING custom state (flatMapGroupsWithState), oracle-checked:
     // per-user first view→click→purchase chain, buffered until the
     // watermark finalizes event-time order — batch-split-invariant
@@ -3783,6 +3791,25 @@ object SparkEntry {
     // (per-doc flags are micro-batch-complete; shared kernel), so the
     // oracle IS the batch one
     "stream_decontaminate" -> DeconOracleSql,
+    // incremental CC over the streamed rooted forest: component = the
+    // tree's region vertex id, derivable by lineage joins (region 1+rk,
+    // nation 10+nk, customer 1000+ck, order 10000000+ok — DerivedGraphs
+    // namespaces); vertex set = every edge endpoint
+    "stream_graph_maintain" ->
+      """WITH v AS (
+        |  SELECT DISTINCT CAST(1 + n_regionkey AS BIGINT) AS vertex,
+        |         CAST(1 + n_regionkey AS BIGINT) AS component FROM nation
+        |  UNION ALL
+        |  SELECT CAST(10 + n_nationkey AS BIGINT),
+        |         CAST(1 + n_regionkey AS BIGINT) FROM nation
+        |  UNION ALL
+        |  SELECT CAST(1000 + c_custkey AS BIGINT), CAST(1 + n_regionkey AS BIGINT)
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |  UNION ALL
+        |  SELECT CAST(10000000 + o_orderkey AS BIGINT), CAST(1 + n_regionkey AS BIGINT)
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey)
+        |SELECT vertex, component FROM v ORDER BY vertex""".stripMargin,
     "events_quantiles" ->
       """SELECT event_type, quantile_disc(value, 0.5) AS p50,
         |  quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99,

@@ -1439,10 +1439,16 @@ object GraphOps {
     }.orderBy("vertex")
   }
 
-  def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
+  /** `ordered = false` skips the final total sort (a range-partition
+    * shuffle + sampling pass) — for callers that feed the labeling into
+    * a join rather than shipping it (e.g. the streaming contraction
+    * merge map).
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+                          ordered: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    ownedGraphResult(spark) {
+    val cc = ownedGraphResult(spark) {
       val vRdd: RDD[(VertexId, Long)] =
         vertices.select(col("vertex").cast("long")).rdd.map(r => (r.getLong(0), r.getLong(0)))
       val eRdd: RDD[Edge[Int]] = edges.select("src", "dst").rdd
@@ -1453,6 +1459,7 @@ object GraphOps {
       val cc = g.connectedComponents()
       cc.vertices.map { case (v, c) => (v, c) }
         .toDF("vertex", "component")
-    }.orderBy("vertex")
+    }
+    if (ordered) cc.orderBy("vertex") else cc
   }
 }

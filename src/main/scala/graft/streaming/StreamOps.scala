@@ -745,6 +745,104 @@ object StreamOps {
     else spark.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** Fourteenth oracle-checked streaming query — INCREMENTAL GRAPH
+    * MAINTENANCE: micro-batched edge additions interleave op 1/2 writes
+    * (each batch lands as a new MVCC snapshot version in a
+    * [[graft.graph.GraphCatalog]] — the streaming analogue of
+    * `graph_version_diff`, reference `instructions.txt:18-20`) with an
+    * op 3/4-style read maintained INCREMENTALLY: connected components
+    * updated per batch by contraction, never recomputed from scratch.
+    *
+    * Per batch: (1) vertices first seen this batch seed their own
+    * singleton component; (2) the batch's edges are CONTRACTED through
+    * the current labeling (endpoint → its component); (3) components run
+    * only on that contracted graph — its size is bounded by the touched
+    * components + new edges, NOT the accumulated graph, which is the
+    * whole point at 100 TB: a snapshot recompute reads |E| per batch,
+    * the contraction reads |batch| + |touched components|; (4) the label
+    * table folds the resulting component merges via one equi-join.
+    * Labels are re-materialized per batch (kmv state pattern: checkpoint
+    * BEFORE overwriting the file being read).
+    *
+    * The 4-file split + maxFilesPerTrigger=1 forces genuine cross-batch
+    * maintenance (single-file AvailableNow would be one batch), and the
+    * rooted-forest edge set guarantees real cross-batch component MERGES:
+    * order→customer edges arriving before their nation→customer edge
+    * form separate components that the later batch must fuse.
+    *
+    * `batchProbe` (test hook): called after every batch with (labels,
+    * current catalog snapshot) so StreamSpec can assert the incremental
+    * labeling equals a from-scratch recompute on the snapshot.
+    * Output: (vertex, component = min vertex id) ordered by vertex — on
+    * the region→nation→customer→order forest the final components are
+    * exactly the five region trees, which is what the DuckDB oracle
+    * replays by lineage joins (no recursion needed).
+    */
+  def graphMaintainReplayBatch(spark: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               batchProbe: (DataFrame, DataFrame) => Unit =
+                                 (_, _) => ()): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_graphcc_")
+    val inDir = s"$tmp/in"
+    graft.graph.DerivedGraphs.treeEdges(spark, dir)
+      .repartition(4).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val state = s"$tmp/state"
+    val cat = new graft.graph.GraphCatalog(spark, s"$tmp/graphs")
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val e = batch.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst")).localCheckpoint(true)
+        // op 1 (first batch) / op 2 (later batches): cumulative snapshot
+        // as a new MVCC version — time travel across the whole ingest
+        if (!cat.exists("S")) cat.add("S", e)
+        else cat.modify("S",
+          cat.load("S").select("src", "dst").unionAll(e).localCheckpoint(true))
+        val labels0 =
+          if (pathExists(spark, state)) spark.read.parquet(state)
+          else spark.range(0).select(col("id").as("vertex"), col("id").as("comp"))
+        val verts = e.select(col("src").as("vertex"))
+          .unionAll(e.select(col("dst").as("vertex"))).distinct()
+        val newVerts = verts.join(labels0, Seq("vertex"), "left_anti")
+          .withColumn("comp", col("vertex"))
+        val all = labels0.unionByName(newVerts)
+        // contract batch edges through the current labeling
+        val contracted = e
+          .join(all.select(col("vertex").as("src"), col("comp").as("csrc")), "src")
+          .join(all.select(col("vertex").as("dst"), col("comp").as("cdst")), "dst")
+          .select(col("csrc").as("src"), col("cdst").as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val cverts = contracted.select(col("src").as("vertex"))
+          .unionAll(contracted.select(col("dst").as("vertex"))).distinct()
+        // merge map over the contracted graph only (unordered — it feeds
+        // an equi-join, and a DataFrame min-label fixpoint was MEASURED
+        // slower here: ~6 SQL jobs/round × diameter × batches beat
+        // GraphX's per-invocation overhead, 26.2s vs 14.8s at sf0.1)
+        val merge = graft.graph.GraphOps
+          .connectedComponents(contracted, cverts, ordered = false)
+          .select(col("vertex").as("comp"), col("component").as("newComp"))
+        val labels = all.join(merge, Seq("comp"), "left_outer")
+          .select(col("vertex"), coalesce(col("newComp"), col("comp")).as("comp"))
+          .localCheckpoint(true) // materialize BEFORE overwriting state
+        labels.write.mode("overwrite").parquet(state)
+        batchProbe(labels, cat.load("S").select("src", "dst"))
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"graph maintenance replay ran $batches non-empty micro-batches; " +
+        "the incremental path requires at least 2")
+    spark.read.parquet(state)
+      .select(col("vertex"), col("comp").as("component"))
+      .orderBy("vertex")
+  }
+
   /** Streaming request server: dispatch a stream of protocol lines into a
     * [[graft.engine.GraphEngine]] via foreachBatch — the streaming analogue
     * of the reference's balancer+server loop (`load_balancer.c:47-72`).

@@ -42,6 +42,44 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("graphMaintainReplayBatch: incremental labeling equals recompute after EVERY batch") {
+    val dir = "/root/testdata/sf0.001"
+    var batches = 0
+    var merged = false
+    val got = StreamOps.graphMaintainReplayBatch(spark, dir,
+      batchProbe = (labels, snapshot) => {
+        batches += 1
+        // the incremental contraction must equal a from-scratch CC on the
+        // MVCC snapshot at every intermediate state, not just the last
+        val snap = snapshot.localCheckpoint(true)
+        val verts = snap.select(org.apache.spark.sql.functions.col("src").as("vertex"))
+          .unionAll(snap.select(org.apache.spark.sql.functions.col("dst").as("vertex")))
+          .distinct()
+        val expected = graft.graph.GraphOps.connectedComponents(
+            graft.graph.GraphOps.symmetrize(snap), verts)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val gotLabels = labels.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(gotLabels == expected,
+          s"batch $batches: incremental labels diverge from snapshot recompute")
+        // at least one intermediate state must contain a component that a
+        // LATER batch fuses (otherwise the merge path went unexercised):
+        // any non-region label means an orphan subtree is still detached
+        if (gotLabels.exists { case (_, comp) => comp > 5L }) merged = true
+      })
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batches >= 2, s"only $batches micro-batches — need cross-batch maintenance")
+    assert(merged,
+      "no intermediate batch held a detached component; cross-batch merge unexercised")
+    // final state: every vertex labeled with its region tree root (1..5)
+    assert(got.values.toSet.subsetOf((1L to 5L).toSet))
+    // spot lineage: nation vertices carry 1 + their region key
+    val nations = spark.read.parquet(s"$dir/nation.parquet")
+      .collect().map(r => (10L + r.getAs[Number]("n_nationkey").longValue(),
+        1L + r.getAs[Number]("n_regionkey").longValue())).toMap
+    nations.foreach { case (v, comp) => assert(got(v) == comp, s"nation vertex $v") }
+  }
+
   test("dedupReplayBatch drops the planted duplicate sends exactly") {
     val dir = "/root/testdata/sf0.001"
     val out = StreamOps.dedupReplayBatch(spark, s"$dir/events.parquet", dupMaxId = 100L)
