@@ -2104,6 +2104,22 @@ object SparkEntry {
     "media_resize" -> ((s, dir) =>
       Media.resizeStats(Media.mediaFromDocuments(t(s, dir, "documents")),
         maxW = 64, maxH = 64, realCodecs = false)),
+    // VIDEO near-dup groups: keyframe aHash → banded Hamming join (same
+    // frame_no rides in the band key) → CC on qualified video pairs. The
+    // raw corpus has no video near-dups, so the query plants re-encodes:
+    // every video doc (id % 3 = 2, kind preserved by the %3-stable
+    // offset) below 150 re-ingested at id+3e6 with byte 1 substituted —
+    // frame 0 perturbed, every later keyframe byte-identical
+    "video_dup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs
+        .filter(col("doc_id") % 3 === 2 && col("doc_id") < 150)
+        .withColumn("doc_id", col("doc_id") + 3000000L)
+        .withColumn("text", concat(lit("X"), expr("substring(text, 2)")))
+      Media.videoDupGroups(
+        Media.mediaFromDocuments(docs.unionByName(planted))
+          .filter(_.kind == "video"))
+    }),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -4647,6 +4663,59 @@ object SparkEntry {
          |SELECT phash_hi, phash_lo, CAST(count(*) AS BIGINT) AS n_media,
          |  CAST(min(media_id) AS BIGINT) AS keep_id
          |FROM ph GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+    // keyframe-level video near-dup replay: stub chunker (every 2nd
+    // 64-byte chunk), per-frame byte aHash (integer cross-multiplication
+    // — the mediaPhashCte arithmetic grouped by frame), DIRECT hamming
+    // join in place of Spark's banding (pigeonhole-complete for h<=3, so
+    // the pair sets are identical), recursive CC (the dedup_clusters
+    // pattern: plain UNION in reach = recursive dedup semantics)
+    "video_dup_groups" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS video_id, text
+        |  FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 3000000 AS BIGINT), 'X' || substr(text, 2)
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 150),
+        |f AS (SELECT video_id, c // 2 AS frame_no,
+        |    substr(text, CAST(c * 64 + 1 AS INT), 64) AS fb
+        |  FROM v, UNNEST(range(0, (strlen(text) + 63) // 64)) AS u(c)
+        |  WHERE c % 2 = 0),
+        |fm AS (SELECT video_id, frame_no, CAST(strlen(fb) AS BIGINT) AS m, fb FROM f),
+        |b AS (SELECT video_id, frame_no, m, ((i - 1) * 64) // m AS j,
+        |    CAST(ord(substr(fb, CAST(i AS INT), 1)) AS BIGINT) AS val
+        |  FROM fm, UNNEST(range(1, m + 1)) AS u(i)),
+        |tot AS (SELECT video_id, frame_no, max(m) AS m, sum(val) AS ts
+        |  FROM b GROUP BY 1, 2),
+        |ch AS (SELECT video_id, frame_no, j, sum(val) AS cs, count(*) AS cc
+        |  FROM b GROUP BY 1, 2, 3),
+        |bits AS (SELECT c.video_id, c.frame_no, c.j
+        |  FROM ch c JOIN tot t USING (video_id, frame_no)
+        |  WHERE c.cs * t.m > t.ts * c.cc),
+        |agg AS (SELECT video_id, frame_no,
+        |    sum(CASE WHEN j >= 32 THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT))
+        |        ELSE 0 END) AS hi,
+        |    sum(CASE WHEN j < 32 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |        ELSE 0 END) AS lo
+        |  FROM bits GROUP BY 1, 2),
+        |ph AS (SELECT fm.video_id, fm.frame_no,
+        |    CAST(coalesce(a.hi, 0) AS BIGINT) AS hi,
+        |    CAST(coalesce(a.lo, 0) AS BIGINT) AS lo
+        |  FROM fm LEFT JOIN agg a USING (video_id, frame_no)),
+        |pairs AS (SELECT a.video_id AS va, b.video_id AS vb, a.frame_no
+        |  FROM ph a JOIN ph b
+        |    ON a.frame_no = b.frame_no AND a.video_id < b.video_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        |e0 AS (SELECT va, vb FROM pairs
+        |  GROUP BY va, vb HAVING count(DISTINCT frame_no) >= 2),
+        |e AS (SELECT va AS a, vb AS b FROM e0 UNION ALL SELECT vb, va FROM e0),
+        |reach(rv, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, r.r FROM reach r JOIN e ON e.a = r.rv),
+        |comp AS (SELECT rv, min(r) AS cluster FROM reach GROUP BY rv)
+        |SELECT CAST(rv AS BIGINT) AS video_id, CAST(cluster AS BIGINT) AS cluster,
+        |  CAST(CASE WHEN rv = cluster THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM comp ORDER BY video_id""".stripMargin,
     "drift_ks" ->
       """WITH d AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
         |  FROM documents WHERE source IN ('src0', 'src1')),

@@ -182,6 +182,87 @@ object Media {
         md5(col("payload")).as("payload_md5"))
       .orderBy("media_id")
   }
+
+  /** Video-level near-duplicate GROUPS from keyframe perceptual hashes —
+    * the multimodal composition of [[sampleFrames]] + [[perceptualHash]]'s
+    * aHash + the SimHash pigeonhole banding
+    * ([[graft.pipeline.Dedup.simhashPairs]]) + dup-cluster CC
+    * ([[graft.pipeline.Dedup.dedupClusters]]):
+    *
+    *  1. sample keyframes per video (stub chunker — deterministic, so the
+    *     DuckDB oracle replays it);
+    *  2. 64-bit byte aHash per keyframe, packed (hi, lo);
+    *  3. candidate pairs by 4×16-bit block equality within the SAME
+    *     frame_no (temporal alignment rides IN the join key) — the
+    *     pigeonhole guarantee: Hamming ≤ 3 ⇒ ≥ 1 equal block, so banding
+    *     is COMPLETE for the verify threshold, never all-pairs;
+    *  4. verify exact Hamming ≤ `maxHamming` on the candidates;
+    *  5. videos sharing ≥ `minSharedFrames` aligned near-dup keyframes
+    *     form an edge; groups = connected components on that video-pair
+    *     graph (≪ corpus — near-dup components are sparse).
+    *
+    * Output: (video_id, cluster = min video id in group, keep) for every
+    * video in a dup group, ordered by video_id.
+    *
+    * Scale: frame payload bytes never shuffle (the hash reduces each
+    * frame to 2 longs before the explode); candidates are band-bucket
+    * equi-joins; the CC runs on qualified VIDEO pairs only.
+    */
+  /** The UNMATERIALIZED candidate stage of [[videoDupGroups]] (factored
+    * so PlanSpec pins the production body — the brandesForwardLevel
+    * discipline): band-bucket equi-join on (q, blk, frame_no), exact
+    * Hamming verify, aligned-frame count per video pair. Never all-pairs
+    * — the equi-join keys carry the band AND the temporal alignment.
+    */
+  private[graft] def keyframeDupEdges(blocks: DataFrame, maxHamming: Int,
+                                      minSharedFrames: Int): DataFrame = {
+    val l = blocks.select(col("video_id").as("va"), col("frame_no"),
+      col("hi").as("hia"), col("lo").as("loa"), col("q"), col("blk"))
+    val r = blocks.select(col("video_id").as("vb"), col("frame_no"),
+      col("hi").as("hib"), col("lo").as("lob"), col("q"), col("blk"))
+    l.join(r, Seq("q", "blk", "frame_no"))
+      .filter(col("va") < col("vb"))
+      .select("va", "vb", "frame_no", "hia", "loa", "hib", "lob").distinct()
+      .filter(expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)")
+        <= maxHamming)
+      .groupBy("va", "vb")
+      .agg(countDistinct("frame_no").as("n_shared"))
+      .filter(col("n_shared") >= minSharedFrames)
+  }
+
+  def videoDupGroups(media: Dataset[MediaRow], stride: Int = 2,
+                     maxHamming: Int = 3,
+                     minSharedFrames: Int = 2): DataFrame = {
+    import media.sparkSession.implicits._
+    val ph = sampleFrames(media, stride)
+      .map { f =>
+        val (hi, lo) = MediaCodecs.packAHashBits(
+          MediaCodecs.byteAHashBits(f.frame_bytes))
+        (f.media_id, f.frame_no.toLong, hi, lo)
+      }.toDF("video_id", "frame_no", "hi", "lo")
+    // one row per (frame, block); feeds BOTH sides of the self-join —
+    // materialize once (the simhashPairs discipline)
+    val blocks = ph.select(col("video_id"), col("frame_no"), col("hi"),
+        col("lo"), explode(expr(
+          "transform(sequence(0, 3), q -> struct(q AS q, " +
+            "CASE WHEN q < 2 THEN shiftright(lo, CAST(q * 16 AS INT)) & 65535 " +
+            "ELSE shiftright(hi, CAST((q - 2) * 16 AS INT)) & 65535 END AS blk))"))
+          .as("qb"))
+      .select(col("video_id"), col("frame_no"), col("hi"), col("lo"),
+        col("qb.q"), col("qb.blk"))
+      .localCheckpoint(true)
+    val pairs = keyframeDupEdges(blocks, maxHamming, minSharedFrames)
+      .localCheckpoint(true) // small; feeds edges AND vertices
+    val verts = pairs.select(col("va").as("vertex"))
+      .unionAll(pairs.select(col("vb").as("vertex"))).distinct()
+    val cc = graft.graph.GraphOps.connectedComponents(
+      pairs.select(col("va").as("src"), col("vb").as("dst")), verts,
+      ordered = false)
+    cc.select(col("vertex").as("video_id"), col("component").as("cluster"))
+      .withColumn("keep",
+        when(col("video_id") === col("cluster"), 1L).otherwise(0L))
+      .orderBy("video_id")
+  }
 }
 
 /** Codec layer. The IMAGE path is real — the JDK's `javax.imageio`

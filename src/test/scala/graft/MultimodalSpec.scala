@@ -171,6 +171,79 @@ class MultimodalSpec extends AnyFunSuite {
       MediaCodecs.decodeStub("video", garbage))
   }
 
+  test("videoDupGroups: perturbed re-encodes group, unrelated videos stay out") {
+    // 320-char payloads → chunks 0..4, sampled keyframes 0,1,2 (stride 2).
+    // b = a with byte 1 substituted: keyframe 0 perturbed, keyframes 1,2
+    // byte-identical → n_shared >= 2 → grouped. c shares nothing.
+    val a = "the quick brown fox jumps over the lazy dog " * 8 // 352 chars
+    val b = "X" + a.substring(1)
+    val c = "completely different payload content here un" * 8
+    val media = Seq(
+      Media.MediaRow(2L, "video", a.getBytes("UTF-8"), "s"),
+      Media.MediaRow(3000002L, "video", b.getBytes("UTF-8"), "s"),
+      Media.MediaRow(5L, "video", c.getBytes("UTF-8"), "s"))
+      .toDS()
+    val got = Media.videoDupGroups(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 2L, 1L), (3000002L, 2L, 0L)),
+      s"expected the planted pair grouped under keeper 2, got $got")
+  }
+
+  test("keyframeDupEdges equals the brute-force aligned-hamming pair set (pigeonhole complete)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val planted = docs
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 2)
+      .withColumn("doc_id",
+        org.apache.spark.sql.functions.col("doc_id") + 3000000L)
+      .withColumn("text", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("X"),
+        org.apache.spark.sql.functions.expr("substring(text, 2)")))
+    val media = Media.mediaFromDocuments(docs.unionByName(planted))
+      .filter(_.kind == "video")
+    // driver-side truth: every aligned frame pair with hamming <= 3
+    val frames = Media.sampleFrames(media, stride = 2).collect()
+      .map { f =>
+        val (hi, lo) = MediaCodecs.packAHashBits(
+          MediaCodecs.byteAHashBits(f.frame_bytes))
+        (f.media_id, f.frame_no, hi, lo)
+      }
+    val expected = (for {
+      (va, fa, hia, loa) <- frames; (vb, fb, hib, lob) <- frames
+      if va < vb && fa == fb
+      h = java.lang.Long.bitCount(hia ^ hib) + java.lang.Long.bitCount(loa ^ lob)
+      if h <= 3
+    } yield ((va, vb), fa)).groupBy(_._1)
+      .map { case (p, fs) => (p._1, p._2, fs.map(_._2).distinct.size.toLong) }
+      .filter(_._3 >= 2L).toSet
+    // production path (blocks built exactly as videoDupGroups does)
+    val ph = Media.sampleFrames(media, stride = 2)
+      .map { f =>
+        val (hi, lo) = MediaCodecs.packAHashBits(
+          MediaCodecs.byteAHashBits(f.frame_bytes))
+        (f.media_id, f.frame_no.toLong, hi, lo)
+      }.toDF("video_id", "frame_no", "hi", "lo")
+    val blocks = ph.select(
+      org.apache.spark.sql.functions.col("video_id"),
+      org.apache.spark.sql.functions.col("frame_no"),
+      org.apache.spark.sql.functions.col("hi"),
+      org.apache.spark.sql.functions.col("lo"),
+      org.apache.spark.sql.functions.explode(org.apache.spark.sql.functions.expr(
+        "transform(sequence(0, 3), q -> struct(q AS q, " +
+          "CASE WHEN q < 2 THEN shiftright(lo, CAST(q * 16 AS INT)) & 65535 " +
+          "ELSE shiftright(hi, CAST((q - 2) * 16 AS INT)) & 65535 END AS blk))"))
+        .as("qb"))
+      .select(org.apache.spark.sql.functions.col("video_id"),
+        org.apache.spark.sql.functions.col("frame_no"),
+        org.apache.spark.sql.functions.col("hi"),
+        org.apache.spark.sql.functions.col("lo"),
+        org.apache.spark.sql.functions.col("qb.q"),
+        org.apache.spark.sql.functions.col("qb.blk"))
+    val got = Media.keyframeDupEdges(blocks, maxHamming = 3, minSharedFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"banded candidates diverge from brute force: got ${got.size}, expected ${expected.size}")
+  }
+
   test("mediaStats matches a hand computation") {
     val s = Media.mediaStats(Media.mediaFromDocuments(docs)).collect()
     assert(s(0).getLong(2) == 11L)

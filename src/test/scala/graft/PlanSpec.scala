@@ -180,6 +180,24 @@ class PlanSpec extends AnyFunSuite {
       s"frontier join not broadcast at this scale in:\n$p")
   }
 
+  test("video_dup_groups candidate stage: banded equi-join carrying frame alignment, no all-pairs") {
+    import spark.implicits._
+    val blocks = Seq((2L, 0L, 5L, 6L, 0, 7L), (3000002L, 0L, 5L, 7L, 0, 7L))
+      .toDF("video_id", "frame_no", "hi", "lo", "q", "blk")
+      .localCheckpoint(true)
+    val p = multimodal.Media.keyframeDupEdges(blocks, maxHamming = 3,
+        minSharedFrames = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"all-pairs join in the keyframe candidate stage:\n$p")
+    // the equi-join key must carry the pigeonhole band AND the temporal
+    // alignment — dropping either silently degrades to quadratic pairs
+    val joinLine = p.linesIterator.find(_.contains("HashJoin")).getOrElse("")
+    assert(joinLine.contains("blk") && joinLine.contains("frame_no"),
+      s"band/frame_no missing from the join key: $joinLine\n$p")
+    assert(p.contains("bit_count"), s"exact hamming verify missing in:\n$p")
+  }
+
   test("brandes forward level: one (s,v) sigma aggregate + visited anti-join, no cartesian") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
