@@ -1886,6 +1886,14 @@ object SparkEntry {
     // Gopher-style hard-filter rules (per-rule booleans + keep flag) —
     // the ingestion gate a training pipeline runs BEFORE any scoring
     "gopher_rules" -> ((s, dir) => TextStats.gopherRules(t(s, dir, "documents"))),
+    // DEFLATE compression ratio as a repetition/boilerplate signal
+    // (Gopher companion): exact integer basis points, one pinned zlib
+    // context per partition. Oracle = the Verify-dumped SEQUENTIAL
+    // replay fixture (same kernel, independent execution) joined back to
+    // documents for raw_len/ratio re-derivation — see
+    // pipeline.Compression and Verify's fixture writer.
+    "compression_ratio" -> ((s, dir) =>
+      pipeline.Compression.compressionRatio(t(s, dir, "documents"))),
     "token_stats" -> ((s, dir) => TextStats.tokenStats(t(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextStats.fingerprints(t(s, dir, "documents")).select("doc_id", "md5_fp")),
@@ -4553,6 +4561,21 @@ object SparkEntry {
         |  CAST(round(least(1.0, len(t) / 100.0) * 0.5 +
         |    (CASE WHEN length(text) * 1.0 / len(t) BETWEEN 4 AND 8 THEN 0.5 ELSE 0.0 END), 4) AS DOUBLE) AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+    // ${GRAFT_VERIFY_OUT} is substituted by Verify at dump time with the
+    // absolute output dir: the fixture is the driver-side SEQUENTIAL
+    // deflate replay (independent execution of the shared kernel);
+    // DuckDB re-derives raw_len and the basis-point ratio from the
+    // documents table and hash-checks the distributed run against both
+    "compression_ratio" ->
+      """SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(strlen(d.text) AS BIGINT) AS raw_len,
+        |  CAST(f.comp_len AS BIGINT) AS comp_len,
+        |  CAST(f.comp_len * 10000 // strlen(d.text) AS BIGINT) AS ratio_bp
+        |FROM documents d
+        |JOIN read_parquet('${GRAFT_VERIFY_OUT}/compression_oracle.parquet/*.parquet') f
+        |  ON f.doc_id = d.doc_id
+        |WHERE strlen(d.text) > 0
+        |ORDER BY doc_id""".stripMargin,
     "gopher_rules" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t,

@@ -41,8 +41,35 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // compression_ratio replay fixture: recompute comp_len SEQUENTIALLY
+    // on the driver through the SAME pinned kernel the distributed
+    // operator uses (pipeline.Compression.deflateLen) — an independent
+    // execution the DuckDB oracle joins against. Written BEFORE the
+    // oracle dump so a fixture failure surfaces as a missing-file oracle
+    // error, never a silent pass.
+    if (only.forall(_.contains("compression_ratio"))) try {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text")).collect()
+      val d = pipeline.Compression.newDeflater()
+      val rows = docs.toSeq.map { r =>
+        (r.getLong(0),
+          pipeline.Compression.deflateLen(r.getString(1).getBytes("UTF-8"), d))
+      }
+      d.end()
+      import spark.implicits._
+      rows.toDF("doc_id", "comp_len").coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/compression_oracle.parquet")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] compression fixture failed: ${e.getMessage}")
+    }
+    // ${GRAFT_VERIFY_OUT} placeholders resolve to THIS run's absolute
+    // output dir (compression_ratio's fixture join)
+    val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("${GRAFT_VERIFY_OUT}", absOut))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // ANN approximation contract as an AUDITABLE ARTIFACT: the two IVF
     // searches are correctness-gated by deterministic DuckDB replay
