@@ -114,6 +114,28 @@ object SparkEntry {
       s.read.format("graft-matrix").load(tmp)
         .orderBy("src", "dst")
     }),
+    // A3 metadata path: DSv2 AGGREGATE pushdown — count/min/max grouped by
+    // graph_id over a two-graph database dir is answered per-file by the
+    // source (one streaming pass, ONE summary row per graph, no edge-cell
+    // rows cross the scan boundary); per-graph grouping is COMPLETE
+    // pushdown (one file = one graph), so the plan has no aggregate
+    // operator and no shuffle at all (MatrixSourceSpec pins this)
+    "matrix_source_agg" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      def edgesOf(parity: Int) = nation
+        .filter(col("n_regionkey") % 2 === parity)
+        .select((lit(1) + col("n_regionkey")).cast("long").as("src"),
+          (lit(10) + col("n_nationkey")).cast("long").as("dst"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_agg_").toString
+      MatrixCodec.writeMatrixFile(edgesOf(0), 34, s"$tmp/G1.txt")
+      MatrixCodec.writeMatrixFile(edgesOf(1), 34, s"$tmp/G2.txt")
+      s.read.format("graft-matrix").load(tmp)
+        .groupBy("graph_id")
+        .agg(count(lit(1)).as("n_edges"),
+          min("src").as("min_src"), max("src").as("max_src"),
+          min("dst").as("min_dst"), max("dst").as("max_dst"))
+        .orderBy("graph_id")
+    }),
     // A2 time travel in the correctness gate: add v1, modify to v2 (drop
     // even-dst edges), diff latest vs version 1 through the MVCC catalog
     "graph_version_diff" -> ((s, dir) => {
@@ -3007,6 +3029,14 @@ object SparkEntry {
       """SELECT 'G1' AS graph_id, CAST(1 + n_regionkey AS BIGINT) AS src,
         |  CAST(10 + n_nationkey AS BIGINT) AS dst
         |FROM nation ORDER BY graph_id, src, dst""".stripMargin,
+    "matrix_source_agg" ->
+      """SELECT CASE WHEN n_regionkey % 2 = 0 THEN 'G1' ELSE 'G2' END AS graph_id,
+        |  CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(min(1 + n_regionkey) AS BIGINT) AS min_src,
+        |  CAST(max(1 + n_regionkey) AS BIGINT) AS max_src,
+        |  CAST(min(10 + n_nationkey) AS BIGINT) AS min_dst,
+        |  CAST(max(10 + n_nationkey) AS BIGINT) AS max_dst
+        |FROM nation GROUP BY 1 ORDER BY graph_id""".stripMargin,
     "matrix_sink_roundtrip" ->
       """SELECT 'G7' AS graph_id, CAST(n_nationkey + 1 AS BIGINT) AS src,
         |  CAST(n_regionkey + 1 AS BIGINT) AS dst

@@ -34,6 +34,51 @@ object MatrixCodec {
     (n, edges)
   }
 
+  /** Per-file aggregate summary: edge count plus min/max of each edge
+    * endpoint (None when the matrix has no nonzero cell). See
+    * [[aggregateMatrixText]].
+    */
+  case class MatrixAggregates(edgeCount: Long,
+      minSrc: Option[Long], maxSrc: Option[Long],
+      minDst: Option[Long], maxDst: Option[Long])
+
+  /** Single-pass aggregate over matrix text WITHOUT materializing the
+    * edge list: powers the DSv2 aggregate pushdown
+    * ([[graft.sources.MatrixDataSource]] / `SupportsPushDownAggregates`),
+    * so a metadata query over a graph-database directory reads each file
+    * once and ships ONE summary row per graph — never the cells. Same
+    * edge rule as [[parseMatrixText]]: any nonzero entry is an edge
+    * (reference `secondary_server.c:83`), 1-based ids.
+    */
+  def aggregateMatrixText(text: String): MatrixAggregates = {
+    val nums = text.split("\\s+").iterator.filter(_.nonEmpty).map(_.toInt).toArray
+    require(nums.nonEmpty, "empty matrix text")
+    val n = nums(0)
+    require(n >= 0 && nums.length >= 1 + n * n,
+      s"matrix text declares n=$n but has ${nums.length - 1} cells")
+    var cnt = 0L
+    var minS = Long.MaxValue; var maxS = Long.MinValue
+    var minD = Long.MaxValue; var maxD = Long.MinValue
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (nums(1 + i * n + j) != 0) {
+          cnt += 1
+          val s = i + 1L; val d = j + 1L
+          if (s < minS) minS = s
+          if (s > maxS) maxS = s
+          if (d < minD) minD = d
+          if (d > maxD) maxD = d
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (cnt == 0) MatrixAggregates(0L, None, None, None, None)
+    else MatrixAggregates(cnt, Some(minS), Some(maxS), Some(minD), Some(maxD))
+  }
+
   /** Render an edge list back to matrix text (sink fidelity with
     * reference `primary_server.c:145-151`). Vertices are 1-based.
     */

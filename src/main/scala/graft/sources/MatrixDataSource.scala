@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution => V2Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -29,7 +31,13 @@ import graft.model.MatrixCodec
   * reference's database layout); each file is one [[InputPartition]], so
   * a many-graph database scans file-parallel. Column pruning is pushed
   * down ([[SupportsPushDownRequiredColumns]]); the scan materializes only
-  * the requested columns. All file IO goes through the Hadoop FileSystem
+  * the requested columns. Aggregation is pushed down too
+  * ([[SupportsPushDownAggregates]]): count/min/max metadata queries —
+  * optionally grouped by graph_id — are answered from one streaming pass
+  * per file ([[MatrixCodec.aggregateMatrixText]]) shipping ONE summary row
+  * per graph instead of the cells; the per-graph grouping is COMPLETE
+  * pushdown (one file = one graph), so Spark plans no aggregate operator
+  * and no shuffle at all. All file IO goes through the Hadoop FileSystem
   * API, so the source loads from any supported filesystem (`file:`,
   * `hdfs:`, object stores with their connectors on the classpath), not
   * just the driver-local disk. Files in this format are ≤ KBs by
@@ -261,12 +269,168 @@ private[sources] class MatrixDataWriter(dir: String, fields: Array[String],
   override def close(): Unit = ()
 }
 
+/** Aggregate calls the matrix scan answers per-file from one streaming
+  * pass over the text ([[MatrixCodec.aggregateMatrixText]]) — no edge-row
+  * materialization. `CountCall` is valid for ANY source column (all three
+  * are non-nullable by schema, so count(col) ≡ count(*) over edges);
+  * min/max only for the numeric endpoints.
+  */
+private[sources] sealed trait MatrixAggCall
+private[sources] case object CountStarCall extends MatrixAggCall
+private[sources] case class CountCall(col: String) extends MatrixAggCall
+private[sources] case class MinCall(col: String) extends MatrixAggCall
+private[sources] case class MaxCall(col: String) extends MatrixAggCall
+
 private[sources] class MatrixScanBuilder(paths: Seq[String])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
   private var required: StructType = MatrixDataSource.Schema
+  private var pushed: Option[(Boolean, Seq[MatrixAggCall])] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new MatrixScan(paths, required)
+
+  private def colName(e: V2Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  private def translate(f: AggregateFunc): Option[MatrixAggCall] = f match {
+    case _: CountStar => Some(CountStarCall)
+    case c: Count if !c.isDistinct =>
+      colName(c.column)
+        .filter(MatrixDataSource.Schema.fieldNames.contains(_))
+        .map(CountCall)
+    case m: Min =>
+      colName(m.column).filter(c => c == "src" || c == "dst").map(MinCall)
+    case m: Max =>
+      colName(m.column).filter(c => c == "src" || c == "dst").map(MaxCall)
+    case _ => None
+  }
+
+  /** (groupedByGraphId, calls) when the whole Aggregation is answerable
+    * per-file; None → Spark falls back to the row scan.
+    */
+  private def translateAll(agg: Aggregation): Option[(Boolean, Seq[MatrixAggCall])] = {
+    val gb = agg.groupByExpressions
+    val byGid = gb.length == 1 && colName(gb(0)).contains("graph_id")
+    if (!(gb.isEmpty || byGid)) None
+    else {
+      val calls = agg.aggregateExpressions.map(translate)
+      if (calls.isEmpty || calls.exists(_.isEmpty)) None
+      else Some((byGid, calls.map(_.get).toSeq))
+    }
+  }
+
+  /** Grouping by graph_id is COMPLETE pushdown: one file = one graph (the
+    * database layout — filename stems are unique in a dir), so the union
+    * of per-file summary rows IS the final grouped result and Spark plans
+    * NO aggregate operator and NO shuffle at all. Global aggregation is
+    * PARTIAL (one summary row per file; Spark's final agg merges).
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAll(agg).exists(_._1)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val t = translateAll(agg)
+    t.foreach(p => pushed = Some(p))
+    t.isDefined
+  }
+
+  override def build(): Scan = pushed match {
+    case Some((byGid, calls)) => new MatrixAggScan(paths, byGid, calls)
+    case None => new MatrixScan(paths, required)
+  }
+}
+
+/** Aggregate-pushdown scan: per file, ONE summary row — (graph_id?) ++ one
+  * column per pushed call, positionally matching the Aggregation Spark
+  * pushed (group-by columns first, the DSv2 contract). A file with zero
+  * edges yields NO row under group-by (no edge rows → no group, matching
+  * SQL semantics over the edge relation) but DOES yield its zero-count row
+  * for global aggregation, so Spark's final merge over a mixed directory
+  * still counts 0 + n correctly.
+  */
+private[sources] class MatrixAggScan(paths: Seq[String], byGid: Boolean,
+                                     calls: Seq[MatrixAggCall])
+  extends Scan with Batch {
+  override def readSchema(): StructType = {
+    val base =
+      if (byGid) new StructType().add("graph_id", StringType, nullable = false)
+      else new StructType()
+    calls.zipWithIndex.foldLeft(base) { case (st, (c, i)) =>
+      c match {
+        case CountStarCall => st.add(s"agg_$i", LongType, nullable = false)
+        case CountCall(_)  => st.add(s"agg_$i", LongType, nullable = false)
+        case MinCall(_)    => st.add(s"agg_$i", LongType, nullable = true)
+        case MaxCall(_)    => st.add(s"agg_$i", LongType, nullable = true)
+      }
+    }
+  }
+  override def description(): String = {
+    val aggStr = calls.map {
+      case CountStarCall => "COUNT(*)"
+      case CountCall(c)  => s"COUNT($c)"
+      case MinCall(c)    => s"MIN($c)"
+      case MaxCall(c)    => s"MAX($c)"
+    }.mkString(", ")
+    val gbStr = if (byGid) "graph_id" else ""
+    s"graft-matrix PushedAggregates: [$aggStr], PushedGroupBy: [$gbStr]"
+  }
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(MatrixFilePartition(_)).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MatrixAggReaderFactory(byGid, calls,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+}
+
+private[sources] class MatrixAggReaderFactory(byGid: Boolean,
+    calls: Seq[MatrixAggCall],
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[MatrixFilePartition].path
+    val a = MatrixCodec.aggregateMatrixText(
+      MatrixDataSource.readFully(path, conf.value))
+    val stem = {
+      val f = new org.apache.hadoop.fs.Path(path).getName
+      if (f.endsWith(".txt")) f.dropRight(4) else f
+    }
+    def endpoint(col: String, min: Boolean): Any = {
+      val o = (col, min) match {
+        case ("src", true)  => a.minSrc
+        case ("src", false) => a.maxSrc
+        case ("dst", true)  => a.minDst
+        case ("dst", false) => a.maxDst
+        case other => throw new IllegalArgumentException(s"bad endpoint $other")
+      }
+      o.map(Long.box).orNull
+    }
+    val row: Option[InternalRow] =
+      if (byGid && a.edgeCount == 0) None
+      else {
+        val aggVals = calls.map {
+          case CountStarCall => a.edgeCount
+          case CountCall(_)  => a.edgeCount // all source columns non-null
+          case MinCall(c)    => endpoint(c, min = true)
+          case MaxCall(c)    => endpoint(c, min = false)
+        }
+        val lead = if (byGid) Seq(UTF8String.fromString(stem)) else Nil
+        Some(InternalRow.fromSeq(lead ++ aggVals))
+      }
+    val it = row.iterator
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        current = it.next(); true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] class MatrixScan(paths: Seq[String], required: StructType)

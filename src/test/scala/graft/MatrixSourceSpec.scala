@@ -181,6 +181,80 @@ class MatrixSourceSpec extends AnyFunSuite {
     }
   }
 
+  /** Collect DSv2 scans, descending through any AQE wrapper (a final
+    * aggregate puts an AdaptiveSparkPlanExec at the root whose children
+    * are not visible to a plain collect).
+    */
+  private def v2Scans(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.connector.read.Scan] = plan match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      v2Scans(a.initialPlan)
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b.scan)
+    case p => p.children.flatMap(v2Scans)
+  }
+
+  test("aggregate pushdown: groupBy(graph_id) is COMPLETE — no aggregate operator, no shuffle") {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_agg_")
+    writeGraph(dir, "G1.txt", 3, Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+    writeGraph(dir, "G2.txt", 4, Seq((1L, 4L), (4L, 1L)))
+    writeGraph(dir, "G3.txt", 2, Seq.empty) // all-zero matrix: no edge rows → no group
+    val q = spark.read.format("graft-matrix").load(dir.toString)
+      .groupBy("graph_id")
+      .agg(count(lit(1)).as("n_edges"), min("src").as("min_src"),
+        max("src").as("max_src"), max("dst").as("max_dst"))
+    val plan = q.queryExecution.executedPlan
+    // complete pushdown: the union of per-file summary rows IS the final
+    // grouped result — Spark plans NO aggregate and NO exchange
+    assert(plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.isEmpty, s"expected no aggregate operator:\n$plan")
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"expected no shuffle:\n$plan")
+    val scan = v2Scans(plan).head
+    assert(scan.description().contains("PushedAggregates"), scan.description())
+    // the scan ships summary columns, not edge cells
+    assert(!scan.readSchema().fieldNames.sameElements(Array("graph_id", "src", "dst")),
+      scan.readSchema().simpleString)
+    val out = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set(("G1", 4L, 1L, 3L, 3L), ("G2", 2L, 1L, 4L, 4L)))
+  }
+
+  test("aggregate pushdown: global count/min/max is PARTIAL — one summary row per file, final merge on top") {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_gagg_")
+    writeGraph(dir, "G1.txt", 3, Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    writeGraph(dir, "G2.txt", 5, Seq((5L, 4L)))
+    writeGraph(dir, "G3.txt", 2, Seq.empty) // empty file still contributes its 0 partial
+    val q = spark.read.format("graft-matrix").load(dir.toString)
+      .agg(count(lit(1)).as("n"), min("src").as("mn"), max("dst").as("mx"))
+    val scan = v2Scans(q.queryExecution.executedPlan).head
+    assert(scan.description().contains("PushedAggregates"), scan.description())
+    assert(scan.readSchema().length == 3, scan.readSchema().simpleString)
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 1L, 4L)))
+  }
+
+  test("aggregate pushdown declines what it can't answer (avg, non-gid grouping) and falls back to the row scan") {
+    import org.apache.spark.sql.functions.{avg, count, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_fb_")
+    writeGraph(dir, "G1.txt", 3, Seq((1L, 2L), (2L, 3L)))
+    // avg is not partial-able by this source → full row scan + real aggregate
+    val q1 = spark.read.format("graft-matrix").load(dir.toString).agg(avg("src").as("a"))
+    val s1 = v2Scans(q1.queryExecution.executedPlan).head
+    assert(!s1.description().contains("PushedAggregates"), s1.description())
+    assert(q1.collect().head.getDouble(0) == 1.5)
+    // grouping by a non-graph_id column → fall back too
+    val q2 = spark.read.format("graft-matrix").load(dir.toString)
+      .groupBy("src").agg(count(lit(1)).as("n"))
+    val s2 = v2Scans(q2.queryExecution.executedPlan).head
+    assert(!s2.description().contains("PushedAggregates"), s2.description())
+    assert(q2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L)))
+  }
+
   test("roundtrip: codec-written file reads back identically through the source") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_rt_")
     val edges = Seq((1L, 3L), (3L, 1L), (2L, 2L))
