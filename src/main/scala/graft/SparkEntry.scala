@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{DerivedGraphs, GraphCatalog, GraphOps}
+import graft.graph.{BetweennessParams, DerivedGraphs, GraphCatalog, GraphOps}
 import graft.model.MatrixCodec
 import graft.multimodal.Media
 import graft.pipeline.{Dedup, Events, IvfParams, Similarity, TextStats}
@@ -43,6 +43,20 @@ object SparkEntry {
       .filter(col("bsz") > maxBasketSize).select("okey")
     basket0.join(big, Seq("okey"), "left_anti")
   }
+
+  /** The [[BetweennessParams.NumSources]] deterministic md5-argmin
+    * supplier sources of `betweenness_top50` — ONE derivation shared by
+    * the query, its DuckDB replay oracle (same draw in SQL) and the
+    * sampling-accuracy contract (PropertyOracleSpec vs exact Brandes),
+    * so the three sites cannot drift.
+    */
+  private[graft] def betweennessSources(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .select((lit(DerivedGraphs.SupplierBase) + col("s_suppkey"))
+          .cast("long").as("s"),
+        graft.functions.PortableHash.md5Bits60(
+          concat_ws("_", lit("btw"), col("s_suppkey"))).as("h"))
+      .orderBy("h", "s").limit(BetweennessParams.NumSources).select("s")
 
   /** The frequent-co-purchase graph (canonical part pairs sharing ≥2
     * orders, basket-size skew guard via [[guardedBasket]]) — shared by
@@ -459,15 +473,9 @@ object SparkEntry {
     // rounding both sides absorbs summation-order jitter, ordering is on
     // the ROUNDED value + vertex tiebreak (pagerank convention).
     "betweenness_top50" -> ((s, dir) => {
-      val srcs = t(s, dir, "supplier")
-        .select((lit(DerivedGraphs.SupplierBase) + col("s_suppkey"))
-            .cast("long").as("s"),
-          graft.functions.PortableHash.md5Bits60(
-            concat_ws("_", lit("btw"), col("s_suppkey"))).as("h"))
-        .orderBy("h", "s").limit(4).select("s")
       GraphOps.betweennessSampled(
           GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
-          srcs, maxDepth = 4)
+          betweennessSources(s, dir), maxDepth = BetweennessParams.MaxDepth)
         .select(col("vertex"), round(col("bc"), 3).as("bc"))
         .orderBy(col("bc").desc, col("vertex"))
         .limit(50)

@@ -190,6 +190,61 @@ class PropertyOracleSpec extends AnyFunSuite {
   // sf0.1 testdata against the IvfParams floors (measured − 1, the same
   // derivation as the sf0.01 floors).
 
+  // ---- sampled-betweenness accuracy contract ----------------------------
+  //
+  // betweenness_top50 ships the SAMPLED estimator (4 md5-drawn sources,
+  // depth ≤ 4 — the only shape that survives 100 TB); its DuckDB replay
+  // oracle checks determinism, not estimation quality. This records what
+  // sampling buys: exact Brandes (every vertex a source, unbounded depth,
+  // same directed-dependency definition) is cheap on sf0.001, so measure
+  // top-50 overlap and Kendall tau-b live and floor them the IvfParams
+  // way (BetweennessParams).
+
+  test("betweenness_top50 sampling accuracy vs exact Brandes stays above the floors (sf0.001)") {
+    import graft.graph.{BetweennessParams, DerivedGraphs, GraphOps}
+    val dir = "/root/testdata/sf0.001"
+    val edges = GraphOps.symmetrize(
+      DerivedGraphs.partSuppEdges(spark, dir), dedup = false)
+    def scores(sources: org.apache.spark.sql.DataFrame, depth: Int): Map[Long, Double] =
+      GraphOps.betweennessSampled(edges, sources, maxDepth = depth)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // exact: every vertex is a source (symmetrized edges ⇒ src covers all
+    // non-isolated vertices); depth 64 ≫ diameter, the loop exits on the
+    // first empty frontier
+    val exact = scores(edges.select(col("src").as("s")).distinct(), 64)
+    val sampled = scores(SparkEntry.betweennessSources(spark, dir),
+      BetweennessParams.MaxDepth)
+    def top50(m: Map[Long, Double]): Seq[Long] =
+      m.toSeq.sortBy { case (v, bc) => (-bc, v) }.take(50).map(_._1)
+    val eTop = top50(exact)
+    val overlap = eTop.toSet.intersect(top50(sampled).toSet).size
+    // Kendall tau-b over exact's top-50 vertices (sampled score 0 when
+    // the estimator never reached a vertex)
+    var conc = 0; var disc = 0; var tieE = 0; var tieS = 0; var n0 = 0
+    for (i <- eTop.indices; j <- i + 1 until eTop.size) {
+      n0 += 1
+      val de = exact(eTop(i)) - exact(eTop(j))
+      val ds = sampled.getOrElse(eTop(i), 0.0) - sampled.getOrElse(eTop(j), 0.0)
+      if (de == 0.0) tieE += 1
+      if (ds == 0.0) tieS += 1
+      if (de != 0.0 && ds != 0.0) { if (de * ds > 0) conc += 1 else disc += 1 }
+    }
+    val tau = (conc - disc).toDouble /
+      math.sqrt((n0 - tieE).toDouble * (n0 - tieS).toDouble)
+    val tauMilli = (tau * 1000).toInt
+    info(s"sampled-vs-exact betweenness on sf0.001: overlap@50=$overlap/50, " +
+      f"tau-b=$tau%.3f (conc=$conc disc=$disc tieE=$tieE tieS=$tieS)")
+    import BetweennessParams.AccuracySf0001._
+    assert(overlap >= Top50OverlapFloor,
+      s"top-50 overlap collapsed to $overlap/50 " +
+        s"(measured $MeasuredTop50Overlap, floor $Top50OverlapFloor): " +
+        "the sampled estimator no longer tracks exact Brandes")
+    assert(tauMilli >= TauMilliFloor,
+      s"Kendall tau-b collapsed to ${tauMilli / 1000.0} " +
+        s"(measured ${MeasuredTauMilli / 1000.0}, floor ${TauMilliFloor / 1000.0}): " +
+        "the sampled ranking no longer tracks exact Brandes")
+  }
+
   test("sf0.1 (bench scale) recall@10 stays above the RECALL.sf0.1.json floors") {
     val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val truth = Similarity.cosineTopK(emb01, queryId = IvfParams.QueryVecId,
