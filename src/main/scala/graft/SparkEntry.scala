@@ -1953,6 +1953,12 @@ object SparkEntry {
     // distributed BPE tokenizer training: 5 merge rounds over the word
     // vocabulary, exact weighted pair counts, argmax rule per round
     "bpe_merges" -> ((s, dir) => TextStats.bpeMerges(t(s, dir, "documents"), rounds = 5)),
+    // the trained tokenizer APPLIED: corpus-wide token frequencies after
+    // the 5 learned merges — encoding rides the counted word vocabulary
+    // (one explode over vocab, the corpus text is never re-read), exact
+    // BIGINT counts, top-30 by (cnt desc, token)
+    "bpe_token_freqs" -> ((s, dir) =>
+      TextStats.bpeTokenFrequencies(t(s, dir, "documents"), rounds = 5, k = 30)),
     // MERGE INTO (CDC upsert+delete+insert) applied to the orders snapshot
     // in one full-outer dataflow
     "merge_upsert" -> ((s, dir) => {
@@ -2708,6 +2714,49 @@ object SparkEntry {
       |FROM documents d LEFT JOIN shared s ON s.doc_id = d.doc_id
       |WHERE d.doc_id >= 10 ORDER BY doc_id""".stripMargin
 
+  /** Shared CTE chain for the two BPE oracles: v0 = char-split word
+    * vocabulary with counts, then per round k: pair counts (pk), the
+    * argmax rule (bk), and the merged vocabulary (vk). DuckDB prunes
+    * unreferenced CTEs, so an oracle using only b1..bN (bpe_merges) pays
+    * nothing for the final vN that bpe_token_freqs reads.
+    */
+  private def bpeCteChain(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH v0 AS (
+        |  SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS seq, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1)""".stripMargin)
+    for (k <- 1 to rounds) {
+      sb.append(",\n").append(
+        s"""p$k AS (SELECT p.l AS l, p.r AS r, SUM(n) AS pn FROM (
+           |    SELECT n, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS p
+           |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS t, n FROM v${k - 1})) GROUP BY 1, 2),
+           |b$k AS (SELECT l, r, pn FROM p$k ORDER BY pn DESC, l, r LIMIT 1),
+           |v$k AS (SELECT replace(seq, '(' || (SELECT l FROM b$k) || ')(' || (SELECT r FROM b$k) || ')',
+           |                      '(' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ')') AS seq, n FROM v${k - 1})""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private val bpeMergesSql: String = {
+    val steps = (1 to 5).map { k =>
+      if (k == 1) s"  SELECT CAST(1 AS BIGINT) AS step, l, r, CAST(pn AS BIGINT) AS pair_n FROM b1"
+      else s"  UNION ALL SELECT $k, l, r, CAST(pn AS BIGINT) FROM b$k"
+    }.mkString("\n")
+    s"""${bpeCteChain(5)}
+       |SELECT * FROM (
+       |$steps
+       |)
+       |ORDER BY step""".stripMargin
+  }
+
+  private val bpeTokenFreqsSql: String =
+    s"""${bpeCteChain(5)}
+       |SELECT token, CAST(sum(n) AS BIGINT) AS cnt FROM (
+       |  SELECT unnest(string_split(substr(seq, 2, length(seq) - 2), ')(')) AS token, n
+       |  FROM v5)
+       |GROUP BY token ORDER BY cnt DESC, token LIMIT 30""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "bm25_top_docs" ->
       s"""$bm25ScoredSql
@@ -2742,47 +2791,8 @@ object SparkEntry {
         |FROM tru t JOIN est e ON e.term = t.term ORDER BY term""".stripMargin,
     // five unrolled merge rounds: pair-count + argmax + literal fuse per
     // round — the SQL replica of the driver-controlled BPE loop
-    "bpe_merges" ->
-      """WITH v0 AS (
-        |  SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS seq, count(*) AS n
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  GROUP BY 1),
-        |p1 AS (SELECT p.l AS l, p.r AS r, SUM(n) AS pn FROM (
-        |    SELECT n, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS p
-        |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS t, n FROM v0)) GROUP BY 1, 2),
-        |b1 AS (SELECT l, r, pn FROM p1 ORDER BY pn DESC, l, r LIMIT 1),
-        |v1 AS (SELECT replace(seq, '(' || (SELECT l FROM b1) || ')(' || (SELECT r FROM b1) || ')',
-        |                      '(' || (SELECT l FROM b1) || (SELECT r FROM b1) || ')') AS seq, n FROM v0),
-        |p2 AS (SELECT p.l AS l, p.r AS r, SUM(n) AS pn FROM (
-        |    SELECT n, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS p
-        |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS t, n FROM v1)) GROUP BY 1, 2),
-        |b2 AS (SELECT l, r, pn FROM p2 ORDER BY pn DESC, l, r LIMIT 1),
-        |v2 AS (SELECT replace(seq, '(' || (SELECT l FROM b2) || ')(' || (SELECT r FROM b2) || ')',
-        |                      '(' || (SELECT l FROM b2) || (SELECT r FROM b2) || ')') AS seq, n FROM v1),
-        |p3 AS (SELECT p.l AS l, p.r AS r, SUM(n) AS pn FROM (
-        |    SELECT n, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS p
-        |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS t, n FROM v2)) GROUP BY 1, 2),
-        |b3 AS (SELECT l, r, pn FROM p3 ORDER BY pn DESC, l, r LIMIT 1),
-        |v3 AS (SELECT replace(seq, '(' || (SELECT l FROM b3) || ')(' || (SELECT r FROM b3) || ')',
-        |                      '(' || (SELECT l FROM b3) || (SELECT r FROM b3) || ')') AS seq, n FROM v2),
-        |p4 AS (SELECT p.l AS l, p.r AS r, SUM(n) AS pn FROM (
-        |    SELECT n, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS p
-        |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS t, n FROM v3)) GROUP BY 1, 2),
-        |b4 AS (SELECT l, r, pn FROM p4 ORDER BY pn DESC, l, r LIMIT 1),
-        |v4 AS (SELECT replace(seq, '(' || (SELECT l FROM b4) || ')(' || (SELECT r FROM b4) || ')',
-        |                      '(' || (SELECT l FROM b4) || (SELECT r FROM b4) || ')') AS seq, n FROM v3),
-        |p5 AS (SELECT p.l AS l, p.r AS r, SUM(n) AS pn FROM (
-        |    SELECT n, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS p
-        |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS t, n FROM v4)) GROUP BY 1, 2),
-        |b5 AS (SELECT l, r, pn FROM p5 ORDER BY pn DESC, l, r LIMIT 1)
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS step, l, r, CAST(pn AS BIGINT) AS pair_n FROM b1
-        |  UNION ALL SELECT 2, l, r, CAST(pn AS BIGINT) FROM b2
-        |  UNION ALL SELECT 3, l, r, CAST(pn AS BIGINT) FROM b3
-        |  UNION ALL SELECT 4, l, r, CAST(pn AS BIGINT) FROM b4
-        |  UNION ALL SELECT 5, l, r, CAST(pn AS BIGINT) FROM b5
-        |)
-        |ORDER BY step""".stripMargin,
+    "bpe_merges" -> bpeMergesSql,
+    "bpe_token_freqs" -> bpeTokenFreqsSql,
     "merge_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
         |SELECT * FROM (

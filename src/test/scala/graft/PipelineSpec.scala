@@ -342,6 +342,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", "b", 6L), (2L, "a", "a", 4L), (3L, "ab", "ab", 3L)))
   }
 
+  test("bpeTokenFrequencies: encoding with the learned merges, hand-computed") {
+    // same corpus as the bpeMerges test; after merges (a,b), (a,a), (ab,ab):
+    // abab → (abab), aaa → (aa)(a)  ⇒ tokens abab:3, aa:2, a:2
+    val docs = Seq(
+      (0L, "abab abab aaa", "en", "s", 0L),
+      (1L, "abab aaa", "en", "s", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextStats.bpeTokenFrequencies(docs, rounds = 3, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("abab", 3L), ("a", 2L), ("aa", 2L)))
+  }
+
   test("knnJoin's per-query rankings agree with single-query cosineTopK") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val knn = Similarity.knnJoin(e, maxQueryId = 2L, k = 4).collect()
