@@ -1959,6 +1959,12 @@ object SparkEntry {
     // BIGINT counts, top-30 by (cnt desc, token)
     "bpe_token_freqs" -> ((s, dir) =>
       TextStats.bpeTokenFrequencies(t(s, dir, "documents"), rounds = 5, k = 30)),
+    // per-document sequence lengths under the trained tokenizer (the
+    // packing/length-bucketing input): tokens-per-word from the final
+    // vocab, ONE equi-join from exploded corpus words — vocab is the
+    // small side, AQE broadcasts it
+    "bpe_doc_token_counts" -> ((s, dir) =>
+      TextStats.bpeDocTokenCounts(t(s, dir, "documents"), rounds = 5)),
     // MERGE INTO (CDC upsert+delete+insert) applied to the orders snapshot
     // in one full-outer dataflow
     "merge_upsert" -> ((s, dir) => {
@@ -2722,17 +2728,17 @@ object SparkEntry {
     */
   private def bpeCteChain(rounds: Int): String = {
     val sb = new StringBuilder(
-      """WITH v0 AS (
-        |  SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS seq, count(*) AS n
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT w, regexp_replace(w, '(.)', '(\1)', 'g') AS seq, count(*) AS n
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  GROUP BY 1)""".stripMargin)
     for (k <- 1 to rounds) {
       sb.append(",\n").append(
-        s"""p$k AS (SELECT p.l AS l, p.r AS r, SUM(n) AS pn FROM (
+        s"""p$k AS MATERIALIZED (SELECT p.l AS l, p.r AS r, SUM(n) AS pn FROM (
            |    SELECT n, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS p
            |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS t, n FROM v${k - 1})) GROUP BY 1, 2),
-           |b$k AS (SELECT l, r, pn FROM p$k ORDER BY pn DESC, l, r LIMIT 1),
-           |v$k AS (SELECT replace(seq, '(' || (SELECT l FROM b$k) || ')(' || (SELECT r FROM b$k) || ')',
+           |b$k AS MATERIALIZED (SELECT l, r, pn FROM p$k ORDER BY pn DESC, l, r LIMIT 1),
+           |v$k AS MATERIALIZED (SELECT w, replace(seq, '(' || (SELECT l FROM b$k) || ')(' || (SELECT r FROM b$k) || ')',
            |                      '(' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ')') AS seq, n FROM v${k - 1})""".stripMargin)
     }
     sb.toString
@@ -2756,6 +2762,17 @@ object SparkEntry {
        |  SELECT unnest(string_split(substr(seq, 2, length(seq) - 2), ')(')) AS token, n
        |  FROM v5)
        |GROUP BY token ORDER BY cnt DESC, token LIMIT 30""".stripMargin
+
+  private val bpeDocTokenCountsSql: String =
+    s"""${bpeCteChain(5)},
+       |wl AS (SELECT w, len(string_split(substr(seq, 2, length(seq) - 2), ')(')) AS w_tokens
+       |       FROM v5)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(wl.w_tokens) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
+       |JOIN wl USING (w)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "bm25_top_docs" ->
@@ -2793,6 +2810,7 @@ object SparkEntry {
     // round — the SQL replica of the driver-controlled BPE loop
     "bpe_merges" -> bpeMergesSql,
     "bpe_token_freqs" -> bpeTokenFreqsSql,
+    "bpe_doc_token_counts" -> bpeDocTokenCountsSql,
     "merge_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
         |SELECT * FROM (

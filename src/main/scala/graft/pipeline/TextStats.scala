@@ -498,15 +498,41 @@ object TextStats {
       .orderBy(col("cnt").desc, col("token")).limit(k)
   }
 
+  /** Per-document sequence lengths under the trained tokenizer — the
+    * input every packing/length-bucketing stage needs. Train `rounds`
+    * merges ([[bpeMerges]]' loop), derive tokens-per-word from the final
+    * vocabulary, then ONE equi-join from exploded corpus words back to
+    * that word table: the heavy side streams, the vocabulary side is the
+    * small one (≪ corpus at any scale — AQE broadcasts it when it fits).
+    * Output: (doc_id, n_words, n_tokens), exact BIGINTs, ordered by doc.
+    */
+  def bpeDocTokenCounts(documents: DataFrame, rounds: Int = 5): DataFrame = {
+    val vocab = bpeTrain(documents, rounds)._2
+    val wordLen = vocab.select(col("w"),
+      size(split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\("))
+        .cast("long").as("w_tokens"))
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(wordLen, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("w_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Shared BPE training loop: returns (merge rules, final encoded word
-    * vocabulary `(seq, n)` with all `rounds` merges applied).
+    * vocabulary `(w, seq, n)` with all `rounds` merges applied — the raw
+    * word `w` rides through every round so encoders can join corpus words
+    * back to their token sequences without un-delimiting `seq`, which
+    * would corrupt words that themselves contain parentheses).
     */
   private def bpeTrain(documents: DataFrame, rounds: Int)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     var vocab = documents
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).cast("long").as("n"))
-      .select(regexp_replace(col("w"), "(.)", "($1)").as("seq"), col("n"))
+      .select(col("w"), regexp_replace(col("w"), "(.)", "($1)").as("seq"), col("n"))
       .localCheckpoint(true)
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (step <- 1 to rounds) {
@@ -532,7 +558,8 @@ object TextStats {
       // lit() keeps learned symbols out of SQL text — a token containing a
       // quote or backslash merges correctly instead of breaking the parse
       vocab = vocab
-        .select(replace(col("seq"), lit(s"($l)($r)"), lit(s"($l$r)")).as("seq"),
+        .select(col("w"),
+          replace(col("seq"), lit(s"($l)($r)"), lit(s"($l$r)")).as("seq"),
           col("n"))
         .localCheckpoint(true)
     }
