@@ -502,6 +502,13 @@ object SparkEntry {
       GraphOps.labelPropagationBounded(
         GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
         rounds = 3)),
+    // Newman modularity of the 3-round LPA communities — exact decimal
+    // numerator, ONE final IEEE division (bit-identical cross-engine);
+    // the community-quality score every clustering pipeline reports
+    "modularity_lpa" -> ((s, dir) => {
+      val sym = GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false)
+      GraphOps.modularity(sym, GraphOps.labelPropagationBounded(sym, rounds = 3))
+    }),
     // GraphX connected components on the customer–order graph
     "connected_components" -> ((s, dir) =>
       GraphOps.connectedComponents(
@@ -2242,8 +2249,11 @@ object SparkEntry {
   }
   private val kcoreSql: String = kcoreUnrolledSql(3)
 
-  /** Three unrolled synchronous LPA rounds, argmax by (count DESC, label). */
-  private val lpaSql: String = {
+  /** Three unrolled synchronous LPA rounds, argmax by (count DESC, label)
+    * — the shared CTE chain of the label_propagation and modularity_lpa
+    * oracles (ends at l3, the final labeling).
+    */
+  private val lpaChainSql: String = {
     val rounds = (1 to 3).map { i =>
       s"""l$i AS (SELECT vertex, label FROM (
          |  SELECT e.src AS vertex, l.label AS label, count(*) AS n,
@@ -2253,10 +2263,30 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH $partSuppSymSql,
        |l0 AS (SELECT DISTINCT src AS vertex, src AS label FROM e0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val lpaSql: String =
+    s"""$lpaChainSql
        |SELECT CAST(vertex AS BIGINT) AS vertex, CAST(label AS BIGINT) AS label
        |FROM l3 ORDER BY vertex""".stripMargin
-  }
+
+  /** Newman modularity over the l3 labeling: exact HUGEINT numerator,
+    * one final IEEE division — mirrors GraphOps.modularity bit-for-bit.
+    */
+  private val modularityLpaSql: String =
+    s"""$lpaChainSql,
+       |es AS (SELECT a.label AS c_src, b.label AS c_dst
+       |       FROM e0 e JOIN l3 a ON a.vertex = e.src JOIN l3 b ON b.vertex = e.dst),
+       |perc AS (SELECT c_src, count(*) AS deg_c,
+       |    sum(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END) AS intra2_c
+       |  FROM es GROUP BY c_src),
+       |tot AS (SELECT CAST(sum(deg_c) AS BIGINT) AS m2 FROM perc)
+       |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |  CAST(m2 // 2 AS BIGINT) AS m_edges,
+       |  CAST(CAST(sum(CAST(intra2_c AS HUGEINT) * m2 - CAST(deg_c AS HUGEINT) * deg_c) AS DOUBLE)
+       |    / CAST(CAST(m2 AS HUGEINT) * m2 AS DOUBLE) AS DOUBLE) AS q_modularity
+       |FROM perc, tot GROUP BY m2""".stripMargin
 
   /** Brandes betweenness from 4 md5-drawn sources, unrolled: forward
     * levels f1..f4 (σ as exact BIGINT sums, first-discovery enforced by
@@ -2984,6 +3014,7 @@ object SparkEntry {
     "kcore_bounded" -> kcoreSql,
     "kcore_fixpoint" -> kcoreUnrolledSql(5),
     "label_propagation" -> lpaSql,
+    "modularity_lpa" -> modularityLpaSql,
     "salted_join_agg" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
         |  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,

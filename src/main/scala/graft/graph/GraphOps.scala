@@ -870,6 +870,54 @@ object GraphOps {
     }.orderBy("vertex")
   }
 
+  /** Newman modularity of a community labeling (Newman & Girvan 2004) —
+    * THE quality score for [[labelPropagationBounded]]'s output:
+    * Q = Σ_c [ intra2_c/(2m) − (deg_c/(2m))² ] over a both-directions
+    * edge table (2m = directed row count, intra2_c = directed intra-
+    * community rows, deg_c = Σ degrees in c).
+    *
+    * Numerator Σ_c (intra2_c·2m − deg_c²) stays EXACT in decimal(38,0)
+    * (an overflow on a pathological graph throws loudly under ANSI
+    * instead of drifting — the Katz discipline); the ONLY IEEE operation
+    * is the final division, so the shipped double is bit-identical
+    * cross-engine with no rounding contract (the drift_ks trick).
+    *
+    * Dataflow: two label equi-joins onto the edge table (the labeling is
+    * vertex-sized ≪ edges — AQE broadcasts when it fits), ONE groupBy
+    * community, then a one-row total broadcast back over the per-
+    * community frame. No shuffle is keyed on anything bigger than the
+    * community count. Output: one row (n_communities, m_edges,
+    * q_modularity).
+    */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val lab = communities.select(col("vertex").cast("long").as("v"),
+      col("label").cast("long").as("c"))
+    val es = e
+      .join(lab.select(col("v"), col("c").as("c_src")), col("src") === col("v"))
+      .drop("v")
+      .join(lab.select(col("v"), col("c").as("c_dst")), col("dst") === col("v"))
+      .drop("v")
+    val perC = es.groupBy("c_src").agg(
+      count(lit(1)).cast("long").as("deg_c"),
+      sum(when(col("c_src") === col("c_dst"), 1L).otherwise(0L))
+        .cast("long").as("intra2_c"))
+    val tot = perC.agg(sum("deg_c").cast("long").as("m2"))
+    perC.crossJoin(broadcast(tot))
+      .agg(
+        count(lit(1)).cast("long").as("n_communities"),
+        sum(col("intra2_c").cast("decimal(38,0)") * col("m2").cast("decimal(38,0)")
+          - col("deg_c").cast("decimal(38,0)") * col("deg_c").cast("decimal(38,0)"))
+          .as("qnum"),
+        max("m2").as("m2x"))
+      .select(col("n_communities"),
+        (col("m2x") / lit(2)).cast("long").as("m_edges"),
+        (col("qnum").cast("double") /
+          (col("m2x").cast("decimal(38,0)") * col("m2x").cast("decimal(38,0)"))
+            .cast("double")).as("q_modularity"))
+  }
+
   /** Label propagation to a STABLE labeling: run [[lpaRound]] until a
     * round changes no vertex's label (the per-round delta test is one
     * anti-join between two checkpointed (vertex, label) tables — empty ⇒

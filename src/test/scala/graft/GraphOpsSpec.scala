@@ -243,6 +243,22 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("modularity: two bridged triangles with the perfect labeling score exactly 70/196") {
+    import spark.implicits._
+    // m = 7 undirected edges (2m = 14 rows); communities {1,2,3} / {4,5,6}:
+    // intra2_c = 6 each, deg_c = 7 each ⇒ Q = 2·(6/14 − (7/14)²) = 70/196
+    val g = undirected((1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4))
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("vertex", "label")
+    val r = GraphOps.modularity(g, lab).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 7L)))
+    assert(r.getDouble(2) == 70.0 / 196.0)
+    // the LPA labeling on the same graph lands the same perfect split
+    val viaLpa = GraphOps.modularity(g,
+      GraphOps.labelPropagationBounded(g, rounds = 3)).collect().head
+    assert(viaLpa.getDouble(2) == 70.0 / 196.0)
+  }
+
   test("clusteringCoefficient: triangle corners score 1 (or 1/3 at the hub), pendant excluded") {
     import spark.implicits._
     // triangle {1,2,3} + pendant edge 1–4 (canonical pairs, a < b)
