@@ -1940,6 +1940,11 @@ object SparkEntry {
     // (the substring-dup class whole-doc hashing and Jaccard both miss)
     "passage_dedup" -> ((s, dir) =>
       Dedup.duplicatePassages(t(s, dir, "documents"))),
+    // ExactSubstr spans (Lee et al. 2107.06499): maximal per-doc token
+    // ranges whose 8-word windows recur in another doc — the actionable
+    // output of substring-level dedup (what to CUT, not just what matched)
+    "dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"))),
     // inverted index build: term → df + sorted posting list (per-doc
     // dedup BEFORE the explode; one shuffle on the term — the search-index
     // construction step; postings ship as a joined string for the oracle,
@@ -2861,6 +2866,24 @@ object SparkEntry {
         |SELECT passage, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM g GROUP BY passage HAVING count(*) >= 2 ORDER BY passage""".stripMargin,
+    "dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS i, array_to_string(t[i:i+7], ' ') AS passage
+        |      FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+        |pd AS (SELECT DISTINCT passage, doc_id FROM g),
+        |dup AS (SELECT passage FROM pd GROUP BY passage HAVING count(*) >= 2),
+        |dp AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (passage)),
+        |fl AS (SELECT doc_id, i,
+        |         CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |              OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 8
+        |         THEN 1 ELSE 0 END AS ni FROM dp),
+        |isl AS (SELECT doc_id, i,
+        |          SUM(ni) OVER (PARTITION BY doc_id ORDER BY i) AS island FROM fl)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(min(i) AS BIGINT) AS span_start,
+        |  CAST(max(i) + 7 AS BIGINT) AS span_end,
+        |  CAST(max(i) + 8 - min(i) AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
     "skyline_parts" ->
       """SELECT CAST(a.p_partkey AS BIGINT) AS p_partkey, a.p_retailprice AS price,
         |  CAST(a.p_size AS BIGINT) AS psize

@@ -343,7 +343,10 @@ object GraphOps {
         while (!done && depth < maxDepth) {
           val next = track(brandesForwardLevel(e, frontier, visited)
             .localCheckpoint(true))
-          if (next.isEmpty) done = true
+          // the terminal empty probe is a checkpoint too — release it NOW,
+          // not whenever the ContextCleaner gets around to GC'ing it (the
+          // probe-count contract below counts every still-persisted frame)
+          if (next.isEmpty) { done = true; releaseCheckpoints(next) }
           else {
             levels += next
             frontier = next

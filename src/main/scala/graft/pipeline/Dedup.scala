@@ -55,6 +55,56 @@ object Dedup {
       .orderBy("passage")
   }
 
+  /** ExactSubstr-style duplicate SPANS (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 §4.1):
+    * for each document, the MAXIMAL token ranges covered by k-word windows
+    * that also appear in at least one OTHER document. `duplicatePassages`
+    * answers "which windows are duplicated"; this answers the question the
+    * curation pipeline actually acts on — "which byte ranges of THIS doc
+    * should be cut". Overlapping or touching duplicated windows merge into
+    * one span (gaps-and-islands: a new island starts when the next window
+    * start exceeds the previous start by more than k).
+    *
+    * Scale: the paper builds a suffix array; a suffix array is a
+    * single-machine data structure. The relational rendition is two
+    * aggregates + one equi-join + one PER-DOC window: (1) per-(window,doc)
+    * dedup, (2) per-window doc count >= 2, (3) join window starts against
+    * the duplicated-window set, (4) islands under
+    * Window.partitionBy(doc_id) — never a SinglePartition. At 100 TB the
+    * join key becomes xxhash64(passage) (the string never shuffles) and
+    * web-scale boilerplate grams get frequency-capped like `shingles`;
+    * here the passage is kept as the key so DuckDB can replay bit-for-bit.
+    * Output: (doc_id, span_start, span_end, span_tokens) — 0-based
+    * inclusive token indices — ordered by (doc_id, span_start).
+    */
+  def duplicateSpans(documents: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        posexplode(TextStats.kGrams(col("t"), k, distinct = false)).as(Seq("i", "passage")))
+    // duplicated windows = present in >= 2 DISTINCT docs; two cheap
+    // aggregates (map-side combinable) instead of a countDistinct
+    val dup = pos.groupBy("passage", "doc_id").agg(count(lit(1)).as("_c"))
+      .groupBy("passage").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2L)
+      .select("passage")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    pos.join(dup, "passage")
+      .select("doc_id", "i")
+      .withColumn("prev", lag("i", 1).over(w))
+      .withColumn("ni",
+        when(col("prev").isNull || col("i") > col("prev") + lit(k), 1L).otherwise(0L))
+      .withColumn("island", sum("ni").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("i").cast("long").as("span_start"),
+        (max("i") + lit(k - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Exact duplicate groups by content hash: one row per distinct text,
     * keeping the smallest doc_id. Output: (keep_id, n_copies) ordered.
     */

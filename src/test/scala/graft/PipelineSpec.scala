@@ -505,6 +505,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out.exists(_._1.contains("unrelated")))
   }
 
+  test("duplicateSpans: overlapping dup windows merge to one maximal span; unique docs emit none") {
+    val d = docs(
+      //             0 1 2 3 4 5  6  7
+      (1L, "a b c d e f g1 h1"), // tokens 0..5 duplicated in doc 2 → one span
+      (2L, "z a b c d e f w"),   // tokens 1..6 duplicated → one span
+      (3L, "p q r s t u v w2"),  // nothing shared at k=4
+      (4L, "a b c d x y z2 q2 c d e f")) // two DISJOINT dup regions → two spans
+    val out = graft.pipeline.Dedup.duplicateSpans(d, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    // doc 1: windows at 0,1,2 ("a b c d","b c d e","c d e f") dup vs doc 2
+    //   merge into one island → span [0, 5], 6 tokens
+    assert(out.filter(_._1 == 1L) == List((1L, 0L, 5L, 6L)))
+    assert(out.filter(_._1 == 2L) == List((2L, 1L, 6L, 6L)))
+    assert(!out.exists(_._1 == 3L))
+    // doc 4: "a b c d" at 0 and "c d e f" at 8 — gap 8 > k=4 → two spans
+    assert(out.filter(_._1 == 4L) == List((4L, 0L, 3L, 4L), (4L, 8L, 11L, 4L)))
+  }
+
   test("withRunningMax: strict prefix max across partition boundaries, null on first row") {
     import graft.pipeline.Ranking
     import org.apache.spark.sql.functions.col
