@@ -509,6 +509,21 @@ object SparkEntry {
       val sym = GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false)
       GraphOps.modularity(sym, GraphOps.labelPropagationBounded(sym, rounds = 3))
     }),
+    // Louvain local-moving phase (2 synchronous rounds): every vertex
+    // re-assigns to the neighbor community with the best EXACT-integer
+    // modularity-gain numerator — the move rule LPA's frequency vote only
+    // approximates
+    "louvain_moves" -> ((s, dir) =>
+      GraphOps.louvainBounded(
+        GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
+        rounds = 2)),
+    // Newman modularity of the Louvain labeling — head-to-head with
+    // modularity_lpa on the same graph (gain-guided moves should score
+    // at least as high as the frequency vote)
+    "modularity_louvain" -> ((s, dir) => {
+      val sym = GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false)
+      GraphOps.modularity(sym, GraphOps.louvainBounded(sym, rounds = 2))
+    }),
     // GraphX connected components on the customer–order graph
     "connected_components" -> ((s, dir) =>
       GraphOps.connectedComponents(
@@ -2276,6 +2291,63 @@ object SparkEntry {
        |SELECT CAST(vertex AS BIGINT) AS vertex, CAST(label AS BIGINT) AS label
        |FROM l3 ORDER BY vertex""".stripMargin
 
+  /** Two unrolled synchronous Louvain move rounds (GraphOps.louvainBounded
+    * mirror): candidate communities = neighbor communities + stay, argmax
+    * of the EXACT BIGINT gain numerator 2m·k_{v→c} − deg_v·tot_c' with
+    * (num DESC, c) ordering ≡ the engine's max_by struct (num, −c).
+    * Ends at c2, the final labeling.
+    */
+  private val louvainChainSql: String = {
+    val rounds = (1 to 2).map { i =>
+      s"""k$i AS (SELECT e.src AS vertex, l.c AS c, CAST(count(*) AS BIGINT) AS k_vc
+         |  FROM e0 e JOIN c${i - 1} l ON l.vertex = e.dst GROUP BY e.src, l.c),
+         |cd$i AS (SELECT vertex, c, max(k_vc) AS k_vc FROM (
+         |    SELECT vertex, c, k_vc FROM k$i
+         |    UNION ALL SELECT vertex, c, CAST(0 AS BIGINT) FROM c${i - 1})
+         |  GROUP BY vertex, c),
+         |t$i AS (SELECT l.c AS c, CAST(sum(d.deg) AS BIGINT) AS tot_c
+         |  FROM c${i - 1} l JOIN deg d ON d.vertex = l.vertex GROUP BY l.c),
+         |c$i AS (SELECT vertex, c FROM (
+         |    SELECT x.vertex, x.c,
+         |      row_number() OVER (PARTITION BY x.vertex
+         |        ORDER BY m2 * x.k_vc - d.deg *
+         |          (t.tot_c - CASE WHEN x.c = l.c THEN d.deg ELSE 0 END) DESC,
+         |        x.c) AS rn
+         |    FROM cd$i x JOIN c${i - 1} l ON l.vertex = x.vertex
+         |      JOIN deg d ON d.vertex = x.vertex
+         |      JOIN t$i t ON t.c = x.c, m2t)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $partSuppSymSql,
+       |deg AS (SELECT src AS vertex, CAST(count(*) AS BIGINT) AS deg
+       |        FROM e0 GROUP BY src),
+       |m2t AS (SELECT CAST(sum(deg) AS BIGINT) AS m2 FROM deg),
+       |c0 AS (SELECT vertex, vertex AS c FROM deg),
+       |$rounds""".stripMargin
+  }
+
+  private val louvainSql: String =
+    s"""$louvainChainSql
+       |SELECT CAST(vertex AS BIGINT) AS vertex, CAST(c AS BIGINT) AS label
+       |FROM c2 ORDER BY vertex""".stripMargin
+
+  /** Newman modularity over the c2 Louvain labeling — same exact-HUGEINT
+    * numerator + one-IEEE-division tail as [[modularityLpaSql]].
+    */
+  private val modularityLouvainSql: String =
+    s"""$louvainChainSql,
+       |es AS (SELECT a.c AS c_src, b.c AS c_dst
+       |       FROM e0 e JOIN c2 a ON a.vertex = e.src JOIN c2 b ON b.vertex = e.dst),
+       |perc AS (SELECT c_src, count(*) AS deg_c,
+       |    sum(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END) AS intra2_c
+       |  FROM es GROUP BY c_src),
+       |tot AS (SELECT CAST(sum(deg_c) AS BIGINT) AS m2 FROM perc)
+       |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |  CAST(m2 // 2 AS BIGINT) AS m_edges,
+       |  CAST(CAST(sum(CAST(intra2_c AS HUGEINT) * m2 - CAST(deg_c AS HUGEINT) * deg_c) AS DOUBLE)
+       |    / CAST(CAST(m2 AS HUGEINT) * m2 AS DOUBLE) AS DOUBLE) AS q_modularity
+       |FROM perc, tot GROUP BY m2""".stripMargin
+
   /** Newman modularity over the l3 labeling: exact HUGEINT numerator,
     * one final IEEE division — mirrors GraphOps.modularity bit-for-bit.
     */
@@ -3038,6 +3110,8 @@ object SparkEntry {
     "kcore_fixpoint" -> kcoreUnrolledSql(5),
     "label_propagation" -> lpaSql,
     "modularity_lpa" -> modularityLpaSql,
+    "louvain_moves" -> louvainSql,
+    "modularity_louvain" -> modularityLouvainSql,
     "salted_join_agg" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
         |  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,

@@ -243,6 +243,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("louvainBounded: hand-traced exact-integer gains, smallest-id ties, stay candidate") {
+    // two triangles bridged by 3–4; 2m = 14, deg = (2,2,3,3,2,2).
+    // Round 1 from singleton communities, num = 14·k − deg_v·tot_c':
+    //   v1: c2 → 14−2·2=10, c3 → 14−2·3=8, stay → 0  ⇒ c2
+    //   v3: c1 → 14−3·2=8, c2 → 8 (TIE → smallest), c4 → 14−3·3=5 ⇒ c1
+    //   v4: c3 → 5, c5 → 8, c6 → 8 (tie → smallest)              ⇒ c5
+    val g = undirected((1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4))
+    val r1 = GraphOps.louvainBounded(g, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 6L, 6L -> 5L))
+    // star: the stay candidate keeps an isolated-in-its-community vertex
+    // well-defined (k=0, tot' excludes own degree ⇒ num 0); round 1 is
+    // the classic synchronous swap — leaves join the hub, hub joins c1
+    val star = undirected((0, 1), (0, 2), (0, 3), (0, 4))
+    val s1 = GraphOps.louvainBounded(star, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s1 == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("modularity: two bridged triangles with the perfect labeling score exactly 70/196") {
     import spark.implicits._
     // m = 7 undirected edges (2m = 14 rows); communities {1,2,3} / {4,5,6}:

@@ -137,6 +137,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"rank-side join not broadcast at this scale in:\n$p")
   }
 
+  test("louvain move round: shuffles keyed on vertex/community only, one-row m2 broadcast, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).cast("long").as("deg")).localCheckpoint(true)
+    val m2 = broadcast(deg.agg(sum("deg").cast("long").as("m2")))
+    val comm = deg.select(col("vertex"), col("vertex").as("c")).localCheckpoint(true)
+    val p = graph.GraphOps.louvainMoveRound(e, deg, m2, comm)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    // the scalar 2m rides a broadcast nested loop (one row) — every REAL
+    // join is hash/broadcast keyed on vertex or community
+    val shuffleKeys = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .toList
+    assert(shuffleKeys.forall(l =>
+        l.contains("vertex") || l.contains("src") || l.contains("c#") ||
+        l.contains("c_cur") || l.contains("dst")),
+      s"shuffle keyed on something wider than vertex/community:\n${shuffleKeys.mkString("\n")}\nin:\n$p")
+  }
+
   test("MIS round body: blocked-join + anti-join winners, semi-join edge shrink, no cartesian") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat_ws, lit}
