@@ -1472,6 +1472,13 @@ object SparkEntry {
     // the canonical a<b<c two-join triangle plan, corners exploded
     "triangle_counts" -> ((s, dir) =>
       GraphOps.triangleCounts(coPurchasePairs(s, dir))),
+    // bounded 3-truss peeling (3 rounds): keep edges closing >= 1
+    // triangle among surviving edges — the edge-cohesion core (tighter
+    // than k-core: demands triangle support, not degree); k=3 keeps the
+    // relation non-trivial at every shipped scale (the sf0.01 co-purchase
+    // graph maxes out at support 2, so a 4-truss cascades to empty)
+    "ktruss_bounded" -> ((s, dir) =>
+      GraphOps.kTrussBounded(coPurchasePairs(s, dir), k = 3, rounds = 3)),
     // degree-distribution power-law MLE (dmin=1): alpha = 1 + n/Σ ln d —
     // the graph-health scalar (spam farms vs organic graphs); ln sums are
     // order/ulp-jittered → round 4; zero-variance (all degree 1) corpora
@@ -4423,6 +4430,25 @@ object SparkEntry {
         |            UNION ALL SELECT c AS v FROM tri)
         |SELECT CAST(v AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM corners GROUP BY v ORDER BY vertex""".stripMargin,
+    "ktruss_bounded" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""tri$i AS (SELECT p1.a, p1.b, p2.b AS c
+           |  FROM p${i - 1} p1 JOIN p${i - 1} p2 ON p2.a = p1.b
+           |  WHERE EXISTS (SELECT 1 FROM p${i - 1} p3 WHERE p3.a = p1.a AND p3.b = p2.b)),
+           |sup$i AS (SELECT x, y, count(*) AS support FROM (
+           |    SELECT a AS x, b AS y FROM tri$i
+           |    UNION ALL SELECT a AS x, c AS y FROM tri$i
+           |    UNION ALL SELECT b AS x, c AS y FROM tri$i)
+           |  GROUP BY x, y HAVING count(*) >= 1),
+           |p$i AS (SELECT x AS a, y AS b FROM sup$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $coPurchaseCteSql,
+         |p0 AS (SELECT a, b FROM pairs),
+         |$rounds
+         |SELECT CAST(x AS BIGINT) AS a, CAST(y AS BIGINT) AS b,
+         |  CAST(support AS BIGINT) AS support
+         |FROM sup3 ORDER BY a, b""".stripMargin
+    },
     "clustering_coeff" ->
       s"""WITH $coPurchaseCteSql,
         |tri AS (SELECT p1.a, p1.b, p2.b AS c FROM pairs p1 JOIN pairs p2 ON p2.a = p1.b

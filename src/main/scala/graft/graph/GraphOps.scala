@@ -806,6 +806,59 @@ object GraphOps {
     }.orderBy("vertex")
   }
 
+  /** Bounded k-truss peeling (Cohen 2008, "Trusses: cohesive subgraphs
+    * for social network analysis"): iterate "drop every edge that closes
+    * fewer than k−2 triangles in the CURRENT surviving subgraph" for
+    * `rounds` rounds — the edge-cohesion analogue of [[kCoreBounded]]'s
+    * vertex peeling (a k-truss is a subgraph of the (k−1)-core, but far
+    * tighter: it demands triangle support, not just degree). Input:
+    * canonical undirected pairs `(a, b)` with a < b, distinct — the same
+    * contract as [[triangleCounts]]. Bounded rounds keep the semantics a
+    * finite oracle-replayable relation (the [[ssspBounded]] contract);
+    * peel rounds past the fixpoint are no-ops, so enough rounds compute
+    * the exact truss.
+    *
+    * Per round: the [[triangleCounts]] wedge join + closing-edge semi-join
+    * enumerates each triangle once (a < b < c), each triangle charges its
+    * THREE edges (all verified real edges — two wedge sides + the
+    * semi-joined closer), one (a,b)-keyed count aggregates support, and
+    * the filter keeps support ≥ k−2. Edges in no triangle never appear in
+    * the charge stream and are dropped implicitly (k ≥ 3 ⇒ they can't
+    * qualify). The edge set shrinks monotonically; hub-wedge blowup is
+    * bounded upstream exactly as for triangle_counts (basket-size guard).
+    * Output: surviving (a, b, support) after the final round — support AS
+    * COMPUTED by that round, the value that qualified the edge — ordered.
+    */
+  def kTrussBounded(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3 (support threshold k-2 >= 1)")
+    require(rounds >= 1, "at least one peel round")
+    ownedGraphResult(pairs.sparkSession) {
+      var p = pairs.select(col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"))
+        .localCheckpoint(true)
+      var sup: DataFrame = p // replaced in round 1 (rounds >= 1 required)
+      for (_ <- 1 to rounds) {
+        sup = trussSupportRound(p).filter(col("support") >= k - 2)
+          .localCheckpoint(true)
+        p = sup.select("a", "b")
+      }
+      sup
+    }.orderBy("a", "b")
+  }
+
+  /** One k-truss support round — see [[kTrussBounded]]. */
+  private[graft] def trussSupportRound(p: DataFrame): DataFrame = {
+    val tri = p
+      .join(p.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(p.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    tri.select(explode(array(
+        struct(col("a").as("x"), col("b").as("y")),
+        struct(col("a").as("x"), col("c").as("y")),
+        struct(col("b").as("x"), col("c").as("y")))).as("e"))
+      .select(col("e.x").as("a"), col("e.y").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).cast("long").as("support"))
+  }
+
   /** k-core peeling to the FIXPOINT: iterate "drop every vertex with
     * degree < k" until a round drops nothing — the answer a user means by
     * "the k-core" (the maximal subgraph in which every vertex has degree

@@ -226,6 +226,27 @@ class GraphOpsSpec extends AnyFunSuite {
     (1 to n).foreach(i => assert(out(i.toLong) == i - 1L, s"vertex $i level"))
   }
 
+  test("kTrussBounded: K4 survives 4-truss peeling; pendant triangle and bridge peel off; cascades") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every edge closes 2 triangles) + a pendant triangle
+    // {4,5,6} (each edge closes 1) + a triangle-free bridge (6,7)
+    val p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val out = GraphOps.kTrussBounded(p, k = 4, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+    // cascade: two triangles sharing edge (2,3) — round 1 keeps only the
+    // shared edge (support 2), round 2 finds it triangle-less ⇒ empty
+    val chain = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    assert(GraphOps.kTrussBounded(chain, k = 4, rounds = 2).count() == 0L)
+    // k=3 (support >= 1) keeps the whole two-triangle chain, stable
+    val k3 = GraphOps.kTrussBounded(chain, k = 3, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(k3 == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (2L, 4L, 1L), (3L, 4L, 1L)))
+  }
+
   test("kCoreBounded peels the pendant vertex, keeps the triangle") {
     // triangle {1,2,3} + pendant 4–1: k=2 drops 4 in round 1, then stable
     val g = undirected((1, 2), (2, 3), (1, 3), (1, 4))
