@@ -47,7 +47,8 @@ object Bench {
     "sssp_bounded", "dfs_leaves", "resource_allocation_links", "rrf_fusion",
     "local_supplier_revenue", "stream_user_totals",
     // round-11 additions measured >=2s isolated:
-    "stream_graph_maintain",
+    "stream_graph_maintain", "dup_spans", "ktruss_bounded",
+    "louvain_moves", "modularity_louvain",
   )
   private val LightChunk = 10
 
