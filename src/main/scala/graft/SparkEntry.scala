@@ -1941,6 +1941,12 @@ object SparkEntry {
     // sort + zipWithIndex), not a single-partition row_number window
     "rrf_fusion" -> ((s, dir) =>
       pipeline.Search.rrfFusion(t(s, dir, "documents"), pipeline.Search.QueryTerms)),
+    // Rocchio PRF: tf·idf mass of the BM25 top-10 pseudo-relevant docs
+    // (minus the query terms) → top-20 expansion candidates — the
+    // no-relevance-signal second retrieval pass
+    "prf_expansion" -> ((s, dir) =>
+      pipeline.Search.prfExpansionTerms(
+        t(s, dir, "documents"), pipeline.Search.QueryTerms)),
     "quality_score" -> ((s, dir) => TextStats.qualityScore(t(s, dir, "documents"))),
     // Gopher-style hard-filter rules (per-rule booleans + keep flag) —
     // the ingestion gate a training pipeline runs BEFORE any scoring
@@ -2906,6 +2912,21 @@ object SparkEntry {
          |  CAST(1.0 / (60 + rank_lex) + 1.0 / (60 + rank_len) AS DOUBLE) AS rrf
          |FROM lex l JOIN lens USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "prf_expansion" ->
+      s"""$bm25ScoredSql,
+         |fb AS (SELECT doc_id FROM sc ORDER BY sc.bm25 DESC, doc_id LIMIT 10),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |fbt AS (SELECT u.t AS term, CAST(count(*) AS BIGINT) AS sum_tf
+         |        FROM toks JOIN fb USING (doc_id), UNNEST(tk) AS u(t)
+         |        WHERE u.t NOT IN (${pipeline.Search.QueryTerms.map(q => s"'$q'").mkString(", ")})
+         |        GROUP BY u.t),
+         |dfb AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS df FROM (
+         |          SELECT DISTINCT doc_id, u.t AS t FROM toks, UNNEST(tk) AS u(t)) GROUP BY t),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         |SELECT term, sum_tf, df,
+         |  CAST(round(sum_tf * ln(CAST(n AS DOUBLE) / df), 4) AS DOUBLE) AS score
+         |FROM fbt JOIN dfb USING (term), nn
+         |ORDER BY sum_tf * ln(CAST(n AS DOUBLE) / df) DESC, term LIMIT 20""".stripMargin,
     "cms_term_counts" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |buckets AS (SELECT j,

@@ -76,6 +76,49 @@ object Search {
       .limit(k)
       .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
 
+  /** Rocchio pseudo-relevance-feedback query expansion (Rocchio 1971 via
+    * the standard PRF formulation, e.g. Manning et al., IIR §9.1.1): take
+    * the top-`kDocs` BM25 documents as the pseudo-relevant set, weight
+    * every term they contain (minus the original query terms) by the
+    * positive Rocchio centroid mass Σ_d tf_{t,d} · ln(N/df_t), and emit
+    * the top-`kTerms` expansion candidates — the classic second-pass
+    * retrieval step when no click/relevance signal exists.
+    *
+    * Parity: the weight is an exact BIGINT tf sum times ONE `ln` of a
+    * ratio of exact integers — ordering uses the raw double with a term
+    * tie-break, shipping rounds to 4 dp (the bm25/tfidf contract; same
+    * accepted ulp-inversion risk class). Scale: the feedback set is
+    * `kDocs` rows (broadcast); its term frame is tiny and joins the
+    * corpus-wide df table on the term key — one term-keyed shuffle, no
+    * per-doc join, the full token stream explodes exactly once for df.
+    * Output: (term, sum_tf, df, score) ordered (score DESC, term).
+    */
+  def prfExpansionTerms(docs: DataFrame, terms: Seq[String],
+                        kDocs: Int = 10, kTerms: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("tk"))
+      .localCheckpoint(true) // feeds feedback tf AND corpus df/N
+    val fbIds = scored(docs, terms)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(kDocs)
+      .select("doc_id")
+    val fbTf = toks.join(broadcast(fbIds), "doc_id")
+      .select(explode(col("tk")).as("term"))
+      .filter(!col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("sum_tf"))
+    val df = toks
+      .select(col("doc_id"), explode(array_distinct(col("tk"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val n = broadcast(toks.agg(count(lit(1)).cast("long").as("n")))
+    fbTf.join(df, "term")
+      .crossJoin(n)
+      .withColumn("raw", col("sum_tf") * log(col("n").cast("double") / col("df")))
+      .orderBy(col("raw").desc, col("term"))
+      .limit(kTerms)
+      .select(col("term"), col("sum_tf"), col("df"),
+        round(col("raw"), 4).as("score"))
+  }
+
   /** Reciprocal-rank fusion of the BM25 ranking with a document-length
     * ranking (the stand-in for any second retriever): rrf =
     * 1/(60+rank_lex) + 1/(60+rank_len), both ranks 1-based over the FULL

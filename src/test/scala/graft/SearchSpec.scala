@@ -52,4 +52,28 @@ class SearchSpec extends AnyFunSuite {
     assert(out.find(_._1 == 1L).get._2 == 1L)
     assert(out.find(_._1 == 2L).get._3 == 1L)
   }
+
+  test("prf expansion: terms from feedback docs only, query terms excluded, idf-weighted") {
+    // query 'q' hits docs 1 and 2 (the pseudo-relevant set at kDocs=2);
+    // 'shared' is corpus-wide (df=4 of 4 ⇒ idf ln(1)=0), 'gold' lives
+    // only in the feedback set (df=2 ⇒ positive idf), 'outside' never
+    // appears in a feedback doc and must not be emitted
+    val d = docs(
+      (1L, "q gold shared gold"),
+      (2L, "q gold shared"),
+      (3L, "shared outside"),
+      (4L, "shared outside pad"))
+    val out = Search.prfExpansionTerms(d, Seq("q"), kDocs = 2, kTerms = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byTerm = out.map(t => t._1 -> t).toMap
+    assert(!byTerm.contains("q"), "query term must be excluded")
+    assert(!byTerm.contains("outside"), "non-feedback term must not appear")
+    // gold: sum_tf 3 across the two feedback docs, df 2, score 3·ln(4/2)
+    assert(byTerm("gold") == (("gold", 3L, 2L,
+      BigDecimal(3.0 * math.log(2.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // shared: everywhere ⇒ idf 0 ⇒ score 0, still listed (tf mass 2)
+    assert(byTerm("shared") == (("shared", 2L, 4L, 0.0)))
+    // ordering: gold (positive) before shared (zero)
+    assert(out.head._1 == "gold")
+  }
 }
