@@ -1927,6 +1927,12 @@ object SparkEntry {
     // corpus-fit bigram LM + per-doc cross-entropy scoring (CCNet-style
     // LM quality filter) in one dataflow
     "bigram_lm_score" -> ((s, dir) => TextStats.bigramLmScore(t(s, dir, "documents"))),
+    // CCNet head/middle/tail: per-source perplexity terciles over the
+    // bigram LM score — ranked on the ROUNDED score (the cross-engine-
+    // stable quantity) via the two-pass global index, never a per-source
+    // window
+    "perplexity_buckets" -> ((s, dir) =>
+      pipeline.Curation.perplexityBuckets(t(s, dir, "documents"))),
     // DSIR importance weights: target-vs-raw unigram LM log-ratio — the
     // importance-resampling data selector (resample ∝ exp(weight))
     "dsir_weights" -> ((s, dir) => TextStats.dsirWeights(t(s, dir, "documents"))),
@@ -4713,6 +4719,27 @@ object SparkEntry {
         |  CAST(round(-sum(d.tf * log2(b.c12 * 1.0 / x.c1)) / sum(d.tf), 4) AS DOUBLE) AS cross_entropy
         |FROM per_doc d JOIN cnt_big b USING (gram) JOIN cnt_ctx x USING (w1)
         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+    "perplexity_buckets" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS gram
+        |       FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+        |cnt_big AS (SELECT gram, count(*) AS c12 FROM bg GROUP BY gram),
+        |cnt_ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |per_doc AS (SELECT doc_id, w1, gram, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+        |ce AS (SELECT d.doc_id,
+        |    CAST(round(-sum(d.tf * log2(b.c12 * 1.0 / x.c1)) / sum(d.tf), 4) AS DOUBLE) AS ce
+        |  FROM per_doc d JOIN cnt_big b USING (gram) JOIN cnt_ctx x USING (w1)
+        |  GROUP BY d.doc_id),
+        |ranked AS (SELECT ce.doc_id, doc.source, ce.ce,
+        |    row_number() OVER (PARTITION BY doc.source ORDER BY ce.ce, ce.doc_id) - 1 AS rk,
+        |    count(*) OVER (PARTITION BY doc.source) AS n_src
+        |  FROM ce JOIN documents doc ON doc.doc_id = ce.doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |  ce AS cross_entropy,
+        |  CASE WHEN rk * 3 < n_src THEN 'head'
+        |       WHEN rk * 3 < n_src * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     "dsir_weights" ->
       """WITH toks AS (SELECT doc_id,
         |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_target,

@@ -12,6 +12,46 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): split each SOURCE's documents into
+    * head / middle / tail thirds by language-model score — CCNet keeps
+    * "head" (lowest perplexity ≈ most fluent) and drops or downweights
+    * "tail"; this emits the assignment so the downstream mix can choose.
+    * The LM here is the corpus bigram model ([[TextStats.bigramLmScore]]);
+    * ranking uses its ROUNDED 4-dp cross-entropy plus a doc_id tie-break —
+    * deliberately the rounded value, because the shipped score is the
+    * cross-engine-stable quantity (ranking on the raw double would let a
+    * last-ulp `log2` divergence flip bucket boundaries; on the rounded
+    * value both engines rank identical bits identically).
+    *
+    * Scale: per-source thirds need per-source ranks; a
+    * `Window.partitionBy(source)` would serialize each source (a handful
+    * of giant partitions at corpus scale), so ranks come from ONE global
+    * two-pass index ordered (source, ce, doc_id) ([[Ranking
+    * .withGlobalIndex]] — range-partitioned sort + zipWithIndex) minus
+    * the source's broadcast min-index. Docs with no bigram (single-token)
+    * carry no score and are excluded, matching the LM relation. Output:
+    * (doc_id, source, cross_entropy, bucket) ordered by doc_id.
+    */
+  def perplexityBuckets(documents: DataFrame): DataFrame = {
+    val base = TextStats.bigramLmScore(documents)
+      .join(documents.select(col("doc_id").cast("long").as("doc_id"),
+        col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("cross_entropy"))
+    val idx = Ranking.withGlobalIndex(base,
+      col("source"), col("cross_entropy"), col("doc_id"))
+    val srcStats = idx.groupBy("source")
+      .agg(min("idx").as("idx0"), count(lit(1)).cast("long").as("n_src"))
+    idx.join(broadcast(srcStats), "source")
+      .withColumn("rk", col("idx") - col("idx0"))
+      .withColumn("bucket",
+        when(col("rk") * 3 < col("n_src"), "head")
+          .when(col("rk") * 3 < col("n_src") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("source"), col("cross_entropy"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Weighted MIXTURE sampling — the data-mixing step that assembles a
     * training corpus from per-source quotas (upsample curated sources,
     * downsample crawl): rank each source's documents by the deterministic

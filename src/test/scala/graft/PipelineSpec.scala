@@ -523,6 +523,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 4L) == List((4L, 0L, 3L, 4L), (4L, 8L, 11L, 4L)))
   }
 
+  test("perplexityBuckets: per-source thirds ordered by ce; single-token docs excluded") {
+    import graft.pipeline.Curation
+    val d = Seq(
+      (1L, "a b a b a b", "s1"), (2L, "a b a b c d", "s1"),
+      (3L, "c d e f g h", "s1"), (4L, "h g f e d c", "s1"),
+      (5L, "a b a b a b", "s1"), (6L, "x y z w q r", "s1"),
+      (7L, "solo", "s1"), // no bigram → no LM score → excluded
+      (10L, "a b a b", "s2"), (11L, "m n o p", "s2"), (12L, "p o n m", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.perplexityBuckets(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(!out.exists(_._1 == 7L), "single-token doc must be excluded")
+    // s1 has 6 scored docs → exactly 2 per bucket; s2 has 3 → 1 per bucket
+    val s1 = out.filter(_._2 == "s1")
+    assert(s1.groupBy(_._4).view.mapValues(_.length).toMap ==
+      Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    val s2 = out.filter(_._2 == "s2")
+    assert(s2.groupBy(_._4).view.mapValues(_.length).toMap ==
+      Map("head" -> 1, "middle" -> 1, "tail" -> 1))
+    // buckets respect the ce order within each source
+    for (src <- Seq(s1, s2)) {
+      def ces(b: String) = src.filter(_._4 == b).map(_._3)
+      assert(ces("head").max <= ces("middle").min)
+      assert(ces("middle").max <= ces("tail").min)
+    }
+  }
+
   test("withRunningMax: strict prefix max across partition boundaries, null on first row") {
     import graft.pipeline.Ranking
     import org.apache.spark.sql.functions.col
