@@ -1565,6 +1565,16 @@ object SparkEntry {
           .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"))),
         steps = 3)
     }),
+    // node2vec second-order biased walks (p=q=2 as integer weights
+    // 1/2/1): the md5 draw selects from CUMULATIVE weight ranges, so
+    // return/triangle/outward bias replays bit-for-bit in DuckDB
+    "node2vec_walks" -> ((s, dir) => {
+      val pairs = coPurchasePairs(s, dir)
+      GraphOps.node2vecWalks(
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"))),
+        steps = 3)
+    }),
     // degree assortativity (Newman r): one scalar over the same graph —
     // every moment an exact BIGINT, the final ratio a fixed IEEE op tree
     "degree_assortativity" -> ((s, dir) =>
@@ -4582,6 +4592,35 @@ object SparkEntry {
         |      UNION ALL SELECT walk, 2, v FROM w2
         |      UNION ALL SELECT walk, 3, v FROM w3) allsteps
         |ORDER BY walk, step""".stripMargin,
+    "node2vec_walks" -> {
+      val steps = (1 to 3).map { i =>
+        s"""cand$i AS (SELECT s.walk, s.prev, s.v, e.dst,
+           |    CASE WHEN e.dst = s.prev THEN 1
+           |         WHEN EXISTS (SELECT 1 FROM e e2
+           |                      WHERE e2.src = s.prev AND e2.dst = e.dst) THEN 2
+           |         ELSE 1 END AS wt
+           |  FROM s${i - 1} s JOIN e ON e.src = s.v),
+           |cw$i AS (SELECT walk, prev, v, dst, wt,
+           |    sum(wt) OVER (PARTITION BY walk ORDER BY dst
+           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(wt) OVER (PARTITION BY walk) AS tot FROM cand$i),
+           |s$i AS (SELECT walk, v AS prev, dst AS v FROM cw$i
+           |  WHERE CAST(('0x' || substr(md5(concat_ws('_', walk, $i)), 1, 15)) AS BIGINT) % tot
+           |        BETWEEN cum - wt AND cum - 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $coPurchaseCteSql,
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |s0 AS (SELECT DISTINCT src AS walk, src AS prev, src AS v FROM e),
+         |$steps
+         |SELECT CAST(walk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step,
+         |       CAST(v AS BIGINT) AS vertex
+         |FROM (SELECT walk, 0 AS step, v FROM s0
+         |      UNION ALL SELECT walk, 1, v FROM s1
+         |      UNION ALL SELECT walk, 2, v FROM s2
+         |      UNION ALL SELECT walk, 3, v FROM s3) allsteps
+         |ORDER BY walk, step""".stripMargin
+    },
     // every moment is an exact integer; the final ratio is one fixed IEEE
     // op tree (2m·Σxy − Σx² over 2m·Σx² − Σx², the symmetric-undirected
     // simplification of Newman's r) — bit-identical, unrounded

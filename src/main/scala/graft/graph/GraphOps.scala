@@ -728,6 +728,76 @@ object GraphOps {
     * so PlanSpec can pin the per-step plan shape (equi-join, distributed
     * window; this is the body [[randomWalks]] checkpoints every step).
     */
+  /** node2vec-style SECOND-ORDER biased walks (Grover & Leskovec 2016,
+    * arXiv:1607.00653 §3.2): one walk per source vertex, `steps` steps;
+    * each step draws the next vertex with probability proportional to the
+    * search-bias weight of the candidate RELATIVE TO THE PREVIOUS vertex
+    * t — `wRet` for returning to t (α = 1/p), `wTri` for a common
+    * neighbor of t (α = 1), `wOut` for moving outward (α = 1/q). The
+    * defaults (1, 2, 1) encode p = q = 2: mildly triangle-homophilous.
+    * Weights are INTEGERS and the draw is the portable md5 hash of
+    * (walk, step) reduced mod the walk's total candidate weight, mapped
+    * onto cumulative weight ranges in (dst) order — a weighted choice
+    * both engines replay bit-for-bit with no floating sampling at all
+    * (the [[randomWalks]] determinism contract, upgraded from argmin to
+    * cumulative-range selection so weights matter). The first step sees
+    * prev = start, so every candidate is a neighbor-of-prev (wTri) and
+    * the step is uniform — exactly node2vec's unbiased first draw.
+    *
+    * Scale per step: one edge equi-join for candidates, one broadcast-
+    * sized flag join against the (prev, dst) edge existence set, and a
+    * per-WALK window (walks partition the key space — never
+    * SinglePartition). Dead ends stop walks (inner join). Output:
+    * (walk, step, vertex) ordered — step 0 is the start vertex.
+    */
+  def node2vecWalks(edges: DataFrame, steps: Int = 3,
+                    wRet: Int = 1, wTri: Int = 2, wOut: Int = 1): DataFrame = {
+    require(wRet >= 0 && wTri >= 0 && wOut >= 0 && wRet + wTri + wOut > 0,
+      "weights must be non-negative, not all zero")
+    val spark = edges.sparkSession
+    ownedGraphResult(spark) {
+      val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).localCheckpoint(true)
+      var cur = e.select(col("src").as("walk")).distinct()
+        .select(col("walk"), col("walk").as("prev"), col("walk").as("v"))
+        .localCheckpoint(true)
+      val acc = scala.collection.mutable.ArrayBuffer(
+        cur.select(col("walk"), lit(0L).as("step"), col("v")))
+      for (i <- 1 to steps) {
+        cur = node2vecStep(cur, e, i, wRet, wTri, wOut).localCheckpoint(true)
+        acc += cur.select(col("walk"), lit(i.toLong).as("step"), col("v"))
+      }
+      acc.reduce(_ unionAll _)
+        .select(col("walk"), col("step"), col("v").as("vertex"))
+        .orderBy("walk", "step")
+    }
+  }
+
+  /** One biased step — see [[node2vecWalks]]. State: (walk, prev, v). */
+  private[graft] def node2vecStep(cur: DataFrame, e: DataFrame, i: Int,
+                                  wRet: Int, wTri: Int, wOut: Int): DataFrame = {
+    val wOrd = Window.partitionBy("walk").orderBy("dst")
+    val flag = e.select(col("src").as("fsrc"), col("dst").as("fdst"))
+    val cand = cur.join(e, col("v") === col("src"))
+      .select(col("walk"), col("prev"), col("v"), col("dst"))
+      .join(flag,
+        col("prev") === col("fsrc") && col("dst") === col("fdst"), "left")
+      .withColumn("wt",
+        when(col("dst") === col("prev"), lit(wRet.toLong))
+          .when(col("fsrc").isNotNull, lit(wTri.toLong))
+          .otherwise(lit(wOut.toLong)))
+      .filter(col("wt") > 0L) // zero-weight candidates can never be drawn
+    cand
+      .withColumn("cum", sum("wt").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum("wt").over(Window.partitionBy("walk")))
+      .withColumn("draw", pmod(
+        graft.functions.PortableHash.md5Bits60(
+          concat_ws("_", col("walk"), lit(i))), col("tot")))
+      .filter(col("draw") >= col("cum") - col("wt") && col("draw") < col("cum"))
+      .select(col("walk"), col("v").as("prev"), col("dst").as("v"))
+  }
+
   private[graft] def walkStep(cur: DataFrame, e: DataFrame, i: Int): DataFrame = {
     val w = Window.partitionBy("walk").orderBy(col("h"), col("dst"))
     cur.join(e, col("v") === col("src"))

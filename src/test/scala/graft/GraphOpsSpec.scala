@@ -671,6 +671,61 @@ class GraphOpsSpec extends AnyFunSuite {
       s"more than 2 level checkpoints live at end of backward pass: $counts")
   }
 
+  test("node2vecWalks: matches a sequential replay of the weighted-draw kernel; wRet=0 kills backtracks") {
+    import spark.implicits._
+    import graft.functions.PortableHash.md5Bits60Of
+    // sequential twin of the distributed kernel over an adjacency map
+    def seqWalks(adj: Map[Long, Seq[Long]], steps: Int,
+                 wRet: Long, wTri: Long, wOut: Long): Set[(Long, Long, Long)] = {
+      adj.keys.flatMap { walk =>
+        var prev = walk; var v = walk; var alive = true
+        Set((walk, 0L, walk)) ++ (1 to steps).flatMap { i =>
+          if (!alive) Nil
+          else {
+            val cand = adj(v).sorted.map { d =>
+              val wt = if (d == prev) wRet
+                       else if (adj(prev).contains(d)) wTri else wOut
+              (d, wt)
+            }.filter(_._2 > 0)
+            if (cand.isEmpty) { alive = false; Nil }
+            else {
+              val tot = cand.map(_._2).sum
+              val draw = md5Bits60Of(s"${walk}_$i") % tot
+              var cum = 0L
+              val pick = cand.find { case (_, wt) => cum += wt; draw < cum }.get._1
+              prev = v; v = pick
+              Seq((walk, i.toLong, pick))
+            }
+          }
+        }
+      }.toSet
+    }
+    // triangle {1,2,3} + tail 3–4–5: returns, triangle closures and
+    // outward moves all occur
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    val g = undirected(edges: _*)
+    val got = GraphOps.node2vecWalks(g, steps = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == seqWalks(adj, 4, 1L, 2L, 1L), "distributed != sequential replay")
+    // runs are reproducible
+    val again = GraphOps.node2vecWalks(g, steps = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == again)
+    // wRet=0: the return candidate is filtered, so a walk NEVER revisits
+    // its (i-1) vertex at step i+1, and degree-1 bounce-backs stop instead
+    val noRet = GraphOps.node2vecWalks(g, steps = 4, wRet = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(noRet.toSet == seqWalks(adj, 4, 0L, 2L, 1L))
+    val byWalk = noRet.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    byWalk.values.foreach { path =>
+      path.sliding(3).foreach { w =>
+        if (w.length == 3) assert(w(0) != w(2), s"backtrack in $path")
+      }
+    }
+  }
+
   test("randomWalks: dead ends stop walks; runs are reproducible; every step follows an edge") {
     import spark.implicits._
     val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
