@@ -48,7 +48,8 @@ object Bench {
     "local_supplier_revenue", "stream_user_totals",
     // round-11 additions measured >=2s isolated:
     "stream_graph_maintain", "dup_spans", "ktruss_bounded",
-    "louvain_moves", "modularity_louvain",
+    "louvain_moves", "modularity_louvain", "node2vec_walks",
+    "perplexity_buckets",
   )
   private val LightChunk = 10
 
