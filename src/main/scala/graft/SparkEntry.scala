@@ -589,6 +589,11 @@ object SparkEntry {
     // (document rows are atomic) — same oracle as the batch decontaminate
     "stream_decontaminate" -> ((s, dir) =>
       streaming.StreamOps.decontaminateReplayBatch(s, s"$dir/documents.parquet")),
+    // STREAMING near-dup at ingest: arriving docs Jaccard-checked against
+    // the static corpus store (shingles built once); the kernel and the
+    // oracle are shared with the batch neardup_ingest twin
+    "stream_neardup_ingest" -> ((s, dir) =>
+      streaming.StreamOps.nearDupIngestReplayBatch(s, s"$dir/documents.parquet")),
     // STREAMING incremental graph maintenance: micro-batched edge adds
     // land as MVCC snapshot versions (op 1/2) while connected components
     // are maintained per batch by CONTRACTION, never recomputed (op 3/4
@@ -1842,6 +1847,10 @@ object SparkEntry {
         maxDocFreq = 1000L)),
     "minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), w = 3, threshold = 0.8)),
+    // batch twin of the ingest near-dup pair: arriving half vs the
+    // static corpus store, same kernel as stream_neardup_ingest
+    "neardup_ingest" -> ((s, dir) =>
+      Dedup.nearDupIngest(t(s, dir, "documents"))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
     "embedding_topk" -> ((s, dir) =>
@@ -2683,6 +2692,30 @@ object SparkEntry {
        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.da JOIN sizes sb ON sb.doc_id = p.db
        |WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Shared oracle of the near-dup ingest pair (batch `neardup_ingest` +
+    * streaming `stream_neardup_ingest`): exact Jaccard of each arriving
+    * doc (id ≥ [[pipeline.Dedup.DefaultCorpusMaxId]]) against the corpus
+    * store, aggregated per arriving doc — one SQL, two execution models.
+    */
+  private val nearDupIngestSql: String = {
+    val m = pipeline.Dedup.DefaultCorpusMaxId
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT b.doc_id AS doc_id, a.doc_id AS cid, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.s = b.s
+       |          WHERE a.doc_id < $m AND b.doc_id >= $m GROUP BY 1, 2),
+       |jac AS (SELECT i.doc_id,
+       |          i.inter * 1.0 / (sb.sz + sa.sz - i.inter) AS jac
+       |        FROM inter i JOIN sizes sa ON sa.doc_id = i.cid
+       |          JOIN sizes sb ON sb.doc_id = i.doc_id)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_near_dups,
+       |  CAST(round(max(jac), 4) AS DOUBLE) AS best_jaccard
+       |FROM jac WHERE jac >= 0.8 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** BM25 per-doc scoring CTE (terms = [[pipeline.Search.QueryTerms]],
@@ -4317,6 +4350,8 @@ object SparkEntry {
         |WHERE dot * dot >= 0.9 * 0.9 * (sa.s2 * sb.s2)
         |ORDER BY doc_a, doc_b""".stripMargin,
     "minhash_lsh" -> jaccardSql(0.8),
+    "neardup_ingest" -> nearDupIngestSql,
+    "stream_neardup_ingest" -> nearDupIngestSql,
     "hash_sample" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank

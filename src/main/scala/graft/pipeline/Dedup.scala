@@ -105,6 +105,69 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Corpus/arriving split point for the near-dup ingest pair: documents
+    * with doc_id below this are the STATIC corpus store, the rest arrive
+    * (in one batch for `neardup_ingest`, micro-batched for
+    * `stream_neardup_ingest`). One hoisted literal, shared by both
+    * operators and their common oracle.
+    */
+  val DefaultCorpusMaxId: Long = 250L
+
+  /** Near-duplicate flags of an ARRIVING document set against a STATIC
+    * corpus store — the ingest-time analogue of [[minhashLshPairs]] (which
+    * pairs a corpus with itself) and the NEAR-dup sibling of the exact
+    * [[incrementalDedup]]: each arriving doc is checked for Jaccard ≥
+    * `threshold` against any stored doc. The kernel is shared VERBATIM by
+    * the batch query and the streaming foreachBatch replay (the
+    * decontamination-pair pattern: equivalence by construction, not twin
+    * copies) — a document row is atomic, so the per-doc aggregate never
+    * spans micro-batches and the stream needs no state store.
+    *
+    * Shape: one shingle equi-join (arriving shingles × corpus shingles on
+    * the shingle key) + one (arriving, corpus)-doc count + the exact
+    * integer-derived Jaccard test. The arriving side is batch-sized; the
+    * corpus side is pre-shingled ONCE by the caller (checkpointed) with
+    * sizes precomputed, so a micro-batch costs |batch shingles| join
+    * probes, not a corpus rescan. At web scale the corpus side of the
+    * join becomes its LSH band store (join on band signature instead of
+    * raw shingle, [[minhashLshPairs]] banding) and hot shingles get the
+    * [[shingles]] frequency cap; the verify-side arithmetic is unchanged.
+    * Output: (doc_id, n_near_dups, best_jaccard) for arriving docs with
+    * ≥ 1 near-dup, ordered by doc_id.
+    */
+  def nearDupAgainstCorpus(arriving: DataFrame, corpusShingles: DataFrame,
+                           corpusSizes: DataFrame, w: Int = 3,
+                           threshold: Double = 0.8): DataFrame = {
+    val bsh = shingles(arriving, w).localCheckpoint(true)
+    val bsz = bsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = bsh
+      .join(corpusShingles.select(col("doc_id").as("cid"), col("s")), "s")
+      .groupBy("doc_id", "cid").agg(count(lit(1)).as("inter"))
+    inter.join(bsz, "doc_id")
+      .join(corpusSizes.select(col("doc_id").as("cid"), col("sz").as("csz")), "cid")
+      .withColumn("jac",
+        col("inter") * lit(1.0) / (col("sz") + col("csz") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .groupBy(col("doc_id").cast("long").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_near_dups"),
+        round(max("jac"), 4).as("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Batch twin of the near-dup ingest pair: split `documents` at
+    * [[DefaultCorpusMaxId]] and run the arriving half through
+    * [[nearDupAgainstCorpus]] in one batch.
+    */
+  def nearDupIngest(documents: DataFrame, w: Int = 3,
+                    threshold: Double = 0.8): DataFrame = {
+    val corpus = documents.filter(col("doc_id") < DefaultCorpusMaxId)
+    val csh = shingles(corpus, w).localCheckpoint(true)
+    val csz = csh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    nearDupAgainstCorpus(
+      documents.filter(col("doc_id") >= DefaultCorpusMaxId), csh, csz,
+      w, threshold)
+  }
+
   /** Exact duplicate groups by content hash: one row per distinct text,
     * keeping the smallest doc_id. Output: (keep_id, n_copies) ordered.
     */

@@ -745,6 +745,53 @@ object StreamOps {
     else spark.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** Streaming NEAR-dup detection at ingest — the LSH-verify sibling of
+    * [[decontaminateReplayBatch]] and the near-dup upgrade of
+    * `stream_ingest_dedup` (which only catches exact resends): arriving
+    * documents are checked for shingle-Jaccard ≥ 0.8 against the STATIC
+    * corpus store (docs below [[graft.pipeline.Dedup.DefaultCorpusMaxId]]),
+    * whose shingles + sizes are built ONCE and reused by every
+    * micro-batch. The per-doc flag aggregates inside its batch (a doc row
+    * is atomic) — stateless streaming, so the union of batch outputs
+    * equals the batch twin [[graft.pipeline.Dedup.nearDupIngest]] and ONE
+    * DuckDB oracle replays both; the kernel
+    * ([[graft.pipeline.Dedup.nearDupAgainstCorpus]]) is shared verbatim.
+    * 4-file split + maxFilesPerTrigger=1 forces real multi-batch
+    * execution. Output: (doc_id, n_near_dups, best_jaccard) ordered.
+    */
+  def nearDupIngestReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                               documentsPath: String): DataFrame = {
+    import graft.pipeline.Dedup
+    val spark = tunedStatefulSession(spark0)
+    val docs = spark.read.parquet(documentsPath)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_neardup_")
+    val outDir = s"$tmp/out"
+    val inDir = s"$tmp/in"
+    docs.filter(col("doc_id") >= Dedup.DefaultCorpusMaxId)
+      .repartition(4).write.parquet(inDir)
+    val csh = Dedup.shingles(
+        docs.filter(col("doc_id") < Dedup.DefaultCorpusMaxId))
+      .localCheckpoint(true)
+    val csz = csh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.nearDupAgainstCorpus(batch, csh, csz)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    if (!new java.io.File(outDir).exists())
+      spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_near_dups"), col("id").cast("double").as("best_jaccard"))
+    else spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** Fourteenth oracle-checked streaming query — INCREMENTAL GRAPH
     * MAINTENANCE: micro-batched edge additions interleave op 1/2 writes
     * (each batch lands as a new MVCC snapshot version in a

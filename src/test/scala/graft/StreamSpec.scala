@@ -140,6 +140,21 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("nearDupIngestReplayBatch: multi-batch stream near-dup flags equal the batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val res = StreamOps.nearDupIngestReplayBatch(spark, s"$dir/documents.parquet")
+    assert(res.inputFiles.length >= 2,
+      s"only ${res.inputFiles.length} output parts — stream collapsed to one micro-batch")
+    val streamed = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.pipeline.Dedup.nearDupIngest(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty, "planted near-dups must be flagged")
+    // every flagged doc is an ARRIVING doc — corpus docs never self-flag
+    assert(streamed.forall(_._1 >= graft.pipeline.Dedup.DefaultCorpusMaxId))
+  }
+
   test("cmsReplayBatch: cross-batch cell-wise merge equals the batch sketch (linearity)") {
     import org.apache.spark.sql.functions._
     import graft.functions.{PortableHash, Sketches}
