@@ -137,6 +137,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"rank-side join not broadcast at this scale in:\n$p")
   }
 
+  test("dup_spans: equi-join on the window key, per-doc islands window, no cartesian") {
+    val p = planOf("dup_spans")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop join in:\n$p")
+    // the islands window is partitioned by doc_id — never a global sort
+    // over an unpartitioned window
+    assert(p.contains("Window"), s"expected the islands window in:\n$p")
+    assert(!p.contains("Window [") || !p.contains("SinglePartition"),
+      s"single-partition window in:\n$p")
+  }
+
+  test("neardup_ingest: shingle equi-join (no cartesian), corpus side pre-aggregated") {
+    val p = planOf("neardup_ingest")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop join in:\n$p")
+  }
+
   test("louvain move round: shuffles keyed on vertex/community only, one-row m2 broadcast, no cartesian") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
