@@ -2210,6 +2210,11 @@ object SparkEntry {
     "drift_ks" -> ((s, dir) =>
       pipeline.Drift.ksStatistic(t(s, dir, "documents"), col("source"),
         col("n_chars"), "src0", "src1")),
+    // PSI of each source's length distribution vs the rest — the
+    // standard drift score next to KS; one (source, bin) count shuffle,
+    // the rest parameter-scale
+    "drift_psi" -> ((s, dir) =>
+      pipeline.Drift.psiPerSource(t(s, dir, "documents"), col("n_chars"))),
     // frame sampling over video payloads (every 2nd 64-byte chunk);
     // the stub chunker is deterministic arithmetic -> full oracle below
     "media_frames" -> ((s, dir) =>
@@ -5097,6 +5102,22 @@ object SparkEntry {
         |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |  CAST(abs(ca * nb - cb * na) AS DOUBLE) / (na * nb) AS ks
         |FROM cum, t ORDER BY abs(ca * nb - cb * na) DESC, cum.v LIMIT 1""".stripMargin,
+    "drift_psi" ->
+      """WITH sb AS (SELECT source, CAST(n_chars // 50 AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cs FROM documents GROUP BY 1, 2),
+        |gb AS (SELECT bin, CAST(sum(cs) AS BIGINT) AS cg FROM sb GROUP BY bin),
+        |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n FROM sb GROUP BY source),
+        |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS nb FROM gb),
+        |grid AS (SELECT s.source, s.n, g.bin, g.cg, coalesce(x.cs, 0) AS cs
+        |  FROM ns s CROSS JOIN gb g
+        |  LEFT JOIN sb x ON x.source = s.source AND x.bin = g.bin)
+        |SELECT source, CAST(max(nb) AS BIGINT) AS n_bins,
+        |  CAST(round(sum(
+        |    ((cs + 1.0) / (n + nb) - (cg - cs + 1.0) / (nn - n + nb))
+        |    * ln(((cs + 1.0) / (n + nb)) / ((cg - cs + 1.0) / (nn - n + nb)))
+        |  ), 4) AS DOUBLE) AS psi
+        |FROM grid, tot GROUP BY source ORDER BY source""".stripMargin,
     "media_features" ->
       """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -20,6 +20,45 @@ object Drift {
     * Output: one row (at_value, ks_num, n_a, n_b, ks), at_value = the
     * smallest value attaining the max.
     */
+  /** Population Stability Index of every source's value distribution
+    * against the REST of the corpus — the industry-standard drift score
+    * alongside [[ksStatistic]] (PSI < 0.1 stable, 0.1–0.25 moderate,
+    * > 0.25 shifted): PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i) over
+    * fixed-width value bins, with add-one (Laplace) smoothing so empty
+    * bins never hit ln(0) — p is the source's smoothed bin share, q the
+    * rest-of-corpus share, B the global bin count.
+    *
+    * Parity: counts are exact BIGINT; p and q are single divisions of
+    * exact integers and each bin term is one fixed (p−q)·ln(p/q) op tree,
+    * summed over ≤ a few dozen bins and shipped rounded 4 dp (the
+    * zipf/powerlaw contract for ln sums). Scale: ONE (source, bin) count
+    * aggregate is the only data-sized shuffle; everything after is
+    * parameter-scale (sources × bins grid, both broadcast). Output:
+    * (source, n_bins, psi) ordered by source.
+    */
+  def psiPerSource(df: DataFrame, value: Column,
+                   binWidth: Long = 50L): DataFrame = {
+    val sb = df.select(col("source"),
+        floor(value / lit(binWidth)).cast("long").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).cast("long").as("cs"))
+      .localCheckpoint(true) // the one data-sized pass; feeds all totals
+    val gb = sb.groupBy("bin").agg(sum("cs").cast("long").as("cg"))
+    val ns = sb.groupBy("source").agg(sum("cs").cast("long").as("n"))
+    val tot = broadcast(gb.agg(sum("cg").cast("long").as("nn"),
+      count(lit(1)).cast("long").as("nb")))
+    ns.crossJoin(broadcast(gb))
+      .join(sb, Seq("source", "bin"), "left")
+      .withColumn("cs", coalesce(col("cs"), lit(0L)))
+      .crossJoin(tot)
+      .withColumn("p", (col("cs") + lit(1.0)) / (col("n") + col("nb")))
+      .withColumn("q",
+        (col("cg") - col("cs") + lit(1.0)) / (col("nn") - col("n") + col("nb")))
+      .groupBy("source")
+      .agg(max("nb").as("n_bins"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"))
+      .orderBy("source")
+  }
+
   def ksStatistic(df: DataFrame, group: Column, value: Column,
                   groupA: String, groupB: String): DataFrame = {
     val d = df.filter(group.isin(groupA, groupB))

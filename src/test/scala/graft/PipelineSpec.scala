@@ -523,6 +523,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 4L) == List((4L, 0L, 3L, 4L), (4L, 8L, 11L, 4L)))
   }
 
+  test("psiPerSource: hand-computed smoothed PSI on two disjoint sources") {
+    import org.apache.spark.sql.functions.col
+    // A fills bin 0, B fills bin 2; nb=2, nn=4, n=2 per source.
+    // A: bin0 p=(2+1)/4, q=(0+1)/4; bin2 p=1/4, q=3/4
+    // PSI = 0.5·ln3 + (−0.5)·ln(1/3) = ln 3 — symmetric for B
+    val d = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 110L), (4L, "B", 120L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = graft.pipeline.Drift.psiPerSource(d, col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val ln3 = BigDecimal(math.log(3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(("A", 2L, ln3), ("B", 2L, ln3)))
+    // identical distributions → PSI 0 exactly (p = q in every bin)
+    val same = Seq((1L, "A", 10L), (2L, "B", 10L)).toDF("doc_id", "source", "n_chars")
+    val z = graft.pipeline.Drift.psiPerSource(same, col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(z.toSeq == Seq(("A", 0.0), ("B", 0.0)))
+  }
+
   test("perplexityBuckets: per-source thirds ordered by ce; single-token docs excluded") {
     import graft.pipeline.Curation
     val d = Seq(
