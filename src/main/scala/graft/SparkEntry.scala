@@ -1998,6 +1998,10 @@ object SparkEntry {
     // output of substring-level dedup (what to CUT, not just what matched)
     "dup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(t(s, dir, "documents"))),
+    // ...and the cut itself: duplicated spans excised, survivors
+    // re-joined in order — the cleaned corpus a pipeline feeds downstream
+    "dup_span_clean" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"))),
     // inverted index build: term → df + sorted posting list (per-doc
     // dedup BEFORE the explode; one shuffle on the term — the search-index
     // construction step; postings ship as a joined string for the oracle,
@@ -3038,6 +3042,31 @@ object SparkEntry {
         |  CAST(max(i) + 7 AS BIGINT) AS span_end,
         |  CAST(max(i) + 8 - min(i) AS BIGINT) AS span_tokens
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "dup_span_clean" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS i, array_to_string(t[i:i+7], ' ') AS passage
+        |      FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+        |pd AS (SELECT DISTINCT passage, doc_id FROM g),
+        |dup AS (SELECT passage FROM pd GROUP BY passage HAVING count(*) >= 2),
+        |dp AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (passage)),
+        |fl AS (SELECT doc_id, i,
+        |         CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |              OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 8
+        |         THEN 1 ELSE 0 END AS ni FROM dp),
+        |isl AS (SELECT doc_id, i,
+        |          SUM(ni) OVER (PARTITION BY doc_id ORDER BY i) AS island FROM fl),
+        |spans AS (SELECT doc_id, min(i) AS s0, max(i) + 7 AS s1
+        |          FROM isl GROUP BY doc_id, island),
+        |tk AS (SELECT doc_id, i - 1 AS i, t[i] AS tok, len(t) AS n_tokens
+        |       FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        |kept AS (SELECT tk.doc_id, tk.i, tk.tok, tk.n_tokens FROM tk
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = tk.doc_id AND tk.i BETWEEN sp.s0 AND sp.s1))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(max(n_tokens) - count(*) AS BIGINT) AS n_removed,
+        |  string_agg(tok, ' ' ORDER BY i) AS clean_text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "skyline_parts" ->
       """SELECT CAST(a.p_partkey AS BIGINT) AS p_partkey, a.p_retailprice AS price,
         |  CAST(a.p_size AS BIGINT) AS psize

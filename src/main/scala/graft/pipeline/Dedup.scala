@@ -105,6 +105,44 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The CUT that [[duplicateSpans]] prescribes, materialized: every
+    * token inside a duplicated span is removed and the survivors are
+    * re-joined in order — the Lee et al. ExactSubstr cleaning step
+    * itself, producing the training corpus a pipeline would actually
+    * feed downstream. A document whose every token is duplicated
+    * elsewhere is cut entirely and drops out of the relation (the paper's
+    * behavior for full duplicates).
+    *
+    * Scale: the span table is doc-keyed and tiny relative to the token
+    * stream; membership is ONE doc-keyed equi-join with a per-row range
+    * predicate (anti-join keeps survivors — never a theta join), and
+    * reassembly is a per-doc aggregate over structs sorted by position.
+    * Output: (doc_id, n_tokens, n_removed, clean_text) ordered, only for
+    * docs with ≥ 1 surviving token.
+    */
+  def removeDuplicateSpans(documents: DataFrame, k: Int = 8): DataFrame = {
+    val spans = duplicateSpans(documents, k)
+      .select(col("doc_id").as("sdoc"), col("span_start"), col("span_end"))
+      .localCheckpoint(true)
+    val toks = documents
+      .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        posexplode(col("t")).as(Seq("i", "tok")))
+    val kept = toks.join(spans,
+      col("doc_id") === col("sdoc") &&
+        col("i") >= col("span_start") && col("i") <= col("span_end"),
+      "left_anti")
+    kept.groupBy("doc_id")
+      .agg(max("n_tokens").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            x => x.getField("tok"))).as("clean_text"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus/arriving split point for the near-dup ingest pair: documents
     * with doc_id below this are the STATIC corpus store, the rest arrive
     * (in one batch for `neardup_ingest`, micro-batched for

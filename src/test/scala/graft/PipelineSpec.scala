@@ -523,6 +523,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 4L) == List((4L, 0L, 3L, 4L), (4L, 8L, 11L, 4L)))
   }
 
+  test("removeDuplicateSpans: cuts exactly the spans, preserves order, keeps clean docs whole") {
+    val d = docs(
+      (1L, "a b c d e f g1 h1"),          // span [0,5] → "g1 h1"
+      (2L, "z a b c d e f w"),            // span [1,6] → "z w"
+      (3L, "p q r s t u v w2"),           // no spans → untouched
+      (4L, "a b c d x y z2 q2 c d e f"))  // spans [0,3],[8,11] → middle
+    val out = graft.pipeline.Dedup.removeDuplicateSpans(d, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toList
+    assert(out == List(
+      (1L, 8L, 6L, "g1 h1"),
+      (2L, 8L, 6L, "z w"),
+      (3L, 8L, 0L, "p q r s t u v w2"),
+      (4L, 12L, 8L, "x y z2 q2")))
+    // a doc whose EVERY token is duplicated is cut entirely
+    val twins = docs((1L, "a b c d"), (2L, "a b c d"))
+    assert(graft.pipeline.Dedup.removeDuplicateSpans(twins, k = 4).count() == 0L)
+  }
+
   test("psiPerSource: hand-computed smoothed PSI on two disjoint sources") {
     import org.apache.spark.sql.functions.col
     // A fills bin 0, B fills bin 2; nb=2, nn=4, n=2 per source.
