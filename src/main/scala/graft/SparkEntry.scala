@@ -2219,6 +2219,11 @@ object SparkEntry {
     // the rest parameter-scale
     "drift_psi" -> ((s, dir) =>
       pipeline.Drift.psiPerSource(t(s, dir, "documents"), col("n_chars"))),
+    // UniMax budget split: waterfill tokens across sources under a
+    // 2-epoch cap (budget = 1.8x corpus) — saturation decided in exact
+    // BIGINT, one final division for the level
+    "unimax_allocation" -> ((s, dir) =>
+      pipeline.Curation.unimaxAllocation(t(s, dir, "documents"))),
     // frame sampling over video payloads (every 2nd 64-byte chunk);
     // the stub chunker is deterministic arithmetic -> full oracle below
     "media_frames" -> ((s, dir) =>
@@ -5147,6 +5152,29 @@ object SparkEntry {
         |    * ln(((cs + 1.0) / (n + nb)) / ((cg - cs + 1.0) / (nn - n + nb)))
         |  ), 4) AS DOUBLE) AS psi
         |FROM grid, tot GROUP BY source ORDER BY source""".stripMargin,
+    "unimax_allocation" ->
+      """WITH cs AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS n FROM cs),
+        |o AS (SELECT source, c, c * 2 AS cap,
+        |    row_number() OVER (ORDER BY c * 2, source) - 1 AS j,
+        |    coalesce(sum(c * 2) OVER (ORDER BY c * 2, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pprev
+        |  FROM cs),
+        |f AS (SELECT o.*, nn, n, (nn * 9) // 5 AS budget,
+        |    (cap * (n - j) < (nn * 9) // 5 - pprev) AS sat FROM o, tot),
+        |jstar AS (SELECT coalesce(min(CASE WHEN NOT sat THEN j END), max(n)) AS js FROM f),
+        |pj AS (SELECT CAST(coalesce(sum(CASE WHEN j < js THEN cap END), 0) AS BIGINT) AS pj
+        |       FROM f, jstar)
+        |SELECT source, CAST(c AS BIGINT) AS n_tokens, CAST(cap AS BIGINT) AS cap,
+        |  (j < js) AS saturated,
+        |  CAST(round(CASE WHEN j < js THEN CAST(cap AS DOUBLE)
+        |    ELSE (budget - pj) * 1.0 / (n - js) END, 4) AS DOUBLE) AS alloc,
+        |  CAST(round(CASE WHEN j < js THEN CAST(cap AS DOUBLE)
+        |    ELSE (budget - pj) * 1.0 / (n - js) END / c, 4) AS DOUBLE) AS epochs
+        |FROM f, jstar, pj ORDER BY source""".stripMargin,
     "media_features" ->
       """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

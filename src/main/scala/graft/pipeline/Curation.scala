@@ -12,6 +12,59 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** UniMax language/source sampling (Chung et al. 2023, ICLR,
+    * arXiv:2304.09151): allocate a token BUDGET across sources as
+    * uniformly as possible subject to a per-source epoch cap — the
+    * waterfilling answer to "how much of each source does one training
+    * run read", fairer than temperature sampling because no source is
+    * repeated past `epochCap` epochs. alloc_s = min(cap_s, λ) with
+    * cap_s = c_s·epochCap and the level λ chosen so Σ alloc = budget
+    * (= total·budgetNum/budgetDen, integer floor).
+    *
+    * The waterfill is CLOSED FORM on sources sorted by cap ascending:
+    * a source saturates iff cap_s·(remaining sources) < remaining budget
+    * — an EXACT BIGINT cross-multiplied test (no FP level comparison);
+    * saturation is a prefix of the sort, λ is ONE final division of
+    * exact integers, and epochs_s divides the unrounded alloc. Scale:
+    * the per-source token count is the only data-sized aggregate;
+    * everything after runs on one row per source (global-index +
+    * prefix-sum passes, parameter-scale). Output: (source, n_tokens,
+    * cap, saturated, alloc, epochs) ordered by source.
+    */
+  def unimaxAllocation(documents: DataFrame, epochCap: Long = 2L,
+                       budgetNum: Long = 9L, budgetDen: Long = 5L): DataFrame = {
+    val cs = documents
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tk"))
+      .groupBy("source").agg(sum("tk").cast("long").as("c"))
+      .localCheckpoint(true) // one data-sized pass; feeds sort + totals
+    val idx = Ranking.withGlobalIndex(
+      cs.withColumn("cap", col("c") * lit(epochCap)), col("cap"), col("source"))
+    val cum = Ranking.withRunningSums(idx, Seq("cap"), col("idx"))
+      .withColumn("pprev", col("cum_cap") - col("cap"))
+    val tot = broadcast(cs.agg(sum("c").cast("long").as("nn"),
+      count(lit(1)).cast("long").as("n")))
+    val flagged = cum.crossJoin(tot)
+      .withColumn("budget", expr(s"(nn * $budgetNum) div $budgetDen"))
+      .withColumn("sat",
+        col("cap") * (col("n") - col("idx")) < col("budget") - col("pprev"))
+      .localCheckpoint(true) // parameter-scale; feeds j*, P_{j*} and output
+    val jstar = broadcast(flagged.agg(
+      coalesce(min(when(!col("sat"), col("idx"))), max(col("n"))).as("js")))
+    val withJs = flagged.crossJoin(jstar)
+    val pj = broadcast(withJs.agg(
+      sum(when(col("idx") < col("js"), col("cap")).otherwise(0L))
+        .cast("long").as("pj")))
+    withJs.crossJoin(pj)
+      .withColumn("saturated", col("idx") < col("js"))
+      .withColumn("rawalloc",
+        when(col("saturated"), col("cap").cast("double"))
+          .otherwise((col("budget") - col("pj")) * lit(1.0) / (col("n") - col("js"))))
+      .select(col("source"), col("c").as("n_tokens"), col("cap"),
+        col("saturated"), round(col("rawalloc"), 4).as("alloc"),
+        round(col("rawalloc") / col("c"), 4).as("epochs"))
+      .orderBy("source")
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359 §4.3): split each SOURCE's documents into
     * head / middle / tail thirds by language-model score — CCNet keeps

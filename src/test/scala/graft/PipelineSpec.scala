@@ -541,6 +541,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.pipeline.Dedup.removeDuplicateSpans(twins, k = 4).count() == 0L)
   }
 
+  test("unimaxAllocation: hand-traced waterfill — small source saturates at its cap, rest at the level") {
+    // tokens: A 10, B 100, C 100 → caps 20/200/200, budget = 9·210/5 = 378
+    // A saturates (20·3 < 378); B test: 200·2 < 358 fails → level λ = 358/2 = 179
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val d = Seq((1L, words(10), "A"), (2L, words(100), "B"), (3L, words(100), "C"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Curation.unimaxAllocation(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("A", 10L, 20L, true, 20.0, 2.0),
+      ("B", 100L, 200L, false, 179.0, 1.79),
+      ("C", 100L, 200L, false, 179.0, 1.79)))
+    // budget is met exactly: Σ alloc = 20 + 179 + 179 = 378
+    assert(out.map(_._5).sum == 378.0)
+  }
+
   test("psiPerSource: hand-computed smoothed PSI on two disjoint sources") {
     import org.apache.spark.sql.functions.col
     // A fills bin 0, B fills bin 2; nb=2, nn=4, n=2 per source.
