@@ -1851,6 +1851,10 @@ object SparkEntry {
     // static corpus store, same kernel as stream_neardup_ingest
     "neardup_ingest" -> ((s, dir) =>
       Dedup.nearDupIngest(t(s, dir, "documents"))),
+    // off-topic outliers: cosine to the LEAVE-ONE-OUT source centroid,
+    // exact integer moments, one final divide-by-sqrt (unrounded)
+    "source_outliers" -> ((s, dir) =>
+      Dedup.sourceOutliers(t(s, dir, "documents"))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
     "embedding_topk" -> ((s, dir) =>
@@ -4391,6 +4395,23 @@ object SparkEntry {
     "minhash_lsh" -> jaccardSql(0.8),
     "neardup_ingest" -> nearDupIngestSql,
     "stream_neardup_ingest" -> nearDupIngestSql,
+    "source_outliers" ->
+      """WITH tf AS (SELECT doc_id, source, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        |        FROM documents) GROUP BY 1, 2, 3),
+        |cent AS (SELECT source, term, CAST(sum(tf) AS BIGINT) AS cent
+        |         FROM tf GROUP BY 1, 2),
+        |sc AS (SELECT source, CAST(sum(cent * cent) AS BIGINT) AS sc2
+        |       FROM cent GROUP BY 1),
+        |sa AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS sa2 FROM tf GROUP BY 1),
+        |dotc AS (SELECT f.doc_id, f.source, CAST(sum(f.tf * c.cent) AS BIGINT) AS dotc
+        |  FROM tf f JOIN cent c ON c.source = f.source AND c.term = f.term
+        |  GROUP BY 1, 2)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+        |  CAST(dotc - sa2 AS DOUBLE)
+        |    / sqrt(CAST(sa2 * (sc2 - 2 * dotc + sa2) AS DOUBLE)) AS centroid_cos
+        |FROM dotc d JOIN sa ON sa.doc_id = d.doc_id JOIN sc ON sc.source = d.source
+        |WHERE sc2 - 2 * dotc + sa2 > 0 ORDER BY doc_id""".stripMargin,
     "hash_sample" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank

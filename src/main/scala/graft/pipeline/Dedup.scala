@@ -105,6 +105,46 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Per-document OFF-TOPIC score: cosine of each doc's bag-of-words tf
+    * vector to its own source's LEAVE-ONE-OUT centroid (the sum of the
+    * other docs' tf vectors) — low cosine = the doc doesn't look like its
+    * source, the "domain purity" outlier signal a curation pipeline uses
+    * to catch mislabeled or boilerplate rows. Leave-one-out matters: with
+    * the doc included, its own mass inflates the similarity exactly for
+    * the outliers you want to catch.
+    *
+    * Everything is EXACT BIGINT until one final divide-by-sqrt (the
+    * [[tfCosinePairs]] discipline): with c = source centroid and d = the
+    * doc, dot(d, c−d) = Σtf·cent − Σtf² and ‖c−d‖² = Σcent² − 2Σtf·cent
+    * + Σtf² — all integer moments, no per-term FP sums, so the shipped
+    * double is bit-identical cross-engine unrounded. Single-doc sources
+    * (zero leave-one-out centroid) are excluded by an integer predicate.
+    * Scale: one (source, term) centroid aggregate + one (source,
+    * term)-keyed join of the doc tf table; all moments reduce per doc or
+    * per source. Output: (doc_id, source, centroid_cos) ordered.
+    */
+  def sourceOutliers(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds centroid, norms and the dot join
+    val cent = tf.groupBy("source", "term").agg(sum("tf").as("cent"))
+      .localCheckpoint(true) // feeds its own norm AND the dot join
+    val sc = cent.groupBy("source").agg(sum(col("cent") * col("cent")).as("sc2"))
+    val sa = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sa2"))
+    val dotc = tf.join(cent, Seq("source", "term"))
+      .groupBy("doc_id", "source").agg(sum(col("tf") * col("cent")).as("dotc"))
+    dotc.join(sa, "doc_id").join(sc, "source")
+      .withColumn("dotp", col("dotc") - col("sa2"))
+      .withColumn("n2", col("sc2") - lit(2) * col("dotc") + col("sa2"))
+      .filter(col("n2") > 0)
+      .select(col("doc_id"), col("source"),
+        (col("dotp").cast("double") /
+          sqrt((col("sa2") * col("n2")).cast("double"))).as("centroid_cos"))
+      .orderBy("doc_id")
+  }
+
   /** The CUT that [[duplicateSpans]] prescribes, materialized: every
     * token inside a duplicated span is removed and the survivors are
     * re-joined in order — the Lee et al. ExactSubstr cleaning step

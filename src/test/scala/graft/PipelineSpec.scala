@@ -541,6 +541,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.pipeline.Dedup.removeDuplicateSpans(twins, k = 4).count() == 0L)
   }
 
+  test("sourceOutliers: leave-one-out centroid cosine, off-topic doc scores 0, single-doc source excluded") {
+    val d = Seq(
+      (1L, "x x y", "A"),   // tf (x2, y1): dot(d, c−d)=4, ‖d‖²=5, ‖c−d‖²=14
+      (2L, "x y y", "A"),   // symmetric with doc 1
+      (3L, "z z z", "A"),   // c−d has NO z mass → orthogonal → exactly 0
+      (4L, "solo only", "B")) // single-doc source: zero centroid, excluded
+      .toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Dedup.sourceOutliers(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toList
+    val expect12 = 4.0 / math.sqrt(5.0 * 14.0)
+    assert(out == List((1L, "A", expect12), (2L, "A", expect12), (3L, "A", 0.0)))
+  }
+
   test("unimaxAllocation: hand-traced waterfill — small source saturates at its cap, rest at the level") {
     // tokens: A 10, B 100, C 100 → caps 20/200/200, budget = 9·210/5 = 378
     // A saturates (20·3 < 378); B test: 200·2 < 358 fails → level λ = 358/2 = 179
