@@ -1859,6 +1859,11 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
     "embedding_topk" -> ((s, dir) =>
       Similarity.cosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // Matryoshka truncate-then-rerank: coarse top-200 on the first 16
+    // dims (a quarter of the bytes), exact 64-dim rerank of survivors;
+    // recall vs the exact ranking floored in PropertyOracleSpec
+    "embedding_topk_rerank" -> ((s, dir) =>
+      Similarity.cosineTopKRerank(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
     // batch k-NN join: 16 queries answered by ONE broadcast-join scan
     "embedding_knn_join" -> ((s, dir) =>
       Similarity.knnJoin(t(s, dir, "embeddings"), maxQueryId = 16L, k = 5)),
@@ -4487,6 +4492,27 @@ object SparkEntry {
         |         sqrt(SUM(CAST(q.qe[i] AS DOUBLE) ** 2)) AS nb
         |  FROM embeddings e, q, UNNEST(range(1, 65)) AS u(i)
         |  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
+        |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT 10""".stripMargin,
+    "embedding_topk_rerank" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |coarse AS (
+        |  SELECT e.vec_id,
+        |    round(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+        |      / (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) ** 2))
+        |         * sqrt(SUM(CAST(q.qe[i] AS DOUBLE) ** 2))), 4) AS cc
+        |  FROM embeddings e, q, UNNEST(range(1, 17)) AS u(i)
+        |  WHERE e.vec_id <> 0 GROUP BY e.vec_id
+        |  ORDER BY cc DESC, e.vec_id LIMIT 200),
+        |sims AS (
+        |  SELECT e.vec_id,
+        |         SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |         sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) ** 2)) AS na,
+        |         sqrt(SUM(CAST(q.qe[i] AS DOUBLE) ** 2)) AS nb
+        |  FROM embeddings e JOIN coarse c ON c.vec_id = e.vec_id,
+        |       q, UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY e.vec_id)
         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
         |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT 10""".stripMargin,

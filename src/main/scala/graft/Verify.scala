@@ -100,6 +100,11 @@ object Verify {
       // label-IVF's 3/10.
       val rPq = recall(pipeline.Similarity.pqTopK(emb,
         queryId = IvfParams.QueryVecId, k = IvfParams.K))
+      // MRL truncate-then-rerank: oracle-exact like PQ, recall audited
+      // AND floored (PropertyOracleSpec) — the prefix quality contract
+      val rMrl = recall(pipeline.Similarity.cosineTopKRerank(emb,
+        queryId = IvfParams.QueryVecId, k = IvfParams.K,
+        dims = IvfParams.Mrl.Dims, coarseK = IvfParams.Mrl.CoarseK))
       val recallJson =
         s"""{"k":${IvfParams.K},"query_vec_id":${IvfParams.QueryVecId},"sf_dir":"$sfDir",""" +
           s""""embedding_topk_ivf":{"recall_at_10":$rLabel,""" +
@@ -108,7 +113,10 @@ object Verify {
           s""""floor":${IvfParams.Kmeans.RecallFloor},"nlist":${IvfParams.Kmeans.Nlist},""" +
           s""""nprobe":${IvfParams.Kmeans.Nprobe}},""" +
           s""""embedding_topk_pq":{"recall_at_10":$rPq,"oracle":"exact-sql",""" +
-          s""""m":${IvfParams.Pq.M},"n_centroids":${IvfParams.Pq.NCentroids}}}"""
+          s""""m":${IvfParams.Pq.M},"n_centroids":${IvfParams.Pq.NCentroids}},""" +
+          s""""embedding_topk_rerank":{"recall_at_10":$rMrl,""" +
+          s""""floor":${IvfParams.Mrl.RecallFloor},"dims":${IvfParams.Mrl.Dims},""" +
+          s""""coarse_k":${IvfParams.Mrl.CoarseK}}}"""
       Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
       // keep the committed artifact in lockstep with the measurement —
       // per SCALE: the canonical sf0.01 record (the driver's verify

@@ -72,6 +72,24 @@ object IvfParams {
     val ProbeMarginFloor = 1e-3
   }
 
+  /** Matryoshka truncate-then-rerank: coarse cosine over the first
+    * `Dims` coordinates keeps `CoarseK` survivors, exact full-dim rerank
+    * picks the final K. Oracle-exact (two-stage DuckDB replay); recall
+    * vs the exact full scan is the quality contract.
+    */
+  object Mrl {
+    val Dims = 16
+    val CoarseK = 200
+    /** Measured 7/10 on sf0.01 (9/10 on sf0.001): these synthetic
+      * vectors are RANDOM, so a 16-dim prefix carries near-chance
+      * ranking signal and only the coarse-200 containment (of 500)
+      * preserves the head — a real MRL-trained embedding front-loads
+      * variance and would recall far higher at the same dims.
+      */
+    val MeasuredRecall = 7
+    val RecallFloor = 5
+  }
+
   /** Product quantization (oracle-exact integer ADC; recall is audited,
     * not floored — see Verify's recall artifact comment). */
   object Pq {

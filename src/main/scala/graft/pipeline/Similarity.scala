@@ -57,6 +57,38 @@ object Similarity {
     * query, scan only the best `nprobe` clusters. At 100 TB the full scan
     * touches every row; this touches nprobe/nlist of them.
     */
+  /** Matryoshka-style truncate-then-RERANK (Kusupati et al. 2022,
+    * arXiv:2205.13147 — MRL serving): a COARSE pass ranks every vector by
+    * cosine over only the first `dims` coordinates and keeps `coarseK`
+    * survivors; the exact full-dimension cosine then reranks the
+    * survivors to the final top-`k`. Both stages use the [[cosineTopK]]
+    * replay contract (rounded-score ordering, vec_id ties) so the whole
+    * two-stage pipeline is a deterministic relation DuckDB replays; the
+    * recall cost vs the exact full ranking is floored in
+    * PropertyOracleSpec. Scale: the coarse pass reads dims/64 of the
+    * vector bytes (at 100 TB the prefix is its own narrow column so the
+    * scan prunes physically) and is a joinless distributed TakeOrdered;
+    * the rerank re-fetches ONLY the survivors via a broadcast semi-join —
+    * full vectors for coarseK rows, never the corpus.
+    */
+  def cosineTopKRerank(embeddings: DataFrame, queryId: Long, k: Int = 10,
+                       dims: Int = 16, coarseK: Int = 200): DataFrame = {
+    val qv = queryVector(embeddings, queryId)
+    val qTr = typedlit(qv.take(dims))
+    val qFull = typedlit(qv)
+    val survivors = embeddings.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(vector_cosine(slice(col("embedding"), 1, dims), qTr), 4).as("cc"))
+      .orderBy(col("cc").desc, col("vec_id"))
+      .limit(coarseK)
+      .select("vec_id")
+    embeddings.join(broadcast(survivors), "vec_id")
+      .select(col("vec_id").cast("long"),
+        round(vector_cosine(col("embedding"), qFull), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def cosineTopKIvf(embeddings: DataFrame, queryId: Long, k: Int = 10,
                     nprobe: Int = 1): DataFrame = {
     val qv = queryVector(embeddings, queryId)

@@ -68,6 +68,26 @@ class PropertyOracleSpec extends AnyFunSuite {
         s"(measured ${IvfParams.Label.MeasuredRecall}, floor ${IvfParams.Label.RecallFloor})")
   }
 
+  test("embedding_topk_rerank: true-cosine consistent; MRL recall@10 floored") {
+    val full = bruteForce(500).toMap
+    val rr = Similarity.cosineTopKRerank(emb, queryId = IvfParams.QueryVecId,
+        k = IvfParams.K, dims = IvfParams.Mrl.Dims,
+        coarseK = IvfParams.Mrl.CoarseK).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rr.length == IvfParams.K)
+    // the rerank stage recomputes the EXACT full-dim cosine, so every
+    // returned value must equal brute force bit-for-bit
+    rr.foreach { case (v, c) =>
+      assert(full.contains(v) && full(v) == c, s"vec $v cosine $c diverges from brute force")
+    }
+    assert(rr.map(_._2).toSeq == rr.map(_._2).sorted.reverse.toSeq)
+    val recall = rr.map(_._1).toSet
+      .intersect(bruteForce(IvfParams.K).map(_._1).toSet).size
+    assert(recall >= IvfParams.Mrl.RecallFloor,
+      s"MRL recall@10 collapsed to $recall/10 " +
+        s"(measured ${IvfParams.Mrl.MeasuredRecall}, floor ${IvfParams.Mrl.RecallFloor})")
+  }
+
   test("embedding_topk_ivf_kmeans: results are true-cosine consistent with brute force") {
     val full = bruteForce(500).toMap
     val ivf = KMeans.ivfTopK(emb, queryId = IvfParams.QueryVecId, k = IvfParams.K,
