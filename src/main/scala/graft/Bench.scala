@@ -49,7 +49,7 @@ object Bench {
     // round-11 additions measured >=2s isolated:
     "stream_graph_maintain", "dup_spans", "ktruss_bounded",
     "louvain_moves", "modularity_louvain", "node2vec_walks",
-    "perplexity_buckets",
+    "perplexity_buckets", "dup_span_clean", "stream_neardup_ingest",
   )
   private val LightChunk = 10
 
