@@ -1784,6 +1784,10 @@ object SparkEntry {
     // largest hourly traffic drops below the running peak — pure-BIGINT
     // prefix-max via the distributed two-pass scan (no global-sort window)
     "hourly_drawdown" -> ((s, dir) => Events.hourlyDrawdown(t(s, dir, "events"))),
+    // CUSUM single change-point: WHEN the hourly rate shifted — argmax of
+    // the exact BIGINT |m·S_k − k·S_m| (the KS discipline), earliest-hour
+    // ties, one division each for the statistic and the two mean rates
+    "events_changepoint" -> ((s, dir) => Events.hourlyChangePoint(t(s, dir, "events"))),
     // two-proportion A/B z-test on a deterministic md5 user split — the
     // statistic is one fixed IEEE op tree over four exact BIGINT counts
     "ab_test_conversion" -> ((s, dir) => Events.abTestConversion(t(s, dir, "events"))),
@@ -4181,6 +4185,24 @@ object SparkEntry {
         |  d.med, md.mad
         |FROM dev d JOIN mad md USING (event_type)
         |WHERE d.adev > 3.0 * md.mad ORDER BY event_id""".stripMargin,
+    "events_changepoint" ->
+      """WITH hourly AS (SELECT
+        |    CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |cum AS (SELECT hour_ms, n,
+        |    CAST(row_number() OVER (ORDER BY hour_ms) AS BIGINT) AS k,
+        |    CAST(sum(n) OVER (ORDER BY hour_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk
+        |  FROM hourly),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS sn,
+        |    CAST(count(*) AS BIGINT) AS m FROM hourly)
+        |SELECT CAST(hour_ms AS BIGINT) AS change_hour_ms, k, m,
+        |  CAST(abs(m * sk - k * sn) AS BIGINT) AS d_num,
+        |  CAST(abs(m * sk - k * sn) AS DOUBLE) / (m * sn) AS cusum,
+        |  CAST(sk AS DOUBLE) / k AS mean_before,
+        |  CASE WHEN k = m THEN NULL
+        |       ELSE CAST(sn - sk AS DOUBLE) / (m - k) END AS mean_after
+        |FROM cum, tot ORDER BY abs(m * sk - k * sn) DESC, hour_ms LIMIT 1""".stripMargin,
     "events_hourly" ->
       """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
         |  event_type, CAST(count(*) AS BIGINT) AS n,

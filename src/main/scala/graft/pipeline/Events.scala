@@ -393,6 +393,42 @@ object Events {
       .orderBy("hour_ms")
   }
 
+  /** CUSUM change-point over hourly event volume (Page 1954; the
+    * Pettitt-style single-change scan): the hour k maximizing
+    * |S_k − (k/m)·S_m| — where the cumulative count S_k departs furthest
+    * from the uniform-rate line — flags WHEN the event rate shifted, the
+    * counterpart of [[hourlyDrawdown]]'s "how far below peak". The
+    * argmax is decided on the EXACT BIGINT cross-multiplied numerator
+    * |m·S_k − k·S_m| (the [[graft.pipeline.Drift.ksStatistic]]
+    * discipline — no FP comparison anywhere), ties to the earliest hour;
+    * the normalized statistic and the before/after mean rates each spend
+    * one final IEEE division. Cumulative counts ride the distributed
+    * two-pass prefix scan, never a single-partition window. Output: one
+    * row (change_hour_ms, k, m, d_num, cusum, mean_before, mean_after).
+    */
+  def hourlyChangePoint(events: DataFrame): DataFrame = {
+    val ms = msOf(events)
+    val hourly = events
+      .select((ms - ms % 3600000L).as("hour_ms"))
+      .groupBy("hour_ms").agg(count(lit(1)).cast("long").as("n"))
+    val cum = Ranking.withRunningSums(
+      Ranking.withGlobalIndex(hourly, col("hour_ms")), Seq("n"), col("idx"))
+    val tot = broadcast(cum.agg(max("cum_n").cast("long").as("sn"),
+      count(lit(1)).cast("long").as("m")))
+    cum.crossJoin(tot)
+      .withColumn("k", col("idx") + 1L)
+      .withColumn("d", abs(col("m") * col("cum_n") - col("k") * col("sn")))
+      .orderBy(col("d").desc, col("hour_ms"))
+      .limit(1)
+      .select(col("hour_ms").cast("long").as("change_hour_ms"),
+        col("k"), col("m"), col("d").as("d_num"),
+        (col("d").cast("double") / (col("m") * col("sn"))).as("cusum"),
+        (col("cum_n").cast("double") / col("k")).as("mean_before"),
+        when(col("k") === col("m"), lit(null).cast("double"))
+          .otherwise((col("sn") - col("cum_n")).cast("double") /
+            (col("m") - col("k"))).as("mean_after"))
+  }
+
   /** Two-proportion A/B conversion test: users split deterministically by
     * the portable 60-bit md5 hash (arm A = even hash), conversion = the
     * user has ≥1 HIGH-VALUE purchase (value > 100 — plain purchase is

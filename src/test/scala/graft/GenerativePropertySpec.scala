@@ -131,6 +131,28 @@ class GenerativePropertySpec extends AnyFunSuite {
     }, "drawdown vs scan reference")
   }
 
+  test("property: hourlyChangePoint equals the in-memory CUSUM argmax") {
+    val cnts = Gen.listOfN(10, Gen.chooseNum(1, 9))
+    assertHolds(Prop.forAll(cnts, Gen.chooseNum(1, 5)) { (ns, nPart) =>
+      val rows = ns.zipWithIndex.flatMap { case (n, h) =>
+        (0 until n).map(j => ((h * 100 + j).toLong,
+          h.toLong * 3600000L * 1000000L + j, 1L, "view", 0.0, "{}"))
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(nPart)
+      val got = pipeline.Events.hourlyChangePoint(df).collect().head
+      val m = ns.length.toLong
+      val sn = ns.sum.toLong
+      val ds = ns.scanLeft(0L)(_ + _).tail.zipWithIndex.map { case (sk, i) =>
+        (math.abs(m * sk - (i + 1).toLong * sn), i)
+      }
+      val (dmax, i0) = ds.minBy { case (d, i) => (-d, i) }
+      got.getLong(0) == i0.toLong * 3600000L &&
+        got.getLong(1) == (i0 + 1).toLong && got.getLong(2) == m &&
+        got.getLong(3) == dmax
+    }, "changepoint vs scan reference")
+  }
+
   test("property: CMS estimates never undercount on random corpora") {
     val docGen = Gen.listOfN(12, Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e")))
     assertHolds(Prop.forAll(docGen) { texts =>
