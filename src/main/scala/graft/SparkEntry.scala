@@ -63,13 +63,14 @@ object SparkEntry {
     * triangle_counts, clustering_coeff, and link_prediction.
     */
   private def coPurchasePairs(s: SparkSession, dir: String,
-                              maxBasketSize: Long = 1000L): DataFrame = {
+                              maxBasketSize: Long = 1000L,
+                              minOrders: Long = 2L): DataFrame = {
     val basket = guardedBasket(s, dir, maxBasketSize)
     val a = basket.select(col("okey"), col("part").as("a"))
     val b = basket.select(col("okey"), col("part").as("b"))
     a.join(b, Seq("okey")).filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= 2).select("a", "b")
+      .filter(col("n_orders") >= minOrders).select("a", "b")
   }
 
   /** Flagship query on sf=0.001: BFS levels over the derived
@@ -1484,6 +1485,11 @@ object SparkEntry {
     // graph maxes out at support 2, so a 4-truss cascades to empty)
     "ktruss_bounded" -> ((s, dir) =>
       GraphOps.kTrussBounded(coPurchasePairs(s, dir), k = 3, rounds = 3)),
+    // K4 census over the RAW co-occurrence graph (minOrders=1 — the >=2
+    // graph is triangle-sparse at sf0.01 and has no K4 there): per-vertex
+    // 4-clique counts, each clique enumerated once as a<b<c<d
+    "fourclique_counts" -> ((s, dir) =>
+      GraphOps.fourCliqueCounts(coPurchasePairs(s, dir, minOrders = 1L))),
     // degree-distribution power-law MLE (dmin=1): alpha = 1 + n/Σ ln d —
     // the graph-health scalar (spam farms vs organic graphs); ln sums are
     // order/ulp-jittered → round 4; zero-variance (all degree 1) corpora
@@ -4609,6 +4615,21 @@ object SparkEntry {
         |corners AS (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
         |            UNION ALL SELECT c AS v FROM tri)
         |SELECT CAST(v AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM corners GROUP BY v ORDER BY vertex""".stripMargin,
+    "fourclique_counts" ->
+      """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
+        |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+        |pairs AS (SELECT a.part AS a, b.part AS b
+        |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
+        |          GROUP BY 1, 2),
+        |tri AS (SELECT p1.a, p1.b, p2.b AS c FROM pairs p1 JOIN pairs p2 ON p2.a = p1.b
+        |        WHERE EXISTS (SELECT 1 FROM pairs p3 WHERE p3.a = p1.a AND p3.b = p2.b)),
+        |quad AS (SELECT t.a, t.b, t.c, p2.b AS d FROM tri t JOIN pairs p2 ON p2.a = t.c
+        |  WHERE EXISTS (SELECT 1 FROM pairs x WHERE x.a = t.a AND x.b = p2.b)
+        |    AND EXISTS (SELECT 1 FROM pairs y WHERE y.a = t.b AND y.b = p2.b)),
+        |corners AS (SELECT a AS v FROM quad UNION ALL SELECT b FROM quad
+        |            UNION ALL SELECT c FROM quad UNION ALL SELECT d FROM quad)
+        |SELECT CAST(v AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_cliques4
         |FROM corners GROUP BY v ORDER BY vertex""".stripMargin,
     "ktruss_bounded" -> {
       val rounds = (1 to 3).map { i =>

@@ -1235,6 +1235,38 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Per-vertex 4-CLIQUE counts over canonical pairs `(a, b)`, a < b,
+    * distinct — one cohesion level above [[triangleCounts]]: the K4
+    * census distinguishes genuinely dense cores (spam rings, bundle
+    * catalogs) from mere wedge-heavy hubs, and is the k = 4 row of the
+    * clique-census features graphlet-based ML uses. Each clique is
+    * enumerated exactly once as a < b < c < d: the [[triangleCounts]]
+    * wedge join + closing semi-join builds (a,b,c), one more equi-join
+    * extends by a d adjacent to c, and two semi-joins verify (a,d) and
+    * (b,d) — joins on natural edge keys throughout, no cartesian.
+    *
+    * Scale: the quad join amplifies super-linearly on dense spots by
+    * NATURE of the census (a basket of s co-purchased items contributes
+    * C(s,4) cliques); the upstream basket-size guard bounds per-basket
+    * blowup, and at web scale the same degree-cap lever as
+    * [[linkPrediction]]'s `maxMiddleDegree` applies to the extension
+    * join. Output: (vertex, n_cliques4) ordered, vertices in ≥ 1 clique.
+    */
+  def fourCliqueCounts(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(true) // feeds all five sides of the census join
+    val tri = p
+      .join(p.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(p.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    val quad = tri
+      .join(p.select(col("a").as("c"), col("b").as("d")), "c")
+      .join(p.select(col("a"), col("b").as("d")), Seq("a", "d"), "left_semi")
+      .join(p.select(col("a").as("b"), col("b").as("d")), Seq("b", "d"), "left_semi")
+    quad.select(explode(array(col("a"), col("b"), col("c"), col("d"))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).cast("long").as("n_cliques4"))
+      .orderBy("vertex")
+  }
+
   /** Local clustering coefficient per vertex over an undirected graph given
     * as CANONICAL pairs `(a, b)` with `a < b`, distinct: the fraction of a
     * vertex's neighbor pairs that are themselves connected,

@@ -378,6 +378,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.graph.GraphOps.triangleCounts(path).count() == 0L)
   }
 
+  test("fourCliqueCounts: K5 census (4 per vertex), K4 exactly once, triangles contribute nothing") {
+    val k5 = (for { a <- 1L to 5L; b <- a + 1 to 5L } yield (a, b)).toDF("a", "b")
+    val out5 = graft.graph.GraphOps.fourCliqueCounts(k5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // K5 holds C(5,4)=5 K4s; each vertex sits in C(4,3)=4 of them
+    assert(out5 == (1L to 5L).map(_ -> 4L).toMap)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("a", "b") // plus a pendant edge
+    val out4 = graft.graph.GraphOps.fourCliqueCounts(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out4 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    assert(graft.graph.GraphOps.fourCliqueCounts(tri).count() == 0L)
+  }
+
   test("IVF pruned search returns the same neighbors when the right cluster is probed") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.1f), 0),
