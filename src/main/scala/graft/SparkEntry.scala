@@ -1869,6 +1869,11 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
     "embedding_topk" -> ((s, dir) =>
       Similarity.cosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // label-noise candidates: each vector's label vs the majority label
+    // of its 10 nearest neighbors (exact all-queries baseline; pruned
+    // paths take over at corpus scale)
+    "label_noise" -> ((s, dir) =>
+      Similarity.labelNoise(t(s, dir, "embeddings"))),
     // Matryoshka truncate-then-rerank: coarse top-200 on the first 16
     // dims (a quarter of the bytes), exact 64-dim rerank of survivors;
     // recall vs the exact ranking floored in PropertyOracleSpec
@@ -4523,6 +4528,29 @@ object SparkEntry {
         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
         |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT 10""".stripMargin,
+    "label_noise" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+        |           FROM embeddings),
+        |sc AS (SELECT e.vec_id, e.label, q.qid, q.qlabel,
+        |    round(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+        |      / (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) ** 2))
+        |         * sqrt(SUM(CAST(q.qe[i] AS DOUBLE) ** 2))), 4) AS cosine
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.qid,
+        |       UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY e.vec_id, e.label, q.qid, q.qlabel),
+        |nn AS (SELECT qid, qlabel, label FROM (
+        |    SELECT qid, qlabel, label, cosine,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        |    FROM sc) WHERE rn <= 10),
+        |votes AS (SELECT qid, qlabel, label, count(*) AS n FROM nn GROUP BY 1, 2, 3),
+        |top AS (SELECT qid, qlabel, label AS knn_label, n FROM (
+        |    SELECT qid, qlabel, label, n,
+        |      row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) AS rn
+        |    FROM votes) WHERE rn = 1)
+        |SELECT CAST(qid AS BIGINT) AS vec_id, CAST(qlabel AS BIGINT) AS label,
+        |  CAST(knn_label AS BIGINT) AS knn_label, CAST(n AS BIGINT) AS n_votes,
+        |  (knn_label <> qlabel) AS suspect
+        |FROM top ORDER BY vec_id""".stripMargin,
     "embedding_topk_rerank" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |coarse AS (

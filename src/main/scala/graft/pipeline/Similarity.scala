@@ -267,6 +267,45 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Label-noise candidates by k-NN label voting (the neighbor-vote
+    * variant of confident learning, Northcutt et al. 2021,
+    * arXiv:1911.00068 — what "find mislabeled rows" tools do): each
+    * vector's declared label vs the MAJORITY label among its `k` nearest
+    * neighbors by cosine; disagreement flags the row for review. Majority
+    * ties break to the smallest label (`max_by` struct `(n, −label)`),
+    * neighbor ranking uses the rounded-cosine replay contract — fully
+    * deterministic, DuckDB-replayable.
+    *
+    * Scale: this is the EXACT all-queries baseline (every vector is a
+    * query; the scored join is |V|·|V| at heart) kept for oracle truth —
+    * at corpus scale the neighbor lists come from the pruned paths
+    * instead ([[cosineTopKRerank]] coarse pass or IVF probes), with this
+    * exact kernel as the quality referee on a sample. Per-query state is
+    * bounded by GroupTopK's heaps (never a full sort of the scored
+    * table). Output: (vec_id, label, knn_label, n_votes, suspect)
+    * ordered.
+    */
+  def labelNoise(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    val q = embeddings.select(col("vec_id").as("qid"),
+      col("embedding").as("qe"), col("label").as("qlabel"))
+    val scored = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosine", round(vector_cosine(col("embedding"), col("qe")), 4))
+    val pruned = graft.plans.GroupTopK.topKPerKey(scored, Seq(col("qid")),
+      Seq(col("cosine").desc, col("vec_id")), k)
+    pruned.groupBy("qid", "qlabel", "label")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .groupBy("qid", "qlabel")
+      .agg(max_by(struct(col("label"), col("n")),
+        struct(col("n"), -col("label"))).as("m"))
+      .select(col("qid").cast("long").as("vec_id"),
+        col("qlabel").cast("long").as("label"),
+        col("m.label").cast("long").as("knn_label"),
+        col("m.n").as("n_votes"),
+        (col("m.label").cast("long") =!= col("qlabel").cast("long")).as("suspect"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
     * label to avoid the full cross join (pairs across labels are assumed
     * dissimilar — the LSH/IVF contract). Exact within each label bucket:

@@ -378,6 +378,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.graph.GraphOps.triangleCounts(path).count() == 0L)
   }
 
+  test("labelNoise: planted mislabel flagged by its neighbors' majority, clean rows pass") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.00f), 0), (2L, Array(1.0f, 0.02f), 0),
+      (3L, Array(1.0f, 0.04f), 0),
+      (4L, Array(0.0f, 1.00f), 1), (5L, Array(0.02f, 1.0f), 1),
+      (6L, Array(0.04f, 1.0f), 1),
+      (7L, Array(1.0f, 0.01f), 1)) // geometrically in cluster 0, labeled 1
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoise(e, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))).toList
+    val suspects = out.filter(_._4).map(_._1)
+    assert(suspects == List(7L), s"only the planted mislabel flags: $out")
+    assert(out.find(_._1 == 7L).get._3 == 0L) // its k-NN majority is cluster 0
+    assert(out.length == 7)
+  }
+
   test("fourCliqueCounts: K5 census (4 per vertex), K4 exactly once, triangles contribute nothing") {
     val k5 = (for { a <- 1L to 5L; b <- a + 1 to 5L } yield (a, b)).toDF("a", "b")
     val out5 = graft.graph.GraphOps.fourCliqueCounts(k5).collect()
