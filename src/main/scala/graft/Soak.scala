@@ -39,7 +39,11 @@ object Soak {
     "wpagerank_top20", "subtree_sizes", "label_propagation",
     "stream_interval_join", "ngram_containment", "bfs_bipartite",
     "hits_top20", "pagerank_top20", "clustering_coeff", "link_prediction",
-    "ngram_jaccard")
+    "ngram_jaccard",
+    // round-11 heavies: the K4 census (the new bench worst at 19.5 s),
+    // the ExactSubstr cut, biased walks, and the Louvain move rounds
+    "fourclique_counts", "dup_span_clean", "node2vec_walks",
+    "louvain_moves")
 
   val Copies = 10
   val Stride = 4000000000L // > SupplierBase + any key: copies stay disjoint
