@@ -2273,6 +2273,35 @@ object SparkEntry {
         Media.mediaFromDocuments(docs.unionByName(planted))
           .filter(_.kind == "video"))
     }),
+    // scene-cut detection: consecutive keyframe aHash Hamming distance,
+    // boundary where it clears the threshold (median-split at sf0.01)
+    "video_scene_cuts" -> ((s, dir) =>
+      Media.videoSceneCuts(
+        Media.mediaFromDocuments(t(s, dir, "documents"))
+          .filter(_.kind == "video"))),
+    // runtime Bloom-filter join pruning: segment customers → one binary
+    // blob → fact rows die AT THE SCAN before the exact semi-join
+    // (plan-pinned: might_contain sits below the join); answer ≡ the
+    // plain semi-join, FPs removed by step 3
+    "bloom_semijoin" -> ((s, dir) =>
+      pipeline.RuntimeFilters.bloomSemiJoinRevenue(
+        t(s, dir, "orders"), t(s, dir, "customer"))),
+    // hard-negative mining: per query vector, top-5 most-similar vectors
+    // with a DIFFERENT label — the ANCE/DPR candidate step
+    "hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"), maxQueryId = 8L, k = 5)),
+    // Gonzalez greedy k-center coreset seeds: k linear scans, each
+    // scoring only the newest seed into a running min
+    "kcenter_seeds" -> ((s, dir) =>
+      Similarity.kCenterSeeds(t(s, dir, "embeddings"), k = 5)),
+    // rich-club coefficient per degree threshold over the raw
+    // co-purchase graph: one explode-aggregate per histogram, no per-k
+    // rescan
+    "rich_club" -> ((s, dir) =>
+      GraphOps.richClub(coPurchasePairs(s, dir, minOrders = 1L))),
+    // temperature-scaled source mixing weights (T=2 → sqrt flattening)
+    "temperature_mixture" -> ((s, dir) =>
+      pipeline.Curation.temperatureWeights(t(s, dir, "documents"))),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -5336,5 +5365,156 @@ object SparkEntry {
         |SELECT media_id, CAST(i // 2 AS BIGINT) AS frame_no,
         |       CAST(strlen(fb) AS BIGINT) AS n_bytes, md5(fb) AS frame_md5
         |FROM c ORDER BY media_id, frame_no""".stripMargin,
+    // scene cuts: the video_dup_groups keyframe-aHash replay minus the
+    // planting, then adjacent frame_no Hamming + threshold
+    "video_scene_cuts" ->
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS video_id, text
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT video_id, c // 2 AS frame_no,
+        |    substr(text, CAST(c * 64 + 1 AS INT), 64) AS fb
+        |  FROM v, UNNEST(range(0, (strlen(text) + 63) // 64)) AS u(c)
+        |  WHERE c % 2 = 0),
+        |fm AS (SELECT video_id, frame_no, CAST(strlen(fb) AS BIGINT) AS m, fb FROM f),
+        |b AS (SELECT video_id, frame_no, m, ((i - 1) * 64) // m AS j,
+        |    CAST(ord(substr(fb, CAST(i AS INT), 1)) AS BIGINT) AS val
+        |  FROM fm, UNNEST(range(1, m + 1)) AS u(i)),
+        |tot AS (SELECT video_id, frame_no, max(m) AS m, sum(val) AS ts
+        |  FROM b GROUP BY 1, 2),
+        |ch AS (SELECT video_id, frame_no, j, sum(val) AS cs, count(*) AS cc
+        |  FROM b GROUP BY 1, 2, 3),
+        |bits AS (SELECT c.video_id, c.frame_no, c.j
+        |  FROM ch c JOIN tot t USING (video_id, frame_no)
+        |  WHERE c.cs * t.m > t.ts * c.cc),
+        |agg AS (SELECT video_id, frame_no,
+        |    sum(CASE WHEN j >= 32 THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT))
+        |        ELSE 0 END) AS hi,
+        |    sum(CASE WHEN j < 32 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |        ELSE 0 END) AS lo
+        |  FROM bits GROUP BY 1, 2),
+        |ph AS (SELECT fm.video_id, fm.frame_no,
+        |    CAST(coalesce(a.hi, 0) AS BIGINT) AS hi,
+        |    CAST(coalesce(a.lo, 0) AS BIGINT) AS lo
+        |  FROM fm LEFT JOIN agg a USING (video_id, frame_no)),
+        |cuts AS (SELECT a.video_id, b.frame_no,
+        |    bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+        |  FROM ph a JOIN ph b
+        |    ON a.video_id = b.video_id AND b.frame_no = a.frame_no + 1)
+        |SELECT video_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(hamming AS BIGINT) AS hamming, hamming >= 17 AS is_cut
+        |FROM cuts ORDER BY video_id, frame_no""".stripMargin,
+    // the Bloom filter only prunes; the exact semi-join fixes the answer,
+    // so the oracle is the plain semi-join
+    "bloom_semijoin" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+        |    / 10000 AS revenue
+        |FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+        |           FROM embeddings WHERE vec_id < 8),
+        |sc AS (SELECT e.vec_id, e.label, q.qid, q.qlabel,
+        |    round(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+        |      / (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) ** 2))
+        |         * sqrt(SUM(CAST(q.qe[i] AS DOUBLE) ** 2))), 4) AS cosine
+        |  FROM embeddings e
+        |  JOIN q ON e.vec_id <> q.qid AND e.label <> q.qlabel,
+        |       UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY e.vec_id, e.label, q.qid, q.qlabel),
+        |nn AS (SELECT qid, qlabel, vec_id, label, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM sc)
+        |SELECT CAST(qid AS BIGINT) AS query_id,
+        |  CAST(qlabel AS BIGINT) AS query_label,
+        |  CAST(vec_id AS BIGINT) AS neighbor_id,
+        |  CAST(label AS BIGINT) AS neighbor_label,
+        |  CAST(rn AS BIGINT) AS rn, cosine
+        |FROM nn WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // Gonzalez chain: each d_i folds the newest seed into the running
+    // min (rounded BEFORE least, as the engine does), each p_i is the
+    // (mind DESC, vec_id) argmax
+    "kcenter_seeds" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding
+        |           FROM embeddings),
+        |q1 AS (SELECT embedding AS se FROM e WHERE vec_id = 0),
+        |d1 AS (SELECT e.vec_id,
+        |    round(SUM((CAST(e.embedding[i] AS DOUBLE)
+        |               - CAST(q1.se[i] AS DOUBLE)) ** 2), 4) AS mind
+        |  FROM e, q1, UNNEST(range(1, 65)) AS u(i)
+        |  WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+        |p2 AS (SELECT vec_id AS sid, mind FROM d1
+        |       ORDER BY mind DESC, vec_id LIMIT 1),
+        |d2 AS (SELECT d.vec_id, least(d.mind,
+        |      round(SUM((CAST(ee.embedding[i] AS DOUBLE)
+        |                 - CAST(se.embedding[i] AS DOUBLE)) ** 2), 4)) AS mind
+        |  FROM d1 d JOIN e ee ON ee.vec_id = d.vec_id
+        |  JOIN p2 ON d.vec_id <> p2.sid
+        |  JOIN e se ON se.vec_id = p2.sid,
+        |  UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY d.vec_id, d.mind),
+        |p3 AS (SELECT vec_id AS sid, mind FROM d2
+        |       ORDER BY mind DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT d.vec_id, least(d.mind,
+        |      round(SUM((CAST(ee.embedding[i] AS DOUBLE)
+        |                 - CAST(se.embedding[i] AS DOUBLE)) ** 2), 4)) AS mind
+        |  FROM d2 d JOIN e ee ON ee.vec_id = d.vec_id
+        |  JOIN p3 ON d.vec_id <> p3.sid
+        |  JOIN e se ON se.vec_id = p3.sid,
+        |  UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY d.vec_id, d.mind),
+        |p4 AS (SELECT vec_id AS sid, mind FROM d3
+        |       ORDER BY mind DESC, vec_id LIMIT 1),
+        |d4 AS (SELECT d.vec_id, least(d.mind,
+        |      round(SUM((CAST(ee.embedding[i] AS DOUBLE)
+        |                 - CAST(se.embedding[i] AS DOUBLE)) ** 2), 4)) AS mind
+        |  FROM d3 d JOIN e ee ON ee.vec_id = d.vec_id
+        |  JOIN p4 ON d.vec_id <> p4.sid
+        |  JOIN e se ON se.vec_id = p4.sid,
+        |  UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY d.vec_id, d.mind),
+        |p5 AS (SELECT vec_id AS sid, mind FROM d4
+        |       ORDER BY mind DESC, vec_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS seed_rank, CAST(0 AS BIGINT) AS vec_id,
+        |    CAST(0.0 AS DOUBLE) AS dist2
+        |  UNION ALL SELECT 2, sid, mind FROM p2
+        |  UNION ALL SELECT 3, sid, mind FROM p3
+        |  UNION ALL SELECT 4, sid, mind FROM p4
+        |  UNION ALL SELECT 5, sid, mind FROM p5)
+        |ORDER BY seed_rank""".stripMargin,
+    "rich_club" ->
+      """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
+        |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+        |pairs AS (SELECT a.part AS a, b.part AS b
+        |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
+        |          GROUP BY 1, 2),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+        |    (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY v),
+        |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich
+        |  FROM deg, UNNEST(range(1, least(d - 1, 32) + 1)) AS u(k)
+        |  WHERE d >= 2 GROUP BY k),
+        |ek0 AS (SELECT least(da.d, db.d) AS m
+        |  FROM pairs p JOIN deg da ON da.v = p.a JOIN deg db ON db.v = p.b),
+        |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_rich
+        |  FROM ek0, UNNEST(range(1, least(m - 1, 32) + 1)) AS u(k)
+        |  WHERE m >= 2 GROUP BY k)
+        |SELECT CAST(nk.k AS BIGINT) AS k, n_rich,
+        |  CAST(coalesce(e_rich, 0) AS BIGINT) AS e_rich,
+        |  CAST(coalesce(e_rich, 0) * 2.0 / (n_rich * (n_rich - 1)) AS DOUBLE) AS phi
+        |FROM nk LEFT JOIN ek ON ek.k = nk.k
+        |WHERE n_rich >= 2 ORDER BY k""".stripMargin,
+    "temperature_mixture" ->
+      """WITH cs AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
+        |    sum(sqrt(CAST(c AS DOUBLE))) AS sq FROM cs)
+        |SELECT source, c AS n_tokens,
+        |  round(CAST(c AS DOUBLE) / nn, 4) AS p_raw,
+        |  round(sqrt(CAST(c AS DOUBLE)) / sq, 4) AS weight
+        |FROM cs, tot ORDER BY source""".stripMargin,
   )
 }

@@ -112,6 +112,47 @@ case class VectorDot(left: Expression, right: Expression) extends FloatVectorBin
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance of two float vectors, computed in double.
+  * Squared (not rooted) on purpose: argmin/argmax over distances is
+  * sqrt-invariant, and skipping the root keeps the value a plain
+  * sum-of-products both engines reproduce bit-for-bit.
+  */
+case class VectorDist2(left: Expression, right: Expression) extends FloatVectorBinary {
+  override def prettyName: String = "vector_dist2"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Index (0-based) of the nearest centroid by squared L2 distance.
   *
   * `left`: the row's embedding (`array<float>`); `right`: the centroid
@@ -300,6 +341,9 @@ object VectorFunctions {
   def vector_dot(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expression(a), Bridge.expression(b)))
 
+  def vector_dist2(a: Column, b: Column): Column =
+    Bridge.column(VectorDist2(Bridge.expression(a), Bridge.expression(b)))
+
   def vector_l2_argmin(emb: Column, centroids: Column): Column =
     Bridge.column(VectorL2Argmin(Bridge.expression(emb), Bridge.expression(centroids)))
 
@@ -311,6 +355,7 @@ object VectorFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vector_cosine", es => VectorCosine(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_dot", es => VectorDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vector_dist2", es => VectorDist2(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_l2_argmin", es => VectorL2Argmin(es.head, es(1)), "built-in")
   }
 }

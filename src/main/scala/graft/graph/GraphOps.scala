@@ -1267,6 +1267,48 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Rich-club coefficient (Colizza et al. 2006, doi:10.1038/nphys209) per
+    * degree threshold `k = 1..maxK`: with N_k = vertices of degree > k and
+    * E_k = edges whose BOTH endpoints have degree > k,
+    * `φ(k) = 2·E_k / (N_k·(N_k−1))` — how densely the hubs wire to each
+    * other (organic webs stay sparse; spam farms and botnets light up).
+    *
+    * Scale shape: everything reduces to two bounded aggregates —
+    *   1. degrees (one edge-keyed aggregate);
+    *   2. each vertex EXPLODES into the thresholds it clears
+    *      (`sequence(1, min(d−1, maxK))`) → groupBy(k) count gives every
+    *      N_k in ONE pass, map-side combined to ≤ maxK rows/partition;
+    *   3. each edge does the same on `min(deg_a, deg_b)` → every E_k.
+    * No per-k rescans, no self-join on the histogram, no single-partition
+    * window — shuffle traffic is ≤ maxK rows per partition regardless of
+    * graph size. φ divides two exact BIGINTs (emitted unrounded).
+    * Output: (k, n_rich, e_rich, phi) for k with N_k ≥ 2, ordered by k.
+    */
+  def richClub(pairs: DataFrame, maxK: Int = 32): DataFrame = {
+    val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(true) // feeds degrees AND the edge-threshold explode
+    val deg = p.select(col("a").as("v")).unionAll(p.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).cast("long").as("d"))
+      .localCheckpoint(true) // feeds the vertex explode AND two edge joins
+    val nK = deg.filter(col("d") >= 2)
+      .select(explode(sequence(lit(1L), least(col("d") - 1, lit(maxK.toLong)))).as("k"))
+      .groupBy("k").agg(count(lit(1)).cast("long").as("n_rich"))
+    val eK = p
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(least(col("da"), col("db")).as("m"))
+      .filter(col("m") >= 2)
+      .select(explode(sequence(lit(1L), least(col("m") - 1, lit(maxK.toLong)))).as("k"))
+      .groupBy("k").agg(count(lit(1)).cast("long").as("e_rich"))
+    nK.filter(col("n_rich") >= 2)
+      .join(eK, Seq("k"), "left")
+      .withColumn("e_rich", coalesce(col("e_rich"), lit(0L)))
+      .withColumn("phi",
+        col("e_rich") * lit(2.0) / (col("n_rich") * (col("n_rich") - 1)))
+      .select("k", "n_rich", "e_rich", "phi")
+      .orderBy("k")
+  }
+
   /** Local clustering coefficient per vertex over an undirected graph given
     * as CANONICAL pairs `(a, b)` with `a < b`, distinct: the fraction of a
     * vertex's neighbor pairs that are themselves connected,

@@ -230,6 +230,41 @@ object Media {
       .filter(col("n_shared") >= minSharedFrames)
   }
 
+  /** Scene-cut detection per video: Hamming distance between CONSECUTIVE
+    * keyframe aHashes, a boundary where it clears `cutHamming` — the
+    * classic shot-boundary heuristic (adjacent frames inside a shot hash
+    * near-identically; a cut decorrelates the hash). The training-data
+    * use: scene boundaries are where a video pipeline samples one
+    * representative frame per shot instead of `stride`-uniform.
+    *
+    * Scale: frames reduce to (hi, lo) longs at the scan ([[videoDupGroups]]
+    * discipline — payload bytes never shuffle); adjacency is a
+    * `lag` window partitioned by video — safe here because a partition is
+    * ONE video's keyframe list (bounded by the payload, thousands at
+    * most), not a corpus-sized key. Output: one row per adjacent-frame
+    * boundary (video_id, frame_no, hamming, is_cut), ordered.
+    */
+  def videoSceneCuts(media: Dataset[MediaRow], stride: Int = 2,
+                     cutHamming: Int = 17): DataFrame = {
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ph = sampleFrames(media, stride)
+      .map { f =>
+        val (hi, lo) = MediaCodecs.packAHashBits(
+          MediaCodecs.byteAHashBits(f.frame_bytes))
+        (f.media_id, f.frame_no.toLong, hi, lo)
+      }.toDF("video_id", "frame_no", "hi", "lo")
+    val w = Window.partitionBy("video_id").orderBy("frame_no")
+    ph.withColumn("phi", lag("hi", 1).over(w))
+      .withColumn("plo", lag("lo", 1).over(w))
+      .filter(col("phi").isNotNull)
+      .select(col("video_id"), col("frame_no"),
+        expr("bit_count(hi ^ phi) + bit_count(lo ^ plo)").cast("long")
+          .as("hamming"))
+      .withColumn("is_cut", col("hamming") >= cutHamming)
+      .orderBy("video_id", "frame_no")
+  }
+
   def videoDupGroups(media: Dataset[MediaRow], stride: Int = 2,
                      maxHamming: Int = 3,
                      minSharedFrames: Int = 2): DataFrame = {

@@ -65,6 +65,36 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Temperature-scaled source sampling weights (the multilingual-NMT /
+    * mT5 mixing rule, Arivazhagan et al. 2019, arXiv:1907.05019 §4;
+    * Raffel et al. 2020 §3.4.3): q_s ∝ p_s^(1/T) with T = 2 — the
+    * square-root flattening that keeps head sources dominant but lifts
+    * the tail enough to learn it. The sqrt exponent is chosen
+    * deliberately: `sqrt` is an IEEE-exact primitive both engines compute
+    * bit-identically (a general `pow(x, 1/T)` is libm-dependent), so the
+    * only cross-engine jitter is the denominator's sum order —
+    * 4-dp-rounded like every order-jittered double sum here (the
+    * powerlaw_alpha precedent).
+    *
+    * Scale: ONE data-sized aggregate (per-source token counts); the
+    * weight math runs on one row per source against a broadcast 1-row
+    * total. Output: (source, n_tokens, p_raw, weight) ordered by source —
+    * p_raw the natural proportion, weight the temperature-scaled one.
+    */
+  def temperatureWeights(documents: DataFrame): DataFrame = {
+    val cs = documents
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tk"))
+      .groupBy("source").agg(sum("tk").cast("long").as("c"))
+      .localCheckpoint(true) // one data-sized pass; feeds totals + output
+    val tot = broadcast(cs.agg(sum("c").cast("long").as("nn"),
+      sum(sqrt(col("c").cast("double"))).as("sq")))
+    cs.crossJoin(tot)
+      .select(col("source"), col("c").as("n_tokens"),
+        round(col("c").cast("double") / col("nn"), 4).as("p_raw"),
+        round(sqrt(col("c").cast("double")) / col("sq"), 4).as("weight"))
+      .orderBy("source")
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359 §4.3): split each SOURCE's documents into
     * head / middle / tail thirds by language-model score — CCNet keeps

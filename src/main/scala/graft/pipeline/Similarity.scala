@@ -408,4 +408,93 @@ object Similarity {
               round(col("cos"), 4).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** HARD-NEGATIVE mining for contrastive training (the ANCE/DPR
+    * candidate step, Xiong et al. 2020, arXiv:2007.00808): for each query
+    * vector, the `k` most-similar vectors carrying a DIFFERENT label —
+    * close in embedding space but wrong by supervision, the negatives
+    * that actually move a contrastive loss (random negatives are too easy
+    * to inform the gradient).
+    *
+    * Same single broadcast-join scan as [[knnJoin]] — the label
+    * disequality rides the join condition, so the filter cuts candidates
+    * BEFORE GroupTopK's bounded heaps, and per-query state never exceeds
+    * k. At corpus scale the scan side comes from an IVF/rerank candidate
+    * pool instead; the kernel is unchanged. Output: (query_id,
+    * query_label, neighbor_id, neighbor_label, rn, cosine) ordered.
+    */
+  def hardNegatives(embeddings: DataFrame, maxQueryId: Long = 8L,
+                    k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+      .join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("cosine", round(vector_cosine(col("embedding"), col("qe")), 4))
+    val pruned = graft.plans.GroupTopK.topKPerKey(scored, Seq(col("qid")),
+      Seq(col("cosine").desc, col("vec_id")), k)
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    pruned.withColumn("rn", row_number().over(w))
+      .select(col("qid").cast("long").as("query_id"),
+        col("qlabel").cast("long").as("query_label"),
+        col("vec_id").cast("long").as("neighbor_id"),
+        col("label").cast("long").as("neighbor_label"),
+        col("rn").cast("long").as("rn"), col("cosine"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Greedy k-center coreset seeds (Gonzalez 1985 2-approximation — the
+    * seeding step of core-set selection à la Sener & Savarese 2018,
+    * arXiv:1708.00489): start from `startId`, then `k−1` times pick the
+    * vector FARTHEST (max min-squared-L2) from everything chosen so far —
+    * the maximally-diverse sample a labeling budget is best spent on.
+    *
+    * Scale shape: the classic incremental-min trick — each round scores
+    * ONLY the newest seed (one codegen'd distance per row) and folds it
+    * into a running `mind` column, so k seeds cost k linear scans, not
+    * k·|chosen| — and the per-round reduction is a single max_by struct
+    * aggregate (map-side combined to one row per partition), never a
+    * global sort. The chosen seed is a PARAMETER of the next scan
+    * (1-row collect, IvfParams-style), and the running state is
+    * localCheckpoint'd per round to keep lineage flat. Rounded distances
+    * (4 dp) make the argmax replayable in DuckDB; ties break to the
+    * smaller vec_id.
+    *
+    * Output: (seed_rank, vec_id, dist2) — dist2 = the min-squared-
+    * distance to the prior seeds that made the pick (0.0 for the start).
+    */
+  def kCenterSeeds(embeddings: DataFrame, k: Int = 5,
+                   startId: Long = 0L): DataFrame = {
+    import graft.functions.VectorFunctions.vector_dist2
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding")).localCheckpoint(true)
+
+    var seedVec: Seq[Float] = queryVector(embeddings, startId)
+    val seeds = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](
+      (1L, startId, 0.0))
+    var state = base.filter(col("vec_id") =!= startId)
+      .withColumn("mind", round(vector_dist2(col("embedding"), typedlit(seedVec)), 4))
+      .localCheckpoint(true)
+    var rank = 2
+    while (rank <= k) {
+      val top = state
+        .agg(max_by(struct(col("vec_id"), col("embedding"), col("mind")),
+          struct(col("mind"), -col("vec_id"))).as("m"))
+        .select("m.vec_id", "m.embedding", "m.mind").head()
+      val chosenId = top.getLong(0)
+      seedVec = top.getSeq[Float](1)
+      seeds += ((rank.toLong, chosenId, top.getDouble(2)))
+      if (rank < k)
+        state = state.filter(col("vec_id") =!= chosenId)
+          .withColumn("mind", least(col("mind"),
+            round(vector_dist2(col("embedding"), typedlit(seedVec)), 4)))
+          .localCheckpoint(true)
+      rank += 1
+    }
+    seeds.toSeq.toDF("seed_rank", "vec_id", "dist2").orderBy("seed_rank")
+  }
 }

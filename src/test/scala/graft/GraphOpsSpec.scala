@@ -749,4 +749,16 @@ class GraphOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("richClub: K4 plus a pendant — hubs fully wired at k=1,2; the singleton threshold drops") {
+    import spark.implicits._
+    // K4 on 1..4 (degrees 3,3,3 and v1=4 via the pendant 5)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("a", "b")
+    val out = GraphOps.richClub(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // k=1,2: N={1,2,3,4}, E = the 6 K4 edges (the pendant edge's min-degree
+    // is 1) → phi = 12/12 = 1. k=3: N={v1} alone → filtered (N_k >= 2).
+    assert(out == Seq((1L, 4L, 6L, 1.0), (2L, 4L, 6L, 1.0)), s"got $out")
+  }
 }

@@ -305,4 +305,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.decode("image", garbage) ==
       MediaCodecs.decodeStub("image", garbage))
   }
+
+  test("videoSceneCuts: identical adjacent keyframes score 0, an inverted block cuts at 64") {
+    // payload = four copies of block A (32 'a' + 32 'z') then B = ~A:
+    // chunks c0..c4, sampled keyframes f0=A, f1=A(c2), f2=B(c4).
+    // aHash bits are byte>mean per position → A and B invert all 64 bits.
+    val a = "a" * 32 + "z" * 32
+    val b = "z" * 32 + "a" * 32
+    val media = Seq(Media.MediaRow(2L, "video", (a * 4 + b).getBytes("UTF-8"), "s"))
+      .toDS()
+    val out = Media.videoSceneCuts(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out == Seq((2L, 1L, 0L, false), (2L, 2L, 64L, true)), s"got $out")
+  }
 }

@@ -781,4 +781,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(0)._2 == ((1L, 2L, 0L)))
     assert(out(1)._2 == ((0L, 1L, 0L)))
   }
+
+  test("temperatureWeights: sqrt flattening, hand-computed 4/9 token split") {
+    val d = Seq((1L, "a", "A"), (2L, "x y z", "A"), (3L, "p q r s t u v w x", "B"))
+      .toDF("doc_id", "text", "source")
+    // A: 1+3 = 4 tokens, B: 9 → sqrt 2 and 3, denominator 5
+    val out = graft.pipeline.Curation.temperatureWeights(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("A", 4L, 0.3077, 0.4), ("B", 9L, 0.6923, 0.6)))
+  }
+
+  test("kCenterSeeds: Gonzalez picks the farthest-from-chosen point each round") {
+    val e = Seq(
+      (0L, Array(0.0f, 0.0f), 0), (1L, Array(10.0f, 0.0f), 0),
+      (2L, Array(5.0f, 0.0f), 0), (3L, Array(9.0f, 0.0f), 0),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.kCenterSeeds(e, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // round 2: v1 at 100 beats v3 at 81; round 3: v2's min(25, 25)=25
+    // beats v3's min(81, 1)=1
+    assert(out == Seq((1L, 0L, 0.0), (2L, 1L, 100.0), (3L, 2L, 25.0)))
+    // radius sequence is nonincreasing — the Gonzalez invariant
+    assert(out.drop(1).map(_._3) == out.drop(1).map(_._3).sorted.reverse)
+  }
+
+  test("hardNegatives: same-label twin excluded, cross-label neighbors ranked by cosine") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),    // identical but SAME label → excluded
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.0f, 1.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(e, maxQueryId = 1L, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 0L, 2L, 1L, 1L), (0L, 0L, 3L, 1L, 2L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("bloomSemiJoinRevenue equals the plain semi-join (the FP-removal contract)") {
+    val customer = Seq((1L, "BUILDING"), (2L, "AUTOMOBILE"), (3L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (1L, "1-URGENT", 100.5), (1L, "2-HIGH", 50.25),
+      (2L, "1-URGENT", 999.0), (3L, "2-HIGH", 10.0), (4L, "3-MEDIUM", 7.0),
+    ).toDF("o_custkey", "o_orderpriority", "o_totalprice")
+    val out = graft.pipeline.RuntimeFilters.bloomSemiJoinRevenue(orders, customer)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("1-URGENT", 1L, 100.5), ("2-HIGH", 2L, 60.25)),
+      s"got $out")
+  }
 }

@@ -498,4 +498,68 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lineitem.parquet"), s"fact rescanned past the checkpoint in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
   }
+
+  test("bloom_semijoin: might_contain prunes the fact scan BELOW the exact broadcast semi-join") {
+    val p = planOf("bloom_semijoin")
+    assert(p.contains("might_contain"), s"no runtime bloom filter in:\n$p")
+    // the exact verify is a broadcast LEFT SEMI (FP removal), never a shuffle
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"exact semi-join not broadcast in:\n$p")
+    // the bloom probe must sit on the scan side, not above the join:
+    // the Filter carrying might_contain appears AFTER (deeper than) the
+    // join node in the plan text
+    val joinAt = p.indexOf("LeftSemi")
+    val probeAt = p.indexOf("might_contain")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom probe not below the semi-join in:\n$p")
+    // column pruning: the orders scan reads only the three used columns
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("o_custkey")).getOrElse("")
+    assert(!readSchema.contains("o_orderdate"), s"unpruned orders scan: $readSchema")
+  }
+
+  test("hard_negatives routes per-query top-k through GroupTopK's bounded heaps") {
+    val p = planOf("hard_negatives")
+    assert(p.contains("GroupTopKPartial") && p.contains("GroupTopKFinal"),
+      s"per-query top-k not GroupTopK in:\n$p")
+    assert(p.contains("vector_cosine"), s"native cosine missing in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast in:\n$p")
+  }
+
+  test("rich_club: explode-aggregates only, no cartesian, no per-k rescan of the fact") {
+    val p = planOf("rich_club")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    // ONE lineitem scan feeds the checkpointed pair table; everything
+    // downstream (degrees, both histograms) reuses it
+    assert(!p.contains("lineitem.parquet"),
+      s"fact rescanned past the pair checkpoint in:\n$p")
+    assert(p.contains("Generate explode"), s"threshold explode missing in:\n$p")
+  }
+
+  test("kcenter_seeds round body: joinless codegen'd distance scan + one-row max_by aggregate") {
+    // pin the PER-ROUND body (the driver loop composes k of these): the
+    // newest seed is a LITERAL in the scan — no join anywhere — and the
+    // argmax is an aggregate, never a global sort
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val seed = e.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0)
+    val round = e.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0L)
+      .withColumn("mind", org.apache.spark.sql.functions.round(
+        graft.functions.VectorFunctions.vector_dist2(
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.typedlit(seed)), 4))
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("mind")),
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("mind"),
+          -org.apache.spark.sql.functions.col("vec_id"))))
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"unexpected join in the round body:\n$p")
+    assert(p.contains("vector_dist2"), s"native distance missing in:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"argmax not an aggregate in:\n$p")
+  }
 }
