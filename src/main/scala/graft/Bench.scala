@@ -50,7 +50,7 @@ object Bench {
     "stream_graph_maintain", "dup_spans", "ktruss_bounded",
     "louvain_moves", "modularity_louvain", "node2vec_walks",
     "perplexity_buckets", "dup_span_clean", "stream_neardup_ingest",
-    "fourclique_counts", "rich_club",
+    "fourclique_counts", "rich_club", "densest_bounded", "stream_changepoint",
   )
   private val LightChunk = 10
 

@@ -603,6 +603,12 @@ object SparkEntry {
     // five region trees, which the oracle replays by lineage joins.
     "stream_graph_maintain" -> ((s, dir) =>
       streaming.StreamOps.graphMaintainReplayBatch(s, dir)),
+    // STREAMING CUSUM change-point: the hourly-count half runs as a
+    // stateful streaming aggregate (hour_ms-keyed additive state), the
+    // parameter-scale argmax half runs on the final store — both halves
+    // are the batch events_changepoint kernel, shared verbatim
+    "stream_changepoint" -> ((s, dir) =>
+      streaming.StreamOps.changePointReplayBatch(s, s"$dir/events.parquet")),
     // STREAMING custom state (flatMapGroupsWithState), oracle-checked:
     // per-user first view→click→purchase chain, buffered until the
     // watermark finalizes event-time order — batch-split-invariant
@@ -2302,6 +2308,14 @@ object SparkEntry {
     // temperature-scaled source mixing weights (T=2 → sqrt flattening)
     "temperature_mixture" -> ((s, dir) =>
       pipeline.Curation.temperatureWeights(t(s, dir, "documents"))),
+    // tokenizer-equity audit: tokens-per-word under the trained BPE
+    // merges, per language
+    "tokenizer_fertility" -> ((s, dir) =>
+      TextStats.tokenizerFertility(t(s, dir, "documents"))),
+    // Bahmani batch-peeling densest-subgraph trace over the raw
+    // co-purchase graph; best round by exact-integer density argmax
+    "densest_bounded" -> ((s, dir) =>
+      GraphOps.densestBounded(coPurchasePairs(s, dir, minOrders = 1L))),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -2936,6 +2950,81 @@ object SparkEntry {
        |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
        |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
   }
+
+  /** ONE oracle for both CUSUM change-point twins: the batch operator
+    * computes hourly counts in one aggregate; the streaming twin
+    * maintains the SAME relation incrementally (additive hour_ms state
+    * across micro-batches) and runs the same scan kernel on the final
+    * store — so one SQL replays both, decontamination-pair style.
+    */
+  private val ChangePointOracleSql: String =
+    """WITH hourly AS (SELECT
+      |    CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
+      |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+      |cum AS (SELECT hour_ms, n,
+      |    CAST(row_number() OVER (ORDER BY hour_ms) AS BIGINT) AS k,
+      |    CAST(sum(n) OVER (ORDER BY hour_ms
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk
+      |  FROM hourly),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS sn,
+      |    CAST(count(*) AS BIGINT) AS m FROM hourly)
+      |SELECT CAST(hour_ms AS BIGINT) AS change_hour_ms, k, m,
+      |  CAST(abs(m * sk - k * sn) AS BIGINT) AS d_num,
+      |  CAST(abs(m * sk - k * sn) AS DOUBLE) / (m * sn) AS cusum,
+      |  CAST(sk AS DOUBLE) / k AS mean_before,
+      |  CASE WHEN k = m THEN NULL
+      |       ELSE CAST(sn - sk AS DOUBLE) / (m - k) END AS mean_after
+      |FROM cum, tot ORDER BY abs(m * sk - k * sn) DESC, hour_ms LIMIT 1""".stripMargin
+
+  /** Unrolled round-CTE chain for the Bahmani batch-peeling densest
+    * subgraph: round i reports the subgraph BEFORE its peel (stats CTE
+    * s_i over edge set e_{i-1}), then keeps vertices whose exact
+    * cross-multiplied degree test d·V > 2E survives — the SQL replica of
+    * the driver-controlled loop in GraphOps.densestBounded, same
+    * discipline as the unrolled k-core/BPE oracles.
+    */
+  private def densestCteChain(rounds: Int): String = {
+    val sb = new StringBuilder
+    // every CTE is MATERIALIZED: each round references its predecessor
+    // ~4 times, so default inlining re-expands the whole chain
+    // exponentially (DuckDB ran out of file handles re-opening the
+    // parquet at depth 16); materialization makes the replay linear in
+    // rounds, like the engine's per-round localCheckpoint
+    sb.append(
+      """WITH basket AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
+        |    CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.part AS a, b.part AS b
+        |       FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
+        |       GROUP BY 1, 2)""".stripMargin)
+    for (i <- 1 to rounds) {
+      val prev = s"e${i - 1}"
+      sb.append(s""",
+        |d$i AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+        |        (SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev) GROUP BY v),
+        |s$i AS MATERIALIZED (
+        |        SELECT (SELECT CAST(count(*) AS BIGINT) FROM $prev) AS e,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM d$i) AS v),
+        |k$i AS MATERIALIZED (
+        |        SELECT d$i.v FROM d$i, s$i WHERE d$i.d * s$i.v > 2 * s$i.e),
+        |e$i AS MATERIALIZED (SELECT a, b FROM $prev
+        |        WHERE a IN (SELECT v FROM k$i) AND b IN (SELECT v FROM k$i))""".stripMargin)
+    }
+    sb.append(",\ntr AS (")
+    sb.append((1 to rounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, s$i.v, s$i.e FROM s$i WHERE s$i.e > 0")
+      .mkString("\n UNION ALL\n"))
+    sb.append(")")
+    sb.toString
+  }
+
+  private val DensestBoundedSql: String =
+    s"""${densestCteChain(16)}
+       |SELECT t.round, t.v AS n_vertices, t.e AS n_edges,
+       |  CAST(t.e AS DOUBLE) / t.v AS density,
+       |  NOT EXISTS (SELECT 1 FROM tr o WHERE o.e * t.v > t.e * o.v
+       |              OR (o.e * t.v = t.e * o.v AND o.round < t.round)) AS best
+       |FROM tr t ORDER BY t.round""".stripMargin
 
   /** ONE oracle for both decontamination twins (batch + streaming replay):
     * the streaming operator shares the batch kernel
@@ -4225,24 +4314,11 @@ object SparkEntry {
         |  d.med, md.mad
         |FROM dev d JOIN mad md USING (event_type)
         |WHERE d.adev > 3.0 * md.mad ORDER BY event_id""".stripMargin,
-    "events_changepoint" ->
-      """WITH hourly AS (SELECT
-        |    CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
-        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
-        |cum AS (SELECT hour_ms, n,
-        |    CAST(row_number() OVER (ORDER BY hour_ms) AS BIGINT) AS k,
-        |    CAST(sum(n) OVER (ORDER BY hour_ms
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk
-        |  FROM hourly),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS sn,
-        |    CAST(count(*) AS BIGINT) AS m FROM hourly)
-        |SELECT CAST(hour_ms AS BIGINT) AS change_hour_ms, k, m,
-        |  CAST(abs(m * sk - k * sn) AS BIGINT) AS d_num,
-        |  CAST(abs(m * sk - k * sn) AS DOUBLE) / (m * sn) AS cusum,
-        |  CAST(sk AS DOUBLE) / k AS mean_before,
-        |  CASE WHEN k = m THEN NULL
-        |       ELSE CAST(sn - sk AS DOUBLE) / (m - k) END AS mean_after
-        |FROM cum, tot ORDER BY abs(m * sk - k * sn) DESC, hour_ms LIMIT 1""".stripMargin,
+    "events_changepoint" -> ChangePointOracleSql,
+    // ONE oracle for the batch/stream change-point pair: the streaming
+    // twin's final hourly state equals the batch hourly relation (the
+    // stateful agg is additive per hour), so the same SQL replays both
+    "stream_changepoint" -> ChangePointOracleSql,
     "events_hourly" ->
       """SELECT CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT) AS hour_ms,
         |  event_type, CAST(count(*) AS BIGINT) AS n,
@@ -5516,5 +5592,21 @@ object SparkEntry {
         |  round(CAST(c AS DOUBLE) / nn, 4) AS p_raw,
         |  round(sqrt(CAST(c AS DOUBLE)) / sq, 4) AS weight
         |FROM cs, tot ORDER BY source""".stripMargin,
+    "tokenizer_fertility" ->
+      s"""${bpeCteChain(5)},
+         |wl AS (SELECT w, len(string_split(substr(seq, 2, length(seq) - 2), ')(')) AS w_tokens
+         |       FROM v5),
+         |dtc AS (SELECT d.doc_id, d.lang,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(wl.w_tokens) AS BIGINT) AS n_tokens
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) d
+         |  JOIN wl USING (w) GROUP BY 1, 2)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_tokens) AS DOUBLE) / sum(n_words) AS fertility
+         |FROM dtc GROUP BY lang ORDER BY lang""".stripMargin,
+    "densest_bounded" -> DensestBoundedSql,
   )
 }

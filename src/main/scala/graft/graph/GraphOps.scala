@@ -876,6 +876,68 @@ object GraphOps {
     }.orderBy("vertex")
   }
 
+  /** Bounded batch-peeling densest-subgraph search (Bahmani, Kumar &
+    * Vassilvitskii 2012, VLDB, "Densest subgraph in streaming and
+    * MapReduce" — the 2(1+ε) approximation at ε = 0: each round records
+    * the CURRENT subgraph's (V, E, density), then drops every vertex
+    * with deg(v) ≤ 2E/V, i.e. at most the average degree (decided as
+    * the exact BIGINT cross-product deg·V ≤ 2E — no FP compare), and
+    * its edges. ε = 0 trades the log_{1+ε} round bound for the tightest
+    * factor-2 guarantee and, on the tight degree distributions of
+    * co-occurrence graphs, still peels a large fraction per round
+    * (measured: empty in ≤ 10 rounds at sf0.01 where ε = 1/2 emptied in
+    * ONE — a trace of one row tests nothing). The best
+    * round over the trace is the density argmax, again exact-integer
+    * cross-multiplied, ties to the earliest round. Peeling a constant
+    * fraction per round means O(log V) rounds to empty; `rounds` bounds
+    * the trace so the semantics stay a finite oracle-replayable relation
+    * (the [[kCoreBounded]] contract — rounds after the graph empties
+    * emit nothing).
+    *
+    * Scale: one degree aggregate + two endpoint semi-joins per round over
+    * a MONOTONICALLY SHRINKING edge set; per-round driver traffic is two
+    * scalars (V, E — the katz-style parameter-scale collect). Input:
+    * canonical pairs (a, b), a < b, distinct. Output: one row per
+    * non-empty round (round, n_vertices, n_edges, density, best),
+    * ordered by round.
+    */
+  def densestBounded(pairs: DataFrame, rounds: Int = 16): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    var p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(true)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val deg = p.select(col("a").as("v")).unionAll(p.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).cast("long").as("d"))
+        .localCheckpoint(true) // feeds V count AND the keep filter
+      val e = p.count()
+      if (e == 0L) done = true
+      else {
+        val v = deg.count()
+        trace += ((r.toLong, v, e))
+        if (r < rounds) {
+          val keep = deg.filter(col("d") * lit(v) > lit(2L) * lit(e)).select("v")
+            .localCheckpoint(true) // feeds both endpoint semi-joins
+          p = p.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+            .localCheckpoint(true)
+        }
+        r += 1
+      }
+    }
+    // density argmax on exact integers; reduceLeft keeps the EARLIEST on ties
+    val bestRound = trace.reduceLeft { (x, y) =>
+      if (y._3 * x._2 > x._3 * y._2) y else x
+    }._1
+    trace.toSeq
+      .map { case (rd, v, e) => (rd, v, e, e.toDouble / v, rd == bestRound) }
+      .toDF("round", "n_vertices", "n_edges", "density", "best")
+      .orderBy("round")
+  }
+
   /** Bounded k-truss peeling (Cohen 2008, "Trusses: cohesive subgraphs
     * for social network analysis"): iterate "drop every edge that closes
     * fewer than k−2 triangles in the CURRENT surviving subgraph" for

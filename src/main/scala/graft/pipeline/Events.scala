@@ -406,11 +406,27 @@ object Events {
     * two-pass prefix scan, never a single-partition window. Output: one
     * row (change_hour_ms, k, m, d_num, cusum, mean_before, mean_after).
     */
-  def hourlyChangePoint(events: DataFrame): DataFrame = {
+  def hourlyChangePoint(events: DataFrame): DataFrame =
+    changePointOfHourly(hourlyCounts(events))
+
+  /** The data-sized half of [[hourlyChangePoint]]: hourly event counts.
+    * Factored out so the STREAMING twin can maintain exactly this
+    * relation incrementally across micro-batches (hour_ms-keyed additive
+    * state) and then run the SAME scan kernel below — the
+    * decontamination-pair discipline: one kernel, two execution modes.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame = {
     val ms = msOf(events)
-    val hourly = events
+    events
       .select((ms - ms % 3600000L).as("hour_ms"))
       .groupBy("hour_ms").agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  /** The parameter-scale half of [[hourlyChangePoint]]: the CUSUM argmax
+    * over an `(hour_ms, n)` relation (one row per hour — bounded by the
+    * time range, not the event volume).
+    */
+  def changePointOfHourly(hourly: DataFrame): DataFrame = {
     val cum = Ranking.withRunningSums(
       Ranking.withGlobalIndex(hourly, col("hour_ms")), Seq("n"), col("idx"))
     val tot = broadcast(cum.agg(max("cum_n").cast("long").as("sn"),

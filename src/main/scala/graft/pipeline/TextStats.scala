@@ -521,6 +521,28 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY per language — tokens-per-word under the trained
+    * BPE merges, grouped by `lang` (the tokenizer-equity audit of
+    * Ács 2019 / Rust et al. 2021, arXiv:2012.15613: a tokenizer trained
+    * on a skewed mix fragments under-represented languages into more
+    * pieces, inflating their effective sequence length and training
+    * cost). Builds on [[bpeDocTokenCounts]]' join plan — corpus words
+    * stream once against the small vocabulary side — then ONE lang-keyed
+    * aggregate; fertility divides two exact BIGINTs (one final IEEE
+    * division, emitted unrounded). Output:
+    * (lang, n_docs, n_words, n_tokens, fertility) ordered by lang.
+    */
+  def tokenizerFertility(documents: DataFrame, rounds: Int = 5): DataFrame =
+    bpeDocTokenCounts(documents, rounds)
+      .join(documents.select(col("doc_id").cast("long").as("doc_id"), col("lang")),
+        "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_words").cast("long").as("n_words"),
+        sum("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("fertility", col("n_tokens").cast("double") / col("n_words"))
+      .orderBy("lang")
+
   /** Shared BPE training loop: returns (merge rules, final encoded word
     * vocabulary `(w, seq, n)` with all `rounds` merges applied — the raw
     * word `w` rides through every round so encoders can join corpus words

@@ -825,6 +825,51 @@ object StreamOps {
     * exactly the five region trees, which is what the DuckDB oracle
     * replays by lineage joins (no recursion needed).
     */
+  /** Streaming CUSUM change-point — the incremental twin of
+    * `events_changepoint`: the DATA-SIZED half
+    * ([[graft.pipeline.Events.hourlyCounts]], shared VERBATIM — it runs
+    * as a stateful streaming aggregate here) maintains hour_ms-keyed
+    * counts across micro-batches in update mode; foreachBatch lands each
+    * batch's changed hour totals in the bucketed serving store (only
+    * touched buckets rewritten). The PARAMETER-SCALE half
+    * ([[graft.pipeline.Events.changePointOfHourly]] — one row per hour)
+    * then computes the argmax over the final store: because the hourly
+    * relation after the last batch is exactly the batch relation
+    * (streaming agg state is additive per hour, hours may span batches
+    * freely), the plain `events_changepoint` oracle replays this
+    * end-state bit-for-bit. At 100 TB the monitored signal's state is
+    * |hours| rows regardless of event volume — the whole point of
+    * maintaining it incrementally. Output: one row, the batch kernel's
+    * schema.
+    */
+  def changePointReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                             eventsPath: String): DataFrame = {
+    import graft.pipeline.Events
+    val spark = tunedStatefulSession(spark0)
+    val events = spark.read.parquet(eventsPath)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cpt_")
+    val target = s"$tmp/target"
+    val inDir = s"$tmp/in"
+    // 4-file split + maxFilesPerTrigger=1 forces REAL multi-batch
+    // execution (a single-file source under AvailableNow is one batch,
+    // which would never exercise the cross-batch hour state); the
+    // round-robin split scatters every hour across batches
+    events.repartition(4).write.parquet(inDir)
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = Events.hourlyCounts(src).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeIntoBucketedServing(batch, target, "hour_ms")
+      }
+      .start()
+    q.awaitTermination()
+    Events.changePointOfHourly(
+      spark.read.parquet(target).select("hour_ms", "n"))
+  }
+
   def graphMaintainReplayBatch(spark: org.apache.spark.sql.SparkSession,
                                dir: String,
                                batchProbe: (DataFrame, DataFrame) => Unit =

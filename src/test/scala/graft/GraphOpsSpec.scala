@@ -750,6 +750,19 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("densestBounded: peeling the tail finds the K4 core as the best round") {
+    import spark.implicits._
+    // K4 on 1..4 plus a chain 4-5-6: round 1 sees the whole graph
+    // (V=6, E=8, avg deg 2.67 → peel 5 and 6, both at or below it);
+    // round 2 sees the bare K4 (density 1.5 — the best); its uniform
+    // degree 3 fails d·V > 2E (12 > 12 is false) so round 3 is empty.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val out = GraphOps.densestBounded(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))).toSeq
+    assert(out == Seq((1L, 6L, 8L, false), (2L, 4L, 6L, true)), s"got $out")
+  }
+
   test("richClub: K4 plus a pendant — hubs fully wired at k=1,2; the singleton threshold drops") {
     import spark.implicits._
     // K4 on 1..4 (degrees 3,3,3 and v1=4 via the pendant 5)

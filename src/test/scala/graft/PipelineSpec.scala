@@ -782,6 +782,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1)._2 == ((0L, 1L, 0L)))
   }
 
+  test("tokenizerFertility: under one merge, the unmerged word costs an extra token") {
+    // vocab after 1 BPE round on {ab×3, cd×1}: (a,b) merges (count 3),
+    // so ab encodes to 1 token and cd stays 2 → en: 2 words 2 tokens,
+    // de: 2 words 3 tokens
+    val d = Seq((1L, "ab ab", "en"), (2L, "ab cd", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextStats.tokenizerFertility(d, rounds = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out == Seq(("de", 1L, 2L, 3L, 1.5), ("en", 1L, 2L, 2L, 1.0)),
+      s"got $out")
+  }
+
   test("temperatureWeights: sqrt flattening, hand-computed 4/9 token split") {
     val d = Seq((1L, "a", "A"), (2L, "x y z", "A"), (3L, "p q r s t u v w x", "B"))
       .toDF("doc_id", "text", "source")

@@ -181,6 +181,20 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("changePointReplayBatch: hour state accumulated across batches equals the batch kernel") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = StreamOps.changePointReplayBatch(spark, path)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.pipeline.Events.hourlyChangePoint(spark.read.parquet(path))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // the replay's 4-way round-robin split scatters every hour across
+    // micro-batches, so equality here proves the additive hour state
+    // composed across batches — not a single-batch degenerate run
+    assert(streamed.nonEmpty && streamed.head.length == 7)
+  }
+
   test("windowedAggReplayBatch: final complete-mode state equals the batch aggregate") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
