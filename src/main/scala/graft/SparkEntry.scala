@@ -2316,6 +2316,22 @@ object SparkEntry {
     // co-purchase graph; best round by exact-integer density argmax
     "densest_bounded" -> ((s, dir) =>
       GraphOps.densestBounded(coPurchasePairs(s, dir, minOrders = 1L))),
+    // HyperBall: HLL registers propagated 3 rounds over the symmetrized
+    // tree; ball-size estimates emitted for the region/nation vertices
+    // (< 1000) — the propagation itself covers the whole graph
+    "hyperball_nf" -> ((s, dir) => {
+      val te = DerivedGraphs.treeEdges(s, dir)
+      GraphOps.hyperBallNf(
+        te.unionAll(te.select(col("dst").as("src"), col("src").as("dst"))))
+    }),
+    // leave-last-out temporal split: each user's chronologically last
+    // event is the held-out test point
+    "temporal_split" -> ((s, dir) =>
+      pipeline.Curation.temporalSplit(t(s, dir, "events"))),
+    // per-source exact-duplication dashboard (copies charged to the
+    // copy's source, keeper = corpus-wide min doc_id)
+    "dedup_rate_by_source" -> ((s, dir) =>
+      Dedup.dedupRateBySource(t(s, dir, "documents"))),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -5608,5 +5624,70 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS DOUBLE) / sum(n_words) AS fertility
          |FROM dtc GROUP BY lang ORDER BY lang""".stripMargin,
     "densest_bounded" -> DensestBoundedSql,
+    // direct-ball replay: the oracle computes each output vertex's exact
+    // r-ball (unrolled bounded joins) and derives the SAME HLL registers
+    // from it; register max-merge over reachability is a semilattice
+    // join, so the propagated sketch must agree bit-for-bit
+    "hyperball_nf" ->
+      s"""WITH t AS MATERIALIZED ($E),
+         |e AS MATERIALIZED (SELECT src, dst FROM t
+         |                   UNION ALL SELECT dst, src FROM t),
+         |srcs AS MATERIALIZED (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e) WHERE v < 1000),
+         |b0 AS MATERIALIZED (SELECT v, v AS u FROM srcs),
+         |b1 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+         |  SELECT b0.v, e.dst AS u FROM b0 JOIN e ON e.src = b0.u
+         |  UNION ALL SELECT v, u FROM b0)),
+         |b2 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+         |  SELECT b1.v, e.dst AS u FROM b1 JOIN e ON e.src = b1.u
+         |  UNION ALL SELECT v, u FROM b1)),
+         |b3 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+         |  SELECT b2.v, e.dst AS u FROM b2 JOIN e ON e.src = b2.u
+         |  UNION ALL SELECT v, u FROM b2)),
+         |h1 AS (SELECT v, CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM b1),
+         |h2 AS (SELECT v, CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM b2),
+         |h3 AS (SELECT v, CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM b3),
+         |reg1 AS (SELECT v, h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
+         |    ELSE 53 - length(printf('%b', h // 256)) END) AS mj FROM h1 GROUP BY 1, 2),
+         |reg2 AS (SELECT v, h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
+         |    ELSE 53 - length(printf('%b', h // 256)) END) AS mj FROM h2 GROUP BY 1, 2),
+         |reg3 AS (SELECT v, h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
+         |    ELSE 53 - length(printf('%b', h // 256)) END) AS mj FROM h3 GROUP BY 1, 2),
+         |u AS (
+         |  SELECT v, CAST(1 AS BIGINT) AS radius, CAST(count(*) AS BIGINT) AS n_used,
+         |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS sp_used FROM reg1 GROUP BY v
+         |  UNION ALL
+         |  SELECT v, 2, CAST(count(*) AS BIGINT),
+         |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) FROM reg2 GROUP BY v
+         |  UNION ALL
+         |  SELECT v, 3, CAST(count(*) AS BIGINT),
+         |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) FROM reg3 GROUP BY v),
+         |f AS (SELECT v, radius, n_used,
+         |    CAST(sp_used + (256 - n_used) * 9007199254740992 AS BIGINT) AS sprime FROM u),
+         |r2 AS (SELECT *, (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+         |        / CAST(sprime AS DOUBLE) AS raw_est FROM f)
+         |SELECT v AS vertex, radius, n_used, sprime,
+         |  CAST(round(CASE WHEN raw_est <= 640.0 AND n_used < 256
+         |    THEN 256.0 * ln(256.0 / CAST(256 - n_used AS DOUBLE))
+         |    ELSE raw_est END, 4) AS DOUBLE) AS est
+         |FROM r2 ORDER BY vertex, radius""".stripMargin,
+    "temporal_split" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS u,
+        |    CAST(event_id AS BIGINT) AS id, epoch_ms(ts) AS ms FROM events),
+        |r AS (SELECT u, id, ms,
+        |    row_number() OVER (PARTITION BY u ORDER BY ms DESC, id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY u) AS n FROM e)
+        |SELECT u AS user_id, CAST(n AS BIGINT) AS n_events,
+        |  id AS test_event_id, CAST(ms AS BIGINT) AS test_ms
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "dedup_rate_by_source" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |    md5(text) AS h FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  CAST(sum(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_rate
+        |FROM d JOIN k USING (h) GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -248,6 +248,95 @@ object Sketches {
       copy(child = c.head)
   }
 
+  /** PACKED HyperLogLog register vector builder for HyperBall: buffer =
+    * `m` bytes, byte b = max rank seen for bucket b (0 = empty). Input:
+    * (bucket, rank) longs. The packed form is what lets neighborhood
+    * propagation carry ONE m-byte blob per vertex through the shuffle
+    * instead of up to m (vertex, bucket, rank) rows — measured 4×
+    * end-to-end on hyperball_nf at sf0.1.
+    */
+  case class HllRegBuildAgg(bucket: Expression, rank: Expression, m: Int,
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val b = bucket.eval(input)
+      val r = rank.eval(input)
+      if (b != null && r != null) {
+        val bi = b.asInstanceOf[Long].toInt
+        val ri = r.asInstanceOf[Long].toByte
+        if (ri > buf(bi)) buf(bi) = ri
+      }
+      buf
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Byte]): Any = buf
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(bucket, rank)
+    override def prettyName: String = "hll_reg_build_agg"
+    override def withNewMutableAggBufferOffset(o: Int): HllRegBuildAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HllRegBuildAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(bucket = c.head, rank = c(1))
+  }
+
+  /** Bytewise-max merge of packed register vectors ([[HllRegBuildAgg]]'s
+    * output) — the HyperBall gather step's aggregate: max-merge is the
+    * HLL union, associative/commutative/idempotent, so partial (map-side)
+    * aggregation reduces every partition to ≤ |V| m-byte rows pre-shuffle.
+    */
+  case class HllRegMergeAgg(child: Expression, m: Int,
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val in = v.asInstanceOf[Array[Byte]]
+        var i = 0
+        while (i < m) { if (in(i) > buf(i)) buf(i) = in(i); i += 1 }
+      }
+      buf
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Byte]): Any = buf
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def prettyName: String = "hll_reg_merge_agg"
+    override def withNewMutableAggBufferOffset(o: Int): HllRegMergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HllRegMergeAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+  }
+
   def count_min_agg(c: Column, depth: Int, width: Int): Column =
     Bridge.column(CountMinAgg(Bridge.expression(c), depth, width).toAggregateExpression())
 
@@ -256,4 +345,11 @@ object Sketches {
 
   def simhash_agg(c: Column): Column =
     Bridge.column(SimHashAgg(Bridge.expression(c)).toAggregateExpression())
+
+  def hll_reg_build_agg(bucket: Column, rank: Column, m: Int): Column =
+    Bridge.column(HllRegBuildAgg(Bridge.expression(bucket),
+      Bridge.expression(rank), m).toAggregateExpression())
+
+  def hll_reg_merge_agg(c: Column, m: Int): Column =
+    Bridge.column(HllRegMergeAgg(Bridge.expression(c), m).toAggregateExpression())
 }

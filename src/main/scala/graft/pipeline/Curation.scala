@@ -65,6 +65,33 @@ object Curation {
       .orderBy("source")
   }
 
+  /** TEMPORAL leave-last-out split over an event stream: each user's
+    * chronologically LAST event is the held-out test point, everything
+    * before it is train — the split every sequential-recommendation /
+    * next-event benchmark uses (and the only split that cannot leak the
+    * future into training, the complement of the hash-based
+    * [[trainValSplit]] which is leakage-safe across DOCS but blind to
+    * time). Last = max (event-time ms, event_id) — the exact-integer
+    * tiebreak makes the pick deterministic cross-engine.
+    *
+    * Scale: ONE user-keyed max_by aggregate (map-side combined), no
+    * window, no sort. Output: (user_id, n_events, test_event_id,
+    * test_ms) ordered by user — n_events − 1 rows land in train.
+    */
+  def temporalSplit(events: DataFrame): DataFrame = {
+    val ms = graft.TsCompat.msOf(events)
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"), ms.as("ms"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        max_by(struct(col("event_id"), col("ms")),
+          struct(col("ms"), col("event_id"))).as("t"))
+      .select(col("user_id"), col("n_events"),
+        col("t.event_id").as("test_event_id"), col("t.ms").as("test_ms"))
+      .orderBy("user_id")
+  }
+
   /** Temperature-scaled source sampling weights (the multilingual-NMT /
     * mT5 mixing rule, Arivazhagan et al. 2019, arXiv:1907.05019 §4;
     * Raffel et al. 2020 §3.4.3): q_s ∝ p_s^(1/T) with T = 2 — the

@@ -258,6 +258,32 @@ object Dedup {
       .orderBy("keep_id")
   }
 
+  /** Per-SOURCE exact-duplication report — the curation dashboard number
+    * ("crawl X is 40% boilerplate reprints") that decides which sources
+    * get the expensive near-dup passes: a document counts as a dup when
+    * its text's canonical keeper (min doc_id over the WHOLE corpus, the
+    * [[exactDedup]] rule) is some other document — so cross-source
+    * reprints are charged to the copy's source, not the original's.
+    *
+    * Scale: one md5-groupBy (hashes, never text, cross the wire —
+    * the [[exactDedup]] shape), one hash-keyed join back, one source
+    * aggregate. dup_rate divides two exact BIGINTs (one IEEE division,
+    * unrounded). Output: (source, n_docs, n_dups, dup_rate) ordered.
+    */
+  def dedupRateBySource(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id").cast("long").as("doc_id"),
+      col("source"), md5(col("text").cast("binary")).as("h"))
+      .localCheckpoint(true) // feeds the keeper aggregate AND the join back
+    val keep = docs.groupBy("h").agg(min("doc_id").as("keep_id"))
+    docs.join(keep, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .cast("long").as("n_dups"))
+      .withColumn("dup_rate", col("n_dups").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+
   /** INCREMENTAL exact dedup — the shape a production ingest actually
     * runs: a new batch arrives, the corpus store is already deduplicated,
     * and each batch row is classified as `dup_of_corpus` (content hash

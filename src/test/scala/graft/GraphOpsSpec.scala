@@ -750,6 +750,32 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hyperBallNf: propagated registers equal the exact-ball registers on a path") {
+    import spark.implicits._
+    import graft.functions.PortableHash.md5Bits60Of
+    // path 1-2-3-4-5, symmetrized; balls are intervals, known exactly
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.hyperBallNf(edges, radius = 2, outputBelow = 1000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    def ball(v: Long, r: Long): Seq[Long] = (1L to 5L).filter(u => math.abs(u - v) <= r)
+    def expected(v: Long, r: Long): (Long, Long) = {
+      val regs = ball(v, r).map { u =>
+        val h = md5Bits60Of(u.toString)
+        val rem = h / 256
+        (h % 256, if (rem == 0) 53L else 53L - (64 - java.lang.Long.numberOfLeadingZeros(rem)))
+      }.groupBy(_._1).map { case (b, rs) => (b, rs.map(_._2).max) }
+      (regs.size.toLong, regs.values.map(mj => 1L << (53 - mj).toInt).sum)
+    }
+    for (v <- 1L to 5L; r <- 1L to 2L) {
+      val (nUsed, spUsed) = expected(v, r)
+      val sprime = spUsed + (256L - nUsed) * 9007199254740992L
+      assert(out((v, r)) == ((nUsed, sprime)),
+        s"registers diverge from the exact ball at (v=$v, r=$r)")
+    }
+  }
+
   test("densestBounded: peeling the tail finds the K4 core as the best round") {
     import spark.implicits._
     // K4 on 1..4 plus a chain 4-5-6: round 1 sees the whole graph

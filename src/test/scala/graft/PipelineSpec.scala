@@ -782,6 +782,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1)._2 == ((0L, 1L, 0L)))
   }
 
+  test("temporalSplit: last event by (ms, event_id) held out, ties to the larger id") {
+    val base = 1700000000000L
+    val ev = Seq(
+      (1L, 7L, base + 1000), (2L, 7L, base + 5000), (3L, 7L, base + 5000),
+      (4L, 9L, base + 100),
+    ).map { case (id, u, ms) => (id, u, new java.sql.Timestamp(ms)) }
+      .toDF("event_id", "user_id", "ts")
+    val out = graft.pipeline.Curation.temporalSplit(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // user 7: events 2 and 3 tie on ms → id 3 wins; user 9: singleton
+    assert(out == Seq((7L, 3L, 3L, base + 5000), (9L, 1L, 4L, base + 100)),
+      s"got $out")
+  }
+
+  test("dedupRateBySource: cross-source reprint charged to the copy's source") {
+    val d = Seq(
+      (1L, "same text", "A"), (2L, "same text", "B"), (3L, "same text", "B"),
+      (4L, "unique", "B"),
+    ).toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Dedup.dedupRateBySource(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // keeper is doc 1 (source A): both B copies are dups, A's original is not
+    assert(out == Seq(("A", 1L, 0L, 0.0), ("B", 3L, 2L, 2.0 / 3.0)), s"got $out")
+  }
+
   test("tokenizerFertility: under one merge, the unmerged word costs an extra token") {
     // vocab after 1 BPE round on {ab×3, cd×1}: (a,b) merges (count 3),
     // so ab encodes to 1 token and cd stays 2 → en: 2 words 2 tokens,
