@@ -2332,6 +2332,20 @@ object SparkEntry {
     // copy's source, keeper = corpus-wide min doc_id)
     "dedup_rate_by_source" -> ((s, dir) =>
       Dedup.dedupRateBySource(t(s, dir, "documents"))),
+    // skip-gram window PMI over the node2vec walks — the matrix
+    // DeepWalk/NetMF factorizes; walks are md5-deterministic so the
+    // whole composition replays in SQL
+    "walk_pmi" -> ((s, dir) => {
+      val pairs = coPurchasePairs(s, dir)
+      GraphOps.walkCooccurrencePmi(GraphOps.node2vecWalks(
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))))
+    }),
+    // simplified silhouette of the learned k-means quantizer — the
+    // cluster-quality gate behind the IVF/SemDeDup bucketing
+    "kmeans_silhouette" -> ((s, dir) =>
+      pipeline.KMeans.silhouette(t(s, dir, "embeddings"),
+        k = IvfParams.Kmeans.Nlist, iters = IvfParams.Kmeans.Iters)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -2666,6 +2680,36 @@ object SparkEntry {
       |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
       |          GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
+  /** Node2vec walk replay ending in `pos(walk, step, v)` — the biased-step
+    * chain shared by the walks oracle and the skip-gram PMI on top of it.
+    */
+  private val node2vecPosCtes: String = {
+    val steps = (1 to 3).map { i =>
+      s"""cand$i AS (SELECT s.walk, s.prev, s.v, e.dst,
+         |    CASE WHEN e.dst = s.prev THEN 1
+         |         WHEN EXISTS (SELECT 1 FROM e e2
+         |                      WHERE e2.src = s.prev AND e2.dst = e.dst) THEN 2
+         |         ELSE 1 END AS wt
+         |  FROM s${i - 1} s JOIN e ON e.src = s.v),
+         |cw$i AS (SELECT walk, prev, v, dst, wt,
+         |    sum(wt) OVER (PARTITION BY walk ORDER BY dst
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(wt) OVER (PARTITION BY walk) AS tot FROM cand$i),
+         |s$i AS (SELECT walk, v AS prev, dst AS v FROM cw$i
+         |  WHERE CAST(('0x' || substr(md5(concat_ws('_', walk, $i)), 1, 15)) AS BIGINT) % tot
+         |        BETWEEN cum - wt AND cum - 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$coPurchaseCteSql,
+       |e AS (SELECT a AS src, b AS dst FROM pairs
+       |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+       |s0 AS (SELECT DISTINCT src AS walk, src AS prev, src AS v FROM e),
+       |$steps,
+       |pos AS (SELECT walk, 0 AS step, v FROM s0
+       |      UNION ALL SELECT walk, 1, v FROM s1
+       |      UNION ALL SELECT walk, 2, v FROM s2
+       |      UNION ALL SELECT walk, 3, v FROM s3)""".stripMargin
+  }
+
   /** Unrolled parallel-greedy MIS rounds for the DuckDB oracle: round k
     * admits the undecided local-priority-minima and removes their
     * neighbors — the exact per-round rule of
@@ -2914,7 +2958,11 @@ object SparkEntry {
     * (sf0.01) / 1.4e-5 (sf0.1), probe 3rd→4th gap ≥ 9.5e-3 — far above
     * cross-engine ulp drift in the summed distances.
     */
-  private def ivfKmeansUnrolledSql(iters: Int, nlist: Int, nprobe: Int, k: Int): String = {
+  /** The Lloyd rounds themselves, ending in the FINAL assignment
+    * `a{iters+1}` and FINAL centroids `c{iters+1}` — shared by the IVF
+    * replay and the silhouette built on the same fitted quantizer.
+    */
+  private def kmeansLloydCtes(iters: Int, nlist: Int): String = {
     // iters assignment/update rounds + one final assignment (round iters+1),
     // mirroring KMeans.fit (loop) + the eager final assign.
     val last = iters + 1
@@ -2935,9 +2983,7 @@ object SparkEntry {
          |a$n AS (SELECT vec_id, (array_agg(cluster ORDER BY dist, cluster))[1] AS cluster
          |  FROM d$n GROUP BY vec_id)$upd""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (SELECT embedding AS qe FROM embeddings
-       |  WHERE vec_id = ${IvfParams.QueryVecId}),
-       |e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
        |c0 AS (
        |  SELECT r.cluster, u.i, CAST(r.embedding[u.i] AS DOUBLE) AS m
        |  FROM (SELECT vec_id, embedding,
@@ -2949,7 +2995,14 @@ object SparkEntry {
        |  SELECT a.cluster, u.i, avg(CAST(e.embedding[u.i] AS DOUBLE)) AS m
        |  FROM a$last a JOIN e USING (vec_id),
        |       UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i)
-       |  GROUP BY a.cluster, u.i),
+       |  GROUP BY a.cluster, u.i)""".stripMargin
+  }
+
+  private def ivfKmeansUnrolledSql(iters: Int, nlist: Int, nprobe: Int, k: Int): String = {
+    val last = iters + 1
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+       |  WHERE vec_id = ${IvfParams.QueryVecId}),
+       |${kmeansLloydCtes(iters, nlist)},
        |probe AS (
        |  SELECT c.cluster FROM c$last c, q
        |  GROUP BY c.cluster
@@ -4905,35 +4958,32 @@ object SparkEntry {
         |      UNION ALL SELECT walk, 2, v FROM w2
         |      UNION ALL SELECT walk, 3, v FROM w3) allsteps
         |ORDER BY walk, step""".stripMargin,
-    "node2vec_walks" -> {
-      val steps = (1 to 3).map { i =>
-        s"""cand$i AS (SELECT s.walk, s.prev, s.v, e.dst,
-           |    CASE WHEN e.dst = s.prev THEN 1
-           |         WHEN EXISTS (SELECT 1 FROM e e2
-           |                      WHERE e2.src = s.prev AND e2.dst = e.dst) THEN 2
-           |         ELSE 1 END AS wt
-           |  FROM s${i - 1} s JOIN e ON e.src = s.v),
-           |cw$i AS (SELECT walk, prev, v, dst, wt,
-           |    sum(wt) OVER (PARTITION BY walk ORDER BY dst
-           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-           |    sum(wt) OVER (PARTITION BY walk) AS tot FROM cand$i),
-           |s$i AS (SELECT walk, v AS prev, dst AS v FROM cw$i
-           |  WHERE CAST(('0x' || substr(md5(concat_ws('_', walk, $i)), 1, 15)) AS BIGINT) % tot
-           |        BETWEEN cum - wt AND cum - 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $coPurchaseCteSql,
-         |e AS (SELECT a AS src, b AS dst FROM pairs
-         |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
-         |s0 AS (SELECT DISTINCT src AS walk, src AS prev, src AS v FROM e),
-         |$steps
+    "node2vec_walks" ->
+      s"""WITH $node2vecPosCtes
          |SELECT CAST(walk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step,
          |       CAST(v AS BIGINT) AS vertex
-         |FROM (SELECT walk, 0 AS step, v FROM s0
-         |      UNION ALL SELECT walk, 1, v FROM s1
-         |      UNION ALL SELECT walk, 2, v FROM s2
-         |      UNION ALL SELECT walk, 3, v FROM s3) allsteps
-         |ORDER BY walk, step""".stripMargin
-    },
+         |FROM pos ORDER BY walk, step""".stripMargin,
+    // the node2vec walk replay feeds the skip-gram window pairs; the PMI
+    // argument n·T²/(P·ca·cb) is two exact BIGINT products and one
+    // division, so the ratio ranking is bit-deterministic — only the
+    // shipped ln rounds (bm25 contract)
+    "walk_pmi" ->
+      s"""WITH $node2vecPosCtes,
+         |pr AS (SELECT least(p1.v, p2.v) AS a, greatest(p1.v, p2.v) AS b,
+         |    CAST(count(*) AS BIGINT) AS n_pair
+         |  FROM pos p1 JOIN pos p2
+         |    ON p1.walk = p2.walk AND p2.step > p1.step AND p2.step - p1.step <= 2
+         |  GROUP BY 1, 2),
+         |occ AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY v),
+         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pos) AS t,
+         |               (SELECT CAST(sum(n_pair) AS BIGINT) FROM pr) AS p),
+         |sc AS (SELECT pr.a, pr.b, pr.n_pair,
+         |    CAST(pr.n_pair * tot.t * tot.t AS DOUBLE)
+         |      / CAST(tot.p * ca.c * cb.c AS DOUBLE) AS ratio
+         |  FROM pr JOIN occ ca ON ca.v = pr.a JOIN occ cb ON cb.v = pr.b, tot)
+         |SELECT CAST(a AS BIGINT) AS vertex_a, CAST(b AS BIGINT) AS vertex_b,
+         |  n_pair, CAST(round(ln(ratio), 4) AS DOUBLE) AS pmi
+         |FROM sc ORDER BY ratio DESC, a, b LIMIT 50""".stripMargin,
     // every moment is an exact integer; the final ratio is one fixed IEEE
     // op tree (2m·Σxy − Σx² over 2m·Σx² − Σx², the symmetric-undirected
     // simplification of Newman's r) — bit-identical, unrounded
@@ -5680,6 +5730,25 @@ object SparkEntry {
         |SELECT u AS user_id, CAST(n AS BIGINT) AS n_events,
         |  id AS test_event_id, CAST(ms AS BIGINT) AS test_ms
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "kmeans_silhouette" -> {
+      val last = IvfParams.Kmeans.Iters + 1
+      s"""WITH ${kmeansLloydCtes(IvfParams.Kmeans.Iters, IvfParams.Kmeans.Nlist)},
+         |ds AS (SELECT e.vec_id, c.cluster AS c2,
+         |    SUM((CAST(e.embedding[c.i] AS DOUBLE) - c.m) ** 2) AS dist
+         |  FROM e, c$last c GROUP BY 1, 2),
+         |sil AS (SELECT d.vec_id, a.cluster,
+         |    max(CASE WHEN d.c2 = a.cluster THEN d.dist END) AS da,
+         |    min(CASE WHEN d.c2 <> a.cluster THEN d.dist END) AS db
+         |  FROM ds d JOIN a$last a USING (vec_id) GROUP BY 1, 2),
+         |sv AS (SELECT cluster,
+         |    CASE WHEN greatest(da, db) = 0 THEN 0.0
+         |         ELSE (db - da) / greatest(da, db) END AS s
+         |  FROM sil)
+         |SELECT CAST(cluster AS BIGINT) AS cluster,
+         |  CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(round(avg(s), 4) AS DOUBLE) AS mean_silhouette
+         |FROM sv GROUP BY cluster ORDER BY cluster""".stripMargin
+    },
     "dedup_rate_by_source" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
         |    md5(text) AS h FROM documents),

@@ -773,6 +773,52 @@ object GraphOps {
     }
   }
 
+  /** Skip-gram co-occurrence PMI over random-walk windows — the matrix
+    * DeepWalk/node2vec implicitly factorize (Levy & Goldberg 2014; Qiu et
+    * al. 2018 "NetMF", arXiv:1710.02971): vertices that co-occur within
+    * `window` positions of a walk more often than their walk-frequencies
+    * predict get positive PMI — the edge-weighting a graph-embedding
+    * pipeline trains on. Input: the (walk, step, vertex) relation of
+    * [[node2vecWalks]] (deterministic md5 draws → the whole composition
+    * stays DuckDB-replayable).
+    *
+    * Exactness: counts are BIGINT; the PMI argument n·T²/(P·c_a·c_b) is
+    * built as two exact BIGINT products and ONE division — so the
+    * ranking (ORDER BY that ratio) is bit-deterministic cross-engine,
+    * and only the shipped `ln` is rounded (4 dp, the bm25 contract).
+    * Scale: pairs come from a walk-keyed self-join (a walk is ≤ steps+1
+    * rows — bounded), then one (a, b)-keyed count; top-N is TakeOrdered.
+    * Output: (vertex_a, vertex_b, n_pair, pmi), ratio-desc, `topN` rows.
+    */
+  def walkCooccurrencePmi(walks: DataFrame, window: Int = 2,
+                          topN: Int = 50): DataFrame = {
+    val pos = walks.select(col("walk"), col("step"), col("vertex"))
+      .localCheckpoint(true) // feeds both join sides, occ and totals
+    val p1 = pos.select(col("walk"), col("step").as("i"), col("vertex").as("x"))
+    val p2 = pos.select(col("walk"), col("step").as("j"), col("vertex").as("y"))
+    val pairs = p1.join(p2, Seq("walk"))
+      .filter(col("j") > col("i") && col("j") - col("i") <= window)
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).cast("long").as("n_pair"))
+      .localCheckpoint(true) // feeds the P total AND the scored join
+    val occ = pos.groupBy(col("vertex")).agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true) // joined twice (both endpoints)
+    val tot = broadcast(pos.agg(count(lit(1)).cast("long").as("t"))
+      .crossJoin(pairs.agg(sum("n_pair").cast("long").as("p"))))
+    pairs
+      .join(occ.select(col("vertex").as("a"), col("c").as("ca")), "a")
+      .join(occ.select(col("vertex").as("b"), col("c").as("cb")), "b")
+      .crossJoin(tot)
+      .withColumn("ratio",
+        (col("n_pair") * col("t") * col("t")).cast("double") /
+          (col("p") * col("ca") * col("cb")).cast("double"))
+      .orderBy(col("ratio").desc, col("a"), col("b"))
+      .limit(topN)
+      .select(col("a").as("vertex_a"), col("b").as("vertex_b"),
+        col("n_pair"), round(log(col("ratio")), 4).as("pmi"))
+  }
+
   /** One biased step — see [[node2vecWalks]]. State: (walk, prev, v). */
   private[graft] def node2vecStep(cur: DataFrame, e: DataFrame, i: Int,
                                   wRet: Int, wTri: Int, wOut: Int): DataFrame = {

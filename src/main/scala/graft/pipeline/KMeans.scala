@@ -92,6 +92,44 @@ object KMeans {
     } finally { base.unpersist(blocking = false); () }
   }
 
+  /** Simplified silhouette of the learned clustering (the centroid-based
+    * variant of Rousseeuw 1987 — per point, a = squared distance to its
+    * OWN centroid, b = min squared distance to any OTHER centroid,
+    * s = (b − a) / max(a, b); the full silhouette's per-point pairwise
+    * means are O(V²) and never the plan at scale, while the centroid form
+    * needs only V·k distances). The quality gate a curation pipeline puts
+    * behind its quantizer: clusters with low mean s are the ones whose
+    * IVF probes and SemDeDup buckets leak.
+    *
+    * Scale: ONE scan of the fitted assignment cross-joined with the
+    * BROADCAST k-row centroid table (V·k rows, k tiny), one cluster-keyed
+    * aggregate. The degenerate max(a,b) = 0 case (vector identical to
+    * both centroids) maps to s = 0 by the exact predicate — ANSI-safe in
+    * both engines. Output: (cluster, n_vectors, mean_silhouette 4 dp)
+    * ordered by cluster.
+    */
+  def silhouette(embeddings: DataFrame, k: Int = 10, iters: Int = 3): DataFrame = {
+    val fitted = fit(embeddings, k, iters) // (vec_id, embedding, cluster)
+    val cents = centroidsOf(fitted)
+      .select(col("cluster").as("c2"), col("centroid")).localCheckpoint(true)
+    val dists = fitted.crossJoin(broadcast(cents))
+      .withColumn("dist", aggregate(
+        zip_with(col("embedding"), col("centroid"),
+          (x, y) => { val d = x.cast("double") - y; d * d }),
+        lit(0.0), (acc, v) => acc + v))
+      .groupBy("vec_id", "cluster")
+      .agg(max(when(col("c2") === col("cluster"), col("dist"))).as("da"),
+        min(when(col("c2") =!= col("cluster"), col("dist"))).as("db"))
+    dists
+      .withColumn("s",
+        when(greatest(col("da"), col("db")) === 0.0, lit(0.0))
+          .otherwise((col("db") - col("da")) / greatest(col("da"), col("db"))))
+      .groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        round(avg("s"), 4).as("mean_silhouette"))
+      .orderBy("cluster")
+  }
+
   /** IVF search with the learned quantizer: rank clusters by centroid
     * distance to the query, scan only the best `nprobe` clusters with the
     * exact cosine. Same contract as Similarity.cosineTopK, approximate

@@ -776,6 +776,24 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("walkCooccurrencePmi: window pairs, exact counts, ratio-ranked") {
+    import spark.implicits._
+    // walk 10: 1-2-3-4 ; walk 20: 1-5 — window 2 pairs by hand:
+    //   w10: (1,2) (2,3) (3,4) (1,3) (2,4) ; w20: (1,5)
+    val walks = Seq(
+      (10L, 0L, 1L), (10L, 1L, 2L), (10L, 2L, 3L), (10L, 3L, 4L),
+      (20L, 0L, 1L), (20L, 1L, 5L),
+    ).toDF("walk", "step", "vertex")
+    val out = GraphOps.walkCooccurrencePmi(walks, window = 2, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 6 && out.forall(_._3 == 1L))
+    // T = 6 positions, P = 6 pairs; ratio = 36 / (6·ca·cb); occ: 1→2,
+    // 2,3,4,5→1 each. (2,3),(3,4),(2,4) tie at 6.0; (1,5),(1,2),(1,3) at 3.0
+    val expected = Seq((2L, 3L), (2L, 4L), (3L, 4L), (1L, 2L), (1L, 3L), (1L, 5L))
+    assert(out.map(t => (t._1, t._2)).toSeq == expected, s"got ${out.toSeq}")
+    assert(out.take(3).forall(t => math.abs(t._4 - math.log(6.0)) < 1e-3))
+  }
+
   test("densestBounded: peeling the tail finds the K4 core as the best round") {
     import spark.implicits._
     // K4 on 1..4 plus a chain 4-5-6: round 1 sees the whole graph

@@ -38,4 +38,19 @@ class KMeansSpec extends AnyFunSuite {
       .map(r => (r.getLong(r.fieldIndex("vec_id")), r.getLong(r.fieldIndex("cluster")))).sorted.toSeq
     assert(a == b)
   }
+
+  test("silhouette: well-separated blobs score near 1, merged blobs score near 0") {
+    val out = KMeans.silhouette(blobs, k = 2, iters = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).sum == 40L && out.length == 2)
+    // blob spread ~1 vs separation ~200 in squared distance → s ≈ 1
+    out.foreach { case (c, _, s) => assert(s > 0.9, s"cluster $c silhouette $s") }
+    // one blob split across both centroids: own-vs-other distances are
+    // comparable, so every cluster scores strictly below the separated case
+    val oneBlob = blobs.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val merged = KMeans.silhouette(oneBlob, k = 2, iters = 4).collect()
+      .map(_.getDouble(2))
+    assert(merged.max < out.map(_._3).min,
+      s"split-blob silhouette ${merged.toSeq} not below separated ${out.map(_._3).toSeq}")
+  }
 }
