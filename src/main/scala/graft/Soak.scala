@@ -43,7 +43,11 @@ object Soak {
     // round-11 heavies: the K4 census (the new bench worst at 19.5 s),
     // the ExactSubstr cut, biased walks, and the Louvain move rounds
     "fourclique_counts", "dup_span_clean", "node2vec_walks",
-    "louvain_moves")
+    "louvain_moves",
+    // round-11 second half: walk-window PMI (rides the walks), the
+    // packed-register HyperBall, densest-subgraph peeling, and the
+    // degree-threshold census — the four new super-2s shapes
+    "walk_pmi", "hyperball_nf", "densest_bounded", "rich_club")
 
   val Copies = 10
   val Stride = 4000000000L // > SupplierBase + any key: copies stay disjoint

@@ -2346,6 +2346,16 @@ object SparkEntry {
     "kmeans_silhouette" -> ((s, dir) =>
       pipeline.KMeans.silhouette(t(s, dir, "embeddings"),
         k = IvfParams.Kmeans.Nlist, iters = IvfParams.Kmeans.Iters)),
+    // interpolated Kneser-Ney bigram LM with D=3/4 — exact-BIGINT
+    // numerator/denominator, one final division, shipped unrounded
+    "kneser_ney_bigrams" -> ((s, dir) =>
+      TextStats.kneserNeyBigrams(t(s, dir, "documents"))),
+    // energy-threshold VAD over the audio payloads (stub signal = byte
+    // stream; exact-integer frame test, gaps-and-islands segments)
+    "audio_vad_segments" -> ((s, dir) =>
+      Media.audioVadSegments(
+        Media.mediaFromDocuments(t(s, dir, "documents"))
+          .filter(_.kind == "audio"))),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -5674,6 +5684,45 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS DOUBLE) / sum(n_words) AS fertility
          |FROM dtc GROUP BY lang ORDER BY lang""".stripMargin,
     "densest_bounded" -> DensestBoundedSql,
+    "kneser_ney_bigrams" ->
+      """WITH bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents),
+        |       UNNEST(range(1, len(t))) AS u(i)),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |              CAST(count(*) AS BIGINT) AS n1_fwd FROM c12 GROUP BY w1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_back FROM c12 GROUP BY w2),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c12)
+        |SELECT c12.w1, c12.w2, c12.c12, c1.c1, c1.n1_fwd, cont.n1_back,
+        |  CAST((4 * c12.c12 - 3) * nt.nt + 3 * c1.n1_fwd * cont.n1_back AS DOUBLE)
+        |    / CAST(4 * c1.c1 * nt.nt AS DOUBLE) AS p_kn
+        |FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2), nt
+        |ORDER BY c12.c12 DESC, c12.w1, c12.w2 LIMIT 50""".stripMargin,
+    // audio is doc_id % 3 == 1; frame = 32-byte chunk, active iff byte
+    // sum > 95*len (exact), islands by the frame_no - row_number trick
+    "audio_vad_segments" ->
+      """WITH a AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |f AS (SELECT media_id, i AS frame_no,
+        |    substr(text, CAST(i * 32 + 1 AS INT), 32) AS fb
+        |  FROM a, UNNEST(range(0, (strlen(text) + 31) // 32)) AS u(i)),
+        |s AS (SELECT media_id, frame_no, CAST(strlen(fb) AS BIGINT) AS n_bytes,
+        |    CAST(list_sum(list_transform(string_split_regex(fb, ''),
+        |      c -> ord(c))) AS BIGINT) AS sum_bytes FROM f),
+        |act AS (SELECT media_id, frame_no,
+        |    row_number() OVER (PARTITION BY media_id ORDER BY frame_no) AS rn
+        |  FROM s WHERE sum_bytes > 95 * n_bytes),
+        |seg AS (SELECT media_id, frame_no - rn AS grp,
+        |    min(frame_no) AS start_frame, max(frame_no) AS end_frame,
+        |    CAST(count(*) AS BIGINT) AS n_frames
+        |  FROM act GROUP BY 1, 2)
+        |SELECT media_id,
+        |  CAST(row_number() OVER (PARTITION BY media_id ORDER BY start_frame)
+        |    AS BIGINT) AS seg_no,
+        |  CAST(start_frame AS BIGINT) AS start_frame,
+        |  CAST(end_frame AS BIGINT) AS end_frame, n_frames
+        |FROM seg ORDER BY media_id, seg_no""".stripMargin,
     // direct-ball replay: the oracle computes each output vertex's exact
     // r-ball (unrolled bounded joins) and derives the SAME HLL registers
     // from it; register max-merge over reachability is a semilattice

@@ -230,6 +230,44 @@ object Media {
       .filter(col("n_shared") >= minSharedFrames)
   }
 
+  /** Energy-threshold voice-activity segmentation per audio payload — the
+    * classic VAD gate (frame the signal, threshold frame energy, merge
+    * consecutive active frames into segments) that decides which spans of
+    * an audio corpus are worth transcribing/training on. The stub signal
+    * model is the byte stream as 8-bit samples (this container ships no
+    * audio codec; a real decoder changes [[MediaCodecs.decodeAudio]], not
+    * this dataflow): a 32-byte frame is ACTIVE when its byte sum clears
+    * `meanThreshold`×length — an exact-integer test, so the whole
+    * relation is BIGINT end to end and DuckDB-replayable.
+    *
+    * Scale: framing is partition-local (payload bytes never shuffle — the
+    * frame reduces to two longs at the scan); segments are a
+    * gaps-and-islands window partitioned by ONE audio's frame list
+    * (bounded by the payload, the videoSceneCuts discipline). Output:
+    * (media_id, seg_no, start_frame, end_frame, n_frames) ordered.
+    */
+  def audioVadSegments(media: Dataset[MediaRow], frameLen: Int = 32,
+                       meanThreshold: Int = 95): DataFrame = {
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frames = media.filter(_.kind == "audio").flatMap { r =>
+      r.payload.grouped(frameLen).zipWithIndex.map { case (chunk, i) =>
+        (r.media_id, i.toLong, chunk.length.toLong,
+          chunk.foldLeft(0L)((a, b) => a + (b & 0xff)))
+      }
+    }.toDF("media_id", "frame_no", "n_bytes", "sum_bytes")
+    val active = frames.filter(col("sum_bytes") > lit(meanThreshold) * col("n_bytes"))
+    val w = Window.partitionBy("media_id").orderBy("frame_no")
+    active.withColumn("grp", col("frame_no") - row_number().over(w))
+      .groupBy("media_id", "grp")
+      .agg(min("frame_no").as("start_frame"), max("frame_no").as("end_frame"),
+        count(lit(1)).cast("long").as("n_frames"))
+      .withColumn("seg_no", row_number()
+        .over(Window.partitionBy("media_id").orderBy("start_frame")).cast("long"))
+      .select("media_id", "seg_no", "start_frame", "end_frame", "n_frames")
+      .orderBy("media_id", "seg_no")
+  }
+
   /** Scene-cut detection per video: Hamming distance between CONSECUTIVE
     * keyframe aHashes, a boundary where it clears `cutHamming` — the
     * classic shot-boundary heuristic (adjacent frames inside a shot hash

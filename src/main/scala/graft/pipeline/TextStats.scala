@@ -521,6 +521,44 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1998's benchmark smoothing — what KenLM computes):
+    *   P(w2|w1) = (c(w1w2) − D)/c(w1·) + λ(w1)·P_cont(w2),
+    * with D = 3/4, λ(w1) = D·N1+(w1·)/c(w1·) and
+    * P_cont(w2) = N1+(·w2)/N1+(··) — the continuation probability that
+    * makes "Francisco" unlikely outside "San Francisco" no matter how
+    * frequent the token is. The fixed D = 3/4 keeps EVERYTHING an exact
+    * BIGINT: multiplying through by 4·c(w1·)·N1+(··) gives
+    *   P = [(4c−3)·Nt + 3·N1fwd·N1back] / (4·c1·Nt),
+    * two integer polynomials and ONE final IEEE division — bit-identical
+    * cross-engine, shipped unrounded with an exact-integer ordering
+    * (c12 desc, then gram), the strongest parity class here.
+    *
+    * Scale: one bigram aggregate (distinct grams, not instances, cross
+    * the wire after map-side combine), two marginal aggregates over the
+    * GRAM table, a one-row type count broadcast. Output: the `topN` most
+    * frequent bigrams (w1, w2, c12, c1, n1_fwd, n1_back, p_kn).
+    */
+  def kneserNeyBigrams(documents: DataFrame, topN: Int = 50): DataFrame = {
+    val c12 = documents
+      .select(explode(kGrams(split(col("text"), " "), 2, distinct = false)).as("gram"))
+      .select(expr("split_part(gram, ' ', 1)").as("w1"),
+        expr("split_part(gram, ' ', 2)").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12"))
+      .localCheckpoint(true) // feeds both marginals, the type count, the join
+    val c1 = c12.groupBy("w1")
+      .agg(sum("c12").cast("long").as("c1"), count(lit(1)).cast("long").as("n1_fwd"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).cast("long").as("n1_back"))
+    val nt = broadcast(c12.agg(count(lit(1)).cast("long").as("nt")))
+    c12.join(c1, "w1").join(cont, "w2").crossJoin(nt)
+      .withColumn("p_kn",
+        ((col("c12") * 4 - 3) * col("nt") +
+          lit(3L) * col("n1_fwd") * col("n1_back")).cast("double") /
+          (lit(4L) * col("c1") * col("nt")).cast("double"))
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(topN)
+      .select("w1", "w2", "c12", "c1", "n1_fwd", "n1_back", "p_kn")
+  }
+
   /** Tokenizer FERTILITY per language — tokens-per-word under the trained
     * BPE merges, grouped by `lang` (the tokenizer-equity audit of
     * Ács 2019 / Rust et al. 2021, arXiv:2012.15613: a tokenizer trained

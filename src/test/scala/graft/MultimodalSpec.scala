@@ -306,6 +306,20 @@ class MultimodalSpec extends AnyFunSuite {
       MediaCodecs.decodeStub("image", garbage))
   }
 
+  test("audioVadSegments: active islands merge, the silent gap splits them") {
+    // frames of 32 bytes: loud 'z'(122) frames clear the 95-mean gate,
+    // silent ' '(32) frames don't → segments [0,1] and [3,3]
+    val loud = "z" * 32
+    val silent = " " * 32
+    val payload = loud + loud + silent + loud
+    val media = Seq(Media.MediaRow(4L, "audio", payload.getBytes("UTF-8"), "s"))
+      .toDS()
+    val out = Media.audioVadSegments(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((4L, 1L, 0L, 1L, 2L), (4L, 2L, 3L, 3L, 1L)),
+      s"got ${out.toSeq}")
+  }
+
   test("videoSceneCuts: identical adjacent keyframes score 0, an inverted block cuts at 64") {
     // payload = four copies of block A (32 'a' + 32 'z') then B = ~A:
     // chunks c0..c4, sampled keyframes f0=A, f1=A(c2), f2=B(c4).

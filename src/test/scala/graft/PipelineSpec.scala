@@ -782,6 +782,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1)._2 == ((0L, 1L, 0L)))
   }
 
+  test("kneserNeyBigrams: hand-computed interpolated probabilities on 'a b a b c'") {
+    // c12: (a,b)=2, (b,a)=1, (b,c)=1; c1: a=2, b=2; n1_fwd: a=1, b=2;
+    // n1_back: a=b=c=1; Nt=3. P(b|a) = (2-.75)/2 + (.75·1/2)(1/3) = 0.75;
+    // P(a|b) = P(c|b) = (1-.75)/2 + (.75·2/2)(1/3) = 0.375
+    val d = docs((1L, "a b a b c"))
+    val out = graft.pipeline.TextStats.kneserNeyBigrams(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 2L, 1L, 1L, 0.75),
+      ("b", "a", 1L, 2L, 2L, 1L, 0.375),
+      ("b", "c", 1L, 2L, 2L, 1L, 0.375)), s"got $out")
+    // probabilities out of each context sum to < 1 only by the held-out
+    // mass of UNSEEN continuations — here every seen pair is covered, so
+    // each context's seen mass is 0.75 exactly (D=3/4 re-distributed)
+    assert(out.filter(_._1 == "b").map(_._7).sum == 0.75)
+  }
+
   test("temporalSplit: last event by (ms, event_id) held out, ties to the larger id") {
     val base = 1700000000000L
     val ev = Seq(
