@@ -51,7 +51,8 @@ object Bench {
     "louvain_moves", "modularity_louvain", "node2vec_walks",
     "perplexity_buckets", "dup_span_clean", "stream_neardup_ingest",
     "fourclique_counts", "rich_club", "densest_bounded", "stream_changepoint",
-    "hyperball_nf", "walk_pmi", "kmeans_silhouette",
+    "hyperball_nf", "walk_pmi", "kmeans_silhouette", "stream_merge_upsert",
+    "community_conductance",
   )
   private val LightChunk = 10
 

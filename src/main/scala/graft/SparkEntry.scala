@@ -2069,17 +2069,25 @@ object SparkEntry {
     "merge_upsert" -> ((s, dir) => {
       val base = t(s, dir, "orders").select(col("o_orderkey").cast("long").as("o_orderkey"),
         col("o_custkey").cast("long").as("o_custkey"), col("o_totalprice"))
-      val changes = base.filter(col("o_orderkey") % 10 === 0)
-        .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
-          (col("o_totalprice") + 100.0).as("o_totalprice"))
-        .unionByName(base.filter(col("o_orderkey") % 10 === 7)
-          .select(col("o_orderkey"), lit("D").as("op"), col("o_custkey"),
-            col("o_totalprice")))
-        .unionByName(base.filter(col("o_orderkey") % 1000 === 1)
-          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-            lit("U").as("op"), col("o_custkey"), col("o_totalprice")))
-      pipeline.Cdc.applyChanges(base, changes, "o_orderkey")
+      // change-set derivation shared with the streaming twin
+      pipeline.Cdc.applyChanges(base, pipeline.Cdc.demoChanges(base), "o_orderkey")
         .orderBy("o_orderkey")
+    }),
+    // STREAMING MERGE INTO: the same change set arrives micro-batched and
+    // each batch applies through the SAME Cdc.applyChanges kernel into
+    // the bucketed store (touched buckets only); distinct change keys
+    // make the application order-insensitive — one oracle for both twins
+    "stream_merge_upsert" -> ((s, dir) =>
+      streaming.StreamOps.mergeUpsertReplayBatch(s, s"$dir/orders.parquet")),
+    // conductance of the bounded-LPA communities over the co-purchase
+    // graph (the part-supplier graph is bipartite-degenerate: both sides
+    // collapse to one community each and every edge crosses)
+    "community_conductance" -> ((s, dir) => {
+      val pairs = coPurchasePairs(s, dir)
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      GraphOps.communityConductance(sym,
+        GraphOps.labelPropagationBounded(sym, rounds = 3))
     }),
     "corpus_profile" -> ((s, dir) => TextStats.corpusProfile(t(s, dir, "documents"))),
     "events_rolling" -> ((s, dir) => Events.rollingAvg(t(s, dir, "events"))),
@@ -2432,18 +2440,22 @@ object SparkEntry {
     * — the shared CTE chain of the label_propagation and modularity_lpa
     * oracles (ends at l3, the final labeling).
     */
-  private val lpaChainSql: String = {
-    val rounds = (1 to 3).map { i =>
-      s"""l$i AS (SELECT vertex, label FROM (
-         |  SELECT e.src AS vertex, l.label AS label, count(*) AS n,
-         |    row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, l.label) AS rn
-         |  FROM e0 e JOIN l${i - 1} l ON l.vertex = e.dst GROUP BY e.src, l.label)
-         |  WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
+  /** The three LPA round CTEs alone (graph-generic: they reference only
+    * `e0` and `l0`) — shared by the part-supplier chain below and the
+    * co-purchase conductance oracle.
+    */
+  private val lpaRoundsCtes: String = (1 to 3).map { i =>
+    s"""l$i AS (SELECT vertex, label FROM (
+       |  SELECT e.src AS vertex, l.label AS label, count(*) AS n,
+       |    row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, l.label) AS rn
+       |  FROM e0 e JOIN l${i - 1} l ON l.vertex = e.dst GROUP BY e.src, l.label)
+       |  WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
+  private val lpaChainSql: String =
     s"""WITH $partSuppSymSql,
        |l0 AS (SELECT DISTINCT src AS vertex, src AS label FROM e0),
-       |$rounds""".stripMargin
-  }
+       |$lpaRoundsCtes""".stripMargin
 
   private val lpaSql: String =
     s"""$lpaChainSql
@@ -3030,6 +3042,23 @@ object SparkEntry {
        |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
   }
 
+  /** MERGE INTO end state: updated %10==0 keys, deleted %10==7, inserted
+    * shifted %1000==1 copies — shared by the batch and streaming twins.
+    */
+  private val MergeUpsertOracleSql: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+      |SELECT * FROM (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |    CAST(o_custkey AS BIGINT) AS o_custkey,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM base WHERE o_orderkey % 10 <> 7
+      |  UNION ALL
+      |  SELECT CAST(o_orderkey + 100000000 AS BIGINT),
+      |    CAST(o_custkey AS BIGINT), o_totalprice
+      |  FROM base WHERE o_orderkey % 1000 = 1)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** ONE oracle for both CUSUM change-point twins: the batch operator
     * computes hourly counts in one aggregate; the streaming twin
     * maintains the SAME relation incrementally (additive hour_ms state
@@ -3230,19 +3259,34 @@ object SparkEntry {
     "bpe_merges" -> bpeMergesSql,
     "bpe_token_freqs" -> bpeTokenFreqsSql,
     "bpe_doc_token_counts" -> bpeDocTokenCountsSql,
-    "merge_upsert" ->
-      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
-        |SELECT * FROM (
-        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
-        |    CAST(o_custkey AS BIGINT) AS o_custkey,
-        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
-        |         ELSE o_totalprice END AS o_totalprice
-        |  FROM base WHERE o_orderkey % 10 <> 7
-        |  UNION ALL
-        |  SELECT CAST(o_orderkey + 100000000 AS BIGINT),
-        |    CAST(o_custkey AS BIGINT), o_totalprice
-        |  FROM base WHERE o_orderkey % 1000 = 1)
-        |ORDER BY o_orderkey""".stripMargin,
+    "merge_upsert" -> MergeUpsertOracleSql,
+    // ONE oracle for both MERGE twins: the change keys are pairwise
+    // distinct, so the micro-batched streaming application commutes to
+    // the batch result
+    "stream_merge_upsert" -> MergeUpsertOracleSql,
+    // conductance over the co-purchase LPA-3 labeling: the lpa round
+    // CTEs are graph-generic, only e0 is swapped in
+    "community_conductance" ->
+      s"""WITH $coPurchaseCteSql,
+         |e0 AS (SELECT a AS src, b AS dst FROM pairs
+         |       UNION ALL SELECT b, a FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS vertex, src AS label FROM e0),
+         |$lpaRoundsCtes,
+         |es AS (SELECT a.label AS c_src, b.label AS c_dst
+         |       FROM e0 e JOIN l3 a ON a.vertex = e.src
+         |       JOIN l3 b ON b.vertex = e.dst),
+         |perc AS (SELECT c_src AS community, CAST(count(*) AS BIGINT) AS volume,
+         |    CAST(sum(CASE WHEN c_src <> c_dst THEN 1 ELSE 0 END) AS BIGINT) AS cut
+         |  FROM es GROUP BY 1),
+         |nv AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_vertices
+         |       FROM l3 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(volume) AS BIGINT) AS m2 FROM perc)
+         |SELECT nv.community, nv.n_vertices, p.volume, p.cut,
+         |  CASE WHEN least(p.volume, tot.m2 - p.volume) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(p.cut AS DOUBLE) / least(p.volume, tot.m2 - p.volume)
+         |  END AS conductance
+         |FROM nv JOIN perc p ON p.community = nv.community, tot
+         |ORDER BY nv.community""".stripMargin,
     "passage_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS passage

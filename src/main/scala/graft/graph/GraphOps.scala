@@ -1463,6 +1463,49 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Conductance per community (Kannan, Vempala & Vetta 2004 — the
+    * community-quality measure modularity's resolution limit hides):
+    * φ(c) = cut(c) / min(vol(c), 2m − vol(c)), with vol(c) = Σ degrees
+    * in c and cut(c) = edges leaving c. Low φ = a real community (few
+    * escaping edges per internal stub); φ near 1 = a random vertex bag.
+    * Input: a SYMMETRIC edge list and a (vertex, label) assignment (the
+    * query feeds the bounded-LPA labeling, so the whole composition
+    * replays in SQL).
+    *
+    * Exactness: volumes and cuts are BIGINT counts over the directed
+    * symmetric edges (each undirected edge contributes 1 to both
+    * endpoints' volumes; a cut edge charges each side's community once);
+    * φ is ONE final IEEE division, unrounded; the degenerate
+    * min(vol, 2m−vol) = 0 (single community) maps to 0 by the exact
+    * predicate. Scale: one label join per edge endpoint (the labeling is
+    * vertex-keyed), one community-keyed aggregate, a one-row total
+    * broadcast. Output: (community, n_vertices, volume, cut,
+    * conductance) ordered.
+    */
+  def communityConductance(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val l = labels.select(col("vertex").cast("long").as("vertex"),
+      col("label").cast("long").as("label")).localCheckpoint(true)
+    val es = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .join(l.select(col("vertex").as("src"), col("label").as("c_src")), "src")
+      .join(l.select(col("vertex").as("dst"), col("label").as("c_dst")), "dst")
+    val perc = es.groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).cast("long").as("volume"),
+        sum(when(col("c_src") =!= col("c_dst"), 1L).otherwise(0L))
+          .cast("long").as("cut"))
+      .localCheckpoint(true) // feeds the 2m total AND the output join
+    val nv = l.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).cast("long").as("n_vertices"))
+    val m2 = broadcast(perc.agg(sum("volume").cast("long").as("m2")))
+    nv.join(perc, Seq("community")).crossJoin(m2)
+      .withColumn("conductance",
+        when(least(col("volume"), col("m2") - col("volume")) === 0L, lit(0.0))
+          .otherwise(col("cut").cast("double") /
+            least(col("volume"), col("m2") - col("volume")).cast("double")))
+      .select("community", "n_vertices", "volume", "cut", "conductance")
+      .orderBy("community")
+  }
+
   /** Rich-club coefficient (Colizza et al. 2006, doi:10.1038/nphys209) per
     * degree threshold `k = 1..maxK`: with N_k = vertices of degree > k and
     * E_k = edges whose BOTH endpoints have degree > k,

@@ -19,6 +19,25 @@ object Cdc {
     * codegen'd. The classic skew/broadcast levers apply unchanged when
     * the change batch is small (broadcast) or hot-keyed (salt).
     */
+  /** The deterministic demo change set BOTH merge twins apply (batch
+    * `merge_upsert`, streaming `stream_merge_upsert`) — updates every
+    * %10==0 key, deletes every %10==7, inserts a shifted copy of every
+    * %1000==1. Change keys are pairwise DISTINCT across the three ops,
+    * so the set is order-insensitive and a micro-batched application
+    * commutes to the batch result — the property that lets one oracle
+    * replay both twins.
+    */
+  def demoChanges(base: DataFrame): DataFrame =
+    base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
+        (col("o_totalprice") + 100.0).as("o_totalprice"))
+      .unionByName(base.filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey"), lit("D").as("op"), col("o_custkey"),
+          col("o_totalprice")))
+      .unionByName(base.filter(col("o_orderkey") % 1000 === 1)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("U").as("op"), col("o_custkey"), col("o_totalprice")))
+
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
                    opCol: String = "op"): DataFrame = {
     val payload = base.columns.filterNot(_ == key).toSeq

@@ -825,6 +825,58 @@ object StreamOps {
     * exactly the five region trees, which is what the DuckDB oracle
     * replays by lineage joins (no recursion needed).
     */
+  /** Streaming MERGE INTO — the CDC-apply twin of `merge_upsert`: the
+    * change set streams in micro-batches (4-way split, one file per
+    * trigger) and each batch MERGEs into the bucketed store via the SAME
+    * [[graft.pipeline.Cdc.applyChanges]] kernel (upsert replaces or
+    * inserts, delete drops). Only buckets holding a batch's keys are
+    * read and rewritten (dynamic partition overwrite; an insert's or
+    * delete's bucket derives from its key, so it is always among the
+    * touched set). The demo change keys are pairwise distinct, so batch
+    * order cannot matter and the final store equals the batch twin —
+    * ONE oracle replays both. Output: the final store, ordered by key.
+    */
+  def mergeUpsertReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                             ordersPath: String): DataFrame = {
+    import graft.pipeline.Cdc
+    val spark = tunedStatefulSession(spark0)
+    val base = spark.read.parquet(ordersPath)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"), col("o_totalprice"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_merge_")
+    val target = s"$tmp/target"
+    val inDir = s"$tmp/in"
+    val nBuckets = 16
+    def bucketed(df: DataFrame): DataFrame =
+      df.withColumn("bucket",
+        pmod(col("o_orderkey"), lit(nBuckets.toLong)).cast("int"))
+    bucketed(base).write.partitionBy("bucket").parquet(target)
+    Cdc.demoChanges(base).repartition(4).write.parquet(inDir)
+    val changesSchema = spark.read.parquet(inDir).schema
+    val src = spark.readStream.schema(changesSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withB = bucketed(batch).localCheckpoint(true)
+        val touched = withB.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val cur = spark.read.parquet(target)
+          .filter(col("bucket").isin(touched: _*)).drop("bucket")
+        val merged = bucketed(
+            Cdc.applyChanges(cur, withB.drop("bucket"), "o_orderkey"))
+          .localCheckpoint(true) // materialize BEFORE overwriting source dirs
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket").parquet(target)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(target).drop("bucket").orderBy("o_orderkey")
+  }
+
   /** Streaming CUSUM change-point — the incremental twin of
     * `events_changepoint`: the DATA-SIZED half
     * ([[graft.pipeline.Events.hourlyCounts]], shared VERBATIM — it runs

@@ -776,6 +776,27 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("communityConductance: two triangles over one bridge score 1/7 each") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4; degrees 2,2,3,3,2,2 →
+    // vol = 7 per community, m2 = 14, cut = 1 each → φ = 1/7
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("vertex", "label")
+    val out = GraphOps.communityConductance(sym, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out == Seq((1L, 3L, 7L, 1L, 1.0 / 7), (4L, 3L, 7L, 1L, 1.0 / 7)),
+      s"got $out")
+    // single-community degenerate: min(vol, 2m−vol) = 0 → defined 0
+    val one = GraphOps.communityConductance(sym,
+      labels.withColumn("label", org.apache.spark.sql.functions.lit(9L)))
+      .collect().map(_.getDouble(4)).toSeq
+    assert(one == Seq(0.0))
+  }
+
   test("walkCooccurrencePmi: window pairs, exact counts, ratio-ranked") {
     import spark.implicits._
     // walk 10: 1-2-3-4 ; walk 20: 1-5 — window 2 pairs by hand:

@@ -181,6 +181,23 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeUpsertReplayBatch: micro-batched CDC apply equals the one-shot batch merge") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/testdata/sf0.001/orders.parquet"
+    val streamed = StreamOps.mergeUpsertReplayBatch(spark, path)
+      .collect().map(_.toSeq).toSeq
+    val base = spark.read.parquet(path)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"), col("o_totalprice"))
+    val batch = graft.pipeline.Cdc.applyChanges(
+        base, graft.pipeline.Cdc.demoChanges(base), "o_orderkey")
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // deletes really happened (%10==7 keys absent), inserts landed
+    val keys = streamed.map(_.head.asInstanceOf[Long])
+    assert(!keys.exists(_ % 10 == 7) && keys.exists(_ > 100000000L))
+  }
+
   test("changePointReplayBatch: hour state accumulated across batches equals the batch kernel") {
     import org.apache.spark.sql.functions._
     val path = "/root/testdata/sf0.001/events.parquet"
