@@ -57,6 +57,12 @@ object Plans {
     "events_ewma" -> "EWMA without a time-axis window: the 10-hour kernel is a banded equi-join (bin = hour div 10, targets cover bin and bin−1); power-of-two weights stay exact BIGINT; one IEEE division per smoothed value.",
     "sequence_packing" -> "concat-then-chunk packing: hash-shuffled doc order, token prefix sums from the two-pass running-sums scan (per-partition subtotals broadcast as offsets — the ExistingRDD), chunk assignment is pure integer arithmetic in the projection.",
     "incremental_agg_maintenance" -> "aggregate-level view maintenance: base and delta aggregates merge through ONE co-partitioned full-outer join on the key; exact integer cents; equals the full recompute bit-for-bit.",
+    "bloom_semijoin" -> "the runtime-filter shape: the one-row BloomFilterAggregate scalar subquery broadcasts into the orders scan's Filter — might_contain sits BELOW the LeftSemi BroadcastHashJoin, so non-members die at the scan before any join exchange; the exact semi-join then strips the ~2% false positives; orders ReadSchema pruned to 3 columns.",
+    "walk_pmi" -> "skip-gram pairs from the walk-keyed self-join (a walk is ≤ 4 positions — bounded fan-out), one two-phase (a,b) count; occurrence counts join on DISTINCT vertices; totals ride one broadcast row; the final ranking is TakeOrdered on the exact-integer ratio (n·T²/(P·ca·cb) as two BIGINT products and one division).",
+    "rich_club" -> "both histograms are explode-aggregates — each vertex/edge Generates into the ≤32 thresholds it clears, then a two-phase HashAggregate map-combines to ≤32 rows per partition; the checkpointed pair table feeds degrees and the edge min-degree join; no per-k rescan anywhere.",
+    "audio_vad_segments" -> "framing is a partition-local Dataset map (each 32-byte frame reduces to two longs at the scan — payload bytes never shuffle); ONE Exchange on media_id serves both gaps-and-islands windows, whose partitions are single-payload frame lists, never corpus-sized keys.",
+    "kneser_ney_bigrams" -> "counts aggregate to DISTINCT bigrams before any join (token instances never cross the wire after the map-side combine); both marginals and the one-row type count derive from the checkpointed gram table; the interpolated probability is two BIGINT polynomials + ONE division in the projection; TakeOrdered on the exact count.",
+    "community_conductance" -> "one label join per edge endpoint (the LPA labeling is vertex-keyed and checkpointed), one community-keyed two-phase aggregate for volumes and cuts, a one-row 2m broadcast; φ is a single division in the projection — no per-community rescan, no window.",
     "leakage_safe_split" -> "split-by-cluster: the near-dup clustering plan (sketch-banded candidates + GraphX CC on the pair graph only) with the split decided by a per-row hash of the cluster id — zero additional Exchanges on top of the clustering.",
   )
 
@@ -108,6 +114,38 @@ object Plans {
       sb.append("per-walk (hash, dst) argmin window — a distributed partition-key ")
       sb.append("window, never a global sort.\n\n```\n")
       sb.append(stepDf.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
+      sb.append("\n```\n")
+    }
+    // the HyperBall gather round is checkpointed away each radius (like
+    // the k-means assignment) — dump the round body directly
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.functions.Sketches.{hll_reg_build_agg, hll_reg_merge_agg}
+      val e = spark.read.parquet(s"$sfDir/nation.parquet")
+        .select((col("n_nationkey") % 7).cast("long").as("src"),
+          ((col("n_nationkey") * 3) % 7).cast("long").as("dst"))
+        .localCheckpoint(true)
+      val regs0 = e.select(col("src").as("v"))
+        .unionAll(e.select(col("dst").as("v"))).distinct()
+        .select(col("v"),
+          graft.functions.PortableHash.md5Bits60(col("v").cast("string")).as("h"))
+        .select(col("v"), (col("h") % 256).as("bucket"), expr("h div 256").as("rem"))
+        .select(col("v"), col("bucket"),
+          when(col("rem") === 0L, lit(53L))
+            .otherwise(lit(53L) - length(bin(col("rem")))).cast("long").as("rank"))
+        .groupBy("v").agg(hll_reg_build_agg(col("bucket"), col("rank"), 256).as("regs"))
+        .localCheckpoint(true)
+      val roundDf = regs0.join(e, regs0("v") === e("dst"))
+        .select(e("src").as("v"), col("regs")).unionAll(regs0)
+        .groupBy("v").agg(hll_reg_merge_agg(col("regs"), 256).as("regs"))
+      sb.append("\n## hyperball_gather (per-radius body)\n\n")
+      sb.append("the HyperBall propagation round each radius checkpoints away: ")
+      sb.append("the packed 256-byte register blob rides ONE edge equi-join, ")
+      sb.append("unions the current state, and max-merges in a two-phase ")
+      sb.append("ObjectHashAggregate (hll_reg_merge_agg) — map-side partial ")
+      sb.append("merge sends ≤ |V| blobs per partition, 256 B each regardless ")
+      sb.append("of ball size.\n\n```\n")
+      sb.append(roundDf.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
       sb.append("\n```\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
