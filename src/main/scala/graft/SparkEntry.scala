@@ -2332,6 +2332,13 @@ object SparkEntry {
       GraphOps.hyperBallNf(
         te.unionAll(te.select(col("dst").as("src"), col("src").as("dst"))))
     }),
+    // mean within-ball distance from the same HyperBall estimates — the
+    // distance-distribution statistic the sketch propagation exists for
+    "hyperball_mean_distance" -> ((s, dir) => {
+      val te = DerivedGraphs.treeEdges(s, dir)
+      GraphOps.hyperBallMeanDistance(
+        te.unionAll(te.select(col("dst").as("src"), col("src").as("dst"))))
+    }),
     // leave-last-out temporal split: each user's chronologically last
     // event is the held-out test point
     "temporal_split" -> ((s, dir) =>
@@ -3206,6 +3213,53 @@ object SparkEntry {
        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
        |JOIN wl USING (w)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** The hyperball_nf replay, factored so the mean-distance derivative
+    * wraps the SAME chain as a nested CTE. Lazy: references `E`.
+    */
+  private lazy val HyperBallNfSql: String =
+      s"""WITH t AS MATERIALIZED ($E),
+         |e AS MATERIALIZED (SELECT src, dst FROM t
+         |                   UNION ALL SELECT dst, src FROM t),
+         |srcs AS MATERIALIZED (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e) WHERE v < 1000),
+         |b0 AS MATERIALIZED (SELECT v, v AS u FROM srcs),
+         |b1 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+         |  SELECT b0.v, e.dst AS u FROM b0 JOIN e ON e.src = b0.u
+         |  UNION ALL SELECT v, u FROM b0)),
+         |b2 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+         |  SELECT b1.v, e.dst AS u FROM b1 JOIN e ON e.src = b1.u
+         |  UNION ALL SELECT v, u FROM b1)),
+         |b3 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+         |  SELECT b2.v, e.dst AS u FROM b2 JOIN e ON e.src = b2.u
+         |  UNION ALL SELECT v, u FROM b2)),
+         |h1 AS (SELECT v, CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM b1),
+         |h2 AS (SELECT v, CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM b2),
+         |h3 AS (SELECT v, CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM b3),
+         |reg1 AS (SELECT v, h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
+         |    ELSE 53 - length(printf('%b', h // 256)) END) AS mj FROM h1 GROUP BY 1, 2),
+         |reg2 AS (SELECT v, h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
+         |    ELSE 53 - length(printf('%b', h // 256)) END) AS mj FROM h2 GROUP BY 1, 2),
+         |reg3 AS (SELECT v, h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
+         |    ELSE 53 - length(printf('%b', h // 256)) END) AS mj FROM h3 GROUP BY 1, 2),
+         |u AS (
+         |  SELECT v, CAST(1 AS BIGINT) AS radius, CAST(count(*) AS BIGINT) AS n_used,
+         |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS sp_used FROM reg1 GROUP BY v
+         |  UNION ALL
+         |  SELECT v, 2, CAST(count(*) AS BIGINT),
+         |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) FROM reg2 GROUP BY v
+         |  UNION ALL
+         |  SELECT v, 3, CAST(count(*) AS BIGINT),
+         |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) FROM reg3 GROUP BY v),
+         |f AS (SELECT v, radius, n_used,
+         |    CAST(sp_used + (256 - n_used) * 9007199254740992 AS BIGINT) AS sprime FROM u),
+         |r2 AS (SELECT *, (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+         |        / CAST(sprime AS DOUBLE) AS raw_est FROM f)
+         |SELECT v AS vertex, radius, n_used, sprime,
+         |  CAST(round(CASE WHEN raw_est <= 640.0 AND n_used < 256
+         |    THEN 256.0 * ln(256.0 / CAST(256 - n_used AS DOUBLE))
+         |    ELSE raw_est END, 4) AS DOUBLE) AS est
+         |FROM r2 ORDER BY vertex, radius""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "bm25_top_docs" ->
@@ -5771,49 +5825,22 @@ object SparkEntry {
     // r-ball (unrolled bounded joins) and derives the SAME HLL registers
     // from it; register max-merge over reachability is a semilattice
     // join, so the propagated sketch must agree bit-for-bit
-    "hyperball_nf" ->
-      s"""WITH t AS MATERIALIZED ($E),
-         |e AS MATERIALIZED (SELECT src, dst FROM t
-         |                   UNION ALL SELECT dst, src FROM t),
-         |srcs AS MATERIALIZED (SELECT DISTINCT v FROM
-         |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e) WHERE v < 1000),
-         |b0 AS MATERIALIZED (SELECT v, v AS u FROM srcs),
-         |b1 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
-         |  SELECT b0.v, e.dst AS u FROM b0 JOIN e ON e.src = b0.u
-         |  UNION ALL SELECT v, u FROM b0)),
-         |b2 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
-         |  SELECT b1.v, e.dst AS u FROM b1 JOIN e ON e.src = b1.u
-         |  UNION ALL SELECT v, u FROM b1)),
-         |b3 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
-         |  SELECT b2.v, e.dst AS u FROM b2 JOIN e ON e.src = b2.u
-         |  UNION ALL SELECT v, u FROM b2)),
-         |h1 AS (SELECT v, CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM b1),
-         |h2 AS (SELECT v, CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM b2),
-         |h3 AS (SELECT v, CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM b3),
-         |reg1 AS (SELECT v, h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
-         |    ELSE 53 - length(printf('%b', h // 256)) END) AS mj FROM h1 GROUP BY 1, 2),
-         |reg2 AS (SELECT v, h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
-         |    ELSE 53 - length(printf('%b', h // 256)) END) AS mj FROM h2 GROUP BY 1, 2),
-         |reg3 AS (SELECT v, h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
-         |    ELSE 53 - length(printf('%b', h // 256)) END) AS mj FROM h3 GROUP BY 1, 2),
-         |u AS (
-         |  SELECT v, CAST(1 AS BIGINT) AS radius, CAST(count(*) AS BIGINT) AS n_used,
-         |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS sp_used FROM reg1 GROUP BY v
-         |  UNION ALL
-         |  SELECT v, 2, CAST(count(*) AS BIGINT),
-         |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) FROM reg2 GROUP BY v
-         |  UNION ALL
-         |  SELECT v, 3, CAST(count(*) AS BIGINT),
-         |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) FROM reg3 GROUP BY v),
-         |f AS (SELECT v, radius, n_used,
-         |    CAST(sp_used + (256 - n_used) * 9007199254740992 AS BIGINT) AS sprime FROM u),
-         |r2 AS (SELECT *, (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
-         |        / CAST(sprime AS DOUBLE) AS raw_est FROM f)
-         |SELECT v AS vertex, radius, n_used, sprime,
-         |  CAST(round(CASE WHEN raw_est <= 640.0 AND n_used < 256
-         |    THEN 256.0 * ln(256.0 / CAST(256 - n_used AS DOUBLE))
-         |    ELSE raw_est END, 4) AS DOUBLE) AS est
-         |FROM r2 ORDER BY vertex, radius""".stripMargin,
+    "hyperball_nf" -> HyperBallNfSql,
+    // derived from the SAME 4-dp est contract, so the arithmetic is
+    // deterministic: mean within-ball distance at radius 3
+    "hyperball_mean_distance" ->
+      s"""WITH hb AS ($HyperBallNfSql)
+         |SELECT vertex,
+         |  max(CASE WHEN radius = 1 THEN est END) AS est_r1,
+         |  max(CASE WHEN radius = 2 THEN est END) AS est_r2,
+         |  max(CASE WHEN radius = 3 THEN est END) AS est_r3,
+         |  CAST(round(CASE WHEN max(CASE WHEN radius = 3 THEN est END) = 1.0 THEN 0.0
+         |    ELSE (3.0 * max(CASE WHEN radius = 3 THEN est END)
+         |          - max(CASE WHEN radius = 2 THEN est END)
+         |          - max(CASE WHEN radius = 1 THEN est END) - 1.0)
+         |         / (max(CASE WHEN radius = 3 THEN est END) - 1.0)
+         |  END, 4) AS DOUBLE) AS mean_dist
+         |FROM hb GROUP BY vertex ORDER BY vertex""".stripMargin,
     "temporal_split" ->
       """WITH e AS (SELECT CAST(user_id AS BIGINT) AS u,
         |    CAST(event_id AS BIGINT) AS id, epoch_ms(ts) AS ms FROM events),

@@ -1010,6 +1010,33 @@ object GraphOps {
       .orderBy("vertex", "radius")
   }
 
+  /** Mean within-ball distance from the HyperBall neighborhood function —
+    * the statistic HyperBall exists to estimate (Boldi & Vigna 2013 §5:
+    * the distance distribution / effective-diameter family): with
+    * N̂(v, r) from [[hyperBallNf]] and N̂(v, 0) = 1,
+    *   mean_dist(v) = Σ_r r·(N̂(r) − N̂(r−1)) / (N̂(radius) − 1)
+    *               = (3·N̂(3) − N̂(2) − N̂(1) − 1) / (N̂(3) − 1)  at radius 3.
+    * Both engines derive it from the SAME 4-dp-rounded est values (the
+    * shipped contract of hyperball_nf), so the arithmetic is
+    * deterministic; the result ships rounded 4. The degenerate
+    * N̂(radius) = 1 (isolated vertex) maps to 0 by the exact predicate.
+    * Output: (vertex, est_r1, est_r2, est_r3, mean_dist) ordered.
+    */
+  def hyperBallMeanDistance(edges: DataFrame,
+                            outputBelow: Long = 1000L): DataFrame = {
+    val nf = hyperBallNf(edges, radius = 3, outputBelow = outputBelow)
+    nf.groupBy("vertex")
+      .agg(max(when(col("radius") === 1L, col("est"))).as("est_r1"),
+        max(when(col("radius") === 2L, col("est"))).as("est_r2"),
+        max(when(col("radius") === 3L, col("est"))).as("est_r3"))
+      .withColumn("mean_dist", round(
+        when(col("est_r3") === 1.0, lit(0.0))
+          .otherwise((lit(3.0) * col("est_r3") - col("est_r2") - col("est_r1")
+            - lit(1.0)) / (col("est_r3") - lit(1.0))), 4))
+      .select("vertex", "est_r1", "est_r2", "est_r3", "mean_dist")
+      .orderBy("vertex")
+  }
+
   /** Bounded batch-peeling densest-subgraph search (Bahmani, Kumar &
     * Vassilvitskii 2012, VLDB, "Densest subgraph in streaming and
     * MapReduce" — the 2(1+ε) approximation at ε = 0: each round records

@@ -776,6 +776,24 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hyperBallMeanDistance: the path center's ball mean lands at ~1.5") {
+    import spark.implicits._
+    // path 1-2-3-4-5 symmetrized; from v=3 the exact distances are
+    // (1,1,2,2) → mean 1.5; linear-counting estimates of 3/5/5 elements
+    // sit within ~1% of exact, so the derived mean is 1.5 ± small
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val m = GraphOps.hyperBallMeanDistance(edges).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val (e1, e2, e3, md) = m(3L)
+    assert(e1 <= e2 && e2 <= e3, "ball estimates must be monotone in radius")
+    assert(math.abs(md - 1.5) < 0.05, s"center mean distance $md != ~1.5")
+    // an endpoint reaches (1,2,3) at distance (1,2,2)... v=1: balls
+    // {1,2}, {1,2,3}, {1,2,3,4} → mean (1+2+3)/3 = 2.0
+    assert(math.abs(m(1L)._4 - 2.0) < 0.05, s"endpoint mean ${m(1L)._4}")
+  }
+
   test("communityConductance: two triangles over one bridge score 1/7 each") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6}, bridge 3-4; degrees 2,2,3,3,2,2 →
