@@ -1139,15 +1139,20 @@ object GraphOps {
     }.orderBy("a", "b")
   }
 
-  /** One k-truss support round — see [[kTrussBounded]]. */
+  /** One k-truss support round — see [[kTrussBounded]]. Triangles come
+    * from the degree-ordered enumeration ([[orientedTriangles]], same
+    * hub-skew bound as [[triangleCounts]]); the ≺-ordered corners are
+    * re-canonicalized to id-order with least/greatest when charging the
+    * three edges, so the surviving edge set keeps the a < b contract.
+    */
   private[graft] def trussSupportRound(p: DataFrame): DataFrame = {
-    val tri = p
-      .join(p.select(col("a").as("b"), col("b").as("c")), "b")
-      .join(p.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
-    tri.select(explode(array(
-        struct(col("a").as("x"), col("b").as("y")),
-        struct(col("a").as("x"), col("c").as("y")),
-        struct(col("b").as("x"), col("c").as("y")))).as("e"))
+    val o = orientByDegree(p, pairDegrees(p).localCheckpoint(true))
+      .localCheckpoint(true) // feeds all three sides of the triangle join
+    orientedTriangles(o).select(explode(array(
+        struct(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y")),
+        struct(least(col("u"), col("w")).as("x"), greatest(col("u"), col("w")).as("y")),
+        struct(least(col("v"), col("w")).as("x"), greatest(col("v"), col("w")).as("y"))))
+        .as("e"))
       .select(col("e.x").as("a"), col("e.y").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).cast("long").as("support"))
   }
@@ -1433,27 +1438,73 @@ object GraphOps {
       .groupBy("vertex")
       .agg(max_by(col("label"), struct(col("n"), -col("label"))).as("label"))
 
-  /** Per-vertex triangle counts over an undirected graph given as
-    * CANONICAL pairs `(a, b)` with `a < b`, distinct — the classic
-    * graph-analytics join plan: enumerate each triangle exactly once as
-    * `a < b < c` via pairs ⋈ pairs on the shared middle vertex, semi-join
-    * the closing edge, then explode the three corners and count.
+  /** Degree-ordered orientation of an undirected edge set (Chiba &
+    * Nishizeki 1985; the "compact-forward" orientation of Latapy 2008):
+    * each canonical pair `(a, b)` becomes ONE directed edge `u → v` where
+    * `u ≺ v` under the total order (degree, id). The payoff is the
+    * arboricity bound: under this orientation every vertex's OUT-degree is
+    * O(√m) amortized, so wedge enumeration from the low endpoint does
+    * O(m^1.5) work TOTAL regardless of hub skew — a hub of degree 10⁶
+    * contributes almost no wedges as a source because nearly all its edges
+    * point INTO it. The ID-ordered orientation this replaced degraded to
+    * deg(hub)² wedges whenever a hub drew a small id.
     *
-    * Scale: two shuffles on natural edge keys plus the corner aggregate;
-    * the canonical orientation means every triangle is produced once (no
-    * 6× duplication, no post-hoc distinct). Skewed hubs amplify the
-    * middle-vertex join — at web scale the standard mitigation is
-    * degree-ordering the orientation (low-degree vertex first), which this
-    * canonical form approximates for the co-purchase graphs it serves.
+    * Output: (u, v) directed edges. Requires canonical distinct pairs (no
+    * self-loops); ids are distinct so ≺ is total and the orientation is
+    * deterministic.
+    */
+  private[graft] def orientByDegree(p: DataFrame, deg: DataFrame): DataFrame = {
+    val j = p
+      .join(deg.select(col("vertex").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("vertex").as("b"), col("degree").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    j.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"))
+  }
+
+  /** Degrees of a canonical pair set — one edge-keyed aggregate. */
+  private[graft] def pairDegrees(p: DataFrame): DataFrame =
+    p.select(col("a").as("vertex")).unionAll(p.select(col("b").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).cast("long").as("degree"))
+
+  /** Every triangle exactly once as an ≺-ordered triple `u ≺ v ≺ w` over
+    * a degree-ordered orientation `o` (see [[orientByDegree]]): join the
+    * in-edges of each MIDDLE vertex v (u → v) with its out-edges (v → w) —
+    * both orderings come free from the orientation, so every candidate row
+    * is a distinct u ≺ v ≺ w wedge with no post-join dedup or half-discard
+    * filter — then semi-join the closing oriented edge u → w. Wedge
+    * fan-out per middle is indeg(v)·outdeg(v) ≤ indeg(v)·O(√m), giving
+    * O(m^1.5) total (arboricity bound): a hub's huge in-degree multiplies
+    * its SMALL out-degree, never itself. Output: (u, v, w).
+    */
+  private[graft] def orientedTriangles(o: DataFrame): DataFrame =
+    o.join(o.select(col("u").as("v"), col("v").as("w")), "v")
+      .join(o.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
+      .select("u", "v", "w")
+
+  /** Per-vertex triangle counts over an undirected graph given as
+    * CANONICAL pairs `(a, b)` with `a < b`, distinct: orient each edge
+    * low-(degree, id) → high ([[orientByDegree]]), enumerate each triangle
+    * exactly once as an ≺-ordered wedge + closing-edge semi-join
+    * ([[orientedTriangles]]), then explode the three corners and count.
+    *
+    * Scale: the degree-ordered orientation caps wedge work at O(m^1.5)
+    * TOTAL (arboricity bound) — hub-skew-proof, unlike the raw-ID
+    * orientation whose wedge fan-out concentrates on any hub that draws a
+    * small id. The triangle SET is orientation-invariant, so results are
+    * bit-identical to the ID-ordered plan this replaced. Joins are on
+    * natural edge keys throughout; no cartesian, no post-hoc distinct.
     * Output: (vertex, n_triangles) for vertices in ≥1 triangle, ordered.
     */
   def triangleCounts(pairs: DataFrame): DataFrame = {
     val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(true) // scanned by the degree agg AND the orientation join
+    val o = orientByDegree(p, pairDegrees(p).localCheckpoint(true))
       .localCheckpoint(true) // feeds all three sides of the triangle join
-    val tri = p
-      .join(p.select(col("a").as("b"), col("b").as("c")), "b")
-      .join(p.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+    orientedTriangles(o)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).cast("long").as("n_triangles"))
       .orderBy("vertex")
   }
@@ -1463,29 +1514,41 @@ object GraphOps {
     * census distinguishes genuinely dense cores (spam rings, bundle
     * catalogs) from mere wedge-heavy hubs, and is the k = 4 row of the
     * clique-census features graphlet-based ML uses. Each clique is
-    * enumerated exactly once as a < b < c < d: the [[triangleCounts]]
-    * wedge join + closing semi-join builds (a,b,c), one more equi-join
-    * extends by a d adjacent to c, and two semi-joins verify (a,d) and
-    * (b,d) — joins on natural edge keys throughout, no cartesian.
+    * enumerated exactly once as an ≺-ordered quadruple u ≺ v ≺ w ≺ t over
+    * the degree-ordered orientation ([[orientByDegree]]): the
+    * [[orientedTriangles]] wedge + closing semi-join builds (u,v,w), one
+    * more equi-join extends by an out-neighbor t of w (t ≻ w is automatic
+    * from the orientation — no comparison needed), and two semi-joins
+    * verify the oriented edges (u,t) and (v,t) — natural edge keys
+    * throughout, no cartesian.
     *
-    * Scale: the quad join amplifies super-linearly on dense spots by
-    * NATURE of the census (a basket of s co-purchased items contributes
-    * C(s,4) cliques); the upstream basket-size guard bounds per-basket
-    * blowup, and at web scale the same degree-cap lever as
-    * [[linkPrediction]]'s `maxMiddleDegree` applies to the extension
-    * join. Output: (vertex, n_cliques4) ordered, vertices in ≥ 1 clique.
+    * Scale: the census MASS grows super-linearly on dense spots by NATURE
+    * (a basket of s co-purchased items contributes C(s,4) cliques) — but
+    * the ENUMERATION work is now arboricity-bounded: the wedge join fans
+    * out by indeg·outdeg with outdeg O(√m) under the orientation, and the
+    * extension join fans out by outdeg(w) alone, so a raw hub cannot blow
+    * up either join. `maxExtendDegree` (> 0) additionally
+    * drops extension sources whose FULL degree exceeds the cap — the
+    * [[commonNeighborLinks]] `maxMiddleDegree` lever wired into the K4
+    * extension for pathological cores; 0 (the default, and the declared
+    * query) is exact. Output: (vertex, n_cliques4) ordered, vertices in
+    * ≥ 1 clique.
     */
-  def fourCliqueCounts(pairs: DataFrame): DataFrame = {
+  def fourCliqueCounts(pairs: DataFrame, maxExtendDegree: Long = 0L): DataFrame = {
     val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(true) // scanned by the degree agg AND the orientation join
+    val deg = pairDegrees(p).localCheckpoint(true) // feeds orientation + cap
+    val o = orientByDegree(p, deg)
       .localCheckpoint(true) // feeds all five sides of the census join
-    val tri = p
-      .join(p.select(col("a").as("b"), col("b").as("c")), "b")
-      .join(p.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
-    val quad = tri
-      .join(p.select(col("a").as("c"), col("b").as("d")), "c")
-      .join(p.select(col("a"), col("b").as("d")), Seq("a", "d"), "left_semi")
-      .join(p.select(col("a").as("b"), col("b").as("d")), Seq("b", "d"), "left_semi")
-    quad.select(explode(array(col("a"), col("b"), col("c"), col("d"))).as("vertex"))
+    val ext =
+      if (maxExtendDegree <= 0) o
+      else o.join(deg.filter(col("degree") <= maxExtendDegree)
+        .select(col("vertex").as("u")), Seq("u"), "left_semi")
+    val quad = orientedTriangles(o)
+      .join(ext.select(col("u").as("w"), col("v").as("t")), "w")
+      .join(o.select(col("u"), col("v").as("t")), Seq("u", "t"), "left_semi")
+      .join(o.select(col("u").as("v"), col("v").as("t")), Seq("v", "t"), "left_semi")
+    quad.select(explode(array(col("u"), col("v"), col("w"), col("t"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).cast("long").as("n_cliques4"))
       .orderBy("vertex")
   }
@@ -1590,15 +1653,14 @@ object GraphOps {
     */
   def clusteringCoefficient(pairs: DataFrame): DataFrame = {
     val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .localCheckpoint(true) // feeds the triangle join (3 sides) AND degrees
-    val tri = p
-      .join(p.select(col("a").as("b"), col("b").as("c")), "b")
-      .join(p.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
-      .select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+      .localCheckpoint(true) // scanned by the degree agg AND the orientation join
+    val deg = pairDegrees(p)
+      .localCheckpoint(true) // feeds the orientation AND the coefficient
+    val o = orientByDegree(p, deg)
+      .localCheckpoint(true) // feeds all three sides of the triangle join
+    val tri = orientedTriangles(o)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).cast("long").as("n_triangles"))
-    val deg = p.select(col("a").as("vertex"))
-      .unionAll(p.select(col("b").as("vertex")))
-      .groupBy("vertex").agg(count(lit(1)).cast("long").as("degree"))
     deg.filter(col("degree") >= 2)
       .join(tri, Seq("vertex"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))

@@ -80,6 +80,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
   }
 
+  test("census orientation builds the degree-ranked side: degree aggregate + (degree, id) flip") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val o = graft.graph.GraphOps.orientByDegree(pairs,
+      graft.graph.GraphOps.pairDegrees(pairs))
+    val plan = o.queryExecution.executedPlan.toString
+    // the oriented edge set is derived from a degree AGGREGATE joined back
+    // to both endpoints, then flipped by the (degree, id) comparison — the
+    // O(√m)-out-degree build the wedge joins rely on at scale
+    assert(plan.contains("HashAggregate"), s"degree aggregate missing in:\n$plan")
+    assert(plan.contains("CASE WHEN"), s"(degree, id) flip missing in:\n$plan")
+    assert("""da#\d+L < db#\d+L""".r.findFirstIn(plan).nonEmpty,
+      s"degree comparison missing in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+  }
+
   test("doc_cosine_pairs is an equi-join on the term key with the df cap (no nested loop)") {
     val p = planOf("doc_cosine_pairs")
     assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")

@@ -109,6 +109,64 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("degree-ordered census orientation: a planted hub generates ZERO wedge fan-out as a source") {
+    import graft.graph.GraphOps
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // Star: hub id 0 (the adversarial case — smallest id AND highest degree)
+    // with 300 leaves. Under the old ID-ordered orientation every edge
+    // pointed OUT of vertex 0, so the wedge join through middle 0 fanned
+    // out in(0)·out(0) ≈ C(300,2) rows on one key. Degree-ordering points
+    // every edge INTO the hub: out-degree(hub) = 0, so the middle-vertex
+    // wedge fan-out Σ indeg(v)·outdeg(v) is 0.
+    val star = (1L to 300L).map(l => (0L, l)).toDF("a", "b")
+    val o = GraphOps.orientByDegree(star, GraphOps.pairDegrees(star)).cache()
+    assert(o.filter(col("u") === 0L).count() == 0L, "hub must have no out-edges")
+    val outd = o.groupBy("u").agg(count(lit(1)).as("od"))
+    val ind = o.groupBy("v").agg(count(lit(1)).as("id_"))
+    val wedges = ind.join(outd, ind("v") === outd("u"))
+      .select((col("id_") * col("od")).as("w"))
+      .agg(org.apache.spark.sql.functions.sum("w")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    assert(wedges == 0L, s"star wedge work must be zero, got $wedges")
+    // and the census itself: star has no triangles or 4-cliques
+    assert(GraphOps.triangleCounts(star).count() == 0L)
+    assert(GraphOps.fourCliqueCounts(star).count() == 0L)
+  }
+
+  test("census counts are orientation-invariant on a hub graph with cliques; K4 cap lever subsets") {
+    import graft.graph.GraphOps
+    // hub 0 wired to everything, plus a K5 on {1..5} and a K4 on {6..9}:
+    // {0,a,b} is a triangle for every K-clique edge (a,b); counts are
+    // brute-force checkable.
+    val cliq = (for { a <- 1L to 5L; b <- a + 1 to 5L } yield (a, b)) ++
+      (for { a <- 6L to 9L; b <- a + 1 to 9L } yield (a, b))
+    val hub = (1L to 40L).map(l => (0L, l))
+    val g = (cliq ++ hub).toDF("a", "b")
+    val tri = GraphOps.triangleCounts(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // vertex 1 (in K5): C(4,2)=6 within K5 + 4 through the hub = 10
+    assert(tri(1L) == 10L, s"got $tri")
+    // hub 0: one triangle per clique edge = 10 + 6 = 16
+    assert(tri(0L) == 16L)
+    val k4 = GraphOps.fourCliqueCounts(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // K5 vertices: C(4,3)=4 within K5 + hub-closed C(4,2)=6 → 10; hub sits
+    // in {0,a,b,c} for every triangle within a clique: 10 + 4 = 14
+    assert(k4(0L) == 14L, s"got $k4")
+    assert(k4(1L) == 10L)
+    // cap lever: a cap above the max degree changes nothing; a cap of 3
+    // removes every clique whose third-ranked vertex exceeds it (subset)
+    val uncapped = GraphOps.fourCliqueCounts(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val capBig = GraphOps.fourCliqueCounts(g, maxExtendDegree = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(capBig == uncapped)
+    val capped = GraphOps.fourCliqueCounts(g, maxExtendDegree = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(capped.values.sum <= uncapped.values.sum)
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+  }
+
   test("hotKeys surfaces the dominant key first") {
     val df = (Seq.fill(50)("hot") ++ Seq("a", "b", "c")).toDF("k")
     val top = SkewUtils.hotKeys(df, "k", 2).collect()
