@@ -40,8 +40,8 @@ object Soak {
     "stream_interval_join", "ngram_containment", "bfs_bipartite",
     "hits_top20", "pagerank_top20", "clustering_coeff", "link_prediction",
     "ngram_jaccard",
-    // round-11 heavies: the K4 census (the new bench worst at 19.5 s),
-    // the ExactSubstr cut, biased walks, and the Louvain move rounds
+    // round-11 heavies: the K4 census (the bench worst — 15.5 s isolated
+    // r11), the ExactSubstr cut, biased walks, and the Louvain move rounds
     "fourclique_counts", "dup_span_clean", "node2vec_walks",
     "louvain_moves",
     // round-11 second half: walk-window PMI (rides the walks), the

@@ -5086,8 +5086,8 @@ object SparkEntry {
          |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pos) AS t,
          |               (SELECT CAST(sum(n_pair) AS BIGINT) FROM pr) AS p),
          |sc AS (SELECT pr.a, pr.b, pr.n_pair,
-         |    CAST(pr.n_pair * tot.t * tot.t AS DOUBLE)
-         |      / CAST(tot.p * ca.c * cb.c AS DOUBLE) AS ratio
+         |    (CAST(pr.n_pair AS DOUBLE) * CAST(tot.t AS DOUBLE) * CAST(tot.t AS DOUBLE))
+         |      / (CAST(tot.p AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS ratio
          |  FROM pr JOIN occ ca ON ca.v = pr.a JOIN occ cb ON cb.v = pr.b, tot)
          |SELECT CAST(a AS BIGINT) AS vertex_a, CAST(b AS BIGINT) AS vertex_b,
          |  n_pair, CAST(round(ln(ratio), 4) AS DOUBLE) AS pmi
@@ -5350,7 +5350,7 @@ object SparkEntry {
         |  CAST(f.comp_len AS BIGINT) AS comp_len,
         |  CAST(f.comp_len * 10000 // strlen(d.text) AS BIGINT) AS ratio_bp
         |FROM documents d
-        |JOIN read_parquet('${GRAFT_VERIFY_OUT}/compression_oracle.parquet/*.parquet') f
+        |JOIN read_parquet('${GRAFT_VERIFY_OUT}/_fixtures/compression_oracle.parquet/*.parquet') f
         |  ON f.doc_id = d.doc_id
         |WHERE strlen(d.text) > 0
         |ORDER BY doc_id""".stripMargin,

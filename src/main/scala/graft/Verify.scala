@@ -59,7 +59,7 @@ object Verify {
       d.end()
       import spark.implicits._
       rows.toDF("doc_id", "comp_len").coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/compression_oracle.parquet")
+        .parquet(s"$outDir/_fixtures/compression_oracle.parquet")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] compression fixture failed: ${e.getMessage}")
     }

@@ -268,7 +268,10 @@ object Sketches {
       if (b != null && r != null) {
         val bi = b.asInstanceOf[Long].toInt
         val ri = r.asInstanceOf[Long].toByte
-        if (ri > buf(bi)) buf(bi) = ri
+        // a caller-supplied bucket outside [0, m) (negative modulo, wrong
+        // m) must not crash mid-aggregation — out-of-range rows are
+        // skipped, matching the null-input contract above
+        if (bi >= 0 && bi < m && ri > buf(bi)) buf(bi) = ri
       }
       buf
     }

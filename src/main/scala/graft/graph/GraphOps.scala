@@ -810,9 +810,17 @@ object GraphOps {
       .join(occ.select(col("vertex").as("a"), col("c").as("ca")), "a")
       .join(occ.select(col("vertex").as("b"), col("c").as("cb")), "b")
       .crossJoin(tot)
+      // each factor casts to double BEFORE multiplying: the BIGINT product
+      // n_pair·t² this replaced overflowed Long past t ≈ 3e9 walk positions
+      // (Spark wraps silently, DuckDB raises). A left-assoc double product
+      // is a fixed IEEE op tree — still bit-identical across engines; the
+      // ≤ 1-ulp rounding vs exact-integer products is absorbed by the
+      // 4-dp pmi rounding and the raw-double ORDER BY contract.
       .withColumn("ratio",
-        (col("n_pair") * col("t") * col("t")).cast("double") /
-          (col("p") * col("ca") * col("cb")).cast("double"))
+        (col("n_pair").cast("double") * col("t").cast("double") *
+          col("t").cast("double")) /
+          (col("p").cast("double") * col("ca").cast("double") *
+            col("cb").cast("double")))
       .orderBy(col("ratio").desc, col("a"), col("b"))
       .limit(topN)
       .select(col("a").as("vertex_a"), col("b").as("vertex_b"),
@@ -1089,6 +1097,11 @@ object GraphOps {
         r += 1
       }
     }
+    // empty input: round 1 sees e == 0, the trace stays empty — return the
+    // empty relation (the oracle's behavior) instead of reducing nothing
+    if (trace.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double, Boolean)]
+        .toDF("round", "n_vertices", "n_edges", "density", "best")
     // density argmax on exact integers; reduceLeft keeps the EARLIEST on ties
     val bestRound = trace.reduceLeft { (x, y) =>
       if (y._3 * x._2 > x._3 * y._2) y else x

@@ -860,21 +860,51 @@ object StreamOps {
       .option("checkpointLocation", s"$tmp/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val withB = bucketed(batch).localCheckpoint(true)
-        val touched = withB.select("bucket").distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val cur = spark.read.parquet(target)
-          .filter(col("bucket").isin(touched: _*)).drop("bucket")
-        val merged = bucketed(
-            Cdc.applyChanges(cur, withB.drop("bucket"), "o_orderkey"))
-          .localCheckpoint(true) // materialize BEFORE overwriting source dirs
-        merged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket").parquet(target)
+        mergeBatchIntoBucketedStore(spark, batch, target, nBuckets, "o_orderkey")
       }
       .start()
     q.awaitTermination()
     spark.read.parquet(target).drop("bucket").orderBy("o_orderkey")
+  }
+
+  /** One CDC MERGE micro-batch into a bucketed parquet store: read ONLY
+    * the buckets holding this batch's keys, apply the
+    * [[graft.pipeline.Cdc.applyChanges]] kernel, rewrite the touched
+    * buckets via dynamic partition overwrite. Dynamic overwrite alone has
+    * a silent-correctness trap: a bucket whose rows are ALL deleted by
+    * this batch contributes no rows to the merged output, so its
+    * partition directory is never rewritten and the deleted rows would
+    * survive — touched buckets absent from the merged output are
+    * therefore deleted explicitly after the write.
+    */
+  private[graft] def mergeBatchIntoBucketedStore(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      target: String, nBuckets: Int, key: String): Unit = {
+    def bucketed(df: DataFrame): DataFrame =
+      df.withColumn("bucket",
+        pmod(col(key), lit(nBuckets.toLong)).cast("int"))
+    val withB = bucketed(batch).localCheckpoint(true)
+    val touched = withB.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cur = spark.read.parquet(target)
+      .filter(col("bucket").isin(touched: _*)).drop("bucket")
+    val merged = bucketed(
+        graft.pipeline.Cdc.applyChanges(cur, withB.drop("bucket"), key))
+      .localCheckpoint(true) // materialize BEFORE overwriting source dirs
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(target)
+    val present = merged.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = touched.filterNot(present)
+    if (emptied.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      emptied.foreach { b =>
+        val dir = new org.apache.hadoop.fs.Path(s"$target/bucket=$b")
+        val fs = dir.getFileSystem(conf)
+        fs.delete(dir, true); ()
+      }
+    }
   }
 
   /** Streaming CUSUM change-point — the incremental twin of

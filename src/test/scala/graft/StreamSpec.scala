@@ -125,6 +125,32 @@ class StreamSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("mergeBatchIntoBucketedStore: a batch deleting EVERY row of a bucket removes its directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_empty_").toString
+    val target = s"$dir/target"
+    val nBuckets = 4
+    // seed: keys 0..7 -> buckets 0..3, two keys each (4 and 5 land in
+    // bucket 0 and 1 etc.); bucket b holds keys {b, b+4}
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val base = (0L until 8L).map(k => (k, k * 10.0)).toDF("k", "v")
+    base.withColumn("bucket", pmod($"k", lit(nBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket").parquet(target)
+    // batch: delete BOTH rows of bucket 2 (keys 2 and 6) and upsert key 1.
+    // Dynamic overwrite alone would leave bucket=2's directory (and the
+    // two deleted rows) untouched because the merged output has no rows
+    // for it — the explicit emptied-bucket cleanup is what this pins.
+    val batch = Seq((2L, "D", 0.0), (6L, "D", 0.0), (1L, "U", 111.0))
+      .toDF("k", "op", "v")
+    StreamOps.mergeBatchIntoBucketedStore(spark, batch, target, nBuckets, "k")
+    val got = spark.read.parquet(target).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val expected = Set((0L, 0.0), (4L, 40.0), (1L, 111.0), (5L, 50.0),
+      (3L, 30.0), (7L, 70.0))
+    assert(got == expected, s"deleted-bucket rows survived: $got")
+    assert(!new java.io.File(s"$target/bucket=2").exists(),
+      "emptied bucket directory not removed")
+  }
+
   test("decontaminateReplayBatch: multi-batch stream flags equal the batch operator") {
     val dir = "/root/testdata/sf0.001"
     val res = StreamOps.decontaminateReplayBatch(spark, s"$dir/documents.parquet")
