@@ -2339,6 +2339,13 @@ object SparkEntry {
       GraphOps.hyperBallMeanDistance(
         te.unionAll(te.select(col("dst").as("src"), col("src").as("dst"))))
     }),
+    // harmonic centrality from the same HyperBall estimates (Boldi-Vigna
+    // 2014): each newly reached vertex contributes 1/distance
+    "hyperball_harmonic" -> ((s, dir) => {
+      val te = DerivedGraphs.treeEdges(s, dir)
+      GraphOps.hyperBallHarmonic(
+        te.unionAll(te.select(col("dst").as("src"), col("src").as("dst"))))
+    }),
     // leave-last-out temporal split: each user's chronologically last
     // event is the held-out test point
     "temporal_split" -> ((s, dir) =>
@@ -5840,6 +5847,22 @@ object SparkEntry {
          |          - max(CASE WHEN radius = 1 THEN est END) - 1.0)
          |         / (max(CASE WHEN radius = 3 THEN est END) - 1.0)
          |  END, 4) AS DOUBLE) AS mean_dist
+         |FROM hb GROUP BY vertex ORDER BY vertex""".stripMargin,
+    // same 4-dp est contract, one fixed IEEE op tree: truncated
+    // sum-of-reciprocal-distances over the ball shells
+    "hyperball_harmonic" ->
+      s"""WITH hb AS ($HyperBallNfSql)
+         |SELECT vertex,
+         |  max(CASE WHEN radius = 1 THEN est END) AS est_r1,
+         |  max(CASE WHEN radius = 2 THEN est END) AS est_r2,
+         |  max(CASE WHEN radius = 3 THEN est END) AS est_r3,
+         |  CAST(round(
+         |    (max(CASE WHEN radius = 1 THEN est END) - 1.0)
+         |    + (max(CASE WHEN radius = 2 THEN est END)
+         |       - max(CASE WHEN radius = 1 THEN est END)) / 2.0
+         |    + (max(CASE WHEN radius = 3 THEN est END)
+         |       - max(CASE WHEN radius = 2 THEN est END)) / 3.0, 4) AS DOUBLE)
+         |    AS harmonic
          |FROM hb GROUP BY vertex ORDER BY vertex""".stripMargin,
     "temporal_split" ->
       """WITH e AS (SELECT CAST(user_id AS BIGINT) AS u,

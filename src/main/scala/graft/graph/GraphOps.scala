@@ -1045,6 +1045,35 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Harmonic centrality estimate from the HyperBall neighborhood
+    * function — the second statistic Boldi & Vigna 2014 ("Axioms for
+    * centrality") compute from the very same register propagation: with
+    * N̂(v, r) from [[hyperBallNf]] and N̂(v, 0) = 1,
+    *   harmonic(v) = Σ_r (N̂(r) − N̂(r−1)) / r
+    *              = (N̂1 − 1) + (N̂2 − N̂1)/2 + (N̂3 − N̂2)/3  at radius 3 —
+    * each newly reached vertex contributes 1/distance, the bounded-radius
+    * truncation of Σ_{u≠v} 1/d(v,u). Both engines derive it from the SAME
+    * 4-dp-rounded est values (the shipped hyperball_nf contract) through
+    * one fixed IEEE op tree, so the result is deterministic; shipped
+    * rounded 4. No degenerate case: the r = 0 ball is always 1 and no
+    * division has a data-dependent zero denominator.
+    * Output: (vertex, est_r1, est_r2, est_r3, harmonic) ordered.
+    */
+  def hyperBallHarmonic(edges: DataFrame,
+                        outputBelow: Long = 1000L): DataFrame = {
+    val nf = hyperBallNf(edges, radius = 3, outputBelow = outputBelow)
+    nf.groupBy("vertex")
+      .agg(max(when(col("radius") === 1L, col("est"))).as("est_r1"),
+        max(when(col("radius") === 2L, col("est"))).as("est_r2"),
+        max(when(col("radius") === 3L, col("est"))).as("est_r3"))
+      .withColumn("harmonic", round(
+        (col("est_r1") - lit(1.0)) +
+          (col("est_r2") - col("est_r1")) / lit(2.0) +
+          (col("est_r3") - col("est_r2")) / lit(3.0), 4))
+      .select("vertex", "est_r1", "est_r2", "est_r3", "harmonic")
+      .orderBy("vertex")
+  }
+
   /** Bounded batch-peeling densest-subgraph search (Bahmani, Kumar &
     * Vassilvitskii 2012, VLDB, "Densest subgraph in streaming and
     * MapReduce" — the 2(1+ε) approximation at ε = 0: each round records

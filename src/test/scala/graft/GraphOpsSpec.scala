@@ -794,6 +794,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(m(1L)._4 - 2.0) < 0.05, s"endpoint mean ${m(1L)._4}")
   }
 
+  test("hyperBallHarmonic: path center beats the endpoint; values track exact 1/d sums") {
+    import spark.implicits._
+    // path 1-2-3-4-5 symmetrized. Exact harmonic truncated at radius 3:
+    //   v=3: d = (1,1,2,2) → 1+1+1/2+1/2 = 3.0
+    //   v=1: d = (1,2,3)   → 1+1/2+1/3 ≈ 1.8333
+    // linear-counting estimates at m=256 for ≤5 elements are within ~1%.
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val h = GraphOps.hyperBallHarmonic(edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(math.abs(h(3L) - 3.0) < 0.1, s"center harmonic ${h(3L)} != ~3.0")
+    assert(math.abs(h(1L) - 1.8333) < 0.1, s"endpoint harmonic ${h(1L)}")
+    assert(h(3L) > h(1L), "the path center must out-rank the endpoint")
+  }
+
   test("communityConductance: two triangles over one bridge score 1/7 each") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6}, bridge 3-4; degrees 2,2,3,3,2,2 →
