@@ -1880,6 +1880,13 @@ object SparkEntry {
     // paths take over at corpus scale)
     "label_noise" -> ((s, dir) =>
       Similarity.labelNoise(t(s, dir, "embeddings"))),
+    // the at-scale label-noise path: candidates from the learned k-means
+    // clusters (SemDeDup pruning — pair space Σ|c|², never |V|²), same
+    // vote kernel; agreement vs the exact kernel floored in
+    // PropertyOracleSpec and recorded in AGREEMENT.json
+    "label_noise_ann" -> ((s, dir) =>
+      Similarity.labelNoiseAnn(t(s, dir, "embeddings"), k = 10,
+        nlist = IvfParams.Kmeans.Nlist, iters = IvfParams.Kmeans.Iters)),
     // Matryoshka truncate-then-rerank: coarse top-200 on the first 16
     // dims (a quarter of the bytes), exact 64-dim rerank of survivors;
     // recall vs the exact ranking floored in PropertyOracleSpec
@@ -4840,6 +4847,39 @@ object SparkEntry {
         |  CAST(knn_label AS BIGINT) AS knn_label, CAST(n AS BIGINT) AS n_votes,
         |  (knn_label <> qlabel) AS suspect
         |FROM top ORDER BY vec_id""".stripMargin,
+    // unrolled-Lloyd assignment (same chain as the k-means IVF/silhouette
+    // replays) scopes the candidate pairs to each vector's own cluster;
+    // vote/verdict replay is the label_noise chain verbatim
+    "label_noise_ann" -> {
+      val last = IvfParams.Kmeans.Iters + 1
+      s"""WITH ${kmeansLloydCtes(IvfParams.Kmeans.Iters, IvfParams.Kmeans.Nlist)},
+         |lab AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |               CAST(label AS BIGINT) AS label FROM embeddings),
+         |mem AS MATERIALIZED (SELECT a.vec_id, a.cluster, l.label
+         |  FROM a$last a JOIN lab l USING (vec_id)),
+         |sc AS (SELECT c.vec_id, c.label, q.vec_id AS qid, q.label AS qlabel,
+         |    round(SUM(CAST(ec.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE))
+         |      / (sqrt(SUM(CAST(ec.embedding[i] AS DOUBLE) ** 2))
+         |         * sqrt(SUM(CAST(eq.embedding[i] AS DOUBLE) ** 2))), 4) AS cosine
+         |  FROM mem c JOIN mem q ON q.cluster = c.cluster AND c.vec_id <> q.vec_id
+         |       JOIN e ec ON ec.vec_id = c.vec_id
+         |       JOIN e eq ON eq.vec_id = q.vec_id,
+         |       UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i)
+         |  GROUP BY c.vec_id, c.label, q.vec_id, q.label),
+         |nn AS (SELECT qid, qlabel, label FROM (
+         |    SELECT qid, qlabel, label, cosine,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM sc) WHERE rn <= 10),
+         |votes AS (SELECT qid, qlabel, label, count(*) AS n FROM nn GROUP BY 1, 2, 3),
+         |top AS (SELECT qid, qlabel, label AS knn_label, n FROM (
+         |    SELECT qid, qlabel, label, n,
+         |      row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) AS rn
+         |    FROM votes) WHERE rn = 1)
+         |SELECT CAST(qid AS BIGINT) AS vec_id, CAST(qlabel AS BIGINT) AS label,
+         |  CAST(knn_label AS BIGINT) AS knn_label, CAST(n AS BIGINT) AS n_votes,
+         |  (knn_label <> qlabel) AS suspect
+         |FROM top ORDER BY vec_id""".stripMargin
+    },
     "embedding_topk_rerank" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |coarse AS (

@@ -135,6 +135,38 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] recall artifact failed: ${e.getMessage}")
     }
+    // ANN label-noise quality contract: verdict agreement with the exact
+    // all-pairs kernel (the pruned path's analogue of IVF recall),
+    // floored in PropertyOracleSpec — re-measured whenever the ANN query
+    // is dumped and written through to the repo-root AGREEMENT.json so
+    // the committed artifact can never go stale (RECALL.json pattern).
+    if (only.forall(_.contains("label_noise_ann"))) try {
+      import pipeline.IvfParams
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val exact = pipeline.Similarity.labelNoise(emb, k = 10).collect()
+        .map(r => (r.getLong(0), r.getBoolean(4))).toMap
+      val ann = pipeline.Similarity.labelNoiseAnn(emb, k = 10,
+          nlist = IvfParams.Kmeans.Nlist, iters = IvfParams.Kmeans.Iters)
+        .collect().map(r => (r.getLong(0), r.getBoolean(4)))
+      val common = ann.filter { case (v, _) => exact.contains(v) }
+      val agree = common.count { case (v, s) => exact(v) == s }
+      val agreement = agree.toDouble / math.max(1, common.length)
+      val agreementJson =
+        s"""{"sf_dir":"$sfDir","k":10,"nlist":${IvfParams.Kmeans.Nlist},""" +
+          s""""iters":${IvfParams.Kmeans.Iters},""" +
+          s""""n_exact":${exact.size},"n_ann":${ann.length},""" +
+          f""""suspect_agreement":$agreement%.4f,""" +
+          s""""floor":${IvfParams.LabelNoise.AgreementFloor}}"""
+      Files.writeString(Paths.get(s"$outDir/agreement.json"), agreementJson)
+      if (Files.exists(Paths.get("AGREEMENT.json"))) {
+        val scale = Paths.get(sfDir.stripSuffix("/")).getFileName.toString
+        val target =
+          if (scale == "sf0.01") "AGREEMENT.json" else s"AGREEMENT.$scale.json"
+        Files.writeString(Paths.get(target), agreementJson)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] agreement artifact failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

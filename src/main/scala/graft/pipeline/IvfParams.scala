@@ -96,4 +96,17 @@ object IvfParams {
     val M = 8
     val NCentroids = 16
   }
+
+  /** ANN label-noise (k-NN vote over in-cluster candidates only). The
+    * quality contract is VERDICT agreement with the exact all-pairs
+    * kernel: fraction of vectors whose `suspect` flag matches.
+    */
+  object LabelNoise {
+    /** Measured 0.856 on sf0.01 (AGREEMENT.json). The testdata labels
+      * are random (near-chance k-NN majority), so this is a hard
+      * regime — a real labeled corpus with cluster-correlated labels
+      * agrees far higher. */
+    val MeasuredAgreement = 0.856
+    val AgreementFloor = 0.80
+  }
 }

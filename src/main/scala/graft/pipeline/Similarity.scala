@@ -278,9 +278,10 @@ object Similarity {
     *
     * Scale: this is the EXACT all-queries baseline (every vector is a
     * query; the scored join is |V|·|V| at heart) kept for oracle truth —
-    * at corpus scale the neighbor lists come from the pruned paths
-    * instead ([[cosineTopKRerank]] coarse pass or IVF probes), with this
-    * exact kernel as the quality referee on a sample. Per-query state is
+    * at corpus scale the declared pruned path is [[labelNoiseAnn]]
+    * (in-cluster candidates from the learned quantizer, agreement
+    * floored in PropertyOracleSpec), with this exact kernel as the
+    * quality referee on a sample. Per-query state is
     * bounded by GroupTopK's heaps (never a full sort of the scored
     * table). Output: (vec_id, label, knn_label, n_votes, suspect)
     * ordered.
@@ -291,6 +292,17 @@ object Similarity {
     val scored = embeddings.select(col("vec_id"), col("embedding"), col("label"))
       .join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cosine", round(vector_cosine(col("embedding"), col("qe")), 4))
+    labelVote(scored, k)
+  }
+
+  /** The k-NN label-vote/verdict kernel shared by [[labelNoise]] (exact
+    * candidates) and [[labelNoiseAnn]] (coarse-quantizer candidates):
+    * GroupTopK heaps prune each query's scored candidates to its k
+    * nearest (rounded-cosine replay contract, vec_id ties), the majority
+    * label wins, ties to the smallest label. Input columns:
+    * (qid, qlabel, vec_id, label, cosine).
+    */
+  private def labelVote(scored: DataFrame, k: Int): DataFrame = {
     val pruned = graft.plans.GroupTopK.topKPerKey(scored, Seq(col("qid")),
       Seq(col("cosine").desc, col("vec_id")), k)
     pruned.groupBy("qid", "qlabel", "label")
@@ -304,6 +316,39 @@ object Similarity {
         col("m.n").as("n_votes"),
         (col("m.label").cast("long") =!= col("qlabel").cast("long")).as("suspect"))
       .orderBy("vec_id")
+  }
+
+  /** Label-noise via the LEARNED coarse quantizer — the at-scale default
+    * the exact [[labelNoise]] referees: neighbor candidates come only
+    * from each vector's own k-means cluster (the SemDeDup pruning
+    * structure — pair space Σ|cluster|², never |V|²), then the SAME
+    * [[labelVote]] kernel votes among the k nearest in-cluster
+    * neighbors. Clusters are [[KMeans.fit]]'s deterministic Lloyd
+    * assignment, so the whole composition (rounds + assignment + vote)
+    * replays in SQL through the unrolled-Lloyd CTE chain.
+    *
+    * Contract notes: a vector alone in its cluster has no candidates and
+    * is absent from the output (both engines agree); verdict agreement
+    * vs the exact kernel is floored in PropertyOracleSpec and recorded
+    * in AGREEMENT.json — the IVF-recall pattern. Scale: one fit (at
+    * 100 TB: fit on a sample, assign the corpus once), one
+    * cluster-keyed shuffle, per-cluster pair fan-out bounded by the
+    * quantizer's cluster sizes (nlist grows with the corpus).
+    * Output: same schema as [[labelNoise]], ordered by vec_id.
+    */
+  def labelNoiseAnn(embeddings: DataFrame, k: Int = 10, nlist: Int = 8,
+                    iters: Int = 3): DataFrame = {
+    val fitted = KMeans.fit(embeddings, nlist, iters) // (vec_id, embedding, cluster)
+    val lab = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("label").cast("long").as("label"))
+    val m = fitted.join(lab, "vec_id")
+      .localCheckpoint(true) // feeds both sides of the in-cluster pair join
+    val q = m.select(col("cluster"), col("vec_id").as("qid"),
+      col("embedding").as("qe"), col("label").as("qlabel"))
+    val scored = m.join(q, Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", round(vector_cosine(col("embedding"), col("qe")), 4))
+    labelVote(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by

@@ -88,6 +88,25 @@ class PropertyOracleSpec extends AnyFunSuite {
         s"(measured ${IvfParams.Mrl.MeasuredRecall}, floor ${IvfParams.Mrl.RecallFloor})")
   }
 
+  test("label_noise_ann: suspect verdicts agree with the exact kernel above the floor") {
+    // the pruned path (in-cluster candidates only) must stay a faithful
+    // stand-in for the exact all-pairs kernel it replaces at scale —
+    // fraction of matching `suspect` flags, floored (the IVF-recall
+    // pattern; measured value recorded in AGREEMENT.json)
+    val exact = Similarity.labelNoise(emb, k = 10).collect()
+      .map(r => (r.getLong(0), r.getBoolean(4))).toMap
+    val ann = Similarity.labelNoiseAnn(emb, k = 10,
+        nlist = IvfParams.Kmeans.Nlist, iters = IvfParams.Kmeans.Iters)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4)))
+    assert(ann.nonEmpty)
+    val common = ann.filter { case (v, _) => exact.contains(v) }
+    val agreement = common.count { case (v, s) => exact(v) == s }.toDouble / common.length
+    assert(agreement >= IvfParams.LabelNoise.AgreementFloor,
+      f"ANN/exact suspect agreement collapsed to $agreement%.4f " +
+        s"(measured ${IvfParams.LabelNoise.MeasuredAgreement}, " +
+        s"floor ${IvfParams.LabelNoise.AgreementFloor})")
+  }
+
   test("embedding_topk_ivf_kmeans: results are true-cosine consistent with brute force") {
     val full = bruteForce(500).toMap
     val ivf = KMeans.ivfTopK(emb, queryId = IvfParams.QueryVecId, k = IvfParams.K,
