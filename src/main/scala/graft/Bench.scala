@@ -47,7 +47,7 @@ object Bench {
     "sssp_bounded", "dfs_leaves", "resource_allocation_links", "rrf_fusion",
     "local_supplier_revenue", "stream_user_totals",
     // round-11 additions measured >=2s isolated:
-    "stream_graph_maintain", "dup_spans", "ktruss_bounded",
+    "stream_graph_maintain", "stream_triangle_maintain", "dup_spans", "ktruss_bounded",
     "louvain_moves", "modularity_louvain", "node2vec_walks",
     "perplexity_buckets", "dup_span_clean", "stream_neardup_ingest",
     "fourclique_counts", "rich_club", "densest_bounded", "stream_changepoint",

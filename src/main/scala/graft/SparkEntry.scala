@@ -603,6 +603,12 @@ object SparkEntry {
     // five region trees, which the oracle replays by lineage joins.
     "stream_graph_maintain" -> ((s, dir) =>
       streaming.StreamOps.graphMaintainReplayBatch(s, dir)),
+    // incremental triangle maintenance: per-batch DELTA counting (new
+    // edges join the maintained adjacency once — T1/T2/T3 partition by
+    // delta-edge count), state is a pure additive merge; final state =
+    // batch triangle_counts on the full snapshot, ONE oracle for both
+    "stream_triangle_maintain" -> ((s, dir) =>
+      streaming.StreamOps.triangleMaintainReplayBatch(s, coPurchasePairs(s, dir))),
     // STREAMING CUSUM change-point: the hourly-count half runs as a
     // stateful streaming aggregate (hour_ms-keyed additive state), the
     // parameter-scale argmax half runs on the final store — both halves
@@ -2722,6 +2728,18 @@ object SparkEntry {
       |pairs AS (SELECT a.part AS a, b.part AS b
       |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
       |          GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** Per-vertex triangle census over the co-purchase pairs — shared by the
+    * batch `triangle_counts` and its streaming delta-maintenance twin.
+    */
+  private lazy val TriangleCountsOracleSql: String =
+    s"""WITH $coPurchaseCteSql,
+      |tri AS (SELECT p1.a, p1.b, p2.b AS c FROM pairs p1 JOIN pairs p2 ON p2.a = p1.b
+      |        WHERE EXISTS (SELECT 1 FROM pairs p3 WHERE p3.a = p1.a AND p3.b = p2.b)),
+      |corners AS (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+      |            UNION ALL SELECT c AS v FROM tri)
+      |SELECT CAST(v AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM corners GROUP BY v ORDER BY vertex""".stripMargin
 
   /** Node2vec walk replay ending in `pos(walk, step, v)` — the biased-step
     * chain shared by the walks oracle and the skip-gram PMI on top of it.
@@ -4965,14 +4983,11 @@ object SparkEntry {
         |SELECT CAST(qid AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS neighbor_id,
         |       CAST(rn AS BIGINT) AS rn, cosine
         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
-    "triangle_counts" ->
-      s"""WITH $coPurchaseCteSql,
-        |tri AS (SELECT p1.a, p1.b, p2.b AS c FROM pairs p1 JOIN pairs p2 ON p2.a = p1.b
-        |        WHERE EXISTS (SELECT 1 FROM pairs p3 WHERE p3.a = p1.a AND p3.b = p2.b)),
-        |corners AS (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
-        |            UNION ALL SELECT c AS v FROM tri)
-        |SELECT CAST(v AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_triangles
-        |FROM corners GROUP BY v ORDER BY vertex""".stripMargin,
+    "triangle_counts" -> TriangleCountsOracleSql,
+    // the streaming delta-maintenance end state IS the batch census on
+    // the final snapshot (T1/T2/T3 partition each triangle to exactly
+    // one batch) — one oracle replays both twins
+    "stream_triangle_maintain" -> TriangleCountsOracleSql,
     "fourclique_counts" ->
       """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
         |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),

@@ -125,6 +125,25 @@ class StreamSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("triangleMaintainReplayBatch: per-batch deltas sum to the batch census; >=2 live batches") {
+    // K5 on {1..5} (10 triangles) + a pendant triangle {5,6,7} + a
+    // triangle-free tail: 11 triangles total, scattered across batches
+    // by the 4-way round-robin split so every delta class (T1/T2/T3)
+    // can fire
+    val pairs = ((for { a <- 1L to 5L; b <- a + 1 to 5L } yield (a, b)) ++
+      Seq((5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L), (8L, 9L))).toDF("a", "b")
+    val probed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = StreamOps.triangleMaintainReplayBatch(spark, pairs,
+      (n, _) => { probed += n; () })
+    assert(probed.length >= 2, s"expected >=2 probed batches, got $probed")
+    assert(probed.sum == 11L, s"per-batch new-triangle counts $probed must sum to 11")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.graph.GraphOps.triangleCounts(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == batch, s"streamed end state $got != batch census $batch")
+    assert(!got.contains(8L) && !got.contains(9L), "triangle-free tail must be absent")
+  }
+
   test("mergeBatchIntoBucketedStore: a batch deleting EVERY row of a bucket removes its directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_empty_").toString
     val target = s"$dir/target"
