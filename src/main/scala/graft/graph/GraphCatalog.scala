@@ -69,20 +69,32 @@ final class GraphCatalog(spark: SparkSession, baseDir: String,
     f"graft_${ns}_${safe}_v$version%06d"
   }
 
-  private def versionsOf(name: String): Seq[(Long, Path)] = {
+  /** One complete on-disk version: `delta = false` is a full snapshot
+    * (`v%06d`), `delta = true` holds ONLY the edges added since its
+    * predecessor (`d%06d`) — see [[modifyDelta]].
+    */
+  private[graph] case class VersionEntry(version: Long, path: Path, delta: Boolean)
+
+  private def versionsOf(name: String): Seq[VersionEntry] = {
     val dir = graphDir(name)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-      .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && (n.startsWith("v") || n.startsWith("d"))
+      }
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption
+        .map(v => VersionEntry(v, s.getPath, s.getPath.getName.startsWith("d"))))
       // only complete snapshots (parquet commit marker present)
-      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
-      .sortBy(_._1)
+      .filter(e => fs.exists(new Path(e.path, "_SUCCESS")))
+      .sortBy(_.version)
   }
 
-  private def writeVersion(name: String, edges: DataFrame): Unit = {
-    val next = versionsOf(name).lastOption.map(_._1 + 1).getOrElse(1L)
-    val target = new Path(graphDir(name), f"v$next%06d")
+  private def writeVersion(name: String, edges: DataFrame,
+                           delta: Boolean = false): Unit = {
+    val next = versionsOf(name).lastOption.map(_.version + 1).getOrElse(1L)
+    val prefix = if (delta) "d" else "v"
+    val target = new Path(graphDir(name), f"$prefix$next%06d")
     buckets match {
       case Some(n) =>
         edges.select("src", "dst").write
@@ -93,6 +105,17 @@ final class GraphCatalog(spark: SparkSession, baseDir: String,
         edges.select("src", "dst").write.mode("errorifexists")
           .parquet(target.toString)
     }
+  }
+
+  /** The version chain a read of `version` must union: the latest FULL
+    * snapshot at or below it, plus every delta between the two. A full
+    * snapshot is its own one-element chain — the wholesale-replace path
+    * pays no union at all.
+    */
+  private def chainTo(name: String, version: Long): Seq[VersionEntry] = {
+    val upTo = versionsOf(name).filter(_.version <= version)
+    val baseIdx = upTo.lastIndexWhere(!_.delta)
+    if (baseIdx < 0) upTo else upTo.drop(baseIdx)
   }
 
   /** op 1 — AddGraph (reference `primary_server.c:86-179`). */
@@ -110,40 +133,60 @@ final class GraphCatalog(spark: SparkSession, baseDir: String,
     writeVersion(name, edges)
   }
 
+  /** Opt-in DELTA version (edge additions only): the streaming-ingest
+    * layout — a version directory holds just the edges added since the
+    * previous version, so per-batch written bytes scale with the DELTA
+    * while `load` still serves the full cumulative graph by unioning the
+    * chain back to the last full snapshot. Wholesale [[modify]] stays the
+    * default (reference op-2 fidelity) and RESETS the chain: the next
+    * load reads that single snapshot. Caller contract: deltas are
+    * additive and pairwise disjoint (the streaming replays split a
+    * distinct edge set); `vacuum` never orphans a delta from its base.
+    */
+  def modifyDelta(name: String, delta: DataFrame): Unit = {
+    if (!exists(name)) throw new GraphNotFoundException(name)
+    writeVersion(name, delta, delta = true)
+  }
+
   /** GraphScan of the latest complete snapshot
     * (reference `secondary_server.c:272-286`).
     */
   def load(name: String): DataFrame = {
     val vs = versionsOf(name)
     if (vs.isEmpty) throw new GraphNotFoundException(name)
-    loadAt(name, vs.last._1, vs.last._2)
+    loadChain(name, chainTo(name, vs.last.version))
   }
 
   /** Path read, upgraded to the catalog-table read (which carries the
     * bucket-layout metadata Catalyst needs to elide the Exchange) when
-    * this catalog wrote the version bucketed.
+    * this catalog wrote the version bucketed. Delta chains union their
+    * members (base full snapshot + each delta since).
     */
-  private def loadAt(name: String, version: Long, path: Path): DataFrame = {
-    val t = tableName(name, version)
-    if (buckets.isDefined && spark.catalog.tableExists(t)) spark.table(t)
-    else spark.read.parquet(path.toString)
+  private def loadChain(name: String, chain: Seq[VersionEntry]): DataFrame = {
+    def one(e: VersionEntry): DataFrame = {
+      val t = tableName(name, e.version)
+      if (buckets.isDefined && spark.catalog.tableExists(t)) spark.table(t)
+      else spark.read.parquet(e.path.toString)
+    }
+    chain.map(one).reduceLeft(_ unionAll _)
   }
 
-  /** Time travel: GraphScan of a SPECIFIC complete snapshot version (as
-    * listed by [[versions]]). The natural consequence of the MVCC layout —
-    * every modify keeps its predecessors until vacuum, so any retained
-    * version stays queryable.
+  /** Time travel: GraphScan of a SPECIFIC complete version (as listed by
+    * [[versions]]). The natural consequence of the MVCC layout — every
+    * modify keeps its predecessors until vacuum, so any retained version
+    * stays queryable; a delta version resolves to its chain's union.
     */
   def load(name: String, version: Long): DataFrame = {
     val vs = versionsOf(name)
-    vs.find(_._1 == version) match {
-      case Some((_, p)) => loadAt(name, version, p)
-      case None => throw GraphNotFoundException.version(name, version, vs.map(_._1))
+    vs.find(_.version == version) match {
+      case Some(_) => loadChain(name, chainTo(name, version))
+      case None =>
+        throw GraphNotFoundException.version(name, version, vs.map(_.version))
     }
   }
 
-  /** Complete snapshot versions of `name`, oldest first. */
-  def versions(name: String): Seq[Long] = versionsOf(name).map(_._1)
+  /** Complete versions of `name` (full and delta), oldest first. */
+  def versions(name: String): Seq[Long] = versionsOf(name).map(_.version)
 
   def exists(name: String): Boolean = versionsOf(name).nonEmpty
 
@@ -159,9 +202,16 @@ final class GraphCatalog(spark: SparkSession, baseDir: String,
     */
   def vacuum(name: String, keep: Int = 1): Unit = {
     val vs = versionsOf(name)
-    vs.dropRight(keep).foreach { case (v, p) =>
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(name, v)}")
-      fs.delete(p, true)
+    if (vs.length <= keep) return
+    // never orphan a delta from its base: the cut must not pass the full
+    // snapshot anchoring the oldest retained version's chain
+    val oldestRetained = vs(vs.length - keep).version
+    val anchor = chainTo(name, oldestRetained).headOption
+      .map(_.version).getOrElse(oldestRetained)
+    val cut = math.min(anchor, oldestRetained)
+    vs.filter(_.version < cut).foreach { e =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(name, e.version)}")
+      fs.delete(e.path, true)
     }
   }
 

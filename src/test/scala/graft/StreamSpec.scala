@@ -125,6 +125,59 @@ class StreamSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("delta-version catalog layout: per-batch written bytes scale with the delta, not the graph") {
+    // the streaming-ingest pattern graphMaintainReplayBatch now uses:
+    // batch 1 = add (full), batches 2..n = modifyDelta. Each version dir
+    // must hold ONLY its delta (near-constant bytes for equal batches)
+    // while load() serves the growing cumulative edge set.
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_cat_").toString
+    val cat = new graft.graph.GraphCatalog(spark, s"$dir/graphs")
+    def batchEdges(i: Long) =
+      (0L until 500L).map(j => (i * 1000L + j, i * 1000L + j + 1))
+        .toDF("src", "dst")
+    cat.add("D", batchEdges(0))
+    (1L to 3L).foreach(i => cat.modifyDelta("D", batchEdges(i)))
+    def dirBytes(p: java.io.File): Long =
+      p.listFiles().filter(_.isFile).map(_.length()).sum
+    val versionDirs = new java.io.File(s"$dir/graphs/D").listFiles()
+      .filter(_.isDirectory).sortBy(_.getName)
+    assert(versionDirs.map(_.getName).toSeq == Seq("d000002", "d000003", "d000004", "v000001"
+      ).sorted, s"unexpected layout: ${versionDirs.map(_.getName).toSeq}")
+    val sizes = versionDirs.sortBy(_.getName.drop(1)).map(dirBytes)
+    // equal 500-edge batches: every delta dir within 2x of the base dir
+    // (a cumulative-rewrite layout would grow 2x/3x/4x)
+    sizes.tail.foreach(s =>
+      assert(s <= sizes.head * 2, s"delta version not delta-sized: ${sizes.toSeq}"))
+    // load() = union of the chain: all 2000 edges
+    assert(cat.load("D").count() == 2000L)
+    // time travel to a delta version = chain up to it
+    assert(cat.load("D", 2L).count() == 1000L)
+    // a wholesale modify RESETS the chain; load reads only the snapshot
+    cat.modify("D", batchEdges(9))
+    assert(cat.load("D").count() == 500L)
+    assert(cat.versions("D") == Seq(1L, 2L, 3L, 4L, 5L))
+    // vacuum keeps the full chain a retained delta needs: retaining the
+    // last 2 versions (d4 chain-anchored at v1... then v5 full) — after
+    // the reset, keep=1 retains only v5
+    cat.vacuum("D", keep = 1)
+    assert(cat.versions("D") == Seq(5L))
+    assert(cat.load("D").count() == 500L)
+  }
+
+  test("delta-version vacuum never orphans a retained delta from its base") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_vac_").toString
+    val cat = new graft.graph.GraphCatalog(spark, s"$dir/graphs")
+    def e(i: Long) = Seq((i, i + 1)).toDF("src", "dst")
+    cat.add("V", e(1)) // v1 full
+    cat.modifyDelta("V", e(2)) // d2
+    cat.modifyDelta("V", e(3)) // d3
+    // keep=1 would naively retain only d3 — but d3's chain needs v1 and
+    // d2, so the cut must not delete them
+    cat.vacuum("V", keep = 1)
+    assert(cat.versions("V") == Seq(1L, 2L, 3L), "vacuum broke the delta chain")
+    assert(cat.load("V").count() == 3L)
+  }
+
   test("triangleMaintainReplayBatch: per-batch deltas sum to the batch census; >=2 live batches") {
     // K5 on {1..5} (10 triangles) + a pendant triangle {5,6,7} + a
     // triangle-free tail: 11 triangles total, scattered across batches
