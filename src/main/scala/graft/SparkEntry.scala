@@ -62,9 +62,9 @@ object SparkEntry {
     * orders, basket-size skew guard via [[guardedBasket]]) — shared by
     * triangle_counts, clustering_coeff, and link_prediction.
     */
-  private def coPurchasePairs(s: SparkSession, dir: String,
-                              maxBasketSize: Long = 1000L,
-                              minOrders: Long = 2L): DataFrame = {
+  private[graft] def coPurchasePairs(s: SparkSession, dir: String,
+                                     maxBasketSize: Long = 1000L,
+                                     minOrders: Long = 2L): DataFrame = {
     val basket = guardedBasket(s, dir, maxBasketSize)
     val a = basket.select(col("okey"), col("part").as("a"))
     val b = basket.select(col("okey"), col("part").as("b"))
