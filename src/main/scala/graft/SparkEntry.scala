@@ -2352,6 +2352,13 @@ object SparkEntry {
       GraphOps.hyperBallMeanDistance(
         te.unionAll(te.select(col("dst").as("src"), col("src").as("dst"))))
     }),
+    // global 90% effective diameter from the same estimates — THE
+    // statistic HyperBall was built for; exact-BIGINT est sums
+    "hyperball_eff_diameter" -> ((s, dir) => {
+      val te = DerivedGraphs.treeEdges(s, dir)
+      GraphOps.hyperBallEffectiveDiameter(
+        te.unionAll(te.select(col("dst").as("src"), col("src").as("dst"))))
+    }),
     // harmonic centrality from the same HyperBall estimates (Boldi-Vigna
     // 2014): each newly reached vertex contributes 1/distance
     "hyperball_harmonic" -> ((s, dir) => {
@@ -5903,6 +5910,29 @@ object SparkEntry {
          |         / (max(CASE WHEN radius = 3 THEN est END) - 1.0)
          |  END, 4) AS DOUBLE) AS mean_dist
          |FROM hb GROUP BY vertex ORDER BY vertex""".stripMargin,
+    // exact-BIGINT est sums (order-free), integer threshold tests, one
+    // final IEEE division for the interpolation
+    "hyperball_eff_diameter" ->
+      s"""WITH hb AS ($HyperBallNfSql),
+         |s AS (SELECT CAST(count(DISTINCT vertex) AS BIGINT) AS n_marked,
+         |  CAST(sum(CASE WHEN radius = 1 THEN CAST(round(est * 10000.0, 0) AS BIGINT) END) AS BIGINT) AS n1e4_r1,
+         |  CAST(sum(CASE WHEN radius = 2 THEN CAST(round(est * 10000.0, 0) AS BIGINT) END) AS BIGINT) AS n1e4_r2,
+         |  CAST(sum(CASE WHEN radius = 3 THEN CAST(round(est * 10000.0, 0) AS BIGINT) END) AS BIGINT) AS n1e4_r3
+         |  FROM hb)
+         |SELECT n_marked, n1e4_r1, n1e4_r2, n1e4_r3,
+         |  CAST(round(CASE
+         |    WHEN 10 * n_marked * 10000 >= 9 * n1e4_r3 THEN 0.0
+         |    WHEN 10 * n1e4_r1 >= 9 * n1e4_r3 THEN 0.0 +
+         |      CAST(9 * n1e4_r3 - 10 * n_marked * 10000 AS DOUBLE)
+         |        / CAST(10 * (n1e4_r1 - n_marked * 10000) AS DOUBLE)
+         |    WHEN 10 * n1e4_r2 >= 9 * n1e4_r3 THEN 1.0 +
+         |      CAST(9 * n1e4_r3 - 10 * n1e4_r1 AS DOUBLE)
+         |        / CAST(10 * (n1e4_r2 - n1e4_r1) AS DOUBLE)
+         |    ELSE 2.0 +
+         |      CAST(9 * n1e4_r3 - 10 * n1e4_r2 AS DOUBLE)
+         |        / CAST(10 * (n1e4_r3 - n1e4_r2) AS DOUBLE)
+         |  END, 4) AS DOUBLE) AS eff_diameter
+         |FROM s""".stripMargin,
     // same 4-dp est contract, one fixed IEEE op tree: truncated
     // sum-of-reciprocal-distances over the ball shells
     "hyperball_harmonic" ->

@@ -1074,6 +1074,48 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Global effective-diameter estimate from the HyperBall neighborhood
+    * function (Boldi & Vigna 2013 §5 — THE statistic HyperBall was built
+    * for, the "four degrees of separation" measurement): with
+    * N(r) = Σ_v N̂(v, r) over the marked vertices (N(0) = |marked|, every
+    * 0-ball is 1), the q = 0.9 effective diameter is the interpolated
+    * radius where the cumulative neighborhood function reaches 90% of its
+    * final mass: d_eff = (r*−1) + (0.9·N(3) − N(r*−1)) / (N(r*) − N(r*−1))
+    * for the smallest r* with N(r*) ≥ 0.9·N(3).
+    *
+    * Cross-engine exactness: summing DOUBLES over vertices is
+    * association-order-dependent, so each 4-dp est is first scaled to an
+    * exact BIGINT (round(est·10⁴) — identical bits in, identical integer
+    * out), the sums and the 10·N(r) ≥ 9·N(3) threshold tests run in exact
+    * integer arithmetic, and the interpolation spends ONE final IEEE
+    * division — no rounding contract needed beyond the shipped 4 dp.
+    * Output: one row (n_marked, n1e4_r1, n1e4_r2, n1e4_r3, eff_diameter).
+    */
+  def hyperBallEffectiveDiameter(edges: DataFrame,
+                                 outputBelow: Long = 1000L): DataFrame = {
+    val nf = hyperBallNf(edges, radius = 3, outputBelow = outputBelow)
+    def ns(r: Int) =
+      sum(when(col("radius") === r.toLong,
+        round(col("est") * 10000.0, 0).cast("long"))).as(s"n1e4_r$r")
+    val agg = nf.agg(countDistinct("vertex").cast("long").as("n_marked"),
+        ns(1), ns(2), ns(3))
+      .withColumn("n0", col("n_marked") * 10000L)
+    def interp(prev: org.apache.spark.sql.Column,
+               cur: org.apache.spark.sql.Column,
+               base: Int): org.apache.spark.sql.Column =
+      lit(base.toDouble) +
+        (lit(9L) * col("n1e4_r3") - lit(10L) * prev).cast("double") /
+          (lit(10L) * (cur - prev)).cast("double")
+    agg.withColumn("eff_diameter", round(
+        when(lit(10L) * col("n0") >= lit(9L) * col("n1e4_r3"), lit(0.0))
+          .when(lit(10L) * col("n1e4_r1") >= lit(9L) * col("n1e4_r3"),
+            interp(col("n0"), col("n1e4_r1"), 0))
+          .when(lit(10L) * col("n1e4_r2") >= lit(9L) * col("n1e4_r3"),
+            interp(col("n1e4_r1"), col("n1e4_r2"), 1))
+          .otherwise(interp(col("n1e4_r2"), col("n1e4_r3"), 2)), 4))
+      .select("n_marked", "n1e4_r1", "n1e4_r2", "n1e4_r3", "eff_diameter")
+  }
+
   /** Bounded batch-peeling densest-subgraph search (Bahmani, Kumar &
     * Vassilvitskii 2012, VLDB, "Densest subgraph in streaming and
     * MapReduce" — the 2(1+ε) approximation at ε = 0: each round records

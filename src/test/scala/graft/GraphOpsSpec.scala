@@ -809,6 +809,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(h(3L) > h(1L), "the path center must out-rank the endpoint")
   }
 
+  test("hyperBallEffectiveDiameter: path graph interpolates to ~2.43") {
+    import spark.implicits._
+    // path 1-2-3-4-5 symmetrized: exact summed neighborhood function
+    // N(0)=5, N(1)=13, N(2)=19, N(3)=23 → target 0.9·23 = 20.7 lands in
+    // (19, 23] → d_eff = 2 + (20.7−19)/(23−19) = 2.425; the m=256
+    // linear-counting estimates for ≤5-element balls sit within ~1%.
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val row = GraphOps.hyperBallEffectiveDiameter(edges).collect()(0)
+    assert(row.getLong(0) == 5L, "all 5 path vertices marked")
+    val d = row.getDouble(4)
+    assert(math.abs(d - 2.425) < 0.1, s"effective diameter $d != ~2.425")
+  }
+
   test("communityConductance: two triangles over one bridge score 1/7 each") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6}, bridge 3-4; degrees 2,2,3,3,2,2 →
