@@ -2366,6 +2366,11 @@ object SparkEntry {
       GraphOps.hyperBallHarmonic(
         te.unionAll(te.select(col("dst").as("src"), col("src").as("dst"))))
     }),
+    // Neyman-allocated stratified sample: budget splits across source
+    // strata by N_h·S_h (exact moments, one sqrt, floor-scaled integer
+    // weights), picks are the md5-smallest per stratum
+    "neyman_sample" -> ((s, dir) =>
+      pipeline.Curation.neymanSample(t(s, dir, "documents"))),
     // leave-last-out temporal split: each user's chronologically last
     // event is the held-out test point
     "temporal_split" -> ((s, dir) =>
@@ -5949,6 +5954,28 @@ object SparkEntry {
          |       - max(CASE WHEN radius = 2 THEN est END)) / 3.0, 4) AS DOUBLE)
          |    AS harmonic
          |FROM hb GROUP BY vertex ORDER BY vertex""".stripMargin,
+    // exact BIGINT moments, ONE sqrt per stratum, floor(·1e6) integer
+    // weights, floor-division allocation — no summation-order contract
+    "neyman_sample" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |    CAST(n_chars AS BIGINT) AS x,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY source),
+        |w AS (SELECT source, n_h,
+        |    CAST(floor(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_int
+        |  FROM st),
+        |tot AS (SELECT CAST(sum(w_int) AS BIGINT) AS w_tot FROM w),
+        |al AS (SELECT source, n_h, w_int,
+        |    CAST((50 * w_int) // w_tot AS BIGINT) AS n_alloc FROM w, tot),
+        |r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn
+        |  FROM d)
+        |SELECT r.doc_id, r.source, al.n_h, al.w_int, al.n_alloc, r.rn
+        |FROM r JOIN al USING (source) WHERE rn <= n_alloc
+        |ORDER BY r.doc_id""".stripMargin,
     "temporal_split" ->
       """WITH e AS (SELECT CAST(user_id AS BIGINT) AS u,
         |    CAST(event_id AS BIGINT) AS id, epoch_ms(ts) AS ms FROM events),

@@ -361,6 +361,55 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Neyman-allocated stratified sample (Neyman 1934 — the optimal
+    * allocation a survey-grade eval set uses): the sample budget `n`
+    * splits across the source strata proportionally to N_h·S_h (stratum
+    * size × stratum std-dev of doc length), so variable strata get more
+    * of the budget than uniform ones; within each stratum the picks are
+    * the md5-smallest docs (the [[hashSample]] determinism contract —
+    * stable across runs, engines, partitionings, and nested for growing
+    * budgets).
+    *
+    * Cross-engine exactness: N_h·S_h = sqrt(N_h·Σx² − (Σx)²) — moments
+    * are exact BIGINTs, ONE IEEE sqrt per stratum (bit-identical), then
+    * `floor(·1e6)` (floor of identical bits, no half-up ambiguity)
+    * re-enters exact integers: the weight total, the floor-division
+    * allocation `n·w_h div ΣW` and the rank filter are all integer ops.
+    * A zero-variance stratum draws w = 0 and is allocated nothing (the
+    * Neyman semantics). Integer bound: N_h·Σx² must fit a BIGINT
+    * (≈ 10⁵-char docs × 10⁶-doc strata); at corpus scale the allocation
+    * is parameter ESTIMATION — fit the moments on a per-stratum sample
+    * (the [[KMeans.fit]] guidance), then the ranked take streams the
+    * full corpus once.
+    *
+    * Scale: one stratum aggregate (map-side combined), a broadcast 1-row
+    * total, a broadcast allocation join, one source-keyed window over
+    * rows that survive the rank filter. Output:
+    * (doc_id, source, n_h, w_int, n_alloc, rn) ordered by doc_id.
+    */
+  def neymanSample(documents: DataFrame, n: Long = 50L): DataFrame = {
+    val d = documents.select(col("doc_id").cast("long").as("doc_id"),
+      col("source"), col("n_chars").cast("long").as("x"),
+      graft.functions.PortableHash.md5Bits60(col("doc_id").cast("string")).as("h"))
+    val stats = d.groupBy("source").agg(
+        count(lit(1)).cast("long").as("n_h"),
+        sum("x").cast("long").as("sx"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+      .withColumn("w_int",
+        floor(sqrt((col("n_h") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = broadcast(stats.agg(sum("w_int").cast("long").as("w_tot")))
+    val alloc = stats.crossJoin(tot)
+      .withColumn("n_alloc", expr(s"($n * w_int) div w_tot"))
+      .select("source", "n_h", "w_int", "n_alloc")
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    d.join(broadcast(alloc), "source")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= col("n_alloc"))
+      .select("doc_id", "source", "n_h", "w_int", "n_alloc", "rn")
+      .orderBy("doc_id")
+  }
+
   /** Per-source quality quota: keep the top `perSource` docs of each
     * source by quality score (ties to the smaller doc_id) — the
     * "N best pages per domain" curation rule. One shuffle on source.

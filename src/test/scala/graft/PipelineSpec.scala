@@ -188,6 +188,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(s5 == pipeline.Curation.hashSample(d, 5).collect().map(_.getLong(0)).toSeq)
   }
 
+  test("neymanSample: variable stratum draws the budget, zero-variance stratum draws none") {
+    // stratum A: 10 docs, lengths alternate 100/900 (high variance);
+    // stratum B: 10 docs, all length 500 (zero variance -> w = 0)
+    val rows = (0L until 10L).map(i =>
+        (i, "A", if (i % 2 == 0) 100L else 900L)) ++
+      (10L until 20L).map(i => (i, "B", 500L))
+    val d = rows.toDF("doc_id", "source", "n_chars")
+      .withColumn("text", org.apache.spark.sql.functions.lit("x"))
+    val out = pipeline.Curation.neymanSample(d, n = 6L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 == "A"), s"zero-variance stratum must draw nothing: ${out.toSeq}")
+    // all of A's weight -> floor(6 * wA / wA) = 6 picks from A
+    assert(out.length == 6, s"allocation must give A the whole budget: ${out.toSeq}")
+    assert(out.map(_._4).sorted.toSeq == (1L to 6L), "ranks are 1..n_alloc")
+    // deterministic across runs
+    val again = pipeline.Curation.neymanSample(d, n = 6L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("dedup clusters property: random planted dup groups recover exactly") {
     // plant groups of near-identical docs (same long base, tiny suffix
     // variation -> pairwise jaccard >= 0.8 within a group, ~0 across);
