@@ -1787,6 +1787,10 @@ object SparkEntry {
     // exact discrete quantiles per type (PERCENTILE_DISC ⇔ quantile_disc —
     // outputs are raw input doubles, bit-identical, unrounded)
     "events_quantiles" -> ((s, dir) => Events.valueQuantiles(t(s, dir, "events"))),
+    // read-pruned quantiles: deterministic md5 1/8 sample, same
+    // PERCENTILE_DISC kernel; rank error audited in PropertyOracleSpec
+    "events_quantiles_sampled" -> ((s, dir) =>
+      Events.sampledValueQuantiles(t(s, dir, "events"))),
     // winsorization: clamp value into the per-type [p01, p99] discrete-
     // quantile band — every output a raw input double, no rounding
     "events_winsorized" -> ((s, dir) => Events.winsorize(t(s, dir, "events"))),
@@ -4512,6 +4516,17 @@ object SparkEntry {
         |  quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // identical deterministic sample rows (md5 threshold), identical
+    // discrete-quantile contract — raw input doubles, no rounding
+    "events_quantiles_sampled" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+        |  quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.9) AS p90,
+        |  quantile_disc(value, 0.99) AS p99
+        |FROM events
+        |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      < 144115188075855872
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // every output is a raw input double (discrete quantiles +
     // least/greatest selection) — no rounding anywhere
     "events_winsorized" ->

@@ -109,6 +109,36 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Hash-SAMPLED discrete quantiles — the read-pruned percentile path at
+    * corpus scale: rows whose md5₆₀(event_id) clears a power-of-two
+    * threshold form a deterministic 1/2^`shift` sample (stable across
+    * runs, engines, and partitionings — `TABLESAMPLE`/rand() are none of
+    * those), and the [[valueQuantiles]] PERCENTILE_DISC kernel runs on
+    * the sample alone. Every output IS a raw input double (discrete, not
+    * interpolated) so cross-engine equality needs no rounding contract;
+    * the approximation error vs the exact quantiles is the audited
+    * property (PropertyOracleSpec: sampled p50 within the exact p40–p60
+    * band), the classic ε ≈ O(1/√sample) rank-error trade.
+    *
+    * Scale: the per-group sort that dominates exact grouped quantiles
+    * shrinks 2^shift-fold; the sample predicate is a codegen'd hash
+    * compare applied at the scan. Output:
+    * (event_type, n_sample, p50, p90, p99) ordered.
+    */
+  def sampledValueQuantiles(events: DataFrame, shift: Int = 3): DataFrame = {
+    val thresh = 1L << (60 - shift)
+    events
+      .filter(graft.functions.PortableHash
+        .md5Bits60(col("event_id").cast("string")) < thresh)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_sample"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"))
+      .select("event_type", "n_sample", "p50", "p90", "p99")
+      .orderBy("event_type")
+  }
+
   /** Winsorization — the outlier-clipping normalization a training-data
     * pipeline applies before feature scaling: per event type, clamp
     * `value` into its own [p_lo, p_hi] discrete-quantile band. Every

@@ -88,6 +88,28 @@ class PropertyOracleSpec extends AnyFunSuite {
         s"(measured ${IvfParams.Mrl.MeasuredRecall}, floor ${IvfParams.Mrl.RecallFloor})")
   }
 
+  test("events_quantiles_sampled: sampled quantiles land within the exact rank-error band") {
+    // the 1/8 deterministic sample trades exactness for a 2^shift read
+    // reduction; the audited property is bounded RANK error — each
+    // sampled p50 must fall inside the exact p35–p65 band of its type
+    // (≈ ±3/√n_sample rank error at n_sample ≈ 200/type on sf0.01)
+    import org.apache.spark.sql.functions.expr
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val sampled = graft.pipeline.Events.sampledValueQuantiles(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sampled.nonEmpty)
+    val bands = ev.groupBy("event_type")
+      .agg(expr("percentile_disc(0.35) WITHIN GROUP (ORDER BY value)").as("lo"),
+        expr("percentile_disc(0.65) WITHIN GROUP (ORDER BY value)").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    sampled.foreach { case (t, n, p50) =>
+      assert(n > 50, s"type $t sample too small ($n) for the audit to mean anything")
+      val (lo, hi) = bands(t)
+      assert(p50 >= lo && p50 <= hi,
+        s"type $t sampled p50 $p50 outside exact p35-p65 band [$lo, $hi]")
+    }
+  }
+
   test("label_noise_ann: suspect verdicts agree with the exact kernel above the floor") {
     // the pruned path (in-cluster candidates only) must stay a faithful
     // stand-in for the exact all-pairs kernel it replaces at scale —
