@@ -23,7 +23,7 @@ object Plans {
     "neighbor_degree_stats" -> "two natural-key shuffles: degree aggregation, then the neighbor join re-aggregated on src; both HashAggregates two-phase (partial map-side).",
     "char_entropy" -> "NO Exchange before the final sort: the native char_entropy_stats expression computes the per-row code-point histogram inside WholeStageCodegen — the old explode+double-aggregate shape shuffled one row per character.",
     "embedding_knn_join" -> "query side broadcast (nested-loop by design — the scan IS the k-NN product); codegen'd vector_cosine scoring; per-query pruning DOGFOODS the engine's own GroupTopK operator (map-side k-row heaps, the single hash Exchange carries ≤ k rows per query per partition, spill-safe key cap); the rank window runs over only the ≤k survivors and reuses the GroupTopK final pass's partitioning — no second Exchange.",
-    "triangle_counts" -> "canonical a<b<c orientation enumerates each triangle once: pairs checkpointed once feed both join sides and the LeftSemi closing-edge probe; corner explode + two-phase count.",
+    "triangle_counts" -> "degree-ordered (round 12): the checkpointed ORIENTED edge set (low-(degree,id) → high, built pre-checkpoint — see the census-orientation section) feeds the middle-vertex wedge join and the LeftSemi closing-edge probe; each triangle enumerates once as u≺v≺w, corner explode + two-phase count; hub wedge fan-out bounded by the O(√m) out-degree.",
     "decontaminate" -> "benchmark gram set is broadcast (LeftSemi BroadcastHashJoin) — the corpus-side grams never shuffle; the overlap count is a per-doc aggregate over the semi-join survivors.",
     "sorted_neighborhood" -> "blocked sorted-neighborhood candidates: ONE Exchange on the block key feeds the sort window (no global-order single partition); candidate pairs checkpoint small; the Jaccard verify joins shingles pair-keyed — cost ∝ candidates × doc size, never corpus².",
     "label_propagation" -> "one data Exchange per round beyond the message join: the explicit repartition(vertex) satisfies the clustered distribution of BOTH aggregates (label count on (vertex,label) and the max_by argmax on vertex — subset partitioning satisfies the superset), replacing the row_number window's sort Exchange.",
@@ -58,7 +58,10 @@ object Plans {
     "sequence_packing" -> "concat-then-chunk packing: hash-shuffled doc order, token prefix sums from the two-pass running-sums scan (per-partition subtotals broadcast as offsets — the ExistingRDD), chunk assignment is pure integer arithmetic in the projection.",
     "incremental_agg_maintenance" -> "aggregate-level view maintenance: base and delta aggregates merge through ONE co-partitioned full-outer join on the key; exact integer cents; equals the full recompute bit-for-bit.",
     "bloom_semijoin" -> "the runtime-filter shape: the one-row BloomFilterAggregate scalar subquery broadcasts into the orders scan's Filter — might_contain sits BELOW the LeftSemi BroadcastHashJoin, so non-members die at the scan before any join exchange; the exact semi-join then strips the ~2% false positives; orders ReadSchema pruned to 3 columns.",
-    "walk_pmi" -> "skip-gram pairs from the walk-keyed self-join (a walk is ≤ 4 positions — bounded fan-out), one two-phase (a,b) count; occurrence counts join on DISTINCT vertices; totals ride one broadcast row; the final ranking is TakeOrdered on the exact-integer ratio (n·T²/(P·ca·cb) as two BIGINT products and one division).",
+    "walk_pmi" -> "skip-gram pairs from the walk-keyed self-join (a walk is ≤ 4 positions — bounded fan-out), one two-phase (a,b) count; occurrence counts join on DISTINCT vertices; totals ride one broadcast row; the final ranking is TakeOrdered on the ratio — each factor cast to double BEFORE multiplying (the BIGINT n·T² product overflowed past ~3e9 positions), still one fixed cross-engine op tree.",
+    "label_noise_ann" -> "the at-scale label-noise path: the learned-quantizer membership (checkpointed fit ⋈ labels) self-joins on CLUSTER — pair fan-out Σ|c|², never |V|²; codegen'd vector_cosine scoring; per-query pruning through the engine's own GroupTopKPartial/Final heaps; the vote is two two-phase aggregates (label count, max_by argmax).",
+    "neyman_sample" -> "Neyman allocation at parameter scale: the stratum moment aggregate map-combines to one row per source; the weight total is one broadcast row; allocation is integer floor-division in the projection; the ranked take is ONE source-keyed window whose partitions are stratum-sized.",
+    "events_quantiles_sampled" -> "the read-pruned percentile path: the md5-threshold sample predicate is a codegen'd hash compare in the scan Filter (1/8 of rows survive to the sort), then the same two-phase PERCENTILE_DISC aggregate as the exact plan over 8× fewer rows.",
     "rich_club" -> "both histograms are explode-aggregates — each vertex/edge Generates into the ≤32 thresholds it clears, then a two-phase HashAggregate map-combines to ≤32 rows per partition; the checkpointed pair table feeds degrees and the edge min-degree join; no per-k rescan anywhere.",
     "audio_vad_segments" -> "framing is a partition-local Dataset map (each 32-byte frame reduces to two longs at the scan — payload bytes never shuffle); ONE Exchange on media_id serves both gaps-and-islands windows, whose partitions are single-payload frame lists, never corpus-sized keys.",
     "kneser_ney_bigrams" -> "counts aggregate to DISTINCT bigrams before any join (token instances never cross the wire after the map-side combine); both marginals and the one-row type count derive from the checkpointed gram table; the interpolated probability is two BIGINT polynomials + ONE division in the projection; TakeOrdered on the exact count.",
@@ -146,6 +149,30 @@ object Plans {
       sb.append("merge sends ≤ |V| blobs per partition, 256 B each regardless ")
       sb.append("of ball size.\n\n```\n")
       sb.append(roundDf.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
+      sb.append("\n```\n")
+    }
+    // the census orientation build is eagerly checkpointed before the
+    // wedge joins (the final plans read a Scan ExistingRDD) — dump the
+    // un-checkpointed composition directly: degree aggregate joined to
+    // both endpoints, the (degree, id) CASE WHEN flip, then the
+    // middle-vertex wedge join + closing-edge LeftSemi over it
+    locally {
+      import org.apache.spark.sql.functions.col
+      val pairs = spark.read.parquet(s"$sfDir/nation.parquet")
+        .select((col("n_nationkey") % 7).cast("long").as("a"),
+          ((col("n_nationkey") % 7) + 1 + col("n_regionkey")).cast("long").as("b"))
+        .filter(col("a") < col("b")).distinct().localCheckpoint(true)
+      val tri = graph.GraphOps.orientedTriangles(
+        graph.GraphOps.orientByDegree(pairs, graph.GraphOps.pairDegrees(pairs)))
+      sb.append("\n## census_orientation (pre-checkpoint build + wedge join)\n\n")
+      sb.append("the round-12 degree-ordered census build the checkpoint hides: ")
+      sb.append("the degree HashAggregate joins back onto both edge endpoints, ")
+      sb.append("the CASE WHEN (da < db …) projection flips each edge low-(degree, id) ")
+      sb.append("→ high, and the wedge join pairs in-edges with out-edges on the ")
+      sb.append("MIDDLE vertex (fan-out indeg·outdeg, outdeg O(√m) by the arboricity ")
+      sb.append("bound) before the LeftSemi closing-edge probe — no cartesian, no ")
+      sb.append("post-join dedup.\n\n```\n")
+      sb.append(tri.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
       sb.append("\n```\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
