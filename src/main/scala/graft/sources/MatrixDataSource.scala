@@ -88,6 +88,7 @@ object MatrixDataSource {
     */
   private[sources] def readFully(path: String,
       conf: org.apache.hadoop.conf.Configuration): String = {
+    FilesRead.incrementAndGet()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
@@ -96,6 +97,18 @@ object MatrixDataSource {
     val in = fs.open(p)
     try in.readFully(0L, buf) finally in.close()
     new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Test observability for the runtime-filter path: files actually opened
+    * by readers. Meaningful in local mode (one JVM); on a cluster the
+    * count is per-executor — use Spark's scan metrics there.
+    */
+  private[graft] val FilesRead = new java.util.concurrent.atomic.AtomicLong
+
+  /** Filename stem = graph_id (the database layout contract). */
+  private[sources] def stemOf(path: String): String = {
+    val f = new org.apache.hadoop.fs.Path(path).getName
+    if (f.endsWith(".txt")) f.dropRight(4) else f
   }
 }
 
@@ -433,12 +446,35 @@ private[sources] class MatrixAggReaderFactory(byGid: Boolean,
   }
 }
 
+/** Row scan with RUNTIME file pruning ([[org.apache.spark.sql.connector
+  * .read.SupportsRuntimeFiltering]]): `graph_id` is declared filterable,
+  * so a join whose other side resolves at runtime (dynamic partition
+  * pruning: the broadcast side's distinct graph_ids arrive as an
+  * `In`/`EqualTo` filter before `planInputPartitions`) drops whole FILES
+  * from the scan — one file = one graph, so pruning on graph_id is
+  * file-exact and the dropped graphs are never opened, parsed, or
+  * shuffled. An unsupported runtime predicate leaves the path list
+  * intact (pruning is an optimization, never a correctness dependency).
+  */
 private[sources] class MatrixScan(paths: Seq[String], required: StructType)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  private var activePaths: Seq[String] = paths
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("graph_id"))
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    filters.foreach {
+      case org.apache.spark.sql.sources.In("graph_id", vs) =>
+        val keep = vs.map(String.valueOf).toSet
+        activePaths = activePaths.filter(p => keep.contains(MatrixDataSource.stemOf(p)))
+      case org.apache.spark.sql.sources.EqualTo("graph_id", v) =>
+        activePaths = activePaths.filter(p => MatrixDataSource.stemOf(p) == String.valueOf(v))
+      case _ => ()
+    }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(MatrixFilePartition(_)).toArray
+    activePaths.map(MatrixFilePartition(_)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     // capture the DRIVER session's Hadoop conf here (driver-side call) so
     // executor-side reads resolve filesystems with the same spark.hadoop.*
