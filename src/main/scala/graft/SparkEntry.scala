@@ -1791,6 +1791,10 @@ object SparkEntry {
     // PERCENTILE_DISC kernel; rank error audited in PropertyOracleSpec
     "events_quantiles_sampled" -> ((s, dir) =>
       Events.sampledValueQuantiles(t(s, dir, "events"))),
+    // sample-at-ingest streaming twin: only the 1/8 sample ever lands in
+    // the store; shared sample + quantile kernels, one oracle for both
+    "stream_quantiles_sampled" -> ((s, dir) =>
+      streaming.StreamOps.sampledQuantilesReplayBatch(s, s"$dir/events.parquet")),
     // winsorization: clamp value into the per-type [p01, p99] discrete-
     // quantile band — every output a raw input double, no rounding
     "events_winsorized" -> ((s, dir) => Events.winsorize(t(s, dir, "events"))),
@@ -2744,6 +2748,20 @@ object SparkEntry {
       |pairs AS (SELECT a.part AS a, b.part AS b
       |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
       |          GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** Sampled discrete quantiles — identical deterministic sample rows +
+    * PERCENTILE_DISC contract in both engines; shared by the batch
+    * `events_quantiles_sampled` and the sample-at-ingest stream twin.
+    */
+  private val SampledQuantilesOracleSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+      |  quantile_disc(value, 0.5) AS p50,
+      |  quantile_disc(value, 0.9) AS p90,
+      |  quantile_disc(value, 0.99) AS p99
+      |FROM events
+      |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      < 144115188075855872
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Per-vertex triangle census over the co-purchase pairs — shared by the
     * batch `triangle_counts` and its streaming delta-maintenance twin.
@@ -4518,15 +4536,9 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // identical deterministic sample rows (md5 threshold), identical
     // discrete-quantile contract — raw input doubles, no rounding
-    "events_quantiles_sampled" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
-        |  quantile_disc(value, 0.5) AS p50,
-        |  quantile_disc(value, 0.9) AS p90,
-        |  quantile_disc(value, 0.99) AS p99
-        |FROM events
-        |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
-        |      < 144115188075855872
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_quantiles_sampled" -> SampledQuantilesOracleSql,
+    // the sample-at-ingest stream twin lands exactly the batch sample rows
+    "stream_quantiles_sampled" -> SampledQuantilesOracleSql,
     // every output is a raw input double (discrete quantiles +
     // least/greatest selection) — no rounding anywhere
     "events_winsorized" ->

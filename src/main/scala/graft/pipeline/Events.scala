@@ -125,11 +125,22 @@ object Events {
     * compare applied at the scan. Output:
     * (event_type, n_sample, p50, p90, p99) ordered.
     */
-  def sampledValueQuantiles(events: DataFrame, shift: Int = 3): DataFrame = {
-    val thresh = 1L << (60 - shift)
-    events
-      .filter(graft.functions.PortableHash
-        .md5Bits60(col("event_id").cast("string")) < thresh)
+  def sampledValueQuantiles(events: DataFrame, shift: Int = 3): DataFrame =
+    quantilesOfSample(sampleByHash(events, shift))
+
+  /** The deterministic 1/2^shift md5-threshold sample — row-local, so it
+    * applies identically per micro-batch at INGEST (the streaming twin's
+    * store holds only sample rows) and over a batch table.
+    */
+  private[graft] def sampleByHash(events: DataFrame, shift: Int): DataFrame =
+    events.filter(graft.functions.PortableHash
+      .md5Bits60(col("event_id").cast("string")) < (1L << (60 - shift)))
+
+  /** The PERCENTILE_DISC half of [[sampledValueQuantiles]], shared with
+    * the streaming twin so the two cannot drift.
+    */
+  private[graft] def quantilesOfSample(sample: DataFrame): DataFrame =
+    sample
       .groupBy("event_type")
       .agg(count(lit(1)).cast("long").as("n_sample"),
         expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
@@ -137,7 +148,6 @@ object Events {
         expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"))
       .select("event_type", "n_sample", "p50", "p90", "p99")
       .orderBy("event_type")
-  }
 
   /** Winsorization — the outlier-clipping normalization a training-data
     * pipeline applies before feature scaling: per event type, clamp

@@ -1021,6 +1021,54 @@ object StreamOps {
       .orderBy("vertex")
   }
 
+  /** Streaming sampled quantiles — the sample-at-INGEST twin of
+    * `events_quantiles_sampled`: each micro-batch applies the
+    * deterministic md5-threshold sample ([[graft.pipeline.Events
+    * .sampleByHash]], row-local so batch-split-invariant) and appends
+    * ONLY the surviving 1/8 of rows to the store; the PERCENTILE_DISC
+    * kernel ([[graft.pipeline.Events.quantilesOfSample]], shared
+    * verbatim) runs once on the final store. The store after the last
+    * batch holds exactly the batch operator's sample rows, so the batch
+    * oracle replays the end state — and at 100 TB the ingest path
+    * materializes 2^shift-fold less than the event volume, which is the
+    * point of deciding sampling AT ingest. `batchProbe(sampledRows,
+    * batchRows)` lets StreamSpec assert the per-batch prune.
+    * Output: the batch kernel's schema, ordered by event_type.
+    */
+  def sampledQuantilesReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                                  eventsPath: String,
+                                  batchProbe: (Long, Long) => Unit =
+                                    (_, _) => ()): DataFrame = {
+    import graft.pipeline.Events
+    val spark = tunedStatefulSession(spark0)
+    val events = spark.read.parquet(eventsPath)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_squant_")
+    val store = s"$tmp/store"
+    val inDir = s"$tmp/in"
+    events.repartition(4).write.parquet(inDir)
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        val sampled = Events.sampleByHash(b, shift = 3)
+          .select("event_type", "value", "event_id")
+          .localCheckpoint(true)
+        sampled.write.mode("append").parquet(store)
+        batchProbe(sampled.count(), b.count())
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"sampled-quantiles replay ran $batches non-empty micro-batches; " +
+        "the ingest-sampling path requires at least 2")
+    Events.quantilesOfSample(spark.read.parquet(store))
+  }
+
   /** Streaming incremental TRIANGLE maintenance — the
     * [[graphMaintainReplayBatch]] pattern (op 1/2 snapshot versions
     * interleaved with an op-3/4-style derived statistic) for a statistic

@@ -125,6 +125,26 @@ class StreamSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("sampledQuantilesReplayBatch: every batch prunes at ingest; end state equals the batch kernel") {
+    val dir = "/root/testdata/sf0.001"
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val streamed = StreamOps.sampledQuantilesReplayBatch(spark,
+        s"$dir/events.parquet", (s, b) => { probes += ((s, b)); () })
+      .collect().map(_.toSeq).toSeq
+    assert(probes.length >= 2, s"need >=2 probed batches, got $probes")
+    // the ingest prune is REAL in every batch: sampled < batch rows
+    probes.foreach { case (s, b) =>
+      assert(s < b, s"batch landed $s of $b rows — no ingest prune")
+    }
+    // ~1/8 sample overall (loose band: md5 is uniform)
+    val (sTot, bTot) = (probes.map(_._1).sum, probes.map(_._2).sum)
+    assert(sTot * 4 < bTot && sTot * 20 > bTot, s"sample ratio off: $sTot/$bTot")
+    val batch = graft.pipeline.Events.sampledValueQuantiles(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "stream end state must equal the batch kernel")
+  }
+
   test("delta-version catalog layout: per-batch written bytes scale with the delta, not the graph") {
     // the streaming-ingest pattern graphMaintainReplayBatch now uses:
     // batch 1 = add (full), batches 2..n = modifyDelta. Each version dir
