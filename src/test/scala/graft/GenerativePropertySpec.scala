@@ -225,4 +225,49 @@ class GenerativePropertySpec extends AnyFunSuite {
       }
     }, "Katz vs matrix powers")
   }
+
+  test("property: degree-ordered census equals brute force on random graphs") {
+    // guards the round-12 orientation: for every random edge set, the
+    // enumerated triangle / K4 counts and the truss supports must equal
+    // the brute-force reference EXACTLY — single enumeration (no misses,
+    // no double counts) regardless of degree ties, hubs, or id order
+    val edges = Gen.chooseNum(5, 14).flatMap { n =>
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, n.toLong), Gen.chooseNum(0L, n.toLong)))
+    }
+    assertHolds(Prop.forAll(edges, Gen.chooseNum(1, 4)) { (raw, nPart) =>
+      val pairs = raw.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+        .filter { case (a, b) => a < b }.distinct
+      val adj = pairs.toSet
+      def connected(x: Long, y: Long) =
+        adj.contains((math.min(x, y), math.max(x, y)))
+      val verts = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      val triBrute = (for {
+        a <- verts; b <- verts if a < b && connected(a, b)
+        c <- verts if b < c && connected(a, c) && connected(b, c)
+      } yield Seq(a, b, c)).flatten
+        .groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }
+      val k4Brute = (for {
+        a <- verts; b <- verts if a < b && connected(a, b)
+        c <- verts if b < c && connected(a, c) && connected(b, c)
+        d <- verts if c < d && connected(a, d) && connected(b, d) && connected(c, d)
+      } yield Seq(a, b, c, d)).flatten
+        .groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }
+      val supBrute = pairs.map { case (a, b) =>
+        ((a, b), verts.count(c => c != a && c != b &&
+          connected(a, c) && connected(b, c)).toLong)
+      }.filter(_._2 > 0).toMap
+      if (pairs.isEmpty) true
+      else {
+        val df = pairs.toDF("a", "b").repartition(nPart)
+        val tri = graph.GraphOps.triangleCounts(df).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val k4 = graph.GraphOps.fourCliqueCounts(df).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val sup = graph.GraphOps.trussSupportRound(
+            df.select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+        tri == triBrute && k4 == k4Brute && sup == supBrute
+      }
+    }, "census vs brute force")
+  }
 }
