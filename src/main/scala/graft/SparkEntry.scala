@@ -2177,6 +2177,11 @@ object SparkEntry {
     // doc against the benchmark set (docs 0..9), benchmark grams broadcast
     "decontaminate" -> ((s, dir) =>
       pipeline.Curation.decontaminate(t(s, dir, "documents"))),
+    // FUZZY decontamination: shingle-Jaccard vs every benchmark doc,
+    // flagged on the exact-integer 1/2 threshold — catches the
+    // rephrasings exact 5-grams miss
+    "decontaminate_fuzzy" -> ((s, dir) =>
+      pipeline.Curation.decontaminateFuzzy(t(s, dir, "documents"))),
     // deterministic hash split + per-source quality quota (curation ops)
     "train_val_split" -> ((s, dir) =>
       pipeline.Curation.trainValSplit(t(s, dir, "documents"))),
@@ -4506,6 +4511,36 @@ object SparkEntry {
         |FROM orders o JOIN a ON a.o_custkey = o.o_custkey
         |WHERE o.o_totalprice > 1.5 * a.avg_price ORDER BY orderkey""".stripMargin,
     "decontaminate" -> DeconOracleSql,
+    // same shingle construction as the jaccard oracles; threshold decided
+    // by the cross-multiplied integer predicate; max_jaccard unrounded
+    // (ratio of exact integers — bit-identical IEEE division)
+    "decontaminate_fuzzy" ->
+      """WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |bench AS (SELECT doc_id AS bid, s FROM sh WHERE doc_id < 10),
+        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10),
+        |bsz AS (SELECT bid, CAST(count(*) AS BIGINT) AS bsz FROM bench GROUP BY bid),
+        |csz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS csz FROM corpus GROUP BY doc_id),
+        |inter AS (SELECT c.doc_id, b.bid, CAST(count(*) AS BIGINT) AS inter
+        |          FROM corpus c JOIN bench b ON b.s = c.s GROUP BY 1, 2),
+        |hits AS (SELECT i.doc_id,
+        |    CAST(sum(CASE WHEN i.inter * 2 >= csz.csz + bsz.bsz - i.inter
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bench_matches,
+        |    max(CAST(i.inter AS DOUBLE)
+        |        / CAST(csz.csz + bsz.bsz - i.inter AS DOUBLE)) AS max_jaccard
+        |  FROM inter i JOIN csz ON csz.doc_id = i.doc_id
+        |       JOIN bsz ON bsz.bid = i.bid
+        |  GROUP BY i.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(h.n_bench_matches, 0) AS n_bench_matches,
+        |  COALESCE(h.max_jaccard, 0.0) AS max_jaccard,
+        |  COALESCE(h.n_bench_matches, 0) > 0 AS contaminated
+        |FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+        |      WHERE doc_id >= 10) d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // the streaming replay lands the SAME relation as the batch operator
     // (per-doc flags are micro-batch-complete; shared kernel), so the
     // oracle IS the batch one

@@ -239,6 +239,54 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** FUZZY decontamination — the near-duplicate upgrade of
+    * [[decontaminate]]'s exact k-gram flags (benchmark rephrasings and
+    * partial copies slip past exact 5-grams; shingle-Jaccard against the
+    * benchmark set catches them — the contamination check modern dataset
+    * cards actually report): per corpus doc, Jaccard over distinct
+    * `w`-gram shingles against EVERY benchmark doc (doc_id <
+    * `benchmarkMaxId`), flagged when any benchmark doc clears 1/2.
+    *
+    * Exactness: the threshold test is the cross-multiplied exact-integer
+    * predicate `2·inter ≥ csz + bsz − inter` (never a float compare);
+    * max_jaccard ships as the raw ratio of exact BIGINTs (bit-identical
+    * IEEE division, unrounded). Scale: the benchmark shingle set is
+    * BROADCAST (benchmarks are thousands of docs, not corpora), so the
+    * candidate join costs one map-side probe per corpus shingle — never
+    * corpus², never a shuffle of the corpus text; per-pair state exists
+    * only for docs that actually share a shingle.
+    * Output: (doc_id, n_bench_matches, max_jaccard, contaminated) for
+    * every corpus doc, ordered.
+    */
+  def decontaminateFuzzy(documents: DataFrame,
+                         benchmarkMaxId: Long = DefaultBenchmarkMaxId,
+                         w: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(
+        documents.select(col("doc_id").cast("long").as("doc_id"), col("text")), w)
+      .localCheckpoint(true) // feeds benchmark AND corpus sides + sizes
+    val bench = sh.filter(col("doc_id") < benchmarkMaxId)
+      .select(col("doc_id").as("bid"), col("s"))
+    val corpus = sh.filter(col("doc_id") >= benchmarkMaxId)
+    val bsz = bench.groupBy("bid").agg(count(lit(1)).cast("long").as("bsz"))
+    val csz = corpus.groupBy("doc_id").agg(count(lit(1)).cast("long").as("csz"))
+    val inter = corpus.join(broadcast(bench), "s")
+      .groupBy("doc_id", "bid").agg(count(lit(1)).cast("long").as("inter"))
+    val hits = inter.join(csz, "doc_id").join(broadcast(bsz), "bid")
+      .withColumn("match", col("inter") * 2 >= col("csz") + col("bsz") - col("inter"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("match"), 1L).otherwise(0L)).cast("long").as("n_bench_matches"),
+        max(col("inter").cast("double") /
+          (col("csz") + col("bsz") - col("inter")).cast("double")).as("max_jaccard"))
+    documents.select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") >= benchmarkMaxId)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bench_matches"), lit(0L)).as("n_bench_matches"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        (coalesce(col("n_bench_matches"), lit(0L)) > 0L).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val assignment by content-independent id hash:
     * first hex nibble of md5(doc_id) < 'c' → train (12/16 = 75%), else
     * val. Hash-based (not rand()) so the split is reproducible across

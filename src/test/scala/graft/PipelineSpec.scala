@@ -188,6 +188,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(s5 == pipeline.Curation.hashSample(d, 5).collect().map(_.getLong(0)).toSeq)
   }
 
+  test("decontaminateFuzzy: a benchmark rephrasing is flagged where exact k-grams would miss it") {
+    // benchmark doc 0; corpus doc 20 shares the long tail but changes the
+    // FIRST word — every exact 5-gram window differs near the head, but
+    // the 3-gram shingle Jaccard stays high; doc 21 is unrelated
+    val d = docs(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "REPHRASED beta gamma delta epsilon zeta eta theta iota kappa"),
+      (21L, "totally different words about other things entirely here now"))
+    val rows = pipeline.Curation.decontaminateFuzzy(d, benchmarkMaxId = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(rows.keySet == Set(20L, 21L))
+    val (n20, j20, c20) = rows(20L)
+    assert(c20 && n20 == 1L, s"near-copy must flag: ${rows(20L)}")
+    // shared shingles: 7 of each doc's 8 → J = 7/9
+    assert(math.abs(j20 - 7.0 / 9.0) < 1e-12)
+    val (n21, j21, c21) = rows(21L)
+    assert(!c21 && n21 == 0L && j21 == 0.0, s"unrelated doc must pass: ${rows(21L)}")
+  }
+
   test("neymanSample: variable stratum draws the budget, zero-variance stratum draws none") {
     // stratum A: 10 docs, lengths alternate 100/900 (high variance);
     // stratum B: 10 docs, all length 500 (zero variance -> w = 0)
