@@ -52,7 +52,7 @@ object Bench {
     "perplexity_buckets", "dup_span_clean", "stream_neardup_ingest",
     "fourclique_counts", "rich_club", "densest_bounded", "stream_changepoint",
     "hyperball_nf", "walk_pmi", "kmeans_silhouette", "stream_merge_upsert",
-    "label_noise_ann",
+    "label_noise_ann", "stream_quantiles_sampled",
     "community_conductance", "hyperball_mean_distance", "hyperball_harmonic",
   )
   private val LightChunk = 10
