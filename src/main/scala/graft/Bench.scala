@@ -106,6 +106,11 @@ object Bench {
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_BENCH_PART", part.toString)
       pb.environment().put("SPARK_GRAFT_ONLY", unit.mkString(","))
+      // light chunks get the untimed warm pass; keyed on what the unit IS
+      // (built from the light buffer), not its size — a trailing light
+      // chunk of exactly one query must warm like the rest of the light
+      // baseline or its median reads cold (r12 advice)
+      if (!unit.exists(Heavy)) pb.environment().put("SPARK_GRAFT_BENCH_LIGHT", "1")
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
@@ -141,7 +146,8 @@ object Bench {
   private def child(): Unit = {
     val part = Paths.get(sys.env("SPARK_GRAFT_BENCH_PART"))
     val spark = session()
-    val (results, _) = measure(spark, orderedNames())
+    val (results, _) = measure(spark, orderedNames(),
+      isLight = sys.env.get("SPARK_GRAFT_BENCH_LIGHT").contains("1"))
     Files.writeString(part,
       results.map { case (n, t) => s"$n\t$t" }.mkString("", "\n", "\n"))
     spark.stop()
@@ -150,7 +156,9 @@ object Bench {
   /** Old single-JVM path, kept for fast local iteration. */
   private def inproc(): Unit = {
     val spark = session()
-    val (results, errors) = measure(spark, orderedNames())
+    val names = orderedNames()
+    val (results, errors) = measure(spark, names,
+      isLight = names.exists(n => !Heavy(n)))
     emit(results, errors)
     spark.stop()
   }
@@ -175,8 +183,8 @@ object Bench {
     spark
   }
 
-  private def measure(spark: SparkSession,
-                      names: Seq[String]): (Seq[(String, Double)], Seq[String]) = {
+  private def measure(spark: SparkSession, names: Seq[String],
+                      isLight: Boolean): (Seq[(String, Double)], Seq[String]) = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Drop every cache between reps so each timing measures ONLY its own
     // query (within-JVM hygiene; cross-query isolation is the parent's
@@ -193,13 +201,16 @@ object Bench {
     // never reaches the JIT steady state a long shared session had, which
     // charged sub-second queries ~0.3 s of warmup (cohort_retention
     // 0.39 → 0.72 s class) — per-query medians can't absorb it because
-    // every rep runs in the same young JVM. So light chunks (>1 query per
-    // unit) first run the WHOLE unit once untimed: C2 + codegen + parquet
-    // reader warm on exactly the shapes about to be measured, then the
-    // timed reps see a warmed JVM. Heavy units (singleton) skip the pass:
-    // their multi-second runtimes dwarf warmup and an extra execution
-    // would double the bench's wall clock.
-    if (names.size > 1) names.foreach { n =>
+    // every rep runs in the same young JVM. So light chunks first run
+    // the WHOLE unit once untimed: C2 + codegen + parquet reader warm on
+    // exactly the shapes about to be measured, then the timed reps see a
+    // warmed JVM. Heavy units (singleton) skip the pass: their
+    // multi-second runtimes dwarf warmup and an extra execution would
+    // double the bench's wall clock. Gated on WHAT the unit is (the
+    // parent's isLight flag), not its size — a trailing light chunk of
+    // exactly one query warms like the rest of the light baseline
+    // (r12 advice: names.size>1 measured such a chunk cold).
+    if (isLight) names.foreach { n =>
       try { SparkEntry.queries(n)(spark, sfDir).count(); () }
       catch { case _: Throwable => () } // failures surface in the timed pass
     }

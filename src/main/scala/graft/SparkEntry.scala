@@ -5486,7 +5486,7 @@ object SparkEntry {
         |  CAST(f.comp_len AS BIGINT) AS comp_len,
         |  CAST(f.comp_len * 10000 // strlen(d.text) AS BIGINT) AS ratio_bp
         |FROM documents d
-        |JOIN read_parquet('${GRAFT_VERIFY_OUT}/_fixtures/compression_oracle.parquet/*.parquet') f
+        |JOIN read_parquet('${GRAFT_VERIFY_OUT}_fixtures/compression_oracle.parquet/*.parquet') f
         |  ON f.doc_id = d.doc_id
         |WHERE strlen(d.text) > 0
         |ORDER BY doc_id""".stripMargin,
@@ -6027,7 +6027,9 @@ object SparkEntry {
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
         |  FROM d GROUP BY source),
         |w AS (SELECT source, n_h,
-        |    CAST(floor(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_int
+        |    CAST(floor(sqrt(greatest(
+        |      CAST(n_h AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)) * 1000000.0) AS BIGINT) AS w_int
         |  FROM st),
         |tot AS (SELECT CAST(sum(w_int) AS BIGINT) AS w_tot FROM w),
         |al AS (SELECT source, n_h, w_int,

@@ -46,7 +46,11 @@ object Verify {
     // operator uses (pipeline.Compression.deflateLen) — an independent
     // execution the DuckDB oracle joins against. Written BEFORE the
     // oracle dump so a fixture failure surfaces as a missing-file oracle
-    // error, never a silent pass.
+    // error, never a silent pass. Location: a SIBLING of outDir
+    // ("<outDir>_fixtures" — unique per run, like outDir itself), never
+    // inside it: the driver scans $outDir recursively for query results,
+    // and any non-query artifact there surfaces as a phantom err row
+    // (r12's sole non-green line was the fixture container directory).
     if (only.forall(_.contains("compression_ratio"))) try {
       import org.apache.spark.sql.functions.col
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -59,12 +63,14 @@ object Verify {
       d.end()
       import spark.implicits._
       rows.toDF("doc_id", "comp_len").coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/_fixtures/compression_oracle.parquet")
+        .parquet(s"${new java.io.File(outDir).getAbsolutePath}_fixtures/" +
+          "compression_oracle.parquet")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] compression fixture failed: ${e.getMessage}")
     }
     // ${GRAFT_VERIFY_OUT} placeholders resolve to THIS run's absolute
-    // output dir (compression_ratio's fixture join)
+    // output dir (compression_ratio's fixture join reads the
+    // "${GRAFT_VERIFY_OUT}_fixtures" sibling)
     val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>

@@ -141,11 +141,49 @@ final class GraphCatalog(spark: SparkSession, baseDir: String,
     * default (reference op-2 fidelity) and RESETS the chain: the next
     * load reads that single snapshot. Caller contract: deltas are
     * additive and pairwise disjoint (the streaming replays split a
-    * distinct edge set); `vacuum` never orphans a delta from its base.
+    * distinct edge set) — a delta that re-adds a chain edge would be
+    * served TWICE by every subsequent load (the chain union never
+    * dedups; that is what keeps the read path a pure concat). Misuse
+    * corrupts silently, so callers outside the by-construction-disjoint
+    * replays should pass `assertDisjoint = true`: one semi-join count
+    * against the current chain, loud failure instead of corrupted reads.
+    * `vacuum` never orphans a delta from its base.
     */
-  def modifyDelta(name: String, delta: DataFrame): Unit = {
+  def modifyDelta(name: String, delta: DataFrame,
+                  assertDisjoint: Boolean = false): Unit = {
     if (!exists(name)) throw new GraphNotFoundException(name)
+    if (assertDisjoint) {
+      val dup = delta.select("src", "dst")
+        .join(load(name).select("src", "dst"), Seq("src", "dst"), "left_semi")
+        .count()
+      if (dup > 0) throw new IllegalArgumentException(
+        s"modifyDelta('$name'): $dup delta edge(s) already present in the " +
+          "current chain — deltas must be additive and pairwise disjoint " +
+          "(a duplicate is served twice by every subsequent load)")
+    }
     writeVersion(name, delta, delta = true)
+  }
+
+  /** Rewrite the latest version's delta chain into ONE new full snapshot,
+    * then vacuum the superseded versions — the compaction rung of the
+    * delta layout. A long-running ingest appends one delta per batch, so
+    * an uncompacted `load` unions a chain proportional to batch COUNT
+    * (read fan-in grows forever even though each file is small);
+    * compacting every k batches bounds the chain length at k while
+    * per-batch ingest writes stay delta-scaled — the standard
+    * LSM/lakehouse amortization (total rewrite bytes O(E·batches/k)).
+    * `load` contents are identical before and after (the chain union is
+    * materialized into the new base). No-op when the latest version is
+    * already a full snapshot. Like [[vacuum]], run only when no reader
+    * may still hold superseded snapshots.
+    */
+  def compact(name: String): Unit = {
+    val vs = versionsOf(name)
+    if (vs.isEmpty) throw new GraphNotFoundException(name)
+    val chain = chainTo(name, vs.last.version)
+    if (!chain.last.delta) return // latest is already a full snapshot
+    writeVersion(name, loadChain(name, chain))
+    vacuum(name, keep = 1)
   }
 
   /** GraphScan of the latest complete snapshot

@@ -1089,14 +1089,19 @@ object GraphOps {
     * out), the sums and the 10·N(r) ≥ 9·N(3) threshold tests run in exact
     * integer arithmetic, and the interpolation spends ONE final IEEE
     * division — no rounding contract needed beyond the shipped 4 dp.
+    * Degenerate input (no marked vertices — empty edges or every id ≥
+    * `outputBelow`) is an explicit contract, not null propagation: the
+    * sums aggregate over zero rows and would return nulls, so they
+    * coalesce to exact zeros and the row reads (0, 0, 0, 0, 0.0) — the
+    * n0 ≥ 0.9·N(3) branch then holds trivially (0 ≥ 0).
     * Output: one row (n_marked, n1e4_r1, n1e4_r2, n1e4_r3, eff_diameter).
     */
   def hyperBallEffectiveDiameter(edges: DataFrame,
                                  outputBelow: Long = 1000L): DataFrame = {
     val nf = hyperBallNf(edges, radius = 3, outputBelow = outputBelow)
     def ns(r: Int) =
-      sum(when(col("radius") === r.toLong,
-        round(col("est") * 10000.0, 0).cast("long"))).as(s"n1e4_r$r")
+      coalesce(sum(when(col("radius") === r.toLong,
+        round(col("est") * 10000.0, 0).cast("long"))), lit(0L)).as(s"n1e4_r$r")
     val agg = nf.agg(countDistinct("vertex").cast("long").as("n_marked"),
         ns(1), ns(2), ns(3))
       .withColumn("n0", col("n_marked") * 10000L)

@@ -419,16 +419,22 @@ object Curation {
     * budgets).
     *
     * Cross-engine exactness: N_h·S_h = sqrt(N_h·Σx² − (Σx)²) — moments
-    * are exact BIGINTs, ONE IEEE sqrt per stratum (bit-identical), then
-    * `floor(·1e6)` (floor of identical bits, no half-up ambiguity)
-    * re-enters exact integers: the weight total, the floor-division
-    * allocation `n·w_h div ΣW` and the rank filter are all integer ops.
-    * A zero-variance stratum draws w = 0 and is allocated nothing (the
-    * Neyman semantics). Integer bound: N_h·Σx² must fit a BIGINT
-    * (≈ 10⁵-char docs × 10⁶-doc strata); at corpus scale the allocation
-    * is parameter ESTIMATION — fit the moments on a per-stratum sample
-    * (the [[KMeans.fit]] guidance), then the ranked take streams the
-    * full corpus once.
+    * are exact BIGINTs; the cross-product runs in DOUBLE (each moment
+    * cast once, then one fixed IEEE multiply/subtract tree — identical
+    * bits in both engines, and overflow-safe: the exact-integer form
+    * would wrap int64 at N_h·Σx² ≈ 1e32 for 10⁴-char docs × 10¹²-doc
+    * strata, the 100 TB design point), clamped at 0 (a zero-variance
+    * stratum's cancellation may land an ulp below zero; the clamp keeps
+    * sqrt out of NaN in BOTH engines and preserves the w = 0 Neyman
+    * semantics), ONE IEEE sqrt (bit-identical), then `floor(·1e6)`
+    * (floor of identical bits, no half-up ambiguity) re-enters exact
+    * integers: the weight total, the floor-division allocation
+    * `n·w_h div ΣW` and the rank filter are all integer ops. The double
+    * cross-product costs ≤1 cancelled digit of weight precision —
+    * allocation-grade, and at corpus scale the moments are parameter
+    * ESTIMATION anyway — fit them on a per-stratum sample (the
+    * [[KMeans.fit]] guidance), then the ranked take streams the full
+    * corpus once.
     *
     * Scale: one stratum aggregate (map-side combined), a broadcast 1-row
     * total, a broadcast allocation join, one source-keyed window over
@@ -444,8 +450,10 @@ object Curation {
         sum("x").cast("long").as("sx"),
         sum(col("x") * col("x")).cast("long").as("sxx"))
       .withColumn("w_int",
-        floor(sqrt((col("n_h") * col("sxx") - col("sx") * col("sx"))
-          .cast("double")) * lit(1000000.0)).cast("long"))
+        floor(sqrt(greatest(
+          col("n_h").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"),
+          lit(0.0))) * lit(1000000.0)).cast("long"))
     val tot = broadcast(stats.agg(sum("w_int").cast("long").as("w_tot")))
     val alloc = stats.crossJoin(tot)
       .withColumn("n_alloc", expr(s"($n * w_int) div w_tot"))

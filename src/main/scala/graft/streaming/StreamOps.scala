@@ -876,6 +876,18 @@ object StreamOps {
     * partition directory is never rewritten and the deleted rows would
     * survive — touched buckets absent from the merged output are
     * therefore deleted explicitly after the write.
+    *
+    * Durability caveat (acceptable for the local replay harness, by
+    * design): the overwrite and the emptied-bucket delete are TWO
+    * filesystem steps — a crash between them resurrects the fully-deleted
+    * bucket's rows on restart, and a foreachBatch RETRY would not
+    * re-detect them (the batch's keys no longer produce those buckets as
+    * touched-but-absent). A durable deployment closes the window by
+    * writing a tombstone marker for the emptied buckets BEFORE the
+    * overwrite (replayed on restart), or by re-deriving emptied buckets
+    * from the batch's delete keys on retry instead of from the merged
+    * output — or sidesteps it entirely with a table format whose commits
+    * are atomic over both steps.
     */
   private[graft] def mergeBatchIntoBucketedStore(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
@@ -955,7 +967,8 @@ object StreamOps {
   def graphMaintainReplayBatch(spark: org.apache.spark.sql.SparkSession,
                                dir: String,
                                batchProbe: (DataFrame, DataFrame) => Unit =
-                                 (_, _) => ()): DataFrame = {
+                                 (_, _) => (),
+                               compactEvery: Int = 4): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_graphcc_")
     val inDir = s"$tmp/in"
     graft.graph.DerivedGraphs.treeEdges(spark, dir)
@@ -965,6 +978,7 @@ object StreamOps {
     val cat = new graft.graph.GraphCatalog(spark, s"$tmp/graphs")
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
+    var batchesDone = 0L
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -979,8 +993,14 @@ object StreamOps {
         // The wholesale cat.modify (reference op-2 fidelity) remains the
         // default for explicit replaces; streaming ingest opts into the
         // delta layout to kill the O(batches × edges) write amplification.
+        // Every `compactEvery` batches the chain folds into one new base
+        // (GraphCatalog.compact) so read fan-in stays bounded — an
+        // unbounded ingest otherwise pays load cost ∝ batch COUNT.
         if (!cat.exists("S")) cat.add("S", e)
         else cat.modifyDelta("S", e)
+        batchesDone += 1
+        if (compactEvery > 0 && batchesDone % compactEvery == 0)
+          cat.compact("S")
         val labels0 =
           if (pathExists(spark, state)) spark.read.parquet(state)
           else spark.range(0).select(col("id").as("vertex"), col("id").as("comp"))
@@ -1086,11 +1106,18 @@ object StreamOps {
     *     the batch alone (batch-sized, tiny).
     * A triangle has exactly 1, 2 or 3 delta edges, so T1/T2/T3 partition
     * the new triangles — each is counted exactly once, and the running
-    * (vertex, n_triangles) state is a pure additive merge. The edge
-    * store is appended AFTER the delta count (old-store reads exclude
-    * the current batch by construction). Per-batch work is
-    * |Δ|·adjacency-degree + |Δ|-wedges — at 100 TB the whole point:
-    * ingest cost scales with the delta, never the accumulated graph.
+    * (vertex, n_triangles) state is a pure additive merge. The ONE
+    * cumulative edge store is the catalog's delta-version chain
+    * ([[graft.graph.GraphCatalog.modifyDelta]], the
+    * [[graphMaintainReplayBatch]] layout): the OLD adjacency each batch
+    * joins is the chain as it stood BEFORE the batch's delta lands
+    * (the delta-count reads are materialized first, then the delta is
+    * written), so per-batch WRITTEN bytes scale with |Δ| — not the
+    * O(batches × E) wholesale-snapshot amplification — and the chain is
+    * compacted every `compactEvery` batches so read fan-in stays bounded
+    * under an unbounded ingest. Per-batch work is |Δ|·adjacency-degree +
+    * |Δ|-wedges — at 100 TB the whole point: ingest cost, read AND
+    * write, scales with the delta, never the accumulated graph.
     *
     * Oracle: the final state equals batch `triangle_counts` on the full
     * snapshot — ONE oracle replays both twins. `batchProbe(newTriangles,
@@ -1101,18 +1128,22 @@ object StreamOps {
   def triangleMaintainReplayBatch(spark0: org.apache.spark.sql.SparkSession,
                                   pairs0: DataFrame,
                                   batchProbe: (Long, DataFrame) => Unit =
-                                    (_, _) => ()): DataFrame = {
+                                    (_, _) => (),
+                                  splits: Int = 4,
+                                  compactEvery: Int = 4,
+                                  catalogProbe: graft.graph.GraphCatalog => Unit =
+                                    _ => ()): DataFrame = {
     val spark = tunedStatefulSession(spark0)
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tri_")
     val inDir = s"$tmp/in"
-    val edgeDir = s"$tmp/edges"
     val state = s"$tmp/state"
     pairs0.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .repartition(4).write.parquet(inDir)
+      .repartition(splits).write.parquet(inDir)
     val schema = spark.read.parquet(inDir).schema
     val cat = new graft.graph.GraphCatalog(spark, s"$tmp/graphs")
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
+    var batchesDone = 0L
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -1121,13 +1152,14 @@ object StreamOps {
         import spark.implicits._
         val d = batch.select(col("a").cast("long").as("a"),
           col("b").cast("long").as("b")).localCheckpoint(true)
-        // op 1 (first batch) / op 2 (later): cumulative snapshot version
         val dEdges = d.select(col("a").as("src"), col("b").as("dst"))
-        if (!cat.exists("T")) cat.add("T", dEdges)
-        else cat.modify("T",
-          cat.load("T").select("src", "dst").unionAll(dEdges).localCheckpoint(true))
+        // the OLD adjacency = the catalog chain BEFORE this batch's delta
+        // lands (the batches partition a distinct edge set, and the reads
+        // below are all materialized — localCheckpoint — before the
+        // delta write)
         val eOld =
-          if (pathExists(spark, edgeDir)) spark.read.parquet(edgeDir)
+          if (cat.exists("T"))
+            cat.load("T").select(col("src").as("a"), col("dst").as("b"))
           else Seq.empty[(Long, Long)].toDF("a", "b")
         val symOld = eOld.select(col("a").as("x"), col("b").as("y"))
           .unionAll(eOld.select(col("b").as("x"), col("a").as("y")))
@@ -1155,7 +1187,18 @@ object StreamOps {
         val deltaCounts = t1.unionAll(t2).unionAll(t3)
           .select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
           .groupBy("vertex").agg(count(lit(1)).cast("long").as("n_triangles"))
-          .localCheckpoint(true) // feeds the merge AND the probe count
+          .localCheckpoint(true) // feeds the merge AND the probe count;
+                                 // ALSO pins every pre-batch chain read
+                                 // before the delta below lands
+        // op 1 (first batch) / DELTA versions (later): per-batch written
+        // bytes scale with |Δ|; compact every `compactEvery` batches so
+        // the chain's read fan-in stays bounded under unbounded ingest
+        if (!cat.exists("T")) cat.add("T", dEdges)
+        else cat.modifyDelta("T", dEdges)
+        batchesDone += 1
+        if (compactEvery > 0 && batchesDone % compactEvery == 0)
+          cat.compact("T")
+        catalogProbe(cat)
         val prev =
           if (pathExists(spark, state)) spark.read.parquet(state)
           else Seq.empty[(Long, Long)].toDF("vertex", "n_triangles")
@@ -1163,7 +1206,6 @@ object StreamOps {
           .groupBy("vertex").agg(sum("n_triangles").cast("long").as("n_triangles"))
           .localCheckpoint(true) // materialize BEFORE overwriting state
         next.write.mode("overwrite").parquet(state)
-        d.write.mode("append").parquet(edgeDir)
         val newTriangles = deltaCounts.agg(sum("n_triangles")).collect()
           .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
           .getOrElse(0L) / 3L

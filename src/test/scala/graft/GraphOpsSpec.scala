@@ -823,6 +823,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(d - 2.425) < 0.1, s"effective diameter $d != ~2.425")
   }
 
+  test("hyperBallEffectiveDiameter: degenerate input yields exact zeros, never nulls") {
+    import spark.implicits._
+    // no marked vertices two ways: empty edges, and every id >= outputBelow.
+    // Contract: one row (0, 0, 0, 0, 0.0) — the r12 advice case where the
+    // zero-row sums returned nulls that propagated through the when-chain.
+    for (edges <- Seq(
+        Seq.empty[(Long, Long)].toDF("src", "dst"),
+        Seq((5000L, 5001L), (5001L, 5000L)).toDF("src", "dst"))) {
+      val rows = GraphOps.hyperBallEffectiveDiameter(edges).collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(!(0 to 4).exists(r.isNullAt), s"degenerate row has nulls: $r")
+      assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L &&
+        r.getLong(3) == 0L && r.getDouble(4) == 0.0, s"expected all zeros: $r")
+    }
+  }
+
   test("communityConductance: two triangles over one bridge score 1/7 each") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6}, bridge 3-4; degrees 2,2,3,3,2,2 →

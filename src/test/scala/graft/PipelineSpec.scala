@@ -229,6 +229,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("neymanSample: weights survive stratum moments that would wrap the int64 cross-product") {
+    // stratum H: 2000 docs of ~3e6 chars. Exact-integer n_h·Σx² ≈
+    // 2000 · 1.8e16 = 3.6e19 > 2^63 ≈ 9.2e18 — the r12 finding: the old
+    // BIGINT cross-product silently wrapped (negative → sqrt(NaN) → w=0),
+    // starving the highest-variance stratum. Σx² itself stays exact
+    // (1.8e16), so only the cross-product is at risk — exactly the term
+    // now computed in double.
+    val rows = (0L until 2000L).map(i => (i, "H", 3000000L + (i % 1000L) * 1000L)) ++
+      (2000L until 2010L).map(i => (i, "L", 500L)) // zero-variance control
+    val d = rows.toDF("doc_id", "source", "n_chars")
+      .withColumn("text", org.apache.spark.sql.functions.lit("x"))
+    val out = pipeline.Curation.neymanSample(d, n = 8L).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty, "overflow-era behavior: wrapped weight starved the sample")
+    assert(out.forall(_._1 == "H"), s"zero-variance L must draw nothing: ${out.toSeq}")
+    // the double-space weight must equal the spec's own double replay of
+    // sqrt(n_h·Σx² − (Σx)²)·1e6 — same IEEE op tree, same bits
+    val xs = (0L until 2000L).map(i => 3000000L + (i % 1000L) * 1000L)
+    val (nH, sx, sxx) = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    val expectedW = math.floor(math.sqrt(math.max(
+      nH.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble, 0.0)) * 1000000.0).toLong
+    assert(expectedW > 0L)
+    assert(out.forall(_._2 == expectedW),
+      s"w_int ${out.head._2} != double-replay $expectedW")
+    assert(out.length == 8 && out.forall(_._3 == 8L), "H takes the whole budget")
+  }
+
   test("dedup clusters property: random planted dup groups recover exactly") {
     // plant groups of near-identical docs (same long base, tiny suffix
     // variation -> pairwise jaccard >= 0.8 within a group, ~0 across);

@@ -217,6 +217,74 @@ class StreamSpec extends AnyFunSuite {
     assert(!got.contains(8L) && !got.contains(9L), "triangle-free tail must be absent")
   }
 
+  test("triangleMaintainReplayBatch: catalog writes are delta-scaled and the chain stays bounded") {
+    // r12 finding #1: the first landing of this op rebuilt a WHOLESALE
+    // snapshot per batch (O(batches × E) write amplification) next to a
+    // duplicate edgeDir. This pins the fix: under a many-batch replay the
+    // ONE edge store is the catalog's delta chain, compacted every
+    // compactEvery batches so retained versions never exceed compactEvery.
+    val pairs = ((for { a <- 1L to 6L; b <- a + 1 to 6L } yield (a, b)) ++
+      (10L until 40L).map(i => (i, i + 1))).toDF("a", "b")
+    val chainLens = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = StreamOps.triangleMaintainReplayBatch(spark, pairs,
+      splits = 8, compactEvery = 3,
+      catalogProbe = cat => { chainLens += cat.versions("T").length; () })
+    assert(chainLens.length >= 6, s"want a many-batch replay, got $chainLens")
+    assert(chainLens.forall(_ <= 3),
+      s"retained chain must stay bounded by compactEvery: $chainLens")
+    // compaction must be a pure re-layout: end state still the batch census
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.graph.GraphOps.triangleCounts(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == batch, s"compacted streamed end state $got != batch census $batch")
+  }
+
+  test("GraphCatalog.compact folds the delta chain into one base; load contents unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val cat = new graft.graph.GraphCatalog(spark, s"$dir/graphs")
+    def batchEdges(i: Long) =
+      (0L until 50L).map(j => (i * 100L + j, i * 100L + j + 1)).toDF("src", "dst")
+    cat.add("C", batchEdges(0))
+    // 12 ingest batches, compact every 4: chain length (and read fan-in)
+    // bounded at 4 while the cumulative content keeps growing
+    (1L to 12L).foreach { i =>
+      cat.modifyDelta("C", batchEdges(i))
+      if (i % 4 == 0) cat.compact("C")
+      assert(cat.versions("C").length <= 4,
+        s"batch $i: chain ${cat.versions("C")} exceeds the compaction bound")
+      assert(cat.load("C").count() == (i + 1) * 50L,
+        s"batch $i: compaction changed load() contents")
+    }
+    // after a compact, the single retained version is a FULL snapshot
+    assert(cat.versions("C").length == 1)
+    val vdirs = new java.io.File(s"$dir/graphs/C").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(vdirs.length == 1 && vdirs.head.startsWith("v"),
+      s"compact must leave one full snapshot, got $vdirs")
+    // exact content: all 13 batches' edges, each exactly once
+    assert(cat.load("C").select("src").distinct().count() == 13L * 50L)
+    // compact on an already-full head is a no-op
+    val before = cat.versions("C")
+    cat.compact("C")
+    assert(cat.versions("C") == before)
+  }
+
+  test("modifyDelta(assertDisjoint = true) rejects a delta that re-adds a chain edge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_disjoint_").toString
+    val cat = new graft.graph.GraphCatalog(spark, s"$dir/graphs")
+    cat.add("A", Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    cat.modifyDelta("A", Seq((3L, 4L)).toDF("src", "dst"), assertDisjoint = true)
+    assert(cat.load("A").count() == 3L)
+    // a duplicate would be served TWICE by every load (the chain union
+    // never dedups) — opt-in check fails loudly instead
+    val e = intercept[IllegalArgumentException] {
+      cat.modifyDelta("A", Seq((4L, 5L), (2L, 3L)).toDF("src", "dst"),
+        assertDisjoint = true)
+    }
+    assert(e.getMessage.contains("disjoint"))
+    assert(cat.load("A").count() == 3L, "rejected delta must not land")
+  }
+
   test("mergeBatchIntoBucketedStore: a batch deleting EVERY row of a bucket removes its directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_empty_").toString
     val target = s"$dir/target"
