@@ -151,6 +151,25 @@ object SparkEntry {
           min("dst").as("min_dst"), max("dst").as("max_dst"))
         .orderBy("graph_id")
     }),
+    // A3 metadata path #2: DSv2 LIMIT/TopN pushdown — ORDER BY
+    // (graph_id, src, dst) LIMIT k over a two-graph database dir rides
+    // the format's row-major cell order (which IS (src, dst)-ascending,
+    // graph_id constant per file): each file's parse stops at the k-th
+    // edge (SupportsPushDownTopN, partial — Spark's retained TopN merges
+    // the per-file heads), so the probe never decodes the full n² cells
+    // (MatrixSourceSpec pins the pushed plan and the refusal fallbacks)
+    "matrix_source_topk" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      def edgesOf(parity: Int) = nation
+        .filter(col("n_regionkey") % 2 === parity)
+        .select((lit(1) + col("n_regionkey")).cast("long").as("src"),
+          (lit(10) + col("n_nationkey")).cast("long").as("dst"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_topk_").toString
+      MatrixCodec.writeMatrixFile(edgesOf(0), 34, s"$tmp/G1.txt")
+      MatrixCodec.writeMatrixFile(edgesOf(1), 34, s"$tmp/G2.txt")
+      s.read.format("graft-matrix").load(tmp)
+        .orderBy("graph_id", "src", "dst").limit(12)
+    }),
     // A2 time travel in the correctness gate: add v1, modify to v2 (drop
     // even-dst edges), diff latest vs version 1 through the MVCC catalog
     "graph_version_diff" -> ((s, dir) => {
@@ -3707,6 +3726,11 @@ object SparkEntry {
         |  CAST(min(10 + n_nationkey) AS BIGINT) AS min_dst,
         |  CAST(max(10 + n_nationkey) AS BIGINT) AS max_dst
         |FROM nation GROUP BY 1 ORDER BY graph_id""".stripMargin,
+    "matrix_source_topk" ->
+      """SELECT CASE WHEN n_regionkey % 2 = 0 THEN 'G1' ELSE 'G2' END AS graph_id,
+        |  CAST(1 + n_regionkey AS BIGINT) AS src,
+        |  CAST(10 + n_nationkey AS BIGINT) AS dst
+        |FROM nation ORDER BY graph_id, src, dst LIMIT 12""".stripMargin,
     "matrix_sink_roundtrip" ->
       """SELECT 'G7' AS graph_id, CAST(n_nationkey + 1 AS BIGINT) AS src,
         |  CAST(n_regionkey + 1 AS BIGINT) AS dst

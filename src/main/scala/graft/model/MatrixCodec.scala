@@ -34,6 +34,40 @@ object MatrixCodec {
     (n, edges)
   }
 
+  /** First `limit` edges of the matrix text in cell order — which IS
+    * (src ASC, dst ASC) order, because the format stores the adjacency
+    * row-major (reference `primary_server.c:145-151`). Powers the DSv2
+    * limit/top-N pushdown ([[graft.sources.MatrixDataSource]]): the cell
+    * scan stops as soon as `limit` edges have been found and only that
+    * many edge rows are ever materialized (tokenization stays one linear
+    * pass over the KB-bounded-by-format text), so a `LIMIT k` /
+    * `ORDER BY src, dst LIMIT k` query over a graph database ships ~k
+    * rows per file instead of the full n²-cell decode. Same edge rule as
+    * [[parseMatrixText]] (any nonzero cell, 1-based).
+    */
+  def parseMatrixTextLimited(text: String, limit: Int): Seq[(Long, Long)] = {
+    val nums = text.split("\\s+").iterator.filter(_.nonEmpty).map(_.toInt).toArray
+    require(nums.nonEmpty, "empty matrix text")
+    val n = nums(0)
+    require(n >= 0 && nums.length >= 1 + n * n,
+      s"matrix text declares n=$n but has ${nums.length - 1} cells")
+    val out = Seq.newBuilder[(Long, Long)]
+    var found = 0
+    var i = 0
+    while (i < n && found < limit) {
+      var j = 0
+      while (j < n && found < limit) {
+        if (nums(1 + i * n + j) != 0) {
+          out += (((i + 1).toLong, (j + 1).toLong))
+          found += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Per-file aggregate summary: edge count plus min/max of each edge
     * endpoint (None when the matrix has no nonzero cell). See
     * [[aggregateMatrixText]].

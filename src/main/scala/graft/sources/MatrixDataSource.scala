@@ -37,7 +37,12 @@ import graft.model.MatrixCodec
   * per file ([[MatrixCodec.aggregateMatrixText]]) shipping ONE summary row
   * per graph instead of the cells; the per-graph grouping is COMPLETE
   * pushdown (one file = one graph), so Spark plans no aggregate operator
-  * and no shuffle at all. All file IO goes through the Hadoop FileSystem
+  * and no shuffle at all. LIMIT and ORDER BY...LIMIT push down as well
+  * (`SupportsPushDownLimit` / `SupportsPushDownTopN`, partial): the
+  * per-file parse stops at the k-th edge — the row-major cell order is
+  * (src, dst)-ascending, so first-k IS top-k for ascending prefix
+  * orders — and Spark's retained global LIMIT/TopN merges the per-file
+  * heads. All file IO goes through the Hadoop FileSystem
   * API, so the source loads from any supported filesystem (`file:`,
   * `hdfs:`, object stores with their connectors on the classpath), not
   * just the driver-local disk. Files in this format are ≤ KBs by
@@ -296,9 +301,13 @@ private[sources] case class MaxCall(col: String) extends MatrixAggCall
 
 private[sources] class MatrixScanBuilder(paths: Seq[String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var required: StructType = MatrixDataSource.Schema
   private var pushed: Option[(Boolean, Seq[MatrixAggCall])] = None
+  private var limit: Option[Int] = None
+  private var topNOrder: Option[String] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -306,6 +315,46 @@ private[sources] class MatrixScanBuilder(paths: Seq[String])
   private def colName(e: V2Expression): Option[String] = e match {
     case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
     case _ => None
+  }
+
+  /** PARTIAL limit pushdown (`isPartiallyPushed = true`, so Spark keeps
+    * its global LIMIT operator): each file emits at most `limit` rows —
+    * the per-file parse stops at the k-th edge
+    * ([[MatrixCodec.parseMatrixTextLimited]]) instead of decoding all n²
+    * cells, which is the whole cost of a `scan LIMIT k` metadata probe
+    * over a many-graph database dir. Not combined with a pushed
+    * aggregate (the agg scan already ships one row per file).
+    */
+  override def pushLimit(l: Int): Boolean =
+    if (pushed.isDefined || l < 0) false
+    else { limit = Some(l); true }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  /** PARTIAL top-N pushdown: the matrix text stores the adjacency
+    * row-major, so the per-file parse order IS (src ASC, dst ASC) — and
+    * graph_id is constant within a file — so ANY sort order that is a
+    * prefix-chain of (graph_id ASC, src ASC, dst ASC) (with or without
+    * the leading graph_id) is already satisfied per file, and the first
+    * k parsed edges ARE that file's top k. Spark keeps the final cross-
+    * file TopN (partial pushdown); the scan's job is only to never
+    * decode more than k edges per file. Descending or unknown orders are
+    * refused — Spark then plans the full sort itself (refusal is never a
+    * correctness risk).
+    */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    val names = orders.toSeq.map { o =>
+      if (o.direction() != SortDirection.ASCENDING) None else colName(o.expression())
+    }
+    val resolved = if (names.exists(_.isEmpty)) None
+      else Some(names.map(_.get))
+    val ok = resolved.exists { ns =>
+      val chain = if (ns.headOption.contains("graph_id"))
+        Seq("graph_id", "src", "dst") else Seq("src", "dst")
+      ns.nonEmpty && ns == chain.take(ns.length)
+    }
+    if (!ok || pushed.isDefined || l < 0) false
+    else { limit = Some(l); topNOrder = resolved.map(_.mkString(", ")); true }
   }
 
   private def translate(f: AggregateFunc): Option[MatrixAggCall] = f match {
@@ -352,7 +401,7 @@ private[sources] class MatrixScanBuilder(paths: Seq[String])
 
   override def build(): Scan = pushed match {
     case Some((byGid, calls)) => new MatrixAggScan(paths, byGid, calls)
-    case None => new MatrixScan(paths, required)
+    case None => new MatrixScan(paths, required, limit, topNOrder)
   }
 }
 
@@ -456,7 +505,9 @@ private[sources] class MatrixAggReaderFactory(byGid: Boolean,
   * shuffled. An unsupported runtime predicate leaves the path list
   * intact (pruning is an optimization, never a correctness dependency).
   */
-private[sources] class MatrixScan(paths: Seq[String], required: StructType)
+private[sources] class MatrixScan(paths: Seq[String], required: StructType,
+                                  limit: Option[Int] = None,
+                                  topNOrder: Option[String] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   private var activePaths: Seq[String] = paths
@@ -472,6 +523,15 @@ private[sources] class MatrixScan(paths: Seq[String], required: StructType)
       case _ => ()
     }
   override def readSchema(): StructType = required
+  override def description(): String = {
+    // surfaced in .explain so plans can pin the pushdown (PlanSpec /
+    // MatrixSourceSpec pattern, like PushedAggregates above)
+    val lim = limit.map(l => topNOrder match {
+      case Some(o) => s", PushedTopN: [ORDER BY $o LIMIT $l (partial)]"
+      case None => s", PushedLimit: [$l (partial)]"
+    }).getOrElse("")
+    s"graft-matrix ReadSchema: ${required.simpleString}$lim"
+  }
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     activePaths.map(MatrixFilePartition(_)).toArray
@@ -479,7 +539,7 @@ private[sources] class MatrixScan(paths: Seq[String], required: StructType)
     // capture the DRIVER session's Hadoop conf here (driver-side call) so
     // executor-side reads resolve filesystems with the same spark.hadoop.*
     // settings the listing used
-    new MatrixReaderFactory(required.fieldNames,
+    new MatrixReaderFactory(required.fieldNames, limit,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
@@ -487,12 +547,18 @@ private[sources] class MatrixScan(paths: Seq[String], required: StructType)
 private[sources] case class MatrixFilePartition(path: String) extends InputPartition
 
 private[sources] class MatrixReaderFactory(columns: Array[String],
+    limit: Option[Int],
     conf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[MatrixFilePartition].path
     val text = MatrixDataSource.readFully(path, conf.value)
-    val (_, edges) = MatrixCodec.parseMatrixText(text)
+    // pushed limit/top-N: the parse stops at the k-th edge — the file's
+    // cell order is (src, dst)-ascending, so these ARE its top k
+    val edges = limit match {
+      case Some(l) => MatrixCodec.parseMatrixTextLimited(text, l)
+      case None => MatrixCodec.parseMatrixText(text)._2
+    }
     val stem = {
       val f = new org.apache.hadoop.fs.Path(path).getName
       if (f.endsWith(".txt")) f.dropRight(4) else f

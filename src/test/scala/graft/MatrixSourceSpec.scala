@@ -310,6 +310,63 @@ class MatrixSourceSpec extends AnyFunSuite {
       Set((1L, 1L), (2L, 1L)))
   }
 
+  test("limit pushdown: LIMIT k stops the per-file parse at k edges (partial; Spark keeps the global limit)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_lim_")
+    writeGraph(dir, "G1.txt", 4,
+      Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 4L), (4L, 4L)))
+    writeGraph(dir, "G2.txt", 3, Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+    val q = spark.read.format("graft-matrix").load(dir.toString).limit(3)
+    val scan = v2Scans(q.queryExecution.executedPlan).head
+    assert(scan.description().contains("PushedLimit: [3"), scan.description())
+    // partial pushdown: Spark's global limit still caps the union of the
+    // two per-file heads at 3
+    assert(q.count() == 3L)
+    // the per-file head is the file's first k edges in cell order
+    val g1Head = spark.read.format("graft-matrix").load(s"$dir/G1.txt").limit(2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(g1Head == Seq((1L, 2L), (1L, 3L)), s"cell-order head, got $g1Head")
+  }
+
+  test("top-N pushdown: ORDER BY (graph_id,) src, dst LIMIT k rides the file's cell order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_topn_")
+    writeGraph(dir, "G1.txt", 4,
+      Seq((1L, 4L), (2L, 1L), (3L, 2L), (4L, 1L)))
+    writeGraph(dir, "G2.txt", 3, Seq((1L, 1L), (1L, 2L), (2L, 3L)))
+    val q = spark.read.format("graft-matrix").load(dir.toString)
+      .orderBy("graph_id", "src", "dst").limit(4)
+    val scan = v2Scans(q.queryExecution.executedPlan).head
+    assert(scan.description().contains("PushedTopN"), scan.description())
+    // cross-file TopN correctness: Spark's retained final sort+limit
+    // merges the per-file heads — all of G1 sorts before G2
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("G1", 1L, 4L), ("G1", 2L, 1L), ("G1", 3L, 2L), ("G1", 4L, 1L)))
+    // (src, dst) order without graph_id pushes too
+    val q2 = spark.read.format("graft-matrix").load(dir.toString)
+      .orderBy("src", "dst").limit(3)
+    val s2 = v2Scans(q2.queryExecution.executedPlan).head
+    assert(s2.description().contains("PushedTopN"), s2.description())
+    assert(q2.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L), (1L, 2L), (1L, 4L)))
+  }
+
+  test("top-N pushdown refuses orders the cell order can't serve; results stay correct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_topn_fb_")
+    writeGraph(dir, "G1.txt", 3, Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    // descending: refuse → Spark plans the full sort itself
+    val q1 = spark.read.format("graft-matrix").load(dir.toString)
+      .orderBy(col("src").desc).limit(2)
+    val s1 = v2Scans(q1.queryExecution.executedPlan).head
+    assert(!s1.description().contains("PushedTopN"), s1.description())
+    assert(q1.collect().map(_.getLong(1)).toSeq == Seq(3L, 2L))
+    // dst-leading order is not a cell-order prefix: refuse
+    val q2 = spark.read.format("graft-matrix").load(dir.toString)
+      .orderBy("dst", "src").limit(2)
+    val s2 = v2Scans(q2.queryExecution.executedPlan).head
+    assert(!s2.description().contains("PushedTopN"), s2.description())
+    assert(q2.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((3L, 1L), (1L, 2L)))
+  }
+
   test("roundtrip: codec-written file reads back identically through the source") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_rt_")
     val edges = Seq((1L, 3L), (3L, 1L), (2L, 2L))
