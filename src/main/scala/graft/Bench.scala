@@ -54,6 +54,8 @@ object Bench {
     "hyperball_nf", "walk_pmi", "kmeans_silhouette", "stream_merge_upsert",
     "label_noise_ann", "stream_quantiles_sampled",
     "community_conductance", "hyperball_mean_distance", "hyperball_harmonic",
+    // round-13 additions measured >=2s isolated:
+    "stream_embedding_topk",
   )
   private val LightChunk = 10
 

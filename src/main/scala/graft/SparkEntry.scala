@@ -1935,6 +1935,14 @@ object SparkEntry {
       Similarity.cosineTopKIvf(t(s, dir, "embeddings"),
         queryId = IvfParams.QueryVecId, k = IvfParams.K,
         nprobe = IvfParams.Label.Nprobe)),
+    // streaming ANN ingest twin: vectors stream in micro-batches into a
+    // cell-partitioned store + additive centroid-moment state; the final
+    // answer runs the SAME probe kernel as embedding_topk_ivf, so ONE
+    // oracle replays both twins (and the twin inherits the batch recall
+    // floor — StreamSpec asserts result equality with the batch query)
+    "stream_embedding_topk" -> ((s, dir) =>
+      streaming.StreamOps.embeddingTopKReplayBatch(s,
+        s"$dir/embeddings.parquet")),
     // IVF with a LEARNED coarse quantizer (distributed Lloyd's k-means)
     "embedding_topk_ivf_kmeans" -> ((s, dir) =>
       pipeline.KMeans.ivfTopK(t(s, dir, "embeddings"),
@@ -5018,6 +5026,10 @@ object SparkEntry {
         |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
         |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT 10""".stripMargin,
     "embedding_topk_ivf" ->
+      ivfLabelSql(nprobe = IvfParams.Label.Nprobe, k = IvfParams.K),
+    // one-oracle-two-twins: the streaming ingest twin's final store is
+    // exactly the batch relation and the probe kernel is shared verbatim
+    "stream_embedding_topk" ->
       ivfLabelSql(nprobe = IvfParams.Label.Nprobe, k = IvfParams.K),
     "embedding_topk_ivf_kmeans" ->
       ivfKmeansUnrolledSql(iters = IvfParams.Kmeans.Iters,

@@ -89,18 +89,35 @@ object Similarity {
       .limit(k)
   }
 
-  def cosineTopKIvf(embeddings: DataFrame, queryId: Long, k: Int = 10,
-                    nprobe: Int = 1): DataFrame = {
-    val qv = queryVector(embeddings, queryId)
-    val qe = typedlit(qv)
-    val qd = typedlit(qv.map(_.toDouble))
-    // Centroids: element-wise mean per label (explode+agg, one shuffle over
-    // nlist × dim rows — tiny).
-    val cent = embeddings
+  /** Element-wise mean centroid per coarse cell (label): explode+agg, one
+    * shuffle over nlist × dim rows — tiny. Factored out of
+    * [[cosineTopKIvf]] so the streaming ingest twin can derive the SAME
+    * relation from its incrementally maintained (label, i, sum, count)
+    * moment state ([[graft.streaming.StreamOps.embeddingTopKReplayBatch]]).
+    */
+  private[graft] def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy("label", "i").agg(avg(col("x").cast("double")).as("m"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("centroid"))
+
+  /** Probe-and-rank kernel shared VERBATIM by [[cosineTopKIvf]] and the
+    * streaming ingest twin (the one-kernel-two-twins rule): rank cells by
+    * centroid cosine against the query, scan only the best `nprobe`
+    * cells of `embeddings` (over a label-partitioned store that scan is
+    * partition-pruned — the broadcast probe list is a join on the
+    * partition column), exact rounded-cosine re-rank with vec_id ties.
+    * Cell CHOICE rides unrounded centroid cosines; the Nprobe-th /
+    * (Nprobe+1)-th gap floor (IvfParams.Label) is what makes that choice
+    * robust to summation-order ulps in either twin's centroid path.
+    */
+  private[graft] def ivfProbeTopK(embeddings: DataFrame, cent: DataFrame,
+                                  queryId: Long, k: Int,
+                                  nprobe: Int): DataFrame = {
+    val qv = queryVector(embeddings, queryId)
+    val qe = typedlit(qv)
+    val qd = typedlit(qv.map(_.toDouble))
     val best = cent
       .select(col("label"),
         (dot(col("centroid"), qd) / (norm(col("centroid")) * norm(qd))).as("cc"))
@@ -112,6 +129,10 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  def cosineTopKIvf(embeddings: DataFrame, queryId: Long, k: Int = 10,
+                    nprobe: Int = 1): DataFrame =
+    ivfProbeTopK(embeddings, labelCentroids(embeddings), queryId, k, nprobe)
 
   /** Int8 scalar-quantized top-k: per-dimension corpus [min, max] maps
     * each float to an integer code `least(255, floor((x−mn)/(mx−mn)·256))`

@@ -1089,6 +1089,92 @@ object StreamOps {
     Events.quantilesOfSample(spark.read.parquet(store))
   }
 
+  /** Streaming ANN ingest — the similarity family's incremental twin
+    * (the one family without one through round 12): vectors arrive in
+    * micro-batches and are SEARCHABLE at the next batch boundary with no
+    * full re-run. Each batch does two delta-scaled writes:
+    *   (1) the vectors land in a CELL-PARTITIONED store
+    *       (`partitionBy(label)` parquet APPEND — only the batch's
+    *       touched cells receive files; nothing existing is rewritten,
+    *       the append-only analogue of the bucketed-serving merge), and
+    *   (2) the batch folds into the (label, i) centroid MOMENT state —
+    *       sum and count per cell-dimension, a pure additive merge of
+    *       nlist × dim rows regardless of vector volume (the
+    *       parameter-scale half, like the CUSUM hour state).
+    * The final answer derives centroids from the moments (sum/count)
+    * and runs the probe kernel SHARED VERBATIM with the batch query
+    * ([[graft.pipeline.Similarity.ivfProbeTopK]]): rank cells by
+    * centroid cosine, scan ONLY the best nprobe cells — a broadcast
+    * join on the store's PARTITION column, so the non-probed label
+    * directories are never read — then exact rounded-cosine re-rank.
+    *
+    * Oracle: the final store is exactly the batch relation and cell
+    * choice is protected by the Nprobe-gap floor (IvfParams.Label), so
+    * the batch `embedding_topk_ivf` oracle replays the twin bit-for-bit
+    * — one oracle, two twins; the twin inherits the batch query's
+    * recall-vs-exact floor outright (StreamSpec asserts result equality
+    * with [[graft.pipeline.Similarity.cosineTopKIvf]] on the snapshot).
+    * At 100 TB: ingest cost per batch is the batch's own bytes plus a
+    * parameter-scale state merge; a query touches nprobe/nlist of the
+    * corpus. `batchProbe(touchedCells, batchRows)` lets StreamSpec
+    * assert the per-batch cell locality and ≥2 live batches.
+    * Output: (vec_id, cosine) ordered by (cosine DESC, vec_id), k rows.
+    */
+  def embeddingTopKReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                               embeddingsPath: String,
+                               batchProbe: (Long, Long) => Unit =
+                                 (_, _) => ()): DataFrame = {
+    import graft.pipeline.{IvfParams, Similarity}
+    val spark = tunedStatefulSession(spark0)
+    val emb = spark.read.parquet(embeddingsPath)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ivf_")
+    val store = s"$tmp/store"
+    val cdir = s"$tmp/cent"
+    val inDir = s"$tmp/in"
+    emb.repartition(4).write.parquet(inDir)
+    val src = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        // (1) cell-partitioned ingest: append-only, touched cells only
+        b.write.mode("append").partitionBy("label").parquet(store)
+        // (2) additive centroid moments per (label, i)
+        val part = b
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("label", "i")
+          .agg(sum(col("x").cast("double")).as("s"),
+            count(lit(1)).cast("long").as("n"))
+        val merged =
+          (if (pathExists(spark, cdir))
+            spark.read.parquet(cdir).unionByName(part)
+              .groupBy("label", "i")
+              .agg(sum("s").as("s"), sum("n").cast("long").as("n"))
+          else part)
+            .localCheckpoint(true) // materialize BEFORE overwriting state
+        merged.write.mode("overwrite").parquet(cdir)
+        batchProbe(b.select("label").distinct().count(), b.count())
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"ANN ingest replay ran $batches non-empty micro-batches; " +
+        "the incremental path requires at least 2")
+    val cent = spark.read.parquet(cdir)
+      .withColumn("m", col("s") / col("n"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
+        .as("centroid"))
+    val stored = spark.read.parquet(store)
+      .select(col("vec_id"), col("embedding"), col("label").cast("int").as("label"))
+    Similarity.ivfProbeTopK(stored, cent,
+      IvfParams.QueryVecId, IvfParams.K, IvfParams.Label.Nprobe)
+  }
+
   /** Streaming incremental TRIANGLE maintenance — the
     * [[graphMaintainReplayBatch]] pattern (op 1/2 snapshot versions
     * interleaved with an op-3/4-style derived statistic) for a statistic

@@ -285,6 +285,29 @@ class StreamSpec extends AnyFunSuite {
     assert(cat.load("A").count() == 3L, "rejected delta must not land")
   }
 
+  test("embeddingTopKReplayBatch: streamed ANN equals the batch IVF query; cell-local appends; >=2 batches") {
+    val dir = "/root/testdata/sf0.001"
+    val probed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val got = StreamOps.embeddingTopKReplayBatch(spark,
+        s"$dir/embeddings.parquet", (cells, rows) => { probed += ((cells, rows)); () })
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed.length >= 2, s"expected >=2 probed batches, got $probed")
+    // each batch touches only its own cells (10 labels exist; a batch
+    // can touch at most all of them, and every batch carries rows)
+    probed.foreach { case (cells, rows) =>
+      assert(cells >= 1L && cells <= 10L && rows >= 1L, s"batch probe $probed")
+    }
+    // the twin must equal the batch kernel on the full snapshot — same
+    // probe kernel, same relation, so it INHERITS the batch recall floor
+    val batch = graft.pipeline.Similarity.cosineTopKIvf(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        queryId = graft.pipeline.IvfParams.QueryVecId,
+        k = graft.pipeline.IvfParams.K,
+        nprobe = graft.pipeline.IvfParams.Label.Nprobe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == batch, s"streamed ANN $got != batch IVF $batch")
+  }
+
   test("mergeBatchIntoBucketedStore: a batch deleting EVERY row of a bucket removes its directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_empty_").toString
     val target = s"$dir/target"
