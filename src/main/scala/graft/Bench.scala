@@ -254,12 +254,12 @@ object Bench {
       "one UNTIMED warm pass of its own queries before timing (r11 charged " +
       "sub-second queries ~0.3s of young-JVM JIT - cohort_retention " +
       "0.39->0.72s class; r12 medians are the comparable baseline for " +
-      "light queries going forward). Heavy singleton units are unchanged " +
-      "and comparable to r11. r<=10 totals (shared JVM, fewer queries) are " +
-      "not comparable. r12 census family moved to degree-ordered " +
-      "orientation (hub-skew-proof, outputs unchanged); parity on the " +
-      "uniform co-purchase graph, the win is adversarial-skew robustness " +
-      "(see HUBSOAK.json)"
+      "light queries going forward; r13 keys the warm pass on unit KIND so " +
+      "a trailing single-query light chunk warms too). Heavy singleton " +
+      "units are unchanged and comparable to r11. r<=10 totals (shared " +
+      "JVM, fewer queries) are not comparable. r13: " +
+      "stream_triangle_maintain moved its edge store to the compacted " +
+      "delta-chain catalog layout (output unchanged)"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"note":"$note","sf":"$sfDir"}"""
     println(json)

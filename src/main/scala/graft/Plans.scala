@@ -67,6 +67,7 @@ object Plans {
     "kneser_ney_bigrams" -> "counts aggregate to DISTINCT bigrams before any join (token instances never cross the wire after the map-side combine); both marginals and the one-row type count derive from the checkpointed gram table; the interpolated probability is two BIGINT polynomials + ONE division in the projection; TakeOrdered on the exact count.",
     "community_conductance" -> "one label join per edge endpoint (the LPA labeling is vertex-keyed and checkpointed), one community-keyed two-phase aggregate for volumes and cuts, a one-row 2m broadcast; φ is a single division in the projection — no per-community rescan, no window.",
     "leakage_safe_split" -> "split-by-cluster: the near-dup clustering plan (sketch-banded candidates + GraphX CC on the pair graph only) with the split decided by a per-row hash of the cluster id — zero additional Exchanges on top of the clustering.",
+    "matrix_source_topk" -> "the r13 DSv2 TopN pushdown: the BatchScan description shows PushedTopN [ORDER BY graph_id, src, dst LIMIT 12 (partial)] — each file's parse stops at the 12th edge (row-major cell order IS the ascending sort), and the retained TakeOrderedAndProject merges the per-file heads; no full n²-cell decode anywhere.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -26,6 +26,56 @@ import org.apache.spark.sql.functions._
   *   join finds no cross-copy pairs (it matches on time alone); ids
   *   offset like relational keys.
   */
+/** Census mass-vs-time adjudication (round-12 task #4): the K4 census
+  * soaks super-2× at 10× data, and the docstring claims the
+  * superlinearity is output MASS (C(s,4) growth on dense baskets), not
+  * plan. This tool MEASURES it: total K4 and triangle mass (distinct
+  * cliques = Σ per-vertex counts / clique size) at sf0.1 and in the 10×
+  * soak replica, printed as one JSON line for SOAK_ADJUDICATION.json —
+  * time-ratio ≤ mass-ratio means enumeration work tracks the output, the
+  * plan is sound. The 10× replica is disjoint referentially intact
+  * copies, so the EXPECTED mass ratio is exactly 10 (same density per
+  * copy, no cross-copy cliques); a measured ratio ≠ 10 would itself flag
+  * a replica defect. Usage:
+  * `sbt "runMain graft.CensusMass [sf0.1Dir] [soakWorkDir]"` — run
+  * `graft.Soak` first so the replica exists and is fingerprint-fresh.
+  */
+object CensusMass {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_soak_sf1")
+    require(new java.io.File(s"$workDir/lineitem.parquet").exists(),
+      s"soak replica missing at $workDir — run graft.Soak first")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def massOf(dir: String): (Long, Long) = {
+      val k4 = SparkEntry.queries("fourclique_counts")(spark, dir)
+        .agg(sum("n_cliques4").as("s")).collect()(0).getLong(0) / 4L
+      val tri = SparkEntry.queries("triangle_counts")(spark, dir)
+        .agg(sum("n_triangles").as("s")).collect()(0).getLong(0) / 3L
+      (k4, tri)
+    }
+    val (k4Base, triBase) = massOf(srcDir)
+    val (k4Scaled, triScaled) = massOf(workDir)
+    val json =
+      f"""{"src":"$srcDir","work":"$workDir","k4_base":$k4Base,"k4_scaled":$k4Scaled,""" +
+        f""""k4_mass_ratio":${k4Scaled.toDouble / k4Base}%.2f,""" +
+        f""""tri_base":$triBase,"tri_scaled":$triScaled,""" +
+        f""""tri_mass_ratio":${triScaled.toDouble / triBase}%.2f}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_MASS_OUT", "/tmp/census_mass.json")), json)
+    spark.stop()
+  }
+}
+
 object Soak {
 
   /** The slowest queries of the recent benches: the round-6 list, round
@@ -71,7 +121,19 @@ object Soak {
       "volume stays B x partitions, constant in input rows"),
     "link_prediction" -> ("partially partition-count: 10x run 32.2s -> " +
       "26.3s at 128 partitions; remainder is the guardedBasket-capped " +
-      "candidate-pair build, linear in baskets by construction"))
+      "candidate-pair build, linear in baskets by construction"),
+    // round-13 adjudications (SOAK_ADJUDICATION.json round13):
+    "hits_top20" -> ("NOT partition-starved: 128 partitions at 10x is " +
+      "SLOWER (19.9s -> 28.8s; two aggregates per round x fixed round " +
+      "budget multiplies per-round task overhead); the ratio is genuine " +
+      "per-round width growth, sublinear vs 10x input"),
+    "pagerank_top20" -> ("mildly partition-count: 10x run 16.3s -> 14.6s " +
+      "at 128 partitions; remainder is one join + one agg per round over " +
+      "10x edge width with a constant round count"),
+    "fourclique_counts" -> ("mass-adjudicated (graft.CensusMass): K4 " +
+      "output mass scales exactly 10.00x on the disjoint-copy replica " +
+      "(1.61M -> 16.08M cliques) while same-session time scales 9.09x - " +
+      "enumeration work tracks the output census, the plan is sound"))
 
   private def offset(c: String, i: Int): Column =
     (col(c) + lit(i.toLong * Stride)).cast("long").as(c)

@@ -170,6 +170,34 @@ object SparkEntry {
       s.read.format("graft-matrix").load(tmp)
         .orderBy("graph_id", "src", "dst").limit(12)
     }),
+    // A2 delta-chain lifecycle in the correctness gate (r13): add a base
+    // version, land two DELTA versions with the disjointness check on
+    // (the streaming-ingest layout), COMPACT the chain into one new base
+    // (bounded read fan-in for unbounded ingest), then read — load()
+    // contents must equal the delta union regardless of the physical
+    // re-layout, and versions() collapses to the single compacted base
+    // (pinned by the n_versions column both engines emit as a constant)
+    "graph_delta_compact" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val base = nation
+        .select((lit(1) + col("n_regionkey")).cast("long").as("src"),
+          (lit(10) + col("n_nationkey")).cast("long").as("dst"))
+      val d1 = nation
+        .select((lit(100) + col("n_nationkey")).cast("long").as("src"),
+          (lit(1) + col("n_regionkey")).cast("long").as("dst"))
+      val d2 = nation.filter(col("n_regionkey") % 2 === 0)
+        .select((lit(200) + col("n_nationkey")).cast("long").as("src"),
+          (lit(200) + col("n_nationkey")).cast("long").as("dst"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compactq_").toString
+      val cat = new GraphCatalog(s, s"$tmp/graphs")
+      cat.add("G", base)
+      cat.modifyDelta("G", d1, assertDisjoint = true)
+      cat.modifyDelta("G", d2, assertDisjoint = true)
+      cat.compact("G")
+      cat.load("G").select("src", "dst")
+        .withColumn("n_versions", lit(cat.versions("G").length.toLong))
+        .orderBy("src", "dst")
+    }),
     // A2 time travel in the correctness gate: add v1, modify to v2 (drop
     // even-dst edges), diff latest vs version 1 through the MVCC catalog
     "graph_version_diff" -> ((s, dir) => {
@@ -3743,6 +3771,19 @@ object SparkEntry {
       """SELECT 'G7' AS graph_id, CAST(n_nationkey + 1 AS BIGINT) AS src,
         |  CAST(n_regionkey + 1 AS BIGINT) AS dst
         |FROM nation ORDER BY src, dst""".stripMargin,
+    "graph_delta_compact" ->
+      """WITH e AS (
+        |  SELECT CAST(1 + n_regionkey AS BIGINT) AS src,
+        |    CAST(10 + n_nationkey AS BIGINT) AS dst FROM nation
+        |  UNION ALL
+        |  SELECT CAST(100 + n_nationkey AS BIGINT),
+        |    CAST(1 + n_regionkey AS BIGINT) FROM nation
+        |  UNION ALL
+        |  SELECT CAST(200 + n_nationkey AS BIGINT),
+        |    CAST(200 + n_nationkey AS BIGINT) FROM nation WHERE n_regionkey % 2 = 0
+        |)
+        |SELECT src, dst, CAST(1 AS BIGINT) AS n_versions
+        |FROM e ORDER BY src, dst""".stripMargin,
     "graph_version_diff" ->
       """SELECT CAST(1 + n_regionkey AS BIGINT) AS src,
         |  CAST(10 + n_nationkey AS BIGINT) AS dst,
