@@ -2067,6 +2067,13 @@ object SparkEntry {
     // token-stream explode, no per-term join
     "bm25_top_docs" -> ((s, dir) =>
       pipeline.Search.bm25TopDocs(t(s, dir, "documents"), pipeline.Search.QueryTerms)),
+    // streaming BM25 serving twin: each micro-batch appends its integer
+    // INDEX projection (doc_id, dl, tf_i — never the text) and folds its
+    // one-row stats additively; the shared scoring kernel then answers
+    // from the maintained index — integer stats are associative, so the
+    // batch bm25_top_docs oracle replays the twin bit-for-bit
+    "stream_bm25_serving" -> ((s, dir) =>
+      streaming.StreamOps.bm25ReplayBatch(s, s"$dir/documents.parquet")),
     // reciprocal-rank fusion of the BM25 and doc-length rankings — both
     // full-corpus rankings via the two-pass global index (range-partitioned
     // sort + zipWithIndex), not a single-partition row_number window
@@ -3389,6 +3396,14 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "bm25_top_docs" ->
+      s"""$bm25ScoredSql
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(round(bm25, 4) AS DOUBLE) AS bm25
+         |FROM sc ORDER BY sc.bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    // one-oracle-two-twins: the streaming serving twin's maintained index
+    // frame + additively merged integer stats are bit-identical to the
+    // batch relation, and the scoring kernel is shared verbatim
+    "stream_bm25_serving" ->
       s"""$bm25ScoredSql
          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |  CAST(round(bm25, 4) AS DOUBLE) AS bm25

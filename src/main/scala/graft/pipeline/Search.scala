@@ -36,24 +36,47 @@ object Search {
     */
   val QueryTerms: Seq[String] = Seq("spark", "dup", "merge")
 
-  /** Per-doc BM25 frame: doc_id, dl (token count), tf_i per query term,
-    * with the corpus stats (n, sdl, df_i) broadcast onto every row.
+  /** Per-doc INDEX projection — the narrow frame a serving store holds
+    * instead of the corpus text: (doc_id, dl, tf_i per query term), all
+    * exact BIGINTs, built in one tokenizing scan. Factored out of
+    * [[bm25TopDocs]] so the streaming ingest twin
+    * ([[graft.streaming.StreamOps.bm25ReplayBatch]]) can append exactly
+    * these rows per micro-batch — at 100 TB the maintained index is the
+    * integer frame, never a re-read of the corpus.
     */
-  private def scored(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  private[graft] def docFrame(docs: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[a-z]+")),
       s"terms must be simple lowercase words, got $terms")
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       expr(s"size(filter(tk, x -> x = '$t'))").cast("long").as(s"tf$i")
     }
-    val d = docs
+    docs
       .select(col("doc_id").cast("long").as("doc_id"),
         split(col("text"), " ").as("tk"))
       .select(Seq(col("doc_id"), size(col("tk")).cast("long").as("dl")) ++ tfCols: _*)
-    val statAggs =
-      Seq(count(lit(1)).as("n"), sum(col("dl")).as("sdl")) ++
+  }
+
+  /** One-row corpus stats of an index frame — n, Σdl, df_i, ALL exact
+    * BIGINT sums, hence purely ADDITIVE: the streaming twin merges
+    * per-batch stat rows losslessly (integer addition is associative),
+    * so its final stats are bit-identical to the batch aggregate.
+    */
+  private[graft] def statsOf(frame: DataFrame, terms: Seq[String]): DataFrame = {
+    val aggs =
+      Seq(count(lit(1)).cast("long").as("n"),
+        sum(col("dl")).cast("long").as("sdl")) ++
         terms.indices.map(i =>
-          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
-    val stats = d.agg(statAggs.head, statAggs.tail: _*)
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("long").as(s"df$i"))
+    frame.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** BM25 scoring of an index frame against a one-row stats frame —
+    * shared VERBATIM by the batch query and the streaming twin (the
+    * one-kernel-two-twins rule): identical integer stats in, identical
+    * score bits out.
+    */
+  private[graft] def scoreFrame(frame: DataFrame, stats: DataFrame,
+                                terms: Seq[String]): DataFrame = {
     // avgdl as explicit integer-sum / count division — Spark's and DuckDB's
     // avg() may accumulate differently; sdl/n is bit-identical by contract
     val avgdl = col("sdl").cast("double") / col("n")
@@ -63,18 +86,36 @@ object Search {
         (col(s"tf$i") * lit(K1 + 1.0)) /
         (col(s"tf$i") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
     val score = terms.indices.map(contribution).reduceLeft(_ + _)
-    d.crossJoin(broadcast(stats))
+    frame.crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"), score.as("bm25"))
   }
+
+  /** Per-doc BM25 frame: doc_id, dl (token count), tf_i per query term,
+    * with the corpus stats (n, sdl, df_i) broadcast onto every row.
+    */
+  private def scored(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val d = docFrame(docs, terms)
+    scoreFrame(d, statsOf(d, terms), terms)
+  }
+
+  /** Final ranking step shared by both twins: top-`k` by (bm25 DESC,
+    * doc_id), shipped rounded 4 dp (the ln-ulp contract above).
+    */
+  private[graft] def bm25TopDocsFromFrame(frame: DataFrame, stats: DataFrame,
+                                          terms: Seq[String],
+                                          k: Int): DataFrame =
+    scoreFrame(frame, stats, terms)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
 
   /** Top-`k` documents by BM25 for the literal `terms` (ties by doc_id).
     * Output: (doc_id, bm25) ordered by (bm25 DESC, doc_id).
     */
-  def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
-    scored(docs, terms)
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(k)
-      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+  def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    val d = docFrame(docs, terms)
+    bm25TopDocsFromFrame(d, statsOf(d, terms), terms, k)
+  }
 
   /** Rocchio pseudo-relevance-feedback query expansion (Rocchio 1971 via
     * the standard PRF formulation, e.g. Manning et al., IIR §9.1.1): take

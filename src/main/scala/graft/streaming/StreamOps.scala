@@ -1089,6 +1089,78 @@ object StreamOps {
     Events.quantilesOfSample(spark.read.parquet(store))
   }
 
+  /** Streaming LEXICAL-SEARCH ingest — the search family's incremental
+    * twin (BM25 serving with incremental indexing): documents arrive in
+    * micro-batches and are retrievable at the next batch boundary with
+    * no corpus re-read. Each batch does two delta-scaled writes:
+    *   (1) its INDEX projection ([[graft.pipeline.Search.docFrame]] —
+    *       doc_id, dl, per-term tf, all exact BIGINTs, never the text)
+    *       appends to the index store: the tokenizing scan runs once per
+    *       document at INGEST, and the maintained state is the narrow
+    *       integer frame;
+    *   (2) its one-row stats ([[graft.pipeline.Search.statsOf]] — n,
+    *       Σdl, df_i) folds ADDITIVELY into the corpus-stats state:
+    *       integer sums are associative, so the merged stats are
+    *       bit-identical to the batch aggregate — and therefore every
+    *       downstream IEEE score bit is too.
+    * The final answer runs the scoring kernel SHARED VERBATIM with the
+    * batch query ([[graft.pipeline.Search.bm25TopDocsFromFrame]]) over
+    * the maintained frame and stats, so the batch `bm25_top_docs` oracle
+    * replays the twin bit-for-bit — one oracle, two twins (and the
+    * known ln-ulp ordering residual class is IDENTICAL, not additional:
+    * both twins feed the same integer stats into the same expression).
+    * At 100 TB: ingest cost per batch is one tokenize of the batch's own
+    * documents plus a parameter-scale stats merge; a query scans the
+    * integer index, never the text. `batchProbe(batchDocs, storeCols)`
+    * lets StreamSpec assert the index stays text-free and ≥2 batches ran.
+    * Output: (doc_id, bm25) ordered by (bm25 DESC, doc_id), k rows.
+    */
+  def bm25ReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                      docsPath: String,
+                      batchProbe: (Long, Seq[String]) => Unit =
+                        (_, _) => ()): DataFrame = {
+    import graft.pipeline.Search
+    val spark = tunedStatefulSession(spark0)
+    val docs = spark.read.parquet(docsPath).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bm25_")
+    val store = s"$tmp/index"
+    val sdir = s"$tmp/stats"
+    val inDir = s"$tmp/in"
+    docs.repartition(4).write.parquet(inDir)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        // (1) index-projection ingest: tokenize once, append integers only
+        val frame = Search.docFrame(b, Search.QueryTerms).localCheckpoint(true)
+        frame.write.mode("append").parquet(store)
+        // (2) additive one-row corpus stats
+        val part = Search.statsOf(frame, Search.QueryTerms)
+        val merged =
+          (if (pathExists(spark, sdir)) {
+            val prev = spark.read.parquet(sdir)
+            val sums = prev.columns.toSeq
+              .map(c => sum(col(c)).cast("long").as(c))
+            prev.unionByName(part).agg(sums.head, sums.tail: _*)
+          } else part)
+            .localCheckpoint(true) // materialize BEFORE overwriting state
+        merged.write.mode("overwrite").parquet(sdir)
+        batchProbe(b.count(), frame.columns.toSeq)
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"BM25 ingest replay ran $batches non-empty micro-batches; " +
+        "the incremental path requires at least 2")
+    Search.bm25TopDocsFromFrame(spark.read.parquet(store),
+      spark.read.parquet(sdir), Search.QueryTerms, k = 20)
+  }
+
   /** Streaming ANN ingest — the similarity family's incremental twin
     * (the one family without one through round 12): vectors arrive in
     * micro-batches and are SEARCHABLE at the next batch boundary with no

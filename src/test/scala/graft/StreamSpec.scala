@@ -285,6 +285,29 @@ class StreamSpec extends AnyFunSuite {
     assert(cat.load("A").count() == 3L, "rejected delta must not land")
   }
 
+  test("bm25ReplayBatch: streamed serving equals the batch ranking; index stays text-free; >=2 batches") {
+    val dir = "/root/testdata/sf0.001"
+    val probed = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    val got = StreamOps.bm25ReplayBatch(spark, s"$dir/documents.parquet",
+        (docs, cols) => { probed += ((docs, cols)); () })
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed.length >= 2, s"expected >=2 probed batches, got ${probed.length}")
+    probed.foreach { case (docs, cols) =>
+      assert(docs >= 1L)
+      // the maintained index is the INTEGER projection — the text never
+      // lands in the serving store
+      assert(cols.toSet == Set("doc_id", "dl", "tf0", "tf1", "tf2"),
+        s"index frame must be the narrow projection, got $cols")
+    }
+    // integer stats are additive, so the twin must equal the batch
+    // ranking EXACTLY (same score bits, same rounding)
+    val batch = graft.pipeline.Search.bm25TopDocs(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        graft.pipeline.Search.QueryTerms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == batch, s"streamed serving $got != batch ranking $batch")
+  }
+
   test("embeddingTopKReplayBatch: streamed ANN equals the batch IVF query; cell-local appends; >=2 batches") {
     val dir = "/root/testdata/sf0.001"
     val probed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
