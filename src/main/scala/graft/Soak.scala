@@ -97,7 +97,12 @@ object Soak {
     // round-11 second half: walk-window PMI (rides the walks), the
     // packed-register HyperBall, densest-subgraph peeling, and the
     // degree-threshold census — the four new super-2s shapes
-    "walk_pmi", "hyperball_nf", "densest_bounded", "rich_club")
+    "walk_pmi", "hyperball_nf", "densest_bounded", "rich_club",
+    // round-13: the delta-ingest streaming flagships — the whole point
+    // of the delta/compaction layout is that 10× data costs ≈10× ingest,
+    // never a per-batch snapshot blowup; soak them like the batch shapes
+    "stream_graph_maintain", "stream_triangle_maintain",
+    "stream_embedding_topk")
 
   val Copies = 10
   val Stride = 4000000000L // > SupplierBase + any key: copies stay disjoint
@@ -166,12 +171,17 @@ object Soak {
       // one year per copy, in the source's own ts flavor (TsCompat)
       .withColumn("ts", TsCompat.plusDays(df.schema("ts").dataType, i.toLong * 365L)
         .cast(df.schema("ts").dataType))
+    // embeddings: ids offset, vectors/labels as-is — 10× vectors per cell
+    // at the same cell density (a timing replica; the soak counts rows,
+    // it does not re-verify ANN contents). The declared query vector
+    // vec_id=0 stays unique (copies 1..9 hold only offset ids).
+    case "embeddings" => df.withColumn("vec_id", offset("vec_id", i))
     case _ => df
   }
 
   private val ScaledTables =
     Seq("customer", "orders", "lineitem", "part", "supplier",
-      "documents", "events")
+      "documents", "events", "embeddings")
   private val SharedTables = Seq("region", "nation")
 
   def main(args: Array[String]): Unit = {
