@@ -55,7 +55,7 @@ object Bench {
     "label_noise_ann", "stream_quantiles_sampled",
     "community_conductance", "hyperball_mean_distance", "hyperball_harmonic",
     // round-13 additions measured >=2s isolated:
-    "stream_embedding_topk", "stream_bm25_serving",
+    "stream_embedding_topk", "stream_bm25_serving", "stream_drift_psi",
   )
   private val LightChunk = 10
 

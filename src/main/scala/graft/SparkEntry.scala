@@ -2345,6 +2345,11 @@ object SparkEntry {
     // the rest parameter-scale
     "drift_psi" -> ((s, dir) =>
       pipeline.Drift.psiPerSource(t(s, dir, "documents"), col("n_chars"))),
+    // streaming PSI twin: per-batch exact (source, bin) counts fold
+    // additively into a sources×bins state; the shared PSI derivation
+    // runs on the end state, so the batch drift_psi oracle replays it
+    "stream_drift_psi" -> ((s, dir) =>
+      streaming.StreamOps.psiReplayBatch(s, s"$dir/documents.parquet")),
     // UniMax budget split: waterfill tokens across sources under a
     // 2-epoch cap (budget = 1.8x corpus) — saturation decided in exact
     // BIGINT, one final division for the level
@@ -5762,6 +5767,24 @@ object SparkEntry {
         |  CAST(abs(ca * nb - cb * na) AS DOUBLE) / (na * nb) AS ks
         |FROM cum, t ORDER BY abs(ca * nb - cb * na) DESC, cum.v LIMIT 1""".stripMargin,
     "drift_psi" ->
+      """WITH sb AS (SELECT source, CAST(n_chars // 50 AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cs FROM documents GROUP BY 1, 2),
+        |gb AS (SELECT bin, CAST(sum(cs) AS BIGINT) AS cg FROM sb GROUP BY bin),
+        |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n FROM sb GROUP BY source),
+        |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS nb FROM gb),
+        |grid AS (SELECT s.source, s.n, g.bin, g.cg, coalesce(x.cs, 0) AS cs
+        |  FROM ns s CROSS JOIN gb g
+        |  LEFT JOIN sb x ON x.source = s.source AND x.bin = g.bin)
+        |SELECT source, CAST(max(nb) AS BIGINT) AS n_bins,
+        |  CAST(round(sum(
+        |    ((cs + 1.0) / (n + nb) - (cg - cs + 1.0) / (nn - n + nb))
+        |    * ln(((cs + 1.0) / (n + nb)) / ((cg - cs + 1.0) / (nn - n + nb)))
+        |  ), 4) AS DOUBLE) AS psi
+        |FROM grid, tot GROUP BY source ORDER BY source""".stripMargin,
+    // one-oracle-two-twins: the streaming PSI twin's additively merged
+    // (source, bin) counts equal the batch aggregate bit-for-bit
+    "stream_drift_psi" ->
       """WITH sb AS (SELECT source, CAST(n_chars // 50 AS BIGINT) AS bin,
         |    CAST(count(*) AS BIGINT) AS cs FROM documents GROUP BY 1, 2),
         |gb AS (SELECT bin, CAST(sum(cs) AS BIGINT) AS cg FROM sb GROUP BY bin),

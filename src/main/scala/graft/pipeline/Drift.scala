@@ -36,12 +36,23 @@ object Drift {
     * parameter-scale (sources × bins grid, both broadcast). Output:
     * (source, n_bins, psi) ordered by source.
     */
-  def psiPerSource(df: DataFrame, value: Column,
-                   binWidth: Long = 50L): DataFrame = {
-    val sb = df.select(col("source"),
+  /** The ONE data-sized pass of [[psiPerSource]]: exact (source, bin)
+    * BIGINT counts — purely ADDITIVE, so the streaming twin
+    * ([[graft.streaming.StreamOps.psiReplayBatch]]) folds per-batch
+    * count frames into a running state losslessly and the final PSI is
+    * bit-identical to the batch computation.
+    */
+  private[graft] def sourceBinCounts(df: DataFrame, value: Column,
+                                     binWidth: Long = 50L): DataFrame =
+    df.select(col("source"),
         floor(value / lit(binWidth)).cast("long").as("bin"))
       .groupBy("source", "bin").agg(count(lit(1)).cast("long").as("cs"))
-      .localCheckpoint(true) // the one data-sized pass; feeds all totals
+
+  /** The parameter-scale tail of [[psiPerSource]] over a materialized
+    * (source, bin, cs) count frame — shared VERBATIM by the batch query
+    * and the streaming twin.
+    */
+  private[graft] def psiOfBinCounts(sb: DataFrame): DataFrame = {
     val gb = sb.groupBy("bin").agg(sum("cs").cast("long").as("cg"))
     val ns = sb.groupBy("source").agg(sum("cs").cast("long").as("n"))
     val tot = broadcast(gb.agg(sum("cg").cast("long").as("nn"),
@@ -58,6 +69,11 @@ object Drift {
         round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"))
       .orderBy("source")
   }
+
+  def psiPerSource(df: DataFrame, value: Column,
+                   binWidth: Long = 50L): DataFrame =
+    psiOfBinCounts(sourceBinCounts(df, value, binWidth)
+      .localCheckpoint(true)) // the one data-sized pass; feeds all totals
 
   def ksStatistic(df: DataFrame, group: Column, value: Column,
                   groupA: String, groupB: String): DataFrame = {

@@ -1089,6 +1089,60 @@ object StreamOps {
     Events.quantilesOfSample(spark.read.parquet(store))
   }
 
+  /** Streaming PSI drift monitoring — the incremental twin of
+    * `drift_psi` (the CUSUM change-point twin's pattern applied to the
+    * second drift score): each micro-batch folds its exact (source, bin)
+    * BIGINT counts ([[graft.pipeline.Drift.sourceBinCounts]], shared
+    * verbatim) ADDITIVELY into the running state — sources × bins rows
+    * regardless of document volume, the parameter-scale state a drift
+    * monitor actually keeps — and the PSI derivation
+    * ([[graft.pipeline.Drift.psiOfBinCounts]], shared verbatim) runs on
+    * the final state. Integer counts are associative, so the end state
+    * equals the batch aggregate bit-for-bit and the batch `drift_psi`
+    * oracle replays the twin — one oracle, two twins. At 100 TB the
+    * monitored state never grows with ingest; each batch pays one
+    * (source, bin) aggregate over its own rows. `batchProbe(stateRows,
+    * batchRows)` lets StreamSpec assert the parameter-scale state bound
+    * and ≥2 live batches. Output: (source, n_bins, psi) ordered.
+    */
+  def psiReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                     docsPath: String,
+                     batchProbe: (Long, Long) => Unit =
+                       (_, _) => ()): DataFrame = {
+    import graft.pipeline.Drift
+    val spark = tunedStatefulSession(spark0)
+    val docs = spark.read.parquet(docsPath).select("doc_id", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_psi_")
+    val state = s"$tmp/state"
+    val inDir = s"$tmp/in"
+    docs.repartition(4).write.parquet(inDir)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        val part = Drift.sourceBinCounts(b, col("n_chars"))
+        val merged =
+          (if (pathExists(spark, state))
+            spark.read.parquet(state).unionByName(part)
+              .groupBy("source", "bin").agg(sum("cs").cast("long").as("cs"))
+          else part)
+            .localCheckpoint(true) // materialize BEFORE overwriting state
+        merged.write.mode("overwrite").parquet(state)
+        batchProbe(merged.count(), b.count())
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"PSI drift replay ran $batches non-empty micro-batches; " +
+        "the incremental path requires at least 2")
+    Drift.psiOfBinCounts(spark.read.parquet(state))
+  }
+
   /** Streaming LEXICAL-SEARCH ingest — the search family's incremental
     * twin (BM25 serving with incremental indexing): documents arrive in
     * micro-batches and are retrievable at the next batch boundary with

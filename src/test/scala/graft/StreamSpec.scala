@@ -285,6 +285,29 @@ class StreamSpec extends AnyFunSuite {
     assert(cat.load("A").count() == 3L, "rejected delta must not land")
   }
 
+  test("psiReplayBatch: streamed PSI equals the batch score; state stays parameter-scale; >=2 batches") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the state bound: sources × bins, independent of document volume
+    val maxState = docs.select("source").distinct().count() *
+      docs.selectExpr("count(DISTINCT n_chars div 50)").collect()(0).getLong(0)
+    val probed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val got = StreamOps.psiReplayBatch(spark, s"$dir/documents.parquet",
+        (state, rows) => { probed += ((state, rows)); () })
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probed.length >= 2, s"expected >=2 probed batches, got ${probed.length}")
+    probed.foreach { case (state, rows) =>
+      assert(rows >= 1L)
+      assert(state <= maxState,
+        s"monitor state $state exceeds the sources×bins bound $maxState")
+    }
+    // integer counts are additive, so the twin equals the batch bit-for-bit
+    val batch = graft.pipeline.Drift.psiPerSource(docs,
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == batch, s"streamed PSI $got != batch PSI $batch")
+  }
+
   test("bm25ReplayBatch: streamed serving equals the batch ranking; index stays text-free; >=2 batches") {
     val dir = "/root/testdata/sf0.001"
     val probed = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
