@@ -1838,6 +1838,12 @@ object SparkEntry {
     // PERCENTILE_DISC kernel; rank error audited in PropertyOracleSpec
     "events_quantiles_sampled" -> ((s, dir) =>
       Events.sampledValueQuantiles(t(s, dir, "events"))),
+    // histogram-SKETCH quantiles: constant-size mergeable (type, bin)
+    // counts + integer-exact bin selection + one fixed-op-tree
+    // interpolation — the O(bins)-state monitor trade (±1 bin width);
+    // the cum window runs over the parameter-scale bin frame only
+    "events_quantiles_hist" -> ((s, dir) =>
+      Events.histQuantiles(t(s, dir, "events"))),
     // sample-at-ingest streaming twin: only the 1/8 sample ever lands in
     // the store; shared sample + quantile kernels, one oracle for both
     "stream_quantiles_sampled" -> ((s, dir) =>
@@ -4665,6 +4671,26 @@ object SparkEntry {
     // identical deterministic sample rows (md5 threshold), identical
     // discrete-quantile contract — raw input doubles, no rounding
     "events_quantiles_sampled" -> SampledQuantilesOracleSql,
+    "events_quantiles_hist" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cs
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, cs,
+        |    CAST(sum(cs) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum
+        |  FROM b),
+        |n AS (SELECT event_type, CAST(sum(cs) AS BIGINT) AS n FROM b GROUP BY 1),
+        |sel AS (SELECT c.event_type, p.p, n.n, c.bin, c.cs,
+        |    c.cum - c.cs AS cumb,
+        |    row_number() OVER (PARTITION BY c.event_type, p.p ORDER BY c.bin) AS rn
+        |  FROM c JOIN n USING (event_type)
+        |  CROSS JOIN (SELECT * FROM (VALUES (50), (90), (99)) AS t(p)) p
+        |  WHERE 100 * c.cum >= p.p * n.n)
+        |SELECT event_type, CAST(p AS BIGINT) AS p, n, bin,
+        |  (CAST(bin AS DOUBLE) * 10.0)
+        |    + (10.0 * CAST(p * n - 100 * cumb AS DOUBLE))
+        |      / (100.0 * CAST(cs AS DOUBLE)) AS est
+        |FROM sel WHERE rn = 1 ORDER BY event_type, p""".stripMargin,
     // the sample-at-ingest stream twin lands exactly the batch sample rows
     "stream_quantiles_sampled" -> SampledQuantilesOracleSql,
     // every output is a raw input double (discrete quantiles +

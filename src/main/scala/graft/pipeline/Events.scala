@@ -149,6 +149,55 @@ object Events {
       .select("event_type", "n_sample", "p50", "p90", "p99")
       .orderBy("event_type")
 
+  /** Histogram-SKETCH grouped quantiles — the third point on the
+    * quantile cost curve after exact ([[valueQuantiles]]: per-group sort)
+    * and sampled ([[sampledValueQuantiles]]: pruned scan, still a sort):
+    * equi-width bin counts are a CONSTANT-SIZE MERGEABLE state
+    * (types × bins exact BIGINT rows — additive, so partial histograms
+    * combine map-side and across ingest batches), and each quantile is
+    * answered by integer-exact bin selection plus one fixed-op-tree
+    * linear interpolation inside the bin. Accuracy bound: the estimate
+    * is within one bin `width` of a true q-quantile — the equi-width
+    * trade a monitoring dashboard takes for O(bins) state (cf. the
+    * sketch family's CMS/KMV trades).
+    *
+    * Cross-engine exactness: bins come from ONE IEEE divide + floor
+    * (identical bits); cumulative counts and the selection predicate
+    * `100·cum ≥ p·n` are exact BIGINT (no FP compare decides a bin);
+    * the interpolation `bin·w + (w·(p·n − 100·cumBefore)) / (100·cs)`
+    * is a fixed op tree over exact integers with one division — shipped
+    * UNROUNDED (bit-identical; rounding a bit-identical double can
+    * itself diverge). The cum window runs over the PARAMETER-SCALE
+    * (type, bin) frame, never the events.
+    * Output: (event_type, p, n, bin, est) for p ∈ ps, ordered.
+    */
+  def histQuantiles(events: DataFrame, width: Double = 10.0,
+                    ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val b = events.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") / lit(width)).cast("long").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).cast("long").as("cs"))
+      .localCheckpoint(true) // parameter-scale; feeds cum window AND totals
+    val w = Window.partitionBy("event_type").orderBy("bin")
+    val c = b.withColumn("cum", sum("cs").over(w).cast("long"))
+      .withColumn("cumb", col("cum") - col("cs"))
+    val n = b.groupBy("event_type").agg(sum("cs").cast("long").as("n"))
+    val sel = c.join(n, "event_type")
+      .select(col("event_type"), col("bin"), col("cs"), col("cumb"),
+        col("cum"), col("n"), explode(typedlit(ps)).as("p"))
+      .filter(lit(100L) * col("cum") >= col("p") * col("n"))
+    val rk = Window.partitionBy("event_type", "p").orderBy("bin")
+    sel.withColumn("rn", row_number().over(rk))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("p").cast("long").as("p"), col("n"),
+        col("bin"),
+        (col("bin").cast("double") * lit(width) +
+          (lit(width) * (col("p") * col("n") - lit(100L) * col("cumb"))
+            .cast("double")) / (lit(100.0) * col("cs").cast("double")))
+          .as("est"))
+      .orderBy("event_type", "p")
+  }
+
   /** Winsorization — the outlier-clipping normalization a training-data
     * pipeline applies before feature scaling: per event type, clamp
     * `value` into its own [p_lo, p_hi] discrete-quantile band. Every

@@ -162,6 +162,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("click") == ((7.5, 7.5, 7.5, 1L)))
   }
 
+  test("histQuantiles: equi-width sketch interpolates within the selected bin, ±1 width of truth") {
+    // values 1..100, width 10: bins 0 (1..9, cs 9), 1..9 (cs 10 each),
+    // 10 (value 100, cs 1); cum(bin5) = 59 is the first >= p50 target
+    val ev = (1 to 100).map(i => (i.toLong, "view", i.toDouble))
+    val df = ev.toDF("event_id", "event_type", "value")
+    val out = graft.pipeline.Events.histQuantiles(df).collect()
+      .map(r => (r.getLong(1), (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // p50: bin 5 (cumb 49, cs 10): 50 + 10*(5000-4900)/1000 = 51.0
+    assert(out(50L) == ((100L, 5L, 51.0)), s"p50 ${out(50L)}")
+    // p90: bin 9 (cum 99 first >= 90): 90 + 10*(9000-8900)/1000 = 91.0
+    assert(out(90L) == ((100L, 9L, 91.0)), s"p90 ${out(90L)}")
+    // p99: still bin 9: 90 + 10*(9900-8900)/1000 = 100.0 (bin upper edge)
+    assert(out(99L) == ((100L, 9L, 100.0)), s"p99 ${out(99L)}")
+    // accuracy contract: each estimate within one width of the exact
+    // discrete quantile (50.0/90.0/99.0)
+    assert(math.abs(out(50L)._3 - 50.0) <= 10.0)
+    assert(math.abs(out(90L)._3 - 90.0) <= 10.0)
+    assert(math.abs(out(99L)._3 - 99.0) <= 10.0)
+  }
+
   test("winsorize clamps into the discrete [p01, p99] band; madOutliers flags robustly") {
     val ev = (1 to 100).map(i => (i.toLong, "view", i.toDouble))
     val df = ev.toDF("event_id", "event_type", "value")
