@@ -502,6 +502,13 @@ object SparkEntry {
         .select(col("vertex"), round(col("rank"), 4).as("rank"))
         .orderBy(col("rank").desc, col("vertex"))
         .limit(20)),
+    // ACL sweep cut over the SAME PPR vector: the minimum-conductance
+    // prefix of the rank ordering — local community extraction; vol/cut
+    // from exact BIGINT prefix sums (two-pass scan), one IEEE division
+    "ppr_sweep_cut" -> ((s, dir) =>
+      GraphOps.pprSweepCut(
+        GraphOps.symmetrize(DerivedGraphs.partSuppEdges(s, dir), dedup = false),
+        src = 1L, iters = 10)),
     // HITS on the DIRECTED part→supplier graph (hubs = parts, authorities
     // = suppliers — the principal singular-vector pair of the bipartite
     // adjacency); oracle = 10-iteration unrolled mutual-reinforcement in
@@ -3741,6 +3748,35 @@ object SparkEntry {
          |  CAST(round(1.0 + CAST(n_vertices AS DOUBLE) / sl, 4) AS DOUBLE) AS alpha
          |FROM m WHERE sl > 0""".stripMargin,
     "ppr_top20" -> pprSql,
+    // the ACL sweep over the same unrolled-PPR ordering: integer prefix
+    // sums for vol/cut (each directed edge closes at max(i_u, i_v)),
+    // exact den > 0 exclusion, one division, (phi, size) argmin
+    "ppr_sweep_cut" ->
+      s"""WITH $partSuppGraphSql,
+         |r0 AS (SELECT v, CASE WHEN v = 1 THEN CAST(1.0 AS DOUBLE)
+         |                      ELSE CAST(0.0 AS DOUBLE) END AS r FROM deg),
+         |${prIters("CASE WHEN d.v = 1 THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END")},
+         |tot AS (SELECT sum(r) AS t FROM r10),
+         |pr AS (SELECT v, round(r / tot.t, 4) AS rank FROM r10, tot),
+         |od AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+         |rk AS (SELECT pr.v, row_number() OVER (ORDER BY pr.rank DESC, pr.v) AS i FROM pr),
+         |vd AS (SELECT rk.i, coalesce(od.d, 0) AS d FROM rk LEFT JOIN od ON od.v = rk.v),
+         |em AS (SELECT greatest(iu.i, iv.i) AS m, CAST(count(*) AS BIGINT) AS closed
+         |  FROM e JOIN rk iu ON iu.v = e.src JOIN rk iv ON iv.v = e.dst GROUP BY 1),
+         |fr AS (SELECT vd.i, vd.d, coalesce(em.closed, 0) AS closed
+         |  FROM vd LEFT JOIN em ON em.m = vd.i),
+         |cums AS (SELECT i, sum(d) OVER (ORDER BY i) AS cum_deg,
+         |    sum(closed) OVER (ORDER BY i) AS cum_closed FROM fr),
+         |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e),
+         |sw AS (SELECT CAST(i AS BIGINT) AS best_size,
+         |    CAST(cum_deg AS BIGINT) AS vol,
+         |    CAST(cum_deg - cum_closed AS BIGINT) AS cut,
+         |    CAST(least(cum_deg, m2.m2 - cum_deg) AS BIGINT) AS den
+         |  FROM cums, m2)
+         |SELECT best_size, vol, cut,
+         |  CAST(cut AS DOUBLE) / CAST(den AS DOUBLE) AS phi
+         |FROM sw WHERE den > 0
+         |ORDER BY phi, best_size LIMIT 1""".stripMargin,
     "hits_top20" -> hitsSql,
     "betweenness_top50" -> betweennessSql,
     "sssp_bounded" ->

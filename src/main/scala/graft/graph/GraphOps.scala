@@ -905,6 +905,66 @@ object GraphOps {
     }
   }
 
+  /** PPR sweep cut (Andersen, Chung & Lang 2006, FOCS, "Local graph
+    * partitioning using PageRank vectors" — the classic local community
+    * extraction): order vertices by personalized-PageRank score from
+    * `src`, then over the prefix sets S_1 ⊆ S_2 ⊆ … of that order find
+    * the prefix with MINIMUM conductance φ(S) = cut(S) / min(vol(S),
+    * 2m − vol(S)). The sweep is what turns a PPR vector into an actual
+    * community: ACL prove a low-conductance set near the seed shows up
+    * as some prefix.
+    *
+    * Exactness: the ordering is (4-dp rank DESC, vertex) — the shipped
+    * ppr_top20 contract, so both engines sweep the same sequence; vol
+    * and cut derive from exact BIGINT prefix sums (vol = cumulative
+    * degree; each directed edge becomes INTERNAL exactly at prefix
+    * max(i_u, i_v), so cut_i = vol_i − cum_internal_i — no per-prefix
+    * rescan, no FP until the end); φ is ONE IEEE division of exact
+    * integers (bit-identical), argmin ties to the smaller prefix. The
+    * degenerate den = 0 prefixes (the full vertex set; an empty side)
+    * are excluded by the exact predicate in both engines.
+    *
+    * Scale: one PPR (fixed rounds), one degree aggregate, two index
+    * joins on edges, then the [[graft.pipeline.Ranking.withRunningSums]]
+    * two-pass prefix scan over the V-row sweep frame — never a
+    * single-partition window, never per-prefix work. Input: a
+    * SYMMETRIZED edge list (both directions present).
+    * Output: one row (best_size, vol, cut, phi).
+    */
+  def pprSweepCut(edges: DataFrame, src: Long, iters: Int = 10): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val ranked = graft.pipeline.Ranking.withGlobalIndex(
+        personalizedPageRank(e, src, iters)
+          .select(col("vertex"), round(col("rank"), 4).as("rank")),
+        col("rank").desc, col("vertex"))
+      .select(col("vertex"), (col("idx") + 1L).cast("long").as("i"))
+      .localCheckpoint(true) // feeds the degree join and both edge sides
+    val deg = e.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val vdeg = ranked.join(deg, Seq("vertex"), "left")
+      .select(col("i"), coalesce(col("deg"), lit(0L)).as("deg"))
+    val em = e
+      .join(ranked.select(col("vertex").as("src"), col("i").as("iu")), "src")
+      .join(ranked.select(col("vertex").as("dst"), col("i").as("iv")), "dst")
+      .select(greatest(col("iu"), col("iv")).as("m"))
+      .groupBy("m").agg(count(lit(1)).cast("long").as("closed"))
+    val frame = vdeg.join(em, vdeg("i") === em("m"), "left")
+      .select(col("i"), col("deg"), coalesce(col("closed"), lit(0L)).as("closed"))
+    val cums = graft.pipeline.Ranking
+      .withRunningSums(frame, Seq("deg", "closed"), col("i"))
+    val m2 = broadcast(e.agg(count(lit(1)).cast("long").as("m2")))
+    cums.crossJoin(m2)
+      .select(col("i").as("best_size"), col("cum_deg").as("vol"),
+        (col("cum_deg") - col("cum_closed")).as("cut"),
+        least(col("cum_deg"), col("m2") - col("cum_deg")).as("den"))
+      .filter(col("den") > 0L)
+      .withColumn("phi", col("cut").cast("double") / col("den").cast("double"))
+      .orderBy(col("phi"), col("best_size"))
+      .limit(1)
+      .select("best_size", "vol", "cut", "phi")
+  }
+
   /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
     * vertex with degree < k (and its edges)" over a symmetrized edge set —
     * the standard coreness computation, hop-bounded exactly like

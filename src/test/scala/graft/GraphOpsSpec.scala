@@ -840,6 +840,21 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pprSweepCut: the seed's triangle across the bridge is the best prefix at phi = 1/7") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4; PPR from 1 ranks the
+    // seed triangle first, and the ACL sweep must pick prefix {1,2,3}:
+    // vol 7 (degrees 2+2+3), cut 1 (the bridge), phi = 1/7 — every other
+    // prefix scores >= 0.4
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = GraphOps.pprSweepCut(sym, src = 1L).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 7L, 1L)),
+      s"best prefix ${(r.getLong(0), r.getLong(1), r.getLong(2))}")
+    assert(math.abs(r.getDouble(3) - 1.0 / 7.0) < 1e-12)
+  }
+
   test("communityConductance: two triangles over one bridge score 1/7 each") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6}, bridge 3-4; degrees 2,2,3,3,2,2 →
