@@ -56,7 +56,7 @@ object Bench {
     "community_conductance", "hyperball_mean_distance", "hyperball_harmonic",
     // round-13 additions measured >=2s isolated:
     "stream_embedding_topk", "stream_bm25_serving", "stream_drift_psi",
-    "ppr_sweep_cut",
+    "ppr_sweep_cut", "stream_quantiles_hist",
   )
   private val LightChunk = 10
 

@@ -1851,6 +1851,12 @@ object SparkEntry {
     // the cum window runs over the parameter-scale bin frame only
     "events_quantiles_hist" -> ((s, dir) =>
       Events.histQuantiles(t(s, dir, "events"))),
+    // the sketch's streaming twin: additive (type, bin) counts per
+    // batch, shared selection+interpolation kernel on the end state —
+    // bit-exact vs the batch oracle (one oracle, two twins)
+    "stream_quantiles_hist" -> ((s, dir) =>
+      streaming.StreamOps.histQuantilesReplayBatch(s,
+        s"$dir/events.parquet")),
     // sample-at-ingest streaming twin: only the 1/8 sample ever lands in
     // the store; shared sample + quantile kernels, one oracle for both
     "stream_quantiles_sampled" -> ((s, dir) =>
@@ -4708,6 +4714,26 @@ object SparkEntry {
     // discrete-quantile contract — raw input doubles, no rounding
     "events_quantiles_sampled" -> SampledQuantilesOracleSql,
     "events_quantiles_hist" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cs
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, cs,
+        |    CAST(sum(cs) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum
+        |  FROM b),
+        |n AS (SELECT event_type, CAST(sum(cs) AS BIGINT) AS n FROM b GROUP BY 1),
+        |sel AS (SELECT c.event_type, p.p, n.n, c.bin, c.cs,
+        |    c.cum - c.cs AS cumb,
+        |    row_number() OVER (PARTITION BY c.event_type, p.p ORDER BY c.bin) AS rn
+        |  FROM c JOIN n USING (event_type)
+        |  CROSS JOIN (SELECT * FROM (VALUES (50), (90), (99)) AS t(p)) p
+        |  WHERE 100 * c.cum >= p.p * n.n)
+        |SELECT event_type, CAST(p AS BIGINT) AS p, n, bin,
+        |  (CAST(bin AS DOUBLE) * 10.0)
+        |    + (10.0 * CAST(p * n - 100 * cumb AS DOUBLE))
+        |      / (100.0 * CAST(cs AS DOUBLE)) AS est
+        |FROM sel WHERE rn = 1 ORDER BY event_type, p""".stripMargin,
+    "stream_quantiles_hist" ->
       """WITH b AS (SELECT event_type,
         |    CAST(floor(value / 10.0) AS BIGINT) AS bin,
         |    CAST(count(*) AS BIGINT) AS cs

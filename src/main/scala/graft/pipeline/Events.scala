@@ -172,12 +172,30 @@ object Events {
     * Output: (event_type, p, n, bin, est) for p ∈ ps, ordered.
     */
   def histQuantiles(events: DataFrame, width: Double = 10.0,
-                    ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
-    val b = events.filter(col("value").isNotNull)
+                    ps: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    quantilesOfBins(histBinCounts(events, width)
+      .localCheckpoint(true), // parameter-scale; feeds cum window AND totals
+      width, ps)
+
+  /** The ONE data-sized pass of [[histQuantiles]]: exact (type, bin)
+    * BIGINT counts — purely ADDITIVE (the mergeable sketch state), so
+    * the streaming twin ([[graft.streaming.StreamOps
+    * .histQuantilesReplayBatch]]) folds per-batch count frames into a
+    * running state losslessly.
+    */
+  private[graft] def histBinCounts(events: DataFrame,
+                                   width: Double): DataFrame =
+    events.filter(col("value").isNotNull)
       .select(col("event_type"),
         floor(col("value") / lit(width)).cast("long").as("bin"))
       .groupBy("event_type", "bin").agg(count(lit(1)).cast("long").as("cs"))
-      .localCheckpoint(true) // parameter-scale; feeds cum window AND totals
+
+  /** The parameter-scale tail of [[histQuantiles]] over a materialized
+    * (event_type, bin, cs) frame — shared VERBATIM by the batch query
+    * and the streaming twin.
+    */
+  private[graft] def quantilesOfBins(b: DataFrame, width: Double,
+                                     ps: Seq[Int]): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("bin")
     val c = b.withColumn("cum", sum("cs").over(w).cast("long"))
       .withColumn("cumb", col("cum") - col("cs"))

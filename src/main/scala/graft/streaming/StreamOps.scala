@@ -1089,6 +1089,61 @@ object StreamOps {
     Events.quantilesOfSample(spark.read.parquet(store))
   }
 
+  /** Streaming histogram-sketch quantiles — the incremental twin of
+    * `events_quantiles_hist`, and the operational POINT of that sketch:
+    * the (type, bin) counts are a constant-size mergeable state, so each
+    * micro-batch folds its exact bin counts
+    * ([[graft.pipeline.Events.histBinCounts]], shared verbatim)
+    * ADDITIVELY — types × bins rows regardless of event volume — and
+    * the integer-exact selection + interpolation
+    * ([[graft.pipeline.Events.quantilesOfBins]], shared verbatim) runs
+    * on the end state. Integer counts are associative, so the batch
+    * `events_quantiles_hist` oracle replays the twin bit-for-bit — one
+    * oracle, two twins (vs `stream_quantiles_sampled`, which keeps
+    * sample-sized state for discrete-exact answers: the two ingest
+    * trades, side by side). `batchProbe(stateRows, batchRows)` lets
+    * StreamSpec assert the bins-bound state and ≥2 live batches.
+    * Output: (event_type, p, n, bin, est) ordered.
+    */
+  def histQuantilesReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                               eventsPath: String,
+                               batchProbe: (Long, Long) => Unit =
+                                 (_, _) => ()): DataFrame = {
+    import graft.pipeline.Events
+    val spark = tunedStatefulSession(spark0)
+    val events = spark.read.parquet(eventsPath).select("event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_hist_")
+    val state = s"$tmp/state"
+    val inDir = s"$tmp/in"
+    events.repartition(4).write.parquet(inDir)
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        val part = Events.histBinCounts(b, width = 10.0)
+        val merged =
+          (if (pathExists(spark, state))
+            spark.read.parquet(state).unionByName(part)
+              .groupBy("event_type", "bin").agg(sum("cs").cast("long").as("cs"))
+          else part)
+            .localCheckpoint(true) // materialize BEFORE overwriting state
+        merged.write.mode("overwrite").parquet(state)
+        batchProbe(merged.count(), b.count())
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"histogram-quantile replay ran $batches non-empty micro-batches; " +
+        "the incremental path requires at least 2")
+    Events.quantilesOfBins(spark.read.parquet(state), width = 10.0,
+      ps = Seq(50, 90, 99))
+  }
+
   /** Streaming PSI drift monitoring — the incremental twin of
     * `drift_psi` (the CUSUM change-point twin's pattern applied to the
     * second drift score): each micro-batch folds its exact (source, bin)

@@ -285,6 +285,30 @@ class StreamSpec extends AnyFunSuite {
     assert(cat.load("A").count() == 3L, "rejected delta must not land")
   }
 
+  test("histQuantilesReplayBatch: streamed sketch equals the batch estimate; bins-bound state; >=2 batches") {
+    val dir = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val maxState = events.select("event_type").distinct().count() *
+      events.selectExpr("count(DISTINCT CAST(floor(value / 10.0) AS LONG))")
+        .collect()(0).getLong(0)
+    val probed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val got = StreamOps.histQuantilesReplayBatch(spark, s"$dir/events.parquet",
+        (state, rows) => { probed += ((state, rows)); () })
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(probed.length >= 2, s"expected >=2 probed batches, got ${probed.length}")
+    probed.foreach { case (state, rows) =>
+      assert(rows >= 1L)
+      assert(state <= maxState,
+        s"sketch state $state exceeds the types×bins bound $maxState")
+    }
+    val batch = graft.pipeline.Events.histQuantiles(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got == batch, s"streamed sketch $got != batch estimate $batch")
+  }
+
   test("psiReplayBatch: streamed PSI equals the batch score; state stays parameter-scale; >=2 batches") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
