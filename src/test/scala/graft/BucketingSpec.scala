@@ -75,4 +75,33 @@ class BucketingSpec extends AnyFunSuite {
       assert(cat.versions("GB") == Seq(2L))
     } finally cat.dropAll()
   }
+
+  test("bucketed GraphCatalog: delta chain + compact keep the bucketed no-Exchange read") {
+    import graft.graph.GraphCatalog
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cat_bcompact_").toString
+    val cat = new GraphCatalog(spark, tmp, buckets = Some(4))
+    try {
+      cat.add("GC", Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+      cat.modifyDelta("GC", Seq((3L, 4L)).toDF("src", "dst"))
+      cat.modifyDelta("GC", Seq((4L, 5L)).toDF("src", "dst"))
+      assert(cat.load("GC").count() == 4L)
+      // compact folds the bucketed chain into ONE bucketed base version
+      cat.compact("GC")
+      assert(cat.versions("GC").length == 1)
+      assert(cat.load("GC").orderBy("src", "dst").collect().toSeq ==
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+          .map(p => org.apache.spark.sql.Row(p._1, p._2)))
+      // the compacted snapshot still carries the bucket layout: a degree
+      // aggregate on the bucket key plans NO Exchange
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val deg = cat.load("GC").groupBy("src").count()
+        assert(!deg.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+          "compacted bucketed snapshot lost the no-shuffle aggregate")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally cat.dropAll()
+  }
 }
