@@ -492,6 +492,44 @@ object StreamOps {
       .partitionBy("bucket").parquet(target)
   }
 
+  /** Additive variant of [[mergeIntoBucketedServing]] for counter-valued
+    * state: the delta's value columns are SUMMED into the stored rows
+    * (keys absent from the store start at the delta's values) instead of
+    * replacing them. Same fixed-bucket layout, same touched-bucket-only
+    * read + dynamic-partition rewrite, so per-batch cost scales with the
+    * delta's bucket footprint, never the table. This is the merge the
+    * maintain twins' vertex-keyed counters need: a wholesale state
+    * overwrite per micro-batch is O(batches × V) write amplification —
+    * the same complexity class the delta-chain catalog killed on the
+    * edge store (r12), flagged again on the DERIVED state in r13.
+    */
+  def mergeAdditiveIntoBucketedServing(delta: DataFrame, target: String,
+                                       keyCol: String,
+                                       nBuckets: Int = 16): Unit = {
+    val spark = delta.sparkSession
+    val valueCols = delta.columns.filterNot(_ == keyCol).toSeq
+    val withB = delta
+      .withColumn("bucket", pmod(col(keyCol), lit(nBuckets.toLong)).cast("int"))
+      .localCheckpoint(true) // feeds the touched list and the fold
+    val touched = withB.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val base =
+      if (!pathExists(spark, target)) withB
+      else spark.read.parquet(target)
+        // partition pruning: only changed buckets are read at all
+        .filter(col("bucket").isin(touched: _*))
+        .unionByName(withB)
+    val aggs = valueCols.map(c =>
+      sum(col(c)).cast(delta.schema(c).dataType).as(c))
+    val merged = base.groupBy(col(keyCol), col("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      // materialize BEFORE overwriting the dirs being read
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(target)
+  }
+
   /** Third oracle-checked streaming query — the WINDOWED-AGGREGATE half:
     * replay the events table as a stream, aggregate per (tumbling window,
     * event_type), and land the FINAL aggregate state in a batch table.
@@ -968,13 +1006,16 @@ object StreamOps {
                                dir: String,
                                batchProbe: (DataFrame, DataFrame) => Unit =
                                  (_, _) => (),
-                               compactEvery: Int = 4): DataFrame = {
+                               compactEvery: Int = 4,
+                               stateDirProbe: String => Unit = _ => ())
+      : DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_graphcc_")
     val inDir = s"$tmp/in"
     graft.graph.DerivedGraphs.treeEdges(spark, dir)
       .repartition(4).write.parquet(inDir)
     val schema = spark.read.parquet(inDir).schema
     val state = s"$tmp/state"
+    stateDirProbe(state)
     val cat = new graft.graph.GraphCatalog(spark, s"$tmp/graphs")
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -1002,7 +1043,8 @@ object StreamOps {
         if (compactEvery > 0 && batchesDone % compactEvery == 0)
           cat.compact("S")
         val labels0 =
-          if (pathExists(spark, state)) spark.read.parquet(state)
+          if (pathExists(spark, state))
+            spark.read.parquet(state).select("vertex", "comp")
           else spark.range(0).select(col("id").as("vertex"), col("id").as("comp"))
         val verts = e.select(col("src").as("vertex"))
           .unionAll(e.select(col("dst").as("vertex"))).distinct()
@@ -1024,11 +1066,23 @@ object StreamOps {
         val merge = graft.graph.GraphOps
           .connectedComponents(contracted, cverts, ordered = false)
           .select(col("vertex").as("comp"), col("component").as("newComp"))
-        val labels = all.join(merge, Seq("comp"), "left_outer")
+        // Land ONLY the rows this batch actually changes — new vertices
+        // (first labeled here) plus old vertices whose component the merge
+        // map remaps — through the bucketed upsert, so per-batch state
+        // WRITES scale with merge activity, never O(V) (r13 finding #2:
+        // the wholesale label overwrite was the same O(batches × V) write
+        // amplification the delta-chain catalog killed on the edge store).
+        // Unchanged vertices keep their stored rows; the store after the
+        // merge is identical to the old full `all ⋈ merge` relabeling.
+        val newResolved = newVerts.join(merge, Seq("comp"), "left_outer")
           .select(col("vertex"), coalesce(col("newComp"), col("comp")).as("comp"))
-          .localCheckpoint(true) // materialize BEFORE overwriting state
-        labels.write.mode("overwrite").parquet(state)
-        batchProbe(labels, cat.load("S").select("src", "dst"))
+        val oldRemapped = labels0.join(merge, Seq("comp"))
+          .filter(col("newComp") =!= col("comp"))
+          .select(col("vertex"), col("newComp").as("comp"))
+        mergeIntoBucketedServing(newResolved.unionByName(oldRemapped),
+          state, "vertex")
+        batchProbe(spark.read.parquet(state).select("vertex", "comp"),
+          cat.load("S").select("src", "dst"))
       }
       .start()
     q.awaitTermination()
@@ -1040,6 +1094,12 @@ object StreamOps {
       .select(col("vertex"), col("comp").as("component"))
       .orderBy("vertex")
   }
+
+  /** Empty (vertex, n_triangles) frame — the pre-first-batch state of the
+    * triangle maintainer's bucketed counter store.
+    */
+  private def emptyTriangleState(spark: org.apache.spark.sql.SparkSession) =
+    spark.range(0).select(col("id").as("vertex"), col("id").as("n_triangles"))
 
   /** Streaming sampled quantiles — the sample-at-INGEST twin of
     * `events_quantiles_sampled`: each micro-batch applies the
@@ -1373,7 +1433,11 @@ object StreamOps {
     *     the batch alone (batch-sized, tiny).
     * A triangle has exactly 1, 2 or 3 delta edges, so T1/T2/T3 partition
     * the new triangles — each is counted exactly once, and the running
-    * (vertex, n_triangles) state is a pure additive merge. The ONE
+    * (vertex, n_triangles) state is a pure additive merge, landed through
+    * [[mergeAdditiveIntoBucketedServing]] so each batch reads and
+    * rewrites ONLY the buckets holding delta vertices (r14: the previous
+    * wholesale state overwrite was O(batches × V) write amplification on
+    * the derived state). The ONE
     * cumulative edge store is the catalog's delta-version chain
     * ([[graft.graph.GraphCatalog.modifyDelta]], the
     * [[graphMaintainReplayBatch]] layout): the OLD adjacency each batch
@@ -1399,11 +1463,14 @@ object StreamOps {
                                   splits: Int = 4,
                                   compactEvery: Int = 4,
                                   catalogProbe: graft.graph.GraphCatalog => Unit =
-                                    _ => ()): DataFrame = {
+                                    _ => (),
+                                  stateDirProbe: String => Unit = _ => ())
+      : DataFrame = {
     val spark = tunedStatefulSession(spark0)
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tri_")
     val inDir = s"$tmp/in"
     val state = s"$tmp/state"
+    stateDirProbe(state)
     pairs0.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .repartition(splits).write.parquet(inDir)
     val schema = spark.read.parquet(inDir).schema
@@ -1466,17 +1533,22 @@ object StreamOps {
         if (compactEvery > 0 && batchesDone % compactEvery == 0)
           cat.compact("T")
         catalogProbe(cat)
-        val prev =
-          if (pathExists(spark, state)) spark.read.parquet(state)
-          else Seq.empty[(Long, Long)].toDF("vertex", "n_triangles")
-        val next = prev.unionByName(deltaCounts)
-          .groupBy("vertex").agg(sum("n_triangles").cast("long").as("n_triangles"))
-          .localCheckpoint(true) // materialize BEFORE overwriting state
-        next.write.mode("overwrite").parquet(state)
-        val newTriangles = deltaCounts.agg(sum("n_triangles")).collect()
+        val deltaTotal = deltaCounts.agg(sum("n_triangles")).collect()
           .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-          .getOrElse(0L) / 3L
-        batchProbe(newTriangles, next)
+          .getOrElse(0L)
+        // Fold the per-vertex increments into the bucketed counter store:
+        // only buckets holding delta vertices are read or rewritten, so
+        // per-batch state writes scale with |Δ|'s bucket footprint — not
+        // the O(batches × V) wholesale overwrite flagged in r13. A
+        // no-new-triangles batch touches nothing (and must not: an empty
+        // partitioned write would leave a schemaless store).
+        if (deltaTotal > 0L)
+          mergeAdditiveIntoBucketedServing(deltaCounts, state, "vertex")
+        val next =
+          if (pathExists(spark, state))
+            spark.read.parquet(state).select("vertex", "n_triangles")
+          else emptyTriangleState(spark)
+        batchProbe(deltaTotal / 3L, next)
       }
       .start()
     q.awaitTermination()
@@ -1484,7 +1556,10 @@ object StreamOps {
     require(batches >= 2,
       s"triangle maintenance replay ran $batches non-empty micro-batches; " +
         "the incremental path requires at least 2")
-    spark.read.parquet(state).orderBy("vertex")
+    (if (pathExists(spark, state))
+       spark.read.parquet(state).select("vertex", "n_triangles")
+     else emptyTriangleState(spark))
+      .orderBy("vertex")
   }
 
   /** Streaming request server: dispatch a stream of protocol lines into a

@@ -8,6 +8,75 @@ import SparkTestSession._
 class StreamSpec extends AnyFunSuite {
   import spark.implicits._
 
+  /** Parquet file names per bucket dir of a bucketed serving store —
+    * rewrites always produce fresh part-file names, so set equality means
+    * the bucket's files were not touched.
+    */
+  private def bucketFileSets(stateDir: String): Map[String, Set[String]] = {
+    val root = new java.io.File(stateDir)
+    if (!root.exists()) Map.empty
+    else root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(d => d.getName -> d.listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+      .toMap
+  }
+
+  /** Assert the r13-#2 fix on a maintainer's bucketed derived state: for
+    * every consecutive pair of per-batch snapshots, a bucket holding NO
+    * key whose value changed that batch keeps byte-identical files (same
+    * part-file names). Returns how many (batch, bucket) pairs were proven
+    * untouched so callers on hand-sized graphs can also assert the check
+    * bit on something.
+    */
+  private def assertUntouchedBuckets(
+      files: Seq[Map[String, Set[String]]],
+      states: Seq[Map[Long, Long]], nBuckets: Int = 16): Int = {
+    var untouched = 0
+    files.zip(states).sliding(2).foreach {
+      case Seq((prevF, prevS), (curF, curS)) =>
+        val changed = curS.collect {
+          case (k, v) if !prevS.get(k).contains(v) => k
+        }.toSet
+        val touchedBuckets = changed.map(k => s"bucket=${k % nBuckets}")
+        (prevF.keySet -- touchedBuckets).foreach { b =>
+          assert(curF.get(b).contains(prevF(b)),
+            s"bucket $b held no changed key this batch but was rewritten: " +
+              s"${prevF(b)} -> ${curF.get(b)}")
+          untouched += 1
+        }
+      case _ => ()
+    }
+    untouched
+  }
+
+  test("mergeAdditiveIntoBucketedServing sums into touched buckets only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_add_").toString
+    val target = s"$dir/serving"
+    // seed: 64 keys -> all 16 buckets populated
+    StreamOps.mergeAdditiveIntoBucketedServing(
+      (0L until 64L).map(k => (k, k)).toDF("vertex", "n_triangles"),
+      target, "vertex")
+    val before = bucketFileSets(target)
+    assert(before.keySet.size == 16, s"expected 16 bucket dirs, got ${before.keySet}")
+    // additive batch: an existing key (5 -> +10) and a NEW key (69 -> 7),
+    // both in bucket=5
+    StreamOps.mergeAdditiveIntoBucketedServing(
+      Seq((5L, 10L), (69L, 7L)).toDF("vertex", "n_triangles"),
+      target, "vertex")
+    val after = bucketFileSets(target)
+    assert(after("bucket=5") != before("bucket=5"), "changed bucket was not rewritten")
+    (before.keySet - "bucket=5").foreach { b =>
+      assert(after(b) == before(b), s"untouched $b was rewritten")
+    }
+    // additive semantics: existing key summed, new key inserted, rest intact
+    val got = spark.read.parquet(target).select("vertex", "n_triangles")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 64L).filterNot(_ == 5L).map(k => (k, k)).toSet +
+      ((5L, 15L)) + ((69L, 7L))
+    assert(got == expected)
+  }
+
   test("parseRequests routes well-formed lines and quarantines garbage") {
     val df = Seq("1 1 G1.txt", "2 4 G1.txt", "5 3 G2.txt", "bogus line", "9 7 G1.txt")
       .toDF("value")
@@ -46,7 +115,11 @@ class StreamSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     var batches = 0
     var merged = false
+    var stateDir = ""
+    val fileSnaps = scala.collection.mutable.ArrayBuffer.empty[Map[String, Set[String]]]
+    val stateSnaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
     val got = StreamOps.graphMaintainReplayBatch(spark, dir,
+      stateDirProbe = p => { stateDir = p },
       batchProbe = (labels, snapshot) => {
         batches += 1
         // the incremental contraction must equal a from-scratch CC on the
@@ -66,6 +139,8 @@ class StreamSpec extends AnyFunSuite {
         // LATER batch fuses (otherwise the merge path went unexercised):
         // any non-region label means an orphan subtree is still detached
         if (gotLabels.exists { case (_, comp) => comp > 5L }) merged = true
+        fileSnaps += bucketFileSets(stateDir)
+        stateSnaps += gotLabels.toMap
       })
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(batches >= 2, s"only $batches micro-batches — need cross-batch maintenance")
@@ -78,6 +153,9 @@ class StreamSpec extends AnyFunSuite {
       .collect().map(r => (10L + r.getAs[Number]("n_nationkey").longValue(),
         1L + r.getAs[Number]("n_regionkey").longValue())).toMap
     nations.foreach { case (v, comp) => assert(got(v) == comp, s"nation vertex $v") }
+    // r13 #2: the label state is bucketed — a bucket with no changed label
+    // this batch must keep byte-identical files (never a wholesale rewrite)
+    assertUntouchedBuckets(fileSnaps.toSeq, stateSnaps.toSeq)
   }
 
   test("dedupReplayBatch drops the planted duplicate sends exactly") {
@@ -206,10 +284,22 @@ class StreamSpec extends AnyFunSuite {
     val pairs = ((for { a <- 1L to 5L; b <- a + 1 to 5L } yield (a, b)) ++
       Seq((5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L), (8L, 9L))).toDF("a", "b")
     val probed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var stateDir = ""
+    val fileSnaps = scala.collection.mutable.ArrayBuffer.empty[Map[String, Set[String]]]
+    val stateSnaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
     val out = StreamOps.triangleMaintainReplayBatch(spark, pairs,
-      (n, _) => { probed += n; () })
+      (n, state) => {
+        probed += n
+        fileSnaps += bucketFileSets(stateDir)
+        stateSnaps += state.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        ()
+      },
+      stateDirProbe = p => { stateDir = p })
     assert(probed.length >= 2, s"expected >=2 probed batches, got $probed")
     assert(probed.sum == 11L, s"per-batch new-triangle counts $probed must sum to 11")
+    // r13 #2: the counter state is bucketed — a bucket with no incremented
+    // vertex this batch must keep byte-identical files
+    assertUntouchedBuckets(fileSnaps.toSeq, stateSnaps.toSeq)
     val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val batch = graft.graph.GraphOps.triangleCounts(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
