@@ -915,21 +915,44 @@ object StreamOps {
     * survive — touched buckets absent from the merged output are
     * therefore deleted explicitly after the write.
     *
-    * Durability caveat (acceptable for the local replay harness, by
-    * design): the overwrite and the emptied-bucket delete are TWO
-    * filesystem steps — a crash between them resurrects the fully-deleted
-    * bucket's rows on restart, and a foreachBatch RETRY would not
-    * re-detect them (the batch's keys no longer produce those buckets as
-    * touched-but-absent). A durable deployment closes the window by
-    * writing a tombstone marker for the emptied buckets BEFORE the
-    * overwrite (replayed on restart), or by re-deriving emptied buckets
-    * from the batch's delete keys on retry instead of from the merged
-    * output — or sidesteps it entirely with a table format whose commits
-    * are atomic over both steps.
+    * Durability: the overwrite and the emptied-bucket delete are TWO
+    * filesystem steps, so a crash between them would resurrect the
+    * fully-deleted bucket's rows on restart — and a foreachBatch RETRY
+    * could not re-detect them from the merged output alone. The window is
+    * closed with a TOMBSTONE redo log (r13 #3): the emptied-bucket set is
+    * computable BEFORE the overwrite (the merged output is materialized),
+    * so it is written to `<target>/_graft_emptied_tombstone` first
+    * (temp-file + atomic rename), and every entry to this merge replays a
+    * pending tombstone before doing anything else. Replay is safe at ANY
+    * point after the marker lands: a bucket is listed only when EVERY row
+    * it held is deleted by that batch and no new row maps to it, so
+    * deleting the directory early merely applies those deletes ahead of
+    * the rest of the batch — the retry's merge then recomputes the same
+    * output (applyChanges is idempotent; deletes of absent keys are
+    * no-ops) and re-derives the same tombstone. `failpoint` lets the spec
+    * kill the writer between the two steps and prove a re-run converges.
     */
   private[graft] def mergeBatchIntoBucketedStore(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
-      target: String, nBuckets: Int, key: String): Unit = {
+      target: String, nBuckets: Int, key: String,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$target/_graft_emptied_tombstone")
+    val fs = marker.getFileSystem(conf)
+    def deleteBuckets(ids: Seq[Int]): Unit = ids.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$target/bucket=$b"), true); ()
+    }
+    // replay a pending tombstone left by a crash in the previous attempt
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val ids =
+        try scala.io.Source.fromInputStream(in).getLines()
+          .flatMap(_.trim.toIntOption).toList
+        finally in.close()
+      deleteBuckets(ids)
+      fs.delete(marker, false)
+      ()
+    }
     def bucketed(df: DataFrame): DataFrame =
       df.withColumn("bucket",
         pmod(col(key), lit(nBuckets.toLong)).cast("int"))
@@ -941,19 +964,28 @@ object StreamOps {
     val merged = bucketed(
         graft.pipeline.Cdc.applyChanges(cur, withB.drop("bucket"), key))
       .localCheckpoint(true) // materialize BEFORE overwriting source dirs
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(target)
     val present = merged.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     val emptied = touched.filterNot(present)
     if (emptied.nonEmpty) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      emptied.foreach { b =>
-        val dir = new org.apache.hadoop.fs.Path(s"$target/bucket=$b")
-        val fs = dir.getFileSystem(conf)
-        fs.delete(dir, true); ()
-      }
+      // tombstone FIRST (redo log), atomically via temp + rename: a crash
+      // anywhere after this line leaves a marker the next attempt replays
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$target/_graft_emptied_tombstone.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(emptied.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.rename(tmp, marker)
+      ()
+    }
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(target)
+    failpoint("post-overwrite") // the r13-documented crash window
+    if (emptied.nonEmpty) {
+      deleteBuckets(emptied)
+      fs.delete(marker, false)
+      ()
     }
   }
 

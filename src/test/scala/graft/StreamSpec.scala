@@ -492,6 +492,50 @@ class StreamSpec extends AnyFunSuite {
     assert(got == expected, s"deleted-bucket rows survived: $got")
     assert(!new java.io.File(s"$target/bucket=2").exists(),
       "emptied bucket directory not removed")
+    assert(!new java.io.File(s"$target/_graft_emptied_tombstone").exists(),
+      "tombstone must be cleared after a successful delete")
+  }
+
+  test("mergeBatchIntoBucketedStore: crash between overwrite and emptied-bucket delete converges on retry") {
+    // r13 #3: the overwrite and the emptied-bucket delete are two FS
+    // steps; the tombstone redo log must make a crash between them
+    // recoverable by the foreachBatch retry of the SAME batch.
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_crash_").toString
+    val target = s"$dir/target"
+    val nBuckets = 4
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val base = (0L until 8L).map(k => (k, k * 10.0)).toDF("k", "v")
+    base.withColumn("bucket", pmod($"k", lit(nBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket").parquet(target)
+    val batch = Seq((2L, "D", 0.0), (6L, "D", 0.0), (1L, "U", 111.0))
+      .toDF("k", "op", "v")
+    // attempt 1: kill the writer in the r13-documented window
+    val boom = intercept[RuntimeException] {
+      StreamOps.mergeBatchIntoBucketedStore(spark, batch, target, nBuckets, "k",
+        failpoint = stage =>
+          if (stage == "post-overwrite") throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage == "injected crash")
+    // the crash left the resurrected rows AND the durable tombstone
+    assert(new java.io.File(s"$target/bucket=2").exists(),
+      "precondition: the crash window must leave the emptied bucket behind")
+    assert(new java.io.File(s"$target/_graft_emptied_tombstone").exists(),
+      "tombstone must be on disk BEFORE the overwrite")
+    val resurrected = spark.read.parquet(target).select("k", "v")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(resurrected.contains(2L) && resurrected.contains(6L),
+      "precondition: deleted rows are visible in the crash window")
+    // attempt 2 = the retry of the SAME batch: entry replays the tombstone
+    StreamOps.mergeBatchIntoBucketedStore(spark, batch, target, nBuckets, "k")
+    val got = spark.read.parquet(target).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val expected = Set((0L, 0.0), (4L, 40.0), (1L, 111.0), (5L, 50.0),
+      (3L, 30.0), (7L, 70.0))
+    assert(got == expected, s"retry did not converge: $got")
+    assert(!new java.io.File(s"$target/bucket=2").exists(),
+      "emptied bucket must be gone after the retry")
+    assert(!new java.io.File(s"$target/_graft_emptied_tombstone").exists(),
+      "tombstone must be cleared after the retry")
   }
 
   test("decontaminateReplayBatch: multi-batch stream flags equal the batch operator") {
