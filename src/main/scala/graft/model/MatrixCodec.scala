@@ -20,12 +20,24 @@ object MatrixCodec {
     * test `adj[s][i] != 0` (reference `secondary_server.c:83`); symmetric
     * inputs therefore yield both directions naturally.
     */
-  def parseMatrixText(text: String): (Int, Seq[(Long, Long)]) = {
-    val nums = text.split("\\s+").iterator.filter(_.nonEmpty).map(_.toInt).toArray
+  /** Header validation shared by every matrix-text scan. The cell-count
+    * bound is checked in LONG arithmetic: a corrupt or hostile header
+    * declaring n >= 46341 overflows `n * n` in Int, which can wrap the
+    * bound negative, make the require pass vacuously, and surface later
+    * as a confusing ArrayIndexOutOfBoundsException from wrapped offsets —
+    * the Long check fails HERE with the intended message instead.
+    */
+  private def validatedN(nums: Array[Int]): Int = {
     require(nums.nonEmpty, "empty matrix text")
     val n = nums(0)
-    require(n >= 0 && nums.length >= 1 + n * n,
+    require(n >= 0 && nums.length >= 1L + n.toLong * n,
       s"matrix text declares n=$n but has ${nums.length - 1} cells")
+    n
+  }
+
+  def parseMatrixText(text: String): (Int, Seq[(Long, Long)]) = {
+    val nums = text.split("\\s+").iterator.filter(_.nonEmpty).map(_.toInt).toArray
+    val n = validatedN(nums)
     val edges = for {
       i <- 0 until n
       j <- 0 until n
@@ -47,10 +59,7 @@ object MatrixCodec {
     */
   def parseMatrixTextLimited(text: String, limit: Int): Seq[(Long, Long)] = {
     val nums = text.split("\\s+").iterator.filter(_.nonEmpty).map(_.toInt).toArray
-    require(nums.nonEmpty, "empty matrix text")
-    val n = nums(0)
-    require(n >= 0 && nums.length >= 1 + n * n,
-      s"matrix text declares n=$n but has ${nums.length - 1} cells")
+    val n = validatedN(nums)
     val out = Seq.newBuilder[(Long, Long)]
     var found = 0
     var i = 0
@@ -86,10 +95,7 @@ object MatrixCodec {
     */
   def aggregateMatrixText(text: String): MatrixAggregates = {
     val nums = text.split("\\s+").iterator.filter(_.nonEmpty).map(_.toInt).toArray
-    require(nums.nonEmpty, "empty matrix text")
-    val n = nums(0)
-    require(n >= 0 && nums.length >= 1 + n * n,
-      s"matrix text declares n=$n but has ${nums.length - 1} cells")
+    val n = validatedN(nums)
     var cnt = 0L
     var minS = Long.MaxValue; var maxS = Long.MinValue
     var minD = Long.MaxValue; var maxD = Long.MinValue

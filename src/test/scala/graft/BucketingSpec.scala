@@ -104,4 +104,35 @@ class BucketingSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } finally cat.dropAll()
   }
+
+  test("bucketed GraphCatalog: time travel to a vacuumed pre-compaction version throws typed, never a partial chain") {
+    // r13 task: the compaction's vacuum deletes the superseded base+delta
+    // versions — a time-travel read of one of them must fail with the
+    // typed version miss (listing what IS retained), and must never serve
+    // a partial chain (e.g. a surviving delta without its vacuumed base).
+    import graft.graph.{GraphCatalog, GraphNotFoundException}
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cat_bvac_").toString
+    val cat = new GraphCatalog(spark, tmp, buckets = Some(4))
+    try {
+      cat.add("GV", Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))     // v1 base
+      cat.modifyDelta("GV", Seq((3L, 4L)).toDF("src", "dst"))       // d2
+      cat.modifyDelta("GV", Seq((4L, 5L)).toDF("src", "dst"))       // d3
+      // pre-compaction versions are all time-travelable
+      assert(cat.load("GV", 2L).count() == 3L)
+      cat.compact("GV") // -> v4 base; vacuum removes v1, d2, d3
+      assert(cat.versions("GV") == Seq(4L), s"retained: ${cat.versions("GV")}")
+      // every vacuumed version throws the TYPED miss naming the retained set
+      Seq(1L, 2L, 3L).foreach { v =>
+        val e = intercept[GraphNotFoundException] { cat.load("GV", v) }
+        assert(e.getMessage.contains("vacuumed or never written"),
+          s"v$v: wrong error: ${e.getMessage}")
+        assert(e.getMessage.contains("retained versions: 4"),
+          s"v$v: retained set missing from: ${e.getMessage}")
+      }
+      // the retained compacted base still serves the full contents
+      assert(cat.load("GV", 4L).count() == 4L)
+      assert(cat.load("GV").count() == 4L)
+    } finally cat.dropAll()
+  }
 }

@@ -64,4 +64,21 @@ class ModelSpec extends AnyFunSuite {
     val (_, edges) = MatrixCodec.parseMatrixText("2\n0 7\n7 0")
     assert(edges.toSet == Set((1L, 2L), (2L, 1L)))
   }
+
+  test("matrix header n*n validation uses Long math: n >= 46341 fails the require, not the scan") {
+    // A corrupt/hostile header declaring n = 46341 makes n*n overflow Int
+    // (46341^2 > 2^31) — with Int math the cell-count bound could wrap
+    // negative, pass the require, and crash later with a confusing
+    // ArrayIndexOutOfBoundsException from wrapped offsets. All three
+    // scans (parse, limited parse, aggregate) must fail HERE, typed.
+    val hostile = "46341 0 0 0"
+    for (f <- Seq[String => Any](
+        t => MatrixCodec.parseMatrixText(t),
+        t => MatrixCodec.parseMatrixTextLimited(t, 5),
+        t => MatrixCodec.aggregateMatrixText(t))) {
+      val e = intercept[IllegalArgumentException] { f(hostile) }
+      assert(e.getMessage.contains("declares n=46341"),
+        s"wrong failure: ${e.getMessage}")
+    }
+  }
 }
