@@ -57,6 +57,8 @@ object Bench {
     // round-13 additions measured >=2s isolated:
     "stream_embedding_topk", "stream_bm25_serving", "stream_drift_psi",
     "ppr_sweep_cut", "stream_quantiles_hist",
+    // round-14 additions measured >=2s isolated:
+    "stream_fourclique_maintain", "embedding_topk_ivfadc",
   )
   private val LightChunk = 10
 

@@ -663,6 +663,15 @@ object SparkEntry {
     // batch triangle_counts on the full snapshot, ONE oracle for both
     "stream_triangle_maintain" -> ((s, dir) =>
       streaming.StreamOps.triangleMaintainReplayBatch(s, coPurchasePairs(s, dir))),
+    // STREAMING K4 maintenance: the delta pattern lifted to the suite's
+    // heaviest batch census — each new 4-clique is charged to its
+    // max-rank delta edge (rank = packed canonical key; chain edges −1),
+    // so per-batch census cost is |Δ|-scaled and the end state equals
+    // batch fourclique_counts (same minOrders=1 pairs), ONE oracle for
+    // both
+    "stream_fourclique_maintain" -> ((s, dir) =>
+      streaming.StreamOps.fourcliqueMaintainReplayBatch(s,
+        coPurchasePairs(s, dir, minOrders = 1L))),
     // STREAMING CUSUM change-point: the hourly-count half runs as a
     // stateful streaming aggregate (hour_ms-keyed additive state), the
     // parameter-scale argmax half runs on the final store — both halves
@@ -2864,6 +2873,26 @@ object SparkEntry {
       |corners AS (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
       |            UNION ALL SELECT c AS v FROM tri)
       |SELECT CAST(v AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM corners GROUP BY v ORDER BY vertex""".stripMargin
+
+  /** Per-vertex K4 census over the minOrders=1 co-purchase pairs — shared
+    * by the batch `fourclique_counts` and its streaming rank-attributed
+    * delta-maintenance twin.
+    */
+  private lazy val FourCliqueCountsOracleSql: String =
+    """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
+      |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+      |pairs AS (SELECT a.part AS a, b.part AS b
+      |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
+      |          GROUP BY 1, 2),
+      |tri AS (SELECT p1.a, p1.b, p2.b AS c FROM pairs p1 JOIN pairs p2 ON p2.a = p1.b
+      |        WHERE EXISTS (SELECT 1 FROM pairs p3 WHERE p3.a = p1.a AND p3.b = p2.b)),
+      |quad AS (SELECT t.a, t.b, t.c, p2.b AS d FROM tri t JOIN pairs p2 ON p2.a = t.c
+      |  WHERE EXISTS (SELECT 1 FROM pairs x WHERE x.a = t.a AND x.b = p2.b)
+      |    AND EXISTS (SELECT 1 FROM pairs y WHERE y.a = t.b AND y.b = p2.b)),
+      |corners AS (SELECT a AS v FROM quad UNION ALL SELECT b FROM quad
+      |            UNION ALL SELECT c FROM quad UNION ALL SELECT d FROM quad)
+      |SELECT CAST(v AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_cliques4
       |FROM corners GROUP BY v ORDER BY vertex""".stripMargin
 
   /** Node2vec walk replay ending in `pos(walk, step, v)` — the biased-step
@@ -5247,21 +5276,12 @@ object SparkEntry {
     // the final snapshot (T1/T2/T3 partition each triangle to exactly
     // one batch) — one oracle replays both twins
     "stream_triangle_maintain" -> TriangleCountsOracleSql,
-    "fourclique_counts" ->
-      """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
-        |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
-        |pairs AS (SELECT a.part AS a, b.part AS b
-        |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
-        |          GROUP BY 1, 2),
-        |tri AS (SELECT p1.a, p1.b, p2.b AS c FROM pairs p1 JOIN pairs p2 ON p2.a = p1.b
-        |        WHERE EXISTS (SELECT 1 FROM pairs p3 WHERE p3.a = p1.a AND p3.b = p2.b)),
-        |quad AS (SELECT t.a, t.b, t.c, p2.b AS d FROM tri t JOIN pairs p2 ON p2.a = t.c
-        |  WHERE EXISTS (SELECT 1 FROM pairs x WHERE x.a = t.a AND x.b = p2.b)
-        |    AND EXISTS (SELECT 1 FROM pairs y WHERE y.a = t.b AND y.b = p2.b)),
-        |corners AS (SELECT a AS v FROM quad UNION ALL SELECT b FROM quad
-        |            UNION ALL SELECT c FROM quad UNION ALL SELECT d FROM quad)
-        |SELECT CAST(v AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_cliques4
-        |FROM corners GROUP BY v ORDER BY vertex""".stripMargin,
+    "fourclique_counts" -> FourCliqueCountsOracleSql,
+    // the streaming rank-attributed delta maintenance end state IS the
+    // batch K4 census on the final snapshot (each clique is charged to
+    // its max-rank delta edge, in exactly the batch its last edge
+    // arrives) — one oracle replays both twins
+    "stream_fourclique_maintain" -> FourCliqueCountsOracleSql,
     "ktruss_bounded" -> {
       val rounds = (1 to 3).map { i =>
         s"""tri$i AS (SELECT p1.a, p1.b, p2.b AS c

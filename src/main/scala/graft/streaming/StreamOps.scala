@@ -1594,6 +1594,169 @@ object StreamOps {
       .orderBy("vertex")
   }
 
+  /** Streaming incremental 4-CLIQUE maintenance — the triangle
+    * maintainer's delta pattern lifted one cohesion level to the suite's
+    * heaviest batch census ([[graft.graph.GraphOps.fourCliqueCounts]], the
+    * K4 row of the graphlet features): ingest pays |Δ|-scaled census cost
+    * per batch instead of re-running the full enumeration. A T1/T2/T3
+    * case split over K4's six edges would need one join shape per
+    * delta-subset isomorphism class, so the twin uses the RANK-ATTRIBUTION
+    * form of the same partition argument: every delta edge gets a rank
+    * (its canonical (a, b) key packed into one BIGINT; chain edges rank
+    * −1), and each clique is charged to its MAXIMUM-rank delta edge. A
+    * 4-clique is new exactly when its last edge arrives, so it contains
+    * ≥1 delta edge that batch, its max-rank delta edge is unique, and the
+    * `greatest(r1..r5) < r` filter makes exactly one (attributed-edge,
+    * w < x) row survive — counted once, in exactly one batch, with zero
+    * post-hoc distinct.
+    *
+    * Per-batch dataflow is delta-first: common neighbors of each delta
+    * edge's endpoints (two adjacency joins carrying both edge ranks), a
+    * self-join pairing common neighbors w < x, one closing-edge lookup —
+    * work ∝ Σ_Δ (deg + |cn|²), never the accumulated graph. The ONE
+    * cumulative edge store is the catalog delta chain (compacted every
+    * `compactEvery` batches; chain reads are materialized BEFORE the
+    * delta lands so eAll never double-counts the batch), and the
+    * (vertex, n_cliques4) counter state folds through
+    * [[mergeAdditiveIntoBucketedServing]] — reads and writes both scale
+    * with the delta's footprint. The rank pack `a·2³² + b` holds for ids
+    * < 2³¹ (this corpus's part keys); at larger id spaces swap in a
+    * struct-lexicographic max or a monotonic per-batch edge sequence.
+    *
+    * Oracle: the end state equals batch `fourclique_counts` on the full
+    * snapshot — ONE oracle replays both twins. `batchProbe(newCliques,
+    * state)` lets StreamSpec assert per-batch increments.
+    * Output: (vertex, n_cliques4), vertices in ≥1 clique, ordered.
+    */
+  def fourcliqueMaintainReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                                    pairs0: DataFrame,
+                                    batchProbe: (Long, DataFrame) => Unit =
+                                      (_, _) => (),
+                                    splits: Int = 4,
+                                    compactEvery: Int = 4,
+                                    stateDirProbe: String => Unit = _ => ())
+      : DataFrame = {
+    val spark = tunedStatefulSession(spark0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_quad_")
+    val inDir = s"$tmp/in"
+    val state = s"$tmp/state"
+    stateDirProbe(state)
+    pairs0.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .repartition(splits).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val cat = new graft.graph.GraphCatalog(spark, s"$tmp/graphs")
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    var batchesDone = 0L
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import spark.implicits._
+        var t0 = System.nanoTime()
+        def mark(s: String): Unit = {
+          if (sys.env.contains("GRAFT_QUAD_DEBUG"))
+            System.err.println(f"[quad] $s: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          t0 = System.nanoTime()
+        }
+        val d = batch.select(col("a").cast("long").as("a"),
+            col("b").cast("long").as("b"))
+          .withColumn("r", col("a") * lit(4294967296L) + col("b"))
+          .localCheckpoint(true)
+        val eOld =
+          if (cat.exists("Q"))
+            cat.load("Q").select(col("src").as("a"), col("dst").as("b"))
+          else Seq.empty[(Long, Long)].toDF("a", "b")
+        // full post-batch edge set with ranks; materialized so every read
+        // of the pre-batch chain is pinned BEFORE the delta write below
+        val eAll = eOld.withColumn("r", lit(-1L)).unionByName(d)
+          .localCheckpoint(true)
+        mark("inputs")
+        // Join geometry, sized for the |Δ|·deg candidate fan-out (~1.5e8
+        // rows over a full sf0.1 replay): the adjacency EXPANSION (delta
+        // endpoint → neighbors) is a cheap shuffle join of two narrow
+        // relations, and everything downstream probes ONE broadcast of
+        // the canonical edge set keyed (a, b) — the two existence+rank
+        // lookups share the identical BroadcastExchange, so the fan-out is
+        // filtered map-side and never shuffles (sf0.1 full replay:
+        // shuffled second join 42s → this shape 32s; per-batch census cost
+        // ~6.5s vs 14.7s for a full re-census per batch, and the gap
+        // widens as batches shrink relative to the graph). Past the
+        // broadcast threshold Spark plans the shuffle join — the 100 TB
+        // path, where per-batch cost stays |Δ|-scaled but pays the
+        // exchange.
+        val eKey = eAll.select(col("a").as("e1"), col("b").as("e2"),
+          col("r").as("re"))
+        val eProbe = if (eAll.count() <= 4000000L) broadcast(eKey) else eKey
+        val sym = eAll.select(col("a").as("x"), col("b").as("y"), col("r"))
+          .unionAll(eAll.select(col("b").as("x"), col("a").as("y"), col("r")))
+        // candidates w adjacent to endpoint a, rank-filtered BEFORE the
+        // (b, w) probe: every edge of a surviving clique must rank below
+        // the attributed delta edge (a, b), so pruning here both halves
+        // the fan-out and kills non-max attributions before they cost
+        val fan = d
+          .join(sym.select(col("x").as("a"), col("y").as("w"),
+            col("r").as("r1")), "a")
+          .filter(col("r1") < col("r"))
+        // common neighbors: w must also connect to b — one map-side probe
+        // of the canonical edge broadcast (key order via least/greatest)
+        val cn = fan
+          .join(eProbe, col("e1") === least(col("b"), col("w")) &&
+            col("e2") === greatest(col("b"), col("w")))
+          .filter(col("re") < col("r"))
+          .select("a", "b", "r", "w")
+          .localCheckpoint(true) // feeds both sides of the pair self-join
+        mark("cn")
+        val quads = cn
+          .join(cn.select(col("a"), col("b"), col("w").as("x")), Seq("a", "b"))
+          .filter(col("w") < col("x"))
+          // closing edge (w, x) — canonical because w < x — must also rank
+          // below the attributed edge: with the cn-side ranks pre-filtered
+          // this completes greatest(r1..r5) < r, so (a, b) is the clique's
+          // max-rank delta edge — unique attribution AND no recount of
+          // cliques completed in a prior batch
+          .join(eProbe, col("e1") === col("w") && col("e2") === col("x"))
+          .filter(col("re") < col("r"))
+        val deltaCounts = quads
+          .select(explode(array(col("a"), col("b"), col("w"), col("x")))
+            .as("vertex"))
+          .groupBy("vertex").agg(count(lit(1)).cast("long").as("n_cliques4"))
+          .localCheckpoint(true)
+        mark("quads")
+        if (!cat.exists("Q"))
+          cat.add("Q", d.select(col("a").as("src"), col("b").as("dst")))
+        else cat.modifyDelta("Q", d.select(col("a").as("src"), col("b").as("dst")))
+        batchesDone += 1
+        if (compactEvery > 0 && batchesDone % compactEvery == 0)
+          cat.compact("Q")
+        mark("catalog")
+        val deltaTotal = deltaCounts.agg(sum("n_cliques4")).collect()
+          .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+          .getOrElse(0L)
+        if (deltaTotal > 0L)
+          mergeAdditiveIntoBucketedServing(deltaCounts, state, "vertex")
+        val next =
+          if (pathExists(spark, state))
+            spark.read.parquet(state).select("vertex", "n_cliques4")
+          else spark.range(0).select(col("id").as("vertex"),
+            col("id").as("n_cliques4"))
+        mark("merge")
+        batchProbe(deltaTotal / 4L, next)
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"4-clique maintenance replay ran $batches non-empty micro-batches; " +
+        "the incremental path requires at least 2")
+    (if (pathExists(spark, state))
+       spark.read.parquet(state).select("vertex", "n_cliques4")
+     else spark.range(0).select(col("id").as("vertex"),
+       col("id").as("n_cliques4")))
+      .orderBy("vertex")
+  }
+
   /** Streaming request server: dispatch a stream of protocol lines into a
     * [[graft.engine.GraphEngine]] via foreachBatch — the streaming analogue
     * of the reference's balancer+server loop (`load_balancer.c:47-72`).

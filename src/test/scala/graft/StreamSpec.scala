@@ -307,6 +307,40 @@ class StreamSpec extends AnyFunSuite {
     assert(!got.contains(8L) && !got.contains(9L), "triangle-free tail must be absent")
   }
 
+  test("fourcliqueMaintainReplayBatch: per-batch deltas sum to the K4 census; end state equals batch") {
+    // K5 on {1..5} (C(5,4) = 5 cliques) + a K4 on {4,5,6,7} sharing edge
+    // (4,5) (1 more) + a clique-free tail: 6 cliques total, scattered
+    // across batches by the 4-way round-robin split so cliques complete
+    // in different batches with varying delta-edge multiplicity (the
+    // rank-attribution must count each exactly once)
+    val pairs = ((for { a <- 1L to 5L; b <- a + 1 to 5L } yield (a, b)) ++
+      Seq((4L, 6L), (4L, 7L), (5L, 6L), (5L, 7L), (6L, 7L),
+        (7L, 8L), (8L, 9L))).toDF("a", "b")
+    val probed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var stateDir = ""
+    val fileSnaps = scala.collection.mutable.ArrayBuffer.empty[Map[String, Set[String]]]
+    val stateSnaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    val out = StreamOps.fourcliqueMaintainReplayBatch(spark, pairs,
+      (n, state) => {
+        probed += n
+        fileSnaps += bucketFileSets(stateDir)
+        stateSnaps += state.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        ()
+      },
+      stateDirProbe = p => { stateDir = p })
+    assert(probed.length >= 2, s"expected >=2 probed batches, got $probed")
+    assert(probed.sum == 6L, s"per-batch new-clique counts $probed must sum to 6")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.graph.GraphOps.fourCliqueCounts(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == batch, s"streamed end state $got != batch census $batch")
+    assert(!got.contains(8L) && !got.contains(9L), "clique-free tail must be absent")
+    // vertex 1 is in the 4 K5-cliques that include it; vertex 6 only in the K4
+    assert(got(1L) == 4L && got(6L) == 1L && got(4L) == 5L, s"corner counts off: $got")
+    // the counter state is bucketed: untouched buckets keep identical files
+    assertUntouchedBuckets(fileSnaps.toSeq, stateSnaps.toSeq)
+  }
+
   test("triangleMaintainReplayBatch: catalog writes are delta-scaled and the chain stays bounded") {
     // r12 finding #1: the first landing of this op rebuilt a WHOLESALE
     // snapshot per batch (O(batches × E) write amplification) next to a
