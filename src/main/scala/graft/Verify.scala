@@ -111,6 +111,13 @@ object Verify {
       val rMrl = recall(pipeline.Similarity.cosineTopKRerank(emb,
         queryId = IvfParams.QueryVecId, k = IvfParams.K,
         dims = IvfParams.Mrl.Dims, coarseK = IvfParams.Mrl.CoarseK))
+      // IVFADC: probe × integer ADC × exact head re-rank — oracle-exact
+      // correctness; recall audited AND floored (PropertyOracleSpec)
+      val rIvfAdc = recall(pipeline.Similarity.ivfAdcTopK(emb,
+        queryId = IvfParams.QueryVecId, k = IvfParams.K,
+        nprobe = IvfParams.Label.Nprobe, m = IvfParams.Pq.M,
+        nCentroids = IvfParams.Pq.NCentroids,
+        rerankN = IvfParams.IvfAdc.RerankN))
       val recallJson =
         s"""{"k":${IvfParams.K},"query_vec_id":${IvfParams.QueryVecId},"sf_dir":"$sfDir",""" +
           s""""embedding_topk_ivf":{"recall_at_10":$rLabel,""" +
@@ -122,7 +129,11 @@ object Verify {
           s""""m":${IvfParams.Pq.M},"n_centroids":${IvfParams.Pq.NCentroids}},""" +
           s""""embedding_topk_rerank":{"recall_at_10":$rMrl,""" +
           s""""floor":${IvfParams.Mrl.RecallFloor},"dims":${IvfParams.Mrl.Dims},""" +
-          s""""coarse_k":${IvfParams.Mrl.CoarseK}}}"""
+          s""""coarse_k":${IvfParams.Mrl.CoarseK}},""" +
+          s""""embedding_topk_ivfadc":{"recall_at_10":$rIvfAdc,""" +
+          s""""floor":${IvfParams.IvfAdc.RecallFloor},""" +
+          s""""nprobe":${IvfParams.Label.Nprobe},""" +
+          s""""rerank_n":${IvfParams.IvfAdc.RerankN}}}"""
       Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
       // keep the committed artifact in lockstep with the measurement —
       // per SCALE: the canonical sf0.01 record (the driver's verify

@@ -97,6 +97,22 @@ object IvfParams {
     val NCentroids = 16
   }
 
+  /** IVFADC (probe label cells, ADC over the cells' int8 codes, exact
+    * re-rank of the short head — the at-scale vector-store default).
+    * Everything between the probe (Label margin floor) and the re-rank
+    * is integer-exact, so the correctness oracle is a full SQL replay;
+    * recall vs the exact scan is the quality contract. The generous
+    * `RerankN` head recovers most of what the unclustered-random-vector
+    * ADC ranking loses: recall is floored at the LABEL-IVF floor (the
+    * probe step upper-bounds both paths).
+    */
+  object IvfAdc {
+    val RerankN = 50
+    /** Measured 6/10 on sf0.01 (probe-limited, same regime as Label). */
+    val MeasuredRecall = 6
+    val RecallFloor = 4
+  }
+
   /** ANN label-noise (k-NN vote over in-cluster candidates only). The
     * quality contract is VERDICT agreement with the exact all-pairs
     * kernel: fraction of vectors whose `suspect` flag matches.

@@ -195,6 +195,45 @@ object Similarity {
     */
   def pqTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
              m: Int = 8, nCentroids: Int = 16): DataFrame = {
+    val cb = fitPq(embeddings, queryId, m, nCentroids)
+    embeddings.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id").cast("long").as("vec_id"), cb.codes.as("codes"))
+      .select(col("vec_id") +: cb.adcCols: _*)
+      .select(col("vec_id"),
+        (0 until m).map(s => col(s"adc_$s")).reduce(_ + _).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Fitted PQ model — the driver-side parameters ([mn,mx] grid, anchor
+    * codebook, query ADC table) plus the scan-side expressions built from
+    * them. Factored out of [[pqTopK]] VERBATIM so [[ivfAdcTopK]] scores
+    * its probed cells on the identical integer grid (same codes, same
+    * assignments, same table — the oracle replays both from one CTE
+    * chain).
+    */
+  private[pipeline] final case class PqModel(m: Int, sub: Int,
+      nCentroids: Int, anchors: Array[Array[Long]],
+      adcTable: Array[Array[Long]], codes: Column) {
+    /** Per-subspace assignment (argmin over the literal centroids,
+      * first-min = lowest centroid id) feeding the ADC lookup — one
+      * scan-side select over a `codes` column.
+      */
+    def adcCols: Seq[Column] = (0 until m).map { s =>
+      val arr = slice(col("codes"), s * sub + 1, sub)
+      val dists = array((0 until nCentroids).map { j =>
+        aggregate(
+          zip_with(arr, typedlit(anchors(j).slice(s * sub, s * sub + sub).toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+      }: _*)
+      element_at(typedlit(adcTable(s).toSeq),
+        array_position(dists, array_min(dists)).cast("int")).as(s"adc_$s")
+    }
+  }
+
+  private[pipeline] def fitPq(embeddings: DataFrame, queryId: Long,
+                              m: Int, nCentroids: Int): PqModel = {
     val stats = embeddings
       .select(posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy("i")
@@ -232,25 +271,52 @@ object Similarity {
       rangesL,
       (d, r) => when(r === 0.0, 0L)
         .otherwise(least(lit(255L), floor(d / r * lit(256.0)))))
-    // per-subspace assignment (argmin over 16 literal centroids, first-min
-    // = lowest centroid id) feeding the ADC lookup — one scan-side select
-    val adcCols = (0 until m).map { s =>
-      val arr = slice(col("codes"), s * sub + 1, sub)
-      val dists = array((0 until nCentroids).map { j =>
-        aggregate(
-          zip_with(arr, typedlit(anchors(j).slice(s * sub, s * sub + sub).toSeq),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v)
-      }: _*)
-      element_at(typedlit(adcTable(s).toSeq),
-        array_position(dists, array_min(dists)).cast("int")).as(s"adc_$s")
-    }
-    embeddings.filter(col("vec_id") =!= queryId)
-      .select(col("vec_id").cast("long").as("vec_id"), codes.as("codes"))
-      .select(col("vec_id") +: adcCols: _*)
-      .select(col("vec_id"),
+    PqModel(m, sub, nCentroids, anchors, adcTable, codes)
+  }
+
+  /** IVFADC — the standard at-scale composition of the repo's two ANN
+    * rungs (Jégou et al., TPAMI 2011, §IV): IVF cell pruning decides
+    * WHICH vectors to consider ([[cosineTopKIvf]]'s centroid-cosine
+    * probe over the label cells), PQ/ADC decides how CHEAPLY each is
+    * scored ([[pqTopK]]'s int8 codes — 8 bytes/vector instead of 256),
+    * and an exact float re-rank of the short ADC head restores precision
+    * on the few candidates that matter. At 100 TB this is the vector-
+    * store default: the scan touches nprobe/nlist of the corpus, reads
+    * codes not embeddings, and the full-precision vectors are fetched
+    * for only `rerankN` rows.
+    *
+    * Determinism/oracle: the probe set rides the [[IvfParams.Label]]
+    * margin floor (same contract as `embedding_topk_ivf`); everything
+    * between probe and re-rank is EXACT integers (codes, assignments,
+    * ADC sums — the [[pqTopK]] grid verbatim, stats and anchors fit on
+    * the FULL corpus so the codebook is probe-invariant); the head cut
+    * is (BIGINT adc_dist, vec_id) — replayed bit-for-bit in SQL; the
+    * final k rides the rounded-cosine + vec_id contract.
+    * Output: (vec_id, cosine) ordered by (cosine DESC, vec_id), k rows.
+    */
+  def ivfAdcTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
+                 nprobe: Int = 4, m: Int = 8, nCentroids: Int = 16,
+                 rerankN: Int = 50): DataFrame = {
+    val qv = queryVector(embeddings, queryId)
+    val qe = typedlit(qv)
+    val qd = typedlit(qv.map(_.toDouble))
+    val best = labelCentroids(embeddings)
+      .select(col("label"),
+        (dot(col("centroid"), qd) / (norm(col("centroid")) * norm(qd))).as("cc"))
+      .orderBy(col("cc").desc, col("label")).limit(nprobe).select("label")
+    val cb = fitPq(embeddings, queryId, m, nCentroids)
+    val head = embeddings.join(broadcast(best), "label")
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        cb.codes.as("codes"))
+      .select(col("vec_id") +: col("embedding") +: cb.adcCols: _*)
+      .select(col("vec_id"), col("embedding"),
         (0 until m).map(s => col(s"adc_$s")).reduce(_ + _).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(rerankN)
+    head.select(col("vec_id"),
+        round(vector_cosine(col("embedding"), qe), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
 

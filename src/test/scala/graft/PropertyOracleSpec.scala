@@ -88,6 +88,29 @@ class PropertyOracleSpec extends AnyFunSuite {
         s"(measured ${IvfParams.Mrl.MeasuredRecall}, floor ${IvfParams.Mrl.RecallFloor})")
   }
 
+  test("embedding_topk_ivfadc: true-cosine consistent; composed recall@10 floored") {
+    val full = bruteForce(500).toMap
+    val adc = Similarity.ivfAdcTopK(emb, queryId = IvfParams.QueryVecId,
+        k = IvfParams.K, nprobe = IvfParams.Label.Nprobe,
+        m = IvfParams.Pq.M, nCentroids = IvfParams.Pq.NCentroids,
+        rerankN = IvfParams.IvfAdc.RerankN).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(adc.length == IvfParams.K)
+    // the re-rank stage recomputes the EXACT full-dim cosine, so every
+    // returned value must equal brute force bit-for-bit
+    adc.foreach { case (v, c) =>
+      assert(full.contains(v) && full(v) == c, s"vec $v cosine $c diverges from brute force")
+    }
+    assert(adc.map(_._2).toSeq == adc.map(_._2).sorted.reverse.toSeq)
+    // composed quality: probe loses what label-IVF loses, the ADC head
+    // can lose a little more before the exact re-rank recovers it
+    val recall = adc.map(_._1).toSet
+      .intersect(bruteForce(IvfParams.K).map(_._1).toSet).size
+    assert(recall >= IvfParams.IvfAdc.RecallFloor,
+      s"IVFADC recall@10 collapsed to $recall/10 " +
+        s"(measured ${IvfParams.IvfAdc.MeasuredRecall}, floor ${IvfParams.IvfAdc.RecallFloor})")
+  }
+
   test("events_quantiles_sampled: sampled quantiles land within the exact rank-error band") {
     // the 1/8 deterministic sample trades exactness for a 2^shift read
     // reduction; the audited property is bounded RANK error — each
