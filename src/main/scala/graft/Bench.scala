@@ -104,15 +104,21 @@ object Bench {
     // Round-14 wall-clock fix: 91+ sequential child JVMs at ~15-20s Spark
     // startup each blew the driver's bench budget in r13 (rc 124, no
     // official numbers). Units now run CONCURRENTLY, bounded by a
-    // fixed-size pool: children are local[4], so 4-way unit parallelism
-    // keeps at most 16 of the rig's 32 CPUs busy with timed work — same
-    // headroom class as one sequential 32-thread session, and the r14
-    // same-session calibration (BENCH_CALIBRATION.json: 6 heavies
-    // sequential-vs-4-way) quantifies the contention so round-over-round
-    // medians stay adjudicable. Units are SUBMITTED in fixed sorted order
-    // and results are assembled in that same order, so unit boundaries and
-    // the artifact layout are unchanged from r11-r13.
+    // fixed-size pool, and the inherited thread budget is SPLIT
+    // deterministically across the pool (each child gets
+    // max(4, CPUS/par) threads → with the driver's CPUS=32 and par=4,
+    // four local[8] children: the box is exactly subscribed, never
+    // contended, so per-query medians are reproducible — just on fewer
+    // threads than the r11-r13 sequential local[32] children). The r14
+    // same-session calibration (BENCH_CALIBRATION.json: 6 heavies,
+    // sequential/32-thread vs 4-way/8-thread) records the per-query
+    // thread-slice ratios to apply when adjudicating r14 medians against
+    // r12/r13. Units are SUBMITTED in fixed sorted order and results are
+    // assembled in that same order, so unit boundaries and the artifact
+    // layout are unchanged.
     val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "4").toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val childCpus = math.max(4, cpus / par)
     def runUnit(unit: Seq[String], i: Int): (Int, Map[String, Double]) = {
       val part = partsDir.resolve(s"part_$i.txt")
       val cmd = (Seq(javaBin) ++ opens ++ Seq(xmx,
@@ -121,6 +127,7 @@ object Bench {
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_BENCH_PART", part.toString)
       pb.environment().put("SPARK_GRAFT_ONLY", unit.mkString(","))
+      pb.environment().put("SPARK_GRAFT_CPUS", childCpus.toString)
       // light chunks get the untimed warm pass; keyed on what the unit IS
       // (built from the light buffer), not its size — a trailing light
       // chunk of exactly one query must warm like the rest of the light
@@ -296,11 +303,14 @@ object Bench {
       "a trailing single-query light chunk warms too). Heavy singleton " +
       "units are unchanged and comparable to r11. r<=10 totals (shared " +
       "JVM, fewer queries) are not comparable. r14: units now run " +
-      "CONCURRENTLY (4-way pool, children local[4], 16 of 32 CPUs busy) " +
-      "because 91+ sequential JVM startups timed out the r13 driver " +
-      "budget; same-session sequential-vs-4-way calibration on 6 heavies " +
-      "is recorded in BENCH_CALIBRATION.json - apply its per-query ratios " +
-      "before adjudicating r14 medians against r12/r13"
+      "CONCURRENTLY (4-way pool; the inherited thread budget splits " +
+      "deterministically, so 4 children x local[CPUS/4] exactly " +
+      "subscribe the box) because 91+ sequential JVM startups timed out " +
+      "the r13 driver budget; heavy medians therefore run on a quarter " +
+      "of the r11-r13 threads - apply the per-query thread-slice ratios " +
+      "in BENCH_CALIBRATION.json (same-session sequential/32-thread vs " +
+      "4-way/8-thread on 6 heavies) before adjudicating r14 medians " +
+      "against r12/r13"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"note":"$note","sf":"$sfDir"}"""
     println(json)
