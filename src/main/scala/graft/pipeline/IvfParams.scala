@@ -107,10 +107,24 @@ object IvfParams {
     * probe step upper-bounds both paths).
     */
   object IvfAdc {
-    val RerankN = 50
-    /** Measured 6/10 on sf0.01 (probe-limited, same regime as Label). */
-    val MeasuredRecall = 6
-    val RecallFloor = 4
+    /** Sized for the ADC ranking's weakness on THIS corpus: the vectors
+      * are unclustered random, so the int8 ADC ordering carries little
+      * signal and the head must be generous before the exact re-rank
+      * sees the true neighbors (50 recalled 6/10 at sf0.01 but 3/10 at
+      * sf0.1 — the head didn't grow with the probed cells). 200 rows is
+      * still parameter-scale: the full-precision fetch is 200 vectors
+      * regardless of corpus size.
+      */
+    val RerankN = 200
+    /** Measured 7/10 on sf0.01 (probe-limited: label-IVF itself is 7). */
+    val MeasuredRecall = 7
+    val RecallFloor = 5
+    /** Measured 6/10 on sf0.1 — EQUAL to label-IVF's 6/10 there: with
+      * the 200-row head the ADC stage loses nothing and recall is purely
+      * probe-limited (RECALL.sf0.1.json).
+      */
+    val MeasuredRecallSf01 = 6
+    val RecallFloorSf01 = 4
   }
 
   /** ANN label-noise (k-NN vote over in-cluster candidates only). The

@@ -350,5 +350,14 @@ class PropertyOracleSpec extends AnyFunSuite {
       s"sf0.1 k-means-IVF recall@10 collapsed to $rKmeans/10 " +
         s"(measured ${IvfParams.Kmeans.MeasuredRecallSf01}, " +
         s"floor ${IvfParams.Kmeans.RecallFloorSf01})")
+    val rIvfAdc = recall(Similarity.ivfAdcTopK(emb01,
+      queryId = IvfParams.QueryVecId, k = IvfParams.K,
+      nprobe = IvfParams.Label.Nprobe, m = IvfParams.Pq.M,
+      nCentroids = IvfParams.Pq.NCentroids,
+      rerankN = IvfParams.IvfAdc.RerankN))
+    assert(rIvfAdc >= IvfParams.IvfAdc.RecallFloorSf01,
+      s"sf0.1 IVFADC recall@10 collapsed to $rIvfAdc/10 " +
+        s"(measured ${IvfParams.IvfAdc.MeasuredRecallSf01}, " +
+        s"floor ${IvfParams.IvfAdc.RecallFloorSf01})")
   }
 }
