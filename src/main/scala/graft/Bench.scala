@@ -59,6 +59,7 @@ object Bench {
     "ppr_sweep_cut", "stream_quantiles_hist",
     // round-14 additions measured >=2s isolated:
     "stream_fourclique_maintain", "embedding_topk_ivfadc",
+    "stream_assoc_rules", "stream_hll_users",
   )
   private val LightChunk = 10
 

@@ -267,33 +267,11 @@ object SparkEntry {
     // state is 256 bytes regardless of cardinality — the shape that
     // counts 100 TB in one pass.
     "hll_distinct_users" -> ((s, dir) => {
-      val m = 256
+      // kernel factored to pipeline.Hll (r14) so the streaming register-
+      // serving twin maintains the same relation — output unchanged
       val ev = t(s, dir, "events")
-      // NO pre-distinct on h: max-rank per bucket is duplicate-insensitive
-      // (the HLL insert rule), so the register build is ONE aggregation
-      // with map-side partial max into ≤ m rows per partition — the
-      // distinct would shuffle the full |events| hash set first, the
-      // opposite of how an HLL is supposed to stream
-      val regs = ev.select(
-          graft.functions.PortableHash.md5Bits60(col("user_id").cast("string")).as("h"))
-        .select((col("h") % m).as("bucket"), expr("h div 256").as("rem"))
-        .select(col("bucket"),
-          when(col("rem") === 0L, lit(53)).otherwise(lit(53) - length(bin(col("rem")))).as("rank"))
-        .groupBy("bucket").agg(max("rank").as("mj"))
-        .agg(count(lit(1)).cast("long").as("n_used"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).cast("long").as("sp_used"))
-      val exact = ev.agg(countDistinct(col("user_id")).cast("long").as("exact_users"))
-      val sprime = (col("sp_used") +
-        (lit(m.toLong) - col("n_used")) * lit(9007199254740992L)) // + 2^53 per empty register
-      val rawEst = lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(65536.0) *
-        lit(9007199254740992.0) / sprime.cast("double")
-      regs.crossJoin(broadcast(exact))
-        .select(col("n_used"), (lit(m.toLong) - col("n_used")).as("n_empty"),
-          sprime.cast("long").as("sprime"),
-          round(when(rawEst <= lit(640.0) && col("n_used") < m, // small-range correction
-              lit(256.0) * log(lit(256.0) / (lit(m.toLong) - col("n_used")).cast("double")))
-            .otherwise(rawEst), 4).as("est_users"),
-          col("exact_users"))
+      pipeline.Hll.estimate(pipeline.Hll.registers(ev, "user_id"),
+        ev.agg(countDistinct(col("user_id")).cast("long").as("exact_users")))
     }),
     // PER-GROUP KMV: distinct-user sketch per event_type, the k smallest
     // hashes per group kept by the engine's own GroupTopK operator
@@ -1529,6 +1507,17 @@ object SparkEntry {
     // self-join — pinned in PlanSpec), so item counts, the total, and both
     // pair sides all see the guarded corpus; itemN and the one-row total
     // join back broadcast-sized
+    // STREAMING association-rule maintenance: basket-whole micro-batches
+    // fold pair counts, item counts and the basket total additively into
+    // bucketed stores; the rule tail is the batch expression verbatim —
+    // assoc_rules_top50's oracle replays the twin bit-for-bit
+    "stream_assoc_rules" -> ((s, dir) =>
+      streaming.StreamOps.assocRulesReplayBatch(s, guardedBasket(s, dir))),
+    // STREAMING HLL serving: per-batch register frames max-fold into a
+    // ≤256-row bucketed store (split-invariant); shared estimate kernel —
+    // hll_distinct_users' oracle replays the twin
+    "stream_hll_users" -> ((s, dir) =>
+      streaming.StreamOps.hllReplayBatch(s, s"$dir/events.parquet")),
     "assoc_rules_top50" -> ((s, dir) => {
       val basket = guardedBasket(s, dir) // feeds item counts, the total, both join sides
       val itemN = basket.groupBy("part").agg(count(lit(1)).cast("long").as("cnt"))
@@ -2884,6 +2873,52 @@ object SparkEntry {
       |SELECT CAST(v AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_triangles
       |FROM corners GROUP BY v ORDER BY vertex""".stripMargin
 
+  /** HLL distinct-users replay — shared by the batch `hll_distinct_users`
+    * and its streaming register-serving twin (per-bucket max registers
+    * are split-invariant).
+    */
+  private lazy val HllUsersOracleSql: String =
+    """WITH h AS (SELECT DISTINCT
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |rk AS (SELECT h % 256 AS bucket,
+      |    CASE WHEN h // 256 = 0 THEN 53
+      |         ELSE 53 - length(printf('%b', h // 256)) END AS rank FROM h),
+      |reg AS (SELECT bucket, max(rank) AS mj FROM rk GROUP BY 1),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
+      |               CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS sp_used FROM reg),
+      |ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users FROM events),
+      |s AS (SELECT n_used, CAST(256 - n_used AS BIGINT) AS n_empty,
+      |        CAST(sp_used + (256 - n_used) * 9007199254740992 AS BIGINT) AS sprime
+      |      FROM agg),
+      |r AS (SELECT *, (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+      |        / CAST(sprime AS DOUBLE) AS raw_est FROM s)
+      |SELECT n_used, n_empty, sprime,
+      |  CAST(round(CASE WHEN raw_est <= 640.0 AND n_used < 256
+      |    THEN 256.0 * ln(256.0 / CAST(n_empty AS DOUBLE))
+      |    ELSE raw_est END, 4) AS DOUBLE) AS est_users,
+      |  exact_users
+      |FROM r, ex""".stripMargin
+
+  /** Association-rules replay — shared by the batch `assoc_rules_top50`
+    * and its streaming basket-ingest twin (all three statistics are
+    * additive integers over basket-whole batches).
+    */
+  private lazy val AssocRulesOracleSql: String =
+    """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
+      |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+      |item AS (SELECT part, CAST(count(*) AS BIGINT) AS cnt FROM basket GROUP BY 1),
+      |tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_b FROM basket),
+      |pr AS (SELECT a.part AS ante, b.part AS cons, CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM basket a JOIN basket b ON a.okey = b.okey AND a.part <> b.part
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT pr.ante AS ante, pr.cons AS cons, pr.n_ab AS n_ab,
+      |  CAST(pr.n_ab AS DOUBLE) / CAST(ia.cnt AS DOUBLE) AS confidence,
+      |  (CAST(pr.n_ab AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+      |    / (CAST(ia.cnt AS DOUBLE) * CAST(ic.cnt AS DOUBLE)) AS lift
+      |FROM pr JOIN item ia ON ia.part = pr.ante JOIN item ic ON ic.part = pr.cons, tot t
+      |ORDER BY lift DESC, ante, cons LIMIT 50""".stripMargin
+
   /** Per-vertex K4 census over the minOrders=1 co-purchase pairs — shared
     * by the batch `fourclique_counts` and its streaming rank-attributed
     * delta-maintenance twin.
@@ -3907,28 +3942,11 @@ object SparkEntry {
         |       ELSE 63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE) END AS DOUBLE) AS est_users,
         |  exact_users
         |FROM a, e""".stripMargin,
-    "hll_distinct_users" ->
-      """WITH h AS (SELECT DISTINCT
-        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        |  FROM events),
-        |rk AS (SELECT h % 256 AS bucket,
-        |    CASE WHEN h // 256 = 0 THEN 53
-        |         ELSE 53 - length(printf('%b', h // 256)) END AS rank FROM h),
-        |reg AS (SELECT bucket, max(rank) AS mj FROM rk GROUP BY 1),
-        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
-        |               CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS sp_used FROM reg),
-        |ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users FROM events),
-        |s AS (SELECT n_used, CAST(256 - n_used AS BIGINT) AS n_empty,
-        |        CAST(sp_used + (256 - n_used) * 9007199254740992 AS BIGINT) AS sprime
-        |      FROM agg),
-        |r AS (SELECT *, (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
-        |        / CAST(sprime AS DOUBLE) AS raw_est FROM s)
-        |SELECT n_used, n_empty, sprime,
-        |  CAST(round(CASE WHEN raw_est <= 640.0 AND n_used < 256
-        |    THEN 256.0 * ln(256.0 / CAST(n_empty AS DOUBLE))
-        |    ELSE raw_est END, 4) AS DOUBLE) AS est_users,
-        |  exact_users
-        |FROM r, ex""".stripMargin,
+    "hll_distinct_users" -> HllUsersOracleSql,
+    // one-oracle-two-twins: the streaming register store after the last
+    // batch IS the batch register relation (per-bucket max is duplicate-
+    // insensitive and associative), and the estimate kernel is shared
+    "stream_hll_users" -> HllUsersOracleSql,
     "kmv_users_per_type" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
@@ -4455,20 +4473,11 @@ object SparkEntry {
         |FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY n_orders DESC, part_a, part_b""".stripMargin,
-    "assoc_rules_top50" ->
-      """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
-        |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
-        |item AS (SELECT part, CAST(count(*) AS BIGINT) AS cnt FROM basket GROUP BY 1),
-        |tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_b FROM basket),
-        |pr AS (SELECT a.part AS ante, b.part AS cons, CAST(count(*) AS BIGINT) AS n_ab
-        |  FROM basket a JOIN basket b ON a.okey = b.okey AND a.part <> b.part
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT pr.ante AS ante, pr.cons AS cons, pr.n_ab AS n_ab,
-        |  CAST(pr.n_ab AS DOUBLE) / CAST(ia.cnt AS DOUBLE) AS confidence,
-        |  (CAST(pr.n_ab AS DOUBLE) * CAST(t.n_b AS DOUBLE))
-        |    / (CAST(ia.cnt AS DOUBLE) * CAST(ic.cnt AS DOUBLE)) AS lift
-        |FROM pr JOIN item ia ON ia.part = pr.ante JOIN item ic ON ic.part = pr.cons, tot t
-        |ORDER BY lift DESC, ante, cons LIMIT 50""".stripMargin,
+    "assoc_rules_top50" -> AssocRulesOracleSql,
+    // one-oracle-two-twins: basket-whole batches make all three stats
+    // (pair counts, item counts, basket total) pure additive integers,
+    // and the rule tail expression is shared verbatim
+    "stream_assoc_rules" -> AssocRulesOracleSql,
     "revenue_percentiles" ->
       """WITH rev AS (
         |  SELECT CAST(o_custkey AS BIGINT) AS custkey,

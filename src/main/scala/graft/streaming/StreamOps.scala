@@ -505,7 +505,8 @@ object StreamOps {
     */
   def mergeAdditiveIntoBucketedServing(delta: DataFrame, target: String,
                                        keyCol: String,
-                                       nBuckets: Int = 16): Unit = {
+                                       nBuckets: Int = 16,
+                                       fold: String = "sum"): Unit = {
     val spark = delta.sparkSession
     val valueCols = delta.columns.filterNot(_ == keyCol).toSeq
     val withB = delta
@@ -519,8 +520,16 @@ object StreamOps {
         // partition pruning: only changed buckets are read at all
         .filter(col("bucket").isin(touched: _*))
         .unionByName(withB)
-    val aggs = valueCols.map(c =>
-      sum(col(c)).cast(delta.schema(c).dataType).as(c))
+    // `fold` picks the per-key combine: "sum" for counter state, "max"
+    // for duplicate-insensitive sketch registers (HLL) — both
+    // associative+commutative, so any batch split converges
+    val aggs = valueCols.map { c =>
+      val folded = fold match {
+        case "max" => max(col(c))
+        case _ => sum(col(c))
+      }
+      folded.cast(delta.schema(c).dataType).as(c)
+    }
     val merged = base.groupBy(col(keyCol), col("bucket"))
       .agg(aggs.head, aggs.tail: _*)
       // materialize BEFORE overwriting the dirs being read
@@ -1755,6 +1764,156 @@ object StreamOps {
      else spark.range(0).select(col("id").as("vertex"),
        col("id").as("n_cliques4")))
       .orderBy("vertex")
+  }
+
+  /** Streaming ASSOCIATION-RULE maintenance — market-basket rules served
+    * under ingest: baskets arrive in micro-batches (the input is
+    * repartitioned BY basket key, so every basket lands whole in exactly
+    * one batch and batches hold disjoint baskets) and all three
+    * statistics the rules need are pure additive integers:
+    *   (1) pair co-occurrence counts (ante, cons) → n_ab — the batch's
+    *       within-basket pair join folds through
+    *       [[mergeAdditiveIntoBucketedServing]] on the packed pair key
+    *       (only touched buckets rewritten);
+    *   (2) per-item counts (part → cnt) — same additive bucketed fold;
+    *   (3) the one-row basket total — batches hold disjoint baskets, so
+    *       per-batch distinct-basket counts sum exactly.
+    * The final answer reapplies the batch query's confidence/lift
+    * expression (exact-BIGINT inputs, fixed IEEE op order) over the
+    * maintained stores, so the batch `assoc_rules_top50` oracle replays
+    * the twin bit-for-bit. At 100 TB: per-batch cost is the batch's own
+    * basket-bounded pair explosion + bucket-footprint state writes; the
+    * rule read never re-scans history. `batchProbe(batchPairs,
+    * batchBaskets)` lets StreamSpec assert ≥2 live batches and per-batch
+    * delta sizes. Output: the batch query's schema, top 50 by lift.
+    */
+  def assocRulesReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                            basket: DataFrame,
+                            minPairCount: Long = 2L,
+                            topK: Int = 50,
+                            batchProbe: (Long, Long) => Unit = (_, _) => ())
+      : DataFrame = {
+    val spark = tunedStatefulSession(spark0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_assoc_")
+    val inDir = s"$tmp/in"
+    val pairStore = s"$tmp/pairs"
+    val itemStore = s"$tmp/items"
+    val totDir = s"$tmp/total"
+    val Pack = 4294967296L // part keys < 2^31 in this corpus
+    basket.select(col("okey").cast("long").as("okey"),
+        col("part").cast("long").as("part"))
+      // basket-whole batches: hash-partition BY okey so a basket's rows
+      // never straddle a trigger (the pair counts of a split basket
+      // would undercount)
+      .repartition(4, col("okey")).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        val a = b.select(col("okey"), col("part").as("ante"))
+        val c = b.select(col("okey"), col("part").as("cons"))
+        val pairDelta = a.join(c, Seq("okey"))
+          .filter(col("ante") =!= col("cons"))
+          .groupBy("ante", "cons").agg(count(lit(1)).cast("long").as("n_ab"))
+          .select((col("ante") * Pack + col("cons")).as("pk"), col("n_ab"))
+          .localCheckpoint(true) // feeds the merge AND the probe count
+        mergeAdditiveIntoBucketedServing(pairDelta, pairStore, "pk")
+        val itemDelta = b.groupBy("part")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        mergeAdditiveIntoBucketedServing(itemDelta, itemStore, "part")
+        val nb = b.select("okey").distinct().count()
+        val prevNb =
+          if (pathExists(spark, totDir))
+            spark.read.parquet(totDir).collect()(0).getLong(0)
+          else 0L
+        import spark.implicits._
+        Seq(prevNb + nb).toDF("n_b").write.mode("overwrite").parquet(totDir)
+        batchProbe(pairDelta.count(), nb)
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"assoc-rules replay ran $batches non-empty micro-batches; " +
+        "the incremental path requires at least 2")
+    val pairs = spark.read.parquet(pairStore)
+      // exact integer unpack (a double division would lose bits past 2^53)
+      .select(shiftright(col("pk"), 32).as("ante"),
+        (col("pk") % Pack).as("cons"), col("n_ab"))
+    val itemN = spark.read.parquet(itemStore).select("part", "cnt")
+    val tot = spark.read.parquet(totDir)
+      .agg(max("n_b").cast("long").as("n_b")) // one row by construction
+    // the batch query's tail, verbatim: exact-BIGINT inputs, fixed IEEE
+    // op order — the shared oracle pins both twins
+    pairs.filter(col("n_ab") >= minPairCount)
+      .join(itemN.select(col("part").as("ante"), col("cnt").as("n_a")), "ante")
+      .join(itemN.select(col("part").as("cons"), col("cnt").as("n_c")), "cons")
+      .crossJoin(broadcast(tot))
+      .select(col("ante"), col("cons"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((col("n_ab").cast("double") * col("n_b").cast("double")) /
+          (col("n_a").cast("double") * col("n_c").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("ante"), col("cons"))
+      .limit(topK)
+  }
+
+  /** Streaming HLL distinct-count serving — the sketch-serving twin of
+    * `hll_distinct_users`: events arrive in micro-batches (ANY row split
+    * works — the per-register max is duplicate-insensitive and
+    * associative, the defining HLL property) and each batch folds its
+    * ≤256-row register frame ([[graft.pipeline.Hll.registers]], shared
+    * verbatim) into the bucketed register store via the MAX fold of
+    * [[mergeAdditiveIntoBucketedServing]]. The maintained state is ≤256
+    * rows REGARDLESS of ingest volume — the sketch-sized state every
+    * monitoring pipeline wants — and the estimate
+    * ([[graft.pipeline.Hll.estimate]], shared verbatim) reads only it.
+    * End state equals the batch registers exactly, so the batch
+    * `hll_distinct_users` oracle replays the twin bit-for-bit (the
+    * exact_users audit column is recomputed over the staged corpus, as
+    * in the batch query). `batchProbe(batchRegs, storeRegs)` lets
+    * StreamSpec assert the state stays register-bounded across batches.
+    * Output: the batch query's one-row schema.
+    */
+  def hllReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                     eventsPath: String,
+                     batchProbe: (Long, Long) => Unit = (_, _) => ())
+      : DataFrame = {
+    import graft.pipeline.Hll
+    val spark = tunedStatefulSession(spark0)
+    val events = spark.read.parquet(eventsPath).select("user_id")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_hll_")
+    val store = s"$tmp/regs"
+    val inDir = s"$tmp/in"
+    events.repartition(4).write.parquet(inDir)
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the register id must not collide with the serving layout's own
+        // `bucket` partition column
+        val regs = Hll.registers(batch, "user_id")
+          .withColumnRenamed("bucket", "reg").localCheckpoint(true)
+        mergeAdditiveIntoBucketedServing(regs, store, "reg", fold = "max")
+        batchProbe(regs.count(), spark.read.parquet(store).count())
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"HLL replay ran $batches non-empty micro-batches; " +
+        "the cross-batch register merge requires at least 2")
+    Hll.estimate(
+      spark.read.parquet(store).select(col("reg").as("bucket"), col("mj")),
+      spark.read.parquet(inDir)
+        .agg(countDistinct(col("user_id")).cast("long").as("exact_users")))
   }
 
   /** Streaming request server: dispatch a stream of protocol lines into a

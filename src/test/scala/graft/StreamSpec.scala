@@ -341,6 +341,70 @@ class StreamSpec extends AnyFunSuite {
     assertUntouchedBuckets(fileSnaps.toSeq, stateSnaps.toSeq)
   }
 
+  test("assocRulesReplayBatch: basket-whole batches; end rules equal the batch expression") {
+    // hand baskets with known rules: {1,2} co-occur 3x, {1,3} 2x, {2,3} 2x
+    val basket = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, 3L),
+      (13L, 1L), (13L, 2L), (13L, 3L),
+      (14L, 4L), (14L, 5L),
+      (15L, 4L), (15L, 5L),
+      (16L, 6L)).toDF("okey", "part")
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val got = StreamOps.assocRulesReplayBatch(spark, basket,
+        batchProbe = (p, b) => { probes += ((p, b)); () })
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(probes.length >= 2, s"need >=2 probed batches, got $probes")
+    // basket-whole disjoint batching: per-batch distinct-basket counts
+    // must sum to the total (a straddling basket would double-count)
+    assert(probes.map(_._2).sum == 7L, s"basket counts $probes must sum to 7")
+    // expected = the batch query's expression over the full basket
+    import org.apache.spark.sql.functions.{broadcast, count, countDistinct, lit}
+    val a = basket.select($"okey", $"part".as("ante"))
+    val c = basket.select($"okey", $"part".as("cons"))
+    val itemN = basket.groupBy("part").agg(count(lit(1)).cast("long").as("cnt"))
+    val tot = basket.agg(countDistinct("okey").cast("long").as("n_b"))
+    val expected = a.join(c, Seq("okey")).filter($"ante" =!= $"cons")
+      .groupBy("ante", "cons").agg(count(lit(1)).cast("long").as("n_ab"))
+      .filter($"n_ab" >= 2)
+      .join(itemN.select($"part".as("ante"), $"cnt".as("n_a")), "ante")
+      .join(itemN.select($"part".as("cons"), $"cnt".as("n_c")), "cons")
+      .crossJoin(broadcast(tot))
+      .select($"ante", $"cons", $"n_ab",
+        ($"n_ab".cast("double") / $"n_a".cast("double")).as("confidence"),
+        (($"n_ab".cast("double") * $"n_b".cast("double")) /
+          ($"n_a".cast("double") * $"n_c".cast("double"))).as("lift"))
+      .orderBy($"lift".desc, $"ante", $"cons").limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expected, s"streamed rules $got != batch rules $expected")
+    // the planted strong rule survives: {4,5} always co-occur -> lift tops
+    assert(got.head._4 == 1.0, s"head rule confidence should be 1.0: ${got.head}")
+  }
+
+  test("hllReplayBatch: register-bounded state; end estimate equals the batch kernel") {
+    val dir = "/root/testdata/sf0.001"
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val got = StreamOps.hllReplayBatch(spark, s"$dir/events.parquet",
+        (b, s) => { probes += ((b, s)); () })
+      .collect()(0)
+    assert(probes.length >= 2, s"need >=2 probed batches, got $probes")
+    // the defining property: state never exceeds the register count
+    probes.foreach { case (b, s) =>
+      assert(b <= 256L && s <= 256L, s"state grew past the sketch: $probes")
+    }
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.pipeline.Hll.estimate(
+        graft.pipeline.Hll.registers(ev, "user_id"),
+        ev.agg(org.apache.spark.sql.functions.countDistinct($"user_id")
+          .cast("long").as("exact_users")))
+      .collect()(0)
+    assert(got.toSeq == batch.toSeq,
+      s"streamed estimate ${got.toSeq} != batch ${batch.toSeq}")
+  }
+
   test("triangleMaintainReplayBatch: catalog writes are delta-scaled and the chain stays bounded") {
     // r12 finding #1: the first landing of this op rebuilt a WHOLESALE
     // snapshot per batch (O(batches × E) write amplification) next to a
