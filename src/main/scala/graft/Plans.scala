@@ -68,7 +68,7 @@ object Plans {
     "community_conductance" -> "one label join per edge endpoint (the LPA labeling is vertex-keyed and checkpointed), one community-keyed two-phase aggregate for volumes and cuts, a one-row 2m broadcast; φ is a single division in the projection — no per-community rescan, no window.",
     "leakage_safe_split" -> "split-by-cluster: the near-dup clustering plan (sketch-banded candidates + GraphX CC on the pair graph only) with the split decided by a per-row hash of the cluster id — zero additional Exchanges on top of the clustering.",
     "matrix_source_topk" -> "the r13 DSv2 TopN pushdown: the BatchScan description shows PushedTopN [ORDER BY graph_id, src, dst LIMIT 12 (partial)] — each file's parse stops at the 12th edge (row-major cell order IS the ascending sort), and the retained TakeOrderedAndProject merges the per-file heads; no full n²-cell decode anywhere.",
-    "embedding_topk_ivfadc" -> "the composed ANN rung: nprobe best cells broadcast into the scan (partition-pruned on a label-partitioned store); PQ codes + per-subspace argmin + ADC table lookups are ALL literal integer arithmetic inside one codegen'd Project; the 50-row head is a TakeOrderedAndProject on (BIGINT adc_dist, vec_id); the exact vector_cosine re-rank runs on 50 rows — full-precision embeddings never leave the probed cells.",
+    "embedding_topk_ivfadc" -> "the composed ANN rung: nprobe best cells broadcast into the scan (partition-pruned on a label-partitioned store); PQ codes + per-subspace argmin + ADC table lookups are ALL literal integer arithmetic inside one codegen'd Project; the head is a TakeOrderedAndProject on (BIGINT adc_dist, vec_id); the exact vector_cosine re-rank runs on only the rerankN=200 head rows — full-precision embeddings never leave the probed cells.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -102,7 +102,12 @@ object Soak {
     // of the delta/compaction layout is that 10× data costs ≈10× ingest,
     // never a per-batch snapshot blowup; soak them like the batch shapes
     "stream_graph_maintain", "stream_triangle_maintain",
-    "stream_embedding_topk")
+    "stream_embedding_topk",
+    // round-14: the K4 delta maintainer (the new bench worst — its
+    // |Δ|-scaled claim is exactly what the 10× soak tests), the two
+    // additive serving twins, and the composed ANN rung
+    "stream_fourclique_maintain", "stream_assoc_rules", "stream_hll_users",
+    "embedding_topk_ivfadc")
 
   val Copies = 10
   val Stride = 4000000000L // > SupplierBase + any key: copies stay disjoint
