@@ -643,7 +643,8 @@ object SparkEntry {
       streaming.StreamOps.triangleMaintainReplayBatch(s, coPurchasePairs(s, dir))),
     // STREAMING K4 maintenance: the delta pattern lifted to the suite's
     // heaviest batch census — each new 4-clique is charged to its
-    // max-rank delta edge (rank = packed canonical key; chain edges −1),
+    // max-rank delta edge (rank = canonical key struct, lexicographic;
+    // chain edges (−1, −1)),
     // so per-batch census cost is |Δ|-scaled and the end state equals
     // batch fourclique_counts (same minOrders=1 pairs), ONE oracle for
     // both

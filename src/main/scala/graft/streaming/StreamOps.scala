@@ -506,11 +506,26 @@ object StreamOps {
   def mergeAdditiveIntoBucketedServing(delta: DataFrame, target: String,
                                        keyCol: String,
                                        nBuckets: Int = 16,
-                                       fold: String = "sum"): Unit = {
+                                       fold: String = "sum"): Unit =
+    mergeAdditiveKeyed(delta, target, Seq(keyCol), nBuckets, fold)
+
+  /** Composite-key form of [[mergeAdditiveIntoBucketedServing]]: the
+    * state key spans `keyCols` (e.g. an association rule's (ante, cons)
+    * pair) and the bucket is pmod over the key sum — packing a composite
+    * key into one BIGINT instead overflows ANSI multiplication the
+    * moment ids outgrow the pack's radix (r14, caught by the 10× soak's
+    * id stride). For a single key column this reduces exactly to the
+    * single-key form (bucket = pmod(key)).
+    */
+  def mergeAdditiveKeyed(delta: DataFrame, target: String,
+                         keyCols: Seq[String],
+                         nBuckets: Int = 16,
+                         fold: String = "sum"): Unit = {
     val spark = delta.sparkSession
-    val valueCols = delta.columns.filterNot(_ == keyCol).toSeq
+    val valueCols = delta.columns.filterNot(keyCols.contains).toSeq
     val withB = delta
-      .withColumn("bucket", pmod(col(keyCol), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("bucket",
+        pmod(keyCols.map(col).reduce(_ + _), lit(nBuckets.toLong)).cast("int"))
       .localCheckpoint(true) // feeds the touched list and the fold
     val touched = withB.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -530,7 +545,7 @@ object StreamOps {
       }
       folded.cast(delta.schema(c).dataType).as(c)
     }
-    val merged = base.groupBy(col(keyCol), col("bucket"))
+    val merged = base.groupBy(keyCols.map(col) :+ col("bucket"): _*)
       .agg(aggs.head, aggs.tail: _*)
       // materialize BEFORE overwriting the dirs being read
       .localCheckpoint(true)
@@ -1611,11 +1626,12 @@ object StreamOps {
     * case split over K4's six edges would need one join shape per
     * delta-subset isomorphism class, so the twin uses the RANK-ATTRIBUTION
     * form of the same partition argument: every delta edge gets a rank
-    * (its canonical (a, b) key packed into one BIGINT; chain edges rank
-    * −1), and each clique is charged to its MAXIMUM-rank delta edge. A
+    * (its canonical (a, b) key as a lexicographically-compared struct,
+    * exact at any id width; chain edges rank (−1, −1)), and each clique
+    * is charged to its MAXIMUM-rank delta edge. A
     * 4-clique is new exactly when its last edge arrives, so it contains
     * ≥1 delta edge that batch, its max-rank delta edge is unique, and the
-    * `greatest(r1..r5) < r` filter makes exactly one (attributed-edge,
+    * rank-below-r filter on all five other edges makes exactly one (attributed-edge,
     * w < x) row survive — counted once, in exactly one batch, with zero
     * post-hoc distinct.
     *
@@ -1628,9 +1644,7 @@ object StreamOps {
     * delta lands so eAll never double-counts the batch), and the
     * (vertex, n_cliques4) counter state folds through
     * [[mergeAdditiveIntoBucketedServing]] — reads and writes both scale
-    * with the delta's footprint. The rank pack `a·2³² + b` holds for ids
-    * < 2³¹ (this corpus's part keys); at larger id spaces swap in a
-    * struct-lexicographic max or a monotonic per-batch edge sequence.
+    * with the delta's footprint.
     *
     * Oracle: the end state equals batch `fourclique_counts` on the full
     * snapshot — ONE oracle replays both twins. `batchProbe(newCliques,
@@ -1669,17 +1683,27 @@ object StreamOps {
             System.err.println(f"[quad] $s: ${(System.nanoTime() - t0) / 1e9}%.2fs")
           t0 = System.nanoTime()
         }
+        // rank = the canonical key itself as a STRUCT, compared
+        // lexicographically (Spark orders structs field-by-field): exact
+        // at ANY id width — the packed `a·2³² + b` BIGINT form overflowed
+        // ANSI multiplication the moment the 10× soak replica's stride
+        // pushed ids past 2³¹ (r14, caught by the soak)
+        def rankOf(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column) =
+          struct(a.as("r1"), b.as("r2"))
         val d = batch.select(col("a").cast("long").as("a"),
             col("b").cast("long").as("b"))
-          .withColumn("r", col("a") * lit(4294967296L) + col("b"))
+          .withColumn("r", rankOf(col("a"), col("b")))
           .localCheckpoint(true)
         val eOld =
           if (cat.exists("Q"))
             cat.load("Q").select(col("src").as("a"), col("dst").as("b"))
           else Seq.empty[(Long, Long)].toDF("a", "b")
-        // full post-batch edge set with ranks; materialized so every read
-        // of the pre-batch chain is pinned BEFORE the delta write below
-        val eAll = eOld.withColumn("r", lit(-1L)).unionByName(d)
+        // full post-batch edge set with ranks (chain edges rank below
+        // every delta edge); materialized so every read of the pre-batch
+        // chain is pinned BEFORE the delta write below
+        val eAll = eOld.withColumn("r", rankOf(lit(-1L), lit(-1L)))
+          .unionByName(d)
           .localCheckpoint(true)
         mark("inputs")
         // Join geometry, sized for the |Δ|·deg candidate fan-out (~1.5e8
@@ -1772,9 +1796,9 @@ object StreamOps {
     * one batch and batches hold disjoint baskets) and all three
     * statistics the rules need are pure additive integers:
     *   (1) pair co-occurrence counts (ante, cons) → n_ab — the batch's
-    *       within-basket pair join folds through
-    *       [[mergeAdditiveIntoBucketedServing]] on the packed pair key
-    *       (only touched buckets rewritten);
+    *       within-basket pair join folds through the composite-key
+    *       bucketed merge ([[mergeAdditiveKeyed]] on (ante, cons) — only
+    *       touched buckets rewritten);
     *   (2) per-item counts (part → cnt) — same additive bucketed fold;
     *   (3) the one-row basket total — batches hold disjoint baskets, so
     *       per-batch distinct-basket counts sum exactly.
@@ -1799,7 +1823,6 @@ object StreamOps {
     val pairStore = s"$tmp/pairs"
     val itemStore = s"$tmp/items"
     val totDir = s"$tmp/total"
-    val Pack = 4294967296L // part keys < 2^31 in this corpus
     basket.select(col("okey").cast("long").as("okey"),
         col("part").cast("long").as("part"))
       // basket-whole batches: hash-partition BY okey so a basket's rows
@@ -1820,9 +1843,10 @@ object StreamOps {
         val pairDelta = a.join(c, Seq("okey"))
           .filter(col("ante") =!= col("cons"))
           .groupBy("ante", "cons").agg(count(lit(1)).cast("long").as("n_ab"))
-          .select((col("ante") * Pack + col("cons")).as("pk"), col("n_ab"))
           .localCheckpoint(true) // feeds the merge AND the probe count
-        mergeAdditiveIntoBucketedServing(pairDelta, pairStore, "pk")
+        // composite (ante, cons) key — a BIGINT pack of the pair
+        // overflowed at the 10× soak's id stride
+        mergeAdditiveKeyed(pairDelta, pairStore, Seq("ante", "cons"))
         val itemDelta = b.groupBy("part")
           .agg(count(lit(1)).cast("long").as("cnt"))
         mergeAdditiveIntoBucketedServing(itemDelta, itemStore, "part")
@@ -1842,9 +1866,7 @@ object StreamOps {
       s"assoc-rules replay ran $batches non-empty micro-batches; " +
         "the incremental path requires at least 2")
     val pairs = spark.read.parquet(pairStore)
-      // exact integer unpack (a double division would lose bits past 2^53)
-      .select(shiftright(col("pk"), 32).as("ante"),
-        (col("pk") % Pack).as("cons"), col("n_ab"))
+      .select("ante", "cons", "n_ab")
     val itemN = spark.read.parquet(itemStore).select("part", "cnt")
     val tot = spark.read.parquet(totDir)
       .agg(max("n_b").cast("long").as("n_b")) // one row by construction
