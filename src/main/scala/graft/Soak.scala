@@ -143,7 +143,18 @@ object Soak {
     "fourclique_counts" -> ("mass-adjudicated (graft.CensusMass): K4 " +
       "output mass scales exactly 10.00x on the disjoint-copy replica " +
       "(1.61M -> 16.08M cliques) while same-session time scales 9.09x - " +
-      "enumeration work tracks the output census, the plan is sound"))
+      "enumeration work tracks the output census, the plan is sound"),
+    // round-14 adjudications:
+    "stream_fourclique_maintain" -> ("mass-driven like its batch twin: " +
+      "the replay enumerates the SAME K4 census whose output mass scales " +
+      "exactly 10.00x (CensusMass), so an 8.99x full-replay ratio is " +
+      "sublinear vs output; the twin's claim is per-BATCH delta cost, " +
+      "and a 10x replay processes 10x total delta by construction"),
+    "bootstrap_ci_mean_r14" -> ("refreshed round 14 (SOAK_ADJUDICATION" +
+      ".json round14): the 10x run at p32 (27.8s) already matches r10's " +
+      "best p128 time and p128 no longer improves it - the partition-" +
+      "count component is gone; the elevated ratio is a 2x faster base " +
+      "on unchanged 10x absolute cost"))
 
   private def offset(c: String, i: Int): Column =
     (col(c) + lit(i.toLong * Stride)).cast("long").as(c)
