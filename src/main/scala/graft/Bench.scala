@@ -117,9 +117,53 @@ object Bench {
     // r12/r13. Units are SUBMITTED in fixed sorted order and results are
     // assembled in that same order, so unit boundaries and the artifact
     // layout are unchanged.
-    val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "4").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // The pool is DERIVED from the thread budget, never larger: each child
+    // needs >=4 threads to be a meaningful Spark session, so at most
+    // cpus/4 children run at once (r15 advice fix: the old independent
+    // defaults gave cpus=4 -> four local[4] children = 16 threads on a
+    // 4-CPU box, contradicting the exactly-subscribed claim). The env
+    // override can only shrink the pool below the budget, not grow past it.
+    val parEnv = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "4").toInt)
+    val parByCpu = math.max(1, math.min(parEnv, cpus / 4))
+    // Each child inherits the parent's full -Xmx (splitting the heap like
+    // the threads would change GC behavior and break median comparability
+    // with r14), so peak heap is par x the sequential path — the pool must
+    // FIT in physical memory or children swap/OOM into -1s and silently
+    // inflated medians (r14 advice, medium). Clamp par so
+    // par x Xmx <= 80% of physical RAM; on the driver box (128 GiB,
+    // Xmx8g, par 4 -> 32 GiB) this never binds.
+    val xmxBytes: Long = {
+      val m = "-Xmx(\\d+)([kKmMgG]?)".r
+      xmx match {
+        case m(n, u) =>
+          val mult = u.toLowerCase match {
+            case "k" => 1L << 10; case "m" => 1L << 20; case "g" => 1L << 30
+            case _ => 1L
+          }
+          n.toLong * mult
+        case _ => 8L << 30
+      }
+    }
+    val physBytes: Long = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getTotalMemorySize
+    val parByMem = math.max(1, ((physBytes * 0.8) / xmxBytes).toInt)
+    val par = math.min(parByCpu, parByMem)
+    if (par < parByCpu)
+      System.err.println(s"[bench] pool clamped $parByCpu -> $par: " +
+        s"${parByCpu}x$xmx exceeds 80% of ${physBytes >> 30} GiB physical")
     val childCpus = math.max(4, cpus / par)
+    // Per-unit occupancy record (r14 verdict #1): the pool's co-scheduling
+    // is timing-dependent, so each unit's median is a measurement of a
+    // co-runner MIX — record exactly which units overlapped each unit's
+    // window (and for how long) so any median can be adjudicated after the
+    // fact instead of guessing the contention. Written as a side artifact
+    // (BENCH_OCCUPANCY.json, same dir as the bench line) because the
+    // one-line stdout contract stays as-is.
+    val epoch = System.nanoTime()
+    val spans = new java.util.concurrent.ConcurrentHashMap[Int, (Double, Double)]()
     def runUnit(unit: Seq[String], i: Int): (Int, Map[String, Double]) = {
       val part = partsDir.resolve(s"part_$i.txt")
       val cmd = (Seq(javaBin) ++ opens ++ Seq(xmx,
@@ -138,7 +182,9 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       System.err.println(s"[bench] unit ${i + 1}/${units.size}: ${unit.mkString(",")}")
+      val u0 = (System.nanoTime() - epoch) / 1e9
       val rc = pb.start().waitFor()
+      spans.put(i, (u0, (System.nanoTime() - epoch) / 1e9))
       val measured: Map[String, Double] =
         if (Files.exists(part))
           Files.readAllLines(part).asScala.flatMap { line =>
@@ -177,6 +223,24 @@ object Bench {
         else results(n) = t
       }
     }
+    // occupancy side artifact: one record per unit with its wall window
+    // and every unit that overlapped it (>0.1s), so each official median
+    // carries its co-runner mix
+    val unitSpans = units.indices.flatMap(i => Option(spans.get(i)).map(i -> _))
+    val occ = unitSpans.map { case (i, (s0, s1)) =>
+      val co = unitSpans.filter { case (j, (t0a, t1a)) =>
+        j != i && math.min(s1, t1a) - math.max(s0, t0a) > 0.1
+      }.map { case (j, (t0a, t1a)) =>
+        val ov = math.min(s1, t1a) - math.max(s0, t0a)
+        s"""{"unit":$j,"queries":"${units(j).mkString(",")}","overlap_sec":${f"$ov%.1f"}}"""
+      }.mkString("[", ",", "]")
+      s"""{"unit":$i,"queries":"${units(i).mkString(",")}","start_sec":${f"${s0}%.1f"},""" +
+        s""""end_sec":${f"${s1}%.1f"},"co_ran":$co}"""
+    }.mkString("[", ",", "]")
+    Files.writeString(
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OCC", "BENCH_OCCUPANCY.json")),
+      s"""{"par":$par,"child_threads":$childCpus,"child_xmx":"$xmx",""" +
+        s""""note":"per-unit pool occupancy for adjudicating 4-way medians (r14 verdict #1): each record lists the units co-running during its window","units":$occ}""")
     emit(results.toSeq, errors.toSeq)
   }
 

@@ -125,10 +125,11 @@ object Soak {
       "128 partitions at 10x data is SLOWER (16.1s -> 20.9s; per-partition " +
       "offset rows grow with partition count); the ratio is the second " +
       "full pass over 10x data"),
-    "bootstrap_ci_mean" -> ("partially partition-count: 10x run 35.3s -> " +
-      "27.1s at 128 partitions (size partitions with data at scale); " +
-      "remainder is the 10x scan-side Poisson expansion itself — shuffle " +
-      "volume stays B x partitions, constant in input rows"),
+    "bootstrap_ci_mean" -> ("refreshed round 14 (SOAK_ADJUDICATION" +
+      ".json round14): the 10x run at p32 (27.8s) already matches r10's " +
+      "best p128 time and p128 no longer improves it - the partition-" +
+      "count component is gone; the elevated ratio is a 2x faster base " +
+      "on unchanged 10x absolute cost"),
     "link_prediction" -> ("partially partition-count: 10x run 32.2s -> " +
       "26.3s at 128 partitions; remainder is the guardedBasket-capped " +
       "candidate-pair build, linear in baskets by construction"),
@@ -149,12 +150,7 @@ object Soak {
       "the replay enumerates the SAME K4 census whose output mass scales " +
       "exactly 10.00x (CensusMass), so an 8.99x full-replay ratio is " +
       "sublinear vs output; the twin's claim is per-BATCH delta cost, " +
-      "and a 10x replay processes 10x total delta by construction"),
-    "bootstrap_ci_mean_r14" -> ("refreshed round 14 (SOAK_ADJUDICATION" +
-      ".json round14): the 10x run at p32 (27.8s) already matches r10's " +
-      "best p128 time and p128 no longer improves it - the partition-" +
-      "count component is gone; the elevated ratio is a 2x faster base " +
-      "on unchanged 10x absolute cost"))
+      "and a 10x replay processes 10x total delta by construction"))
 
   private def offset(c: String, i: Int): Column =
     (col(c) + lit(i.toLong * Stride)).cast("long").as(c)

@@ -44,6 +44,20 @@ object SparkEntry {
     basket0.join(big, Seq("okey"), "left_anti")
   }
 
+  /** Oracle-side twin of [[guardedBasket]]: the over-cap basket guard
+    * stated IN the SQL, so engine and oracle declare the SAME query on
+    * any data — not only on TPC-H's ≤7-item baskets where the guard is
+    * vacuous (r14 verdict #5; semantic pinning, zero hash change on the
+    * test data). Window-count form of the engine's anti-join: both drop
+    * every row of a basket holding more than 1000 distinct parts.
+    */
+  private val guardedBasketSql: String =
+    """SELECT okey, part FROM (
+      |    SELECT okey, part, count(*) OVER (PARTITION BY okey) AS bsz
+      |    FROM (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
+      |                 CAST(l_partkey AS BIGINT) AS part FROM lineitem))
+      |  WHERE bsz <= 1000""".stripMargin
+
   /** The [[BetweennessParams.NumSources]] deterministic md5-argmin
     * supplier sources of `betweenness_top50` — ONE derivation shared by
     * the query, its DuckDB replay oracle (same draw in SQL) and the
@@ -2745,8 +2759,7 @@ object SparkEntry {
   }.mkString(",\n")
 
   private val wpagerankSql: String =
-    s"""WITH basket AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
-       |  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+    s"""WITH basket AS MATERIALIZED ($guardedBasketSql),
        |pc AS MATERIALIZED (SELECT a.part AS a, b.part AS b, CAST(count(*) AS DOUBLE) AS w
        |  FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
        |  GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -2842,8 +2855,7 @@ object SparkEntry {
       |comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v)""".stripMargin
 
   private val coPurchaseCteSql =
-    """basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
-      |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+    s"""basket AS MATERIALIZED ($guardedBasketSql),
       |pairs AS (SELECT a.part AS a, b.part AS b
       |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
       |          GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
@@ -2906,8 +2918,7 @@ object SparkEntry {
     * additive integers over basket-whole batches).
     */
   private lazy val AssocRulesOracleSql: String =
-    """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
-      |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+    s"""WITH basket AS MATERIALIZED ($guardedBasketSql),
       |item AS (SELECT part, CAST(count(*) AS BIGINT) AS cnt FROM basket GROUP BY 1),
       |tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_b FROM basket),
       |pr AS (SELECT a.part AS ante, b.part AS cons, CAST(count(*) AS BIGINT) AS n_ab
@@ -2925,8 +2936,7 @@ object SparkEntry {
     * delta-maintenance twin.
     */
   private lazy val FourCliqueCountsOracleSql: String =
-    """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
-      |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+    s"""WITH basket AS MATERIALIZED ($guardedBasketSql),
       |pairs AS (SELECT a.part AS a, b.part AS b
       |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
       |          GROUP BY 1, 2),
@@ -2994,8 +3004,7 @@ object SparkEntry {
          |    AND v NOT IN (SELECT v FROM lose$k))""".stripMargin
     }.mkString(",\n")
     val allWins = (1 to rounds).map(k => s"SELECT v FROM win$k").mkString(" UNION ALL ")
-    s"""WITH basket AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
-       |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+    s"""WITH basket AS MATERIALIZED ($guardedBasketSql),
        |pairs AS MATERIALIZED (SELECT a.part AS a, b.part AS b
        |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
        |          GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -3033,8 +3042,7 @@ object SparkEntry {
          |    AND NOT EXISTS (SELECT 1 FROM mp$k m WHERE m.p = x.b))""".stripMargin
     }.mkString(",\n")
     val allWins = (1 to rounds).map(k => s"SELECT a, b FROM win$k").mkString(" UNION ALL ")
-    s"""WITH basket AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
-       |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+    s"""WITH basket AS MATERIALIZED ($guardedBasketSql),
        |pairs AS MATERIALIZED (SELECT a.part AS a, b.part AS b
        |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
        |          GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -3337,9 +3345,7 @@ object SparkEntry {
     // parquet at depth 16); materialization makes the replay linear in
     // rounds, like the engine's per-round localCheckpoint
     sb.append(
-      """WITH basket AS MATERIALIZED (
-        |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
-        |    CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+      s"""WITH basket AS MATERIALIZED ($guardedBasketSql),
         |e0 AS MATERIALIZED (SELECT a.part AS a, b.part AS b
         |       FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
         |       GROUP BY 1, 2)""".stripMargin)
@@ -4468,8 +4474,7 @@ object SparkEntry {
          |  CAST(count(*) FILTER (pred_lang = 'unk') AS BIGINT) AS pred_unk
          |FROM pred GROUP BY lang ORDER BY lang""".stripMargin,
     "frequent_part_pairs" ->
-      """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
-        |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem)
+      s"""WITH basket AS MATERIALIZED ($guardedBasketSql)
         |SELECT a.part AS part_a, b.part AS part_b, CAST(count(*) AS BIGINT) AS n_orders
         |FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
         |GROUP BY 1, 2 HAVING count(*) >= 2
@@ -6180,8 +6185,7 @@ object SparkEntry {
         |  UNION ALL SELECT 5, sid, mind FROM p5)
         |ORDER BY seed_rank""".stripMargin,
     "rich_club" ->
-      """WITH basket AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey,
-        |                  CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+      s"""WITH basket AS MATERIALIZED ($guardedBasketSql),
         |pairs AS (SELECT a.part AS a, b.part AS b
         |          FROM basket a JOIN basket b ON a.okey = b.okey AND a.part < b.part
         |          GROUP BY 1, 2),

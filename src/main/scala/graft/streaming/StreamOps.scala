@@ -511,11 +511,16 @@ object StreamOps {
 
   /** Composite-key form of [[mergeAdditiveIntoBucketedServing]]: the
     * state key spans `keyCols` (e.g. an association rule's (ante, cons)
-    * pair) and the bucket is pmod over the key sum — packing a composite
-    * key into one BIGINT instead overflows ANSI multiplication the
-    * moment ids outgrow the pack's radix (r14, caught by the 10× soak's
-    * id stride). For a single key column this reduces exactly to the
-    * single-key form (bucket = pmod(key)).
+    * pair) and the bucket is pmod(xxhash64(keyCols…)) — packing a
+    * composite key into one BIGINT instead overflows ANSI multiplication
+    * the moment ids outgrow the pack's radix (r14, caught by the 10×
+    * soak's id stride), and bucketing by the key SUM collides (a,b),
+    * (b,a) and every (a+k,b−k) into one bucket (systematic skew for
+    * pair-count stores, r14 advice) besides being itself overflowable.
+    * The single-key form keeps bucket = pmod(key): a key's bucket is
+    * part of the store's on-disk contract and the vertex-keyed stores
+    * predate this fix (the pair/item stores are created fresh per run,
+    * so their layout change is free).
     */
   def mergeAdditiveKeyed(delta: DataFrame, target: String,
                          keyCols: Seq[String],
@@ -523,9 +528,11 @@ object StreamOps {
                          fold: String = "sum"): Unit = {
     val spark = delta.sparkSession
     val valueCols = delta.columns.filterNot(keyCols.contains).toSeq
+    val bucketKey =
+      if (keyCols.size == 1) col(keyCols.head)
+      else xxhash64(keyCols.map(col): _*)
     val withB = delta
-      .withColumn("bucket",
-        pmod(keyCols.map(col).reduce(_ + _), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("bucket", pmod(bucketKey, lit(nBuckets.toLong)).cast("int"))
       .localCheckpoint(true) // feeds the touched list and the fold
     val touched = withB.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -1671,6 +1678,15 @@ object StreamOps {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     var batchesDone = 0L
+    // Additive edge counter for the broadcast gate: replay deltas are
+    // pairwise disjoint by construction, so |post-batch edge set| is the
+    // running sum of delta sizes — an O(|Δ|) count over the batch's
+    // already-checkpointed blocks, replacing the per-batch O(E) scan of
+    // the accumulated chain (`eAll.count()`, r14 verdict #4: one full
+    // chain-count job per micro-batch in a twin whose whole claim is
+    // |Δ|-scaled batches). compact() rewrites the chain but never changes
+    // the count, so the counter stays exact across compactions.
+    var edgesTotal = 0L
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -1705,6 +1721,7 @@ object StreamOps {
         val eAll = eOld.withColumn("r", rankOf(lit(-1L), lit(-1L)))
           .unionByName(d)
           .localCheckpoint(true)
+        edgesTotal += d.count() // cached blocks: milliseconds, O(|Δ|)
         mark("inputs")
         // Join geometry, sized for the |Δ|·deg candidate fan-out (~1.5e8
         // rows over a full sf0.1 replay): the adjacency EXPANSION (delta
@@ -1721,7 +1738,7 @@ object StreamOps {
         // exchange.
         val eKey = eAll.select(col("a").as("e1"), col("b").as("e2"),
           col("r").as("re"))
-        val eProbe = if (eAll.count() <= 4000000L) broadcast(eKey) else eKey
+        val eProbe = if (edgesTotal <= 4000000L) broadcast(eKey) else eKey
         val sym = eAll.select(col("a").as("x"), col("b").as("y"), col("r"))
           .unionAll(eAll.select(col("b").as("x"), col("a").as("y"), col("r")))
         // candidates w adjacent to endpoint a, rank-filtered BEFORE the
