@@ -485,7 +485,12 @@ object StreamOps {
         .unionByName(withB)
         // materialize BEFORE overwriting the dirs being read
         .localCheckpoint(true)
-    merged.write.mode("overwrite")
+    // one file per bucket dir: without the bucket-keyed repartition every
+    // write task emits a file into every touched dir (tasks × buckets
+    // small files), and each subsequent batch's read-back pays that
+    // file-open fan-out (r15 profile on stream_graph_maintain)
+    merged.repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite")
       // dynamic overwrite: only partitions PRESENT in `merged` (= the
       // touched buckets) are replaced; all other bucket dirs stay as-is
       .option("partitionOverwriteMode", "dynamic")
@@ -556,7 +561,10 @@ object StreamOps {
       .agg(aggs.head, aggs.tail: _*)
       // materialize BEFORE overwriting the dirs being read
       .localCheckpoint(true)
-    merged.write.mode("overwrite")
+    // one file per bucket dir — same read-back fan-out story as
+    // [[mergeIntoBucketedServing]]
+    merged.repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(target)
   }
@@ -1065,13 +1073,26 @@ object StreamOps {
       spark.read.parquet(target).select("hour_ms", "n"))
   }
 
-  def graphMaintainReplayBatch(spark: org.apache.spark.sql.SparkSession,
+  /** Sentinel default for [[graphMaintainReplayBatch]]'s batchProbe: the
+    * replay skips CONSTRUCTING the probe's DataFrames (a state schema read
+    * plus a catalog chain listing with per-member footer reads, eager fs
+    * work per batch) when no caller registered one.
+    */
+  val NoLabelProbe: (DataFrame, DataFrame) => Unit = (_, _) => ()
+
+  def graphMaintainReplayBatch(spark0: org.apache.spark.sql.SparkSession,
                                dir: String,
                                batchProbe: (DataFrame, DataFrame) => Unit =
-                                 (_, _) => (),
+                                 NoLabelProbe,
                                compactEvery: Int = 4,
                                stateDirProbe: String => Unit = _ => ())
       : DataFrame = {
+    // 8 shuffle partitions, like every other maintain twin: the per-batch
+    // joins/aggregates here run over a DELTA and a small merge map, where
+    // 32-partition stages are pure task-scheduling overhead (the K4 twin
+    // measured 8 FASTER than 32 on the same shape; r15 profile: the
+    // switch is most of the 17.4 -> ~12s sequential-basis win)
+    val spark = tunedStatefulSession(spark0)
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_graphcc_")
     val inDir = s"$tmp/in"
     graft.graph.DerivedGraphs.treeEdges(spark, dir)
@@ -1088,8 +1109,15 @@ object StreamOps {
       .option("checkpointLocation", s"$tmp/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        var t0 = System.nanoTime()
+        def mark(s: String): Unit = {
+          if (sys.env.contains("GRAFT_CC_DEBUG"))
+            System.err.println(f"[ccm] $s: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          t0 = System.nanoTime()
+        }
         val e = batch.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst")).localCheckpoint(true)
+        mark("inputs")
         // op 1 (first batch) / delta versions (later batches): the batch's
         // edges land as a DELTA version — per-batch written bytes scale
         // with the delta, while cat.load("S") still serves the cumulative
@@ -1105,6 +1133,7 @@ object StreamOps {
         batchesDone += 1
         if (compactEvery > 0 && batchesDone % compactEvery == 0)
           cat.compact("S")
+        mark("catalog")
         val labels0 =
           if (pathExists(spark, state))
             spark.read.parquet(state).select("vertex", "comp")
@@ -1113,22 +1142,41 @@ object StreamOps {
           .unionAll(e.select(col("dst").as("vertex"))).distinct()
         val newVerts = verts.join(labels0, Seq("vertex"), "left_anti")
           .withColumn("comp", col("vertex"))
+          .localCheckpoint(true) // feeds `all` twice AND newResolved below
         val all = labels0.unionByName(newVerts)
         // contract batch edges through the current labeling
-        val contracted = e
-          .join(all.select(col("vertex").as("src"), col("comp").as("csrc")), "src")
+        // Broadcast the |Δ|-sized sides explicitly when the delta is small:
+        // every relation here comes off a localCheckpoint (stats unknown →
+        // Catalyst never plans the broadcast itself), so unhinted plans
+        // shuffle the O(V) label relation TWICE per batch. Gated on the
+        // batch's own row count, same pattern as the K4 twin — past the
+        // threshold Spark falls back to the shuffle join, the 100 TB path.
+        val smallDelta = e.count() <= 4000000L // cached blocks: milliseconds
+        def bc(df: DataFrame): DataFrame =
+          if (smallDelta) broadcast(df) else df
+        val contracted = bc(bc(e)
+            .join(all.select(col("vertex").as("src"), col("comp").as("csrc")), "src"))
           .join(all.select(col("vertex").as("dst"), col("comp").as("cdst")), "dst")
           .select(col("csrc").as("src"), col("cdst").as("dst"))
           .filter(col("src") =!= col("dst")).distinct()
+          // materialized once: it feeds the vertex derivation AND the CC
+          // edge RDD — unchecked, the two full-state contraction joins
+          // re-execute per consumer (r15 profile: ~1.3s/batch of the
+          // seq-basis cost was exactly this recomputation)
+          .localCheckpoint(true)
+        mark("contract")
         val cverts = contracted.select(col("src").as("vertex"))
           .unionAll(contracted.select(col("dst").as("vertex"))).distinct()
         // merge map over the contracted graph only (unordered — it feeds
         // an equi-join, and a DataFrame min-label fixpoint was MEASURED
         // slower here: ~6 SQL jobs/round × diameter × batches beat
-        // GraphX's per-invocation overhead, 26.2s vs 14.8s at sf0.1)
+        // GraphX's per-invocation overhead, 26.2s vs 14.8s at sf0.1 in
+        // r11 and re-confirmed in r15 after the contraction checkpoint,
+        // 20.3s vs 14.9s)
         val merge = graft.graph.GraphOps
           .connectedComponents(contracted, cverts, ordered = false)
           .select(col("vertex").as("comp"), col("component").as("newComp"))
+        mark("cc")
         // Land ONLY the rows this batch actually changes — new vertices
         // (first labeled here) plus old vertices whose component the merge
         // map remaps — through the bucketed upsert, so per-batch state
@@ -1137,15 +1185,21 @@ object StreamOps {
         // amplification the delta-chain catalog killed on the edge store).
         // Unchanged vertices keep their stored rows; the store after the
         // merge is identical to the old full `all ⋈ merge` relabeling.
-        val newResolved = newVerts.join(merge, Seq("comp"), "left_outer")
+        val newResolved = newVerts.join(bc(merge), Seq("comp"), "left_outer")
           .select(col("vertex"), coalesce(col("newComp"), col("comp")).as("comp"))
-        val oldRemapped = labels0.join(merge, Seq("comp"))
+        val oldRemapped = labels0.join(bc(merge), Seq("comp"))
           .filter(col("newComp") =!= col("comp"))
           .select(col("vertex"), col("newComp").as("comp"))
+        // (r15 profile note: splitting this into an append of the new rows
+        // + an upsert of only the remapped rows was MEASURED SLOWER here —
+        // 15.5s vs 14.3s seq-basis — the second write job and the extra
+        // checkpoint outweigh the saved read-back at this store's size)
         mergeIntoBucketedServing(newResolved.unionByName(oldRemapped),
           state, "vertex")
-        batchProbe(spark.read.parquet(state).select("vertex", "comp"),
-          cat.load("S").select("src", "dst"))
+        mark("merge")
+        if (!(batchProbe eq NoLabelProbe))
+          batchProbe(spark.read.parquet(state).select("vertex", "comp"),
+            cat.load("S").select("src", "dst"))
       }
       .start()
     q.awaitTermination()
