@@ -60,6 +60,8 @@ object Bench {
     // round-14 additions measured >=2s isolated:
     "stream_fourclique_maintain", "embedding_topk_ivfadc",
     "stream_assoc_rules", "stream_hll_users",
+    // round-15 additions measured >=2s isolated:
+    "stream_ivfadc_topk",
   )
   private val LightChunk = 10
 

@@ -2027,6 +2027,14 @@ object SparkEntry {
         nprobe = IvfParams.Label.Nprobe, m = IvfParams.Pq.M,
         nCentroids = IvfParams.Pq.NCentroids,
         rerankN = IvfParams.IvfAdc.RerankN)),
+    // streaming IVFADC serving twin: per-cell PQ codes maintained at
+    // ingest (append-only cells, codebook refit on compaction — additive
+    // min/max stats make the final refit EQUAL the batch fit), served via
+    // integer ADC over the stored codes + exact re-rank of the head; the
+    // batch oracle replays the end state bit-for-bit
+    "stream_ivfadc_topk" -> ((s, dir) =>
+      streaming.StreamOps.ivfAdcTopKReplayBatch(s,
+        s"$dir/embeddings.parquet")),
     // LSH near-dup at a TRUE near-dup threshold (0.9) — sign-LSH's strong
     // regime (bit agreement ≥0.856 ⇒ 24 8-bit bands give ~99.97% recall
     // while pruning ~91% of random pairs). The raw corpus has no pairs
@@ -2953,6 +2961,73 @@ object SparkEntry {
   /** Node2vec walk replay ending in `pos(walk, step, v)` — the biased-step
     * chain shared by the walks oracle and the skip-gram PMI on top of it.
     */
+  /** IVFADC replay — shared by the batch `embedding_topk_ivfadc` and its
+    * streaming code-serving twin `stream_ivfadc_topk` (the twin's final
+    * refit pins the stored assignments to the identical full-corpus
+    * codebook, so one oracle replays both).
+    */
+  private lazy val IvfAdcOracleSql: String =
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+        |  WHERE vec_id = ${IvfParams.QueryVecId}),
+        |cent AS (
+        |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        |  FROM embeddings, UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i)
+        |  GROUP BY label, i),
+        |cc AS (
+        |  SELECT c.label, SUM(c.m * CAST(q.qe[c.i] AS DOUBLE)) AS dot,
+        |         sqrt(SUM(c.m * c.m)) AS na,
+        |         sqrt(SUM(CAST(q.qe[c.i] AS DOUBLE) ** 2)) AS nb
+        |  FROM cent c, q GROUP BY c.label),
+        |probe AS (SELECT label FROM cc
+        |  ORDER BY dot / (na * nb) DESC, label LIMIT ${IvfParams.Label.Nprobe}),
+        |stats AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings, UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i) GROUP BY i),
+        |codes AS MATERIALIZED (SELECT e.vec_id, e.label, s.i,
+        |    CASE WHEN s.mx - s.mn = 0 THEN 0
+        |         ELSE least(255, CAST(floor((CAST(e.embedding[s.i] AS DOUBLE) - s.mn)
+        |                                    / (s.mx - s.mn) * 256.0) AS BIGINT)) END AS q
+        |  FROM embeddings e, stats s),
+        |sub AS MATERIALIZED (SELECT vec_id, label,
+        |    CAST((i - 1) // ${IvfParams.Dim / IvfParams.Pq.M} AS BIGINT) AS s, i, q
+        |  FROM codes),
+        |anch AS (SELECT vec_id AS aid, s, i, q AS aq FROM sub
+        |  WHERE vec_id < ${IvfParams.Pq.NCentroids}),
+        |cand AS (SELECT v.vec_id, v.s, v.i, v.q FROM sub v
+        |  JOIN probe p ON v.label = p.label
+        |  WHERE v.vec_id <> ${IvfParams.QueryVecId}),
+        |dists AS (
+        |  SELECT v.vec_id, v.s, a.aid, SUM((v.q - a.aq) * (v.q - a.aq)) AS d
+        |  FROM cand v JOIN anch a ON a.s = v.s AND a.i = v.i
+        |  GROUP BY 1, 2, 3),
+        |assign AS (
+        |  SELECT vec_id, s, aid,
+        |         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, aid) AS rn
+        |  FROM dists),
+        |qt AS (
+        |  SELECT a.s, a.aid, SUM((qq.q - a.aq) * (qq.q - a.aq)) AS t
+        |  FROM anch a JOIN (SELECT s, i, q FROM sub
+        |                    WHERE vec_id = ${IvfParams.QueryVecId}) qq
+        |    ON qq.s = a.s AND qq.i = a.i
+        |  GROUP BY 1, 2),
+        |adc AS (SELECT v.vec_id, SUM(qt.t) AS adc_dist
+        |  FROM assign v JOIN qt ON qt.s = v.s AND qt.aid = v.aid
+        |  WHERE v.rn = 1 GROUP BY 1),
+        |head AS (SELECT vec_id FROM adc
+        |  ORDER BY adc_dist, vec_id LIMIT ${IvfParams.IvfAdc.RerankN}),
+        |sims AS (
+        |  SELECT e.vec_id,
+        |         SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |         sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) ** 2)) AS na,
+        |         sqrt(SUM(CAST(q.qe[i] AS DOUBLE) ** 2)) AS nb
+        |  FROM embeddings e JOIN head h ON h.vec_id = e.vec_id, q,
+        |       UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i)
+        |  GROUP BY e.vec_id)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
+        |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id
+        |LIMIT ${IvfParams.K}""".stripMargin
+
   private val node2vecPosCtes: String = {
     val steps = (1 to 3).map { i =>
       s"""cand$i AS (SELECT s.walk, s.prev, s.v, e.dst,
@@ -5284,67 +5359,11 @@ object SparkEntry {
     // codebook) scores ONLY the probed cells in exact integers, the
     // 50-row head cut is (BIGINT adc_dist, vec_id), and the final k
     // re-ranks on the rounded exact cosine
-    "embedding_topk_ivfadc" ->
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings
-        |  WHERE vec_id = ${IvfParams.QueryVecId}),
-        |cent AS (
-        |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
-        |  FROM embeddings, UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i)
-        |  GROUP BY label, i),
-        |cc AS (
-        |  SELECT c.label, SUM(c.m * CAST(q.qe[c.i] AS DOUBLE)) AS dot,
-        |         sqrt(SUM(c.m * c.m)) AS na,
-        |         sqrt(SUM(CAST(q.qe[c.i] AS DOUBLE) ** 2)) AS nb
-        |  FROM cent c, q GROUP BY c.label),
-        |probe AS (SELECT label FROM cc
-        |  ORDER BY dot / (na * nb) DESC, label LIMIT ${IvfParams.Label.Nprobe}),
-        |stats AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
-        |    max(CAST(embedding[i] AS DOUBLE)) AS mx
-        |  FROM embeddings, UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i) GROUP BY i),
-        |codes AS MATERIALIZED (SELECT e.vec_id, e.label, s.i,
-        |    CASE WHEN s.mx - s.mn = 0 THEN 0
-        |         ELSE least(255, CAST(floor((CAST(e.embedding[s.i] AS DOUBLE) - s.mn)
-        |                                    / (s.mx - s.mn) * 256.0) AS BIGINT)) END AS q
-        |  FROM embeddings e, stats s),
-        |sub AS MATERIALIZED (SELECT vec_id, label,
-        |    CAST((i - 1) // ${IvfParams.Dim / IvfParams.Pq.M} AS BIGINT) AS s, i, q
-        |  FROM codes),
-        |anch AS (SELECT vec_id AS aid, s, i, q AS aq FROM sub
-        |  WHERE vec_id < ${IvfParams.Pq.NCentroids}),
-        |cand AS (SELECT v.vec_id, v.s, v.i, v.q FROM sub v
-        |  JOIN probe p ON v.label = p.label
-        |  WHERE v.vec_id <> ${IvfParams.QueryVecId}),
-        |dists AS (
-        |  SELECT v.vec_id, v.s, a.aid, SUM((v.q - a.aq) * (v.q - a.aq)) AS d
-        |  FROM cand v JOIN anch a ON a.s = v.s AND a.i = v.i
-        |  GROUP BY 1, 2, 3),
-        |assign AS (
-        |  SELECT vec_id, s, aid,
-        |         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, aid) AS rn
-        |  FROM dists),
-        |qt AS (
-        |  SELECT a.s, a.aid, SUM((qq.q - a.aq) * (qq.q - a.aq)) AS t
-        |  FROM anch a JOIN (SELECT s, i, q FROM sub
-        |                    WHERE vec_id = ${IvfParams.QueryVecId}) qq
-        |    ON qq.s = a.s AND qq.i = a.i
-        |  GROUP BY 1, 2),
-        |adc AS (SELECT v.vec_id, SUM(qt.t) AS adc_dist
-        |  FROM assign v JOIN qt ON qt.s = v.s AND qt.aid = v.aid
-        |  WHERE v.rn = 1 GROUP BY 1),
-        |head AS (SELECT vec_id FROM adc
-        |  ORDER BY adc_dist, vec_id LIMIT ${IvfParams.IvfAdc.RerankN}),
-        |sims AS (
-        |  SELECT e.vec_id,
-        |         SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
-        |         sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) ** 2)) AS na,
-        |         sqrt(SUM(CAST(q.qe[i] AS DOUBLE) ** 2)) AS nb
-        |  FROM embeddings e JOIN head h ON h.vec_id = e.vec_id, q,
-        |       UNNEST(range(1, ${IvfParams.DimEnd})) AS u(i)
-        |  GROUP BY e.vec_id)
-        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
-        |       CAST(round(dot / (na * nb), 4) AS DOUBLE) AS cosine
-        |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id
-        |LIMIT ${IvfParams.K}""".stripMargin,
+    "embedding_topk_ivfadc" -> IvfAdcOracleSql,
+    // one-oracle-two-twins: the final compaction refit makes the stored
+    // PQ assignments equal the batch fit, and probe/head/re-rank are the
+    // same contracts — the twin replays the identical SQL
+    "stream_ivfadc_topk" -> IvfAdcOracleSql,
     "embedding_knn_join" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 16),
         |sims AS (

@@ -133,7 +133,13 @@ object Verify {
           s""""embedding_topk_ivfadc":{"recall_at_10":$rIvfAdc,""" +
           s""""floor":${IvfParams.IvfAdc.RecallFloor},""" +
           s""""nprobe":${IvfParams.Label.Nprobe},""" +
-          s""""rerank_n":${IvfParams.IvfAdc.RerankN}}}"""
+          s""""rerank_n":${IvfParams.IvfAdc.RerankN}},""" +
+          // the streaming code-serving twin bit-equals the batch rung by
+          // construction (final compaction refit = the full-corpus fit;
+          // StreamSpec asserts the equality), so its recall IS rIvfAdc
+          s""""stream_ivfadc_topk":{"recall_at_10":$rIvfAdc,""" +
+          s""""floor":${IvfParams.IvfAdc.RecallFloor},""" +
+          s""""inherits":"embedding_topk_ivfadc — StreamSpec asserts bit-equality with the batch query"}}"""
       Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
       // keep the committed artifact in lockstep with the measurement —
       // per SCALE: the canonical sf0.01 record (the driver's verify

@@ -134,6 +134,19 @@ object Similarity {
                     nprobe: Int = 1): DataFrame =
     ivfProbeTopK(embeddings, labelCentroids(embeddings), queryId, k, nprobe)
 
+  /** The probe-SELECTION half of [[ivfProbeTopK]], shared verbatim with
+    * [[ivfAdcTopK]] and the streaming IVFADC twin: the best `nprobe`
+    * labels by unrounded centroid cosine (the IvfParams.Label margin
+    * floor is what keeps this choice stable across engines and twins).
+    */
+  private[graft] def probeLabels(cent: DataFrame, qv: Seq[Float],
+                                 nprobe: Int): DataFrame = {
+    val qd = typedlit(qv.map(_.toDouble))
+    cent.select(col("label"),
+        (dot(col("centroid"), qd) / (norm(col("centroid")) * norm(qd))).as("cc"))
+      .orderBy(col("cc").desc, col("label")).limit(nprobe).select("label")
+  }
+
   /** Int8 scalar-quantized top-k: per-dimension corpus [min, max] maps
     * each float to an integer code `least(255, floor((x−mn)/(mx−mn)·256))`
     * and scoring becomes an EXACT integer dot product — at 100 TB the
@@ -205,21 +218,38 @@ object Similarity {
       .limit(k)
   }
 
-  /** Fitted PQ model — the driver-side parameters ([mn,mx] grid, anchor
-    * codebook, query ADC table) plus the scan-side expressions built from
-    * them. Factored out of [[pqTopK]] VERBATIM so [[ivfAdcTopK]] scores
-    * its probed cells on the identical integer grid (same codes, same
-    * assignments, same table — the oracle replays both from one CTE
-    * chain).
+  /** The query-independent half of the PQ model: the per-dim [mn,mx]
+    * 256-grid, the anchor codebook, and the scan-side expressions built
+    * from them. Factored out of [[fitPq]] (r15) so the streaming IVFADC
+    * twin can (a) CODE vectors at ingest (the `assigns` column is the
+    * 8-byte-per-vector PQ code it stores) and (b) rebuild the identical
+    * quantizer at refit time from its ADDITIVE per-dim min/max state —
+    * min/max are associative and duplicate-insensitive, so the
+    * batch-fold equals [[fitPqQuantizer]]'s corpus-scan stats exactly.
     */
-  private[pipeline] final case class PqModel(m: Int, sub: Int,
-      nCentroids: Int, anchors: Array[Array[Long]],
-      adcTable: Array[Array[Long]], codes: Column) {
-    /** Per-subspace assignment (argmin over the literal centroids,
-      * first-min = lowest centroid id) feeding the ADC lookup — one
-      * scan-side select over a `codes` column.
+  private[graft] final case class PqQuantizer(m: Int, sub: Int,
+      nCentroids: Int, mins: Array[Double], ranges: Array[Double],
+      anchors: Array[Array[Long]]) {
+    def quantize(x: Double, i: Int): Long =
+      if (ranges(i) == 0.0) 0L
+      else math.min(255L, math.floor((x - mins(i)) / ranges(i) * 256.0).toLong)
+
+    /** 256-grid codes from an `embedding` column. */
+    def codes: Column = {
+      val minsL = typedlit(mins.toSeq)
+      val rangesL = typedlit(ranges.toSeq)
+      zip_with(
+        zip_with(col("embedding"), minsL, (x, mn) => x.cast("double") - mn),
+        rangesL,
+        (d, r) => when(r === 0.0, 0L)
+          .otherwise(least(lit(255L), floor(d / r * lit(256.0)))))
+    }
+
+    /** Per-subspace 1-based anchor assignment from a `codes` column —
+      * argmin over the literal centroids, first-min = lowest anchor id
+      * (array_position returns the first index of the minimum).
       */
-    def adcCols: Seq[Column] = (0 until m).map { s =>
+    def assignExpr(s: Int): Column = {
       val arr = slice(col("codes"), s * sub + 1, sub)
       val dists = array((0 until nCentroids).map { j =>
         aggregate(
@@ -227,13 +257,51 @@ object Similarity {
             (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, v) => acc + v)
       }: _*)
-      element_at(typedlit(adcTable(s).toSeq),
-        array_position(dists, array_min(dists)).cast("int")).as(s"adc_$s")
+      array_position(dists, array_min(dists)).cast("int")
+    }
+
+    /** All m assignments as one array<int> — the stored PQ code. */
+    def assigns: Column = array((0 until m).map(assignExpr): _*)
+
+    /** Query ADC table T(s)(j) = ‖query_s − anchor_j,s‖² in exact ints. */
+    def adcTableFor(q: Seq[Float]): Array[Array[Long]] = {
+      val qCodes = q.zipWithIndex.map { case (x, i) => quantize(x.toDouble, i) }
+      Array.tabulate(m) { s =>
+        Array.tabulate(nCentroids) { j =>
+          (0 until sub).map { d =>
+            val diff = qCodes(s * sub + d) - anchors(j)(s * sub + d); diff * diff
+          }.sum
+        }
+      }
     }
   }
 
-  private[pipeline] def fitPq(embeddings: DataFrame, queryId: Long,
-                              m: Int, nCentroids: Int): PqModel = {
+  private[graft] object PqQuantizer {
+    /** Build from precomputed per-dim stats + the 16 anchor embeddings
+      * (vec_ids 0..nCentroids-1, in id order) — the streaming refit path.
+      */
+    def from(mins: Array[Double], ranges: Array[Double],
+             anchorEmbs: Seq[Seq[Float]], m: Int,
+             nCentroids: Int): PqQuantizer = {
+      val dim = mins.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      require(anchorEmbs.length == nCentroids,
+        s"need vec_ids 0..${nCentroids - 1} as anchors")
+      def quantize(x: Double, i: Int): Long =
+        if (ranges(i) == 0.0) 0L
+        else math.min(255L, math.floor((x - mins(i)) / ranges(i) * 256.0).toLong)
+      val anchors = anchorEmbs.map(_.zipWithIndex
+        .map { case (x, i) => quantize(x.toDouble, i) }.toArray).toArray
+      PqQuantizer(m, dim / m, nCentroids, mins, ranges, anchors)
+    }
+  }
+
+  /** Corpus-scan fit of the quantizer: per-dim [mn,mx] stats plus the
+    * anchor rows — parameter-scale collects (dim + 16 rows), like the SQ
+    * [mn,mx] frame and the k-means seeds.
+    */
+  private[graft] def fitPqQuantizer(embeddings: DataFrame, m: Int,
+                                    nCentroids: Int): PqQuantizer = {
     val stats = embeddings
       .select(posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy("i")
@@ -241,37 +309,33 @@ object Similarity {
       .orderBy("i").collect()
     val mins = stats.map(_.getDouble(1))
     val ranges = stats.indices.map(i => stats(i).getDouble(2) - mins(i)).toArray
-    val dim = mins.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
-    def quantize(x: Double, i: Int): Long =
-      if (ranges(i) == 0.0) 0L
-      else math.min(255L, math.floor((x - mins(i)) / ranges(i) * 256.0).toLong)
-    // anchor codebook + query codes: parameter-scale collects (16+1 rows),
-    // like the SQ [mn,mx] frame and the k-means seeds
-    val anchors: Array[Array[Long]] = embeddings
+    val anchorEmbs = embeddings
       .filter(col("vec_id") < nCentroids).select("vec_id", "embedding")
-      .collect().sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).zipWithIndex.map { case (x, i) => quantize(x.toDouble, i) }.toArray)
-    require(anchors.length == nCentroids, s"need vec_ids 0..${nCentroids - 1} as anchors")
-    val qCodes = queryVector(embeddings, queryId).zipWithIndex
-      .map { case (x, i) => quantize(x.toDouble, i) }
-    // ADC table: T(s)(j) = ‖query_s − anchor_j,s‖² in exact ints
-    val adcTable: Array[Array[Long]] = Array.tabulate(m) { s =>
-      Array.tabulate(nCentroids) { j =>
-        (0 until sub).map { d =>
-          val diff = qCodes(s * sub + d) - anchors(j)(s * sub + d); diff * diff
-        }.sum
-      }
+      .collect().sortBy(_.getLong(0)).toSeq.map(_.getSeq[Float](1))
+    PqQuantizer.from(mins, ranges, anchorEmbs, m, nCentroids)
+  }
+
+  /** Fitted PQ model — the quantizer plus the query ADC table and the
+    * scan-side ADC expressions. Factored out of [[pqTopK]] VERBATIM so
+    * [[ivfAdcTopK]] scores its probed cells on the identical integer
+    * grid (same codes, same assignments, same table — the oracle replays
+    * both from one CTE chain).
+    */
+  private[pipeline] final case class PqModel(qz: PqQuantizer,
+      adcTable: Array[Array[Long]]) {
+    def codes: Column = qz.codes
+    /** Per-subspace assignment feeding the ADC lookup — one scan-side
+      * select over a `codes` column.
+      */
+    def adcCols: Seq[Column] = (0 until qz.m).map { s =>
+      element_at(typedlit(adcTable(s).toSeq), qz.assignExpr(s)).as(s"adc_$s")
     }
-    val minsL = typedlit(mins.toSeq)
-    val rangesL = typedlit(ranges.toSeq)
-    val codes = zip_with(
-      zip_with(col("embedding"), minsL, (x, mn) => x.cast("double") - mn),
-      rangesL,
-      (d, r) => when(r === 0.0, 0L)
-        .otherwise(least(lit(255L), floor(d / r * lit(256.0)))))
-    PqModel(m, sub, nCentroids, anchors, adcTable, codes)
+  }
+
+  private[pipeline] def fitPq(embeddings: DataFrame, queryId: Long,
+                              m: Int, nCentroids: Int): PqModel = {
+    val qz = fitPqQuantizer(embeddings, m, nCentroids)
+    PqModel(qz, qz.adcTableFor(queryVector(embeddings, queryId)))
   }
 
   /** IVFADC — the standard at-scale composition of the repo's two ANN
@@ -299,11 +363,7 @@ object Similarity {
                  rerankN: Int = 50): DataFrame = {
     val qv = queryVector(embeddings, queryId)
     val qe = typedlit(qv)
-    val qd = typedlit(qv.map(_.toDouble))
-    val best = labelCentroids(embeddings)
-      .select(col("label"),
-        (dot(col("centroid"), qd) / (norm(col("centroid")) * norm(qd))).as("cc"))
-      .orderBy(col("cc").desc, col("label")).limit(nprobe).select("label")
+    val best = probeLabels(labelCentroids(embeddings), qv, nprobe)
     val cb = fitPq(embeddings, queryId, m, nCentroids)
     val head = embeddings.join(broadcast(best), "label")
       .filter(col("vec_id") =!= queryId)

@@ -1533,6 +1533,204 @@ object StreamOps {
       IvfParams.QueryVecId, IvfParams.K, IvfParams.Label.Nprobe)
   }
 
+  /** Streaming IVFADC serving twin of `embedding_topk_ivfadc` (r14
+    * verdict #6): [[embeddingTopKReplayBatch]] ingests vectors but serves
+    * full-precision cosines inside the probed cells — this twin maintains
+    * per-cell PQ CODES at ingest and serves the batch rung's integer-ADC
+    * + exact-re-rank plan from the STORE, never refitting at query time.
+    *
+    * Per micro-batch:
+    *   1. additive per-dim quantizer stats — min/max are associative AND
+    *      duplicate-insensitive, so the batch-fold equals a full-corpus
+    *      scan EXACTLY (unlike the FP-sum centroid moments, which ride
+    *      the probe margin floor);
+    *   2. additive per-(label, i) centroid moments (the probe side,
+    *      shared shape with the IVF twin);
+    *   3. the batch's vectors are CODED against the current epoch's
+    *      codebook ([[graft.pipeline.Similarity.PqQuantizer.assigns]],
+    *      m subspace assignments ≈ 8 bytes/vector) and APPENDED to the
+    *      cell-partitioned store — touched cells gain one file, no cell
+    *      is rewritten. Before all nCentroids anchor rows (vec_id <
+    *      nCentroids) have arrived there is no codebook; such rows land
+    *      with pq = NULL and the next refit codes them.
+    * Every `compactEvery` batches — and once after the last batch — the
+    * codebook REFITS from the additive stats + the stored anchor rows and
+    * the store rewrites wholesale (the chain-compaction amortization:
+    * per-batch writes stay |Δ|-scaled, the O(corpus) rewrite amortizes to
+    * corpus/compactEvery per batch). The FINAL refit pins oracle parity:
+    * additive min/max ≡ corpus-scan min/max and the anchors are the same
+    * rows, so the stored assignments equal `fitPq`'s and the serve path
+    * below replays `embedding_topk_ivfadc` bit-for-bit (probe choice
+    * rides the IvfParams.Label margin floor, everything between probe and
+    * re-rank is exact integers, the re-rank is the rounded-cosine
+    * contract) — ONE oracle checks both twins.
+    *
+    * Serve (the 100 TB shape): broadcast the nprobe probe labels into the
+    * partition-pruned cell scan; the ADC pass reads ONLY (vec_id, pq) —
+    * parquet column pruning never touches the embeddings; the
+    * full-precision vectors are fetched (broadcast semi-join on the head)
+    * for exactly `rerankN` rows.
+    *
+    * `batchProbe(rowsAppended, refitFlag)` lets StreamSpec assert ≥2 live
+    * batches, that appends never rewrite pre-existing cell files, and
+    * that refits happen exactly on schedule.
+    * Output: (vec_id, cosine) ordered by (cosine DESC, vec_id), k rows.
+    */
+  def ivfAdcTopKReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                            embeddingsPath: String,
+                            batchProbe: (Long, Long) => Unit = (_, _) => (),
+                            compactEvery: Int = 2,
+                            stateDirProbe: String => Unit = _ => ())
+      : DataFrame = {
+    import graft.pipeline.{IvfParams, Similarity}
+    import graft.functions.VectorFunctions.vector_cosine
+    val spark = tunedStatefulSession(spark0)
+    val emb = spark.read.parquet(embeddingsPath)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ivfadc_")
+    val store = s"$tmp/store"
+    val statsDir = s"$tmp/stats"
+    val cdir = s"$tmp/cent"
+    val inDir = s"$tmp/in"
+    stateDirProbe(store)
+    emb.repartition(4).write.parquet(inDir)
+    val m = IvfParams.Pq.M
+    val nCent = IvfParams.Pq.NCentroids
+
+    /** The current-epoch codebook, or None until the additive stats and
+      * all nCentroids anchor rows exist in the store.
+      */
+    def quantizerIfReady(): Option[Similarity.PqQuantizer] = {
+      if (!pathExists(spark, statsDir) || !pathExists(spark, store)) None
+      else {
+        val anchorRows = spark.read.parquet(store)
+          .filter(col("vec_id") < nCent).select("vec_id", "embedding")
+          .collect().sortBy(_.getLong(0))
+        if (anchorRows.length < nCent) None
+        else {
+          val stats = spark.read.parquet(statsDir)
+            .select("i", "mn", "mx").orderBy("i").collect()
+          val mins = stats.map(_.getDouble(1))
+          val ranges = stats.indices.map(i => stats(i).getDouble(2) - mins(i)).toArray
+          Some(Similarity.PqQuantizer.from(mins, ranges,
+            anchorRows.toSeq.map(_.getSeq[Float](1)), m, nCent))
+        }
+      }
+    }
+
+    /** Compaction: recode the whole store against a fresh codebook fit
+      * from the additive stats + stored anchors. Returns false (no-op)
+      * while the anchors are still incomplete.
+      */
+    def refitCodes(): Boolean = quantizerIfReady() match {
+      case Some(qz) =>
+        val recoded = spark.read.parquet(store)
+          .select(col("vec_id"), col("embedding"), col("label"),
+            qz.codes.as("codes"))
+          .select(col("vec_id"), col("embedding"), col("label"),
+            qz.assigns.as("pq"))
+          // materialize BEFORE overwriting the store being read
+          .localCheckpoint(true)
+        recoded.write.mode("overwrite").partitionBy("label").parquet(store)
+        true
+      case None => false
+    }
+
+    val src = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    var batchesDone = 0L
+    var refitCurrent = false // did a refit run AFTER the latest append?
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        // (1) additive per-dim quantizer stats
+        val part = b.select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("i")
+          .agg(min(col("x").cast("double")).as("mn"),
+            max(col("x").cast("double")).as("mx"))
+        val mergedStats =
+          (if (pathExists(spark, statsDir))
+            spark.read.parquet(statsDir).unionByName(part)
+              .groupBy("i").agg(min("mn").as("mn"), max("mx").as("mx"))
+          else part).localCheckpoint(true)
+        mergedStats.write.mode("overwrite").parquet(statsDir)
+        // (2) additive centroid moments per (label, i) — the probe side
+        val cpart = b
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("label", "i")
+          .agg(sum(col("x").cast("double")).as("s"),
+            count(lit(1)).cast("long").as("n"))
+        val mergedCent =
+          (if (pathExists(spark, cdir))
+            spark.read.parquet(cdir).unionByName(cpart)
+              .groupBy("label", "i")
+              .agg(sum("s").as("s"), sum("n").cast("long").as("n"))
+          else cpart).localCheckpoint(true)
+        mergedCent.write.mode("overwrite").parquet(cdir)
+        // (3) code against the current epoch's codebook, append to cells
+        val coded = quantizerIfReady() match {
+          case Some(qz) =>
+            b.select(col("vec_id"), col("embedding"), col("label"),
+                qz.codes.as("codes"))
+              .select(col("vec_id"), col("embedding"), col("label"),
+                qz.assigns.as("pq"))
+          case None =>
+            b.select(col("vec_id"), col("embedding"), col("label"),
+              lit(null).cast("array<int>").as("pq"))
+        }
+        coded.write.mode("append").partitionBy("label").parquet(store)
+        batchesDone += 1
+        val refit =
+          if (compactEvery > 0 && batchesDone % compactEvery == 0) refitCodes()
+          else false
+        refitCurrent = refit
+        batchProbe(b.count(), if (refit) 1L else 0L)
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"IVFADC ingest replay ran $batches non-empty micro-batches; " +
+        "the incremental path requires at least 2")
+    // final compaction refit — pins the serving codebook to the exact
+    // full-corpus fit (see Scaladoc). Skipped when the LAST batch's
+    // scheduled refit already ran: the store is then already coded
+    // against the full-corpus codebook and a second recode would be a
+    // byte-identical O(corpus) rewrite.
+    if (!refitCurrent)
+      require(refitCodes(),
+        "IVFADC refit impossible: anchor vectors missing from the store")
+    val qz = quantizerIfReady().get
+    val stored = spark.read.parquet(store)
+    val qv = stored.filter(col("vec_id") === IvfParams.QueryVecId)
+      .select("embedding").head().getSeq[Float](0)
+    val adcTable = qz.adcTableFor(qv)
+    val cent = spark.read.parquet(cdir)
+      .withColumn("m", col("s") / col("n"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
+        .as("centroid"))
+    val best = Similarity.probeLabels(cent, qv, IvfParams.Label.Nprobe)
+    // ADC pass: partition-pruned cell scan reading ONLY (vec_id, pq)
+    val head = stored.join(broadcast(best), "label")
+      .filter(col("vec_id") =!= IvfParams.QueryVecId)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        (0 until m).map(s =>
+          element_at(typedlit(adcTable(s).toSeq), col("pq")(s))).reduce(_ + _)
+          .as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(IvfParams.IvfAdc.RerankN)
+      .localCheckpoint(true) // the head IS the full-precision fetch list
+    stored.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(broadcast(head.select("vec_id")), "vec_id")
+      .select(col("vec_id"),
+        round(vector_cosine(col("embedding"), typedlit(qv)), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(IvfParams.K)
+  }
+
   /** Streaming incremental TRIANGLE maintenance — the
     * [[graphMaintainReplayBatch]] pattern (op 1/2 snapshot versions
     * interleaved with an op-3/4-style derived statistic) for a statistic

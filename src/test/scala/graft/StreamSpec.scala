@@ -566,6 +566,60 @@ class StreamSpec extends AnyFunSuite {
     assert(got == batch, s"streamed ANN $got != batch IVF $batch")
   }
 
+  test("ivfAdcTopKReplayBatch: streamed ADC serving equals batch IVFADC; appends never rewrite cell files; refit happens; >=2 batches") {
+    val dir = "/root/testdata/sf0.001"
+    var store = ""
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // post-batch snapshot of the store's parquet files: on a NON-refit
+    // batch every pre-existing file must survive at its size (append-only
+    // cells); a refit batch rewrites wholesale (the compaction)
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Map[String, Long]]
+    def fileMap(): Map[String, Long] = {
+      val base = java.nio.file.Paths.get(store)
+      if (!java.nio.file.Files.exists(base)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(base)
+        try walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p)))
+          .toMap
+        finally walk.close()
+      }
+    }
+    val got = StreamOps.ivfAdcTopKReplayBatch(spark, s"$dir/embeddings.parquet",
+        batchProbe = (rows, refit) => {
+          probes += ((rows, refit)); snaps += fileMap(); ()
+        },
+        stateDirProbe = p => { store = p })
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probes.length >= 2, s"expected >=2 probed batches, got $probes")
+    probes.foreach { case (rows, _) => assert(rows >= 1L, s"empty batch: $probes") }
+    // at least one MID-STREAM refit (the final batch hits the
+    // compactEvery=2 schedule with all 16 anchors ingested)
+    assert(probes.exists(_._2 == 1L), s"no mid-stream refit fired: $probes")
+    for (i <- 1 until snaps.length if probes(i)._2 == 0L) {
+      val prev = snaps(i - 1); val cur = snaps(i)
+      val lost = prev.filterNot { case (f, sz) => cur.get(f).contains(sz) }
+      assert(lost.isEmpty,
+        s"non-refit batch ${i + 1} rewrote pre-existing cell files: ${lost.keys}")
+    }
+    // the end state must equal the batch IVFADC rung bit-for-bit: the
+    // final refit pins the stored assignments to the full-corpus codebook,
+    // so the twin INHERITS the batch recall floor (PropertyOracleSpec)
+    val batch = graft.pipeline.Similarity.ivfAdcTopK(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        queryId = graft.pipeline.IvfParams.QueryVecId,
+        k = graft.pipeline.IvfParams.K,
+        nprobe = graft.pipeline.IvfParams.Label.Nprobe,
+        m = graft.pipeline.IvfParams.Pq.M,
+        nCentroids = graft.pipeline.IvfParams.Pq.NCentroids,
+        rerankN = graft.pipeline.IvfParams.IvfAdc.RerankN)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == batch, s"streamed ADC serving $got != batch IVFADC $batch")
+  }
+
   test("mergeBatchIntoBucketedStore: a batch deleting EVERY row of a bucket removes its directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_empty_").toString
     val target = s"$dir/target"
