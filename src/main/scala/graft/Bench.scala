@@ -377,7 +377,11 @@ object Bench {
       "of the r11-r13 threads - apply the per-query thread-slice ratios " +
       "in BENCH_CALIBRATION.json (same-session sequential/32-thread vs " +
       "4-way/8-thread on 6 heavies) before adjudicating r14 medians " +
-      "against r12/r13"
+      "against r12/r13. r15: BENCH_CALIBRATION.json covers EVERY heavy " +
+      "unit (same-session sequential-local[32] vs 4-way-local[8]), and " +
+      "the parent writes BENCH_OCCUPANCY.json - per-unit wall windows " +
+      "plus every co-running unit - so each official median carries its " +
+      "co-runner mix"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"note":"$note","sf":"$sfDir"}"""
     println(json)

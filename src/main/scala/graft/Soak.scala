@@ -107,7 +107,11 @@ object Soak {
     // |Δ|-scaled claim is exactly what the 10× soak tests), the two
     // additive serving twins, and the composed ANN rung
     "stream_fourclique_maintain", "stream_assoc_rules", "stream_hll_users",
-    "embedding_topk_ivfadc")
+    "embedding_topk_ivfadc",
+    // round-15: the IVFADC code-serving twin (append-only cells +
+    // amortized refit — the 10× ratio tests that the refit schedule, not
+    // the corpus, drives the rewrite cost)
+    "stream_ivfadc_topk")
 
   val Copies = 10
   val Stride = 4000000000L // > SupplierBase + any key: copies stay disjoint
@@ -293,19 +297,50 @@ object Soak {
     // JVM/codegen warm-up so the first timed pair is comparable
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
+    // Per-batch cost record for the maintain twins (r14 verdict #7): a
+    // 10× replay processes 10× total delta by construction, so the
+    // full-replay ratio alone cannot separate |Δ|-scaled per-batch cost
+    // (the twins' claim) from accumulated-graph cost. The replays record
+    // each micro-batch's wall time; the soak drains them per timing and
+    // emits, next to the replay ratio, (a) the per-batch median at both
+    // scales and (b) the first-vs-last batch medians WITHIN a replay —
+    // flat first→last while the accumulated graph grows 4× across the
+    // replay is the |Δ|-scaling witness.
+    def perBatchStats(durations: Seq[Double]): Option[String] = {
+      if (durations.isEmpty) None
+      else {
+        val reps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "3").toInt
+        val perRep = durations.size / reps
+        def med(xs: Seq[Double]): Double = {
+          val s = xs.sorted; (s(s.size / 2) + s((s.size - 1) / 2)) / 2
+        }
+        val firsts = durations.grouped(perRep).map(_.head).toSeq
+        val lasts = durations.grouped(perRep).map(_.last).toSeq
+        Some(f""""median_sec":${med(durations)}%.3f,"batches_per_replay":$perRep,""" +
+          f""""first_batch_median_sec":${med(firsts)}%.3f,"last_batch_median_sec":${med(lasts)}%.3f""")
+      }
+    }
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").toSet)
     val rows = SlowQueries.filter(n => only.forall(_.contains(n))).map { name =>
+      graft.streaming.StreamOps.drainBatchDurations()
       val base = time(name, srcDir)
+      val pbBase = perBatchStats(graft.streaming.StreamOps.drainBatchDurations())
       val scaled = time(name, workDir)
+      val pbScaled = perBatchStats(graft.streaming.StreamOps.drainBatchDurations())
       val ratio = scaled / base
       System.err.println(f"[soak] $name%-22s base=$base%6.2fs scaled=$scaled%7.2fs ratio=$ratio%5.2f")
-      (name, base, scaled, ratio)
+      val pb = (pbBase, pbScaled) match {
+        case (Some(b), Some(s)) =>
+          s""","per_batch_base":{$b},"per_batch_scaled":{$s}"""
+        case _ => ""
+      }
+      (name, base, scaled, ratio, pb)
     }
     val maxRatio = rows.map(_._4).max
-    val qs = rows.map { case (n, b, s, r) =>
-      f"""\"$n\":{\"base_sec\":$b%.3f,\"scaled_sec\":$s%.3f,\"ratio\":$r%.2f}"""
+    val qs = rows.map { case (n, b, s, r, pb) =>
+      f"""\"$n\":{\"base_sec\":$b%.3f,\"scaled_sec\":$s%.3f,\"ratio\":$r%.2f$pb}"""
     }.mkString("{", ",", "}")
-    val notes = rows.flatMap { case (n, _, _, _) =>
+    val notes = rows.flatMap { case (n, _, _, _, _) =>
       Adjudications.get(n).map(a => s""""$n":"$a"""")
     }.mkString("{", ",", "}")
     val json =

@@ -19,6 +19,27 @@ object StreamOps {
     * pruned-read/anti-join merge path would be skipped, and a dynamic
     * overwrite would then drop unchanged sibling keys in touched buckets.
     */
+  /** Per-batch wall times of the most recent maintain-twin replay(s) —
+    * drained by the soak harness (r14 verdict #7) so the twins' |Δ|-scaled
+    * per-BATCH claim is adjudicated separately from the full-replay ratio
+    * (a 10× replay processes 10× total delta by construction, so the
+    * full-replay ratio alone cannot distinguish |Δ|-scaling from
+    * accumulated-graph scaling; flat per-batch times across a replay can).
+    * Batches run on the stream-execution thread, hence the concurrent
+    * queue; soak runs one replay at a time and drains between timings.
+    */
+  private val batchDurationsQ =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+  private def recordBatchDuration(t0Nanos: Long): Unit = {
+    batchDurationsQ.add((System.nanoTime() - t0Nanos) / 1e9); ()
+  }
+  private[graft] def drainBatchDurations(): Seq[Double] = {
+    val b = Seq.newBuilder[Double]
+    var x = batchDurationsQ.poll()
+    while (x != null) { b += x.doubleValue(); x = batchDurationsQ.poll() }
+    b.result()
+  }
+
   private def pathExists(spark: org.apache.spark.sql.SparkSession,
                          path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -1109,7 +1130,8 @@ object StreamOps {
       .option("checkpointLocation", s"$tmp/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        var t0 = System.nanoTime()
+        val tBatch0 = System.nanoTime()
+        var t0 = tBatch0
         def mark(s: String): Unit = {
           if (sys.env.contains("GRAFT_CC_DEBUG"))
             System.err.println(f"[ccm] $s: ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -1197,6 +1219,7 @@ object StreamOps {
         mergeIntoBucketedServing(newResolved.unionByName(oldRemapped),
           state, "vertex")
         mark("merge")
+        recordBatchDuration(tBatch0)
         if (!(batchProbe eq NoLabelProbe))
           batchProbe(spark.read.parquet(state).select("vertex", "comp"),
             cat.load("S").select("src", "dst"))
@@ -1799,6 +1822,7 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import spark.implicits._
+        val tBatch0 = System.nanoTime()
         val d = batch.select(col("a").cast("long").as("a"),
           col("b").cast("long").as("b")).localCheckpoint(true)
         val dEdges = d.select(col("a").as("src"), col("b").as("dst"))
@@ -1863,6 +1887,7 @@ object StreamOps {
           if (pathExists(spark, state))
             spark.read.parquet(state).select("vertex", "n_triangles")
           else emptyTriangleState(spark)
+        recordBatchDuration(tBatch0)
         batchProbe(deltaTotal / 3L, next)
       }
       .start()
@@ -1945,7 +1970,8 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import spark.implicits._
-        var t0 = System.nanoTime()
+        val tBatch0 = System.nanoTime()
+        var t0 = tBatch0
         def mark(s: String): Unit = {
           if (sys.env.contains("GRAFT_QUAD_DEBUG"))
             System.err.println(f"[quad] $s: ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -2044,6 +2070,7 @@ object StreamOps {
           else spark.range(0).select(col("id").as("vertex"),
             col("id").as("n_cliques4"))
         mark("merge")
+        recordBatchDuration(tBatch0)
         batchProbe(deltaTotal / 4L, next)
       }
       .start()
