@@ -154,7 +154,27 @@ object Soak {
       "the replay enumerates the SAME K4 census whose output mass scales " +
       "exactly 10.00x (CensusMass), so an 8.99x full-replay ratio is " +
       "sublinear vs output; the twin's claim is per-BATCH delta cost, " +
-      "and a 10x replay processes 10x total delta by construction"))
+      "and a 10x replay processes 10x total delta by construction"),
+    // round-15 adjudications (SOAK_ADJUDICATION.json round15):
+    "louvain_moves" -> ("NOT partition-starved: the 10x run at p128 is " +
+      "2.8x SLOWER (10.7s -> 29.6s; move rounds x per-round task overhead " +
+      "scale with partition count); the ratio is genuine per-round width " +
+      "growth over 10x edges with a constant round budget - sublinear"),
+    "label_propagation" -> ("NOT partition-starved: the 10x run at p128 " +
+      "is 1.9x SLOWER (9.2s -> 17.7s; same per-round-overhead mechanism " +
+      "as the other fixpoints); the ratio is per-round width growth over " +
+      "10x edges, sublinear"),
+    "stream_assoc_rules" -> ("replay-mass adjudicated: the 10x replica " +
+      "holds 10x disjoint baskets, so a full replay processes 10x " +
+      "pair/item/total delta by construction across the same 4 batches; " +
+      "3.7x wall for 10x processed delta is sublinear - per-batch cost " +
+      "is the guarded pair build plus delta-scaled bucketed merges"),
+    "stream_graph_maintain" -> ("per-batch adjudicated (r15 " +
+      "instrumentation): batch cost is FLAT within a replay (first->last " +
+      "3.23->3.25s base, 7.80->7.39s scaled) while the accumulated graph " +
+      "grows 4x across it - the |delta|-scaled claim witnessed directly; " +
+      "per-batch cost rises 2.4x for 10x per-batch delta and the " +
+      "full-replay ratio is that sublinearity plus fixed stream overhead"))
 
   private def offset(c: String, i: Int): Column =
     (col(c) + lit(i.toLong * Stride)).cast("long").as(c)
