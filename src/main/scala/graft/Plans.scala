@@ -69,6 +69,7 @@ object Plans {
     "leakage_safe_split" -> "split-by-cluster: the near-dup clustering plan (sketch-banded candidates + GraphX CC on the pair graph only) with the split decided by a per-row hash of the cluster id — zero additional Exchanges on top of the clustering.",
     "matrix_source_topk" -> "the r13 DSv2 TopN pushdown: the BatchScan description shows PushedTopN [ORDER BY graph_id, src, dst LIMIT 12 (partial)] — each file's parse stops at the 12th edge (row-major cell order IS the ascending sort), and the retained TakeOrderedAndProject merges the per-file heads; no full n²-cell decode anywhere.",
     "embedding_topk_ivfadc" -> "the composed ANN rung: nprobe best cells broadcast into the scan (partition-pruned on a label-partitioned store); PQ codes + per-subspace argmin + ADC table lookups are ALL literal integer arithmetic inside one codegen'd Project; the head is a TakeOrderedAndProject on (BIGINT adc_dist, vec_id); the exact vector_cosine re-rank runs on only the rerankN=200 head rows — full-precision embeddings never leave the probed cells.",
+    "stream_ivfadc_topk" -> "the SERVE plan over the MAINTAINED code store (dumped after the sf0.001 ingest replay): nprobe probe labels broadcast into the label-partitioned cell scan (partition-pruned); the ADC pass reads ONLY (vec_id, pq) — ReadSchema must NOT contain the embedding column, that pruning is the point of serving from stored codes; TakeOrderedAndProject head on (BIGINT adc_dist, vec_id); the exact re-rank fetches full-precision vectors via a broadcast join on just the rerankN head ids.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1745,7 +1745,6 @@ object StreamOps {
           .as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id"))
       .limit(IvfParams.IvfAdc.RerankN)
-      .localCheckpoint(true) // the head IS the full-precision fetch list
     stored.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .join(broadcast(head.select("vec_id")), "vec_id")
       .select(col("vec_id"),
