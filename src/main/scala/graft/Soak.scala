@@ -326,27 +326,48 @@ object Soak {
     // scales and (b) the first-vs-last batch medians WITHIN a replay —
     // flat first→last while the accumulated graph grows 4× across the
     // replay is the |Δ|-scaling witness.
-    def perBatchStats(durations: Seq[Double]): Option[String] = {
-      if (durations.isEmpty) None
-      else {
-        val reps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "3").toInt
-        val perRep = durations.size / reps
+    def perBatchStats(recs: Seq[(Double, String)]): Option[String] = {
+      if (recs.isEmpty) None
+      else if (recs.size % reps != 0) {
+        // replay boundaries are inferred by dividing the drained records
+        // into `reps` equal groups; a retried/extra micro-batch would
+        // silently shift every boundary and skew the first/last medians,
+        // so refuse to emit rather than emit wrong numbers (r15 advice)
+        System.err.println(s"[soak] ${recs.size} per-batch records not a " +
+          s"multiple of reps=$reps (retried micro-batch?) — per-batch " +
+          "stats suppressed for this timing")
+        None
+      } else {
+        val perRep = recs.size / reps
         def med(xs: Seq[Double]): Double = {
           val s = xs.sorted; (s(s.size / 2) + s((s.size - 1) / 2)) / 2
         }
+        val durations = recs.map(_._1)
         val firsts = durations.grouped(perRep).map(_.head).toSeq
         val lasts = durations.grouped(perRep).map(_.last).toSeq
-        Some(f""""median_sec":${med(durations)}%.3f,"batches_per_replay":$perRep,""" +
-          f""""first_batch_median_sec":${med(firsts)}%.3f,"last_batch_median_sec":${med(lasts)}%.3f""")
+        val base =
+          f""""median_sec":${med(durations)}%.3f,"batches_per_replay":$perRep,""" +
+          f""""first_batch_median_sec":${med(firsts)}%.3f,"last_batch_median_sec":${med(lasts)}%.3f"""
+        // the IVFADC twin tags its O(corpus) compaction batches "refit";
+        // split them out so the steady-state append cost is readable
+        // next to the amortized rewrite cost (r15 verdict #5)
+        val refits = recs.collect { case (d, "refit") => d }
+        val appends = recs.collect { case (d, k) if k != "refit" => d }
+        val split =
+          if (refits.isEmpty || appends.isEmpty) ""
+          else f""","refit_batches_per_replay":${refits.size / reps},""" +
+            f""""refit_batch_median_sec":${med(refits)}%.3f,""" +
+            f""""append_batch_median_sec":${med(appends)}%.3f"""
+        Some(base + split)
       }
     }
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").toSet)
     val rows = SlowQueries.filter(n => only.forall(_.contains(n))).map { name =>
-      graft.streaming.StreamOps.drainBatchDurations()
+      graft.streaming.StreamOps.drainBatchRecords()
       val base = time(name, srcDir)
-      val pbBase = perBatchStats(graft.streaming.StreamOps.drainBatchDurations())
+      val pbBase = perBatchStats(graft.streaming.StreamOps.drainBatchRecords())
       val scaled = time(name, workDir)
-      val pbScaled = perBatchStats(graft.streaming.StreamOps.drainBatchDurations())
+      val pbScaled = perBatchStats(graft.streaming.StreamOps.drainBatchRecords())
       val ratio = scaled / base
       System.err.println(f"[soak] $name%-22s base=$base%6.2fs scaled=$scaled%7.2fs ratio=$ratio%5.2f")
       val pb = (pbBase, pbScaled) match {

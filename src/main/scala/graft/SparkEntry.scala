@@ -2028,8 +2028,9 @@ object SparkEntry {
         nCentroids = IvfParams.Pq.NCentroids,
         rerankN = IvfParams.IvfAdc.RerankN)),
     // streaming IVFADC serving twin: per-cell PQ codes maintained at
-    // ingest (append-only cells, codebook refit on compaction — additive
-    // min/max stats make the final refit EQUAL the batch fit), served via
+    // ingest (append-only cells; the codebook refits on a DRIFT policy —
+    // additive min/max stats make any full refit EQUAL the batch fit,
+    // and a zero-drift tail skips the rewrite entirely), served via
     // integer ADC over the stored codes + exact re-rank of the head; the
     // batch oracle replays the end state bit-for-bit
     "stream_ivfadc_topk" -> ((s, dir) =>
@@ -2958,13 +2959,11 @@ object SparkEntry {
       |SELECT CAST(v AS BIGINT) AS vertex, CAST(count(*) AS BIGINT) AS n_cliques4
       |FROM corners GROUP BY v ORDER BY vertex""".stripMargin
 
-  /** Node2vec walk replay ending in `pos(walk, step, v)` — the biased-step
-    * chain shared by the walks oracle and the skip-gram PMI on top of it.
-    */
   /** IVFADC replay — shared by the batch `embedding_topk_ivfadc` and its
-    * streaming code-serving twin `stream_ivfadc_topk` (the twin's final
-    * refit pins the stored assignments to the identical full-corpus
-    * codebook, so one oracle replays both).
+    * streaming code-serving twin `stream_ivfadc_topk` (the twin ends the
+    * replay coded against the identical full-corpus codebook — via the
+    * final parity refit, or by proving zero stats drift since the last
+    * fit — so one oracle replays both).
     */
   private lazy val IvfAdcOracleSql: String =
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings
@@ -3028,6 +3027,9 @@ object SparkEntry {
         |FROM sims ORDER BY round(dot / (na * nb), 4) DESC, vec_id
         |LIMIT ${IvfParams.K}""".stripMargin
 
+  /** Node2vec walk replay ending in `pos(walk, step, v)` — the biased-step
+    * chain shared by the walks oracle and the skip-gram PMI on top of it.
+    */
   private val node2vecPosCtes: String = {
     val steps = (1 to 3).map { i =>
       s"""cand$i AS (SELECT s.walk, s.prev, s.v, e.dst,

@@ -29,14 +29,21 @@ object StreamOps {
     * queue; soak runs one replay at a time and drains between timings.
     */
   private val batchDurationsQ =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
-  private def recordBatchDuration(t0Nanos: Long): Unit = {
-    batchDurationsQ.add((System.nanoTime() - t0Nanos) / 1e9); ()
+    new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
+  /** `kind` separates batches whose cost model differs — the IVFADC twin
+    * tags its O(corpus) "refit" batches apart from the |Δ|-scaled
+    * "append" batches so the soak's per-batch medians don't conflate the
+    * amortized compaction with the steady-state cost (r15 verdict #5).
+    */
+  private def recordBatchDuration(t0Nanos: Long, kind: String = "append"): Unit = {
+    batchDurationsQ.add(((System.nanoTime() - t0Nanos) / 1e9, kind)); ()
   }
-  private[graft] def drainBatchDurations(): Seq[Double] = {
-    val b = Seq.newBuilder[Double]
+  private[graft] def drainBatchDurations(): Seq[Double] =
+    drainBatchRecords().map(_._1)
+  private[graft] def drainBatchRecords(): Seq[(Double, String)] = {
+    val b = Seq.newBuilder[(Double, String)]
     var x = batchDurationsQ.poll()
-    while (x != null) { b += x.doubleValue(); x = batchDurationsQ.poll() }
+    while (x != null) { b += x; x = batchDurationsQ.poll() }
     b.result()
   }
 
@@ -1569,24 +1576,45 @@ object StreamOps {
     *      the probe margin floor);
     *   2. additive per-(label, i) centroid moments (the probe side,
     *      shared shape with the IVF twin);
-    *   3. the batch's vectors are CODED against the current epoch's
+    *   3. the batch's vectors are CODED against the CURRENT EPOCH's
     *      codebook ([[graft.pipeline.Similarity.PqQuantizer.assigns]],
     *      m subspace assignments ≈ 8 bytes/vector) and APPENDED to the
     *      cell-partitioned store — touched cells gain one file, no cell
-    *      is rewritten. Before all nCentroids anchor rows (vec_id <
-    *      nCentroids) have arrived there is no codebook; such rows land
-    *      with pq = NULL and the next refit codes them.
-    * Every `compactEvery` batches — and once after the last batch — the
-    * codebook REFITS from the additive stats + the stored anchor rows and
-    * the store rewrites wholesale (the chain-compaction amortization:
-    * per-batch writes stay |Δ|-scaled, the O(corpus) rewrite amortizes to
-    * corpus/compactEvery per batch). The FINAL refit pins oracle parity:
-    * additive min/max ≡ corpus-scan min/max and the anchors are the same
-    * rows, so the stored assignments equal `fitPq`'s and the serve path
-    * below replays `embedding_topk_ivfadc` bit-for-bit (probe choice
-    * rides the IvfParams.Label margin floor, everything between probe and
-    * re-rank is exact integers, the re-rank is the rounded-cosine
-    * contract) — ONE oracle checks both twins.
+    *      is rewritten. The epoch codebook is the one the LAST REFIT
+    *      fit and cached on the driver (r15 verdict #4: a fresh fit per
+    *      batch re-collected anchors+stats twice per coded batch and
+    *      made "epoch" a per-batch notion); before the first refit there
+    *      is no codebook and rows land with pq = NULL.
+    * The codebook REFITS — from the additive stats + the stored anchor
+    * rows, rewriting the store wholesale — on a DRIFT POLICY, not a
+    * fixed cadence (r15 verdict #3: a count-based `compactEvery` does
+    * O(corpus) rewrites at a fixed frequency regardless of whether the
+    * quantizer moved; at 100 TB with thousands of micro-batches the
+    * rewrite schedule must be driven by how stale the stored codes
+    * actually are, the same argument as the delta-chain compaction
+    * policy). A refit fires after a batch when
+    *   - no epoch codebook exists yet and uncoded (pq = NULL) rows are
+    *     in the store (establishes the first epoch as soon as all
+    *     nCentroids anchor rows have arrived; attempts before that are
+    *     cheap no-ops), or
+    *   - the uncoded-row fraction exceeds `nullFracRefitThreshold`, or
+    *   - the additive min/max stats DRIFTED past `driftRefitThreshold`
+    *     since the last fit (max over dims of the range expansion
+    *     relative to the fitted range — min/max only move outward, so
+    *     drift is exactly "how far outside the fitted grid new data
+    *     landed", i.e. how mis-scaled the stored codes have become).
+    * After the stream, a FINAL refit pins oracle parity: additive
+    * min/max ≡ corpus-scan min/max and the anchors are the same rows, so
+    * the stored assignments equal `fitPq`'s and the serve path below
+    * replays `embedding_topk_ivfadc` bit-for-bit (probe choice rides the
+    * IvfParams.Label margin floor, everything between probe and re-rank
+    * is exact integers, the re-rank is the rounded-cosine contract) —
+    * ONE oracle checks both twins. The final refit is SKIPPED when it
+    * would be byte-identical: either the last batch's policy refit
+    * already ran, or the stats are bitwise unchanged since the last fit
+    * and no uncoded rows remain (same mins/ranges + same anchor rows ⇒
+    * same codebook ⇒ same assignments — a no-drift tail costs zero extra
+    * rewrites, which StreamSpec pins with a within-range replay).
     *
     * Serve (the 100 TB shape): broadcast the nprobe probe labels into the
     * partition-pruned cell scan; the ADC pass reads ONLY (vec_id, pq) —
@@ -1602,7 +1630,8 @@ object StreamOps {
   def ivfAdcTopKReplayBatch(spark0: org.apache.spark.sql.SparkSession,
                             embeddingsPath: String,
                             batchProbe: (Long, Long) => Unit = (_, _) => (),
-                            compactEvery: Int = 2,
+                            driftRefitThreshold: Double = 0.05,
+                            nullFracRefitThreshold: Double = 0.10,
                             stateDirProbe: String => Unit = _ => ())
       : DataFrame = {
     import graft.pipeline.{IvfParams, Similarity}
@@ -1619,10 +1648,36 @@ object StreamOps {
     val m = IvfParams.Pq.M
     val nCent = IvfParams.Pq.NCentroids
 
-    /** The current-epoch codebook, or None until the additive stats and
-      * all nCentroids anchor rows exist in the store.
+    // Epoch state (driver-local, like the replay counters below): the
+    // codebook rows are coded against, the per-dim (mn, mx) it was fit
+    // from, and the uncoded-row counters driving the refit policy.
+    var cachedQz: Option[Similarity.PqQuantizer] = None
+    var fitStats: Array[(Double, Double)] = Array.empty
+    var nullRows = 0L  // rows appended with pq = NULL since the last refit
+    var totalRows = 0L
+
+    def readStats(): Array[(Double, Double)] =
+      spark.read.parquet(statsDir).select("i", "mn", "mx").orderBy("i")
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+
+    /** Max over dims of how far the additive min/max moved OUTSIDE the
+      * last fit's grid, relative to the fitted range. min/max are
+      * monotone outward, so this is exactly the mis-scaling of the
+      * stored codes; 0.0 means the fitted codebook is still the
+      * full-corpus codebook bit-for-bit.
       */
-    def quantizerIfReady(): Option[Similarity.PqQuantizer] = {
+    def driftSinceFit(statsNow: Array[(Double, Double)]): Double =
+      if (fitStats.length != statsNow.length) Double.PositiveInfinity
+      else fitStats.indices.foldLeft(0.0) { (acc, i) =>
+        val (mnF, mxF) = fitStats(i); val (mnN, mxN) = statsNow(i)
+        val range = math.max(mxF - mnF, 1e-12)
+        math.max(acc, math.max(mnF - mnN, mxN - mxF) / range)
+      }
+
+    /** A fresh codebook from the additive stats + the stored anchor
+      * rows, or None until all nCentroids anchors exist in the store.
+      */
+    def quantizerIfReady(): Option[(Similarity.PqQuantizer, Array[(Double, Double)])] = {
       if (!pathExists(spark, statsDir) || !pathExists(spark, store)) None
       else {
         val anchorRows = spark.read.parquet(store)
@@ -1630,22 +1685,22 @@ object StreamOps {
           .collect().sortBy(_.getLong(0))
         if (anchorRows.length < nCent) None
         else {
-          val stats = spark.read.parquet(statsDir)
-            .select("i", "mn", "mx").orderBy("i").collect()
-          val mins = stats.map(_.getDouble(1))
-          val ranges = stats.indices.map(i => stats(i).getDouble(2) - mins(i)).toArray
-          Some(Similarity.PqQuantizer.from(mins, ranges,
-            anchorRows.toSeq.map(_.getSeq[Float](1)), m, nCent))
+          val st = readStats()
+          val mins = st.map(_._1)
+          val ranges = st.map { case (mn, mx) => mx - mn }
+          Some((Similarity.PqQuantizer.from(mins, ranges,
+            anchorRows.toSeq.map(_.getSeq[Float](1)), m, nCent), st))
         }
       }
     }
 
     /** Compaction: recode the whole store against a fresh codebook fit
-      * from the additive stats + stored anchors. Returns false (no-op)
-      * while the anchors are still incomplete.
+      * from the additive stats + stored anchors; the fit becomes the new
+      * epoch codebook. Returns false (no-op) while the anchors are still
+      * incomplete.
       */
     def refitCodes(): Boolean = quantizerIfReady() match {
-      case Some(qz) =>
+      case Some((qz, st)) =>
         val recoded = spark.read.parquet(store)
           .select(col("vec_id"), col("embedding"), col("label"),
             qz.codes.as("codes"))
@@ -1654,19 +1709,20 @@ object StreamOps {
           // materialize BEFORE overwriting the store being read
           .localCheckpoint(true)
         recoded.write.mode("overwrite").partitionBy("label").parquet(store)
+        cachedQz = Some(qz); fitStats = st; nullRows = 0L
         true
       case None => false
     }
 
     val src = spark.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
-    var batchesDone = 0L
     var refitCurrent = false // did a refit run AFTER the latest append?
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tBatch0 = System.nanoTime()
         val b = batch.localCheckpoint(true)
         // (1) additive per-dim quantizer stats
         val part = b.select(posexplode(col("embedding")).as(Seq("i", "x")))
@@ -1692,24 +1748,35 @@ object StreamOps {
               .agg(sum("s").as("s"), sum("n").cast("long").as("n"))
           else cpart).localCheckpoint(true)
         mergedCent.write.mode("overwrite").parquet(cdir)
-        // (3) code against the current epoch's codebook, append to cells
-        val coded = quantizerIfReady() match {
+        // (3) code against the CACHED epoch codebook (one quantizer per
+        // epoch — no per-batch anchor/stats re-collection), append
+        val nRows = b.count()
+        val coded = cachedQz match {
           case Some(qz) =>
             b.select(col("vec_id"), col("embedding"), col("label"),
                 qz.codes.as("codes"))
               .select(col("vec_id"), col("embedding"), col("label"),
                 qz.assigns.as("pq"))
           case None =>
+            nullRows += nRows
             b.select(col("vec_id"), col("embedding"), col("label"),
               lit(null).cast("array<int>").as("pq"))
         }
         coded.write.mode("append").partitionBy("label").parquet(store)
-        batchesDone += 1
-        val refit =
-          if (compactEvery > 0 && batchesDone % compactEvery == 0) refitCodes()
-          else false
+        totalRows += nRows
+        // drift-policy refit decision (see Scaladoc): mergedStats is
+        // already materialized (localCheckpoint above), so the collect
+        // reads `dims` rows from memory, not a re-scan
+        val statsNow = mergedStats.orderBy("i").collect()
+          .map(r => (r.getDouble(1), r.getDouble(2)))
+        val needRefit =
+          if (cachedQz.isEmpty) nullRows > 0L
+          else nullRows.toDouble / totalRows > nullFracRefitThreshold ||
+            driftSinceFit(statsNow) > driftRefitThreshold
+        val refit = if (needRefit) refitCodes() else false
         refitCurrent = refit
-        batchProbe(b.count(), if (refit) 1L else 0L)
+        recordBatchDuration(tBatch0, if (refit) "refit" else "append")
+        batchProbe(nRows, if (refit) 1L else 0L)
       }
       .start()
     q.awaitTermination()
@@ -1718,14 +1785,17 @@ object StreamOps {
       s"IVFADC ingest replay ran $batches non-empty micro-batches; " +
         "the incremental path requires at least 2")
     // final compaction refit — pins the serving codebook to the exact
-    // full-corpus fit (see Scaladoc). Skipped when the LAST batch's
-    // scheduled refit already ran: the store is then already coded
-    // against the full-corpus codebook and a second recode would be a
-    // byte-identical O(corpus) rewrite.
-    if (!refitCurrent)
+    // full-corpus fit (see Scaladoc). Skipped when it would be
+    // byte-identical: the last batch's policy refit already ran, OR the
+    // additive stats are bitwise unchanged since the last fit and no
+    // uncoded rows remain (same mins/ranges + same anchor rows ⇒ same
+    // codebook ⇒ same assignments).
+    val upToDate = refitCurrent ||
+      (cachedQz.nonEmpty && nullRows == 0L && driftSinceFit(readStats()) == 0.0)
+    if (!upToDate)
       require(refitCodes(),
         "IVFADC refit impossible: anchor vectors missing from the store")
-    val qz = quantizerIfReady().get
+    val qz = cachedQz.get
     val stored = spark.read.parquet(store)
     val qv = stored.filter(col("vec_id") === IvfParams.QueryVecId)
       .select("embedding").head().getSeq[Float](0)

@@ -596,8 +596,9 @@ class StreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(probes.length >= 2, s"expected >=2 probed batches, got $probes")
     probes.foreach { case (rows, _) => assert(rows >= 1L, s"empty batch: $probes") }
-    // at least one MID-STREAM refit (the final batch hits the
-    // compactEvery=2 schedule with all 16 anchors ingested)
+    // at least one MID-STREAM refit (the drift policy fires the
+    // first-epoch refit on the batch that completes the 16 anchor rows —
+    // uncoded pq=NULL rows are in the store until then)
     assert(probes.exists(_._2 == 1L), s"no mid-stream refit fired: $probes")
     for (i <- 1 until snaps.length if probes(i)._2 == 0L) {
       val prev = snaps(i - 1); val cur = snaps(i)
@@ -618,6 +619,93 @@ class StreamSpec extends AnyFunSuite {
         rerankN = graft.pipeline.IvfParams.IvfAdc.RerankN)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == batch, s"streamed ADC serving $got != batch IVFADC $batch")
+  }
+
+  test("ivfAdcTopKReplayBatch: drift policy — a no-drift replay does exactly ONE store rewrite (first-epoch fit) and skips the final parity refit") {
+    // Lattice-valued embeddings: every dim's global min/max is attained
+    // inside EVERY micro-batch (value depends only on t mod 12 where
+    // t = position/4, and repartition(4) of a single input partition is
+    // round-robin, so each batch's t values cover all residues mod 12).
+    // The additive stats are therefore already the full-corpus stats at
+    // the first-epoch fit and every later batch has drift == 0.0
+    // exactly: the policy must not rewrite again, and the final parity
+    // refit must be skipped as byte-identical (r15 verdict #3 — the old
+    // compactEvery=2 schedule rewrote this corpus twice mid-stream plus
+    // had the final-refit question; the policy does ONE rewrite total).
+    val n = 480; val dims = 16
+    // all 16 anchors (vec_id < nCentroids) at positions ≡ 0 (mod 4) so
+    // they land in a single micro-batch and the first epoch can start
+    // before the last batch
+    val anchorPos = (0 until 16).map(_ * 4)
+    val posToVec: Map[Int, Long] = {
+      val anchors = anchorPos.zipWithIndex.map { case (p, a) => p -> a.toLong }
+      var next = 16L
+      val rest = (0 until n).filterNot(anchorPos.contains).map { p =>
+        val id = next; next += 1; p -> id
+      }
+      (anchors ++ rest).toMap
+    }
+    val data = (0 until n).map { j =>
+      val t = j / 4
+      val label = t % 4
+      val emb = (0 until dims).map { i =>
+        ((((label * 7 + i) % 5) * 0.2) + (((t + i) % 3 - 1) * 0.1)).toFloat
+      }
+      (posToVec(j), emb, label)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_nodrift_").toString
+    data.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.parquet(s"$dir/embeddings.parquet")
+    var store = ""
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Map[String, Long]]
+    def fileMap(): Map[String, Long] = {
+      val base = java.nio.file.Paths.get(store)
+      if (!java.nio.file.Files.exists(base)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(base)
+        try walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p)))
+          .toMap
+        finally walk.close()
+      }
+    }
+    val got = StreamOps.ivfAdcTopKReplayBatch(spark, s"$dir/embeddings.parquet",
+        batchProbe = (rows, refit) => {
+          probes += ((rows, refit)); snaps += fileMap(); ()
+        },
+        stateDirProbe = p => { store = p })
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probes.count(_._2 == 1L) == 1,
+      s"no-drift replay must rewrite exactly once (first-epoch fit): $probes")
+    // every batch after the fit appended only — pre-existing cell files
+    // survive at their size
+    for (i <- 1 until snaps.length if probes(i)._2 == 0L) {
+      val prev = snaps(i - 1); val cur = snaps(i)
+      val lost = prev.filterNot { case (f, sz) => cur.get(f).contains(sz) }
+      assert(lost.isEmpty,
+        s"non-refit batch ${i + 1} rewrote pre-existing cell files: ${lost.keys}")
+    }
+    // the final parity refit was SKIPPED: the on-disk store is bitwise
+    // the state the last micro-batch left behind
+    assert(fileMap() == snaps.last,
+      "final parity refit ran on a no-drift replay (store rewritten after the last batch)")
+    // …and skipping it is still oracle-exact: bit-equality with the
+    // batch IVFADC rung on the same corpus (nprobe=4 over 4 labels makes
+    // the probe set insensitive to centroid FP summation order here)
+    val batch = graft.pipeline.Similarity.ivfAdcTopK(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        queryId = graft.pipeline.IvfParams.QueryVecId,
+        k = graft.pipeline.IvfParams.K,
+        nprobe = 4,
+        m = graft.pipeline.IvfParams.Pq.M,
+        nCentroids = graft.pipeline.IvfParams.Pq.NCentroids,
+        rerankN = graft.pipeline.IvfParams.IvfAdc.RerankN)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == batch, s"no-drift streamed ADC $got != batch IVFADC $batch")
   }
 
   test("mergeBatchIntoBucketedStore: a batch deleting EVERY row of a bucket removes its directory") {
