@@ -63,7 +63,11 @@ object Bench {
     // round-15 additions measured >=2s isolated:
     "stream_ivfadc_topk",
   )
-  private val LightChunk = 10
+  // 20 light queries per JVM since r16 (was 10): halves the light-chunk
+  // JVM startups (~15s each). The per-chunk untimed warm pass + isolate()
+  // between reps are per-query, so individual light medians are
+  // unaffected by chunk size — only the unit boundaries move.
+  private val LightChunk = 20
 
   def main(args: Array[String]): Unit =
     if (sys.env.contains("SPARK_GRAFT_BENCH_PART")) child()
@@ -126,7 +130,15 @@ object Bench {
     // defaults gave cpus=4 -> four local[4] children = 16 threads on a
     // 4-CPU box, contradicting the exactly-subscribed claim). The env
     // override can only shrink the pool below the budget, not grow past it.
-    val parEnv = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "4").toInt)
+    // r16: default pool 8 (was 4). The r15 round died rc 124: the 4-way
+    // pool was SATURATED (sum of unit durations 3801s / 4 ≈ 950s ≈ the
+    // 970s wall, zero margin against the driver budget). Most busy time
+    // is JVM startup (~96 units x ~15s) plus heavies that barely scale
+    // past 8 threads (BENCH_CALIBRATION median thread-slice inflation
+    // 1.089 from 32 -> 8 threads), so 8 children x local[4] overlap that
+    // serial work twice as wide for a small per-query inflation —
+    // re-based by the refreshed calibration legs for this config.
+    val parEnv = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "8").toInt)
     val parByCpu = math.max(1, math.min(parEnv, cpus / 4))
     // Each child inherits the parent's full -Xmx (splitting the heap like
     // the threads would change GC behavior and break median comparability
@@ -136,15 +148,21 @@ object Bench {
     // par x Xmx <= 80% of physical RAM; on the driver box (128 GiB,
     // Xmx8g, par 4 -> 32 GiB) this never binds.
     val xmxBytes: Long = {
-      val m = "-Xmx(\\d+)([kKmMgG]?)".r
+      val m = "-Xmx(\\d+)([kKmMgGtT]?)".r
       xmx match {
         case m(n, u) =>
           val mult = u.toLowerCase match {
             case "k" => 1L << 10; case "m" => 1L << 20; case "g" => 1L << 30
-            case _ => 1L
+            case "t" => 1L << 40
+            case _ => 1L // bare byte count
           }
           n.toLong * mult
-        case _ => 8L << 30
+        case other =>
+          // never clamp against a silent guess (r15 advice): say so when
+          // the heap flag is unparseable
+          System.err.println(s"[bench] unparseable child heap flag '$other'" +
+            " — memory clamp assumes 8 GiB")
+          8L << 30
       }
     }
     val physBytes: Long = java.lang.management.ManagementFactory
@@ -165,8 +183,94 @@ object Bench {
     // (BENCH_OCCUPANCY.json, same dir as the bench line) because the
     // one-line stdout contract stays as-is.
     val epoch = System.nanoTime()
+    def nowSec: Double = (System.nanoTime() - epoch) / 1e9
+    // Span starts are recorded BEFORE the child launches (end = NaN while
+    // running) so a unit that hangs or is killed mid-run still appears in
+    // every other unit's co-runner list — understating contention was
+    // exactly what the occupancy record exists to avoid (r15 advice).
     val spans = new java.util.concurrent.ConcurrentHashMap[Int, (Double, Double)]()
-    def runUnit(unit: Seq[String], i: Int): (Int, Map[String, Double]) = {
+    // Graceful degradation (r15 verdict #2; the r13/r15 rc-124 failure
+    // class): per-unit results land here as units finish and the one-line
+    // artifact file is REWRITTEN incrementally, so a run killed mid-pool
+    // still ships per-query numbers for everything that completed, with
+    // the rest in an explicit "skipped" list. A shutdown hook prints the
+    // partial line to stdout for the driver's tail parser (SIGTERM
+    // arrives before the timeout wrapper's SIGKILL), and an internal soft
+    // deadline stops LAUNCHING new units so a slow run finishes inside
+    // the budget instead of dying mid-unit with nothing.
+    val done = new java.util.concurrent.ConcurrentHashMap[Int, Map[String, Double]]()
+    val deadlineSkipped = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "900").toDouble
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val emitLock = new Object
+    // live children, killed by the shutdown hook AFTER the partial emit —
+    // orphaned child JVMs would otherwise keep burning the box (and
+    // contend with whatever the driver runs next) for minutes after the
+    // parent is gone
+    val procs = new java.util.concurrent.ConcurrentHashMap[Int, Process]()
+
+    def writeOccupancy(): Unit = {
+      import scala.jdk.CollectionConverters._
+      // open spans (NaN end) take "now" as a provisional end for overlap
+      // math and are flagged, so partial runs still adjudicate
+      val now = nowSec
+      val unitSpans = spans.asScala.toSeq.sortBy(_._1).map { case (i, (s0, s1)) =>
+        (i, s0, if (s1.isNaN) now else s1, s1.isNaN)
+      }
+      val occ = unitSpans.map { case (i, s0, s1, open) =>
+        val co = unitSpans.filter { case (j, t0a, t1a, _) =>
+          j != i && math.min(s1, t1a) - math.max(s0, t0a) > 0.1
+        }.map { case (j, t0a, t1a, _) =>
+          val ov = math.min(s1, t1a) - math.max(s0, t0a)
+          s"""{"unit":$j,"queries":"${units(j).mkString(",")}","overlap_sec":${f"$ov%.1f"}}"""
+        }.mkString("[", ",", "]")
+        s"""{"unit":$i,"queries":"${units(i).mkString(",")}","start_sec":${f"${s0}%.1f"},""" +
+          s""""end_sec":${f"${s1}%.1f"},"open":$open,"co_ran":$co}"""
+      }.mkString("[", ",", "]")
+      Files.writeString(
+        Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OCC", "BENCH_OCCUPANCY.json")),
+        s"""{"par":$par,"child_threads":$childCpus,"child_xmx":"$xmx",""" +
+          s""""note":"per-unit pool occupancy for adjudicating pooled medians (r14 verdict #1): each record lists the units co-running during its window; open=true means the unit was still running when this was written","units":$occ}""")
+    }
+
+    /** Assemble the artifact from whatever has finished: completed units
+      * contribute per-query seconds (a query a finished child did not
+      * report is an error, -1), unfinished units go to `skipped`.
+      */
+    def writeArtifacts(toStdout: Boolean): Unit = emitLock.synchronized {
+      if (emitted.get()) return
+      val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+      val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+      units.zipWithIndex.foreach { case (unit, i) =>
+        Option(done.get(i)) match {
+          case Some(measured) =>
+            unit.foreach { n =>
+              val t = measured.getOrElse(n, -1.0)
+              if (t < 0) { results(n) = -1.0; errors += n }
+              else results(n) = t
+            }
+          case None => skipped ++= unit
+        }
+      }
+      writeOccupancy()
+      emit(results.toSeq, errors.toSeq, skipped.toSeq, toStdout)
+      if (toStdout) emitted.set(true)
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      writeArtifacts(true)
+      procs.values.forEach(p => { p.destroy(); () })
+    }))
+
+    def runUnit(unit: Seq[String], i: Int): Unit = try {
+      if (nowSec > deadlineSec) {
+        deadlineSkipped.add(i)
+        System.err.println(s"[bench] unit ${i + 1}/${units.size} SKIPPED: " +
+          f"past soft deadline ($nowSec%.0f > $deadlineSec%.0f s)")
+        writeArtifacts(toStdout = false)
+        return
+      }
       val part = partsDir.resolve(s"part_$i.txt")
       val cmd = (Seq(javaBin) ++ opens ++ Seq(xmx,
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -184,9 +288,16 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       System.err.println(s"[bench] unit ${i + 1}/${units.size}: ${unit.mkString(",")}")
-      val u0 = (System.nanoTime() - epoch) / 1e9
-      val rc = pb.start().waitFor()
-      spans.put(i, (u0, (System.nanoTime() - epoch) / 1e9))
+      val u0 = nowSec
+      spans.put(i, (u0, Double.NaN))
+      val proc = pb.start()
+      procs.put(i, proc)
+      val rc = try proc.waitFor() finally { procs.remove(i); () }
+      spans.put(i, (u0, nowSec))
+      // The part file is written once, after ALL the unit's measurements:
+      // its presence means the child finished measuring, so trust it even
+      // if the JVM's shutdown then returned nonzero. No part file (or a
+      // per-query -1 inside it) → the query errors.
       val measured: Map[String, Double] =
         if (Files.exists(part))
           Files.readAllLines(part).asScala.flatMap { line =>
@@ -197,53 +308,23 @@ object Bench {
           }.toMap
         else Map.empty
       if (rc != 0) System.err.println(s"[bench] unit ${i + 1} exited rc=$rc")
-      (rc, measured)
+      done.put(i, measured)
+      writeArtifacts(toStdout = false)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] unit ${unit.mkString(",")} crashed: ${e.getMessage}")
+        done.put(i, Map.empty[String, Double])
+        writeArtifacts(toStdout = false)
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     val futures = units.zipWithIndex.map { case (unit, i) =>
-      pool.submit(new java.util.concurrent.Callable[(Int, Map[String, Double])] {
-        def call(): (Int, Map[String, Double]) = runUnit(unit, i)
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = runUnit(unit, i)
       })
     }
     pool.shutdown()
-
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    units.zip(futures).foreach { case (unit, fut) =>
-      // The part file is written once, after ALL the unit's measurements:
-      // its presence means the child finished measuring, so trust it even
-      // if the JVM's shutdown then returned nonzero. No part file (or a
-      // per-query -1 inside it) → the query errors.
-      val measured = try fut.get()._2 catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] unit ${unit.mkString(",")} crashed: ${e.getMessage}")
-          Map.empty[String, Double]
-      }
-      unit.foreach { n =>
-        val t = measured.getOrElse(n, -1.0)
-        if (t < 0) { results(n) = -1.0; errors += n }
-        else results(n) = t
-      }
-    }
-    // occupancy side artifact: one record per unit with its wall window
-    // and every unit that overlapped it (>0.1s), so each official median
-    // carries its co-runner mix
-    val unitSpans = units.indices.flatMap(i => Option(spans.get(i)).map(i -> _))
-    val occ = unitSpans.map { case (i, (s0, s1)) =>
-      val co = unitSpans.filter { case (j, (t0a, t1a)) =>
-        j != i && math.min(s1, t1a) - math.max(s0, t0a) > 0.1
-      }.map { case (j, (t0a, t1a)) =>
-        val ov = math.min(s1, t1a) - math.max(s0, t0a)
-        s"""{"unit":$j,"queries":"${units(j).mkString(",")}","overlap_sec":${f"$ov%.1f"}}"""
-      }.mkString("[", ",", "]")
-      s"""{"unit":$i,"queries":"${units(i).mkString(",")}","start_sec":${f"${s0}%.1f"},""" +
-        s""""end_sec":${f"${s1}%.1f"},"co_ran":$co}"""
-    }.mkString("[", ",", "]")
-    Files.writeString(
-      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OCC", "BENCH_OCCUPANCY.json")),
-      s"""{"par":$par,"child_threads":$childCpus,"child_xmx":"$xmx",""" +
-        s""""note":"per-unit pool occupancy for adjudicating 4-way medians (r14 verdict #1): each record lists the units co-running during its window","units":$occ}""")
-    emit(results.toSeq, errors.toSeq)
+    futures.foreach(f => try f.get() catch { case _: Throwable => () })
+    writeArtifacts(toStdout = true)
   }
 
   // ----------------------------------------------------------------- child
@@ -270,7 +351,7 @@ object Bench {
     val names = orderedNames()
     val (results, errors) = measure(spark, names, isLight = false,
       warmNames = names.filterNot(Heavy))
-    emit(results, errors)
+    emit(results, errors, Seq.empty, toStdout = true)
     spark.stop()
   }
 
@@ -351,17 +432,26 @@ object Bench {
     (results, errors.toSeq)
   }
 
-  private def emit(results: Seq[(String, Double)], errors: Seq[String]): Unit = {
+  /** Render + land the artifact. `toStdout = false` (incremental update
+    * after each unit) writes only the file; the final pass and the
+    * shutdown hook print the one-line contract too. `skipped` lists
+    * queries whose unit never ran (deadline/kill) — distinct from
+    * `errors`, whose unit RAN and failed.
+    */
+  private def emit(results: Seq[(String, Double)], errors: Seq[String],
+                   skipped: Seq[String], toStdout: Boolean): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map(n => s"\"$n\"").mkString("[", ",", "]")
+    val skip = skipped.map(n => s"\"$n\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Round-11 instrument change: per-unit JVM isolation (above). Numbers
     // from this round onward are NOT comparable to r<=10 totals measured in
     // one shared JVM — the shared session inflated late heavies up to 6x.
     val note = "isolation: one JVM per heavy query (every query measured " +
-      ">=2s at sf0.1 joins the set as it lands), 10 light queries per JVM, " +
+      ">=2s at sf0.1 joins the set as it lands), light queries chunked " +
+      "per JVM (20 since r16, 10 in r11-r15), " +
       "fixed sorted order, median of reps; since r12 each light chunk runs " +
       "one UNTIMED warm pass of its own queries before timing (r11 charged " +
       "sub-second queries ~0.3s of young-JVM JIT - cohort_retention " +
@@ -381,10 +471,16 @@ object Bench {
       "unit (same-session sequential-local[32] vs 4-way-local[8]), and " +
       "the parent writes BENCH_OCCUPANCY.json - per-unit wall windows " +
       "plus every co-running unit - so each official median carries its " +
-      "co-runner mix"
+      "co-runner mix. r16: pool default 8 (children local[CPUS/8]; r15's " +
+      "4-way pool saturated at ~970s wall and the driver timeout killed " +
+      "the whole artifact), light chunks 20/JVM, calibration legs " +
+      "re-based for the 8-way config; the artifact file is rewritten " +
+      "incrementally after every unit and a SIGTERM hook / soft deadline " +
+      "emits completed queries plus an explicit skipped list instead of " +
+      "dying empty"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"note":"$note","sf":"$sfDir"}"""
-    println(json)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped":$skip,"note":"$note","sf":"$sfDir"}"""
+    if (toStdout) println(json)
     // stdout line-length is at the mercy of whatever logger wraps the JVM
     // (sbt's clips ~3 KB, which once truncated a 98-query map) — always
     // land the full artifact in a file too
@@ -397,9 +493,9 @@ object Bench {
     // adjudication-relevant part — inlined.
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(
+    if (toStdout) println(
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-        s""""n_errors":${errors.size},"worst5":$worst,"sf":"$sfDir",""" +
-        """"full":"bench_local.json"}""")
+        s""""n_errors":${errors.size},"n_skipped":${skipped.size},"worst5":$worst,""" +
+        s""""sf":"$sfDir","full":"bench_local.json"}""")
   }
 }
