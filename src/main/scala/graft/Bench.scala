@@ -62,6 +62,8 @@ object Bench {
     "stream_assoc_rules", "stream_hll_users",
     // round-15 additions measured >=2s isolated:
     "stream_ivfadc_topk",
+    // round-16 additions measured >=2s isolated:
+    "pipeline_curation_e2e",
   )
   // 20 light queries per JVM since r16 (was 10): halves the light-chunk
   // JVM startups (~15s each). The per-chunk untimed warm pass + isolate()

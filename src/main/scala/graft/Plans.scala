@@ -69,6 +69,8 @@ object Plans {
     "leakage_safe_split" -> "split-by-cluster: the near-dup clustering plan (sketch-banded candidates + GraphX CC on the pair graph only) with the split decided by a per-row hash of the cluster id — zero additional Exchanges on top of the clustering.",
     "matrix_source_topk" -> "the r13 DSv2 TopN pushdown: the BatchScan description shows PushedTopN [ORDER BY graph_id, src, dst LIMIT 12 (partial)] — each file's parse stops at the 12th edge (row-major cell order IS the ascending sort), and the retained TakeOrderedAndProject merges the per-file heads; no full n²-cell decode anywhere.",
     "embedding_topk_ivfadc" -> "the composed ANN rung: nprobe best cells broadcast into the scan (partition-pruned on a label-partitioned store); PQ codes + per-subspace argmin + ADC table lookups are ALL literal integer arithmetic inside one codegen'd Project; the head is a TakeOrderedAndProject on (BIGINT adc_dist, vec_id); the exact vector_cosine re-rank runs on only the rerankN=200 head rows — full-precision embeddings never leave the probed cells.",
+    "pipeline_curation_e2e" -> "the composed curation chain (r15 verdict #7): exact dedup hands survivors to near-dup clustering through ONE doc_id semi-join (the md5 groupBy is the stage's own semantic shuffle); the clustering subplan is dedup_clusters' pinned shape feeding from the checkpointed survivor set; gopher gates are scan-local flag arithmetic joined back on doc_id (no extra wide shuffle); the benchmark gram set stays BROADCAST into the decon semi-join; the split is per-row hash arithmetic (zero Exchanges); per-split packing is the two-pass prefix-sum scan (ExistingRDD) — every Exchange in this plan belongs to a stage's own semantics, none to the stage boundaries.",
+    "skew_hot_key_join" -> "the adversarial-skew shape (r15 verdict #6): 90% of fact rows collapse onto ONE derived key; the dim is user-keyed — NOT broadcastable at 100 TB, shuffle_hash-hinted so the local plan shows the real shape; SkewUtils.saltedJoin turns the join key into (k, __salt), spreading the hot key's mass over 16 reducers with the dim exploded ×16 (the Generate under the build side); AQE's skew-join is the runtime lever when partition sizes are honest, but it declines at local data volume — the explicit salt is planner-independent and this plan pins it.",
     "stream_ivfadc_topk" -> "the SERVE plan over the MAINTAINED code store (dumped after the sf0.001 ingest replay): nprobe probe labels broadcast into the label-partitioned cell scan (partition-pruned); the ADC pass reads ONLY (vec_id, pq) — ReadSchema must NOT contain the embedding column, that pruning is the point of serving from stored codes; TakeOrderedAndProject head on (BIGINT adc_dist, vec_id); the exact re-rank fetches full-precision vectors via a broadcast join on just the rerankN head ids.",
   )
 

@@ -111,7 +111,12 @@ object Soak {
     // round-15: the IVFADC code-serving twin (append-only cells +
     // amortized refit — the 10× ratio tests that the refit schedule, not
     // the corpus, drives the rewrite cost)
-    "stream_ivfadc_topk")
+    "stream_ivfadc_topk",
+    // round-16: the composed curation chain — the 10× ratio tests that
+    // stage HANDOFFS (survivor semi-joins, broadcast bench grams,
+    // per-split prefix sums) stay linear, on top of each stage's own
+    // already-soaked scaling
+    "pipeline_curation_e2e")
 
   val Copies = 10
   val Stride = 4000000000L // > SupplierBase + any key: copies stay disjoint

@@ -2227,6 +2227,31 @@ object SparkEntry {
     // hourly volume anomalies: z-scores from exact BIGINT moments — one
     // fixed op tree, bit-identical, unrounded
     "events_anomalies" -> ((s, dir) => Events.hourlyAnomalies(t(s, dir, "events"))),
+    // adversarial-skew join (r15 verdict #6): 90% of event rows collapse
+    // onto ONE derived key (user_id ≢ 9 mod 10 → key 0); the dim side is
+    // the per-key customer census under the same derivation. At 100 TB
+    // the dim is user-keyed — too big to broadcast — so the join must
+    // shuffle, and a plain hash shuffle lands the hot key's whole mass on
+    // one reducer. SkewUtils.saltedJoin spreads it over 16 salt buckets
+    // (dim replicated ×16), shuffle_hash-hinted so the local plan shows
+    // the 100 TB shape: broadcast would hide the skew at test scale, and
+    // AQE's skew-join (the first-choice lever when sizes are honest)
+    // only splits oversized shuffle partitions at runtime — it declines
+    // at local data sizes, so the explicit salt is what PLANS.md pins.
+    "skew_hot_key_join" -> ((s, dir) => {
+      def hot(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(pmod(c, lit(10L)) < 9, lit(0L)).otherwise(c)
+      val fact = t(s, dir, "events")
+        .select(hot(col("user_id")).as("k"), col("event_type"))
+      val dim = t(s, dir, "customer")
+        .groupBy(hot(col("c_custkey")).as("k"))
+        .agg(count(lit(1)).cast("long").as("n_cust"))
+      graph.SkewUtils.saltedJoin(fact, dim.hint("shuffle_hash"), "k", salts = 16)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum("n_cust").as("cust_weight"))
+        .orderBy("event_type")
+    }),
     // cohort retention matrix: dedup (user, week) FIRST so the aggregate
     // is a plain count, never a COUNT DISTINCT
     "cohort_retention" -> ((s, dir) => Events.cohortRetention(t(s, dir, "events"))),
@@ -2297,6 +2322,14 @@ object SparkEntry {
     // deterministic hash split + per-source quality quota (curation ops)
     "train_val_split" -> ((s, dir) =>
       pipeline.Curation.trainValSplit(t(s, dir, "documents"))),
+    // the WHOLE curation pipeline as ONE declared dataflow (r15 verdict
+    // #7): exact dedup → near dedup → gopher gates → decontaminate →
+    // leakage-safe split → per-split sequence packing. 262 standalone
+    // operators never exercise the survivor-set handoff between stages;
+    // this does, and the oracle replays the identical chain by stacking
+    // each stage's standalone CTE form.
+    "pipeline_curation_e2e" -> ((s, dir) =>
+      pipeline.Curation.curationPipelineE2e(t(s, dir, "documents"))),
     "source_quota" -> ((s, dir) =>
       pipeline.Curation.sourceQuota(t(s, dir, "documents"), perSource = 5)),
     // weighted data mixing: even-indexed sources contribute 8 docs, odd 4,
@@ -2846,8 +2879,14 @@ object SparkEntry {
     * recursive connected components) shared by `dedup_clusters` and
     * `leakage_safe_split`. Callers prepend `WITH RECURSIVE`.
     */
-  private val dedupClusterCteSql =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Near-dup clustering CTE chain over `src` (a table or prior CTE with
+    * doc_id, text): exact 3-gram Jaccard ≥ 0.8 pairs + recursive
+    * connected components ending in comp(v, cluster). The engine side is
+    * minhash-LSH + verify — equivalent because every true ≥0.8 pair
+    * collides in at least one band at the declared parameters.
+    */
+  private def dedupClusterCtes(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -2862,6 +2901,8 @@ object SparkEntry {
       |  UNION
       |  SELECT e.b, r.r FROM reach r JOIN e ON e.a = r.v),
       |comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v)""".stripMargin
+
+  private val dedupClusterCteSql = dedupClusterCtes("documents")
 
   private val coPurchaseCteSql =
     s"""basket AS MATERIALIZED ($guardedBasketSql),
@@ -5023,6 +5064,16 @@ object SparkEntry {
         |WHERE nh * snn - sn * sn > 0
         |  AND abs(CAST(n * nh - sn AS DOUBLE) / sqrt(CAST(nh * snn - sn * sn AS DOUBLE))) > 2.5
         |ORDER BY hour_ms""".stripMargin,
+    // integer-only outputs — no rounding contract anywhere in the chain
+    "skew_hot_key_join" ->
+      """WITH fact AS (SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS k,
+        |    event_type FROM events),
+        |dim AS (SELECT CASE WHEN c_custkey % 10 < 9 THEN 0 ELSE c_custkey END AS k,
+        |    CAST(count(*) AS BIGINT) AS n_cust FROM customer GROUP BY 1)
+        |SELECT f.event_type AS event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(d.n_cust) AS BIGINT) AS cust_weight
+        |FROM fact f JOIN dim d ON f.k = d.k
+        |GROUP BY 1 ORDER BY f.event_type""".stripMargin,
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
@@ -5188,6 +5239,63 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // the curation chain end-to-end: each stage is its standalone
+    // oracle's CTE form, stacked — stage order and survivor handoff are
+    // exactly the engine composition's
+    "pipeline_curation_e2e" ->
+      s"""WITH RECURSIVE
+        |corpus AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+        |  FROM documents WHERE doc_id >= 10),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        |d1 AS MATERIALIZED (SELECT c.doc_id, c.text FROM corpus c JOIN ex USING (doc_id)),
+        |${dedupClusterCtes("d1")},
+        |d2 AS MATERIALIZED (
+        |  SELECT d.doc_id, d.text, coalesce(c.cluster, d.doc_id) AS cluster
+        |  FROM d1 d LEFT JOIN comp c ON c.v = d.doc_id
+        |  WHERE coalesce(c.cluster, d.doc_id) = d.doc_id),
+        |gt AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |         length(replace(text, ' ', '')) AS nc FROM d2),
+        |gtf AS (SELECT doc_id, u.tok AS tok, count(*) AS c
+        |        FROM gt, UNNEST(t) AS u(tok) GROUP BY 1, 2),
+        |gmx AS (SELECT doc_id, max(c) AS max_tok FROM gtf GROUP BY 1),
+        |gkeep AS (SELECT b.doc_id FROM
+        |    (SELECT doc_id, len(t) AS n_tokens, nc,
+        |       len(list_intersect(list_distinct(t),
+        |           ['the','a','of','to','and','in','that','is'])) AS n_stop
+        |     FROM gt) b JOIN gmx ON b.doc_id = gmx.doc_id
+        |  WHERE (n_tokens BETWEEN 30 AND 50000)
+        |    AND (9 * n_tokens <= 2 * nc AND nc <= 5 * n_tokens)
+        |    AND n_stop >= 2 AND 5 * max_tok <= n_tokens),
+        |d3 AS MATERIALIZED (SELECT d2.* FROM d2 JOIN gkeep USING (doc_id)),
+        |btoks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 10),
+        |bg AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |       FROM btoks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+        |dtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d3),
+        |dirty AS (SELECT DISTINCT g.doc_id FROM
+        |    (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |       || t[i+3] || ' ' || t[i+4] AS s
+        |     FROM dtoks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5) g
+        |  JOIN bg USING (s)),
+        |d4 AS MATERIALIZED (SELECT * FROM d3
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        |sp AS (SELECT doc_id, cluster,
+        |    CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1)
+        |           IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |         THEN 'train' ELSE 'val' END AS split FROM d4),
+        |pk AS (SELECT s.doc_id, s.cluster, s.split,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM sp s JOIN d4 d ON d.doc_id = s.doc_id),
+        |pc AS (SELECT doc_id, cluster, split, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY split
+        |      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM pk)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster AS BIGINT) AS cluster,
+        |  split, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+        |FROM pc ORDER BY doc_id""".stripMargin,
     "sequence_packing" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -481,4 +481,79 @@ object Curation {
       .select("source", "doc_id", "rk", "quality")
       .orderBy("source", "rk")
   }
+
+  /** The WHOLE curation pipeline as one declared dataflow (r15 verdict
+    * #7): exact dedup → near dedup → Gopher hard filters → benchmark
+    * decontamination → leakage-safe split → per-split sequence packing,
+    * each stage the engine's existing kernel — this operator tests the
+    * COMPOSITION (column contracts, survivor-set handoff, ordering
+    * stability across stages) that the stages' standalone queries never
+    * exercise together.
+    *
+    * Stage semantics (the DuckDB oracle replays the identical chain):
+    *   0. docs below `benchmarkMaxId` are the held-out benchmark —
+    *      pipeline INPUT (decon reference), never pipeline DATA;
+    *   1. exact dedup keeps the min-doc_id copy per md5(text);
+    *   2. near dedup ([[graft.pipeline.Dedup.dedupClusters]]: minhash-LSH
+    *      candidates, exact-Jaccard ≥ 0.8 verify, connected components)
+    *      keeps cluster representatives;
+    *   3. [[TextStats.gopherRules]] hard gates (word count, mean word
+    *      length, stopwords, max-token repetition);
+    *   4. [[contaminationFlags]] drops survivors sharing any benchmark
+    *      5-gram;
+    *   5. [[clusterSafeSplit]] assigns train/val by the CLUSTER hash;
+    *   6. [[sequencePacking]] packs each split independently into
+    *      `window`-token sequences (train sequences never contain val
+    *      text — per-split packing is semantic, not an implementation
+    *      convenience).
+    *
+    * Scale: no stage adds a shuffle beyond its own semantic one — the
+    * exact-dedup handoff is a hash semi-join on doc_id, the gopher gate
+    * is scan-local flags joined back on doc_id, the benchmark grams stay
+    * broadcast, the split is per-row hash arithmetic (zero shuffles),
+    * and the per-split packing is the two-pass prefix-sum scan. The
+    * survivor set is localCheckpointed once where three stages fan out
+    * of it. Output: (doc_id, cluster, split, n_tokens, seq_id,
+    * seq_offset) ordered by doc_id.
+    */
+  def curationPipelineE2e(documents: DataFrame, window: Long = 2048L,
+                          benchmarkMaxId: Long = DefaultBenchmarkMaxId,
+                          k: Int = DefaultDeconK): DataFrame = {
+    val corpus = documents
+      .filter(col("doc_id").cast("long") >= benchmarkMaxId)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // 1. exact dedup: min-doc_id keeper per text hash
+    val keepers = corpus.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val d1 = corpus.join(keepers, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // fans out: LSH clustering + the survivor join
+    // 2. near dedup: keep cluster representatives, carry the cluster id
+    val d2 = d1.join(
+      Dedup.dedupClusters(d1).filter(col("keep") === 1L)
+        .select("doc_id", "cluster"), Seq("doc_id"))
+    // 3. Gopher hard filters
+    val d3 = d2.join(
+      TextStats.gopherRules(d2).filter(col("keep") === 1L).select("doc_id"),
+      Seq("doc_id"))
+    // 4. decontaminate vs the held-out benchmark gram set
+    val bench = docGrams(
+      documents.filter(col("doc_id").cast("long") < benchmarkMaxId), k)
+      .select("s").distinct()
+    val d4 = d3.join(
+      contaminationFlags(d3.select("doc_id", "text"), bench, k)
+        .filter(col("contaminated") === 0L).select("doc_id"), Seq("doc_id"))
+      .localCheckpoint(true) // fans out: split + two per-split packs
+    // 5. leakage-safe split by cluster hash (per-row arithmetic)
+    val sp = clusterSafeSplit(d4.select("doc_id", "cluster"))
+    // 6. per-split packing — a train sequence never contains val text
+    val packed = Seq("train", "val").map { s =>
+      sequencePacking(
+        d4.join(sp.filter(col("split") === s).select("doc_id"), Seq("doc_id")),
+        window)
+    }.reduce(_.unionByName(_))
+    sp.select("doc_id", "cluster", "split")
+      .join(packed.select("doc_id", "n_tokens", "seq_id", "seq_offset"),
+        Seq("doc_id"))
+      .orderBy("doc_id")
+  }
 }

@@ -974,4 +974,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq(("1-URGENT", 1L, 100.5), ("2-HIGH", 2L, 60.25)),
       s"got $out")
   }
+
+  test("curationPipelineE2e: every stage's invariant holds on the composed output") {
+    import graft.pipeline.Curation
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Curation.curationPipelineE2e(raw).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    val ids = out.map(_._1).toSet
+    // stage 0+1: no benchmark docs; no non-keeper exact duplicates
+    assert(ids.forall(_ >= 10L), "benchmark docs leaked into the pipeline")
+    val exactKeepers = Dedup.exactDedup(raw.filter($"doc_id" >= 10L))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(exactKeepers), "a non-keeper exact duplicate survived")
+    // stage 2: every survivor is its own cluster representative
+    assert(out.forall { case (id, cluster, _, _, _, _) => id == cluster },
+      "a non-representative near-dup survived")
+    // stage 3: every survivor passes the gopher gates
+    val gopherKeep = TextStats.gopherRules(raw).filter($"keep" === 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(gopherKeep), "a gopher-rejected doc survived")
+    // stage 4: no survivor shares a benchmark 5-gram
+    val contaminated = Curation.decontaminate(raw)
+      .filter($"contaminated" === 1L).collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(contaminated).isEmpty, "a contaminated doc survived")
+    // stage 5: split is the cluster-hash rule
+    out.foreach { case (_, cluster, split, _, _, _) =>
+      val nib = java.security.MessageDigest.getInstance("MD5")
+        .digest(cluster.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.head
+      val expected = if ("0123456789ab".contains(nib)) "train" else "val"
+      assert(split == expected, s"cluster $cluster split $split != $expected")
+    }
+    // stage 6: packing is per-split concat-then-chunk — walking each
+    // split in its hash order, every (seq_id, seq_offset) matches the
+    // running token total, and the two splits pack independently
+    val hashOf = out.map { case (id, _, _, _, _, _) =>
+      id -> java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }.toMap
+    for (s <- Seq("train", "val")) {
+      var cum = 0L
+      out.filter(_._3 == s).sortBy { case (id, _, _, _, _, _) => (hashOf(id), id) }
+        .foreach { case (id, _, _, n, seqId, off) =>
+          assert(seqId == cum / 2048 && off == cum % 2048,
+            s"doc $id in $s: ($seqId, $off) != packed position of cum=$cum")
+          cum += n
+        }
+    }
+  }
 }

@@ -26,6 +26,17 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("l_returnflag"))
   }
 
+  test("skew_hot_key_join salts the hot key: shuffled join on (k, __salt), dim replicated, no broadcast") {
+    val p = planOf("skew_hot_key_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"hot-key join must shuffle (a broadcast would hide the skew the query exists to exercise):\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"dim side broadcast — the salt never reaches a shuffle:\n$p")
+    val joinLine = p.linesIterator.find(_.contains("ShuffledHashJoin")).getOrElse("")
+    assert(joinLine.contains("__salt"), s"join keys missing the salt: $joinLine")
+    assert(p.contains("explode"), s"dim side not replicated over the salt domain:\n$p")
+  }
+
   test("top_revenue broadcasts the customer dimension") {
     val p = planOf("top_revenue")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
