@@ -108,7 +108,7 @@ object Bench {
     val xmx = inArgs.filter(_.startsWith("-Xmx")).lastOption.getOrElse("-Xmx8g")
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val cp = sys.props("java.class.path")
-    val partsDir = Files.createTempDirectory("graft_bench_parts")
+    val partsDir = graft.TmpDirs.create("graft_bench_parts")
 
     // Round-14 wall-clock fix: 91+ sequential child JVMs at ~15-20s Spark
     // startup each blew the driver's bench budget in r13 (rc 124, no
@@ -286,6 +286,15 @@ object Bench {
       // chunk of exactly one query must warm like the rest of the light
       // baseline or its median reads cold (r12 advice)
       if (!unit.exists(Heavy)) pb.environment().put("SPARK_GRAFT_BENCH_LIGHT", "1")
+      else pb.environment().put("SPARK_GRAFT_REPS",
+        // heavy units run 2 reps since r16 (center of 2 = their mean)
+        // unless the caller pinned a count: multi-second medians are
+        // stable within ~5% and the third rep was ~850s of pool-busy
+        // time — the difference between fitting the driver budget with
+        // margin and dying at its timeout (r15 verdict #1). Light chunks
+        // keep 3 reps: sub-second queries carry the JIT/GC jitter that
+        // made single-shot deltas unadjudicable in the first place.
+        sys.env.getOrElse("SPARK_GRAFT_REPS", "2"))
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
@@ -429,7 +438,12 @@ object Bench {
         }
         rep += 1
       }
-      name -> (if (failed) -1.0 else times.sorted.apply(times.size / 2))
+      // true median (mean of the middle two for even rep counts — the
+      // upper-middle alone would report the WORSE of 2 reps)
+      name -> (if (failed) -1.0 else {
+        val s = times.sorted
+        (s(s.size / 2) + s((s.size - 1) / 2)) / 2
+      })
     }
     (results, errors.toSeq)
   }
@@ -475,8 +489,10 @@ object Bench {
       "plus every co-running unit - so each official median carries its " +
       "co-runner mix. r16: pool default 8 (children local[CPUS/8]; r15's " +
       "4-way pool saturated at ~970s wall and the driver timeout killed " +
-      "the whole artifact), light chunks 20/JVM, calibration legs " +
-      "re-based for the 8-way config; the artifact file is rewritten " +
+      "the whole artifact), light chunks 20/JVM, heavy units 2 reps " +
+      "(center = mean of the 2; lights keep 3 reps — sub-second queries " +
+      "carry the JIT/GC jitter the rep count exists for), calibration " +
+      "legs re-based for the 8-way/2-rep config; the artifact file is rewritten " +
       "incrementally after every unit and a SIGTERM hook / soft deadline " +
       "emits completed queries plus an explicit skipped list instead of " +
       "dying empty"

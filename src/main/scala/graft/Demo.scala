@@ -22,7 +22,7 @@ object Demo {
     import spark.implicits._
 
     val dir = args.headOption.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_demo_").toString)
+      graft.TmpDirs.create("graft_demo_").toString)
     val engine = new GraphEngine(spark, new GraphCatalog(spark, dir))
 
     def show(tag: String)(body: => Response): Unit =

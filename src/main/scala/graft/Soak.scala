@@ -84,6 +84,11 @@ object Soak {
     * witness), plus round 8's betweenness (bench worst-2 since).
     */
   val SlowQueries: Seq[String] = Seq(
+    // round-16 additions FIRST: the per-batch refit/append record for the
+    // IVFADC twin (r15 verdict #5) and the composed curation chain's
+    // handoff scaling are this round's soak evidence — front-running them
+    // means a budget-truncated soak still captures the new claims
+    "stream_ivfadc_topk", "pipeline_curation_e2e",
     "bootstrap_ci_mean", "graph_mis", "scc_components", "katz_top20",
     "graph_random_walks", "betweenness_top50",
     "wpagerank_top20", "subtree_sizes", "label_propagation",
@@ -107,16 +112,7 @@ object Soak {
     // |Δ|-scaled claim is exactly what the 10× soak tests), the two
     // additive serving twins, and the composed ANN rung
     "stream_fourclique_maintain", "stream_assoc_rules", "stream_hll_users",
-    "embedding_topk_ivfadc",
-    // round-15: the IVFADC code-serving twin (append-only cells +
-    // amortized refit — the 10× ratio tests that the refit schedule, not
-    // the corpus, drives the rewrite cost)
-    "stream_ivfadc_topk",
-    // round-16: the composed curation chain — the 10× ratio tests that
-    // stage HANDOFFS (survivor semi-joins, broadcast bench grams,
-    // per-split prefix sums) stay linear, on top of each stage's own
-    // already-soaked scaling
-    "pipeline_curation_e2e")
+    "embedding_topk_ivfadc")
 
   val Copies = 10
   val Stride = 4000000000L // > SupplierBase + any key: copies stay disjoint

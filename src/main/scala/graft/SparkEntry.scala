@@ -107,7 +107,7 @@ object SparkEntry {
       .select((lit(1) + col("n_regionkey")).cast("long").as("src"),
               (lit(10) + col("n_nationkey")).cast("long").as("dst"))
     val n = 34 // vertex ids 1..5 (regions) and 10..34 (nations)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_catalog_").toString
+    val tmp = graft.TmpDirs.create("graft_catalog_").toString
     val matrixPath = s"$tmp/G1.txt"
     MatrixCodec.writeMatrixFile(edges, n, matrixPath)
     val (_, parsed) = MatrixCodec.readMatrixFile(s, matrixPath)
@@ -124,7 +124,7 @@ object SparkEntry {
       val edges = t(s, dir, "nation")
         .select((lit(1) + col("n_regionkey")).cast("long").as("src"),
           (lit(10) + col("n_nationkey")).cast("long").as("dst"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_").toString
+      val tmp = graft.TmpDirs.create("graft_dsv2_").toString
       MatrixCodec.writeMatrixFile(edges, 34, s"$tmp/G1.txt")
       s.read.format("graft-matrix").load(tmp)
         .orderBy("graph_id", "src", "dst")
@@ -138,7 +138,7 @@ object SparkEntry {
         .select(lit("G7").as("graph_id"),
           (col("n_nationkey") + 1).cast("long").as("src"),
           (col("n_regionkey") + 1).cast("long").as("dst"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_rt_").toString
+      val tmp = graft.TmpDirs.create("graft_sink_rt_").toString
       edges.write.format("graft-matrix").mode("append").save(tmp)
       s.read.format("graft-matrix").load(tmp)
         .orderBy("src", "dst")
@@ -155,7 +155,7 @@ object SparkEntry {
         .filter(col("n_regionkey") % 2 === parity)
         .select((lit(1) + col("n_regionkey")).cast("long").as("src"),
           (lit(10) + col("n_nationkey")).cast("long").as("dst"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_agg_").toString
+      val tmp = graft.TmpDirs.create("graft_dsv2_agg_").toString
       MatrixCodec.writeMatrixFile(edgesOf(0), 34, s"$tmp/G1.txt")
       MatrixCodec.writeMatrixFile(edgesOf(1), 34, s"$tmp/G2.txt")
       s.read.format("graft-matrix").load(tmp)
@@ -178,7 +178,7 @@ object SparkEntry {
         .filter(col("n_regionkey") % 2 === parity)
         .select((lit(1) + col("n_regionkey")).cast("long").as("src"),
           (lit(10) + col("n_nationkey")).cast("long").as("dst"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_topk_").toString
+      val tmp = graft.TmpDirs.create("graft_dsv2_topk_").toString
       MatrixCodec.writeMatrixFile(edgesOf(0), 34, s"$tmp/G1.txt")
       MatrixCodec.writeMatrixFile(edgesOf(1), 34, s"$tmp/G2.txt")
       s.read.format("graft-matrix").load(tmp)
@@ -202,7 +202,7 @@ object SparkEntry {
       val d2 = nation.filter(col("n_regionkey") % 2 === 0)
         .select((lit(200) + col("n_nationkey")).cast("long").as("src"),
           (lit(200) + col("n_nationkey")).cast("long").as("dst"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_compactq_").toString
+      val tmp = graft.TmpDirs.create("graft_compactq_").toString
       val cat = new GraphCatalog(s, s"$tmp/graphs")
       cat.add("G", base)
       cat.modifyDelta("G", d1, assertDisjoint = true)
@@ -218,7 +218,7 @@ object SparkEntry {
       val edges = t(s, dir, "nation")
         .select((lit(1) + col("n_regionkey")).cast("long").as("src"),
           (lit(10) + col("n_nationkey")).cast("long").as("dst"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_vdiff_").toString
+      val tmp = graft.TmpDirs.create("graft_vdiff_").toString
       val cat = new GraphCatalog(s, s"$tmp/graphs")
       cat.add("G1", edges)
       cat.modify("G1", edges.filter(col("dst") % 2 =!= 0))

@@ -223,7 +223,7 @@ object StreamOps {
   def routeReplayBatch(spark: org.apache.spark.sql.SparkSession,
                        ordersPath: String): DataFrame = {
     val schema = spark.read.parquet(ordersPath).schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_route_")
+    val tmp = graft.TmpDirs.create("graft_stream_route_")
     val outDir = s"$tmp/out"
     val staged = stageInput(tmp, ordersPath)
     val lines = spark.readStream.schema(schema).parquet(staged.toString)
@@ -265,7 +265,7 @@ object StreamOps {
                        eventsPath: String, dupMaxId: Long = 1000L): DataFrame = {
     val spark = tunedStatefulSession(spark0)
     val schema = spark.read.parquet(eventsPath).schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup_")
+    val tmp = graft.TmpDirs.create("graft_stream_dedup_")
     val outDir = s"$tmp/out"
     val staged = stageInput(tmp, eventsPath)
     def read() = spark.readStream.schema(schema).parquet(staged.toString)
@@ -328,7 +328,7 @@ object StreamOps {
                             eventsPath: String): DataFrame = {
     val spark = tunedStatefulSession(spark0)
     val schema = spark.read.parquet(eventsPath).schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_totals_")
+    val tmp = graft.TmpDirs.create("graft_stream_totals_")
     val target = s"$tmp/target"
     val staged = stageInput(tmp, eventsPath)
     val agg = spark.readStream.schema(schema).parquet(staged.toString)
@@ -370,7 +370,7 @@ object StreamOps {
     val spark = tunedStatefulSession(spark0)
     val k = 64
     val schema = spark.read.parquet(eventsPath).schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_kmv_")
+    val tmp = graft.TmpDirs.create("graft_stream_kmv_")
     val state = s"$tmp/state"
     // This replay COPIES the input into a 4-file split (not the usual
     // symlink staging): the whole point here is the CROSS-BATCH merge,
@@ -435,7 +435,7 @@ object StreamOps {
     val spark = tunedStatefulSession(spark0)
     val (depth, width) = (4, 256)
     val schema = spark.read.parquet(eventsPath).schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cms_")
+    val tmp = graft.TmpDirs.create("graft_stream_cms_")
     val state = s"$tmp/state"
     // split copy + maxFilesPerTrigger=1 forces genuine cross-batch merge
     // rounds (a single-file source under AvailableNow is ONE micro-batch)
@@ -621,7 +621,7 @@ object StreamOps {
                              windowLen: String = "6 hours"): DataFrame = {
     val spark = tunedStatefulSession(spark0)
     val schema = spark.read.parquet(eventsPath).schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_winagg_")
+    val tmp = graft.TmpDirs.create("graft_stream_winagg_")
     val outDir = s"$tmp/out"
     val staged = stageInput(tmp, eventsPath)
     // event-time column from ts, physical-flavor-agnostic (TsCompat)
@@ -666,7 +666,7 @@ object StreamOps {
                         windowLen: String = "6 hours"): DataFrame = {
     val spark = tunedStatefulSession(spark0)
     val schema = spark.read.parquet(eventsPath).schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_enrich_")
+    val tmp = graft.TmpDirs.create("graft_stream_enrich_")
     val outDir = s"$tmp/out"
     val staged = stageInput(tmp, eventsPath)
     // event-time column from ts, physical-flavor-agnostic (TsCompat)
@@ -721,7 +721,7 @@ object StreamOps {
                          gapMs: Long = 1800000L): DataFrame = {
     val spark = tunedStatefulSession(spark0)
     val schema = spark.read.parquet(eventsPath).schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess_")
+    val tmp = graft.TmpDirs.create("graft_stream_sess_")
     val outDir = s"$tmp/out"
     val staged = stageInput(tmp, eventsPath)
     val events = spark.readStream.schema(schema).parquet(staged.toString)
@@ -774,7 +774,7 @@ object StreamOps {
                               withinMs: Long = 5000L): DataFrame = {
     val spark = tunedStatefulSession(spark0)
     val schema = spark.read.parquet(eventsPath).schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ivjoin_")
+    val tmp = graft.TmpDirs.create("graft_stream_ivjoin_")
     val outDir = s"$tmp/out"
     val staged = stageInput(tmp, eventsPath)
     // event-time column from ts, physical-flavor-agnostic (TsCompat)
@@ -821,7 +821,7 @@ object StreamOps {
     import graft.pipeline.Curation
     val spark = tunedStatefulSession(spark0)
     val docs = spark.read.parquet(documentsPath)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_decon_")
+    val tmp = graft.TmpDirs.create("graft_stream_decon_")
     val outDir = s"$tmp/out"
     val inDir = s"$tmp/in"
     docs.filter(col("doc_id") >= benchmarkMaxId)
@@ -869,7 +869,7 @@ object StreamOps {
     import graft.pipeline.Dedup
     val spark = tunedStatefulSession(spark0)
     val docs = spark.read.parquet(documentsPath)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_neardup_")
+    val tmp = graft.TmpDirs.create("graft_stream_neardup_")
     val outDir = s"$tmp/out"
     val inDir = s"$tmp/in"
     docs.filter(col("doc_id") >= Dedup.DefaultCorpusMaxId)
@@ -948,7 +948,7 @@ object StreamOps {
     val base = spark.read.parquet(ordersPath)
       .select(col("o_orderkey").cast("long").as("o_orderkey"),
         col("o_custkey").cast("long").as("o_custkey"), col("o_totalprice"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_merge_")
+    val tmp = graft.TmpDirs.create("graft_stream_merge_")
     val target = s"$tmp/target"
     val inDir = s"$tmp/in"
     val nBuckets = 16
@@ -1078,7 +1078,7 @@ object StreamOps {
     import graft.pipeline.Events
     val spark = tunedStatefulSession(spark0)
     val events = spark.read.parquet(eventsPath)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cpt_")
+    val tmp = graft.TmpDirs.create("graft_stream_cpt_")
     val target = s"$tmp/target"
     val inDir = s"$tmp/in"
     // 4-file split + maxFilesPerTrigger=1 forces REAL multi-batch
@@ -1121,7 +1121,7 @@ object StreamOps {
     // measured 8 FASTER than 32 on the same shape; r15 profile: the
     // switch is most of the 17.4 -> ~12s sequential-basis win)
     val spark = tunedStatefulSession(spark0)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_graphcc_")
+    val tmp = graft.TmpDirs.create("graft_stream_graphcc_")
     val inDir = s"$tmp/in"
     graft.graph.DerivedGraphs.treeEdges(spark, dir)
       .repartition(4).write.parquet(inDir)
@@ -1269,7 +1269,7 @@ object StreamOps {
     import graft.pipeline.Events
     val spark = tunedStatefulSession(spark0)
     val events = spark.read.parquet(eventsPath)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_squant_")
+    val tmp = graft.TmpDirs.create("graft_stream_squant_")
     val store = s"$tmp/store"
     val inDir = s"$tmp/in"
     events.repartition(4).write.parquet(inDir)
@@ -1319,7 +1319,7 @@ object StreamOps {
     import graft.pipeline.Events
     val spark = tunedStatefulSession(spark0)
     val events = spark.read.parquet(eventsPath).select("event_type", "value")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_hist_")
+    val tmp = graft.TmpDirs.create("graft_stream_hist_")
     val state = s"$tmp/state"
     val inDir = s"$tmp/in"
     events.repartition(4).write.parquet(inDir)
@@ -1374,7 +1374,7 @@ object StreamOps {
     import graft.pipeline.Drift
     val spark = tunedStatefulSession(spark0)
     val docs = spark.read.parquet(docsPath).select("doc_id", "source", "n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_psi_")
+    val tmp = graft.TmpDirs.create("graft_stream_psi_")
     val state = s"$tmp/state"
     val inDir = s"$tmp/in"
     docs.repartition(4).write.parquet(inDir)
@@ -1438,7 +1438,7 @@ object StreamOps {
     import graft.pipeline.Search
     val spark = tunedStatefulSession(spark0)
     val docs = spark.read.parquet(docsPath).select("doc_id", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bm25_")
+    val tmp = graft.TmpDirs.create("graft_stream_bm25_")
     val store = s"$tmp/index"
     val sdir = s"$tmp/stats"
     val inDir = s"$tmp/in"
@@ -1515,7 +1515,7 @@ object StreamOps {
     import graft.pipeline.{IvfParams, Similarity}
     val spark = tunedStatefulSession(spark0)
     val emb = spark.read.parquet(embeddingsPath)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ivf_")
+    val tmp = graft.TmpDirs.create("graft_stream_ivf_")
     val store = s"$tmp/store"
     val cdir = s"$tmp/cent"
     val inDir = s"$tmp/in"
@@ -1638,7 +1638,7 @@ object StreamOps {
     import graft.functions.VectorFunctions.vector_cosine
     val spark = tunedStatefulSession(spark0)
     val emb = spark.read.parquet(embeddingsPath)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ivfadc_")
+    val tmp = graft.TmpDirs.create("graft_stream_ivfadc_")
     val store = s"$tmp/store"
     val statsDir = s"$tmp/stats"
     val cdir = s"$tmp/cent"
@@ -1874,7 +1874,7 @@ object StreamOps {
                                   stateDirProbe: String => Unit = _ => ())
       : DataFrame = {
     val spark = tunedStatefulSession(spark0)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tri_")
+    val tmp = graft.TmpDirs.create("graft_stream_tri_")
     val inDir = s"$tmp/in"
     val state = s"$tmp/state"
     stateDirProbe(state)
@@ -2013,7 +2013,7 @@ object StreamOps {
                                     stateDirProbe: String => Unit = _ => ())
       : DataFrame = {
     val spark = tunedStatefulSession(spark0)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_quad_")
+    val tmp = graft.TmpDirs.create("graft_stream_quad_")
     val inDir = s"$tmp/in"
     val state = s"$tmp/state"
     stateDirProbe(state)
@@ -2183,7 +2183,7 @@ object StreamOps {
                             batchProbe: (Long, Long) => Unit = (_, _) => ())
       : DataFrame = {
     val spark = tunedStatefulSession(spark0)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_assoc_")
+    val tmp = graft.TmpDirs.create("graft_stream_assoc_")
     val inDir = s"$tmp/in"
     val pairStore = s"$tmp/pairs"
     val itemStore = s"$tmp/items"
@@ -2273,7 +2273,7 @@ object StreamOps {
     import graft.pipeline.Hll
     val spark = tunedStatefulSession(spark0)
     val events = spark.read.parquet(eventsPath).select("user_id")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_hll_")
+    val tmp = graft.TmpDirs.create("graft_stream_hll_")
     val store = s"$tmp/regs"
     val inDir = s"$tmp/in"
     events.repartition(4).write.parquet(inDir)
@@ -2508,7 +2508,7 @@ object StreamOps {
                         eventsPath: String): DataFrame = {
     val spark = tunedStatefulSession(spark0)
     val schema = spark.read.parquet(eventsPath).schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_funnel_")
+    val tmp = graft.TmpDirs.create("graft_stream_funnel_")
     val outDir = s"$tmp/out"
     val staged = stageInput(tmp, eventsPath)
     // sentinel: one row at max(ts) + 1 day for user −1, built WITHOUT
