@@ -126,6 +126,11 @@ object Soak {
     * doesn't is the shape itself.
     */
   val Adjudications: Map[String, String] = Map(
+    "dup_span_clean" -> ("NOT partition-starved (round-16 sweep): 128 " +
+      "partitions at 10x data is SLOWER (6.2s -> 8.4s; the per-doc span " +
+      "windows multiply task overhead with partition count); the 2.8 " +
+      "ratio is the per-doc k-gram island scan over 10x docs plus the " +
+      "fixed Spark overhead a 2.2s base cannot amortize"),
     "subtree_sizes" -> ("irreducible two-pass shape, NOT partition-starved: " +
       "128 partitions at 10x data is SLOWER (16.1s -> 20.9s; per-partition " +
       "offset rows grow with partition count); the ratio is the second " +
