@@ -14,7 +14,7 @@ import scala.jdk.CollectionConverters._
   * unchanged. So the bench now runs the `tools/soak_all.sh` pattern
   * in-process: the main() you invoke is an ORCHESTRATOR that forks one
   * child JVM per heavy query (>=2s at sf0.1 in round 10) and one per chunk
-  * of 10 light queries, in fixed sorted order, then merges the per-child
+  * of `LightChunk` light queries, in fixed sorted order, then merges the per-child
   * part files into the same single-line artifact as before. Each child
   * repeats the old discipline (warmup, cache drop between reps, median of
   * SPARK_GRAFT_REPS). Fork works because build.sbt sets `run / fork`, so
