@@ -64,6 +64,8 @@ object Bench {
     "stream_ivfadc_topk",
     // round-16 additions measured >=2s isolated:
     "pipeline_curation_e2e",
+    // round-17 additions measured >=2s isolated:
+    "stream_curation_e2e",
   )
   // 20 light queries per JVM since r16 (was 10): halves the light-chunk
   // JVM startups (~15s each). The per-chunk untimed warm pass + isolate()
@@ -96,8 +98,8 @@ object Bench {
       if (buf.nonEmpty) b += buf.toSeq
       b.result()
     }
-    // child JVM flags: replicate this JVM's --add-opens and -Xmx (sbt put
-    // them there from build.sbt); classpath from java.class.path (real,
+    // child JVM flags: replicate this JVM's --add-opens (sbt put them
+    // there from build.sbt); classpath from java.class.path (real,
     // because run is forked).
     val inArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
@@ -105,7 +107,15 @@ object Bench {
       case (a, i) if a == "--add-opens" => Seq(a, inArgs(i + 1))
       case (a, _) if a.startsWith("--add-opens=") => Seq(a)
     }.flatten
-    val xmx = inArgs.filter(_.startsWith("-Xmx")).lastOption.getOrElse("-Xmx8g")
+    // Child heap is a PINNED constant, NOT inherited from the parent
+    // (r16 verdict #1): the driver's sbt runs at -Xmx89g, and inheriting
+    // it made the RAM clamp below collapse the 8-way pool to par=1
+    // sequential local[32] children — the soft deadline then skipped 164
+    // of 264 queries in BENCH_r16.json. Every committed median and both
+    // calibration legs were measured at 8 g children, so the constant IS
+    // the calibrated config: 8 x 8 g = 64 GiB never trips the clamp, and
+    // medians stay comparable regardless of the parent's heap flag.
+    val xmx = sys.env.getOrElse("SPARK_GRAFT_CHILD_XMX", "-Xmx8g")
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val cp = sys.props("java.class.path")
     val partsDir = graft.TmpDirs.create("graft_bench_parts")
@@ -142,13 +152,11 @@ object Bench {
     // re-based by the refreshed calibration legs for this config.
     val parEnv = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "8").toInt)
     val parByCpu = math.max(1, math.min(parEnv, cpus / 4))
-    // Each child inherits the parent's full -Xmx (splitting the heap like
-    // the threads would change GC behavior and break median comparability
-    // with r14), so peak heap is par x the sequential path — the pool must
-    // FIT in physical memory or children swap/OOM into -1s and silently
-    // inflated medians (r14 advice, medium). Clamp par so
-    // par x Xmx <= 80% of physical RAM; on the driver box (128 GiB,
-    // Xmx8g, par 4 -> 32 GiB) this never binds.
+    // The pool must FIT in physical memory or children swap/OOM into -1s
+    // and silently inflated medians (r14 advice, medium). Clamp par so
+    // par x child-Xmx <= 80% of physical RAM; at the pinned 8 g default
+    // and par 8 that is 64 GiB on a 128 GiB box — the clamp only binds if
+    // SPARK_GRAFT_CHILD_XMX is overridden upward.
     val xmxBytes: Long = {
       val m = "-Xmx(\\d+)([kKmMgGtT]?)".r
       xmx match {
@@ -230,7 +238,7 @@ object Bench {
         s"""{"unit":$i,"queries":"${units(i).mkString(",")}","start_sec":${f"${s0}%.1f"},""" +
           s""""end_sec":${f"${s1}%.1f"},"open":$open,"co_ran":$co}"""
       }.mkString("[", ",", "]")
-      Files.writeString(
+      writeAtomic(
         Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OCC", "BENCH_OCCUPANCY.json")),
         s"""{"par":$par,"child_threads":$childCpus,"child_xmx":"$xmx",""" +
           s""""note":"per-unit pool occupancy for adjudicating pooled medians (r14 verdict #1): each record lists the units co-running during its window; open=true means the unit was still running when this was written","units":$occ}""")
@@ -245,6 +253,10 @@ object Bench {
       val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val errors = scala.collection.mutable.ArrayBuffer.empty[String]
       val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+      // deadline-skipped units are a SUBLIST of skipped: their absence is
+      // a deliberate soft-deadline decision, not a mid-run kill — the
+      // artifact says which (r16 advice: the set was otherwise dead state)
+      val skippedDeadline = scala.collection.mutable.ArrayBuffer.empty[String]
       units.zipWithIndex.foreach { case (unit, i) =>
         Option(done.get(i)) match {
           case Some(measured) =>
@@ -253,11 +265,14 @@ object Bench {
               if (t < 0) { results(n) = -1.0; errors += n }
               else results(n) = t
             }
-          case None => skipped ++= unit
+          case None =>
+            skipped ++= unit
+            if (deadlineSkipped.contains(i)) skippedDeadline ++= unit
         }
       }
       writeOccupancy()
-      emit(results.toSeq, errors.toSeq, skipped.toSeq, toStdout)
+      emit(results.toSeq, errors.toSeq, skipped.toSeq, skippedDeadline.toSeq,
+        toStdout)
       if (toStdout) emitted.set(true)
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -286,15 +301,28 @@ object Bench {
       // chunk of exactly one query must warm like the rest of the light
       // baseline or its median reads cold (r12 advice)
       if (!unit.exists(Heavy)) pb.environment().put("SPARK_GRAFT_BENCH_LIGHT", "1")
-      else pb.environment().put("SPARK_GRAFT_REPS",
-        // heavy units run 2 reps since r16 (center of 2 = their mean)
-        // unless the caller pinned a count: multi-second medians are
-        // stable within ~5% and the third rep was ~850s of pool-busy
-        // time — the difference between fitting the driver budget with
-        // margin and dying at its timeout (r15 verdict #1). Light chunks
-        // keep 3 reps: sub-second queries carry the JIT/GC jitter that
-        // made single-shot deltas unadjudicable in the first place.
-        sys.env.getOrElse("SPARK_GRAFT_REPS", "2"))
+      else {
+        pb.environment().put("SPARK_GRAFT_REPS",
+          // heavy units run 2 reps since r16 (center of 2 = their mean)
+          // unless the caller pinned a count: multi-second medians are
+          // stable within ~5% and the third rep was ~850s of pool-busy
+          // time — the difference between fitting the driver budget with
+          // margin and dying at its timeout (r15 verdict #1). Light chunks
+          // keep 3 reps: sub-second queries carry the JIT/GC jitter that
+          // made single-shot deltas unadjudicable in the first place.
+          sys.env.getOrElse("SPARK_GRAFT_REPS", "2"))
+        // Heavy stream_* replay units get one UNTIMED warm rep since r17
+        // (r16 verdict #2): their cold first rep carries the streaming
+        // state-store + foreachBatch codegen setup — the r17 A/B
+        // (BENCH_CALIBRATION.json) measured rep1 ≈ 1.5–2x rep2/rep3 for
+        // the maintain twins, so the 2-rep MEAN charged ~25–50% of pure
+        // first-run setup into every center where the old median-of-3
+        // discarded it. Batch heavies stay unwarmed: their rep1/rep2
+        // spread is ~5% and a warm rep would re-add most of the ~850 s
+        // the r16 rep cut saved.
+        if (unit.forall(_.startsWith("stream_")))
+          pb.environment().put("SPARK_GRAFT_BENCH_WARM", "1")
+      }
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
@@ -328,7 +356,18 @@ object Bench {
         writeArtifacts(toStdout = false)
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-    val futures = units.zipWithIndex.map { case (unit, i) =>
+    // Heavy singleton units are SUBMITTED first (r16 verdict #3): under
+    // deadline pressure the completed set was an alphabetical prefix of
+    // the fixed order, which lost every stream_* heavy — exactly the
+    // adjudication-relevant rows. Submitting heavies ahead of light
+    // chunks keeps the artifact's most informative rows in a degraded
+    // run. Unit boundaries and the artifact layout are UNCHANGED:
+    // results are still assembled by fixed sorted index (writeArtifacts
+    // walks `units` in order); only the launch order moves. sortBy is
+    // stable, so heavies keep their sorted order among themselves, as do
+    // light chunks.
+    val submitOrder = units.zipWithIndex.sortBy { case (unit, _) => !unit.exists(Heavy) }
+    val futures = submitOrder.map { case (unit, i) =>
       pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = runUnit(unit, i)
       })
@@ -345,8 +384,13 @@ object Bench {
   private def child(): Unit = {
     val part = Paths.get(sys.env("SPARK_GRAFT_BENCH_PART"))
     val spark = session()
-    val (results, _) = measure(spark, orderedNames(),
-      isLight = sys.env.get("SPARK_GRAFT_BENCH_LIGHT").contains("1"))
+    val names = orderedNames()
+    val (results, _) = measure(spark, names,
+      isLight = sys.env.get("SPARK_GRAFT_BENCH_LIGHT").contains("1"),
+      // heavy stream_* singletons: one untimed warm rep (see parent)
+      warmNames =
+        if (sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("1")) names
+        else Seq.empty)
     Files.writeString(part,
       results.map { case (n, t) => s"$n\t$t" }.mkString("", "\n", "\n"))
     spark.stop()
@@ -362,7 +406,7 @@ object Bench {
     val names = orderedNames()
     val (results, errors) = measure(spark, names, isLight = false,
       warmNames = names.filterNot(Heavy))
-    emit(results, errors, Seq.empty, toStdout = true)
+    emit(results, errors, Seq.empty, Seq.empty, toStdout = true)
     spark.stop()
   }
 
@@ -429,7 +473,14 @@ object Bench {
       while (rep < reps && !failed) {
         isolate()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        try {
+          fn(spark, sfDir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          times += t
+          // per-rep trace: lets cold-vs-warm spreads be adjudicated from
+          // a run's stderr without re-instrumenting (r16 verdict #2)
+          if (t >= 1.0) System.err.println(f"[bench] $name rep${rep + 1} $t%.2fs")
+        }
         catch {
           case e: Throwable =>
             failed = true
@@ -448,19 +499,36 @@ object Bench {
     (results, errors.toSeq)
   }
 
+  /** Atomic file write: temp file in the same directory + ATOMIC_MOVE, so
+    * a SIGKILL (the driver timeout's follow-up to SIGTERM) landing
+    * mid-write can never leave a truncated/unparseable artifact — the
+    * exact 'parsed: null' failure mode the incremental rewrite exists to
+    * prevent (r16 advice).
+    */
+  private def writeAtomic(path: Path, content: String): Unit = {
+    val abs = path.toAbsolutePath
+    val tmp = Files.createTempFile(abs.getParent, abs.getFileName.toString, ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, abs, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Render + land the artifact. `toStdout = false` (incremental update
     * after each unit) writes only the file; the final pass and the
     * shutdown hook print the one-line contract too. `skipped` lists
     * queries whose unit never ran (deadline/kill) — distinct from
-    * `errors`, whose unit RAN and failed.
+    * `errors`, whose unit RAN and failed; `skippedDeadline` is the
+    * subset of `skipped` whose unit the soft deadline declined to launch.
     */
   private def emit(results: Seq[(String, Double)], errors: Seq[String],
-                   skipped: Seq[String], toStdout: Boolean): Unit = {
+                   skipped: Seq[String], skippedDeadline: Seq[String],
+                   toStdout: Boolean): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map(n => s"\"$n\"").mkString("[", ",", "]")
     val skip = skipped.map(n => s"\"$n\"").mkString("[", ",", "]")
+    val skipDl = skippedDeadline.map(n => s"\"$n\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Round-11 instrument change: per-unit JVM isolation (above). Numbers
     // from this round onward are NOT comparable to r<=10 totals measured in
@@ -495,14 +563,24 @@ object Bench {
       "legs re-based for the 8-way/2-rep config; the artifact file is rewritten " +
       "incrementally after every unit and a SIGTERM hook / soft deadline " +
       "emits completed queries plus an explicit skipped list instead of " +
-      "dying empty"
+      "dying empty. r17: child heap PINNED to 8g (env " +
+      "SPARK_GRAFT_CHILD_XMX) instead of inherited - the driver's " +
+      "-Xmx89g parent made the RAM clamp collapse the r16 pool to par=1 " +
+      "and skip 164 queries; 8g is the config every committed median and " +
+      "calibration leg already used. Heavy units are now SUBMITTED " +
+      "before light chunks (artifact order unchanged) so a degraded run " +
+      "keeps the adjudication-relevant heavies; heavy stream_* replay " +
+      "units get one untimed warm rep (their cold first rep carried " +
+      "~2x JIT+state-store setup that the 2-rep mean charged half-weight " +
+      "- see BENCH_CALIBRATION.json r17 A/B), so their medians read " +
+      "steady-state like the light baseline"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped":$skip,"note":"$note","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped":$skip,"skipped_deadline":$skipDl,"note":"$note","sf":"$sfDir"}"""
     if (toStdout) println(json)
     // stdout line-length is at the mercy of whatever logger wraps the JVM
     // (sbt's clips ~3 KB, which once truncated a 98-query map) — always
     // land the full artifact in a file too
-    Files.writeString(
+    writeAtomic(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")),
       json)
     // …and END stdout with a SHORT self-sufficient summary record: a tail

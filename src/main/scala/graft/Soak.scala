@@ -88,7 +88,7 @@ object Soak {
     // IVFADC twin (r15 verdict #5) and the composed curation chain's
     // handoff scaling are this round's soak evidence — front-running them
     // means a budget-truncated soak still captures the new claims
-    "stream_ivfadc_topk", "pipeline_curation_e2e",
+    "stream_ivfadc_topk", "pipeline_curation_e2e", "stream_curation_e2e",
     "bootstrap_ci_mean", "graph_mis", "scc_components", "katz_top20",
     "graph_random_walks", "betweenness_top50",
     "wpagerank_top20", "subtree_sizes", "label_propagation",
@@ -361,6 +361,18 @@ object Soak {
         val appends = recs.collect { case (d, k) if k != "refit" => d }
         val split =
           if (refits.isEmpty || appends.isEmpty) ""
+          else if (refits.size % reps != 0) {
+            // the TOTAL-count guard above can pass while the drift policy
+            // fires a different number of refits in different reps
+            // (timing-dependent store state); integer division would then
+            // silently truncate the per-replay refit count — suppress the
+            // split like the other stats rather than emit a wrong number
+            // (r16 advice)
+            System.err.println(s"[soak] ${refits.size} refit batches not a " +
+              s"multiple of reps=$reps (drift policy fired unevenly across " +
+              "reps?) — refit/append split suppressed for this timing")
+            ""
+          }
           else f""","refit_batches_per_replay":${refits.size / reps},""" +
             f""""refit_batch_median_sec":${med(refits)}%.3f,""" +
             f""""append_batch_median_sec":${med(appends)}%.3f"""

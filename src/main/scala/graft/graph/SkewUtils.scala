@@ -23,11 +23,16 @@ object SkewUtils {
     * Cost model: small side grows ×salts — only salt when
     * |small| × salts ≪ shuffle size of the hot keys. For selective salting,
     * pre-split `big` on a hot-key list and union the two join plans.
+    *
+    * `seed` keeps the salt deterministic (stable bench plans) while
+    * letting two salted joins composed in ONE plan use uncorrelated salt
+    * streams — with a shared constant seed their spreads would correlate
+    * and the second join's hot rows could re-collapse (r16 verdict #5).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salts: Int = 8): DataFrame = {
+                 salts: Int = 8, seed: Long = 42L): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedBig = big.withColumn("__salt", (rand(42) * salts).cast("int"))
+    val saltedBig = big.withColumn("__salt", (rand(seed) * salts).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(expr(s"sequence(0, ${salts - 1})")))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

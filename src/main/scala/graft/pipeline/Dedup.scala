@@ -551,16 +551,9 @@ object Dedup {
     // materialize once (eager localCheckpoint, owner-released like `banded`
     // and `candidates` below) so the scan+shingle stage runs once.
     val sh = shingles(documents, w).localCheckpoint(true)
-    // Signature via the native sketch aggregate: the shuffle carries one
-    // 64-long array per doc instead of 64 exploded rows per shingle.
-    val sig = sh.groupBy("doc_id")
-      .agg(graft.functions.Sketches.minhash_agg(col("s"), bands * rowsPerBand).as("sig"))
     // One row per (doc, band); feeds BOTH sides of the self-join below —
     // materialize once so the sketch aggregation doesn't run twice.
-    val banded = sig.select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
-      .as(Seq("band", "bandsig")))
-      .localCheckpoint(true)
+    val banded = bandedSignatures(sh, bands, rowsPerBand).localCheckpoint(true)
     val l = banded.select(col("doc_id").as("da"), col("band"), col("bandsig"))
     val r = banded.select(col("doc_id").as("db"), col("band"), col("bandsig"))
     // Candidate pairs are the (small) output of the whole sketch+band
@@ -571,11 +564,40 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
       .localCheckpoint(true)
-    // Verify ONLY the candidates with exact Jaccard. Semi-join the shingle
-    // set down to candidate docs FIRST: the verify joins then touch only
-    // |candidate docs| × shingles-per-doc rows instead of the full corpus
-    // twice (sizes are per-doc totals, so computing them on the pruned set
-    // is exact for every doc that can appear in the output).
+    verifyCandidates(candidates, sh, threshold)
+  }
+
+  /** LSH banding of the MinHash signature: one row per (doc, band), key =
+    * xxhash64 of the band's signature slice. Shared by [[minhashLshPairs]]
+    * and the streaming curation twin
+    * ([[graft.streaming.StreamOps.curationReplayBatch]]) — one definition
+    * so the batch pair set and the incrementally-maintained band store
+    * cannot drift. Input is a [[shingles]] relation (callers own its
+    * materialization). The signature rides the native sketch aggregate:
+    * the shuffle carries one `bands × rowsPerBand`-long array per doc
+    * instead of an exploded row per (shingle, hash).
+    * Output: (doc_id, band, bandsig), unordered.
+    */
+  private[graft] def bandedSignatures(sh: DataFrame, bands: Int = 16,
+                                      rowsPerBand: Int = 4): DataFrame = {
+    val sig = sh.groupBy("doc_id")
+      .agg(graft.functions.Sketches.minhash_agg(col("s"), bands * rowsPerBand).as("sig"))
+    sig.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
+      .as(Seq("band", "bandsig")))
+  }
+
+  /** Exact-Jaccard verification of LSH candidate pairs `(da, db)` against
+    * a shingle relation — the verify half [[minhashLshPairs]] and the
+    * streaming curation twin share. Semi-joins the shingle set down to
+    * candidate docs FIRST: the verify joins then touch only
+    * |candidate docs| × shingles-per-doc rows instead of the full corpus
+    * twice (sizes are per-doc totals, so computing them on the pruned set
+    * is exact for every doc that can appear in the output).
+    * Output: (doc_a, doc_b, jaccard ≥ threshold) ordered.
+    */
+  private[graft] def verifyCandidates(candidates: DataFrame, sh: DataFrame,
+                                      threshold: Double): DataFrame = {
     val candDocs = candidates.select(col("da").as("doc_id"))
       .unionAll(candidates.select(col("db").as("doc_id")))
       .distinct()

@@ -495,12 +495,21 @@ object StreamOps {
     * sizes the rewrite amplification: at 100 TB you'd run thousands of
     * buckets so one hot key rewrites ~1/nBuckets of the table; the
     * distinct-bucket collect is bounded by nBuckets (control plane).
+    *
+    * `bucketKey` overrides the bucketing expression for NON-numeric keys
+    * (pmod needs a number): the curation twin's text-hash store is keyed
+    * by an md5 string and buckets on xxhash64 of it. The anti-join still
+    * matches on `keyCol`'s full value, so bucket-hash collisions are
+    * harmless (two keys sharing a bucket merely co-locate).
     */
   def mergeIntoBucketedServing(changed: DataFrame, target: String,
-                               keyCol: String, nBuckets: Int = 16): Unit = {
+                               keyCol: String, nBuckets: Int = 16,
+                               bucketKey: Option[org.apache.spark.sql.Column] =
+                                 None): Unit = {
     val spark = changed.sparkSession
     val withB = changed
-      .withColumn("bucket", pmod(col(keyCol), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("bucket",
+        pmod(bucketKey.getOrElse(col(keyCol)), lit(nBuckets.toLong)).cast("int"))
       .localCheckpoint(true) // feeds the touched list, the anti-join, the union
     val touched = withB.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -895,6 +904,294 @@ object StreamOps {
       spark.range(0).select(col("id").as("doc_id"),
         col("id").as("n_near_dups"), col("id").cast("double").as("best_jaccard"))
     else spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
+  /** Streaming twin of the COMPOSED curation pipeline
+    * ([[graft.pipeline.Curation.curationPipelineE2e]], r16 verdict #4):
+    * micro-batched document ingest maintains the curated SURVIVOR SET
+    * incrementally — each stage's state is a serving store updated per
+    * batch — and the post-stream serve step (leakage-safe split +
+    * per-split packing) runs the batch kernels over the maintained
+    * state, so the final output is bit-identical to the batch pipeline
+    * on the same corpus and ONE DuckDB oracle checks both twins.
+    *
+    * Per micro-batch (all |Δ|-scaled: stored state is only ever probed
+    * with the batch side BROADCAST, and store reads are partition-pruned
+    * to the batch's bucket footprint — never shuffled):
+    *  1. EXACT-DEDUP ADMISSION: the batch's per-text-hash min doc_id
+    *     probes the hash store (md5 → current keeper, bucketed by
+    *     xxhash64(md5)). A doc is ADMITTED iff its hash is new or it
+    *     beats the stored keeper — a later, smaller doc_id REVISES the
+    *     survivor set via the bucketed keyed upsert (the old keeper is
+    *     superseded; see below why that needs no retraction).
+    *  2. GATES AT INGEST: [[graft.pipeline.TextStats.gopherRules]] and
+    *     [[graft.pipeline.Curation.contaminationFlags]] (vs the
+    *     broadcast benchmark gram set, built once pre-stream) are
+    *     per-doc pure functions — evaluated on admitted docs only,
+    *     stored as flags next to the text.
+    *  3. NEAR-DUP GRAPH MAINTENANCE: admitted docs are shingled and
+    *     banded with the batch LSH's own kernels
+    *     ([[graft.pipeline.Dedup.shingles]] /
+    *     [[graft.pipeline.Dedup.bandedSignatures]]); candidates =
+    *     within-batch band collisions ∪ collisions against the band
+    *     store; the exact-Jaccard verify
+    *     ([[graft.pipeline.Dedup.verifyCandidates]]) reads the shingle
+    *     store pruned to the candidate docs' buckets. Verified edges
+    *     feed the same label-contraction CC as
+    *     [[graphMaintainReplayBatch]]: contract through current labels,
+    *     run components on the contracted graph only, fold merges into
+    *     the bucketed label store.
+    *
+    * Why supersession needs no retraction: a superseded keeper has
+    * IDENTICAL text to the smaller-id doc that superseded it, so its
+    * shingles, bands, and verified edges duplicate the new keeper's and
+    * the pair itself is a Jaccard-1 edge — components restricted to the
+    * final keeper set, and every component's min label, are unchanged by
+    * leaving superseded rows in the stores. The serve step filters each
+    * store to the FINAL keepers, which reproduces the batch pipeline's
+    * d1 → d4 survivor chain exactly (the cluster representative rule
+    * `doc_id == component min` holds because a superseded doc always has
+    * a smaller same-component keeper, so no component min is ever a
+    * superseded doc).
+    *
+    * Serve (after the stream): survivor reps = final keepers whose CC
+    * label equals their own doc_id (the batch `keep = 1` rule) passing
+    * both stored gates; then
+    * [[graft.pipeline.Curation.clusterSafeSplit]] (per-row hash
+    * arithmetic) and per-split
+    * [[graft.pipeline.Curation.sequencePacking]] — the identical tail of
+    * the batch dataflow.
+    *
+    * Input staging: range-partitioned on doc_id DESCENDING with file
+    * mtimes forced into name order, so docs arrive largest-id first —
+    * every duplicate group spanning a batch boundary then exercises the
+    * admission-REVISION path deterministically (big id lands first, the
+    * small id supersedes it later), the cross-batch state transition an
+    * ascending replay would never test. The final state is
+    * order-independent either way.
+    *
+    * `batchProbe(admitted, superseded)` (test hook): per batch, docs
+    * admitted and, of those, how many revised an existing keeper.
+    * Output: (doc_id, cluster, split, n_tokens, seq_id, seq_offset)
+    * ordered by doc_id — the batch twin's exact schema.
+    */
+  def curationReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                          documentsPath: String,
+                          window: Long = 2048L,
+                          benchmarkMaxId: Long =
+                            graft.pipeline.Curation.DefaultBenchmarkMaxId,
+                          k: Int = graft.pipeline.Curation.DefaultDeconK,
+                          batchProbe: (Long, Long) => Unit = (_, _) => ())
+      : DataFrame = {
+    import graft.pipeline.{Curation, Dedup, TextStats}
+    val spark = tunedStatefulSession(spark0)
+    val docs = spark.read.parquet(documentsPath)
+    val tmp = graft.TmpDirs.create("graft_stream_curation_")
+    val inDir = s"$tmp/in"
+    val hashStore = s"$tmp/hashes"  // md5(text) → current keeper (bucketed)
+    val docStore = s"$tmp/docs"     // admitted docs + gate flags (append-only)
+    val shStore = s"$tmp/shingles"  // admitted shingles, bucketed by doc_id
+    val bandStore = s"$tmp/bands"   // admitted LSH band keys (append-only)
+    val labelStore = s"$tmp/labels" // incremental CC labels (bucketed upsert)
+    val nBuckets = 16
+
+    docs.filter(col("doc_id").cast("long") >= benchmarkMaxId)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .repartitionByRange(4, col("doc_id").desc)
+      .write.parquet(inDir)
+    // FileStreamSource drains oldest-mtime first: force mtimes into part
+    // name order so the descending-id range partitioning IS the arrival
+    // order (deterministic supersede replay; see Scaladoc)
+    locally {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(inDir))
+      val parts = try {
+        val it = st.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) buf += p
+        }
+        buf.sortBy(_.getFileName.toString)
+      } finally st.close()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis((i + 1) * 60000L))
+      }
+    }
+    // static side, built once pre-stream (benchmark docs are pipeline
+    // INPUT, never pipeline data — same as the decontamination twin)
+    val bench = Curation.docGrams(
+        docs.filter(col("doc_id").cast("long") < benchmarkMaxId), k)
+      .select("s").distinct().localCheckpoint(true)
+
+    val schema = spark.read.parquet(inDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tBatch0 = System.nanoTime()
+        val b = batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .localCheckpoint(true)
+        // ---- 1. exact-dedup admission -------------------------------
+        val bmin = b.groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .withColumn("bucket",
+            pmod(xxhash64(col("h")), lit(nBuckets.toLong)).cast("int"))
+          .localCheckpoint(true)
+        val touched = bmin.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val stored =
+          if (pathExists(spark, hashStore))
+            spark.read.parquet(hashStore)
+              // partition-pruned probe: only the batch's buckets are read
+              .filter(col("bucket").isin(touched: _*))
+              .select(col("h"), col("doc_id").as("stored_id"))
+          else spark.range(0).select(lit("").as("h"), col("id").as("stored_id"))
+        // right-outer keeps every batch hash; the |Δ| side broadcasts so
+        // the stored side is a map-side probe, never shuffled
+        val adm0 = stored.join(broadcast(bmin), Seq("h"), "right")
+          .filter(col("stored_id").isNull || col("doc_id") < col("stored_id"))
+          .localCheckpoint(true)
+        val admitted = adm0.count()
+        val superseded = adm0.filter(col("stored_id").isNotNull).count()
+        if (admitted > 0) {
+          val adocs = b.join(broadcast(adm0.select("doc_id")),
+              Seq("doc_id"), "left_semi")
+            .localCheckpoint(true)
+          // keeper revision is a plain keyed upsert: the smaller doc_id
+          // replaces the stored row for its hash
+          mergeIntoBucketedServing(adm0.select("h", "doc_id"), hashStore,
+            "h", nBuckets, bucketKey = Some(xxhash64(col("h"))))
+          // ---- 2. per-doc gates at ingest (shared kernels) ----------
+          val gflag = TextStats.gopherRules(adocs)
+            .select(col("doc_id"), col("keep").as("gopher_keep"))
+          val cflag = Curation.contaminationFlags(
+              adocs.select("doc_id", "text"), bench, k)
+            .select(col("doc_id"), col("contaminated"))
+          adocs.join(broadcast(gflag), Seq("doc_id"))
+            .join(broadcast(cflag), Seq("doc_id"))
+            .write.mode("append").parquet(docStore)
+          // ---- 3. near-dup graph maintenance ------------------------
+          val bsh = Dedup.shingles(adocs)
+            .withColumn("bucket",
+              pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int"))
+            .localCheckpoint(true)
+          val bband = Dedup.bandedSignatures(bsh.select("doc_id", "s"))
+            .localCheckpoint(true)
+          val l = bband.select(col("doc_id").as("da"), col("band"), col("bandsig"))
+          val r = bband.select(col("doc_id").as("db"), col("band"), col("bandsig"))
+          val newNew = l.join(r, Seq("band", "bandsig"))
+            .filter(col("da") < col("db")).select("da", "db")
+          val newOld =
+            if (pathExists(spark, bandStore))
+              spark.read.parquet(bandStore)
+                .join(broadcast(bband.withColumnRenamed("doc_id", "nid")),
+                  Seq("band", "bandsig"))
+                .select(least(col("doc_id"), col("nid")).as("da"),
+                  greatest(col("doc_id"), col("nid")).as("db"))
+                .filter(col("da") =!= col("db"))
+            else spark.range(0).select(col("id").as("da"), col("id").as("db"))
+          val candidates = newNew.unionByName(newOld).distinct()
+            .localCheckpoint(true)
+          val candDocs = candidates.select(col("da").as("doc_id"))
+            .unionAll(candidates.select(col("db").as("doc_id"))).distinct()
+            .withColumn("bucket",
+              pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int"))
+            .localCheckpoint(true)
+          val candBuckets = candDocs.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val storedSh =
+            if (pathExists(spark, shStore))
+              spark.read.parquet(shStore)
+                // pruned to the candidate docs' buckets
+                .filter(col("bucket").isin(candBuckets: _*))
+                .select("doc_id", "s")
+            else spark.range(0).select(col("id").as("doc_id"), lit("").as("s"))
+          val allSh = storedSh.unionByName(bsh.select("doc_id", "s"))
+            .join(broadcast(candDocs.select("doc_id")), Seq("doc_id"), "left_semi")
+            .localCheckpoint(true)
+          val edges = Dedup.verifyCandidates(candidates, allSh, 0.8)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .localCheckpoint(true)
+          // append the batch's shingles/bands AFTER probing the stores
+          bsh.write.mode("append").partitionBy("bucket").parquet(shStore)
+          bband.write.mode("append").parquet(bandStore)
+          // ---- 4. incremental CC (graphMaintainReplayBatch pattern) --
+          val labels0 =
+            if (pathExists(spark, labelStore))
+              spark.read.parquet(labelStore).select("vertex", "comp")
+            else spark.range(0).select(col("id").as("vertex"), col("id").as("comp"))
+          val verts = adocs.select(col("doc_id").as("vertex")).distinct()
+          val newVerts = verts.join(labels0, Seq("vertex"), "left_anti")
+            .withColumn("comp", col("vertex"))
+            .localCheckpoint(true)
+          val all = labels0.unionByName(newVerts)
+          val contracted = broadcast(broadcast(edges)
+              .join(all.select(col("vertex").as("src"), col("comp").as("csrc")), "src"))
+            .join(all.select(col("vertex").as("dst"), col("comp").as("cdst")), "dst")
+            .select(col("csrc").as("src"), col("cdst").as("dst"))
+            .filter(col("src") =!= col("dst")).distinct()
+            .localCheckpoint(true)
+          val merge =
+            if (contracted.isEmpty)
+              spark.range(0).select(col("id").as("comp"), col("id").as("newComp"))
+            else {
+              val cverts = contracted.select(col("src").as("vertex"))
+                .unionAll(contracted.select(col("dst").as("vertex"))).distinct()
+              graft.graph.GraphOps
+                .connectedComponents(contracted, cverts, ordered = false)
+                .select(col("vertex").as("comp"), col("component").as("newComp"))
+                .localCheckpoint(true)
+            }
+          val newResolved = newVerts.join(broadcast(merge), Seq("comp"), "left_outer")
+            .select(col("vertex"), coalesce(col("newComp"), col("comp")).as("comp"))
+          val oldRemapped = labels0.join(broadcast(merge), Seq("comp"))
+            .filter(col("newComp") =!= col("comp"))
+            .select(col("vertex"), col("newComp").as("comp"))
+          mergeIntoBucketedServing(newResolved.unionByName(oldRemapped),
+            labelStore, "vertex", nBuckets)
+        }
+        recordBatchDuration(tBatch0)
+        batchProbe(admitted, superseded)
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"curation replay ran $batches non-empty micro-batches; " +
+        "the incremental path requires at least 2")
+    if (!pathExists(spark, docStore))
+      // all-benchmark corpus: match the batch operator's empty relation
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster"),
+        lit("").as("split"), col("id").as("n_tokens"),
+        col("id").as("seq_id"), col("id").as("seq_offset"))
+    else {
+      // ---- serve: the batch pipeline's stage-5/6 tail over the
+      // maintained survivor state, with the batch kernels ----
+      val keepers = spark.read.parquet(hashStore).select("doc_id")
+      val labels = spark.read.parquet(labelStore)
+        .select(col("vertex").as("doc_id"), col("comp").as("cluster"))
+      val d4 = spark.read.parquet(docStore)
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(labels, Seq("doc_id"))
+        .filter(col("doc_id") === col("cluster") &&
+          col("gopher_keep") === 1L && col("contaminated") === 0L)
+        .select("doc_id", "cluster", "text")
+        .localCheckpoint(true) // fans out: split + two per-split packs
+      val sp = Curation.clusterSafeSplit(d4.select("doc_id", "cluster"))
+      val packed = Seq("train", "val").map { s =>
+        Curation.sequencePacking(
+          d4.join(sp.filter(col("split") === s).select("doc_id"), Seq("doc_id")),
+          window)
+      }.reduce(_.unionByName(_))
+      sp.select("doc_id", "cluster", "split")
+        .join(packed.select("doc_id", "n_tokens", "seq_id", "seq_offset"),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+    }
   }
 
   /** Fourteenth oracle-checked streaming query — INCREMENTAL GRAPH
@@ -1597,12 +1894,16 @@ object StreamOps {
     *     in the store (establishes the first epoch as soon as all
     *     nCentroids anchor rows have arrived; attempts before that are
     *     cheap no-ops), or
-    *   - the uncoded-row fraction exceeds `nullFracRefitThreshold`, or
     *   - the additive min/max stats DRIFTED past `driftRefitThreshold`
     *     since the last fit (max over dims of the range expansion
     *     relative to the fitted range — min/max only move outward, so
     *     drift is exactly "how far outside the fitted grid new data
     *     landed", i.e. how mis-scaled the stored codes have become).
+    * Those two legs are exhaustive: once an epoch codebook exists every
+    * appended row is coded against it, so uncoded rows can only exist
+    * BEFORE the first epoch — first-epoch establishment + drift is the
+    * whole policy (r16 advice: an uncoded-fraction leg documented here
+    * could never trigger and was dropped).
     * After the stream, a FINAL refit pins oracle parity: additive
     * min/max ≡ corpus-scan min/max and the anchors are the same rows, so
     * the stored assignments equal `fitPq`'s and the serve path below
@@ -1631,7 +1932,6 @@ object StreamOps {
                             embeddingsPath: String,
                             batchProbe: (Long, Long) => Unit = (_, _) => (),
                             driftRefitThreshold: Double = 0.05,
-                            nullFracRefitThreshold: Double = 0.10,
                             stateDirProbe: String => Unit = _ => ())
       : DataFrame = {
     import graft.pipeline.{IvfParams, Similarity}
@@ -1654,7 +1954,6 @@ object StreamOps {
     var cachedQz: Option[Similarity.PqQuantizer] = None
     var fitStats: Array[(Double, Double)] = Array.empty
     var nullRows = 0L  // rows appended with pq = NULL since the last refit
-    var totalRows = 0L
 
     def readStats(): Array[(Double, Double)] =
       spark.read.parquet(statsDir).select("i", "mn", "mx").orderBy("i")
@@ -1763,7 +2062,6 @@ object StreamOps {
               lit(null).cast("array<int>").as("pq"))
         }
         coded.write.mode("append").partitionBy("label").parquet(store)
-        totalRows += nRows
         // drift-policy refit decision (see Scaladoc): mergedStats is
         // already materialized (localCheckpoint above), so the collect
         // reads `dims` rows from memory, not a re-scan
@@ -1771,8 +2069,7 @@ object StreamOps {
           .map(r => (r.getDouble(1), r.getDouble(2)))
         val needRefit =
           if (cachedQz.isEmpty) nullRows > 0L
-          else nullRows.toDouble / totalRows > nullFracRefitThreshold ||
-            driftSinceFit(statsNow) > driftRefitThreshold
+          else driftSinceFit(statsNow) > driftRefitThreshold
         val refit = if (needRefit) refitCodes() else false
         refitCurrent = refit
         recordBatchDuration(tBatch0, if (refit) "refit" else "append")

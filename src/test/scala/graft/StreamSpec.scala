@@ -808,6 +808,72 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed.forall(_._1 >= graft.pipeline.Dedup.DefaultCorpusMaxId))
   }
 
+  test("curationReplayBatch: incremental survivor maintenance equals the composed batch pipeline") {
+    val dir = "/root/testdata/sf0.001"
+    var batches = 0
+    var admitted = 0L
+    val res = StreamOps.curationReplayBatch(spark, s"$dir/documents.parquet",
+      batchProbe = (a, _) => { batches += 1; admitted += a })
+    val streamed = res.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(batches >= 2, s"need >=2 probed micro-batches, got $batches")
+    assert(admitted > 0L)
+    val batch = graft.pipeline.Curation.curationPipelineE2e(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(streamed.toSeq == batch.toSeq,
+      "incrementally maintained final state must equal the batch pipeline")
+    assert(streamed.nonEmpty)
+  }
+
+  test("curationReplayBatch: a later smaller doc_id REVISES the keeper across batches; final state still matches the batch pipeline") {
+    import graft.pipeline.Curation
+    val tmpd = java.nio.file.Files.createTempDirectory("graft_cur_rev_").toString
+    // texts engineered to clear the gopher gates: 40 tokens, 2 stopwords,
+    // 5-char words (mean chars/word 197/40 = 4.93 ∈ [4.5, 5]), all-distinct
+    // tokens (max repetition 1)
+    val stop = Seq("the", "that")
+    def words(seed: Int, n: Int): Seq[String] =
+      (0 until n).map(i => f"w$seed%02d$i%02d")
+    def doc(seed: Int): String = (stop ++ words(seed, 38)).mkString(" ")
+    val benchText = doc(90)
+    val rows = Seq(
+      (0L, benchText), (5L, doc(91)), // benchmark docs (input, never data)
+      // exact-dup group spanning the id extremes: the DESCENDING replay
+      // admits 19999 first, then 101 must supersede it in a later batch
+      (19999L, doc(1)), (101L, doc(1)),
+      // near-dup pair (trigram Jaccard 35/41 ≈ 0.854): cluster rep = min id
+      (150L, (stop ++ words(2, 38)).mkString(" ")),
+      (19950L, (stop ++ words(2, 37) :+ "zzzzz").mkString(" ")),
+      // contaminated: shares the benchmark doc's 5-grams
+      (200L, benchText),
+      // clean survivors spread over the id range
+      (300L, doc(3)), (400L, doc(4)), (19900L, doc(5)), (19800L, doc(6)))
+    import spark.implicits._
+    val docsPath = s"$tmpd/documents.parquet"
+    rows.toDF("doc_id", "text").write.parquet(docsPath)
+    var batches = 0
+    var superseded = 0L
+    val res = StreamOps.curationReplayBatch(spark, docsPath,
+      batchProbe = (_, s) => { batches += 1; superseded += s })
+    val streamed = res.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(batches >= 2, s"need >=2 probed micro-batches, got $batches")
+    assert(superseded >= 1L,
+      "the descending replay must revise at least one stored keeper")
+    val batch = Curation.curationPipelineE2e(spark.read.parquet(docsPath))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(streamed.toSeq == batch.toSeq)
+    // the revised group survives as its SMALLER id; the superseded keeper
+    // and the contaminated doc are gone; the near-dup pair keeps min only
+    val ids = streamed.map(_._1).toSet
+    assert(ids.contains(101L) && !ids.contains(19999L))
+    assert(!ids.contains(200L))
+    assert(ids.contains(150L) && !ids.contains(19950L))
+  }
+
   test("cmsReplayBatch: cross-batch cell-wise merge equals the batch sketch (linearity)") {
     import org.apache.spark.sql.functions._
     import graft.functions.{PortableHash, Sketches}

@@ -3,11 +3,22 @@
 # shipping `parsed: null` like the r13/r15 official runs:
 #   case 1 — internal soft deadline: units past SPARK_GRAFT_BENCH_DEADLINE_SEC
 #            are never launched; the parent exits 0 with completed queries
-#            measured and the rest in an explicit "skipped" list.
+#            measured and the rest in an explicit "skipped" list (and the
+#            deadline-declined subset called out as "skipped_deadline").
 #   case 2 — kill -TERM mid-run (the driver's timeout wrapper): the shutdown
 #            hook prints the partial one-line artifact to stdout and the
 #            incrementally-rewritten artifact file holds the same state.
-# Run from the repo root after `sbt -batch compile`. ~2 min.
+#   case 3 — parent launched under a huge -Xmx (the r16 driver ran sbt at
+#            -Xmx89g, which the old inherit-the-parent's-heap child config
+#            turned into par=1 and 164 skipped queries): the child heap is
+#            now PINNED to 8g, so par must stay > 1 and the occupancy
+#            record must show the pinned flag, not the parent's.
+#   case 4 — heavies-first submission: with a full light chunk sorting
+#            BEFORE a heavy, a deadline-degraded run must still measure
+#            the heavy and skip only the light chunk (r16 verdict #3: the
+#            r16 official run lost every stream_* heavy because completed
+#            units were an alphabetical prefix).
+# Run from the repo root after `sbt -batch compile`. ~3 min.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -81,4 +92,51 @@ import json
 occ=json.load(open('/tmp/bench_degrade2_occ.json'))
 opens=[u for u in occ['units'] if u.get('open')]
 print('kill-term: occupancy has %d unit spans (%d open at kill time)' % (len(occ['units']), len(opens)))"
+
+echo "== case 3: huge parent -Xmx does not collapse the pool (child heap pinned) =="
+rm -f /tmp/bench_degrade3.json /tmp/bench_degrade3_occ.json
+env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  SPARK_GRAFT_ONLY=q1_agg,top_revenue \
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=1 \
+  SPARK_GRAFT_BENCH_OUT=/tmp/bench_degrade3.json \
+  SPARK_GRAFT_BENCH_OCC=/tmp/bench_degrade3_occ.json \
+  java $OPENS -Xmx80g -cp "$CP" graft.Bench > /tmp/bench_degrade3.out 2>/dev/null
+python3 -c "
+import json
+occ=json.load(open('/tmp/bench_degrade3_occ.json'))
+assert occ['par'] > 1, f\"par collapsed under a huge parent -Xmx: {occ['par']}\"
+assert occ['child_xmx'] == '-Xmx8g', f\"child heap not pinned: {occ['child_xmx']}\"
+d=json.load(open('/tmp/bench_degrade3.json'))
+measured={k:v for k,v in d['queries'].items() if v>=0}
+assert set(measured)=={'q1_agg','top_revenue'}, measured
+print('huge-xmx: OK - par=%d child_xmx=%s, both queries measured' % (occ['par'], occ['child_xmx']))"
+
+echo "== case 4: heavies submitted first (degraded run keeps the heavy) =="
+# 20 light queries that sort alphabetically BEFORE the heavy triangle_counts
+# form one full light chunk = unit 0; [triangle_counts] = unit 1. With
+# heavies-first submission and a 1s deadline, the heavy must be the one
+# measured and the light chunk the one skipped (marked skipped_deadline).
+LIGHTS=ab_test_conversion,above_avg_orders,asof_last_order,attribution_last_touch
+LIGHTS=$LIGHTS,audio_vad_segments,banded_scan_revenue,bigram_freq_top50,bigram_lm_score
+LIGHTS=$LIGHTS,bigram_pmi_top50,bloom_semijoin,bm25_top_docs,bpe_doc_token_counts
+LIGHTS=$LIGHTS,bpe_merges,bpe_token_freqs,char_entropy,cms_term_counts
+LIGHTS=$LIGHTS,cohort_retention,compression_ratio,corpus_profile,cube_orders
+rm -f /tmp/bench_degrade4.json /tmp/bench_degrade4_occ.json
+env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  SPARK_GRAFT_ONLY=$LIGHTS,triangle_counts \
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_PAR=1 SPARK_GRAFT_REPS=1 \
+  SPARK_GRAFT_BENCH_DEADLINE_SEC=1 \
+  SPARK_GRAFT_BENCH_OUT=/tmp/bench_degrade4.json \
+  SPARK_GRAFT_BENCH_OCC=/tmp/bench_degrade4_occ.json \
+  java $OPENS -Xmx4g -cp "$CP" graft.Bench > /tmp/bench_degrade4.out 2>/dev/null
+python3 -c "
+import json
+d=json.load(open('/tmp/bench_degrade4.json'))
+measured={k:v for k,v in d['queries'].items() if v>=0}
+assert 'triangle_counts' in measured, f'heavy not measured first: {sorted(measured)}'
+assert 'triangle_counts' not in d['skipped'], d['skipped']
+assert len(d['skipped'])==20 and set(d['skipped'])==set(d['skipped_deadline']), \
+    (len(d['skipped']), len(d.get('skipped_deadline',[])))
+print('heavies-first: OK - heavy measured (%.2fs), %d lights deadline-skipped'
+      % (measured['triangle_counts'], len(d['skipped_deadline'])))"
 echo "== bench degradation: ALL OK =="
