@@ -37,18 +37,23 @@ def main() -> None:
         "round": rnd,
         "method": (
             "same-session, EVERY heavy unit, driver-like invocation "
-            "(SPARK_GRAFT_CPUS=32, REPS=3 medians): sequential units with "
-            "local[32] children (the r11-r13 configuration) vs the default "
-            "pool with the thread budget split (8 x local[4] children "
-            "since r16; 4 x local[8] in r14-r15 — box exactly subscribed "
-            "either way). r15 extended the r14 6-query bridge to the full "
-            "heavy set (r14 verdict #1); r16 re-based the pooled leg for "
-            "the 8-way config. BENCH_OCCUPANCY.json additionally records "
-            "each unit's co-runner mix per official run."
+            "(SPARK_GRAFT_CPUS=32, shipped rep config: heavy units 2-rep "
+            "mean, heavy stream_* units one untimed warm rep first — r17): "
+            "sequential units with local[32] children (the r11-r13 "
+            "configuration) vs the default pool with the thread budget "
+            "split (8 x local[4] children since r16; 4 x local[8] in "
+            "r14-r15 — box exactly subscribed either way). r15 extended "
+            "the r14 6-query bridge to the full heavy set (r14 verdict "
+            "#1); r16 re-based the pooled leg for the 8-way config; r17 "
+            "re-based BOTH legs for the pinned 8g child heap + "
+            "stream-warm-rep config (SOAK_ADJUDICATION round17 holds the "
+            "per-rep cold/steady A/B behind the warm-rep change). "
+            "BENCH_OCCUPANCY.json additionally records each unit's "
+            "co-runner mix per official run."
         ),
         "sequential_local32": {q: round(sq[q], 3) for q in sorted(sq)},
         "pooled": {q: round(pq[q], 3) for q in sorted(pq)},
-        "pooled_config": "8 x local[4] (r16 default)",
+        "pooled_config": "8 x local[4], child heap pinned -Xmx8g, heavies submitted first, stream_* heavies warmed (r17 defaults)",
         "ratio_parallel_over_sequential": ratios,
         "ratio_median": round(sorted(ratios.values())[len(ratios) // 2], 3),
         "ratio_worst": max(ratios.items(), key=lambda kv: kv[1]),
@@ -64,7 +69,19 @@ def main() -> None:
             "(r14/r15) numbers. Round-over-round comparisons WITHIN one "
             "pool configuration need no correction. Wall-clock fields are "
             "the sum of per-query medians per leg (not elapsed wall), "
-            "comparable across rounds."
+            "comparable across rounds. r17 basis notes: stream_* heavy "
+            "centers are now steady-state (warm rep discards the 1.4-1.6x "
+            "cold first rep the r16 2-rep mean charged half-weight — "
+            "SOAK_ADJUDICATION round17), so their sequential legs DROP vs "
+            "r16 by construction, not by code change; batch heavies stay "
+            "unwarmed 2-rep means and carry cold-rep noise on this box "
+            "(page cache is not retained between JVMs), worst on "
+            "fourclique_counts — same-session per-rep traces: seq-leg reps "
+            "41.5/20.8 then re-checks 32.0/23.9/89.3 and 28.0/19.6/18.1, "
+            "steady state 18-21s matching the r16 basis (18.5); treat "
+            "fourclique seq/pooled movement beyond that band as rep1/GC "
+            "noise before suspecting the plan (the 89s outlier was a "
+            "one-off GC/IO stall, not reproducible)."
         ),
     }
     json.dump(out, open("BENCH_CALIBRATION.json", "w"), indent=1)
