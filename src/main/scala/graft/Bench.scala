@@ -65,7 +65,7 @@ object Bench {
     // round-16 additions measured >=2s isolated:
     "pipeline_curation_e2e",
     // round-17 additions measured >=2s isolated:
-    "stream_curation_e2e",
+    "stream_curation_e2e", "curation_funnel", "stream_media_dup",
   )
   // 20 light queries per JVM since r16 (was 10): halves the light-chunk
   // JVM startups (~15s each). The per-chunk untimed warm pass + isolate()
@@ -571,9 +571,9 @@ object Bench {
       "before light chunks (artifact order unchanged) so a degraded run " +
       "keeps the adjudication-relevant heavies; heavy stream_* replay " +
       "units get one untimed warm rep (their cold first rep carried " +
-      "~2x JIT+state-store setup that the 2-rep mean charged half-weight " +
-      "- see BENCH_CALIBRATION.json r17 A/B), so their medians read " +
-      "steady-state like the light baseline"
+      "1.4-1.6x of state-store+codegen setup that the 2-rep mean charged " +
+      "half-weight - per-rep A/B in SOAK_ADJUDICATION.json round17), so " +
+      "their medians read steady-state like the light baseline"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped":$skip,"skipped_deadline":$skipDl,"note":"$note","sf":"$sfDir"}"""
     if (toStdout) println(json)

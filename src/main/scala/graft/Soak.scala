@@ -89,6 +89,7 @@ object Soak {
     // handoff scaling are this round's soak evidence — front-running them
     // means a budget-truncated soak still captures the new claims
     "stream_ivfadc_topk", "pipeline_curation_e2e", "stream_curation_e2e",
+    "curation_funnel", "stream_media_dup",
     "bootstrap_ci_mean", "graph_mis", "scc_components", "katz_top20",
     "graph_random_walks", "betweenness_top50",
     "wpagerank_top20", "subtree_sizes", "label_propagation",

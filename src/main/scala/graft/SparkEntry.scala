@@ -2339,6 +2339,11 @@ object SparkEntry {
     // the final state shares pipeline_curation_e2e's oracle bit-for-bit
     "stream_curation_e2e" -> ((s, dir) =>
       streaming.StreamOps.curationReplayBatch(s, s"$dir/documents.parquet")),
+    // the funnel: per-stage survivor counts of the composed chain — the
+    // dataset-card numbers (docs in, docs after each gate, split sizes);
+    // stage sets shared with curationPipelineE2e via curationStages
+    "curation_funnel" -> ((s, dir) =>
+      pipeline.Curation.curationFunnel(t(s, dir, "documents"))),
     "source_quota" -> ((s, dir) =>
       pipeline.Curation.sourceQuota(t(s, dir, "documents"), perSource = 5)),
     // weighted data mixing: even-indexed sources contribute 8 docs, odd 4,
@@ -2426,6 +2431,12 @@ object SparkEntry {
         .filter(col("n_media") > 1)
         .orderBy("keep_id")
     }),
+    // streaming twin of media_dup_groups: per-batch perceptual hashes
+    // (shared stub-pinned kernel) fold (SUM count, MIN keeper) per aHash
+    // into the composite-key bucketed store — both folds associative, so
+    // any batch split converges and the batch oracle replays the end state
+    "stream_media_dup" -> ((s, dir) =>
+      streaming.StreamOps.mediaDupReplayBatch(s, s"$dir/documents.parquet")),
     // exact two-sample KS drift statistic between two sources' length
     // distributions — integer-numerator max (no per-value FP), one
     // bit-identical division at the end
@@ -2913,14 +2924,13 @@ object SparkEntry {
 
   private val dedupClusterCteSql = dedupClusterCtes("documents")
 
-  /** The composed curation chain's oracle — each stage its standalone
-    * oracle's CTE form, stacked. Shared verbatim by
-    * `pipeline_curation_e2e` and its streaming twin
-    * `stream_curation_e2e`: the stream maintains the identical final
-    * state incrementally, so ONE oracle checks both (the
-    * decontamination-twin pattern).
+  /** Shared CTE chain of the composed curation oracle — stages 0–5
+    * (corpus → exact dedup → near-dup clustering → gopher gates →
+    * decontamination → leakage-safe split), each a standalone oracle's
+    * CTE form, stacked. Three queries build on it: the e2e pipeline,
+    * its streaming twin, and the funnel's stage counts.
     */
-  private lazy val curationE2eOracleSql: String =
+  private lazy val curationCtesSql: String =
     s"""WITH RECURSIVE
       |corpus AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
       |  FROM documents WHERE doc_id >= 10),
@@ -2960,8 +2970,17 @@ object SparkEntry {
       |sp AS (SELECT doc_id, cluster,
       |    CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1)
       |           IN ('0','1','2','3','4','5','6','7','8','9','a','b')
-      |         THEN 'train' ELSE 'val' END AS split FROM d4),
-      |pk AS (SELECT s.doc_id, s.cluster, s.split,
+      |         THEN 'train' ELSE 'val' END AS split FROM d4)""".stripMargin
+
+  /** The composed curation chain's oracle — shared verbatim by
+    * `pipeline_curation_e2e` and its streaming twin
+    * `stream_curation_e2e`: the stream maintains the identical final
+    * state incrementally, so ONE oracle checks both (the
+    * decontamination-twin pattern).
+    */
+  private lazy val curationE2eOracleSql: String =
+    curationCtesSql + ",\n" +
+    s"""pk AS (SELECT s.doc_id, s.cluster, s.split,
       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
       |    CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
       |  FROM sp s JOIN d4 d ON d.doc_id = s.doc_id),
@@ -2974,6 +2993,33 @@ object SparkEntry {
       |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
       |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
       |FROM pc ORDER BY doc_id""".stripMargin
+
+  /** The curation funnel's oracle: the SAME stage CTEs, reduced to one
+    * COUNT per survivor set (dataset-card numbers).
+    */
+  private lazy val curationFunnelOracleSql: String =
+    curationCtesSql + "\n" +
+    s"""SELECT * FROM (
+      |  SELECT '1_corpus' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM corpus
+      |  UNION ALL SELECT '2_exact_dedup', count(*) FROM d1
+      |  UNION ALL SELECT '3_near_dedup', count(*) FROM d2
+      |  UNION ALL SELECT '4_gopher', count(*) FROM d3
+      |  UNION ALL SELECT '5_decontaminated', count(*) FROM d4
+      |  UNION ALL SELECT '6_train', count(*) FROM sp WHERE split = 'train'
+      |  UNION ALL SELECT '7_val', count(*) FROM sp WHERE split = 'val')
+      |ORDER BY stage""".stripMargin
+
+  /** Exact-dup media groups oracle — shared verbatim by
+    * `media_dup_groups` and its streaming twin `stream_media_dup`: the
+    * stream's additive (SUM, MIN) folds converge to the same end state
+    * for any batch split, so ONE oracle checks both.
+    */
+  private lazy val mediaDupGroupsOracleSql: String =
+    s"""${mediaPhashCte("(SELECT doc_id, text FROM documents UNION ALL " +
+         "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)")}
+       |SELECT phash_hi, phash_lo, CAST(count(*) AS BIGINT) AS n_media,
+       |  CAST(min(media_id) AS BIGINT) AS keep_id
+       |FROM ph GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
 
   private val coPurchaseCteSql =
     s"""basket AS MATERIALIZED ($guardedBasketSql),
@@ -5318,6 +5364,8 @@ object SparkEntry {
     // incrementally — ONE oracle checks both twins (same SQL string by
     // construction, the decontamination-twin pattern)
     "stream_curation_e2e" -> curationE2eOracleSql,
+    // per-stage survivor counts over the SAME stage CTEs
+    "curation_funnel" -> curationFunnelOracleSql,
     "sequence_packing" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -6040,12 +6088,10 @@ object SparkEntry {
     "media_phash" ->
       s"""${mediaPhashCte("documents")}
          |SELECT media_id, phash_hi, phash_lo FROM ph ORDER BY media_id""".stripMargin,
-    "media_dup_groups" ->
-      s"""${mediaPhashCte("(SELECT doc_id, text FROM documents UNION ALL " +
-           "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)")}
-         |SELECT phash_hi, phash_lo, CAST(count(*) AS BIGINT) AS n_media,
-         |  CAST(min(media_id) AS BIGINT) AS keep_id
-         |FROM ph GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+    "media_dup_groups" -> mediaDupGroupsOracleSql,
+    // the streaming twin maintains the identical group state
+    // additively — ONE oracle checks both (the curation-twin pattern)
+    "stream_media_dup" -> mediaDupGroupsOracleSql,
     // keyframe-level video near-dup replay: stub chunker (every 2nd
     // 64-byte chunk), per-frame byte aHash (integer cross-multiplication
     // — the mediaPhashCte arithmetic grouped by frame), DIRECT hamming

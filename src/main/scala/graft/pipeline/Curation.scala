@@ -519,6 +519,33 @@ object Curation {
   def curationPipelineE2e(documents: DataFrame, window: Long = 2048L,
                           benchmarkMaxId: Long = DefaultBenchmarkMaxId,
                           k: Int = DefaultDeconK): DataFrame = {
+    val (_, _, _, _, d4) = curationStages(documents, benchmarkMaxId, k)
+    // 5. leakage-safe split by cluster hash (per-row arithmetic)
+    val sp = clusterSafeSplit(d4.select("doc_id", "cluster"))
+    // 6. per-split packing — a train sequence never contains val text
+    val packed = Seq("train", "val").map { s =>
+      sequencePacking(
+        d4.join(sp.filter(col("split") === s).select("doc_id"), Seq("doc_id")),
+        window)
+    }.reduce(_.unionByName(_))
+    sp.select("doc_id", "cluster", "split")
+      .join(packed.select("doc_id", "n_tokens", "seq_id", "seq_offset"),
+        Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Stages 0–4 of the composed curation chain, shared by
+    * [[curationPipelineE2e]] and [[curationFunnel]] (one definition so
+    * the funnel's stage counts can never drift from the pipeline's
+    * survivor sets). Returns (corpus, d1 exact-dedup keepers, d2 cluster
+    * representatives with cluster id, d3 gopher survivors, d4 decon
+    * survivors); d1 and d4 are eagerly checkpointed at the fan-out
+    * points exactly as the pipeline Scaladoc describes.
+    */
+  private[graft] def curationStages(documents: DataFrame,
+                                    benchmarkMaxId: Long = DefaultBenchmarkMaxId,
+                                    k: Int = DefaultDeconK)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val corpus = documents
       .filter(col("doc_id").cast("long") >= benchmarkMaxId)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -543,17 +570,34 @@ object Curation {
       contaminationFlags(d3.select("doc_id", "text"), bench, k)
         .filter(col("contaminated") === 0L).select("doc_id"), Seq("doc_id"))
       .localCheckpoint(true) // fans out: split + two per-split packs
-    // 5. leakage-safe split by cluster hash (per-row arithmetic)
+    (corpus, d1, d2, d3, d4)
+  }
+
+  /** The curation FUNNEL — per-stage survivor counts of
+    * [[curationPipelineE2e]], the numbers a dataset card reports (docs
+    * in, docs after each gate, final split sizes). One tiny frame: each
+    * stage contributes a single two-phase COUNT over its survivor set
+    * (map-side partial counts — nothing wider than one row per stage
+    * ever crosses the wire), and the stages reuse the pipeline's own
+    * checkpointed fan-out points, so the funnel costs the pipeline's
+    * stage chain plus seven one-row aggregates. Output:
+    * (stage, n_docs) ordered by stage.
+    */
+  def curationFunnel(documents: DataFrame,
+                     benchmarkMaxId: Long = DefaultBenchmarkMaxId,
+                     k: Int = DefaultDeconK): DataFrame = {
+    val (corpus, d1, d2, d3, d4) = curationStages(documents, benchmarkMaxId, k)
     val sp = clusterSafeSplit(d4.select("doc_id", "cluster"))
-    // 6. per-split packing — a train sequence never contains val text
-    val packed = Seq("train", "val").map { s =>
-      sequencePacking(
-        d4.join(sp.filter(col("split") === s).select("doc_id"), Seq("doc_id")),
-        window)
-    }.reduce(_.unionByName(_))
-    sp.select("doc_id", "cluster", "split")
-      .join(packed.select("doc_id", "n_tokens", "seq_id", "seq_offset"),
-        Seq("doc_id"))
-      .orderBy("doc_id")
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    cnt("1_corpus", corpus)
+      .unionByName(cnt("2_exact_dedup", d1))
+      .unionByName(cnt("3_near_dedup", d2))
+      .unionByName(cnt("4_gopher", d3))
+      .unionByName(cnt("5_decontaminated", d4))
+      .unionByName(cnt("6_train", sp.filter(col("split") === "train")))
+      .unionByName(cnt("7_val", sp.filter(col("split") === "val")))
+      .orderBy("stage")
   }
 }

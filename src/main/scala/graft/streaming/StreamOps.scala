@@ -567,7 +567,8 @@ object StreamOps {
   def mergeAdditiveKeyed(delta: DataFrame, target: String,
                          keyCols: Seq[String],
                          nBuckets: Int = 16,
-                         fold: String = "sum"): Unit = {
+                         fold: String = "sum",
+                         foldOverrides: Map[String, String] = Map.empty): Unit = {
     val spark = delta.sparkSession
     val valueCols = delta.columns.filterNot(keyCols.contains).toSeq
     val bucketKey =
@@ -585,11 +586,15 @@ object StreamOps {
         .filter(col("bucket").isin(touched: _*))
         .unionByName(withB)
     // `fold` picks the per-key combine: "sum" for counter state, "max"
-    // for duplicate-insensitive sketch registers (HLL) — both
-    // associative+commutative, so any batch split converges
+    // for duplicate-insensitive sketch registers (HLL), "min" for
+    // canonical-keeper ids — all associative+commutative, so any batch
+    // split converges. `foldOverrides` assigns a different fold to
+    // individual value columns (the media-dup store sums its group count
+    // while MIN-folding the keeper id in the same row).
     val aggs = valueCols.map { c =>
-      val folded = fold match {
+      val folded = foldOverrides.getOrElse(c, fold) match {
         case "max" => max(col(c))
+        case "min" => min(col(c))
         case _ => sum(col(c))
       }
       folded.cast(delta.schema(c).dataType).as(c)
@@ -1041,6 +1046,7 @@ object StreamOps {
           .withColumn("bucket",
             pmod(xxhash64(col("h")), lit(nBuckets.toLong)).cast("int"))
           .localCheckpoint(true)
+        // control-plane collect: ≤ nBuckets rows by construction
         val touched = bmin.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
         val stored =
@@ -1101,6 +1107,7 @@ object StreamOps {
             .withColumn("bucket",
               pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int"))
             .localCheckpoint(true)
+          // control-plane collect: ≤ nBuckets rows by construction
           val candBuckets = candDocs.select("bucket").distinct()
             .collect().map(_.getInt(0)).toSeq
           val storedSh =
@@ -1192,6 +1199,69 @@ object StreamOps {
           Seq("doc_id"))
         .orderBy("doc_id")
     }
+  }
+
+  /** Streaming MULTIMODAL dup-group maintenance — the incremental form
+    * of `media_dup_groups` and the media analogue of
+    * `stream_ingest_dedup`'s text path: media rows arrive in
+    * micro-batches, each batch perceptual-hashes its payloads with the
+    * batch query's own stub-pinned kernel
+    * ([[graft.multimodal.Media.perceptualHash]], a partition-local
+    * Dataset map — payload bytes never shuffle; only the 2×BIGINT hash
+    * halves do) and folds per 64-bit aHash group into the composite-key
+    * bucketed additive store: n_media SUMs, keep_id MIN-folds (the
+    * canonical-keeper rule). Both folds are associative + commutative,
+    * so ANY batch split converges to the batch groups; per-batch cost is
+    * the batch's own hash map plus bucket-footprint state writes, and
+    * group reads never re-scan history. The serve step filters
+    * n_media > 1, so the end state replays the batch `media_dup_groups`
+    * oracle verbatim (the same planted re-crawl copies — doc_id < 50
+    * re-ingested at id+1e6 — are staged into the stream).
+    * Output: (phash_hi, phash_lo, n_media, keep_id) ordered by keep_id.
+    */
+  def mediaDupReplayBatch(spark0: org.apache.spark.sql.SparkSession,
+                          documentsPath: String): DataFrame = {
+    import graft.multimodal.Media
+    val spark = tunedStatefulSession(spark0)
+    val docs = spark.read.parquet(documentsPath)
+    val tmp = graft.TmpDirs.create("graft_stream_mediadup_")
+    val inDir = s"$tmp/in"
+    val store = s"$tmp/groups"
+    val planted = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    docs.unionByName(planted)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"))
+      .repartition(4).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tBatch0 = System.nanoTime()
+        val delta = Media.perceptualHash(
+            Media.mediaFromDocuments(batch), realCodecs = false)
+          .toDF()
+          .groupBy("phash_hi", "phash_lo")
+          .agg(count(lit(1)).cast("long").as("n_media"),
+            min("media_id").as("keep_id"))
+        mergeAdditiveKeyed(delta, store, Seq("phash_hi", "phash_lo"),
+          foldOverrides = Map("keep_id" -> "min"))
+        recordBatchDuration(tBatch0)
+      }
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"media dup replay ran $batches non-empty micro-batches; " +
+        "the incremental path requires at least 2")
+    spark.read.parquet(store)
+      .filter(col("n_media") > 1)
+      .select("phash_hi", "phash_lo", "n_media", "keep_id")
+      .orderBy("keep_id")
   }
 
   /** Fourteenth oracle-checked streaming query — INCREMENTAL GRAPH

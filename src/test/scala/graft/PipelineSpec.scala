@@ -1026,4 +1026,28 @@ class PipelineSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("curationFunnel: stage counts are monotone through the gates and reconcile with the pipeline output") {
+    import graft.pipeline.Curation
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val funnel = Curation.curationFunnel(raw).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(funnel.keySet == Set("1_corpus", "2_exact_dedup", "3_near_dedup",
+      "4_gopher", "5_decontaminated", "6_train", "7_val"))
+    // the gates only ever shrink the survivor set
+    val order = Seq("1_corpus", "2_exact_dedup", "3_near_dedup", "4_gopher",
+      "5_decontaminated")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(funnel(a) >= funnel(b), s"$a=${funnel(a)} < $b=${funnel(b)}")
+    }
+    // the split partitions the decon survivors exactly
+    assert(funnel("6_train") + funnel("7_val") == funnel("5_decontaminated"))
+    // stage 5 IS the e2e pipeline's output row set (shared curationStages)
+    val e2e = Curation.curationPipelineE2e(raw).collect()
+    assert(e2e.length.toLong == funnel("5_decontaminated"))
+    assert(e2e.count(_.getString(2) == "train").toLong == funnel("6_train"))
+    // the funnel actually discriminates on this corpus (every gate set
+    // being equal would make the test vacuous)
+    assert(funnel("1_corpus") > funnel("5_decontaminated"))
+  }
 }

@@ -874,6 +874,28 @@ class StreamSpec extends AnyFunSuite {
     assert(ids.contains(150L) && !ids.contains(19950L))
   }
 
+  test("mediaDupReplayBatch: additive (SUM, MIN) group folds equal the batch media_dup_groups") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val res = StreamOps.mediaDupReplayBatch(spark, s"$dir/documents.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val planted = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val batch = graft.multimodal.Media.perceptualHash(
+        graft.multimodal.Media.mediaFromDocuments(docs.unionByName(planted)),
+        realCodecs = false)
+      .toDF()
+      .groupBy("phash_hi", "phash_lo")
+      .agg(count(lit(1)).cast("long").as("n_media"), min("media_id").as("keep_id"))
+      .filter(col("n_media") > 1)
+      .orderBy("keep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(res.toSeq == batch.toSeq)
+    // every planted re-crawl copy groups with its original, keeper = original
+    assert(res.nonEmpty && res.forall { case (_, _, n, keep) => n >= 2 && keep < 50 })
+  }
+
   test("cmsReplayBatch: cross-batch cell-wise merge equals the batch sketch (linearity)") {
     import org.apache.spark.sql.functions._
     import graft.functions.{PortableHash, Sketches}
