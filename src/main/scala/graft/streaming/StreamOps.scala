@@ -1056,10 +1056,20 @@ object StreamOps {
               .filter(col("bucket").isin(touched: _*))
               .select(col("h"), col("doc_id").as("stored_id"))
           else spark.range(0).select(lit("").as("h"), col("id").as("stored_id"))
-        // right-outer keeps every batch hash; the |Δ| side broadcasts so
-        // the stored side is a map-side probe, never shuffled
-        val adm0 = stored.join(broadcast(bmin), Seq("h"), "right")
-          .filter(col("stored_id").isNull || col("doc_id") < col("stored_id"))
+        // Outer-join decomposition that keeps the stored side STREAMED
+        // (an outer join can only broadcast its build side, and for a
+        // preserved |Δ| side that build side would be the STORE — the
+        // 100 TB anti-pattern): (1) inner probe with the batch hashes
+        // broadcast — the pruned store scan is map-side, never shuffled;
+        // (2) hashes absent from the store via a LeftAnti against the
+        // (≤|Δ|-sized) match set, also broadcast. Union = the admitted
+        // set: new hashes plus smaller-than-stored revisions.
+        val matches = stored.join(broadcast(bmin), Seq("h"))
+          .localCheckpoint(true) // ≤ |batch hashes| rows
+        val adm0 = matches.filter(col("doc_id") < col("stored_id"))
+          .unionByName(
+            bmin.join(broadcast(matches.select("h")), Seq("h"), "left_anti")
+              .withColumn("stored_id", lit(null).cast("long")))
           .localCheckpoint(true)
         val admitted = adm0.count()
         val superseded = adm0.filter(col("stored_id").isNotNull).count()
