@@ -975,6 +975,20 @@ object StreamOps {
     * ascending replay would never test. The final state is
     * order-independent either way.
     *
+    * File-fan-in control: the shingle/band/doc stores are APPEND-only
+    * per batch (no row is ever rewritten — supersession needs no
+    * retraction), which accrues one file per batch per store; at
+    * thousands of micro-batches the per-batch probes would pay
+    * O(batches) file listing/opens — the same unbounded-read-fan-in
+    * class the delta-chain catalog solves with
+    * [[graft.graph.GraphCatalog.compact]]. Every `compactEvery` batches
+    * the three append stores are rewritten to a bounded file count (one
+    * file per bucket for the bucketed shingle store), so read fan-in
+    * stays bounded while per-batch writes stay |Δ|-scaled; compaction
+    * batches are TAGGED "compact" in the per-batch soak record, so the
+    * amortized rewrite cost reads separately from the steady append
+    * cost (the IVFADC twin's refit-tag pattern).
+    *
     * `batchProbe(admitted, superseded)` (test hook): per batch, docs
     * admitted and, of those, how many revised an existing keeper.
     * Output: (doc_id, cluster, split, n_tokens, seq_id, seq_offset)
@@ -986,7 +1000,9 @@ object StreamOps {
                           benchmarkMaxId: Long =
                             graft.pipeline.Curation.DefaultBenchmarkMaxId,
                           k: Int = graft.pipeline.Curation.DefaultDeconK,
-                          batchProbe: (Long, Long) => Unit = (_, _) => ())
+                          batchProbe: (Long, Long) => Unit = (_, _) => (),
+                          compactEvery: Int = 4,
+                          stateDirProbe: String => Unit = _ => ())
       : DataFrame = {
     import graft.pipeline.{Curation, Dedup, TextStats}
     val spark = tunedStatefulSession(spark0)
@@ -999,6 +1015,7 @@ object StreamOps {
     val bandStore = s"$tmp/bands"   // admitted LSH band keys (append-only)
     val labelStore = s"$tmp/labels" // incremental CC labels (bucketed upsert)
     val nBuckets = 16
+    stateDirProbe(tmp.toString)
 
     docs.filter(col("doc_id").cast("long") >= benchmarkMaxId)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -1032,6 +1049,7 @@ object StreamOps {
     val schema = spark.read.parquet(inDir).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
+    var batchesDone = 0L
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -1171,7 +1189,35 @@ object StreamOps {
           mergeIntoBucketedServing(newResolved.unionByName(oldRemapped),
             labelStore, "vertex", nBuckets)
         }
-        recordBatchDuration(tBatch0)
+        batchesDone += 1
+        // bounded read fan-in (see Scaladoc): every compactEvery batches,
+        // fold the append stores' accumulated per-batch files back to a
+        // constant file count — materialize BEFORE overwriting the dirs
+        // being read (the kmv state pattern)
+        val compacted =
+          compactEvery > 0 && batchesDone % compactEvery == 0 && {
+            var any = false
+            if (pathExists(spark, shStore)) {
+              spark.read.parquet(shStore).localCheckpoint(true)
+                .repartition(nBuckets, col("bucket"))
+                .write.mode("overwrite").partitionBy("bucket").parquet(shStore)
+              any = true
+            }
+            if (pathExists(spark, bandStore)) {
+              spark.read.parquet(bandStore).localCheckpoint(true)
+                .repartition(4)
+                .write.mode("overwrite").parquet(bandStore)
+              any = true
+            }
+            if (pathExists(spark, docStore)) {
+              spark.read.parquet(docStore).localCheckpoint(true)
+                .repartition(4)
+                .write.mode("overwrite").parquet(docStore)
+              any = true
+            }
+            any
+          }
+        recordBatchDuration(tBatch0, if (compacted) "compact" else "append")
         batchProbe(admitted, superseded)
       }
       .start()

@@ -812,12 +812,33 @@ class StreamSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     var batches = 0
     var admitted = 0L
+    var stateRoot = ""
+    StreamOps.drainBatchRecords() // clear other tests' leftovers
     val res = StreamOps.curationReplayBatch(spark, s"$dir/documents.parquet",
-      batchProbe = (a, _) => { batches += 1; admitted += a })
+      batchProbe = (a, _) => { batches += 1; admitted += a },
+      stateDirProbe = p => { stateRoot = p })
     val streamed = res.collect().map(r => (r.getLong(0), r.getLong(1),
       r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(batches >= 2, s"need >=2 probed micro-batches, got $batches")
     assert(admitted > 0L)
+    // bounded read fan-in: the compaction (every 4th batch, tagged
+    // "compact") folds the append stores back to a constant file count
+    val recs = StreamOps.drainBatchRecords()
+    assert(recs.exists(_._2 == "compact") && recs.exists(_._2 == "append"),
+      s"expected both compact and append tags, got ${recs.map(_._2)}")
+    def parquetCount(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      val d = new java.io.File(p)
+      if (!d.exists()) 0 else walk(d).count(_.getName.endsWith(".parquet"))
+    }
+    assert(parquetCount(s"$stateRoot/shingles") <= 16,
+      "shingle store not compacted to <=1 file per bucket")
+    assert(parquetCount(s"$stateRoot/bands") <= 4,
+      "band store not compacted to a bounded file count")
+    assert(parquetCount(s"$stateRoot/docs") <= 4,
+      "doc store not compacted to a bounded file count")
     val batch = graft.pipeline.Curation.curationPipelineE2e(
         spark.read.parquet(s"$dir/documents.parquet"))
       .collect().map(r => (r.getLong(0), r.getLong(1),
