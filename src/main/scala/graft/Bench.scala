@@ -192,6 +192,10 @@ object Bench {
     // fact instead of guessing the contention. Written as a side artifact
     // (BENCH_OCCUPANCY.json, same dir as the bench line) because the
     // one-line stdout contract stays as-is.
+    // the pre-probe runs BEFORE the deadline epoch: its ~1-2 s must not
+    // count against the soft deadline or the shed pace (the probe exists
+    // to adjudicate the run, not to participate in it)
+    noisePre = Some(noiseProbe(partsDir))
     val epoch = System.nanoTime()
     def nowSec: Double = (System.nanoTime() - epoch) / 1e9
     // Span starts are recorded BEFORE the child launches (end = NaN while
@@ -212,6 +216,20 @@ object Bench {
     val deadlineSkipped = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val deadlineSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "900").toDouble
+    // Deadline-aware REP shedding (r17 verdict #1a): the r17 official run
+    // kept all 81 heavies but deadline-skipped 186 lights because
+    // whole-unit skipping was the only pressure valve — and the 836 s
+    // best-case wall sits 7% under the 900 s deadline while same-code
+    // walls span 711–960 s in the box's host-contention windows
+    // (SOAK_ADJUDICATION round17 bench_host_noise). Once elapsed wall
+    // passes shedFrac of the deadline, remaining HEAVY units launch at
+    // 1 rep with no warm rep — each is ~half its 2-rep cost — and their
+    // queries are listed in the artifact's "reps_shed" so adjudication
+    // knows the basis. Shedding reps keeps every row in the artifact;
+    // the unit skip below stays as the final backstop.
+    val shedFrac =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SHED_FRAC", "0.6").toDouble
+    val repsShed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
     val emitLock = new Object
     // live children, killed by the shutdown hook AFTER the partial emit —
@@ -271,8 +289,18 @@ object Bench {
         }
       }
       writeOccupancy()
+      // extra artifact fields owned by the parent path: the rep-shed tags
+      // and the pre/post host-noise control (absent fields = not yet run)
+      val shedList = repsShed.asScala.toSeq.sorted
+        .map(n => s"\"$n\"").mkString("[", ",", "]")
+      val noise = (noisePre, noisePost) match {
+        case (Some(a), Some(b)) => s"""{"pre":$a,"post":$b}"""
+        case (Some(a), None) => s"""{"pre":$a}"""
+        case _ => "{}"
+      }
+      val extra = s""","reps_shed":$shedList,"noise_control":$noise"""
       emit(results.toSeq, errors.toSeq, skipped.toSeq, skippedDeadline.toSeq,
-        toStdout)
+        toStdout, extra)
       if (toStdout) emitted.set(true)
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -302,6 +330,13 @@ object Bench {
       // baseline or its median reads cold (r12 advice)
       if (!unit.exists(Heavy)) pb.environment().put("SPARK_GRAFT_BENCH_LIGHT", "1")
       else {
+        // pace check against the soft deadline: shed this unit's reps?
+        val shed = nowSec > deadlineSec * shedFrac
+        if (shed) {
+          unit.foreach(repsShed.add)
+          System.err.println(s"[bench] unit ${i + 1}/${units.size} " +
+            f"REPS SHED to 1 (pace: $nowSec%.0f > $shedFrac%.2f x $deadlineSec%.0f s)")
+        }
         pb.environment().put("SPARK_GRAFT_REPS",
           // heavy units run 2 reps since r16 (center of 2 = their mean)
           // unless the caller pinned a count: multi-second medians are
@@ -310,7 +345,8 @@ object Bench {
           // margin and dying at its timeout (r15 verdict #1). Light chunks
           // keep 3 reps: sub-second queries carry the JIT/GC jitter that
           // made single-shot deltas unadjudicable in the first place.
-          sys.env.getOrElse("SPARK_GRAFT_REPS", "2"))
+          // Under deadline pressure (shed) the count drops to 1.
+          if (shed) "1" else sys.env.getOrElse("SPARK_GRAFT_REPS", "2"))
         // Heavy stream_* replay units get one UNTIMED warm rep since r17
         // (r16 verdict #2): their cold first rep carries the streaming
         // state-store + foreachBatch codegen setup — the r17 A/B
@@ -319,8 +355,9 @@ object Bench {
         // first-run setup into every center where the old median-of-3
         // discarded it. Batch heavies stay unwarmed: their rep1/rep2
         // spread is ~5% and a warm rep would re-add most of the ~850 s
-        // the r16 rep cut saved.
-        if (unit.forall(_.startsWith("stream_")))
+        // the r16 rep cut saved. A shed unit skips the warm rep too —
+        // its single rep reads cold, which the reps_shed tag discloses.
+        if (!shed && unit.forall(_.startsWith("stream_")))
           pb.environment().put("SPARK_GRAFT_BENCH_WARM", "1")
       }
       pb.redirectErrorStream(false)
@@ -355,26 +392,97 @@ object Bench {
         done.put(i, Map.empty[String, Double])
         writeArtifacts(toStdout = false)
     }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-    // Heavy singleton units are SUBMITTED first (r16 verdict #3): under
-    // deadline pressure the completed set was an alphabetical prefix of
-    // the fixed order, which lost every stream_* heavy — exactly the
-    // adjudication-relevant rows. Submitting heavies ahead of light
-    // chunks keeps the artifact's most informative rows in a degraded
-    // run. Unit boundaries and the artifact layout are UNCHANGED:
-    // results are still assembled by fixed sorted index (writeArtifacts
-    // walks `units` in order); only the launch order moves. sortBy is
-    // stable, so heavies keep their sorted order among themselves, as do
-    // light chunks.
-    val submitOrder = units.zipWithIndex.sortBy { case (unit, _) => !unit.exists(Heavy) }
-    val futures = submitOrder.map { case (unit, i) =>
-      pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = runUnit(unit, i)
-      })
+    // Two work queues drained by `par` hand-rolled workers (r17 verdict
+    // #1b). Heavies stay launched ahead of lights (r16 verdict #3: a
+    // deadline-degraded run must keep the adjudication-relevant heavy
+    // rows), BUT one lane is RESERVED light-first when the pool has >= 2
+    // lanes: the ~10 light chunks are ~150 s of busy total, so they
+    // complete early in their own lane and full coverage never depends
+    // on the heavy tail finishing — the r17 failure shed 186 lights
+    // that the heavies' 800+ s tail starved behind the deadline. Each
+    // worker falls back to the other queue when its own drains, so no
+    // lane ever idles. Unit boundaries and the artifact layout are
+    // UNCHANGED (writeArtifacts walks `units` in fixed sorted order);
+    // only the launch order moves. Queues are filled in sorted-index
+    // order, so heavies keep their sorted order among themselves, as do
+    // light chunks. With par=1 the single worker is heavy-first — the
+    // reserved lane only exists when there is a pool to reserve from.
+    val heavyQ = new java.util.concurrent.ConcurrentLinkedQueue[(Seq[String], Int)]()
+    val lightQ = new java.util.concurrent.ConcurrentLinkedQueue[(Seq[String], Int)]()
+    units.zipWithIndex.foreach { case (u, i) =>
+      if (u.exists(Heavy)) heavyQ.add((u, i)) else lightQ.add((u, i)); ()
     }
-    pool.shutdown()
-    futures.foreach(f => try f.get() catch { case _: Throwable => () })
+    def worker(lightFirst: Boolean): Thread = {
+      val t = new Thread(() => {
+        var more = true
+        while (more) {
+          val item =
+            if (lightFirst) Option(lightQ.poll()).orElse(Option(heavyQ.poll()))
+            else Option(heavyQ.poll()).orElse(Option(lightQ.poll()))
+          item match {
+            case Some((u, i)) => runUnit(u, i)
+            case None => more = false
+          }
+        }
+      })
+      t.setDaemon(false)
+      t
+    }
+    val workers = (0 until par).map(w => worker(lightFirst = par >= 2 && w == 0))
+    workers.foreach(_.start())
+    workers.foreach(_.join())
+    noisePost = Some(noiseProbe(partsDir))
     writeArtifacts(toStdout = true)
+  }
+
+  // Host-noise control embedded in the artifact (r17 verdict #5): the r17
+  // adjudication of the box's ~15-min contention windows (same-code
+  // pooled walls 711–960 s) leaned on ad-hoc same-session singleton
+  // re-runs. A fixed CPU spin plus a fixed fsync'd write/read on the
+  // scratch volume, run by the parent BEFORE unit 0 and AFTER the last
+  // unit, gives every future run its own inflation evidence: flat
+  // pre/post probes + inflated medians = host window, not code.
+  @volatile private var noisePre: Option[String] = None
+  @volatile private var noisePost: Option[String] = None
+
+  private def noiseProbe(scratch: Path): String = {
+    // fixed CPU work: 200M xorshift64 steps (~0.3-0.6 s unloaded)
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 200000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    val cpuSec = (System.nanoTime() - t0) / 1e9
+    // fixed disk work: 256 MiB written fsync'd then read back on the same
+    // volume the children scratch on; the read-back mostly measures page
+    // cache / memory bandwidth — itself a contention signal under a
+    // 32-thread load
+    val buf = java.nio.ByteBuffer.allocate(1 << 20)
+    java.util.Arrays.fill(buf.array(), 0x5A.toByte)
+    val f = scratch.resolve("noise_probe.bin")
+    val mb = 256
+    import java.nio.file.StandardOpenOption._
+    val t1 = System.nanoTime()
+    val wch = java.nio.channels.FileChannel.open(f, CREATE, WRITE, TRUNCATE_EXISTING)
+    try {
+      var j = 0
+      while (j < mb) { buf.rewind(); wch.write(buf); j += 1 }
+      wch.force(true)
+    } finally wch.close()
+    val wSec = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val rch = java.nio.channels.FileChannel.open(f, READ)
+    try {
+      var n = 1
+      while (n > 0) { buf.rewind(); n = rch.read(buf) }
+    } finally rch.close()
+    val rSec = (System.nanoTime() - t2) / 1e9
+    Files.deleteIfExists(f)
+    // consume x so the spin cannot be optimized away
+    val tag = if (x == 0L) "\"degenerate\"" else "\"xorshift64\""
+    f"""{"cpu_spin_sec":$cpuSec%.3f,"disk_write_mb_s":${mb / wSec}%.1f,""" +
+      f""""disk_read_mb_s":${mb / rSec}%.1f,"cpu_kernel":$tag}"""
   }
 
   // ----------------------------------------------------------------- child
@@ -489,6 +597,33 @@ object Bench {
         }
         rep += 1
       }
+      // Adaptive third rep for high-spread heavies (r17 verdict #4): this
+      // box does not retain page cache between child JVMs, so a batch
+      // heavy's rep1 occasionally lands 2-4x its steady state
+      // (fourclique_counts: 41.5/20.8 s reps, one 89 s GC/IO stall in the
+      // r17 calibration traces) and the 2-rep mean swings the official
+      // total by minutes. When the 2 reps disagree by more than 1.5x, one
+      // extra rep buys a median-of-3 that discards the outlier. Bounded
+      // cost: only high-spread units pay it (~2-3 per run), and shed
+      // (reps=1) or light units never enter here.
+      if (!failed && !isLight && reps == 2 && times.size == 2 &&
+          times.max / math.max(times.min, 1e-9) > 1.5) {
+        isolate()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          times += t
+          System.err.println(f"[bench] $name rep3(adaptive) $t%.2fs " +
+            f"(spread ${times(0)}%.2f/${times(1)}%.2f exceeded 1.5x)")
+        } catch {
+          case e: Throwable =>
+            // the 2 completed reps stand; an adaptive-rep failure (OOM
+            // flake) must not turn a measured query into an error
+            System.err.println(s"[bench] $name adaptive rep3 failed " +
+              s"(keeping 2-rep center): ${e.getMessage}")
+        }
+      }
       // true median (mean of the middle two for even rep counts — the
       // upper-middle alone would report the WORSE of 2 reps)
       name -> (if (failed) -1.0 else {
@@ -508,9 +643,18 @@ object Bench {
   private def writeAtomic(path: Path, content: String): Unit = {
     val abs = path.toAbsolutePath
     val tmp = Files.createTempFile(abs.getParent, abs.getFileName.toString, ".tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, abs, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // a write failure (disk full) or a SIGKILL landing mid-write must not
+    // strand *.tmp clutter next to the artifact across degraded runs
+    // (r17 advice): delete on failure, and register deleteOnExit for the
+    // kill case (a no-op after a successful move)
+    tmp.toFile.deleteOnExit()
+    try {
+      Files.writeString(tmp, content)
+      Files.move(tmp, abs, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
   }
 
   /** Render + land the artifact. `toStdout = false` (incremental update
@@ -522,7 +666,7 @@ object Bench {
     */
   private def emit(results: Seq[(String, Double)], errors: Seq[String],
                    skipped: Seq[String], skippedDeadline: Seq[String],
-                   toStdout: Boolean): Unit = {
+                   toStdout: Boolean, extra: String = ""): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -573,9 +717,25 @@ object Bench {
       "units get one untimed warm rep (their cold first rep carried " +
       "1.4-1.6x of state-store+codegen setup that the 2-rep mean charged " +
       "half-weight - per-rep A/B in SOAK_ADJUDICATION.json round17), so " +
-      "their medians read steady-state like the light baseline"
+      "their medians read steady-state like the light baseline. r18: " +
+      "deadline pressure now sheds REPS before queries - once elapsed " +
+      "wall passes SHED_FRAC (0.6) of the soft deadline, remaining heavy " +
+      "units run 1 cold rep (no warm) and are listed in reps_shed; one " +
+      "pool lane is reserved light-first (par>=2) so the ~10 light " +
+      "chunks never starve behind the heavy tail; batch heavies whose 2 " +
+      "reps disagree >1.5x get one adaptive third rep (median-of-3 " +
+      "recenters fourclique-class cold-rep outliers); noise_control " +
+      "embeds a fixed CPU+disk probe run before unit 0 and after the " +
+      "last unit (flat probes + inflated medians = host window, not code)"
+    // the full DECLARED heavy set (not filtered by SPARK_GRAFT_ONLY):
+    // tools/build_calibration.py asserts its leg coverage against this
+    // list, so the calibration invariant ("every heavy unit has legs",
+    // r15) is self-enforcing instead of relying on someone remembering
+    // to extend the legs when a query joins Heavy (r17 verdict #2)
+    val heavyList = SparkEntry.queries.keys.toSeq.sorted.filter(Heavy)
+      .map(n => s"\"$n\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped":$skip,"skipped_deadline":$skipDl,"note":"$note","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped":$skip,"skipped_deadline":$skipDl,"heavy":$heavyList$extra,"note":"$note","sf":"$sfDir"}"""
     if (toStdout) println(json)
     // stdout line-length is at the mercy of whatever logger wraps the JVM
     // (sbt's clips ~3 KB, which once truncated a 98-query map) — always

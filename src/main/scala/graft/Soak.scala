@@ -76,6 +76,58 @@ object CensusMass {
   }
 }
 
+/** 3×-length curation-twin replay (r17 verdict #3 done-criterion): run
+  * `curationReplayBatch` at 12 micro-batches (the bench/oracle config
+  * runs 4) over the same corpus and print every batch's wall time and
+  * tag. Under the r18 size-tiered store maintenance, each "compact"
+  * batch's merge cost must stay BOUNDED across the stream — a level-0
+  * merge always touches fanIn(4) single-batch files, regardless of how
+  * much store has accumulated — where the r17 every-4-batches wholesale
+  * rewrite grew with the corpus (O(B·store) total). The batch count is
+  * the input partition count, so 12 batches ≈ 1/3-sized deltas: the
+  * per-batch append medians shrink accordingly while compact-batch
+  * costs stay flat from first to last — the signature the old policy
+  * cannot produce. Usage:
+  * `sbt "runMain graft.CurationSoak [sfDir]"` → one JSON line (and
+  * SPARK_GRAFT_CURSOAK_OUT, default /tmp/curation_soak.json).
+  */
+object CurationSoak {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batches = sys.env.getOrElse("SPARK_GRAFT_CURSOAK_BATCHES", "12").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.streaming.StreamOps.drainBatchRecords()
+    val t0 = System.nanoTime()
+    val n = graft.streaming.StreamOps.curationReplayBatch(
+      spark, s"$srcDir/documents.parquet", inputPartitions = batches).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val recs = graft.streaming.StreamOps.drainBatchRecords()
+    val per = recs.map { case (d, k) => f"""{"sec":$d%.3f,"tag":"$k"}""" }
+      .mkString("[", ",", "]")
+    val compacts = recs.collect { case (d, "compact") => d }
+    val spread =
+      if (compacts.size >= 2) compacts.max / compacts.min else 1.0
+    val json =
+      f"""{"src":"$srcDir","batches_requested":$batches,""" +
+        f""""batches_ran":${recs.size},"rows":$n,"wall_sec":$wall%.1f,""" +
+        f""""per_batch":$per,"n_compact":${compacts.size},""" +
+        f""""compact_max_over_min":$spread%.2f}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_CURSOAK_OUT", "/tmp/curation_soak.json")),
+      json)
+    spark.stop()
+  }
+}
+
 object Soak {
 
   /** The slowest queries of the recent benches: the round-6 list, round
@@ -176,15 +228,17 @@ object Soak {
       "pair/item/total delta by construction across the same 4 batches; " +
       "3.7x wall for 10x processed delta is sublinear - per-batch cost " +
       "is the guarded pair build plus delta-scaled bucketed merges"),
-    "stream_curation_e2e" -> ("ONE amortized stage: the file-fan-in " +
-      "compaction (every 4th batch, tagged 'compact') folds the " +
-      "append-only shingle/band/doc stores back to a constant file " +
-      "count - an O(store) rewrite whose cost grows with the corpus " +
-      "(6.7s -> 11.1s at 10x), exactly the delta-chain compaction " +
-      "amortization; the append-class batches are the |delta|-scaled " +
-      "claim's witness (median 5.7s -> 8.6s for 10x per-batch delta, " +
-      "sublinear) - keeper/label upserts are bucketed, no row is ever " +
-      "rewritten outside the compaction"),
+    "stream_curation_e2e" -> ("amortized stage RESHAPED in r18: store " +
+      "maintenance is size-tiered (tieredCompactStore - a merge touches " +
+      "one level's fanIn=4 files, so per-compact cost is bounded by the " +
+      "tier being merged, never the accumulated store; the r17 policy's " +
+      "every-4th-batch wholesale fold grew with the corpus, 6.7s -> " +
+      "11.1s at 10x, the O(B*store) class r17 verdict #3 flagged); " +
+      "graft.CurationSoak's 12-batch 3x-length replay is the bounded " +
+      "witness (flat compact-batch costs first->last, " +
+      "SOAK_ADJUDICATION round18); the append-class batches remain the " +
+      "|delta|-scaled claim's witness - keeper/label upserts are " +
+      "bucketed, no row is ever rewritten outside a tier merge"),
     "stream_graph_maintain" -> ("per-batch adjudicated (r15 " +
       "instrumentation): batch cost is FLAT within a replay (first->last " +
       "3.23->3.25s base, 7.80->7.39s scaled) while the accumulated graph " +
@@ -374,7 +428,7 @@ object Soak {
         val tagged = recs.filterNot(_._2 == "append")
           .groupBy(_._2).toSeq.sortBy(_._1)
         val split =
-          if (tagged.isEmpty || appends.isEmpty) ""
+          if (tagged.isEmpty) ""
           else {
             val parts = tagged.flatMap { case (kind, ks) =>
               val ds = ks.map(_._1)
@@ -393,9 +447,14 @@ object Soak {
                 f""","${kind}_batches_per_replay":${ds.size / reps},""" +
                   f""""${kind}_batch_median_sec":${med(ds)}%.3f""")
             }
-            if (parts.isEmpty) ""
-            else parts.mkString +
-              f""","append_batch_median_sec":${med(appends)}%.3f"""
+            // per-tag medians are valid independently of the append
+            // median: a replay whose EVERY batch is amortized (e.g.
+            // fan-in 1, or a 1-batch-per-rep config) keeps its tag
+            // medians and merely omits the append field (r17 advice)
+            val appendPart =
+              if (appends.isEmpty) ""
+              else f""","append_batch_median_sec":${med(appends)}%.3f"""
+            if (parts.isEmpty) "" else parts.mkString + appendPart
           }
         Some(base + split)
       }

@@ -611,6 +611,96 @@ object StreamOps {
       .partitionBy("bucket").parquet(target)
   }
 
+  /** Size-tiered (LSM-style) maintenance for an APPEND-only parquet store
+    * dir — bounded read fan-in without the O(store)-per-compaction
+    * rewrite (r17 verdict #3: the curation twin's every-k-batches
+    * wholesale rewrite was O(batches·store) total over a long stream,
+    * the write-amplification class the delta-chain catalog killed in
+    * r12; fine for a 4-batch replay, a scale-killer at thousands of
+    * micro-batches).
+    *
+    * Files carry a tier level in their name (`tier<L>-…parquet`; plain
+    * batch appends are level 0). When any level accumulates `fanIn`
+    * files, exactly those files merge into ONE level-L+1 file; merges
+    * cascade within a call when the promotion itself fills the next
+    * level. Each row is therefore rewritten at most log_fanIn(B) times
+    * over B batches — total rewrite O(data·log B), not O(B·store) — and
+    * read fan-in stays ≤ fanIn·levels files per dir. A bucketed store
+    * (`bucket=N` subdirs from `partitionBy`) compacts each bucket dir
+    * independently, so one hot bucket's maintenance never rewrites its
+    * siblings.
+    *
+    * The merge itself is a file-level move: the level's files are read
+    * (leaf files, so no partition columns are inferred), written to a
+    * scratch dir, and the emitted part files MOVEd in under the next
+    * tier's name before the inputs are deleted — readers between batches
+    * (this runs on the foreachBatch thread, serialized with the probes)
+    * see either the old files or the merged file, never a partial
+    * overwrite of the whole store. Stale Hadoop `.crc` siblings of
+    * deleted inputs are removed too (a future same-name file would fail
+    * its checksum; tier names are nanotime-unique regardless).
+    */
+  private[graft] def tieredCompactStore(
+      spark: org.apache.spark.sql.SparkSession,
+      store: String, fanIn: Int): Boolean = {
+    import java.nio.file.{Files, Path, Paths}
+    require(fanIn >= 2, s"tiered compaction needs fanIn >= 2, got $fanIn")
+    val root = Paths.get(store)
+    if (!Files.isDirectory(root)) return false
+    def ls(d: Path): Seq[Path] = {
+      val st = Files.list(d)
+      try {
+        val it = st.iterator()
+        val b = Seq.newBuilder[Path]
+        while (it.hasNext) b += it.next()
+        b.result()
+      } finally st.close()
+    }
+    val tierName = "^tier(\\d+)-".r
+    def levelOf(name: String): Int =
+      tierName.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(0)
+    def dataFiles(d: Path): Seq[Path] = ls(d).filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && n.endsWith(".parquet") &&
+        !n.startsWith(".") && !n.startsWith("_")
+    }
+    // one merge: the lowest level holding >= fanIn files, else done
+    def compactOne(d: Path): Boolean = {
+      val byLevel = dataFiles(d).groupBy(p => levelOf(p.getFileName.toString))
+      byLevel.toSeq.sortBy(_._1).find(_._2.size >= fanIn) match {
+        case None => false
+        case Some((lvl, group)) =>
+          val inputs = group.sortBy(_.getFileName.toString)
+          val scratch = graft.TmpDirs.create("graft_tier_merge_")
+          val outDir = scratch.resolve("out")
+          spark.read.parquet(inputs.map(_.toString): _*)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(outDir.toString)
+          val parts = dataFiles(outDir)
+          parts.zipWithIndex.foreach { case (p, i) =>
+            Files.move(p,
+              d.resolve(s"tier${lvl + 1}-${System.nanoTime()}-$i.parquet"))
+          }
+          inputs.foreach { p =>
+            Files.deleteIfExists(p)
+            Files.deleteIfExists(
+              p.resolveSibling("." + p.getFileName.toString + ".crc"))
+          }
+          // scratch dirs are exit-cleaned by TmpDirs; drop the bulk now
+          ls(outDir).foreach(p => Files.deleteIfExists(p))
+          true
+      }
+    }
+    val dirs = {
+      val buckets = ls(root).filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("bucket="))
+      if (buckets.nonEmpty) buckets else Seq(root)
+    }
+    var any = false
+    dirs.foreach { d => while (compactOne(d)) any = true }
+    any
+  }
+
   /** Third oracle-checked streaming query — the WINDOWED-AGGREGATE half:
     * replay the events table as a stream, aggregate per (tumbling window,
     * event_type), and land the FINAL aggregate state in a batch table.
@@ -977,17 +1067,24 @@ object StreamOps {
     *
     * File-fan-in control: the shingle/band/doc stores are APPEND-only
     * per batch (no row is ever rewritten — supersession needs no
-    * retraction), which accrues one file per batch per store; at
-    * thousands of micro-batches the per-batch probes would pay
-    * O(batches) file listing/opens — the same unbounded-read-fan-in
-    * class the delta-chain catalog solves with
-    * [[graft.graph.GraphCatalog.compact]]. Every `compactEvery` batches
-    * the three append stores are rewritten to a bounded file count (one
-    * file per bucket for the bucketed shingle store), so read fan-in
-    * stays bounded while per-batch writes stay |Δ|-scaled; compaction
-    * batches are TAGGED "compact" in the per-batch soak record, so the
-    * amortized rewrite cost reads separately from the steady append
-    * cost (the IVFADC twin's refit-tag pattern).
+    * retraction), which accrues one file per batch per store (appends
+    * are coalesced to one file per store, one per bucket dir for the
+    * bucketed shingle store — the |Δ|-rows-per-batch regime; a
+    * throughput-sized deployment would raise the per-append file count
+    * and the tier fan-in together); at thousands of micro-batches the
+    * per-batch probes would pay O(batches) file listing/opens — the
+    * same unbounded-read-fan-in class the delta-chain catalog solves
+    * with [[graft.graph.GraphCatalog.compact]]. Maintenance is
+    * SIZE-TIERED ([[tieredCompactStore]], r17 verdict #3): when any
+    * tier level accumulates `compactFanIn` files (per bucket for the
+    * bucketed store), exactly those files merge one level up — so a
+    * single maintenance step touches one level's fan-in, never the
+    * whole store, total rewrite over B batches is O(data·log B) instead
+    * of the r17 every-k-batches wholesale rewrite's O(B·store), and
+    * read fan-in stays ≤ fanIn·levels files. Batches where any merge
+    * ran are TAGGED "compact" in the per-batch soak record, so the
+    * amortized merge cost reads separately from the steady append cost
+    * (the IVFADC twin's refit-tag pattern).
     *
     * `batchProbe(admitted, superseded)` (test hook): per batch, docs
     * admitted and, of those, how many revised an existing keeper.
@@ -1001,8 +1098,9 @@ object StreamOps {
                             graft.pipeline.Curation.DefaultBenchmarkMaxId,
                           k: Int = graft.pipeline.Curation.DefaultDeconK,
                           batchProbe: (Long, Long) => Unit = (_, _) => (),
-                          compactEvery: Int = 4,
-                          stateDirProbe: String => Unit = _ => ())
+                          compactFanIn: Int = 4,
+                          stateDirProbe: String => Unit = _ => (),
+                          inputPartitions: Int = 4)
       : DataFrame = {
     import graft.pipeline.{Curation, Dedup, TextStats}
     val spark = tunedStatefulSession(spark0)
@@ -1019,7 +1117,7 @@ object StreamOps {
 
     docs.filter(col("doc_id").cast("long") >= benchmarkMaxId)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .repartitionByRange(4, col("doc_id").desc)
+      .repartitionByRange(inputPartitions, col("doc_id").desc)
       .write.parquet(inDir)
     // FileStreamSource drains oldest-mtime first: force mtimes into part
     // name order so the descending-id range partitioning IS the arrival
@@ -1105,8 +1203,12 @@ object StreamOps {
           val cflag = Curation.contaminationFlags(
               adocs.select("doc_id", "text"), bench, k)
             .select(col("doc_id"), col("contaminated"))
+          // one level-0 file per append (tiered-maintenance contract):
+          // at |Δ| rows per batch a single writer task is the right
+          // shape; a throughput deployment raises this with the fan-in
           adocs.join(broadcast(gflag), Seq("doc_id"))
             .join(broadcast(cflag), Seq("doc_id"))
+            .coalesce(1)
             .write.mode("append").parquet(docStore)
           // ---- 3. near-dup graph maintenance ------------------------
           val bsh = Dedup.shingles(adocs)
@@ -1151,19 +1253,44 @@ object StreamOps {
           val edges = Dedup.verifyCandidates(candidates, allSh, 0.8)
             .select(col("doc_a").as("src"), col("doc_b").as("dst"))
             .localCheckpoint(true)
-          // append the batch's shingles/bands AFTER probing the stores
-          bsh.write.mode("append").partitionBy("bucket").parquet(shStore)
-          bband.write.mode("append").parquet(bandStore)
+          // append the batch's shingles/bands AFTER probing the stores;
+          // one level-0 file per bucket dir / per store per batch (the
+          // bucket-keyed repartition is the mergeIntoBucketedServing
+          // file-fan-out pattern; |Δ| rows, so the shuffle is delta-scaled)
+          bsh.repartition(nBuckets, col("bucket"))
+            .write.mode("append").partitionBy("bucket").parquet(shStore)
+          bband.coalesce(1).write.mode("append").parquet(bandStore)
           // ---- 4. incremental CC (graphMaintainReplayBatch pattern) --
           val labels0 =
             if (pathExists(spark, labelStore))
-              spark.read.parquet(labelStore).select("vertex", "comp")
-            else spark.range(0).select(col("id").as("vertex"), col("id").as("comp"))
+              spark.read.parquet(labelStore)
+            else spark.range(0).select(col("id").as("vertex"),
+              col("id").as("comp"), lit(0).as("bucket"))
           val verts = adocs.select(col("doc_id").as("vertex")).distinct()
-          val newVerts = verts.join(labels0, Seq("vertex"), "left_anti")
+            .withColumn("bucket",
+              pmod(col("vertex"), lit(nBuckets.toLong)).cast("int"))
+            .localCheckpoint(true)
+          // control-plane collect: ≤ nBuckets rows by construction
+          val vertBuckets = verts.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          // New-vertex detection mirrors the hash-store admission (r17
+          // advice #2): the label store is partition-pruned to the
+          // batch's bucket footprint and probed with the |Δ| side
+          // broadcast (left_semi), then new vertices fall out of an
+          // anti-join against that ≤|Δ| match set — the store side is
+          // never shuffled. The previous verts-vs-whole-store left_anti
+          // preserved the |Δ| side, so Spark shuffled the O(corpus)
+          // label store every micro-batch.
+          val known = labels0
+            .filter(col("bucket").isin(vertBuckets: _*))
+            .join(broadcast(verts.select("vertex")), Seq("vertex"), "left_semi")
+            .select("vertex")
+            .localCheckpoint(true)
+          val newVerts = verts.select("vertex")
+            .join(broadcast(known), Seq("vertex"), "left_anti")
             .withColumn("comp", col("vertex"))
             .localCheckpoint(true)
-          val all = labels0.unionByName(newVerts)
+          val all = labels0.select("vertex", "comp").unionByName(newVerts)
           val contracted = broadcast(broadcast(edges)
               .join(all.select(col("vertex").as("src"), col("comp").as("csrc")), "src"))
             .join(all.select(col("vertex").as("dst"), col("comp").as("cdst")), "dst")
@@ -1190,33 +1317,15 @@ object StreamOps {
             labelStore, "vertex", nBuckets)
         }
         batchesDone += 1
-        // bounded read fan-in (see Scaladoc): every compactEvery batches,
-        // fold the append stores' accumulated per-batch files back to a
-        // constant file count — materialize BEFORE overwriting the dirs
-        // being read (the kmv state pattern)
+        // bounded read fan-in (see Scaladoc): size-tiered maintenance —
+        // merges fire on FILE COUNT per store (per bucket for the
+        // bucketed shingle store), each merge touching one level's
+        // fan-in only, so per-maintenance cost is bounded by the tier
+        // being merged, never the store size (r17 verdict #3)
         val compacted =
-          compactEvery > 0 && batchesDone % compactEvery == 0 && {
-            var any = false
-            if (pathExists(spark, shStore)) {
-              spark.read.parquet(shStore).localCheckpoint(true)
-                .repartition(nBuckets, col("bucket"))
-                .write.mode("overwrite").partitionBy("bucket").parquet(shStore)
-              any = true
-            }
-            if (pathExists(spark, bandStore)) {
-              spark.read.parquet(bandStore).localCheckpoint(true)
-                .repartition(4)
-                .write.mode("overwrite").parquet(bandStore)
-              any = true
-            }
-            if (pathExists(spark, docStore)) {
-              spark.read.parquet(docStore).localCheckpoint(true)
-                .repartition(4)
-                .write.mode("overwrite").parquet(docStore)
-              any = true
-            }
-            any
-          }
+          compactFanIn > 0 && Seq(shStore, bandStore, docStore)
+            .map(tieredCompactStore(spark, _, compactFanIn))
+            .exists(identity)
         recordBatchDuration(tBatch0, if (compacted) "compact" else "append")
         batchProbe(admitted, superseded)
       }
@@ -1586,17 +1695,6 @@ object StreamOps {
         if (compactEvery > 0 && batchesDone % compactEvery == 0)
           cat.compact("S")
         mark("catalog")
-        val labels0 =
-          if (pathExists(spark, state))
-            spark.read.parquet(state).select("vertex", "comp")
-          else spark.range(0).select(col("id").as("vertex"), col("id").as("comp"))
-        val verts = e.select(col("src").as("vertex"))
-          .unionAll(e.select(col("dst").as("vertex"))).distinct()
-        val newVerts = verts.join(labels0, Seq("vertex"), "left_anti")
-          .withColumn("comp", col("vertex"))
-          .localCheckpoint(true) // feeds `all` twice AND newResolved below
-        val all = labels0.unionByName(newVerts)
-        // contract batch edges through the current labeling
         // Broadcast the |Δ|-sized sides explicitly when the delta is small:
         // every relation here comes off a localCheckpoint (stats unknown →
         // Catalyst never plans the broadcast itself), so unhinted plans
@@ -1606,6 +1704,36 @@ object StreamOps {
         val smallDelta = e.count() <= 4000000L // cached blocks: milliseconds
         def bc(df: DataFrame): DataFrame =
           if (smallDelta) broadcast(df) else df
+        val labels0 =
+          if (pathExists(spark, state))
+            spark.read.parquet(state)
+          else spark.range(0).select(col("id").as("vertex"),
+            col("id").as("comp"), lit(0).as("bucket"))
+        val verts = e.select(col("src").as("vertex"))
+          .unionAll(e.select(col("dst").as("vertex"))).distinct()
+          .withColumn("bucket", pmod(col("vertex"), lit(16L)).cast("int"))
+          .localCheckpoint(true)
+        // control-plane collect: ≤ nBuckets(16) rows by construction
+        val vertBuckets = verts.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        // New-vertex detection as a pruned store probe (r17 advice #2,
+        // fixed here alongside the curation twin — same store layout):
+        // the bucketed label store is partition-pruned to the batch's
+        // bucket footprint and probed with the |Δ| side broadcast
+        // (left_semi), then new vertices fall out of an anti-join against
+        // that ≤|Δ| match set — the store side never shuffles. The old
+        // verts-vs-whole-store left_anti preserved the |Δ| side, so the
+        // O(V) label store shuffled every micro-batch.
+        val known = labels0.filter(col("bucket").isin(vertBuckets: _*))
+          .join(bc(verts.select("vertex")), Seq("vertex"), "left_semi")
+          .select("vertex")
+          .localCheckpoint(true)
+        val newVerts = verts.select("vertex")
+          .join(bc(known), Seq("vertex"), "left_anti")
+          .withColumn("comp", col("vertex"))
+          .localCheckpoint(true) // feeds `all` twice AND newResolved below
+        val all = labels0.select("vertex", "comp").unionByName(newVerts)
+        // contract batch edges through the current labeling
         val contracted = bc(bc(e)
             .join(all.select(col("vertex").as("src"), col("comp").as("csrc")), "src"))
           .join(all.select(col("vertex").as("dst"), col("comp").as("cdst")), "dst")

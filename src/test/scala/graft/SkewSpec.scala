@@ -23,6 +23,36 @@ class SkewSpec extends AnyFunSuite {
       salted.select("k", "payload", "tag")).isEmpty)
   }
 
+  test("saltedJoin: seed changes the salt stream, never the result — composed joins use distinct seeds for free") {
+    // the r16 seed param's contract (r17 advice: now exercised): any two
+    // seeds return the identical relation, so composition sites can (and
+    // the two production sites DO — SparkEntry salted_join_agg seed 8101,
+    // skew_hot_key_join seed 9202) draw uncorrelated salt streams at zero
+    // semantic cost…
+    val big = (Seq.fill(400)(1) ++ (2 to 9)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val small = Seq((1, "a"), (2, "b")).toDF("k", "tag")
+    val a = SkewUtils.saltedJoin(big, small, "k", salts = 4, seed = 8101L)
+      .select("k", "payload", "tag")
+    val b = SkewUtils.saltedJoin(big, small, "k", salts = 4, seed = 9202L)
+      .select("k", "payload", "tag")
+    assert(a.count() == b.count())
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // …and the streams are genuinely different: the same rows land on
+    // different salts under the two seeds (a shared seed would correlate
+    // them row-for-row, the re-collapse scenario the param exists for)
+    def saltsOf(seed: Long) = big
+      .withColumn("__salt",
+        (org.apache.spark.sql.functions.rand(seed) * 4).cast("int"))
+      .select("payload", "__salt").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sa = saltsOf(8101L)
+    val sb = saltsOf(9202L)
+    val differing = sa.count { case (p, s) => sb(p) != s }
+    assert(differing > 100,
+      s"seeds 8101/9202 produced near-identical salt streams ($differing/408 rows differ)")
+  }
+
   test("salting spreads a hot key over multiple salt buckets") {
     val big = Seq.fill(500)(1).zipWithIndex.map { case (k, i) => (k, i.toLong) }
       .toDF("k", "payload")

@@ -808,6 +808,69 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed.forall(_._1 >= graft.pipeline.Dedup.DefaultCorpusMaxId))
   }
 
+  test("tieredCompactStore: merges fire per level at fan-in, cascade, preserve rows, and leave sibling tiers/buckets untouched") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tier_test_")
+    val flat = s"$root/flat"
+    def ls(p: String): Seq[String] = {
+      val d = new java.io.File(p)
+      Option(d.listFiles()).toSeq.flatten.map(_.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+    }
+    def append(store: String, i: Int): Unit =
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(store)
+    // below fan-in: nothing merges
+    (1 to 3).foreach(append(flat, _))
+    assert(!StreamOps.tieredCompactStore(spark, flat, 4))
+    assert(ls(flat).size == 3 && !ls(flat).exists(_.startsWith("tier")))
+    // at fan-in: the 4 level-0 files merge into exactly ONE tier1 file
+    append(flat, 4)
+    assert(StreamOps.tieredCompactStore(spark, flat, 4))
+    val afterFirst = ls(flat)
+    assert(afterFirst.size == 1 && afterFirst.head.startsWith("tier1-"),
+      s"expected one tier1 file, got $afterFirst")
+    val tier1a = afterFirst.head
+    assert(spark.read.parquet(flat).as[(Long, String)].collect().sorted
+      .toSeq == (1 to 4).map(i => (i.toLong, s"v$i")))
+    // appends 5..15 with per-batch maintenance: tier1 merges at 8 and 12,
+    // and the FIRST tier1 file is never rewritten by them (same name) —
+    // a level-0 merge touches level-0 files only, never the store
+    (5 to 15).foreach { i =>
+      append(flat, i); StreamOps.tieredCompactStore(spark, flat, 4); ()
+    }
+    assert(ls(flat).contains(tier1a),
+      "a level-0 merge rewrote an existing tier1 file — maintenance is " +
+        "not tiered")
+    assert(ls(flat).count(_.startsWith("tier1-")) == 3)
+    // the 16th append fills level 0 AND level 1 → the promotion cascades
+    // into one tier2 file within the same maintenance call
+    append(flat, 16)
+    assert(StreamOps.tieredCompactStore(spark, flat, 4))
+    val afterCascade = ls(flat)
+    assert(afterCascade.size == 1 && afterCascade.head.startsWith("tier2-"),
+      s"expected the cascade to leave one tier2 file, got $afterCascade")
+    assert(spark.read.parquet(flat).count() == 16L)
+    // bucketed store: each bucket dir maintains independently — the
+    // bucket past fan-in merges, its under-threshold sibling keeps its
+    // level-0 files byte-for-byte (same names)
+    val bkt = s"$root/bkt"
+    (1 to 4).foreach { i =>
+      val rows = if (i <= 2) Seq((i.toLong, 0), (100L + i, 1)) else Seq((i.toLong, 0))
+      rows.toDF("k", "bucket").repartition(2, org.apache.spark.sql.functions.col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(bkt)
+    }
+    val b1Before = ls(s"$bkt/bucket=1")
+    assert(StreamOps.tieredCompactStore(spark, bkt, 4))
+    assert(ls(s"$bkt/bucket=0").size == 1 &&
+      ls(s"$bkt/bucket=0").head.startsWith("tier1-"))
+    assert(ls(s"$bkt/bucket=1") == b1Before,
+      "an under-threshold bucket was rewritten by its sibling's merge")
+    // bucket partition column survives the merge (derived from the dir)
+    assert(spark.read.parquet(bkt).filter($"bucket" === 0).count() == 4L)
+    assert(spark.read.parquet(bkt).filter($"bucket" === 1).count() == 2L)
+  }
+
   test("curationReplayBatch: incremental survivor maintenance equals the composed batch pipeline") {
     val dir = "/root/testdata/sf0.001"
     var batches = 0
@@ -821,24 +884,33 @@ class StreamSpec extends AnyFunSuite {
       r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(batches >= 2, s"need >=2 probed micro-batches, got $batches")
     assert(admitted > 0L)
-    // bounded read fan-in: the compaction (every 4th batch, tagged
-    // "compact") folds the append stores back to a constant file count
+    // bounded read fan-in, size-tiered since r18: batches where any
+    // level-merge fired carry the "compact" tag, and each DIR's file
+    // count stays <= fanIn per tier level (level-0 appends waiting for a
+    // merge plus at most fanIn-1 files per higher tier) — never
+    // O(batches) files, never an O(store) wholesale rewrite
     val recs = StreamOps.drainBatchRecords()
     assert(recs.exists(_._2 == "compact") && recs.exists(_._2 == "append"),
       s"expected both compact and append tags, got ${recs.map(_._2)}")
-    def parquetCount(p: String): Int = {
+    def parquetFiles(p: String): Seq[java.io.File] = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
         else Seq(f)
       val d = new java.io.File(p)
-      if (!d.exists()) 0 else walk(d).count(_.getName.endsWith(".parquet"))
+      if (!d.exists()) Seq.empty
+      else walk(d).filter(_.getName.endsWith(".parquet"))
     }
-    assert(parquetCount(s"$stateRoot/shingles") <= 16,
-      "shingle store not compacted to <=1 file per bucket")
-    assert(parquetCount(s"$stateRoot/bands") <= 4,
-      "band store not compacted to a bounded file count")
-    assert(parquetCount(s"$stateRoot/docs") <= 4,
-      "doc store not compacted to a bounded file count")
+    // the 4-batch replay admits in every batch, so each store/bucket dir
+    // merges its 4 level-0 appends into one tier1 file
+    assert(parquetFiles(s"$stateRoot/shingles").size <= 16,
+      "shingle store not tier-merged to <=1 file per bucket")
+    assert(parquetFiles(s"$stateRoot/bands").size <= 4,
+      "band store not tier-merged to a bounded file count")
+    assert(parquetFiles(s"$stateRoot/docs").size <= 4,
+      "doc store not tier-merged to a bounded file count")
+    assert(parquetFiles(s"$stateRoot/docs")
+        .exists(_.getName.startsWith("tier1-")),
+      "doc store holds no tier1 file — the level merge never fired")
     val batch = graft.pipeline.Curation.curationPipelineE2e(
         spark.read.parquet(s"$dir/documents.parquet"))
       .collect().map(r => (r.getLong(0), r.getLong(1),

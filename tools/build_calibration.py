@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Merge the two same-session calibration legs into BENCH_CALIBRATION.json.
 
-Usage: python3 tools/build_calibration.py <seq.json> <par.json> <round>
+Usage: python3 tools/build_calibration.py <seq.json> <par.json> <round> \
+           [--merge-base BENCH_CALIBRATION.json]
 
 Each leg is a graft.Bench artifact covering (at least) the Heavy set:
   seq: SPARK_GRAFT_BENCH_PAR=1, SPARK_GRAFT_CPUS=32  -> local[32] children,
@@ -14,16 +15,34 @@ adjudicating official pooled medians against the sequential-era history
 re-based the pooled leg for the 8-way config). Extra non-heavy queries
 in a leg (e.g. when the pooled leg doubles as the round-close full
 bench) are ignored — ratios are emitted for the intersection.
+
+--merge-base: when only a subset of heavies changed code (so only their
+legs need re-measuring), pass the existing BENCH_CALIBRATION.json; the
+new legs OVERLAY its sequential_local32/pooled maps, and the coverage
+invariant is asserted on the merged result. Partial legs without a
+merge base fail the coverage assert by design.
+
+Coverage invariant (r15, self-enforcing since r18 / r17 verdict #2):
+the merged leg set must cover the DECLARED heavy set, which the bench
+artifact itself carries in its "heavy" field — a query joining
+Bench.Heavy without calibration legs fails this tool, not a judge audit
+three rounds later.
 """
 import json
 import sys
 
 
 def main() -> None:
-    seq_path, par_path, rnd = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    args = list(sys.argv[1:])
+    base = None
+    if "--merge-base" in args:
+        i = args.index("--merge-base")
+        base = json.load(open(args[i + 1]))
+        del args[i:i + 2]
+    seq_path, par_path, rnd = args[0], args[1], int(args[2])
     seq = json.load(open(seq_path))
     par = json.load(open(par_path))
-    sq, pq = seq["queries"], par["queries"]
+    sq, pq = dict(seq["queries"]), dict(par["queries"])
     common = set(sq) & set(pq)
     assert set(sq) <= set(pq) or set(pq) <= set(sq), (
         f"leg query sets diverge both ways: {set(sq) ^ set(pq)} — rerun"
@@ -32,13 +51,39 @@ def main() -> None:
     pq = {q: pq[q] for q in common}
     bad = [q for q in sq if sq[q] < 0 or pq[q] < 0]
     assert not bad, f"errored queries in a calibration leg: {bad}"
-    ratios = {q: round(pq[q] / sq[q], 3) for q in sorted(sq)}
+    # reps shed under deadline pressure would change a leg's rep basis
+    # mid-run — a calibration leg must be measured at the shipped config
+    for leg, name in ((seq, "seq"), (par, "par")):
+        shed = set(leg.get("reps_shed", [])) & common
+        assert not shed, (
+            f"{name} leg shed reps for {sorted(shed)} — rerun the leg with "
+            "a headroom deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC)"
+        )
+    if base is not None:
+        merged_sq = dict(base["sequential_local32"])
+        merged_pq = dict(base["pooled"])
+        merged_sq.update({q: sq[q] for q in sq})
+        merged_pq.update({q: pq[q] for q in pq})
+        sq, pq = merged_sq, merged_pq
+    # the artifact's own declared-heavy list IS the invariant's right side
+    heavy = set(par.get("heavy") or seq.get("heavy") or [])
+    assert heavy, (
+        "legs carry no 'heavy' field — re-run them on current graft.Bench"
+    )
+    missing = heavy - (set(sq) & set(pq))
+    assert not missing, (
+        f"calibration coverage broken: heavy queries without legs: "
+        f"{sorted(missing)} — measure their legs (or pass --merge-base)"
+    )
+    ratios = {q: round(pq[q] / sq[q], 3) for q in sorted(set(sq) & set(pq))}
     out = {
         "round": rnd,
         "method": (
             "same-session, EVERY heavy unit, driver-like invocation "
             "(SPARK_GRAFT_CPUS=32, shipped rep config: heavy units 2-rep "
-            "mean, heavy stream_* units one untimed warm rep first — r17): "
+            "mean, heavy stream_* units one untimed warm rep first — r17; "
+            "since r18 batch heavies whose 2 reps disagree >1.5x take one "
+            "adaptive third rep, median-of-3): "
             "sequential units with local[32] children (the r11-r13 "
             "configuration) vs the default pool with the thread budget "
             "split (8 x local[4] children since r16; 4 x local[8] in "
@@ -47,19 +92,29 @@ def main() -> None:
             "#1); r16 re-based the pooled leg for the 8-way config; r17 "
             "re-based BOTH legs for the pinned 8g child heap + "
             "stream-warm-rep config (SOAK_ADJUDICATION round17 holds the "
-            "per-rep cold/steady A/B behind the warm-rep change). "
+            "per-rep cold/steady A/B behind the warm-rep change). r18 "
+            "re-based the three r17-flagged queries (curation_funnel, "
+            "stream_media_dup legs NEW; stream_curation_e2e BOTH legs on "
+            "post-tiered-compaction code, same session) and made the "
+            "coverage invariant self-enforcing (the tool asserts the leg "
+            "set covers the artifact's declared heavy list). "
             "BENCH_OCCUPANCY.json additionally records each unit's "
             "co-runner mix per official run."
         ),
         "sequential_local32": {q: round(sq[q], 3) for q in sorted(sq)},
         "pooled": {q: round(pq[q], 3) for q in sorted(pq)},
-        "pooled_config": "8 x local[4], child heap pinned -Xmx8g, heavies submitted first, stream_* heavies warmed (r17 defaults)",
+        "pooled_config": (
+            "8 x local[4], child heap pinned -Xmx8g, heavies launched "
+            "ahead of lights with one light-first reserved lane, stream_* "
+            "heavies warmed, adaptive third rep on >1.5x spread (r18 "
+            "defaults)"
+        ),
         "ratio_parallel_over_sequential": ratios,
         "ratio_median": round(sorted(ratios.values())[len(ratios) // 2], 3),
         "ratio_worst": max(ratios.items(), key=lambda kv: kv[1]),
         "wall_clock_sec": {
             "sequential_units": round(sum(v for v in sq.values() if v >= 0), 1),
-            "pooled_units": round(sum(v for q, v in par["queries"].items() if q in common and v >= 0), 1),
+            "pooled_units": round(sum(v for v in pq.values() if v >= 0), 1),
         },
         "notes": (
             "per-query medians inflate by the thread-slice factor when "
@@ -70,23 +125,20 @@ def main() -> None:
             "pool configuration need no correction. Wall-clock fields are "
             "the sum of per-query medians per leg (not elapsed wall), "
             "comparable across rounds. r17 basis notes: stream_* heavy "
-            "centers are now steady-state (warm rep discards the 1.4-1.6x "
+            "centers are steady-state (warm rep discards the 1.4-1.6x "
             "cold first rep the r16 2-rep mean charged half-weight — "
-            "SOAK_ADJUDICATION round17), so their sequential legs DROP vs "
-            "r16 by construction, not by code change; batch heavies stay "
-            "unwarmed 2-rep means and carry cold-rep noise on this box "
-            "(page cache is not retained between JVMs), worst on "
-            "fourclique_counts — same-session per-rep traces: seq-leg reps "
-            "41.5/20.8 then re-checks 32.0/23.9/89.3 and 28.0/19.6/18.1, "
-            "steady state 18-21s matching the r16 basis (18.5); treat "
-            "fourclique seq/pooled movement beyond that band as rep1/GC "
-            "noise before suspecting the plan (the 89s outlier was a "
-            "one-off GC/IO stall, not reproducible)."
+            "SOAK_ADJUDICATION round17); batch heavies are unwarmed and "
+            "carry cold-rep noise on this box (page cache is not retained "
+            "between JVMs) — since r18 a >1.5x rep spread triggers one "
+            "adaptive third rep, so fourclique-class outliers (r17 traces: "
+            "41.5/20.8 s reps, one 89 s GC/IO stall) are recentered by a "
+            "median-of-3 instead of averaged in."
         ),
     }
     json.dump(out, open("BENCH_CALIBRATION.json", "w"), indent=1)
     print(json.dumps({
         "queries": len(ratios),
+        "heavy_covered": len(heavy),
         "ratio_median": out["ratio_median"],
         "ratio_worst": out["ratio_worst"],
     }))

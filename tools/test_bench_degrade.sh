@@ -18,7 +18,15 @@
 #            the heavy and skip only the light chunk (r16 verdict #3: the
 #            r16 official run lost every stream_* heavy because completed
 #            units were an alphabetical prefix).
-# Run from the repo root after `sbt -batch compile`. ~3 min.
+#   case 5 — rep shedding + reserved light lane (r17 verdict #1): under
+#            deadline pressure (SHED_FRAC forced to ~0) a run must
+#            complete ALL units — heavies at 1 shed rep listed in
+#            "reps_shed", skipped list EMPTY — instead of skipping
+#            queries; the light chunk must start near t=0 in the
+#            occupancy record (its reserved lane never waits on the
+#            heavy tail), and the artifact must carry a parseable
+#            noise_control with pre AND post probes.
+# Run from the repo root after `sbt -batch compile`. ~4 min.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -74,7 +82,7 @@ set +e
 env "${COMMON_ENV[@]}" SPARK_GRAFT_BENCH_DEADLINE_SEC=10000 \
   SPARK_GRAFT_BENCH_OUT=/tmp/bench_degrade2.json \
   SPARK_GRAFT_BENCH_OCC=/tmp/bench_degrade2_occ.json \
-  timeout -s TERM 30 java $OPENS -Xmx4g -cp "$CP" graft.Bench \
+  timeout -s TERM 40 java $OPENS -Xmx4g -cp "$CP" graft.Bench \
   > /tmp/bench_degrade2.out 2>/dev/null
 rc=$?
 set -e
@@ -139,4 +147,36 @@ assert len(d['skipped'])==20 and set(d['skipped'])==set(d['skipped_deadline']), 
     (len(d['skipped']), len(d.get('skipped_deadline',[])))
 print('heavies-first: OK - heavy measured (%.2fs), %d lights deadline-skipped'
       % (measured['triangle_counts'], len(d['skipped_deadline'])))"
+
+echo "== case 5: deadline pressure sheds REPS, not queries; light lane reserved =="
+# two heavies + one (partial) light chunk; SHED_FRAC≈0 puts the run under
+# pressure from t=0, the deadline itself has headroom — everything must
+# complete, heavies at 1 rep each, nothing skipped. CPUS=8 → par=2: one
+# light-first lane + one heavy-first lane.
+rm -f /tmp/bench_degrade5.json /tmp/bench_degrade5_occ.json
+env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  SPARK_GRAFT_ONLY=q1_agg,top_revenue,bloom_semijoin,cohort_retention,dfs_leaves,triangle_counts \
+  SPARK_GRAFT_CPUS=8 \
+  SPARK_GRAFT_BENCH_DEADLINE_SEC=500 SPARK_GRAFT_BENCH_SHED_FRAC=0.0 \
+  SPARK_GRAFT_BENCH_OUT=/tmp/bench_degrade5.json \
+  SPARK_GRAFT_BENCH_OCC=/tmp/bench_degrade5_occ.json \
+  java $OPENS -Xmx4g -cp "$CP" graft.Bench > /tmp/bench_degrade5.out 2>/tmp/bench_degrade5.err
+python3 -c "
+import json
+d=json.load(open('/tmp/bench_degrade5.json'))
+measured={k:v for k,v in d['queries'].items() if v>=0}
+assert len(measured)==6 and not d['skipped'] and not d['errors'], \
+    (sorted(measured), d['skipped'], d['errors'])
+assert set(d['reps_shed'])=={'dfs_leaves','triangle_counts'}, d['reps_shed']
+nc=d['noise_control']
+for leg in ('pre','post'):
+    assert nc[leg]['cpu_spin_sec']>0 and nc[leg]['disk_write_mb_s']>0, nc
+occ=json.load(open('/tmp/bench_degrade5_occ.json'))
+light=[u for u in occ['units'] if 'q1_agg' in u['queries']][0]
+assert light['start_sec']<5.0, \
+    f\"light chunk waited on the heavy tail: start={light['start_sec']}\"
+err=open('/tmp/bench_degrade5.err').read()
+assert 'REPS SHED' in err, 'parent never logged the shed decision'
+print('rep-shed: OK - all 6 measured, 0 skipped, reps_shed=%s, light lane start=%.1fs, noise pre/post present'
+      % (sorted(d['reps_shed']), light['start_sec']))"
 echo "== bench degradation: ALL OK =="
