@@ -1284,8 +1284,7 @@ object StreamOps {
           val known = labels0
             .filter(col("bucket").isin(vertBuckets: _*))
             .join(broadcast(verts.select("vertex")), Seq("vertex"), "left_semi")
-            .select("vertex")
-            .localCheckpoint(true)
+            .select("vertex") // single consumer (the anti below) — no checkpoint
           val newVerts = verts.select("vertex")
             .join(broadcast(known), Seq("vertex"), "left_anti")
             .withColumn("comp", col("vertex"))
@@ -1726,8 +1725,7 @@ object StreamOps {
         // O(V) label store shuffled every micro-batch.
         val known = labels0.filter(col("bucket").isin(vertBuckets: _*))
           .join(bc(verts.select("vertex")), Seq("vertex"), "left_semi")
-          .select("vertex")
-          .localCheckpoint(true)
+          .select("vertex") // single consumer (the anti below) — no checkpoint
         val newVerts = verts.select("vertex")
           .join(bc(known), Seq("vertex"), "left_anti")
           .withColumn("comp", col("vertex"))
