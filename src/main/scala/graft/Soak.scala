@@ -142,6 +142,9 @@ object Soak {
     // means a budget-truncated soak still captures the new claims
     "stream_ivfadc_topk", "pipeline_curation_e2e", "stream_curation_e2e",
     "curation_funnel", "stream_media_dup",
+    // r18 additions: the two serve-store twins that gained size-tiered
+    // maintenance (their stores previously accrued O(batches) files)
+    "stream_bm25_serving", "stream_quantiles_sampled",
     "bootstrap_ci_mean", "graph_mis", "scc_components", "katz_top20",
     "graph_random_walks", "betweenness_top50",
     "wpagerank_top20", "subtree_sizes", "label_propagation",
@@ -475,6 +478,8 @@ object Soak {
       }
       (name, base, scaled, ratio, pb)
     }
+    require(rows.nonEmpty, "SPARK_GRAFT_SOAK_ONLY matched no SlowQueries " +
+      "entry — add the query to Soak.SlowQueries before soaking it")
     val maxRatio = rows.map(_._4).max
     val qs = rows.map { case (n, b, s, r, pb) =>
       f"""\"$n\":{\"base_sec\":$b%.3f,\"scaled_sec\":$s%.3f,\"ratio\":$r%.2f$pb}"""

@@ -588,19 +588,28 @@ class StreamSpec extends AnyFunSuite {
         finally walk.close()
       }
     }
+    StreamOps.drainBatchRecords() // clear other tests' leftovers
     val got = StreamOps.ivfAdcTopKReplayBatch(spark, s"$dir/embeddings.parquet",
         batchProbe = (rows, refit) => {
           probes += ((rows, refit)); snaps += fileMap(); ()
         },
         stateDirProbe = p => { store = p })
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // per-batch tags align 1:1 with the probes: "compact" marks batches
+    // where a tier merge ran (r18 — cell files MAY merge then)
+    val tags = StreamOps.drainBatchRecords().map(_._2)
+    assert(tags.length == probes.length, s"$tags vs ${probes.length} probes")
     assert(probes.length >= 2, s"expected >=2 probed batches, got $probes")
     probes.foreach { case (rows, _) => assert(rows >= 1L, s"empty batch: $probes") }
     // at least one MID-STREAM refit (the drift policy fires the
     // first-epoch refit on the batch that completes the 16 anchor rows —
     // uncoded pq=NULL rows are in the store until then)
     assert(probes.exists(_._2 == 1L), s"no mid-stream refit fired: $probes")
-    for (i <- 1 until snaps.length if probes(i)._2 == 0L) {
+    // append-only between refits, tier merges excepted: on a plain
+    // append batch every pre-existing file survives at its size; a
+    // "compact" batch merges one level's fan-in (never the whole store)
+    for (i <- 1 until snaps.length
+         if probes(i)._2 == 0L && tags(i) != "compact") {
       val prev = snaps(i - 1); val cur = snaps(i)
       val lost = prev.filterNot { case (f, sz) => cur.get(f).contains(sz) }
       assert(lost.isEmpty,
@@ -673,17 +682,23 @@ class StreamSpec extends AnyFunSuite {
         finally walk.close()
       }
     }
+    StreamOps.drainBatchRecords() // clear other tests' leftovers
     val got = StreamOps.ivfAdcTopKReplayBatch(spark, s"$dir/embeddings.parquet",
         batchProbe = (rows, refit) => {
           probes += ((rows, refit)); snaps += fileMap(); ()
         },
         stateDirProbe = p => { store = p })
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val tags = StreamOps.drainBatchRecords().map(_._2)
+    assert(tags.length == probes.length, s"$tags vs ${probes.length} probes")
     assert(probes.count(_._2 == 1L) == 1,
       s"no-drift replay must rewrite exactly once (first-epoch fit): $probes")
-    // every batch after the fit appended only — pre-existing cell files
+    // every batch after the fit appended only (tier merges excepted,
+    // r18: a "compact"-tagged batch merges one level's fan-in, never a
+    // drift rewrite) — on plain append batches pre-existing cell files
     // survive at their size
-    for (i <- 1 until snaps.length if probes(i)._2 == 0L) {
+    for (i <- 1 until snaps.length
+         if probes(i)._2 == 0L && tags(i) != "compact") {
       val prev = snaps(i - 1); val cur = snaps(i)
       val lost = prev.filterNot { case (f, sz) => cur.get(f).contains(sz) }
       assert(lost.isEmpty,
