@@ -195,7 +195,7 @@ object Bench {
     // the pre-probe runs BEFORE the deadline epoch: its ~1-2 s must not
     // count against the soft deadline or the shed pace (the probe exists
     // to adjudicate the run, not to participate in it)
-    noisePre = Some(noiseProbe(partsDir))
+    noisePre = Some(NoiseProbe.full(partsDir).json)
     val epoch = System.nanoTime()
     def nowSec: Double = (System.nanoTime() - epoch) / 1e9
     // Span starts are recorded BEFORE the child launches (end = NaN while
@@ -203,6 +203,14 @@ object Bench {
     // every other unit's co-runner list — understating contention was
     // exactly what the occupancy record exists to avoid (r15 advice).
     val spans = new java.util.concurrent.ConcurrentHashMap[Int, (Double, Double)]()
+    // Per-unit mini noise probe (r18 verdict #6): the pre/post full
+    // probes miss a contention window that opens and closes MID-run —
+    // a ~100 ms probe after each unit, recorded in the occupancy
+    // artifact, localizes an inflated median to its own window.
+    // NoiseProbe serializes probes on a JVM lock, so two pool workers
+    // never measure each other's probe; a co-running CHILD counts as
+    // load by design (that is the signal).
+    val unitProbes = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     // Graceful degradation (r15 verdict #2; the r13/r15 rc-124 failure
     // class): per-unit results land here as units finish and the one-line
     // artifact file is REWRITTEN incrementally, so a run killed mid-pool
@@ -253,8 +261,9 @@ object Bench {
           val ov = math.min(s1, t1a) - math.max(s0, t0a)
           s"""{"unit":$j,"queries":"${units(j).mkString(",")}","overlap_sec":${f"$ov%.1f"}}"""
         }.mkString("[", ",", "]")
+        val probe = Option(unitProbes.get(i)).getOrElse("null")
         s"""{"unit":$i,"queries":"${units(i).mkString(",")}","start_sec":${f"${s0}%.1f"},""" +
-          s""""end_sec":${f"${s1}%.1f"},"open":$open,"co_ran":$co}"""
+          s""""end_sec":${f"${s1}%.1f"},"open":$open,"probe":$probe,"co_ran":$co}"""
       }.mkString("[", ",", "]")
       writeAtomic(
         Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OCC", "BENCH_OCCUPANCY.json")),
@@ -324,6 +333,12 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_PART", part.toString)
       pb.environment().put("SPARK_GRAFT_ONLY", unit.mkString(","))
       pb.environment().put("SPARK_GRAFT_CPUS", childCpus.toString)
+      // deadline budget at launch (r18 advice #4): the child's adaptive
+      // third rep is gated on this so a high-spread heavy launched just
+      // under the shed threshold cannot add an unbudgeted rep past the
+      // soft deadline — the exact pressure the shed valve relieves
+      pb.environment().put("SPARK_GRAFT_BENCH_BUDGET_LEFT_SEC",
+        f"${math.max(0.0, deadlineSec - nowSec)}%.0f")
       // light chunks get the untimed warm pass; keyed on what the unit IS
       // (built from the light buffer), not its size — a trailing light
       // chunk of exactly one query must warm like the rest of the light
@@ -370,6 +385,8 @@ object Bench {
       procs.put(i, proc)
       val rc = try proc.waitFor() finally { procs.remove(i); () }
       spans.put(i, (u0, nowSec))
+      // localize mid-run noise windows: ~100 ms probe per completed unit
+      unitProbes.put(i, NoiseProbe.mini(partsDir).json)
       // The part file is written once, after ALL the unit's measurements:
       // its presence means the child finished measuring, so trust it even
       // if the JVM's shutdown then returned nonzero. No part file (or a
@@ -431,59 +448,25 @@ object Bench {
     val workers = (0 until par).map(w => worker(lightFirst = par >= 2 && w == 0))
     workers.foreach(_.start())
     workers.foreach(_.join())
-    noisePost = Some(noiseProbe(partsDir))
+    noisePost = Some(NoiseProbe.full(partsDir).json)
     writeArtifacts(toStdout = true)
   }
 
   // Host-noise control embedded in the artifact (r17 verdict #5): the r17
   // adjudication of the box's ~15-min contention windows (same-code
   // pooled walls 711–960 s) leaned on ad-hoc same-session singleton
-  // re-runs. A fixed CPU spin plus a fixed fsync'd write/read on the
-  // scratch volume, run by the parent BEFORE unit 0 and AFTER the last
-  // unit, gives every future run its own inflation evidence: flat
-  // pre/post probes + inflated medians = host window, not code.
+  // re-runs. The fixed CPU+disk probe ([[graft.NoiseProbe]], shared with
+  // the soak writers since r19) runs BEFORE unit 0 and AFTER the last
+  // unit, giving every future run its own inflation evidence: flat
+  // pre/post probes + inflated medians = host window, not code. Since
+  // r19 a ~100 ms mini probe also runs after EVERY unit (recorded in
+  // BENCH_OCCUPANCY.json) so a window that opens and closes mid-run is
+  // localized to the units it hit.
   @volatile private var noisePre: Option[String] = None
   @volatile private var noisePost: Option[String] = None
 
-  private def noiseProbe(scratch: Path): String = {
-    // fixed CPU work: 200M xorshift64 steps (~0.3-0.6 s unloaded)
-    var x = 0x9E3779B97F4A7C15L
-    var i = 0L
-    val t0 = System.nanoTime()
-    while (i < 200000000L) {
-      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
-    }
-    val cpuSec = (System.nanoTime() - t0) / 1e9
-    // fixed disk work: 256 MiB written fsync'd then read back on the same
-    // volume the children scratch on; the read-back mostly measures page
-    // cache / memory bandwidth — itself a contention signal under a
-    // 32-thread load
-    val buf = java.nio.ByteBuffer.allocate(1 << 20)
-    java.util.Arrays.fill(buf.array(), 0x5A.toByte)
-    val f = scratch.resolve("noise_probe.bin")
-    val mb = 256
-    import java.nio.file.StandardOpenOption._
-    val t1 = System.nanoTime()
-    val wch = java.nio.channels.FileChannel.open(f, CREATE, WRITE, TRUNCATE_EXISTING)
-    try {
-      var j = 0
-      while (j < mb) { buf.rewind(); wch.write(buf); j += 1 }
-      wch.force(true)
-    } finally wch.close()
-    val wSec = (System.nanoTime() - t1) / 1e9
-    val t2 = System.nanoTime()
-    val rch = java.nio.channels.FileChannel.open(f, READ)
-    try {
-      var n = 1
-      while (n > 0) { buf.rewind(); n = rch.read(buf) }
-    } finally rch.close()
-    val rSec = (System.nanoTime() - t2) / 1e9
-    Files.deleteIfExists(f)
-    // consume x so the spin cannot be optimized away
-    val tag = if (x == 0L) "\"degenerate\"" else "\"xorshift64\""
-    f"""{"cpu_spin_sec":$cpuSec%.3f,"disk_write_mb_s":${mb / wSec}%.1f,""" +
-      f""""disk_read_mb_s":${mb / rSec}%.1f,"cpu_kernel":$tag}"""
-  }
+  // JVM start, for the child's adaptive-rep budget gate
+  private val jvmStart = System.nanoTime()
 
   // ----------------------------------------------------------------- child
   /** One short-lived JVM: measure only SPARK_GRAFT_ONLY, write
@@ -608,6 +591,19 @@ object Bench {
       // (reps=1) or light units never enter here.
       if (!failed && !isLight && reps == 2 && times.size == 2 &&
           times.max / math.max(times.min, 1e-9) > 1.5) {
+        // budget gate (r18 advice #4): the parent passes the deadline
+        // budget that remained at launch; if this child has already
+        // burned most of it, an extra rep (~times.max) would overrun the
+        // soft deadline the shed valve protects — keep the 2-rep center
+        val budgetLeft = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_LEFT_SEC")
+          .flatMap(s => scala.util.Try(s.toDouble).toOption)
+        val childElapsed = (System.nanoTime() - jvmStart) / 1e9
+        val allowed = budgetLeft.forall(b => b - childElapsed > 1.5 * times.max)
+        if (!allowed)
+          System.err.println(f"[bench] $name adaptive rep3 SKIPPED " +
+            f"(budget: ${budgetLeft.getOrElse(-1.0)}%.0fs at launch, " +
+            f"$childElapsed%.0fs elapsed, rep ~${times.max}%.0fs)")
+        else {
         isolate()
         val t0 = System.nanoTime()
         try {
@@ -622,6 +618,7 @@ object Bench {
             // flake) must not turn a measured query into an error
             System.err.println(s"[bench] $name adaptive rep3 failed " +
               s"(keeping 2-rep center): ${e.getMessage}")
+        }
         }
       }
       // true median (mean of the middle two for even rep counts — the
@@ -726,7 +723,13 @@ object Bench {
       "reps disagree >1.5x get one adaptive third rep (median-of-3 " +
       "recenters fourclique-class cold-rep outliers); noise_control " +
       "embeds a fixed CPU+disk probe run before unit 0 and after the " +
-      "last unit (flat probes + inflated medians = host window, not code)"
+      "last unit (flat probes + inflated medians = host window, not " +
+      "code). r19: a ~100ms mini probe also runs after EVERY unit " +
+      "(recorded per-unit in BENCH_OCCUPANCY.json) so a mid-run noise " +
+      "window is localized to the units it hit; the adaptive third rep " +
+      "is gated on the deadline budget the parent passes at launch " +
+      "(SPARK_GRAFT_BENCH_BUDGET_LEFT_SEC), so it can never overrun the " +
+      "soft deadline the shed valve protects"
     // the full DECLARED heavy set (not filtered by SPARK_GRAFT_ONLY):
     // tools/build_calibration.py asserts its leg coverage against this
     // list, so the calibration invariant ("every heavy unit has legs",

@@ -104,27 +104,159 @@ object CurationSoak {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // probe-gated basis (r18 verdict #2): the artifact carries its own
+    // contention evidence and self-rejects (rc 3) outside the idle band
+    val probeScratch = graft.TmpDirs.create("graft_cursoak_probe_")
+    val pre = NoiseProbe.full(probeScratch)
     graft.streaming.StreamOps.drainBatchRecords()
+    // per-batch pruned-scan bytes on the bucketed store probes (r18
+    // verdict #5 witness: with corpus-scaled nBuckets, pruned bytes per
+    // batch must grow sublinearly vs the corpus at 10×)
+    graft.streaming.StreamOps.scanProbeEnabled = true
+    graft.streaming.StreamOps.drainScanBytes()
     val t0 = System.nanoTime()
     val n = graft.streaming.StreamOps.curationReplayBatch(
       spark, s"$srcDir/documents.parquet", inputPartitions = batches).count()
     val wall = (System.nanoTime() - t0) / 1e9
     val recs = graft.streaming.StreamOps.drainBatchRecords()
+    val scans = graft.streaming.StreamOps.drainScanBytes()
+    graft.streaming.StreamOps.scanProbeEnabled = false
+    val post = NoiseProbe.full(probeScratch)
+    val noiseOk = pre.withinIdleBand && post.withinIdleBand
     val per = recs.map { case (d, k) => f"""{"sec":$d%.3f,"tag":"$k"}""" }
       .mkString("[", ",", "]")
     val compacts = recs.collect { case (d, "compact") => d }
     val spread =
       if (compacts.size >= 2) compacts.max / compacts.min else 1.0
+    // per-store scan-probe summary: median/max pruned bytes per batch +
+    // the store's final total — the sublinearity witness reads
+    // median_pruned against the corpus factor across two runs
+    val scanJson = scans.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (store, xs) =>
+        val pruned = xs.map(_._2).sorted
+        val medP = if (pruned.isEmpty) 0L else pruned(pruned.size / 2)
+        s""""$store":{"probes":${xs.size},"median_pruned_bytes":$medP,""" +
+          s""""max_pruned_bytes":${pruned.lastOption.getOrElse(0L)},""" +
+          s""""final_total_bytes":${xs.last._3}}"""
+    }.mkString("{", ",", "}")
     val json =
       f"""{"src":"$srcDir","batches_requested":$batches,""" +
         f""""batches_ran":${recs.size},"rows":$n,"wall_sec":$wall%.1f,""" +
         f""""per_batch":$per,"n_compact":${compacts.size},""" +
-        f""""compact_max_over_min":$spread%.2f}"""
+        f""""compact_max_over_min":$spread%.2f,"scan_probe":$scanJson,""" +
+        f""""noise_control":{"pre":${pre.json},"post":${post.json}},""" +
+        f""""noise_ok":$noiseOk}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_CURSOAK_OUT", "/tmp/curation_soak.json")),
       json)
     spark.stop()
+    if (!noiseOk) {
+      System.err.println("[cursoak] NOISE GATE: probes left the idle band " +
+        "— basis rejected (rc 3); re-run in an idle window")
+      sys.exit(3)
+    }
+  }
+}
+
+/** Same-session ON/OFF A/B for the tiered store maintenance (r18 verdict
+  * #1): the four serve twins whose re-based r18 sequential legs rose
+  * 1.5–3.3× after gaining per-batch `tieredCompactStore` calls are each
+  * run with maintenance at the shipped fan-in (4) and DISABLED (fan-in 0
+  * via the `graft.compactFanIn` system property — same knob as env
+  * GRAFT_COMPACT_FANIN), reps interleaved ABAB so a host-noise window
+  * inflates both arms alike instead of one. Per-arm medians plus the
+  * per-batch tag medians (append vs compact) price the maintenance:
+  * the ON−OFF delta is the structural cost of the policy, separated
+  * from whatever the box is doing. Pre/post [[NoiseProbe]] runs label
+  * the window. Usage: `sbt "runMain graft.MaintenanceAB [sfDir]"` →
+  * one JSON line (and SPARK_GRAFT_AB_OUT, default /tmp/maintenance_ab
+  * .json).
+  */
+object MaintenanceAB {
+  val Twins: Seq[String] = Seq(
+    "stream_quantiles_sampled", "stream_bm25_serving",
+    "stream_embedding_topk", "stream_ivfadc_topk")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_AB_REPS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val scratch = graft.TmpDirs.create("graft_ab_probe_")
+    val pre = NoiseProbe.full(scratch)
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; (s(s.size / 2) + s((s.size - 1) / 2)) / 2
+    }
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val rows = Twins.map { name =>
+      val fn = SparkEntry.queries(name)
+      // one untimed warm rep at the shipped config (the bench discipline
+      // for stream_* heavies: drop the state-store/codegen setup rep)
+      sys.props.put("graft.compactFanIn", "4")
+      try { fn(spark, srcDir).count(); () } catch { case _: Throwable => () }
+      graft.streaming.StreamOps.drainBatchRecords()
+      val on = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val off = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val onTags = scala.collection.mutable.ArrayBuffer.empty[(Double, String)]
+      val offTags = scala.collection.mutable.ArrayBuffer.empty[(Double, String)]
+      (1 to reps).foreach { _ =>
+        Seq(("4", on, onTags), ("0", off, offTags)).foreach {
+          case (fi, arm, tags) =>
+            sys.props.put("graft.compactFanIn", fi)
+            isolate()
+            graft.streaming.StreamOps.drainBatchRecords()
+            val t0 = System.nanoTime()
+            fn(spark, srcDir).count()
+            arm += (System.nanoTime() - t0) / 1e9
+            tags ++= graft.streaming.StreamOps.drainBatchRecords()
+        }
+      }
+      sys.props.put("graft.compactFanIn", "4")
+      val onMed = med(on.toSeq); val offMed = med(off.toSeq)
+      System.err.println(f"[ab] $name%-26s on=$onMed%6.2fs off=$offMed%6.2fs " +
+        f"delta=${onMed - offMed}%+5.2fs")
+      def tagMed(ts: Seq[(Double, String)], k: String): String = {
+        val ds = ts.collect { case (d, `k`) => d }
+        if (ds.isEmpty) "null" else f"${med(ds)}%.3f"
+      }
+      (name,
+        f""""$name":{"on_median_sec":$onMed%.3f,"off_median_sec":$offMed%.3f,""" +
+        f""""delta_sec":${onMed - offMed}%.3f,""" +
+        f""""on_reps":${on.map(t => f"$t%.2f").mkString("[", ",", "]")},""" +
+        f""""off_reps":${off.map(t => f"$t%.2f").mkString("[", ",", "]")},""" +
+        s""""on_append_batch_median_sec":${tagMed(onTags.toSeq, "append")},""" +
+        s""""on_compact_batch_median_sec":${tagMed(onTags.toSeq, "compact")},""" +
+        s""""off_append_batch_median_sec":${tagMed(offTags.toSeq, "append")}}""")
+    }
+    val post = NoiseProbe.full(scratch)
+    val noiseOk = pre.withinIdleBand && post.withinIdleBand
+    val json =
+      s"""{"src":"$srcDir","reps_per_arm":$reps,"interleaved":"ABAB",""" +
+        s""""queries":${rows.map(_._2).mkString("{", ",", "}")},""" +
+        s""""noise_control":{"pre":${pre.json},"post":${post.json}},""" +
+        s""""noise_ok":$noiseOk}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_AB_OUT", "/tmp/maintenance_ab.json")), json)
+    spark.stop()
+    if (!noiseOk) {
+      System.err.println("[ab] NOISE GATE: probes left the idle band — " +
+        "basis is adjudication-only; re-run in an idle window")
+      sys.exit(3)
+    }
   }
 }
 
@@ -389,6 +521,12 @@ object Soak {
     }
     // JVM/codegen warm-up so the first timed pair is comparable
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // probe-gated basis (r18 verdict #2): pre/post host-noise probes are
+    // embedded in the artifact and the writer self-rejects (rc 3) when
+    // either leaves the idle band — a cross-window 0.64-ratio entry like
+    // r18's stream_embedding_topk can no longer land silently
+    val probeScratch = graft.TmpDirs.create("graft_soak_probe_")
+    val preProbe = NoiseProbe.full(probeScratch)
 
     // Per-batch cost record for the maintain twins (r14 verdict #7): a
     // 10× replay processes 10× total delta by construction, so the
@@ -451,9 +589,10 @@ object Soak {
                   f""""${kind}_batch_median_sec":${med(ds)}%.3f""")
             }
             // per-tag medians are valid independently of the append
-            // median: a replay whose EVERY batch is amortized (e.g.
-            // fan-in 1, or a 1-batch-per-rep config) keeps its tag
-            // medians and merely omits the append field (r17 advice)
+            // median: a replay whose EVERY batch is amortized (e.g. a
+            // 1-batch-per-rep config; note a fan-in < 2 DISABLES
+            // maintenance rather than amortizing every batch) keeps its
+            // tag medians and merely omits the append field (r17 advice)
             val appendPart =
               if (appends.isEmpty) ""
               else f""","append_batch_median_sec":${med(appends)}%.3f"""
@@ -481,6 +620,8 @@ object Soak {
     require(rows.nonEmpty, "SPARK_GRAFT_SOAK_ONLY matched no SlowQueries " +
       "entry — add the query to Soak.SlowQueries before soaking it")
     val maxRatio = rows.map(_._4).max
+    val postProbe = NoiseProbe.full(probeScratch)
+    val noiseOk = preProbe.withinIdleBand && postProbe.withinIdleBand
     val qs = rows.map { case (n, b, s, r, pb) =>
       f"""\"$n\":{\"base_sec\":$b%.3f,\"scaled_sec\":$s%.3f,\"ratio\":$r%.2f$pb}"""
     }.mkString("{", ",", "}")
@@ -488,10 +629,16 @@ object Soak {
       Adjudications.get(n).map(a => s""""$n":"$a"""")
     }.mkString("{", ",", "}")
     val json =
-      f"""{"copies":$Copies,"src":"$srcDir","shuffle_partitions":$shufflePartitions,"queries":$qs,"notes":$notes,"max_ratio":$maxRatio%.2f}"""
+      f"""{"copies":$Copies,"src":"$srcDir","shuffle_partitions":$shufflePartitions,"queries":$qs,"notes":$notes,"max_ratio":$maxRatio%.2f,""" +
+        f""""noise_control":{"pre":${preProbe.json},"post":${postProbe.json}},"noise_ok":$noiseOk}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_sf1.json")), json)
     spark.stop()
+    if (!noiseOk) {
+      System.err.println("[soak] NOISE GATE: probes left the idle band — " +
+        "basis rejected (rc 3); re-run in an idle window")
+      sys.exit(3)
+    }
   }
 }

@@ -53,6 +53,87 @@ object StreamOps {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Corpus-scaled bucket count for the bucketed probe/serving stores
+    * (r18 verdict #5): a CONSTANT bucket count voids partition pruning
+    * the moment a dense batch touches every bucket — the "pruned" store
+    * probe then scans the whole store. With nBuckets ∝ corpus bytes,
+    * rows-per-bucket stays roughly constant, so a batch's pruned scan
+    * is ≤ touched-buckets × rows-per-bucket ≈ O(|Δ|) — sublinear in the
+    * corpus (witnessed by the [[drainScanBytes]] soak probe at 10×).
+    * Power-of-two, sized once at stream start from the source bytes
+    * (these replay stores are created fresh per run — no migration; a
+    * long-lived deployment folds bucket splits into tier merges,
+    * linear-hashing style). Clamped to [16, 4096]: 16 keeps the
+    * sf-scale layouts unchanged; 4096 bounds file fan-out at deployment
+    * scale (raise with the cluster).
+    */
+  private[graft] def scaledBuckets(spark: org.apache.spark.sql.SparkSession,
+                                   sourcePath: String,
+                                   bytesPerBucket: Long = 64L << 10): Int = {
+    val p = new org.apache.hadoop.fs.Path(sourcePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes =
+      if (!fs.exists(p)) 0L
+      else fs.getContentSummary(p).getLength
+    val want = bytes / math.max(bytesPerBucket, 1L)
+    var n = 16
+    while (n < want && n < 4096) n <<= 1
+    n
+  }
+
+  /** Store-scan probe (r18 verdict #5 done-criterion): when enabled, the
+    * bucketed store probes record (store, prunedBytes, totalBytes) per
+    * batch — the bytes the pruned scan actually reads vs the whole
+    * store. The soak asserts prunedBytes/batch grows sublinearly in the
+    * corpus at 10×. Off by default: the extra fs listing (selected
+    * bucket dirs only) is probe-only work.
+    */
+  @volatile private[graft] var scanProbeEnabled = false
+  private val scanBytesQ =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+  private[graft] def drainScanBytes(): Seq[(String, Long, Long)] = {
+    val b = Seq.newBuilder[(String, Long, Long)]
+    var x = scanBytesQ.poll()
+    while (x != null) { b += x; x = scanBytesQ.poll() }
+    b.result()
+  }
+  private def recordScanBytes(store: String, buckets: Seq[Int]): Unit =
+    if (scanProbeEnabled) {
+      import java.nio.file.{Files, Path, Paths}
+      def bytesOf(d: Path): Long =
+        if (!Files.isDirectory(d)) 0L
+        else {
+          val st = Files.list(d)
+          try {
+            val it = st.iterator()
+            var s = 0L
+            while (it.hasNext) {
+              val p = it.next()
+              if (Files.isRegularFile(p) &&
+                  p.getFileName.toString.endsWith(".parquet")) s += Files.size(p)
+            }
+            s
+          } finally st.close()
+        }
+      val root = Paths.get(store)
+      if (Files.isDirectory(root)) {
+        val st = Files.list(root)
+        val dirs = try {
+          val it = st.iterator()
+          val b = Seq.newBuilder[Path]
+          while (it.hasNext) {
+            val p = it.next()
+            if (Files.isDirectory(p) &&
+                p.getFileName.toString.contains("=")) b += p
+          }
+          b.result()
+        } finally st.close()
+        val total = dirs.map(bytesOf).sum
+        val sel = buckets.map(v => root.resolve(s"bucket=$v")).map(bytesOf).sum
+        scanBytesQ.add((root.getFileName.toString, sel, total)); ()
+      }
+    }
+
   /** Child session with isolated SQLConf tuned for the STATEFUL replay
     * queries: fewer shuffle partitions, because each stateful operator
     * instantiates one state store PER partition PER micro-batch — a
@@ -611,6 +692,40 @@ object StreamOps {
       .partitionBy("bucket").parquet(target)
   }
 
+  /** Maintenance fan-in for the serve twins' tiered stores: env
+    * `GRAFT_COMPACT_FANIN` (default 4). Values < 2 DISABLE maintenance —
+    * this is the same-session on/off A/B knob the r18 verdict asked for
+    * (price the tiered maintenance per twin without a code edit), and the
+    * degrade contract for misconfiguration: a fan-in that cannot merge
+    * turns maintenance off instead of crashing the stream mid-batch.
+    */
+  private[graft] def maintenanceFanIn: Int =
+    sys.props.get("graft.compactFanIn").orElse(sys.env.get("GRAFT_COMPACT_FANIN"))
+      .map(_.trim.toInt).getOrElse(4)
+
+  /** In-memory per-store tier tally (r18 verdict #1a): last listed
+    * per-dir per-level file counts plus the number of maintenance calls
+    * skipped since. Lets [[tieredCompactStore]] skip the full store
+    * listing when no level can possibly be full — sound because every
+    * engine call site appends AT MOST ONE file per partition dir between
+    * successive calls (coalesce(1) appends; partition-keyed repartition
+    * appends), so `maxLevel0 + pending + 1` bounds any dir's current
+    * level-0 count. External callers without that contract simply pay a
+    * listing on their first call (no cached entry) and are exact from
+    * then on only if they follow it. On a local FS the listing is cheap;
+    * on object storage (the 100 TB deployment) it is a LIST call per
+    * batch per store — the cost this cache exists to cut.
+    */
+  private final case class TierTally(dirLevels: Map[String, Map[Int, Int]],
+                                     pending: Int)
+  private val tierTallies =
+    new java.util.concurrent.ConcurrentHashMap[String, TierTally]()
+  /** Out-of-band wholesale rewrites (the IVFADC refit) invalidate the
+    * tally — the cached counts no longer describe the store. */
+  private[graft] def invalidateTierTally(store: String): Unit = {
+    tierTallies.remove(store); ()
+  }
+
   /** Size-tiered (LSM-style) maintenance for an APPEND-only parquet store
     * dir — bounded read fan-in without the O(store)-per-compaction
     * rewrite (r17 verdict #3: the curation twin's every-k-batches
@@ -620,33 +735,71 @@ object StreamOps {
     * micro-batches).
     *
     * Files carry a tier level in their name (`tier<L>-…parquet`; plain
-    * batch appends are level 0). When any level accumulates `fanIn`
-    * files, exactly those files merge into ONE level-L+1 file; merges
-    * cascade within a call when the promotion itself fills the next
-    * level. Each row is therefore rewritten at most log_fanIn(B) times
-    * over B batches — total rewrite O(data·log B), not O(B·store) — and
-    * read fan-in stays ≤ fanIn·levels files per dir. A bucketed store
-    * (`bucket=N` subdirs from `partitionBy`) compacts each bucket dir
-    * independently, so one hot bucket's maintenance never rewrites its
-    * siblings.
+    * batch appends are level 0). When a level accumulates `fanIn` files,
+    * that level merges one tier up. Each row is rewritten at most
+    * log_fanIn(B) times over B batches — total rewrite O(data·log B),
+    * not O(B·store). A Hive-partitioned store (`bucket=N` / `label=N`
+    * subdirs from `partitionBy`) tracks each partition dir independently,
+    * so one hot partition's maintenance never rewrites its siblings.
     *
-    * The merge itself is a file-level move: the level's files are read
-    * (leaf files, so no partition columns are inferred), written to a
-    * scratch dir, and the emitted part files MOVEd in under the next
-    * tier's name before the inputs are deleted — readers between batches
-    * (this runs on the foreachBatch thread, serialized with the probes)
-    * see either the old files or the merged file, never a partial
-    * overwrite of the whole store. Stale Hadoop `.crc` siblings of
-    * deleted inputs are removed too (a future same-name file would fail
-    * its checksum; tier names are nanotime-unique regardless).
+    * Per-call cost bounds (all three are r18 verdict items):
+    *  - ONE merge per dir per call, cascades DEFERRED: each dir
+    *    contributes only its lowest ≥fanIn level; a promotion that fills
+    *    the next level is carried to the next call, so a micro-batch
+    *    never stacks a full cascade of merge jobs. Read fan-in degrades
+    *    gracefully to ≤ fanIn per level (a filled level waits at most
+    *    one call).
+    *  - ONE Spark job per merging LEVEL, not per dir: all partition dirs
+    *    merging at the same level share a single basePath read +
+    *    partition-keyed shuffle + partitionBy write. The r18 per-cell
+    *    job loop made a 10-cell IVF store pay ~10 read+write jobs inside
+    *    a single micro-batch — the 1.5–3.3× serve-twin regression.
+    *  - The full listing is SKIPPED entirely (tally fast path above)
+    *    when the cached counts prove no level can be full yet.
+    *
+    * Merge output is size-targeted (`targetFileBytes`, r18 verdict #4):
+    * a flat-store merge repartitions to ceil(bytes/target) tasks, and a
+    * partitioned merge past the target caps `maxRecordsPerFile`, so a
+    * top-tier merge of a deployment-sized generation emits several
+    * bounded files instead of one giant single-task file. The tier-name
+    * regex tolerates multi-part levels (`-$i` suffix).
+    *
+    * Commit window (scope per r18 advice): the merged parts are MOVEd in
+    * under the next tier's name BEFORE the inputs are deleted. Readers on
+    * the same foreachBatch thread (all engine readers — batches and the
+    * serve tail are serialized with maintenance) see either the old
+    * files or old+merged, never a partial overwrite; an OUT-OF-BAND
+    * reader (or a crash) in the move-to-delete window can observe the
+    * level's rows TWICE. If external readers ever appear, a manifest /
+    * rename-last scheme is the upgrade path. Stale Hadoop `.crc`
+    * siblings of deleted inputs are removed too (a future same-name file
+    * would fail its checksum; tier names are nanotime-unique regardless).
     */
   private[graft] def tieredCompactStore(
       spark: org.apache.spark.sql.SparkSession,
-      store: String, fanIn: Int): Boolean = {
+      store: String, fanIn: Int,
+      targetFileBytes: Long = 256L << 20): Boolean = {
     import java.nio.file.{Files, Path, Paths}
     require(fanIn >= 2, s"tiered compaction needs fanIn >= 2, got $fanIn")
     val root = Paths.get(store)
     if (!Files.isDirectory(root)) return false
+
+    // ---- tally fast path: no listing when no level can be full yet
+    locally {
+      val cached = tierTallies.get(store)
+      if (cached != null) {
+        val anyFull = cached.dirLevels.valuesIterator
+          .exists(_.valuesIterator.exists(_ >= fanIn))
+        val maxL0 =
+          if (cached.dirLevels.isEmpty) 0
+          else cached.dirLevels.valuesIterator.map(_.getOrElse(0, 0)).max
+        if (!anyFull && maxL0 + cached.pending + 1 < fanIn) {
+          tierTallies.put(store, cached.copy(pending = cached.pending + 1))
+          return false
+        }
+      }
+    }
+
     def ls(d: Path): Seq[Path] = {
       val st = Files.list(d)
       try {
@@ -664,45 +817,100 @@ object StreamOps {
       Files.isRegularFile(p) && n.endsWith(".parquet") &&
         !n.startsWith(".") && !n.startsWith("_")
     }
-    // one merge: the lowest level holding >= fanIn files, else done
-    def compactOne(d: Path): Boolean = {
-      val byLevel = dataFiles(d).groupBy(p => levelOf(p.getFileName.toString))
-      byLevel.toSeq.sortBy(_._1).find(_._2.size >= fanIn) match {
-        case None => false
-        case Some((lvl, group)) =>
-          val inputs = group.sortBy(_.getFileName.toString)
-          val scratch = graft.TmpDirs.create("graft_tier_merge_")
-          val outDir = scratch.resolve("out")
-          spark.read.parquet(inputs.map(_.toString): _*)
-            .coalesce(1)
+    // Hive-partitioned stores (any `key=value` subdirs) vs a flat root
+    val partDirs = ls(root).filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.contains("="))
+    val dirs = if (partDirs.nonEmpty) partDirs else Seq(root)
+    val partKey: Option[String] =
+      partDirs.headOption.map(_.getFileName.toString.split("=")(0))
+
+    val listed: Seq[(Path, Map[Int, Seq[Path]])] = dirs.map { d =>
+      d -> dataFiles(d).groupBy(p => levelOf(p.getFileName.toString))
+    }
+    // one merge per dir per call: the dir's LOWEST level at >= fanIn
+    val toMerge: Seq[(Path, Int, Seq[Path])] = listed.flatMap {
+      case (d, byLvl) =>
+        byLvl.toSeq.sortBy(_._1).find(_._2.size >= fanIn).map {
+          case (lvl, fs) => (d, lvl, fs.sortBy(_.getFileName.toString))
+        }
+    }
+    val emitted = scala.collection.mutable.Map.empty[Path, Int]
+    def moveIn(parts: Seq[Path], d: Path, lvl: Int): Unit = {
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.move(p,
+          d.resolve(s"tier${lvl + 1}-${System.nanoTime()}-$i.parquet"))
+      }
+      emitted(d) = parts.size
+    }
+    // one Spark job per merging level (usually exactly one level)
+    toMerge.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (lvl, group) =>
+      val scratch = graft.TmpDirs.create("graft_tier_merge_")
+      val outDir = scratch.resolve("out")
+      val inputs = group.flatMap(_._3)
+      val totalBytes = inputs.map(Files.size).sum
+      partKey match {
+        case None =>
+          // flat store: size-based output partitioning
+          val nParts = math.min(64L,
+            math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)).toInt
+          val df = spark.read.parquet(inputs.map(_.toString): _*)
+          (if (nParts == 1) df.coalesce(1) else df.repartition(nParts))
             .write.mode("overwrite").parquet(outDir.toString)
-          val parts = dataFiles(outDir)
-          parts.zipWithIndex.foreach { case (p, i) =>
-            Files.move(p,
-              d.resolve(s"tier${lvl + 1}-${System.nanoTime()}-$i.parquet"))
+          moveIn(dataFiles(outDir), group.head._1, lvl)
+        case Some(key) =>
+          // partitioned store: ONE basePath read over every merging dir,
+          // one partition-keyed shuffle (≤1 file per dir), one
+          // partitionBy write — O(1) jobs per level, not O(dirs)
+          val df = spark.read.option("basePath", root.toString)
+            .parquet(inputs.map(_.toString): _*)
+          val maxDirBytes = group.map(_._3.map(Files.size).sum).max
+          val writer0 = df.repartition(group.size, col(key))
+            .write.mode("overwrite")
+          val writer =
+            if (maxDirBytes > targetFileBytes) {
+              // only paid past the size target: cap records per file so
+              // a big tier emits several bounded files per dir
+              val rows = df.count()
+              val maxRec =
+                math.max(1L, rows * targetFileBytes / math.max(totalBytes, 1L))
+              writer0.option("maxRecordsPerFile", maxRec)
+            } else writer0
+          writer.partitionBy(key).parquet(outDir.toString)
+          group.foreach { case (d, l, _) =>
+            // a dir whose merging files were all zero-row emits no
+            // output dir — its inputs still delete (no rows to keep)
+            val o = outDir.resolve(d.getFileName.toString)
+            moveIn(if (Files.isDirectory(o)) dataFiles(o) else Seq.empty, d, l)
           }
-          inputs.foreach { p =>
-            Files.deleteIfExists(p)
-            Files.deleteIfExists(
-              p.resolveSibling("." + p.getFileName.toString + ".crc"))
-          }
-          // scratch dirs are exit-cleaned by TmpDirs; drop the bulk now
-          ls(outDir).foreach(p => Files.deleteIfExists(p))
-          true
+      }
+      inputs.foreach { p =>
+        Files.deleteIfExists(p)
+        Files.deleteIfExists(
+          p.resolveSibling("." + p.getFileName.toString + ".crc"))
+      }
+      // scratch dirs are exit-cleaned by TmpDirs; drop the bulk now
+      if (Files.isDirectory(outDir)) {
+        val leftover = ls(outDir)
+        leftover.foreach { p =>
+          if (Files.isDirectory(p)) ls(p).foreach(Files.deleteIfExists)
+          Files.deleteIfExists(p)
+        }
       }
     }
-    // Hive-partitioned stores (any `key=value` subdirs — the curation
-    // twin's bucket=N shingle store, the IVF twins' label=N cell
-    // stores) compact each partition dir independently, so one hot
-    // partition's maintenance never rewrites its siblings
-    val dirs = {
-      val parts = ls(root).filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.contains("="))
-      if (parts.nonEmpty) parts else Seq(root)
-    }
-    var any = false
-    dirs.foreach { d => while (compactOne(d)) any = true }
-    any
+    // refresh the tally analytically from the listing + this call's merges
+    val mergedAt = toMerge.map(t => t._1 -> t._2).toMap
+    val newDirLevels = listed.map { case (d, byLvl) =>
+      val counts0 = byLvl.map { case (l, fs) => l -> fs.size }
+      val counts = mergedAt.get(d) match {
+        case Some(lvl) =>
+          (counts0 - lvl) +
+            ((lvl + 1) -> (counts0.getOrElse(lvl + 1, 0) + emitted(d)))
+        case None => counts0
+      }
+      d.getFileName.toString -> counts
+    }.toMap
+    tierTallies.put(store, TierTally(newDirLevels, 0))
+    toMerge.nonEmpty
   }
 
   /** Third oracle-checked streaming query — the WINDOWED-AGGREGATE half:
@@ -1116,7 +1324,10 @@ object StreamOps {
     val shStore = s"$tmp/shingles"  // admitted shingles, bucketed by doc_id
     val bandStore = s"$tmp/bands"   // admitted LSH band keys (append-only)
     val labelStore = s"$tmp/labels" // incremental CC labels (bucketed upsert)
-    val nBuckets = 16
+    // corpus-scaled (r18 verdict #5): 16 at the test/bench SFs, growing
+    // power-of-two with the source so the bucket-pruned store probes
+    // stay O(|Δ|) when a dense batch would otherwise touch every bucket
+    val nBuckets = scaledBuckets(spark, documentsPath)
     stateDirProbe(tmp.toString)
 
     docs.filter(col("doc_id").cast("long") >= benchmarkMaxId)
@@ -1169,6 +1380,7 @@ object StreamOps {
         // control-plane collect: ≤ nBuckets rows by construction
         val touched = bmin.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
+        recordScanBytes(hashStore, touched)
         val stored =
           if (pathExists(spark, hashStore))
             spark.read.parquet(hashStore)
@@ -1244,6 +1456,7 @@ object StreamOps {
           // control-plane collect: ≤ nBuckets rows by construction
           val candBuckets = candDocs.select("bucket").distinct()
             .collect().map(_.getInt(0)).toSeq
+          recordScanBytes(shStore, candBuckets)
           val storedSh =
             if (pathExists(spark, shStore))
               spark.read.parquet(shStore)
@@ -1277,6 +1490,7 @@ object StreamOps {
           // control-plane collect: ≤ nBuckets rows by construction
           val vertBuckets = verts.select("bucket").distinct()
             .collect().map(_.getInt(0)).toSeq
+          recordScanBytes(labelStore, vertBuckets)
           // New-vertex detection mirrors the hash-store admission (r17
           // advice #2): the label store is partition-pruned to the
           // batch's bucket footprint and probed with the |Δ| side
@@ -1325,8 +1539,11 @@ object StreamOps {
         // bucketed shingle store), each merge touching one level's
         // fan-in only, so per-maintenance cost is bounded by the tier
         // being merged, never the store size (r17 verdict #3)
+        // compactFanIn < 2 disables maintenance (tieredCompactStore
+        // requires a mergeable fan-in; a 0/1 config means "off", never
+        // a mid-batch crash — r18 advice #1)
         val compacted =
-          compactFanIn > 0 && Seq(shStore, bandStore, docStore)
+          compactFanIn >= 2 && Seq(shStore, bandStore, docStore)
             .map(tieredCompactStore(spark, _, compactFanIn))
             .exists(identity)
         recordBatchDuration(tBatch0, if (compacted) "compact" else "append")
@@ -1662,6 +1879,10 @@ object StreamOps {
       .repartition(4).write.parquet(inDir)
     val schema = spark.read.parquet(inDir).schema
     val state = s"$tmp/state"
+    // corpus-scaled label-store buckets (r18 verdict #5, same fix as the
+    // curation twin): 16 at the test/bench SFs, power-of-two growth with
+    // the edge volume so the pruned probe stays O(|Δ|) at scale
+    val nBuckets = scaledBuckets(spark, inDir)
     stateDirProbe(state)
     val cat = new graft.graph.GraphCatalog(spark, s"$tmp/graphs")
     val src = spark.readStream.schema(schema)
@@ -1714,11 +1935,13 @@ object StreamOps {
             col("id").as("comp"), lit(0).as("bucket"))
         val verts = e.select(col("src").as("vertex"))
           .unionAll(e.select(col("dst").as("vertex"))).distinct()
-          .withColumn("bucket", pmod(col("vertex"), lit(16L)).cast("int"))
+          .withColumn("bucket",
+            pmod(col("vertex"), lit(nBuckets.toLong)).cast("int"))
           .localCheckpoint(true)
-        // control-plane collect: ≤ nBuckets(16) rows by construction
+        // control-plane collect: ≤ nBuckets rows by construction
         val vertBuckets = verts.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
+        recordScanBytes(state, vertBuckets)
         // New-vertex detection as a pruned store probe (r17 advice #2,
         // fixed here alongside the curation twin — same store layout):
         // the bucketed label store is partition-pruned to the batch's
@@ -1777,7 +2000,7 @@ object StreamOps {
         // 15.5s vs 14.3s seq-basis — the second write job and the extra
         // checkpoint outweigh the saved read-back at this store's size)
         mergeIntoBucketedServing(newResolved.unionByName(oldRemapped),
-          state, "vertex")
+          state, "vertex", nBuckets)
         mark("merge")
         recordBatchDuration(tBatch0)
         if (!(batchProbe eq NoLabelProbe))
@@ -1843,7 +2066,8 @@ object StreamOps {
         // O(batches) files over a long stream (r17 verdict-#3 class,
         // closed engine-wide in r18)
         sampled.coalesce(1).write.mode("append").parquet(store)
-        val compacted = tieredCompactStore(spark, store, 4)
+        val fi = maintenanceFanIn
+        val compacted = fi >= 2 && tieredCompactStore(spark, store, fi)
         recordBatchDuration(tBatch0, if (compacted) "compact" else "append")
         batchProbe(sampled.count(), b.count())
       }
@@ -2030,7 +2254,8 @@ object StreamOps {
           } else part)
             .localCheckpoint(true) // materialize BEFORE overwriting state
         merged.write.mode("overwrite").parquet(sdir)
-        val compacted = tieredCompactStore(spark, store, 4)
+        val fi = maintenanceFanIn
+        val compacted = fi >= 2 && tieredCompactStore(spark, store, fi)
         recordBatchDuration(tBatch0, if (compacted) "compact" else "append")
         batchProbe(b.count(), frame.columns.toSeq)
       }
@@ -2118,7 +2343,8 @@ object StreamOps {
           else part)
             .localCheckpoint(true) // materialize BEFORE overwriting state
         merged.write.mode("overwrite").parquet(cdir)
-        val compacted = tieredCompactStore(spark, store, 4)
+        val fi = maintenanceFanIn
+        val compacted = fi >= 2 && tieredCompactStore(spark, store, fi)
         recordBatchDuration(tBatch0, if (compacted) "compact" else "append")
         batchProbe(b.select("label").distinct().count(), b.count())
       }
@@ -2287,6 +2513,8 @@ object StreamOps {
           // materialize BEFORE overwriting the store being read
           .localCheckpoint(true)
         recoded.write.mode("overwrite").partitionBy("label").parquet(store)
+        // the wholesale rewrite reset every tier — drop the cached tally
+        invalidateTierTally(store)
         cachedQz = Some(qz); fitStats = st; nullRows = 0L
         true
       case None => false
@@ -2361,7 +2589,8 @@ object StreamOps {
         // built for — a stationary stream refits once and then appended
         // O(batches) files per cell forever (the r17 verdict-#3 class,
         // closed engine-wide in r18)
-        val compacted = !refit && tieredCompactStore(spark, store, 4)
+        val fi = maintenanceFanIn
+        val compacted = !refit && fi >= 2 && tieredCompactStore(spark, store, fi)
         recordBatchDuration(tBatch0,
           if (refit) "refit" else if (compacted) "compact" else "append")
         batchProbe(nRows, if (refit) 1L else 0L)

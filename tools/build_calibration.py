@@ -59,6 +59,35 @@ def main() -> None:
             f"{name} leg shed reps for {sorted(shed)} — rerun the leg with "
             "a headroom deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC)"
         )
+    # probe gate (r18 verdict #2, now MECHANICAL): a calibration basis
+    # measured inside a host-contention window is exactly the
+    # cross-window contamination the r18 adjudication had to caveat by
+    # hand. Each new leg's embedded noise_control must sit inside the
+    # idle band: cpu_spin <= 1.2x nominal AND disk_read >= 0.5x nominal
+    # (nominals committed from an idle-window measurement; same band as
+    # graft.NoiseProbe.withinIdleBand). Override nominals only with a
+    # fresh idle measurement: GRAFT_PROBE_NOMINALS="cpuSec,readMbS".
+    import os
+    nom = os.environ.get("GRAFT_PROBE_NOMINALS", "0.42,3500")
+    nom_cpu, nom_read = (float(x) for x in nom.split(","))
+    for leg, name in ((seq, "seq"), (par, "par")):
+        nc = leg.get("noise_control") or {}
+        assert "pre" in nc and "post" in nc, (
+            f"{name} leg carries no pre/post noise_control — re-run it on "
+            "current graft.Bench"
+        )
+        for side in ("pre", "post"):
+            p = nc[side]
+            assert p["cpu_spin_sec"] <= 1.2 * nom_cpu, (
+                f"{name} leg {side}-probe cpu_spin {p['cpu_spin_sec']}s > "
+                f"1.2x nominal {nom_cpu}s — contention window; re-run the "
+                "leg in an idle window"
+            )
+            assert p["disk_read_mb_s"] >= 0.5 * nom_read, (
+                f"{name} leg {side}-probe disk_read {p['disk_read_mb_s']} "
+                f"MB/s < 0.5x nominal {nom_read} — contention window; "
+                "re-run the leg in an idle window"
+            )
     if base is not None:
         merged_sq = dict(base["sequential_local32"])
         merged_pq = dict(base["pooled"])

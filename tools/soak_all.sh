@@ -25,7 +25,8 @@ python3 - "$PARTS" "$(echo "$QUERIES" | wc -w)" <<'EOF'
 import json, sys, glob, os
 parts = sorted(glob.glob(os.path.join(sys.argv[1], '*.json')))
 expected = int(sys.argv[2])
-queries, notes = {}, {}
+queries, notes, probes = {}, {}, []
+noise_ok = True
 meta = None
 for p in parts:
     d = json.load(open(p))
@@ -39,13 +40,24 @@ for p in parts:
     meta = d
     queries.update(d['queries'])
     notes.update(d.get('notes', {}))
+    nc = d.get('noise_control')
+    if nc:
+        probes += [nc['pre'], nc['post']]
+    # each part self-gates (rc 3 outside the idle band, caught above) —
+    # this is the merged record of that evidence
+    noise_ok = noise_ok and d.get('noise_ok', False)
 assert len(queries) == expected, \
     f"merged {len(queries)} queries, expected {expected} — stale or missing parts"
 out = {'copies': meta['copies'], 'src': meta['src'],
        'shuffle_partitions': meta.get('shuffle_partitions'),
        'isolation': 'one JVM per query (tools/soak_all.sh), median of reps',
        'queries': queries, 'notes': notes,
-       'max_ratio': max(q['ratio'] for q in queries.values())}
+       'max_ratio': max(q['ratio'] for q in queries.values()),
+       'noise_ok': noise_ok}
+if probes:
+    out['noise_worst'] = {
+        'cpu_spin_sec': max(p['cpu_spin_sec'] for p in probes),
+        'disk_read_mb_s': min(p['disk_read_mb_s'] for p in probes)}
 json.dump(out, open('SOAK_sf1.json', 'w'))
 print(json.dumps(out))
 EOF

@@ -175,8 +175,16 @@ occ=json.load(open('/tmp/bench_degrade5_occ.json'))
 light=[u for u in occ['units'] if 'q1_agg' in u['queries']][0]
 assert light['start_sec']<5.0, \
     f\"light chunk waited on the heavy tail: start={light['start_sec']}\"
+# r19: every COMPLETED unit carries its own ~100ms mini noise probe in
+# the occupancy record (localizes mid-run contention windows) — assert
+# they parse and carry the probe fields
+probed=[u for u in occ['units'] if u.get('probe')]
+assert probed, 'no per-unit noise probes in the occupancy record'
+for u in probed:
+    p=u['probe']
+    assert p['cpu_spin_sec']>0 and p['disk_read_mb_s']>0 and p['kind']=='mini', p
 err=open('/tmp/bench_degrade5.err').read()
 assert 'REPS SHED' in err, 'parent never logged the shed decision'
-print('rep-shed: OK - all 6 measured, 0 skipped, reps_shed=%s, light lane start=%.1fs, noise pre/post present'
-      % (sorted(d['reps_shed']), light['start_sec']))"
+print('rep-shed: OK - all 6 measured, 0 skipped, reps_shed=%s, light lane start=%.1fs, noise pre/post present, %d per-unit probes parse'
+      % (sorted(d['reps_shed']), light['start_sec'], len(probed)))"
 echo "== bench degradation: ALL OK =="
