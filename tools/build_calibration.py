@@ -126,9 +126,19 @@ def main() -> None:
             "stream_media_dup legs NEW; stream_curation_e2e BOTH legs on "
             "post-tiered-compaction code, same session) and made the "
             "coverage invariant self-enforcing (the tool asserts the leg "
-            "set covers the artifact's declared heavy list). "
+            "set covers the artifact's declared heavy list). r19 re-based "
+            "BOTH legs for eight queries — the four tiered-maintenance "
+            "serve twins + stream_curation_e2e + stream_graph_maintain on "
+            "the reworked one-merge-per-batch maintenance, and "
+            "curation_funnel + stream_media_dup to retire the r18 "
+            "cross-window pooled caveat with a same-day pair — and made "
+            "the probe gate MECHANICAL: every new leg's embedded pre/post "
+            "noise_control must sit inside the committed idle band "
+            "(cpu_spin <= 1.2x, disk_read >= 0.5x nominal) or this tool "
+            "refuses the leg. "
             "BENCH_OCCUPANCY.json additionally records each unit's "
-            "co-runner mix per official run."
+            "co-runner mix per official run (per-unit mini probes since "
+            "r19)."
         ),
         "sequential_local32": {q: round(sq[q], 3) for q in sorted(sq)},
         "pooled": {q: round(pq[q], 3) for q in sorted(pq)},
