@@ -314,6 +314,35 @@ object Soak {
     * doesn't is the shape itself.
     */
   val Adjudications: Map[String, String] = Map(
+    "scc_components" -> ("sub-1.0 ratio is the DERIVED INPUT, not the " +
+      "plan, and not measurement order (r19 order-swap: 0.48 " +
+      "scaled-first vs 0.43 base-first - persists under both orders, " +
+      "flat probes). The query derives its graph as v->7v,13v mod n " +
+      "with n = supplier COUNT: at 1x ids are 0..n-1 and gcd(7,n)=" +
+      "gcd(13,n)=1, so the edges are a union of two PERMUTATIONS of " +
+      "Z_n - cycle-rich, deep peel rounds; at 10x the replica stride " +
+      "(4e9, divisible by n=10000) makes 9 of 10 copies' ids " +
+      "source-only (they never appear as a dst), a near-DAG that " +
+      "peels in a fraction of the rounds. The disjoint-copy " +
+      "construction does not commute with this query's input " +
+      "derivation; the rounds-dominated runtime tracks the easier " +
+      "derived graph"),
+    "stream_interval_join" -> ("sub-1.0 ratio is FIRST-MEASURED-LEG " +
+      "JIT warmth, proven by the r19 order-swap: base-first measures " +
+      "0.70 (base 18.6s/scaled 13.0s), scaled-first measures 2.30 " +
+      "(scaled 17.2s/base 7.5s) - whichever leg runs first in the " +
+      "fresh JVM pays ~2x while C2 compiles the streaming machinery, " +
+      "and the 3-rep median does not wash it out because warmth keeps " +
+      "accruing across the leg's reps. Steady-state ratio from the " +
+      "warm legs of both orders: ~1.7 at 10x data"),
+    "stream_embedding_topk" -> ("sub-1.0 ratio is FIRST-MEASURED-LEG " +
+      "JIT warmth, same class as stream_interval_join and proven the " +
+      "same way (r19 order-swap, flat probes both runs): base-first " +
+      "0.59 (base 17.5s/scaled 10.4s), scaled-first 1.15 (scaled " +
+      "9.3s/base 8.1s) - the ratio crosses 1.0 when the order flips. " +
+      "Steady-state from the warm legs: ~1.3 at 10x vectors - the " +
+      "per-batch fixed cost (8 Spark jobs + state machinery per " +
+      "micro-batch) dominates the 0.5->5 MB data term"),
     "dup_span_clean" -> ("NOT partition-starved (round-16 sweep): 128 " +
       "partitions at 10x data is SLOWER (6.2s -> 8.4s; the per-doc span " +
       "windows multiply task overhead with partition count); the 2.8 " +
@@ -344,11 +373,17 @@ object Soak {
       "(1.61M -> 16.08M cliques) while same-session time scales 9.09x - " +
       "enumeration work tracks the output census, the plan is sound"),
     // round-14 adjudications:
-    "stream_fourclique_maintain" -> ("mass-driven like its batch twin: " +
-      "the replay enumerates the SAME K4 census whose output mass scales " +
-      "exactly 10.00x (CensusMass), so an 8.99x full-replay ratio is " +
-      "sublinear vs output; the twin's claim is per-BATCH delta cost, " +
-      "and a 10x replay processes 10x total delta by construction"),
+    "stream_fourclique_maintain" -> ("mass-driven like its batch twin " +
+      "(K4 output mass scales exactly 10.00x, CensusMass) AND " +
+      "geometry-shifted at 10x: the replica's 12M edges cross the 4M " +
+      "exact-broadcast gate after batch 1, so the existence probes run " +
+      "as shuffle joins with the |delta|*deg fan-out pre-pruned " +
+      "map-side by a broadcast edge Bloom (r19: the unpruned shuffle " +
+      "put the cn stage at 84% of the scaled replay, 191s in the last " +
+      "batch; Bloom pruning cut it to 39s and the full-replay ratio " +
+      "from 13.79 to 3.04 - sublinear vs the 10x output mass). The " +
+      "twin's claim is per-BATCH delta cost; a 10x replay processes " +
+      "10x total delta by construction"),
     // round-15 adjudications (SOAK_ADJUDICATION.json round15):
     "louvain_moves" -> ("NOT partition-starved: the 10x run at p128 is " +
       "2.8x SLOWER (10.7s -> 29.6s; move rounds x per-round task overhead " +
@@ -602,12 +637,25 @@ object Soak {
       }
     }
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").toSet)
+    // Order-swap adjudication knob: a sub-1.0 ratio under FLAT noise
+    // probes (10× data "faster" than 1×) is physically suspect. The
+    // mechanical suspect is measurement ORDER — base runs first in the
+    // fresh JVM, and iteration-dominated shapes (SCC: hundreds of
+    // sub-second jobs) track C2-JIT warmth more than data size at this
+    // scale, warmth that keeps accruing past the 3-rep median. Running
+    // the SAME pair scaled-first isolates the effect: if the ratio
+    // crosses 1.0 on swap, the anomaly is ordering, not the plan.
+    val scaledFirst =
+      sys.env.get("SPARK_GRAFT_SOAK_ORDER").contains("scaled_first")
     val rows = SlowQueries.filter(n => only.forall(_.contains(n))).map { name =>
       graft.streaming.StreamOps.drainBatchRecords()
-      val base = time(name, srcDir)
-      val pbBase = perBatchStats(graft.streaming.StreamOps.drainBatchRecords())
-      val scaled = time(name, workDir)
-      val pbScaled = perBatchStats(graft.streaming.StreamOps.drainBatchRecords())
+      def leg(dir: String) = {
+        val t = time(name, dir)
+        (t, perBatchStats(graft.streaming.StreamOps.drainBatchRecords()))
+      }
+      val ((base, pbBase), (scaled, pbScaled)) =
+        if (scaledFirst) { val s = leg(workDir); val b = leg(srcDir); (b, s) }
+        else { val b = leg(srcDir); val s = leg(workDir); (b, s) }
       val ratio = scaled / base
       System.err.println(f"[soak] $name%-22s base=$base%6.2fs scaled=$scaled%7.2fs ratio=$ratio%5.2f")
       val pb = (pbBase, pbScaled) match {
@@ -628,8 +676,11 @@ object Soak {
     val notes = rows.flatMap { case (n, _, _, _, _) =>
       Adjudications.get(n).map(a => s""""$n":"$a"""")
     }.mkString("{", ",", "}")
+    // a swapped run self-labels so it can never silently merge into the
+    // committed artifact as a normal part (soak_all.sh checks the field)
+    val orderTag = if (scaledFirst) """"order":"scaled_first",""" else ""
     val json =
-      f"""{"copies":$Copies,"src":"$srcDir","shuffle_partitions":$shufflePartitions,"queries":$qs,"notes":$notes,"max_ratio":$maxRatio%.2f,""" +
+      f"""{"copies":$Copies,"src":"$srcDir","shuffle_partitions":$shufflePartitions,$orderTag"queries":$qs,"notes":$notes,"max_ratio":$maxRatio%.2f,""" +
         f""""noise_control":{"pre":${preProbe.json},"post":${postProbe.json}},"noise_ok":$noiseOk}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(

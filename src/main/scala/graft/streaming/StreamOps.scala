@@ -707,6 +707,17 @@ object StreamOps {
     sys.props.get("graft.compactFanIn").orElse(sys.env.get("GRAFT_COMPACT_FANIN"))
       .map(_.trim.toInt).getOrElse(4)
 
+  /** Edge-count ceiling for the K4 maintainer's exact-edge-set broadcast
+    * ([[fourcliqueMaintainReplayBatch]]); above it the existence probes
+    * shuffle, pre-pruned by a broadcast Bloom over the edge key. The
+    * override exists so StreamSpec can force the Bloom path on a
+    * hand-sized graph (0 ⇒ never broadcast).
+    */
+  private[graft] def quadBroadcastMax: Long =
+    sys.props.get("graft.quadBroadcastMax")
+      .orElse(sys.env.get("GRAFT_QUAD_BROADCAST_MAX"))
+      .map(_.trim.toLong).getOrElse(4000000L)
+
   /** In-memory per-store tier tally (r18 verdict #1a): last listed
     * per-dir per-level file counts plus the number of maintenance calls
     * skipped since. Lets [[tieredCompactStore]] skip the full store
@@ -2911,7 +2922,43 @@ object StreamOps {
         // exchange.
         val eKey = eAll.select(col("a").as("e1"), col("b").as("e2"),
           col("r").as("re"))
-        val eProbe = if (edgesTotal <= 4000000L) broadcast(eKey) else eKey
+        val bcastEdges = edgesTotal <= quadBroadcastMax
+        val eProbe = if (bcastEdges) broadcast(eKey) else eKey
+        // Past the broadcast gate the fan-out below can no longer be
+        // filtered map-side by a BroadcastHashJoin — and shuffling it to
+        // be mostly discarded IS the at-scale bottleneck (measured at the
+        // 10× soak: the cn stage was 84% of the scaled replay, growing
+        // 13→191 s/batch as the graph accrued). So the shuffle path
+        // broadcasts what DOES stay small at any scale: a Bloom filter
+        // over the canonical edge key (a few MB, capped at 32 MB — past
+        // the cap the false-positive rate degrades, never the answer),
+        // probed map-side so non-edges die before crossing the exchange.
+        // The exact join still runs on the survivors, so the result is
+        // bit-identical — same contract as RuntimeFilters.bloomSemiJoin.
+        val edgeBloom =
+          if (bcastEdges) None
+          else {
+            spark.conf.set(
+              "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+              (1L << 33).toString)
+            spark.conf.set(
+              "spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+              (1L << 28).toString)
+            val bits = math.max(64L * 8L,
+              math.min(edgesTotal * 8L, 1L << 28))
+            Some(eKey
+              .agg(graft.pipeline.RuntimeFilters.bloomAgg(
+                struct(col("e1"), col("e2")), math.max(edgesTotal, 1L),
+                bits).as("bf"))
+              .localCheckpoint(true)) // built once, probed by cn AND quads
+          }
+        def edgeMight(k1: org.apache.spark.sql.Column,
+                      k2: org.apache.spark.sql.Column) = edgeBloom match {
+          case Some(bf) => coalesce(
+            graft.pipeline.RuntimeFilters.mightContain(bf, struct(k1, k2)),
+            lit(true))
+          case None => lit(true)
+        }
         val sym = eAll.select(col("a").as("x"), col("b").as("y"), col("r"))
           .unionAll(eAll.select(col("b").as("x"), col("a").as("y"), col("r")))
         // candidates w adjacent to endpoint a, rank-filtered BEFORE the
@@ -2925,6 +2972,8 @@ object StreamOps {
         // common neighbors: w must also connect to b — one map-side probe
         // of the canonical edge broadcast (key order via least/greatest)
         val cn = fan
+          .filter(edgeMight(least(col("b"), col("w")),
+            greatest(col("b"), col("w"))))
           .join(eProbe, col("e1") === least(col("b"), col("w")) &&
             col("e2") === greatest(col("b"), col("w")))
           .filter(col("re") < col("r"))
@@ -2934,6 +2983,7 @@ object StreamOps {
         val quads = cn
           .join(cn.select(col("a"), col("b"), col("w").as("x")), Seq("a", "b"))
           .filter(col("w") < col("x"))
+          .filter(edgeMight(col("w"), col("x")))
           // closing edge (w, x) — canonical because w < x — must also rank
           // below the attributed edge: with the cn-side ranks pre-filtered
           // this completes greatest(r1..r5) < r, so (a, b) is the clique's

@@ -341,6 +341,24 @@ class StreamSpec extends AnyFunSuite {
     assertUntouchedBuckets(fileSnaps.toSeq, stateSnaps.toSeq)
   }
 
+  test("fourcliqueMaintainReplayBatch: Bloom-pruned shuffle path equals the broadcast path") {
+    // graft.quadBroadcastMax=0 forces the past-the-gate geometry (shuffled
+    // existence probes pre-pruned by the broadcast edge Bloom) on the same
+    // hand graph — the Bloom only ever shrinks the exact join's input, so
+    // every count must match the broadcast-path census bit-for-bit
+    val pairs = ((for { a <- 1L to 5L; b <- a + 1 to 5L } yield (a, b)) ++
+      Seq((4L, 6L), (4L, 7L), (5L, 6L), (5L, 7L), (6L, 7L),
+        (7L, 8L), (8L, 9L))).toDF("a", "b")
+    System.setProperty("graft.quadBroadcastMax", "0")
+    try {
+      val got = StreamOps.fourcliqueMaintainReplayBatch(spark, pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val batch = graft.graph.GraphOps.fourCliqueCounts(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == batch, s"Bloom-path end state $got != batch census $batch")
+    } finally System.clearProperty("graft.quadBroadcastMax")
+  }
+
   test("assocRulesReplayBatch: basket-whole batches; end rules equal the batch expression") {
     // hand baskets with known rules: {1,2} co-occur 3x, {1,3} 2x, {2,3} 2x
     val basket = Seq(

@@ -33,6 +33,9 @@ for p in parts:
     # all parts must have been measured under ONE config — a part rerun
     # with e.g. SPARK_GRAFT_SOAK_SHUFFLE=128 must not silently merge into
     # an artifact that reports a single config for mixed measurements
+    # order-swapped adjudication runs (SPARK_GRAFT_SOAK_ORDER) self-label
+    # and must never merge into the committed artifact
+    assert 'order' not in d, f"part {p} is an order-swapped adjudication run"
     cfg = (d['copies'], d['src'], d.get('shuffle_partitions'))
     if meta is not None:
         prev = (meta['copies'], meta['src'], meta.get('shuffle_partitions'))
