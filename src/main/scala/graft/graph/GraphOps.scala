@@ -1297,7 +1297,7 @@ object GraphOps {
   private[graft] def trussSupportRound(p: DataFrame): DataFrame = {
     val o = orientByDegree(p, pairDegrees(p).localCheckpoint(true))
       .localCheckpoint(true) // feeds all three sides of the triangle join
-    orientedTriangles(o).select(explode(array(
+    orientedTriangles(o, censusProbe(o)).select(explode(array(
         struct(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y")),
         struct(least(col("u"), col("w")).as("x"), greatest(col("u"), col("w")).as("y")),
         struct(least(col("v"), col("w")).as("x"), greatest(col("v"), col("w")).as("y"))))
@@ -1618,6 +1618,32 @@ object GraphOps {
     p.select(col("a").as("vertex")).unionAll(p.select(col("b").as("vertex")))
       .groupBy("vertex").agg(count(lit(1)).cast("long").as("degree"))
 
+  /** Edge-count ceiling under which the census joins BROADCAST the
+    * oriented edge set instead of shuffling the wedge fan-out through
+    * sort-merge joins (guide §3.1) — the batch analogue of the K4
+    * maintainer's `quadBroadcastMax`. The wedge/extension fan-out is
+    * O(m^1.5) rows while the probe side stays O(m): below the gate every
+    * existence probe is a map-side BroadcastHashJoin and the fan-out
+    * never crosses an exchange; above it (the 100 TB path) the joins
+    * shuffle as before — the fan-out pays the exchange but no single
+    * executor must hold the edge set. Same knob contract as the twin:
+    * sys-prop first (tests force the shuffle path with 0), env second.
+    */
+  private[graft] def censusBroadcastMax: Long =
+    sys.props.get("graft.censusBroadcastMax")
+      .orElse(sys.env.get("GRAFT_CENSUS_BROADCAST_MAX"))
+      .map(_.trim.toLong).getOrElse(4000000L)
+
+  /** Probe builder for the census joins: `broadcast(df)` when the
+    * CHECKPOINTED oriented edge set `o` is under [[censusBroadcastMax]]
+    * edges (the count is a partition-size sum — `o` must already be
+    * materialized), identity otherwise. Join strategy only — the joined
+    * relation is the same either way, so every census result is
+    * bit-identical across the gate.
+    */
+  private[graft] def censusProbe(o: DataFrame): DataFrame => DataFrame =
+    if (o.count() <= censusBroadcastMax) broadcast(_) else identity
+
   /** Every triangle exactly once as an ≺-ordered triple `u ≺ v ≺ w` over
     * a degree-ordered orientation `o` (see [[orientByDegree]]): join the
     * in-edges of each MIDDLE vertex v (u → v) with its out-edges (v → w) —
@@ -1627,10 +1653,16 @@ object GraphOps {
     * fan-out per middle is indeg(v)·outdeg(v) ≤ indeg(v)·O(√m), giving
     * O(m^1.5) total (arboricity bound): a hub's huge in-degree multiplies
     * its SMALL out-degree, never itself. Output: (u, v, w).
+    *
+    * `probe` (r19, guide §3.1) wraps the out-edge and closing-edge sides:
+    * [[censusProbe]]'s gated broadcast keeps the O(m^1.5) wedge fan-out
+    * from ever crossing an exchange — the shuffled plan sorted the full
+    * fan-out once per probe join.
     */
-  private[graft] def orientedTriangles(o: DataFrame): DataFrame =
-    o.join(o.select(col("u").as("v"), col("v").as("w")), "v")
-      .join(o.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
+  private[graft] def orientedTriangles(
+      o: DataFrame, probe: DataFrame => DataFrame = identity): DataFrame =
+    o.join(probe(o.select(col("u").as("v"), col("v").as("w"))), "v")
+      .join(probe(o.select(col("u"), col("v").as("w"))), Seq("u", "w"), "left_semi")
       .select("u", "v", "w")
 
   /** Per-vertex triangle counts over an undirected graph given as
@@ -1652,7 +1684,7 @@ object GraphOps {
       .localCheckpoint(true) // scanned by the degree agg AND the orientation join
     val o = orientByDegree(p, pairDegrees(p).localCheckpoint(true))
       .localCheckpoint(true) // feeds all three sides of the triangle join
-    orientedTriangles(o)
+    orientedTriangles(o, censusProbe(o))
       .select(explode(array(col("u"), col("v"), col("w"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).cast("long").as("n_triangles"))
       .orderBy("vertex")
@@ -1663,23 +1695,27 @@ object GraphOps {
     * census distinguishes genuinely dense cores (spam rings, bundle
     * catalogs) from mere wedge-heavy hubs, and is the k = 4 row of the
     * clique-census features graphlet-based ML uses. Each clique is
-    * enumerated exactly once as an ≺-ordered quadruple u ≺ v ≺ w ≺ t over
-    * the degree-ordered orientation ([[orientByDegree]]): the
-    * [[orientedTriangles]] wedge + closing semi-join builds (u,v,w), one
-    * more equi-join extends by an out-neighbor t of w (t ≻ w is automatic
-    * from the orientation — no comparison needed), and two semi-joins
-    * verify the oriented edges (u,t) and (v,t) — natural edge keys
-    * throughout, no cartesian.
+    * enumerated exactly once: the [[orientedTriangles]] wedge + closing
+    * semi-join builds each ≺-ordered triangle (u,v,w) once, and (r19) a
+    * triangle SELF-JOIN on the shared ≺-minimal edge (u,v) pairs the two
+    * triangles every K4 contains through that edge — third corners
+    * id-ordered w < t, closing edge {w,t} verified against the canonical
+    * pair set — natural edge keys throughout, no cartesian.
     *
     * Scale: the census MASS grows super-linearly on dense spots by NATURE
     * (a basket of s co-purchased items contributes C(s,4) cliques) — but
-    * the ENUMERATION work is now arboricity-bounded: the wedge join fans
+    * the ENUMERATION work is arboricity-bounded: the wedge join fans
     * out by indeg·outdeg with outdeg O(√m) under the orientation, and the
-    * extension join fans out by outdeg(w) alone, so a raw hub cannot blow
-    * up either join. `maxExtendDegree` (> 0) additionally
-    * drops extension sources whose FULL degree exceeds the cap — the
-    * [[commonNeighborLinks]] `maxMiddleDegree` lever wired into the K4
-    * extension for pathological cores; 0 (the default, and the declared
+    * tri-pair self-join fans out by Σ C(tri_uv, 2) per edge — within a
+    * constant of the OUTPUT mass on dense cores (C(s,4) quads vs
+    * 3·C(s,4) candidate pairs per K_s), where the pre-r19
+    * extend-by-out-neighbor shape enumerated Σ_tri outdeg(w) mostly-
+    * discarded candidates (27× the surviving volume at sf0.1).
+    * `maxExtendDegree` (> 0) drops extension sources whose FULL degree
+    * exceeds the cap — the [[commonNeighborLinks]] `maxMiddleDegree`
+    * lever wired into the K4 extension for pathological cores; that
+    * capped variant keeps the original extend-then-verify shape (the cap
+    * is defined on the extension edge); 0 (the default, and the declared
     * query) is exact. Output: (vertex, n_cliques4) ordered, vertices in
     * ≥ 1 clique.
     */
@@ -1689,14 +1725,47 @@ object GraphOps {
     val deg = pairDegrees(p).localCheckpoint(true) // feeds orientation + cap
     val o = orientByDegree(p, deg)
       .localCheckpoint(true) // feeds all five sides of the census join
-    val ext =
-      if (maxExtendDegree <= 0) o
-      else o.join(deg.filter(col("degree") <= maxExtendDegree)
-        .select(col("vertex").as("u")), Seq("u"), "left_semi")
-    val quad = orientedTriangles(o)
-      .join(ext.select(col("u").as("w"), col("v").as("t")), "w")
-      .join(o.select(col("u"), col("v").as("t")), Seq("u", "t"), "left_semi")
-      .join(o.select(col("u").as("v"), col("v").as("t")), Seq("v", "t"), "left_semi")
+    // gated broadcast probes (guide §3.1): below censusBroadcastMax every
+    // existence probe is a map-side BroadcastHashJoin — the candidate
+    // stream never crosses an exchange; the shuffled plan sorted it once
+    // per probe join
+    val probe = censusProbe(o)
+    val quad =
+      if (maxExtendDegree <= 0) {
+        // EXACT path (r19, guide §2.3 "don't compute things you throw
+        // away"): a K4 a≺b≺c≺d is two ≺-ordered triangles (a,b,c) and
+        // (a,b,d) sharing the ≺-MINIMAL edge (a,b), plus the closing edge
+        // {c,d} — so quads come from a triangle SELF-JOIN on (u,v) with
+        // the third corners id-ordered (w < x keeps each unordered pair
+        // once) and ONE closing-edge probe against the ID-canonical pair
+        // set p. Candidate volume is Σ_(u,v) C(tri_uv, 2) — output-driven
+        // (sf0.1: 2.1M candidates) — where the old extend-by-out-neighbor
+        // shape enumerated Σ_tri outdeg(w) rows (sf0.1: 57.9M, 27×
+        // more) and needed TWO verification semi-joins on the fan-out.
+        // The quad set is identical: every surviving row has all six
+        // edges verified (four by the two triangles, one shared, one by
+        // the closing probe), and each K4 survives exactly once via its
+        // ≺-minimal edge and the id-order filter.
+        val tri = orientedTriangles(o, probe)
+          .localCheckpoint(true) // feeds both sides of the pair self-join
+        tri
+          .join(tri.select(col("u"), col("v"), col("w").as("t")), Seq("u", "v"))
+          .filter(col("w") < col("t"))
+          .join(probe(p.select(col("a").as("w"), col("b").as("t"))),
+            Seq("w", "t"), "left_semi")
+      } else {
+        // capped path (maxExtendDegree > 0): the extension-source degree
+        // cap is defined on the w→t EXTENSION edge, so the original
+        // extend-then-verify shape is kept verbatim — the cap's semantics
+        // (drop quads whose extension source exceeds the cap) have no
+        // counterpart in the tri-pair shape
+        val ext = o.join(deg.filter(col("degree") <= maxExtendDegree)
+          .select(col("vertex").as("u")), Seq("u"), "left_semi")
+        orientedTriangles(o, probe)
+          .join(probe(ext.select(col("u").as("w"), col("v").as("t"))), "w")
+          .join(probe(o.select(col("u"), col("v").as("t"))), Seq("u", "t"), "left_semi")
+          .join(probe(o.select(col("u").as("v"), col("v").as("t"))), Seq("v", "t"), "left_semi")
+      }
     quad.select(explode(array(col("u"), col("v"), col("w"), col("t"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).cast("long").as("n_cliques4"))
       .orderBy("vertex")
@@ -1807,7 +1876,7 @@ object GraphOps {
       .localCheckpoint(true) // feeds the orientation AND the coefficient
     val o = orientByDegree(p, deg)
       .localCheckpoint(true) // feeds all three sides of the triangle join
-    val tri = orientedTriangles(o)
+    val tri = orientedTriangles(o, censusProbe(o))
       .select(explode(array(col("u"), col("v"), col("w"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).cast("long").as("n_triangles"))
     deg.filter(col("degree") >= 2)

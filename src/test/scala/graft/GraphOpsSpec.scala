@@ -247,6 +247,33 @@ class GraphOpsSpec extends AnyFunSuite {
       (2L, 4L, 1L), (3L, 4L, 1L)))
   }
 
+  test("census broadcast gate: shuffled path equals broadcast path bit-for-bit; gate plans a BroadcastHashJoin probe") {
+    import spark.implicits._
+    // K4 ∪ pendant triangle ∪ second K4 sharing vertex 4 — triangles,
+    // 4-cliques and truss supports all non-trivial
+    val p = ((for { a <- 1L to 4L; b <- a + 1 to 4L } yield (a, b)) ++
+      Seq((4L, 5L), (4L, 6L), (5L, 6L), (5L, 7L), (6L, 7L), (4L, 7L),
+        (7L, 8L))).toDF("a", "b")
+    def quad(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bQuad = quad(GraphOps.fourCliqueCounts(p))
+    val bTri = quad(GraphOps.triangleCounts(p))
+    // graft.censusBroadcastMax=0 forces the past-the-gate (shuffled)
+    // geometry on the same graph — strategy only, identical relation
+    System.setProperty("graft.censusBroadcastMax", "0")
+    try {
+      assert(quad(GraphOps.fourCliqueCounts(p)) == bQuad,
+        "shuffled-path K4 census diverged from the broadcast path")
+      assert(quad(GraphOps.triangleCounts(p)) == bTri,
+        "shuffled-path triangle census diverged from the broadcast path")
+    } finally System.clearProperty("graft.censusBroadcastMax")
+    // under the gate the closing-edge probe must be a map-side broadcast:
+    // the O(m^1.5) wedge fan-out crosses no exchange before aggregation
+    val plan = GraphOps.triangleCounts(p).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"gated census probe is not a broadcast semi-join:\n$plan")
+  }
+
   test("kCoreBounded peels the pendant vertex, keeps the triangle") {
     // triangle {1,2,3} + pendant 4–1: k=2 drops 4 in round 1, then stable
     val g = undirected((1, 2), (2, 3), (1, 3), (1, 4))
