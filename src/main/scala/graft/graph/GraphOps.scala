@@ -606,8 +606,15 @@ object GraphOps {
     * name is unique across the join.
     */
   private[graft] def wprRound(verts: DataFrame, norm: DataFrame, r: DataFrame,
-                              resetProb: Double): DataFrame = {
-    val contrib = r.select(col("vertex").as("rv"), col("r").as("rr"))
+                              resetProb: Double,
+                              probe: DataFrame => DataFrame = identity): DataFrame = {
+    // probe = the gated vertex broadcast ([[vertexProbe]], r19): the
+    // V-sized rank vector broadcasts into the edge join and the ≤V-row
+    // contribution table into the reset left join, so the persisted edge
+    // table never re-shuffles per round — the checkpointed rank side has
+    // no stats and never auto-broadcast (AQE converted only after the
+    // shuffle write)
+    val contrib = probe(r.select(col("vertex").as("rv"), col("r").as("rr")))
       .join(norm, col("rv") === col("src"))
       .groupBy(col("dst").as("vertex"))
       .agg(sum(col("rr") * col("p")).as("s"))
@@ -645,6 +652,11 @@ object GraphOps {
     * aggregate. Factored out so PlanSpec pins the production level body.
     */
   private[graft] def katzLevel(e: DataFrame, x: DataFrame): DataFrame =
+    // NOT vertex-probed (r19): the gated frontier broadcast was tried
+    // here and MEASURED a +19% regression (4.35 → 5.17 s warm reps at
+    // sf0.1) — at 4 levels the per-level broadcast build sits on the
+    // critical path longer than the sort it removes; the 10-round
+    // kernels (wprRound, lpaRound, louvainMoveRound) amortize it and won
     e.join(x.select(col("v").as("sv"), col("c")), col("src") === col("sv"))
       .groupBy(col("dst").as("v")).agg(sum("c").as("c"))
 
@@ -1366,8 +1378,9 @@ object GraphOps {
       var lab = e.select(col("src").as("vertex")).distinct()
         .withColumn("label", col("vertex"))
         .localCheckpoint(true)
+      val probe = vertexProbe(lab) // gate decided once — V is fixed
       for (_ <- 1 to rounds) {
-        lab = lpaRound(e, lab).localCheckpoint(true)
+        lab = lpaRound(e, lab, probe).localCheckpoint(true)
       }
       lab
     }.orderBy("vertex")
@@ -1397,10 +1410,15 @@ object GraphOps {
       col("dst").cast("long").as("dst"))
     val lab = communities.select(col("vertex").cast("long").as("v"),
       col("label").cast("long").as("c"))
+      .localCheckpoint(true) // feeds both endpoint joins + the gate count
+    // gated vertex broadcast ([[vertexProbe]], r19): the V-sized label
+    // map broadcasts into both endpoint joins — the edge table never
+    // shuffles for them
+    val probe = vertexProbe(lab)
     val es = e
-      .join(lab.select(col("v"), col("c").as("c_src")), col("src") === col("v"))
+      .join(probe(lab.select(col("v"), col("c").as("c_src"))), col("src") === col("v"))
       .drop("v")
-      .join(lab.select(col("v"), col("c").as("c_dst")), col("dst") === col("v"))
+      .join(probe(lab.select(col("v"), col("c").as("c_dst"))), col("dst") === col("v"))
       .drop("v")
     val perC = es.groupBy("c_src").agg(
       count(lit(1)).cast("long").as("deg_c"),
@@ -1464,18 +1482,24 @@ object GraphOps {
       val m2 = broadcast(deg.agg(sum("deg").cast("long").as("m2")))
       var comm = deg.select(col("vertex"), col("vertex").as("c"))
         .localCheckpoint(true)
+      val probe = vertexProbe(deg) // gate decided once — V is fixed
       for (_ <- 1 to rounds)
-        comm = louvainMoveRound(e, deg, m2, comm).localCheckpoint(true)
+        comm = louvainMoveRound(e, deg, m2, comm, probe).localCheckpoint(true)
       comm.select(col("vertex"), col("c").as("label"))
     }.orderBy("vertex")
   }
 
   /** One synchronous Louvain move round — see [[louvainBounded]]. */
   private[graft] def louvainMoveRound(e: DataFrame, deg: DataFrame, m2: DataFrame,
-                                      comm: DataFrame): DataFrame = {
-    val tot = comm.join(deg, "vertex")
+                                      comm: DataFrame,
+                                      probe: DataFrame => DataFrame = identity): DataFrame = {
+    // probe = gated vertex broadcast ([[vertexProbe]], r19): comm/deg/tot
+    // are all ≤V-row maps — broadcast them into the edge join and the
+    // candidate-scoring joins so neither the edge table nor the
+    // edge-bounded candidate set shuffles for a V-sized side
+    val tot = probe(comm).join(deg, "vertex")
       .groupBy("c").agg(sum("deg").cast("long").as("tot_c"))
-    val k = e.join(comm.select(col("vertex").as("dst"), col("c")), "dst")
+    val k = e.join(probe(comm.select(col("vertex").as("dst"), col("c"))), "dst")
       .groupBy(col("src").as("vertex"), col("c"))
       .agg(count(lit(1)).cast("long").as("k_vc"))
     // the stay candidate must exist even when v has no intra-community
@@ -1484,9 +1508,9 @@ object GraphOps {
       .unionByName(comm.select(col("vertex"), col("c"), lit(0L).as("k_vc")))
       .groupBy("vertex", "c").agg(max("k_vc").as("k_vc"))
     cand
-      .join(comm.select(col("vertex"), col("c").as("c_cur")), "vertex")
-      .join(deg, "vertex")
-      .join(tot, "c")
+      .join(probe(comm.select(col("vertex"), col("c").as("c_cur"))), "vertex")
+      .join(probe(deg), "vertex")
+      .join(probe(tot), "c")
       .crossJoin(m2)
       .withColumn("tot_adj",
         when(col("c") === col("c_cur"), col("tot_c") - col("deg"))
@@ -1515,10 +1539,11 @@ object GraphOps {
       var lab = e.select(col("src").as("vertex")).distinct()
         .withColumn("label", col("vertex"))
         .localCheckpoint(true)
+      val probe = vertexProbe(lab) // gate decided once — V is fixed
       var round = 0
       var converged = false
       while (!converged && round < maxRounds) {
-        val next = lpaRound(e, lab).localCheckpoint(true)
+        val next = lpaRound(e, lab, probe).localCheckpoint(true)
         converged = next.join(lab, Seq("vertex", "label"), "left_anti").isEmpty
         lab = next; round += 1
       }
@@ -1578,8 +1603,13 @@ object GraphOps {
     * vertex — and the row_number window this replaced added a full sort
     * besides.
     */
-  private def lpaRound(e: DataFrame, lab: DataFrame): DataFrame =
-    e.join(lab.withColumnRenamed("vertex", "dst"), "dst")
+  private def lpaRound(e: DataFrame, lab: DataFrame,
+                       probe: DataFrame => DataFrame = identity): DataFrame =
+    // probe = gated vertex broadcast ([[vertexProbe]], r19): the V-sized
+    // label map broadcasts into the edge join, so the checkpointed edge
+    // table never shuffles per round (the repartition below remains the
+    // round's ONE semantic exchange, feeding both aggregates)
+    e.join(probe(lab.withColumnRenamed("vertex", "dst")), "dst")
       .select(col("src").as("vertex"), col("label"))
       .repartition(col("vertex"))
       .groupBy("vertex", "label")
@@ -1617,6 +1647,34 @@ object GraphOps {
   private[graft] def pairDegrees(p: DataFrame): DataFrame =
     p.select(col("a").as("vertex")).unionAll(p.select(col("b").as("vertex")))
       .groupBy("vertex").agg(count(lit(1)).cast("long").as("degree"))
+
+  /** Row-count ceiling under which VERTEX-keyed per-round side tables
+    * (rank vectors, label maps, degree/community maps) BROADCAST into
+    * their edge-table joins (guide §3.1). Every iteration kernel's rank/
+    * label side is a checkpointed LogicalRDD with NO size statistics, so
+    * the planner never auto-broadcasts it — AQE converts to broadcast at
+    * runtime but only AFTER paying the shuffle write of both sides, every
+    * round. Below the gate the side is broadcast explicitly and the edge
+    * table never shuffles for the join; above it (the 100 TB path, where
+    * a V-sized vector no longer fits an executor) the shuffled shape is
+    * kept. Knob contract as [[censusBroadcastMax]]: sys-prop first
+    * (`graft.vertexBroadcastMax`; tests force the shuffle path with 0),
+    * env (`GRAFT_VERTEX_BROADCAST_MAX`) second.
+    */
+  private[graft] def vertexBroadcastMax: Long =
+    sys.props.get("graft.vertexBroadcastMax")
+      .orElse(sys.env.get("GRAFT_VERTEX_BROADCAST_MAX"))
+      .map(_.trim.toLong).getOrElse(4000000L)
+
+  /** Probe builder for vertex-keyed side tables: `broadcast(df)` when the
+    * MATERIALIZED vertex frame `v` is under [[vertexBroadcastMax]] rows
+    * (count = partition-size sum on a checkpointed frame), identity
+    * otherwise. Decided ONCE per query from the vertex set — V never
+    * grows mid-iteration — and passed into the round kernels. Strategy
+    * only: results are bit-identical across the gate.
+    */
+  private[graft] def vertexProbe(v: DataFrame): DataFrame => DataFrame =
+    if (v.count() <= vertexBroadcastMax) broadcast(_) else identity
 
   /** Edge-count ceiling under which the census joins BROADCAST the
     * oriented edge set instead of shuffling the wedge fan-out through
@@ -1793,10 +1851,13 @@ object GraphOps {
   def communityConductance(edges: DataFrame, labels: DataFrame): DataFrame = {
     val l = labels.select(col("vertex").cast("long").as("vertex"),
       col("label").cast("long").as("label")).localCheckpoint(true)
+    // gated vertex broadcast ([[vertexProbe]], r19): both endpoint label
+    // joins probe the broadcast map — the edge table never shuffles
+    val probe = vertexProbe(l)
     val es = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .join(l.select(col("vertex").as("src"), col("label").as("c_src")), "src")
-      .join(l.select(col("vertex").as("dst"), col("label").as("c_dst")), "dst")
+      .join(probe(l.select(col("vertex").as("src"), col("label").as("c_src"))), "src")
+      .join(probe(l.select(col("vertex").as("dst"), col("label").as("c_dst"))), "dst")
     val perc = es.groupBy(col("c_src").as("community"))
       .agg(count(lit(1)).cast("long").as("volume"),
         sum(when(col("c_src") =!= col("c_dst"), 1L).otherwise(0L))

@@ -274,6 +274,28 @@ class GraphOpsSpec extends AnyFunSuite {
       s"gated census probe is not a broadcast semi-join:\n$plan")
   }
 
+  test("vertex-probe gate: LPA, Louvain, modularity and conductance agree bit-for-bit across the gate") {
+    // two triangles bridged by 3–4 (the hand-traced community fixture) —
+    // labels, gains, volumes and cuts all non-trivial
+    val g = undirected((1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6))
+    def snap(): (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row],
+                 Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+      val lpa = GraphOps.labelPropagationBounded(g, rounds = 3)
+      (lpa.collect().toSeq,
+        GraphOps.louvainBounded(g, rounds = 2).collect().toSeq,
+        GraphOps.modularity(g, GraphOps.labelPropagationBounded(g, rounds = 3))
+          .collect().toSeq,
+        GraphOps.communityConductance(g, lpa).collect().toSeq)
+    }
+    val on = snap() // tiny graph: gate passes, probes broadcast
+    System.setProperty("graft.vertexBroadcastMax", "0") // force shuffled path
+    try {
+      val off = snap()
+      assert(on == off,
+        s"vertex-probe gate changed results:\nON  $on\nOFF $off")
+    } finally System.clearProperty("graft.vertexBroadcastMax")
+  }
+
   test("kCoreBounded peels the pendant vertex, keeps the triangle") {
     // triangle {1,2,3} + pendant 4–1: k=2 drops 4 in round 1, then stable
     val g = undirected((1, 2), (2, 3), (1, 3), (1, 4))
