@@ -2059,24 +2059,29 @@ object GraphOps {
     * anti-join against the undecided set — no cartesian, no window.
     * Factored out so PlanSpec pins the production round body.
     */
-  private[graft] def misWinners(und: DataFrame, edges: DataFrame): DataFrame = {
+  private[graft] def misWinners(und: DataFrame, edges: DataFrame,
+                                probe: DataFrame => DataFrame = identity): DataFrame = {
+    // probe = gated vertex broadcast ([[vertexProbe]], r19): the ≤V-row
+    // undecided map broadcasts into both priority lookups and the blocked
+    // anti-join, so the (shrinking) edge set never shuffles per round
     val eh = edges
-      .join(und.select(col("v"), col("h").as("hv")), "v")
-      .join(und.select(col("v").as("u"), col("h").as("hu")), "u")
+      .join(probe(und.select(col("v"), col("h").as("hv"))), "v")
+      .join(probe(und.select(col("v").as("u"), col("h").as("hu"))), "u")
     val blocked = eh.filter(col("hu") < col("hv") ||
         (col("hu") === col("hv") && col("u") < col("v")))
       .select("v").distinct()
-    und.join(blocked, Seq("v"), "left_anti").select("v")
+    und.join(probe(blocked), Seq("v"), "left_anti").select("v")
   }
 
   /** Restrict the symmetric adjacency to edges whose BOTH endpoints are
     * still undecided — two semi-joins, so the per-round edge set SHRINKS
     * geometrically (the property that bounds MIS round cost).
     */
-  private[graft] def misShrinkEdges(edges: DataFrame, und: DataFrame): DataFrame =
+  private[graft] def misShrinkEdges(edges: DataFrame, und: DataFrame,
+                                    probe: DataFrame => DataFrame = identity): DataFrame =
     edges
-      .join(und.select("v"), Seq("v"), "left_semi")
-      .join(und.select(col("v").as("u")), Seq("u"), "left_semi")
+      .join(probe(und.select("v")), Seq("v"), "left_semi")
+      .join(probe(und.select(col("v").as("u"))), Seq("u"), "left_semi")
 
   def maximalIndependentSet(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val spark = pairs.sparkSession
@@ -2090,19 +2095,20 @@ object GraphOps {
     var edges = p.select(col("a").as("v"), col("b").as("u"))
       .unionAll(p.select(col("b").as("v"), col("a").as("u")))
       .localCheckpoint(true) // symmetric adjacency, shrinks every round
+    val probe = vertexProbe(und) // gate decided once — und only shrinks
     val winnersAcc = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var round = 0
     var remaining = und.count()
     while (remaining > 0) {
       require(round < maxRounds, s"MIS did not converge in $maxRounds rounds")
-      val winners = misWinners(und, edges)
+      val winners = misWinners(und, edges, probe)
         .localCheckpoint(true) // feeds the accumulator AND two joins below
       winnersAcc += winners
-      val losers = edges.join(winners.select(col("v").as("u")), Seq("u"))
+      val losers = edges.join(probe(winners.select(col("v").as("u"))), Seq("u"))
         .select("v").distinct()
       val decided = winners.unionAll(losers)
-      und = und.join(decided, Seq("v"), "left_anti").localCheckpoint(true)
-      edges = misShrinkEdges(edges, und).localCheckpoint(true)
+      und = und.join(probe(decided), Seq("v"), "left_anti").localCheckpoint(true)
+      edges = misShrinkEdges(edges, und, probe).localCheckpoint(true)
       remaining = und.count()
       round += 1
     }
@@ -2136,6 +2142,11 @@ object GraphOps {
     var und = p.withColumn("h", graft.functions.PortableHash.md5Bits60(
         concat_ws("_", lit("match"), col("a"), col("b"))))
       .localCheckpoint(true)
+    // gated broadcast ([[vertexProbe]], r19): the conflict self-join's
+    // build side, the blocked set and the winner-endpoint set are all
+    // bounded by the (shrinking) undecided edge set — probing them
+    // broadcast keeps every per-round join map-side below the gate
+    val probe = vertexProbe(und)
     val acc = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var round = 0
     var remaining = und.count()
@@ -2145,22 +2156,22 @@ object GraphOps {
         .unionAll(und.select(col("b").as("p"), col("a"), col("b"), col("h")))
         .localCheckpoint(true) // feeds both sides of the conflict join
       val blocked = ep
-        .join(ep.select(col("p"), col("a").as("a2"), col("b").as("b2"),
-          col("h").as("h2")), "p")
+        .join(probe(ep.select(col("p"), col("a").as("a2"), col("b").as("b2"),
+          col("h").as("h2"))), "p")
         .filter((col("a2") =!= col("a") || col("b2") =!= col("b")) &&
           (col("h2") < col("h") ||
             (col("h2") === col("h") && (col("a2") < col("a") ||
               (col("a2") === col("a") && col("b2") < col("b"))))))
         .select("a", "b").distinct()
-      val winners = und.join(blocked, Seq("a", "b"), "left_anti")
+      val winners = und.join(probe(blocked), Seq("a", "b"), "left_anti")
         .select("a", "b").localCheckpoint(true)
       acc += winners
       val wp = winners.select(col("a").as("p"))
         .unionAll(winners.select(col("b").as("p"))).distinct()
         .localCheckpoint(true) // feeds two anti-joins
       und = und
-        .join(wp.withColumnRenamed("p", "a"), Seq("a"), "left_anti")
-        .join(wp.withColumnRenamed("p", "b"), Seq("b"), "left_anti")
+        .join(probe(wp.withColumnRenamed("p", "a")), Seq("a"), "left_anti")
+        .join(probe(wp.withColumnRenamed("p", "b")), Seq("b"), "left_anti")
         .select(col("a"), col("b"), col("h"))
         .localCheckpoint(true)
       remaining = und.count()

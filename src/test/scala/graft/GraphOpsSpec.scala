@@ -296,6 +296,21 @@ class GraphOpsSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.vertexBroadcastMax")
   }
 
+  test("vertex-probe gate: MIS and maximal matching agree bit-for-bit across the gate") {
+    import spark.implicits._
+    // K4 + pendant path — multiple Luby rounds, conflicts, and a
+    // deterministic matching
+    val p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    def snap() = (
+      GraphOps.maximalIndependentSet(p).collect().toSeq,
+      GraphOps.maximalMatching(p).collect().toSeq)
+    val on = snap()
+    System.setProperty("graft.vertexBroadcastMax", "0")
+    try assert(snap() == on, "MIS/matching diverged across the vertex-probe gate")
+    finally System.clearProperty("graft.vertexBroadcastMax")
+  }
+
   test("kCoreBounded peels the pendant vertex, keeps the triangle") {
     // triangle {1,2,3} + pendant 4–1: k=2 drops 4 in round 1, then stable
     val g = undirected((1, 2), (2, 3), (1, 3), (1, 4))
