@@ -1229,17 +1229,27 @@ object GraphOps {
     while (r <= rounds && !done) {
       val deg = p.select(col("a").as("v")).unionAll(p.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).cast("long").as("d"))
-        .localCheckpoint(true) // feeds V count AND the keep filter
-      val e = p.count()
+        .localCheckpoint(true) // feeds the (V, 2E) row AND the keep filter
+      // ONE control-plane row per round (r19, guide §2.3): V = vertex
+      // count, 2E = Σ degrees — the separate p.count() job this replaces
+      // read the same total through the edge table
+      val row = deg.agg(count(lit(1)).cast("long"), sum("d").cast("long"))
+        .collect()(0)
+      val e = if (row.isNullAt(1)) 0L else row.getLong(1) / 2L
       if (e == 0L) done = true
       else {
-        val v = deg.count()
+        val v = row.getLong(0)
         trace += ((r.toLong, v, e))
         if (r < rounds) {
           val keep = deg.filter(col("d") * lit(v) > lit(2L) * lit(e)).select("v")
             .localCheckpoint(true) // feeds both endpoint semi-joins
-          p = p.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-            .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          // gated vertex broadcast ([[vertexProbe]] pattern, r19): the
+          // ≤V-row keep set probes map-side into both endpoint semi-joins
+          val kp =
+            if (v <= vertexBroadcastMax) (d: DataFrame) => broadcast(d)
+            else identity[DataFrame] _
+          p = p.join(kp(keep.withColumnRenamed("v", "a")), Seq("a"), "left_semi")
+            .join(kp(keep.withColumnRenamed("v", "b")), Seq("b"), "left_semi")
             .localCheckpoint(true)
         }
         r += 1
