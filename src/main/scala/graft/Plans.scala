@@ -122,8 +122,8 @@ object Plans {
       sb.append("\n## random_walk_step (per-iteration body)\n\n")
       sb.append("the per-step hot path graph_random_walks checkpoints every round: ")
       sb.append("candidates via the positions×edges equi-join, winner via the ")
-      sb.append("per-walk (hash, dst) argmin window — a distributed partition-key ")
-      sb.append("window, never a global sort.\n\n```\n")
+      sb.append("per-walk (hash, dst) min_by argmin — a two-phase aggregate ")
+      sb.append("whose map-side partial_min_by collapses candidates before the exchange.\n\n```\n")
       sb.append(stepDf.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
       sb.append("\n```\n")
     }

@@ -708,8 +708,8 @@ object GraphOps {
     * engines, runs, and partitionings (the property rand() walks lack,
     * and what makes the walk corpus exactly DuckDB-replayable). Per
     * step: ONE positions×edges equi-join on the vertex key + ONE
-    * per-walk argmin window (row_number over walk → (hash, dst) — a
-    * distributed partition-key window, never a global sort); candidate
+    * per-walk two-phase min_by argmin aggregate over (hash, dst)
+    * (map-side partials — candidates never cross an exchange); candidate
     * volume per step is |walks| × avg-degree, the node2vec budget.
     * Walks reaching a dead-end vertex (no out-edge) simply stop — the
     * join drops them. Each step is eagerly checkpointed (the measured
@@ -736,7 +736,7 @@ object GraphOps {
   }
 
   /** One walk step: candidates via the positions×edges equi-join, winner
-    * via the per-walk (hash, dst) argmin window — exposed package-private
+    * via the per-walk (hash, dst) min_by argmin — exposed package-private
     * so PlanSpec can pin the per-step plan shape (equi-join, distributed
     * window; this is the body [[randomWalks]] checkpoints every step).
     */
@@ -864,16 +864,22 @@ object GraphOps {
       .select(col("walk"), col("v").as("prev"), col("dst").as("v"))
   }
 
-  private[graft] def walkStep(cur: DataFrame, e: DataFrame, i: Int): DataFrame = {
-    val w = Window.partitionBy("walk").orderBy(col("h"), col("dst"))
+  private[graft] def walkStep(cur: DataFrame, e: DataFrame, i: Int): DataFrame =
+    // the (hash, dst) argmin is a two-phase min_by aggregate (r19, guide
+    // §2.3 "aggregate before you shuffle"): the partial_min_by collapses
+    // each partition's candidates to ONE row per walk BEFORE the exchange
+    // (struct ordering plans it as SortAggregate, but the map-side
+    // reduction is what matters — the row_number window this replaces
+    // shuffled every candidate). Winner identical: first row by (h, dst)
+    // ≡ min_by over the lexicographic struct (duplicate (src, dst) edge
+    // rows tie on the full struct and carry the same dst)
     cur.join(e, col("v") === col("src"))
       .select(col("walk"), col("dst"),
         graft.functions.PortableHash.md5Bits60(
           concat_ws("_", col("walk"), lit(i), col("dst"))).as("h"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("walk"), col("dst").as("v"))
-  }
+      .groupBy("walk")
+      .agg(min_by(col("dst"), struct(col("h"), col("dst"))).as("v"))
+      .select(col("walk"), col("v"))
 
   /** Neighborhood feature aggregation — the feature-engineering primitive
     * GNN-style pipelines run before training: for every vertex, its own

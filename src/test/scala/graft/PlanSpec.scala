@@ -347,7 +347,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window in the sketch path:\n$p")
   }
 
-  test("random-walk step: equi-join candidates, per-walk window (no cartesian, no single partition)") {
+  test("random-walk step: equi-join candidates, two-phase argmin aggregate (no window sort, no cartesian)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
@@ -358,7 +358,13 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"candidate join not an equi-join in:\n$p")
-    assert(p.contains("Window"), s"argmin window missing in:\n$p")
+    // r19: the per-walk argmin is a two-phase min_by aggregate (struct
+    // ordering plans as SortAggregate) — the partial_min_by collapses each
+    // partition's candidates to ONE row per walk BEFORE the exchange; the
+    // row_number window this replaced shuffled and sorted every candidate
+    assert(p.contains("partial_min_by"),
+      s"map-side partial argmin missing in:\n$p")
+    assert(!p.contains("Window"), s"window sort back in the walk step:\n$p")
     assert(!p.contains("SinglePartition"), s"single-partition exchange in:\n$p")
   }
 
