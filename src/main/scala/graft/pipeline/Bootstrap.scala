@@ -91,13 +91,21 @@ object Bootstrap {
     // order statistics over B rows — parameter-scale window by design
     val ranked = means
       .withColumn("rn", row_number().over(Window.orderBy(col("m"), col("b"))))
-    val lo = ranked.filter(col("rn") === loRank).select(col("m").as("ci_lo"))
-    val hi = ranked.filter(col("rn") === hiRank).select(col("m").as("ci_hi"))
+    // BOTH bounds from ONE pass (r20, guide §2.4 / r19 verdict #6): two
+    // separate rank filters each re-executed the whole scan → md5 →
+    // ×B posexplode → aggregate → window subtree (the plan carried the
+    // replica exchange twice); the fused filter + one-row pivot runs it
+    // once. Each rank matches exactly one row, so the max(when) pivot
+    // reads back the same two means bit-for-bit.
+    val bounds = ranked
+      .filter(col("rn") === loRank || col("rn") === hiRank)
+      .agg(max(when(col("rn") === loRank, col("m"))).as("ci_lo"),
+        max(when(col("rn") === hiRank, col("m"))).as("ci_hi"))
     df.agg(count(lit(1)).cast("long").as("n_rows"),
         sum("cents").cast("long").as("sc"))
       .select(col("n_rows"),
         (col("sc").cast("double") / (col("n_rows").cast("double") * 100.0))
           .as("mean_value"))
-      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .crossJoin(broadcast(bounds))
   }
 }

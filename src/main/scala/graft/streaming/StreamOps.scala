@@ -696,6 +696,63 @@ object StreamOps {
       .partitionBy("bucket").parquet(target)
   }
 
+  /** Edge ceiling for the per-batch merge-map CC's driver-local path
+    * ([[mergeMapCC]]); 0 forces the distributed kernel (tests). */
+  private[graft] def localCcMax: Long =
+    sys.props.get("graft.localCcMax").orElse(sys.env.get("GRAFT_LOCAL_CC_MAX"))
+      .map(_.trim.toLong).getOrElse(4000000L)
+
+  /** Connected components of a per-batch CONTRACTED merge graph (r20).
+    * The contracted graph is delta-scaled (one node per currently-merging
+    * component, edges only where this batch fuses two), yet the GraphX
+    * kernel spends a fixed train of per-batch jobs on it — profiled
+    * ~0.4–0.5 s/batch on the curation and CC maintainers at sf0.1, pure
+    * control-plane overhead at that size. Below [[localCcMax]] edges the
+    * components are computed on the DRIVER by union-find with min-id
+    * representatives — BIT-IDENTICAL to GraphX `connectedComponents`
+    * (both label every component with its minimum vertex id; pinned by
+    * the StreamSpec gate test) — and returned as a LocalRelation, which
+    * downstream broadcast joins consume without a single job. Above the
+    * gate (100 TB path: a batch that fuses data-scale many components)
+    * the distributed kernel runs unchanged, checkpointed for its two
+    * consumers. `contracted` must be materialized (the count is a
+    * cached-block sum).
+    */
+  private[graft] def mergeMapCC(spark: org.apache.spark.sql.SparkSession,
+                                contracted: DataFrame): DataFrame = {
+    import spark.implicits._
+    if (contracted.count() <= localCcMax) {
+      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.get(r).longValue != r) r = parent.get(r).longValue
+        var x = x0 // path compression
+        while (parent.get(x).longValue != r) {
+          val nx = parent.get(x).longValue; parent.put(x, r); x = nx
+        }
+        r
+      }
+      contracted.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // min-id root: GraphX's component label is the minimum id
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+      val out = Seq.newBuilder[(Long, Long)]
+      parent.keySet().forEach(v => out += ((v.longValue(), find(v))))
+      out.result().toDF("vertex", "component")
+    } else {
+      val cverts = contracted.select(col("src").as("vertex"))
+        .unionAll(contracted.select(col("dst").as("vertex"))).distinct()
+      graft.graph.GraphOps
+        .connectedComponents(contracted, cverts, ordered = false)
+        .localCheckpoint(true) // feeds the new-vertex AND remap consumers
+    }
+  }
+
   /** Maintenance fan-in for the serve twins' tiered stores: env
     * `GRAFT_COMPACT_FANIN` (default 4). Values < 2 DISABLE maintenance —
     * this is the same-session on/off A/B knob the r18 verdict asked for
@@ -790,10 +847,21 @@ object StreamOps {
     * siblings of deleted inputs are removed too (a future same-name file
     * would fail its checksum; tier names are nanotime-unique regardless).
     */
+  /** `mergeFold` (r20): optional fold applied to each merge's input rows
+    * before the tier write — the LSM "merge operator". An append-only
+    * store of ADDITIVE deltas (the assoc-rules pair/item stores) folds
+    * duplicate keys at every compaction, so tier files hold ≤ one row
+    * per key instead of one row per (key, batch) and the serve-time fold
+    * reads a key-bounded store. Sound for any associative+commutative
+    * fold applied to a SUBSET of the store's rows (a merge replaces
+    * exactly its input files, so fold-per-merge composes to the global
+    * fold).
+    */
   private[graft] def tieredCompactStore(
       spark: org.apache.spark.sql.SparkSession,
       store: String, fanIn: Int,
-      targetFileBytes: Long = 256L << 20): Boolean = {
+      targetFileBytes: Long = 256L << 20,
+      mergeFold: Option[DataFrame => DataFrame] = None): Boolean = {
     import java.nio.file.{Files, Path, Paths}
     require(fanIn >= 2, s"tiered compaction needs fanIn >= 2, got $fanIn")
     val root = Paths.get(store)
@@ -824,9 +892,19 @@ object StreamOps {
         b.result()
       } finally st.close()
     }
-    val tierName = "^tier(\\d+)-".r
+    val tierName = "^tier(\\d+)-(\\d+)".r
     def levelOf(name: String): Int =
       tierName.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(0)
+    // Fullness counts merge GENERATIONS, not files (r20): one merge may
+    // emit several parallel parts (`tier<L>-<gen>-<i>` shares <gen>), and
+    // counting parts would re-promote a fresh multi-part tier on the very
+    // next call. Level-0 appends have no gen stamp — each file is its own
+    // generation (the one-append-per-call contract the tally relies on).
+    def genOf(name: String): String =
+      tierName.findFirstMatchIn(name).map(m => m.group(1) + ":" + m.group(2))
+        .getOrElse(name)
+    def genCount(fs: Seq[Path]): Int =
+      fs.map(p => genOf(p.getFileName.toString)).distinct.size
     def dataFiles(d: Path): Seq[Path] = ls(d).filter { p =>
       val n = p.getFileName.toString
       Files.isRegularFile(p) && n.endsWith(".parquet") &&
@@ -842,20 +920,20 @@ object StreamOps {
     val listed: Seq[(Path, Map[Int, Seq[Path]])] = dirs.map { d =>
       d -> dataFiles(d).groupBy(p => levelOf(p.getFileName.toString))
     }
-    // one merge per dir per call: the dir's LOWEST level at >= fanIn
+    // one merge per dir per call: the dir's LOWEST level at >= fanIn gens
     val toMerge: Seq[(Path, Int, Seq[Path])] = listed.flatMap {
       case (d, byLvl) =>
-        byLvl.toSeq.sortBy(_._1).find(_._2.size >= fanIn).map {
+        byLvl.toSeq.sortBy(_._1).find(e => genCount(e._2) >= fanIn).map {
           case (lvl, fs) => (d, lvl, fs.sortBy(_.getFileName.toString))
         }
     }
     val emitted = scala.collection.mutable.Map.empty[Path, Int]
     def moveIn(parts: Seq[Path], d: Path, lvl: Int): Unit = {
+      val gen = System.nanoTime() // ONE stamp: the parts are one generation
       parts.zipWithIndex.foreach { case (p, i) =>
-        Files.move(p,
-          d.resolve(s"tier${lvl + 1}-${System.nanoTime()}-$i.parquet"))
+        Files.move(p, d.resolve(s"tier${lvl + 1}-$gen-$i.parquet"))
       }
-      emitted(d) = parts.size
+      emitted(d) = if (parts.isEmpty) 0 else 1
     }
     // one Spark job per merging level (usually exactly one level)
     toMerge.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (lvl, group) =>
@@ -868,16 +946,30 @@ object StreamOps {
           // flat store: size-based output partitioning
           val nParts = math.min(64L,
             math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)).toInt
-          val df = spark.read.parquet(inputs.map(_.toString): _*)
-          (if (nParts == 1) df.coalesce(1) else df.repartition(nParts))
-            .write.mode("overwrite").parquet(outDir.toString)
+          val df0 = spark.read.parquet(inputs.map(_.toString): _*)
+          // A folded merge must NOT be squeezed to one task: coalesce(1)
+          // propagates up through the fold's aggregate (single-task fold)
+          // and even repartition(1) funnels the whole folded output
+          // through one parquet writer (profiled 3.3–4.1 s on the assoc
+          // twin's 6M-row pair tier). The fold keeps its shuffle
+          // partitioning and writes its parts in parallel — the parts
+          // share one tier GENERATION, so multi-file output never
+          // re-triggers the fullness test.
+          (mergeFold match {
+            case Some(f) =>
+              val folded = f(df0)
+              if (nParts > 1) folded.repartition(nParts) else folded
+            case None =>
+              if (nParts == 1) df0.coalesce(1) else df0.repartition(nParts)
+          }).write.mode("overwrite").parquet(outDir.toString)
           moveIn(dataFiles(outDir), group.head._1, lvl)
         case Some(key) =>
           // partitioned store: ONE basePath read over every merging dir,
           // one partition-keyed shuffle (≤1 file per dir), one
           // partitionBy write — O(1) jobs per level, not O(dirs)
-          val df = spark.read.option("basePath", root.toString)
+          val df0 = spark.read.option("basePath", root.toString)
             .parquet(inputs.map(_.toString): _*)
+          val df = mergeFold.fold(df0)(f => f(df0))
           val maxDirBytes = group.map(_._3.map(Files.size).sum).max
           val writer0 = df.repartition(group.size, col(key))
             .write.mode("overwrite")
@@ -915,7 +1007,7 @@ object StreamOps {
     // refresh the tally analytically from the listing + this call's merges
     val mergedAt = toMerge.map(t => t._1 -> t._2).toMap
     val newDirLevels = listed.map { case (d, byLvl) =>
-      val counts0 = byLvl.map { case (l, fs) => l -> fs.size }
+      val counts0 = byLvl.map { case (l, fs) => l -> genCount(fs) }
       val counts = mergedAt.get(d) match {
         case Some(lvl) =>
           (counts0 - lvl) +
@@ -1384,6 +1476,12 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val tBatch0 = System.nanoTime()
+        var t0 = tBatch0
+        def mark(s: String): Unit = {
+          if (sys.env.contains("GRAFT_CUR_DEBUG"))
+            System.err.println(f"[cur] $s: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          t0 = System.nanoTime()
+        }
         val b = batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .localCheckpoint(true)
         // ---- 1. exact-dedup admission -------------------------------
@@ -1418,8 +1516,13 @@ object StreamOps {
             bmin.join(broadcast(matches.select("h")), Seq("h"), "left_anti")
               .withColumn("stored_id", lit(null).cast("long")))
           .localCheckpoint(true)
-        val admitted = adm0.count()
-        val superseded = adm0.filter(col("stored_id").isNotNull).count()
+        // ONE job for both control-plane counts (r20): adm0 is a cached
+        // checkpoint, but two separate count() actions still schedule two
+        // jobs per batch — fuse them into a single one-row aggregate
+        val cnts = adm0.agg(count(lit(1)), count(col("stored_id"))).collect()(0)
+        val admitted = cnts.getLong(0)
+        val superseded = cnts.getLong(1)
+        mark("admission")
         if (admitted > 0) {
           val adocs = b.join(broadcast(adm0.select("doc_id")),
               Seq("doc_id"), "left_semi")
@@ -1428,6 +1531,7 @@ object StreamOps {
           // replaces the stored row for its hash
           mergeIntoBucketedServing(adm0.select("h", "doc_id"), hashStore,
             "h", nBuckets, bucketKey = Some(xxhash64(col("h"))))
+          mark("hashmerge")
           // ---- 2. per-doc gates at ingest (shared kernels) ----------
           val gflag = TextStats.gopherRules(adocs)
             .select(col("doc_id"), col("keep").as("gopher_keep"))
@@ -1441,6 +1545,7 @@ object StreamOps {
             .join(broadcast(cflag), Seq("doc_id"))
             .coalesce(1)
             .write.mode("append").parquet(docStore)
+          mark("gates")
           // ---- 3. near-dup graph maintenance ------------------------
           val bsh = Dedup.shingles(adocs)
             .withColumn("bucket",
@@ -1463,6 +1568,7 @@ object StreamOps {
             else spark.range(0).select(col("id").as("da"), col("id").as("db"))
           val candidates = newNew.unionByName(newOld).distinct()
             .localCheckpoint(true)
+          mark("bands")
           val candDocs = candidates.select(col("da").as("doc_id"))
             .unionAll(candidates.select(col("db").as("doc_id"))).distinct()
             .withColumn("bucket",
@@ -1485,6 +1591,7 @@ object StreamOps {
           val edges = Dedup.verifyCandidates(candidates, allSh, 0.8)
             .select(col("doc_a").as("src"), col("doc_b").as("dst"))
             .localCheckpoint(true)
+          mark("verify")
           // append the batch's shingles/bands AFTER probing the stores;
           // one level-0 file per bucket dir / per store per batch (the
           // bucket-keyed repartition is the mergeIntoBucketedServing
@@ -1492,6 +1599,7 @@ object StreamOps {
           bsh.repartition(nBuckets, col("bucket"))
             .write.mode("append").partitionBy("bucket").parquet(shStore)
           bband.coalesce(1).write.mode("append").parquet(bandStore)
+          mark("appends")
           // ---- 4. incremental CC (graphMaintainReplayBatch pattern) --
           val labels0 =
             if (pathExists(spark, labelStore))
@@ -1529,17 +1637,10 @@ object StreamOps {
             .select(col("csrc").as("src"), col("cdst").as("dst"))
             .filter(col("src") =!= col("dst")).distinct()
             .localCheckpoint(true)
-          val merge =
-            if (contracted.isEmpty)
-              spark.range(0).select(col("id").as("comp"), col("id").as("newComp"))
-            else {
-              val cverts = contracted.select(col("src").as("vertex"))
-                .unionAll(contracted.select(col("dst").as("vertex"))).distinct()
-              graft.graph.GraphOps
-                .connectedComponents(contracted, cverts, ordered = false)
-                .select(col("vertex").as("comp"), col("component").as("newComp"))
-                .localCheckpoint(true)
-            }
+          // merge map via the gated driver union-find (r20): bit-identical
+          // to the GraphX kernel, no per-batch job train at delta scale
+          val merge = mergeMapCC(spark, contracted)
+            .select(col("vertex").as("comp"), col("component").as("newComp"))
           val newResolved = newVerts.join(broadcast(merge), Seq("comp"), "left_outer")
             .select(col("vertex"), coalesce(col("newComp"), col("comp")).as("comp"))
           val oldRemapped = labels0.join(broadcast(merge), Seq("comp"))
@@ -1547,6 +1648,7 @@ object StreamOps {
             .select(col("vertex"), col("newComp").as("comp"))
           mergeIntoBucketedServing(newResolved.unionByName(oldRemapped),
             labelStore, "vertex", nBuckets)
+          mark("cc")
         }
         batchesDone += 1
         // bounded read fan-in (see Scaladoc): size-tiered maintenance —
@@ -1561,6 +1663,7 @@ object StreamOps {
           compactFanIn >= 2 && Seq(shStore, bandStore, docStore)
             .map(tieredCompactStore(spark, _, compactFanIn))
             .exists(identity)
+        mark("maintain")
         recordBatchDuration(tBatch0, if (compacted) "compact" else "append")
         batchProbe(admitted, superseded)
       }
@@ -1990,16 +2093,13 @@ object StreamOps {
           // seq-basis cost was exactly this recomputation)
           .localCheckpoint(true)
         mark("contract")
-        val cverts = contracted.select(col("src").as("vertex"))
-          .unionAll(contracted.select(col("dst").as("vertex"))).distinct()
         // merge map over the contracted graph only (unordered — it feeds
-        // an equi-join, and a DataFrame min-label fixpoint was MEASURED
-        // slower here: ~6 SQL jobs/round × diameter × batches beat
-        // GraphX's per-invocation overhead, 26.2s vs 14.8s at sf0.1 in
-        // r11 and re-confirmed in r15 after the contraction checkpoint,
-        // 20.3s vs 14.9s)
-        val merge = graft.graph.GraphOps
-          .connectedComponents(contracted, cverts, ordered = false)
+        // an equi-join; a DataFrame min-label fixpoint was MEASURED
+        // slower here in r11/r15). r20: [[mergeMapCC]] computes the
+        // delta-scaled merge map on the driver below the gate —
+        // bit-identical min-id labels, zero per-batch jobs — and falls
+        // back to the distributed kernel past it.
+        val merge = mergeMapCC(spark, contracted)
           .select(col("vertex").as("comp"), col("component").as("newComp"))
         mark("cc")
         // Land ONLY the rows this batch actually changes — new vertices
@@ -2677,11 +2777,13 @@ object StreamOps {
     *     the batch alone (batch-sized, tiny).
     * A triangle has exactly 1, 2 or 3 delta edges, so T1/T2/T3 partition
     * the new triangles — each is counted exactly once, and the running
-    * (vertex, n_triangles) state is a pure additive merge, landed through
-    * [[mergeAdditiveIntoBucketedServing]] so each batch reads and
-    * rewrites ONLY the buckets holding delta vertices (r14: the previous
-    * wholesale state overwrite was O(batches × V) write amplification on
-    * the derived state). The ONE
+    * (vertex, n_triangles) state is a pure additive fold over an
+    * APPEND-ONLY tiered store (r20): each batch appends its |Δ|-sized
+    * increment file, duplicate keys fold at [[tieredCompactStore]]
+    * compactions (sum `mergeFold`) and at serve — no batch reads or
+    * rewrites stored counter state at all (r14 had flagged the wholesale
+    * overwrite; the r14–r19 bucketed merge still re-wrote every touched
+    * bucket, O(store) for a spread delta). The ONE
     * cumulative edge store is the catalog's delta-version chain
     * ([[graft.graph.GraphCatalog.modifyDelta]], the
     * [[graphMaintainReplayBatch]] layout): the OLD adjacency each batch
@@ -2722,6 +2824,7 @@ object StreamOps {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     var batchesDone = 0L
+    var edgesTotal = 0L
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -2733,21 +2836,33 @@ object StreamOps {
           col("b").cast("long").as("b")).localCheckpoint(true)
         val dEdges = d.select(col("a").as("src"), col("b").as("dst"))
         // the OLD adjacency = the catalog chain BEFORE this batch's delta
-        // lands (the batches partition a distinct edge set, and the reads
-        // below are all materialized — localCheckpoint — before the
-        // delta write)
+        // lands, checkpointed ONCE (pins every pre-batch chain read ahead
+        // of the delta write; feeds the T1 fan via symOld plus both
+        // closing-probe broadcast builds)
         val eOld =
-          if (cat.exists("T"))
-            cat.load("T").select(col("src").as("a"), col("dst").as("b"))
-          else Seq.empty[(Long, Long)].toDF("a", "b")
+          (if (cat.exists("T"))
+             cat.load("T").select(col("src").as("a"), col("dst").as("b"))
+           else Seq.empty[(Long, Long)].toDF("a", "b"))
+            .localCheckpoint(true)
         val symOld = eOld.select(col("a").as("x"), col("b").as("y"))
           .unionAll(eOld.select(col("b").as("x"), col("a").as("y")))
-          .localCheckpoint(true) // feeds T1 twice and T2 once
-        // T1: delta edge (a,b) + old edges (a,c), (b,c)
-        val t1 = d
+        // r20 (guide §3.1, the K4 twin's gate): below quadBroadcastMax
+        // the |Δ| side and the canonical closing-edge probes broadcast —
+        // the old unhinted plan shuffled the O(E) symmetric adjacency
+        // TWICE per batch (fan + closing semi) against no-stats
+        // checkpoints. Past the gate the shuffle shapes return (100 TB
+        // path). Disjoint replay deltas keep the running edge count exact.
+        edgesTotal += d.count() // cached blocks: milliseconds, O(|Δ|)
+        val small = edgesTotal <= quadBroadcastMax
+        def bcE(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+        // T1: delta edge (a,b) + old edges (a,c), (b,c) — the closing
+        // {b,c} probe keys the CANONICAL store via least/greatest (the
+        // same edge set the symOld semi encoded, at half the rows)
+        val t1 = (if (small) broadcast(d) else d)
           .join(symOld.select(col("x").as("a"), col("y").as("c")), "a")
-          .join(symOld.select(col("x").as("b"), col("y").as("c")),
-            Seq("b", "c"), "left_semi")
+          .join(bcE(eOld.select(col("a").as("e1"), col("b").as("e2"))),
+            col("e1") === least(col("b"), col("c")) &&
+              col("e2") === greatest(col("b"), col("c")), "left_semi")
           .select("a", "b", "c")
         // T2: delta wedge (m,x), (m,y) with x < y, closing OLD edge (x,y)
         val symD = d.select(col("a").as("m"), col("b").as("x"))
@@ -2755,7 +2870,7 @@ object StreamOps {
         val t2 = symD
           .join(symD.select(col("m"), col("x").as("y")), "m")
           .filter(col("x") < col("y"))
-          .join(eOld.select(col("a").as("x"), col("b").as("y")),
+          .join(bcE(eOld.select(col("a").as("x"), col("b").as("y"))),
             Seq("x", "y"), "left_semi")
           .select(col("m").as("a"), col("x").as("b"), col("y").as("c"))
         // T3: triangles entirely inside the batch (canonical enumeration)
@@ -2781,19 +2896,21 @@ object StreamOps {
         val deltaTotal = deltaCounts.agg(sum("n_triangles")).collect()
           .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
           .getOrElse(0L)
-        // Fold the per-vertex increments into the bucketed counter store:
-        // only buckets holding delta vertices are read or rewritten, so
-        // per-batch state writes scale with |Δ|'s bucket footprint — not
-        // the O(batches × V) wholesale overwrite flagged in r13. A
-        // no-new-triangles batch touches nothing (and must not: an empty
-        // partitioned write would leave a schemaless store).
+        // r20 (r19 verdict #2, guide §2.3/§5): append-only tiered counter
+        // store with the sum fold as merge operator — same rework as the
+        // K4 twin's state (the per-batch bucketed merge read + rewrote
+        // every touched bucket). Appends are O(|Δ| vertices); keys fold
+        // at compactions and at serve; a no-new-triangles batch appends
+        // nothing.
         if (deltaTotal > 0L)
-          mergeAdditiveIntoBucketedServing(deltaCounts, state, "vertex")
+          deltaCounts.coalesce(1).write.mode("append").parquet(state)
+        val fi = maintenanceFanIn
+        val compacted = fi >= 2 &&
+          tieredCompactStore(spark, state, fi, mergeFold = Some(triangleFold))
         val next =
-          if (pathExists(spark, state))
-            spark.read.parquet(state).select("vertex", "n_triangles")
+          if (pathExists(spark, state)) triangleFold(spark.read.parquet(state))
           else emptyTriangleState(spark)
-        recordBatchDuration(tBatch0)
+        recordBatchDuration(tBatch0, if (compacted) "compact" else "append")
         batchProbe(deltaTotal / 3L, next)
       }
       .start()
@@ -2802,11 +2919,16 @@ object StreamOps {
     require(batches >= 2,
       s"triangle maintenance replay ran $batches non-empty micro-batches; " +
         "the incremental path requires at least 2")
-    (if (pathExists(spark, state))
-       spark.read.parquet(state).select("vertex", "n_triangles")
+    (if (pathExists(spark, state)) triangleFold(spark.read.parquet(state))
      else emptyTriangleState(spark))
       .orderBy("vertex")
   }
+
+  /** Serve-time fold for the triangle twin's append-only counter store
+    * (also the store's compaction merge operator). */
+  private def triangleFold(df: DataFrame): DataFrame =
+    df.groupBy("vertex")
+      .agg(sum("n_triangles").cast("long").as("n_triangles"))
 
   /** Streaming incremental 4-CLIQUE maintenance — the triangle
     * maintainer's delta pattern lifted one cohesion level to the suite's
@@ -2832,9 +2954,11 @@ object StreamOps {
     * cumulative edge store is the catalog delta chain (compacted every
     * `compactEvery` batches; chain reads are materialized BEFORE the
     * delta lands so eAll never double-counts the batch), and the
-    * (vertex, n_cliques4) counter state folds through
-    * [[mergeAdditiveIntoBucketedServing]] — reads and writes both scale
-    * with the delta's footprint.
+    * (vertex, n_cliques4) counter state is an APPEND-ONLY tiered store
+    * (r20): each batch appends its |Δ|-sized increment file, duplicate
+    * keys fold at [[tieredCompactStore]] compactions (sum `mergeFold`)
+    * and once more at serve — writes scale with the delta, reads with
+    * the key-bounded folded tiers, and no batch rewrites stored state.
     *
     * Oracle: the end state equals batch `fourclique_counts` on the full
     * snapshot — ONE oracle replays both twins. `batchProbe(newCliques,
@@ -2964,8 +3088,17 @@ object StreamOps {
         // candidates w adjacent to endpoint a, rank-filtered BEFORE the
         // (b, w) probe: every edge of a surviving clique must rank below
         // the attributed delta edge (a, b), so pruning here both halves
-        // the fan-out and kills non-max attributions before they cost
-        val fan = d
+        // the fan-out and kills non-max attributions before they cost.
+        // The |Δ| side is broadcast below the gate (r20, guide §3.1 —
+        // same r19 vertexProbe rationale: both sides are checkpointed
+        // LogicalRDDs with no stats, so the unhinted plan shuffled the
+        // O(E) adjacency EVERY batch and re-sorted it against the delta;
+        // the profiled cn stage grew 1.7 → 4.6 s/batch with the accrued
+        // graph. Broadcast-left keeps the adjacency streamed map-side —
+        // the fan-out still never crosses an exchange, now its inputs
+        // don't either). Past the gate the shuffle shape returns: at
+        // 100 TB a batch delta can exceed any executor's memory.
+        val fan = (if (bcastEdges) broadcast(d) else d)
           .join(sym.select(col("x").as("a"), col("y").as("w"),
             col("r").as("r1")), "a")
           .filter(col("r1") < col("r"))
@@ -2980,8 +3113,14 @@ object StreamOps {
           .select("a", "b", "r", "w")
           .localCheckpoint(true) // feeds both sides of the pair self-join
         mark("cn")
+        // pair self-join build side: cn is checkpointed, so the row count
+        // is a cached-block sum — broadcast the (a, b, x) side below the
+        // gate (it otherwise shuffles cn TWICE, once per side), shuffle
+        // past it (the fan-out law again)
+        val cnRight = cn.select(col("a"), col("b"), col("w").as("x"))
         val quads = cn
-          .join(cn.select(col("a"), col("b"), col("w").as("x")), Seq("a", "b"))
+          .join(if (cn.count() <= quadBroadcastMax) broadcast(cnRight)
+                else cnRight, Seq("a", "b"))
           .filter(col("w") < col("x"))
           .filter(edgeMight(col("w"), col("x")))
           // closing edge (w, x) — canonical because w < x — must also rank
@@ -3007,15 +3146,27 @@ object StreamOps {
         val deltaTotal = deltaCounts.agg(sum("n_cliques4")).collect()
           .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
           .getOrElse(0L)
+        // r20 (r19 verdict #2, guide §2.3/§5): the counter state is an
+        // append-only tiered store with the sum fold as its merge
+        // operator (tieredCompactStore mergeFold) — the per-batch
+        // bucketed merge read + re-aggregated + rewrote every touched
+        // bucket (profiled ~0.6–1.1 s/batch), and a clique delta touches
+        // most buckets. Appends are O(|Δ| vertices); each key re-folds
+        // only at its log_fanIn(B) compactions; reads fold ≤
+        // fanIn·levels pre-folded tier files. Sums of per-batch BIGINT
+        // increments are associative, so the folded view equals the old
+        // eagerly-merged store row-for-row.
         if (deltaTotal > 0L)
-          mergeAdditiveIntoBucketedServing(deltaCounts, state, "vertex")
+          deltaCounts.coalesce(1).write.mode("append").parquet(state)
+        val fi = maintenanceFanIn
+        val compacted = fi >= 2 &&
+          tieredCompactStore(spark, state, fi, mergeFold = Some(cliqueFold))
         val next =
-          if (pathExists(spark, state))
-            spark.read.parquet(state).select("vertex", "n_cliques4")
+          if (pathExists(spark, state)) cliqueFold(spark.read.parquet(state))
           else spark.range(0).select(col("id").as("vertex"),
             col("id").as("n_cliques4"))
         mark("merge")
-        recordBatchDuration(tBatch0)
+        recordBatchDuration(tBatch0, if (compacted) "compact" else "append")
         batchProbe(deltaTotal / 4L, next)
       }
       .start()
@@ -3024,12 +3175,17 @@ object StreamOps {
     require(batches >= 2,
       s"4-clique maintenance replay ran $batches non-empty micro-batches; " +
         "the incremental path requires at least 2")
-    (if (pathExists(spark, state))
-       spark.read.parquet(state).select("vertex", "n_cliques4")
+    (if (pathExists(spark, state)) cliqueFold(spark.read.parquet(state))
      else spark.range(0).select(col("id").as("vertex"),
        col("id").as("n_cliques4")))
       .orderBy("vertex")
   }
+
+  /** Serve-time fold for the K4 twin's append-only counter store (also
+    * the store's compaction merge operator). */
+  private def cliqueFold(df: DataFrame): DataFrame =
+    df.groupBy("vertex")
+      .agg(sum("n_cliques4").cast("long").as("n_cliques4"))
 
   /** Streaming ASSOCIATION-RULE maintenance — market-basket rules served
     * under ingest: baskets arrive in micro-batches (the input is
@@ -3037,18 +3193,31 @@ object StreamOps {
     * one batch and batches hold disjoint baskets) and all three
     * statistics the rules need are pure additive integers:
     *   (1) pair co-occurrence counts (ante, cons) → n_ab — the batch's
-    *       within-basket pair join folds through the composite-key
-    *       bucketed merge ([[mergeAdditiveKeyed]] on (ante, cons) — only
-    *       touched buckets rewritten);
-    *   (2) per-item counts (part → cnt) — same additive bucketed fold;
+    *       within-basket pair join APPENDS one |Δ|-sized level-0 delta
+    *       file; duplicate keys fold at every tiered compaction
+    *       ([[tieredCompactStore]] with the sum `mergeFold` — the LSM
+    *       merge operator) and once more at serve;
+    *   (2) per-item counts (part → cnt) — same append + fold-on-merge;
     *   (3) the one-row basket total — batches hold disjoint baskets, so
-    *       per-batch distinct-basket counts sum exactly.
+    *       per-batch distinct-basket counts sum exactly in a driver-side
+    *       counter (the K4 twin's `edgesTotal` pattern).
+    * r20 rework (r19 verdict #3, guide §2.3/§5): the previous per-batch
+    * [[mergeAdditiveKeyed]] read + re-aggregated + REWROTE every touched
+    * bucket each batch — and a pair-count delta touches essentially every
+    * bucket, so each micro-batch paid an O(store) read+write where the
+    * twin's whole claim is |Δ|-scaled ingest. The append-only layout
+    * writes O(|Δ|) per batch; each key is re-folded only at
+    * log_fanIn(B) compactions, total maintenance O(data·log B), and the
+    * serve-time fold reads ≤ fanIn·levels key-bounded files. Same
+    * trade the r17 curation store rework made; the rules themselves are
+    * unchanged — sums of per-batch BIGINT counts are associative, so the
+    * folded store equals the old eagerly-merged one row-for-row.
     * The final answer reapplies the batch query's confidence/lift
     * expression (exact-BIGINT inputs, fixed IEEE op order) over the
     * maintained stores, so the batch `assoc_rules_top50` oracle replays
     * the twin bit-for-bit. At 100 TB: per-batch cost is the batch's own
-    * basket-bounded pair explosion + bucket-footprint state writes; the
-    * rule read never re-scans history. `batchProbe(batchPairs,
+    * basket-bounded pair explosion + |Δ| appends; the rule read never
+    * re-scans raw history. `batchProbe(batchPairs,
     * batchBaskets)` lets StreamSpec assert ≥2 live batches and per-batch
     * delta sizes. Output: the batch query's schema, top 50 by lift.
     */
@@ -3063,7 +3232,6 @@ object StreamOps {
     val inDir = s"$tmp/in"
     val pairStore = s"$tmp/pairs"
     val itemStore = s"$tmp/items"
-    val totDir = s"$tmp/total"
     basket.select(col("okey").cast("long").as("okey"),
         col("part").cast("long").as("part"))
       // basket-whole batches: hash-partition BY okey so a basket's rows
@@ -3073,31 +3241,48 @@ object StreamOps {
     val schema = spark.read.parquet(inDir).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
+    // disjoint baskets: the running total is the exact sum of per-batch
+    // distinct-basket counts (same driver-counter argument as the K4
+    // twin's edgesTotal — a compaction never changes it)
+    var basketsTotal = 0L
+    val pairFold: DataFrame => DataFrame =
+      _.groupBy("ante", "cons").agg(sum("n_ab").cast("long").as("n_ab"))
+    val itemFold: DataFrame => DataFrame =
+      _.groupBy("part").agg(sum("cnt").cast("long").as("cnt"))
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tBatch0 = System.nanoTime()
+        var t0 = tBatch0
+        def mark(s: String): Unit = {
+          if (sys.env.contains("GRAFT_ASSOC_DEBUG"))
+            System.err.println(f"[assoc] $s: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          t0 = System.nanoTime()
+        }
         val b = batch.localCheckpoint(true)
         val a = b.select(col("okey"), col("part").as("ante"))
         val c = b.select(col("okey"), col("part").as("cons"))
         val pairDelta = a.join(c, Seq("okey"))
           .filter(col("ante") =!= col("cons"))
           .groupBy("ante", "cons").agg(count(lit(1)).cast("long").as("n_ab"))
-          .localCheckpoint(true) // feeds the merge AND the probe count
-        // composite (ante, cons) key — a BIGINT pack of the pair
-        // overflowed at the 10× soak's id stride
-        mergeAdditiveKeyed(pairDelta, pairStore, Seq("ante", "cons"))
-        val itemDelta = b.groupBy("part")
-          .agg(count(lit(1)).cast("long").as("cnt"))
-        mergeAdditiveIntoBucketedServing(itemDelta, itemStore, "part")
+          .localCheckpoint(true) // feeds the append AND the probe count
+        mark("pairs")
+        // one |Δ|-sized level-0 file per store per batch; keys duplicated
+        // across batches fold at compaction / serve (LSM merge-on-read)
+        pairDelta.coalesce(1).write.mode("append").parquet(pairStore)
+        b.groupBy("part").agg(count(lit(1)).cast("long").as("cnt"))
+          .coalesce(1).write.mode("append").parquet(itemStore)
+        mark("appends")
         val nb = b.select("okey").distinct().count()
-        val prevNb =
-          if (pathExists(spark, totDir))
-            spark.read.parquet(totDir).collect()(0).getLong(0)
-          else 0L
-        import spark.implicits._
-        Seq(prevNb + nb).toDF("n_b").write.mode("overwrite").parquet(totDir)
+        basketsTotal += nb
+        val fi = maintenanceFanIn
+        val compacted = fi >= 2 &&
+          (tieredCompactStore(spark, pairStore, fi, mergeFold = Some(pairFold)) |
+            tieredCompactStore(spark, itemStore, fi, mergeFold = Some(itemFold)))
+        mark("compact")
+        recordBatchDuration(tBatch0, if (compacted) "compact" else "append")
         batchProbe(pairDelta.count(), nb)
       }
       .start()
@@ -3106,11 +3291,12 @@ object StreamOps {
     require(batches >= 2,
       s"assoc-rules replay ran $batches non-empty micro-batches; " +
         "the incremental path requires at least 2")
-    val pairs = spark.read.parquet(pairStore)
-      .select("ante", "cons", "n_ab")
-    val itemN = spark.read.parquet(itemStore).select("part", "cnt")
-    val tot = spark.read.parquet(totDir)
-      .agg(max("n_b").cast("long").as("n_b")) // one row by construction
+    // serve-time fold over the tiered store (level-0 files may still hold
+    // per-batch deltas of the same key; compacted tiers are pre-folded)
+    val pairs = pairFold(spark.read.parquet(pairStore))
+    val itemN = itemFold(spark.read.parquet(itemStore))
+    import spark.implicits._
+    val tot = Seq(basketsTotal).toDF("n_b")
     // the batch query's tail, verbatim: exact-BIGINT inputs, fixed IEEE
     // op order — the shared oracle pins both twins
     pairs.filter(col("n_ab") >= minPairCount)

@@ -8,6 +8,46 @@ import SparkTestSession._
 class StreamSpec extends AnyFunSuite {
   import spark.implicits._
 
+  /** Parquet data-file names of a FLAT append-only tiered store. */
+  private def flatFileSet(stateDir: String): Set[String] = {
+    val root = new java.io.File(stateDir)
+    if (!root.exists()) Set.empty
+    else root.listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(_.getName).toSet
+  }
+
+  /** Append-only tiered-store invariant (r20 — the counter twins' state
+    * layout): between consecutive per-batch snapshots an existing data
+    * file may only DISAPPEAR by compacting one tier up (a new `tier*`
+    * file must appear in the same step); otherwise the file set only
+    * grows — no batch rewrites stored counter state in place.
+    */
+  private def assertAppendOnlyStore(files: Seq[Set[String]]): Unit =
+    files.sliding(2).foreach {
+      case Seq(prev, cur) =>
+        val vanished = prev -- cur
+        if (vanished.nonEmpty) {
+          val newTiers = (cur -- prev).filter(_.startsWith("tier"))
+          assert(newTiers.nonEmpty,
+            s"files $vanished vanished without a tier compaction")
+        }
+      case _ => ()
+    }
+
+  /** Per-batch folded counter snapshots must be monotone: a maintained
+    * count never decreases, and no key vanishes once counted. */
+  private def assertMonotoneCounts(states: Seq[Map[Long, Long]]): Unit =
+    states.sliding(2).foreach {
+      case Seq(prev, cur) =>
+        prev.foreach { case (k, v) =>
+          assert(cur.getOrElse(k, 0L) >= v,
+            s"count of $k decreased: $v -> ${cur.get(k)}")
+        }
+      case _ => ()
+    }
+
   /** Parquet file names per bucket dir of a bucketed serving store —
     * rewrites always produce fresh part-file names, so set equality means
     * the bucket's files were not touched.
@@ -285,21 +325,23 @@ class StreamSpec extends AnyFunSuite {
       Seq((5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L), (8L, 9L))).toDF("a", "b")
     val probed = scala.collection.mutable.ArrayBuffer.empty[Long]
     var stateDir = ""
-    val fileSnaps = scala.collection.mutable.ArrayBuffer.empty[Map[String, Set[String]]]
+    val fileSnaps = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
     val stateSnaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
     val out = StreamOps.triangleMaintainReplayBatch(spark, pairs,
       (n, state) => {
         probed += n
-        fileSnaps += bucketFileSets(stateDir)
+        fileSnaps += flatFileSet(stateDir)
         stateSnaps += state.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
         ()
       },
       stateDirProbe = p => { stateDir = p })
     assert(probed.length >= 2, s"expected >=2 probed batches, got $probed")
     assert(probed.sum == 11L, s"per-batch new-triangle counts $probed must sum to 11")
-    // r13 #2: the counter state is bucketed — a bucket with no incremented
-    // vertex this batch must keep byte-identical files
-    assertUntouchedBuckets(fileSnaps.toSeq, stateSnaps.toSeq)
+    // r20: the counter state is an append-only tiered store — no batch
+    // rewrites existing files in place, and the per-batch folded view
+    // only ever grows
+    assertAppendOnlyStore(fileSnaps.toSeq)
+    assertMonotoneCounts(stateSnaps.toSeq)
     val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val batch = graft.graph.GraphOps.triangleCounts(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -318,12 +360,12 @@ class StreamSpec extends AnyFunSuite {
         (7L, 8L), (8L, 9L))).toDF("a", "b")
     val probed = scala.collection.mutable.ArrayBuffer.empty[Long]
     var stateDir = ""
-    val fileSnaps = scala.collection.mutable.ArrayBuffer.empty[Map[String, Set[String]]]
+    val fileSnaps = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
     val stateSnaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
     val out = StreamOps.fourcliqueMaintainReplayBatch(spark, pairs,
       (n, state) => {
         probed += n
-        fileSnaps += bucketFileSets(stateDir)
+        fileSnaps += flatFileSet(stateDir)
         stateSnaps += state.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
         ()
       },
@@ -337,8 +379,10 @@ class StreamSpec extends AnyFunSuite {
     assert(!got.contains(8L) && !got.contains(9L), "clique-free tail must be absent")
     // vertex 1 is in the 4 K5-cliques that include it; vertex 6 only in the K4
     assert(got(1L) == 4L && got(6L) == 1L && got(4L) == 5L, s"corner counts off: $got")
-    // the counter state is bucketed: untouched buckets keep identical files
-    assertUntouchedBuckets(fileSnaps.toSeq, stateSnaps.toSeq)
+    // r20: the counter state is an append-only tiered store — no batch
+    // rewrites existing files; the folded per-batch view is monotone
+    assertAppendOnlyStore(fileSnaps.toSeq)
+    assertMonotoneCounts(stateSnaps.toSeq)
   }
 
   test("fourcliqueMaintainReplayBatch: Bloom-pruned shuffle path equals the broadcast path") {
@@ -357,6 +401,26 @@ class StreamSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got == batch, s"Bloom-path end state $got != batch census $batch")
     } finally System.clearProperty("graft.quadBroadcastMax")
+  }
+
+  test("mergeMapCC: driver union-find equals the distributed kernel bit-for-bit") {
+    // two chains that fuse through a shared spine + an isolated pair —
+    // exercises multi-hop unions, out-of-order arrivals, and min-id
+    // labels across both paths
+    val e = Seq((5L, 3L), (3L, 9L), (9L, 2L), (14L, 15L), (15L, 2L),
+        (40L, 41L), (100L, 7L), (7L, 6L))
+      .toDF("src", "dst").localCheckpoint(true)
+    val local = StreamOps.mergeMapCC(spark, e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    System.setProperty("graft.localCcMax", "0") // force the GraphX path
+    try {
+      val dist = StreamOps.mergeMapCC(spark, e)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(local == dist, s"local $local != distributed $dist")
+    } finally System.clearProperty("graft.localCcMax")
+    // min-id labels: the fused chain {2,3,5,9,14,15} labels 2
+    assert(local.contains((5L, 2L)) && local.contains((14L, 2L)) &&
+      local.contains((40L, 40L)) && local.contains((41L, 40L)))
   }
 
   test("assocRulesReplayBatch: basket-whole batches; end rules equal the batch expression") {
