@@ -1027,15 +1027,31 @@ object GraphOps {
     * joins) and derives the SAME registers from it; the semilattice
     * identity says the two must agree bit-for-bit.
     *
-    * Scale: registers are (v, bucket, max-rank) ROWS — sparse until a
-    * ball covers all m buckets, so per-round cost is one edge equi-join
-    * + one (v, bucket) max aggregate (map-side combined), bounded by
-    * m·V rows; the packed-array representation (64 registers/long
-    * word) is the constant-factor upgrade at 100 TB, not a shape change.
+    * Scale: the state is a PACKED m-byte register blob per vertex (one
+    * 256 B value through the shuffle; byte b = max rank for bucket b —
+    * the row-per-(v, bucket, rank) formulation measured 4× slower at
+    * sf0.1), so per-round cost is one edge equi-join + one per-vertex
+    * blob max-merge (map-side combined), bounded by V rows.
+    *
+    * Final-round prune (r20, guide §1.2 "don't compute things you
+    * throw away"): the output reads registers for the MARKED vertices
+    * only (v < `outputBelow`, parameter-scale), and a marked vertex's
+    * round-`radius` register reads round-(radius−1) state only along
+    * its OUT-edges — B_r(v) = {v} ∪ ⋃_{v→u} B_{r−1}(u). So the LAST
+    * round joins the marked out-edges alone (a pure pushdown predicate
+    * — no reachability pass) and gated-broadcasts that parameter-scale
+    * edge slice, streaming the full state map-side instead of
+    * shuffling V blob rows; its merge aggregates |outN(marked)| rows
+    * instead of E. Kept registers read exactly the same inputs, so
+    * every shipped value is bit-identical. (The FULL halo prune — BFS
+    * distances filtering every round — was measured 20% SLOWER at
+    * sf0.1: radius−1 extra join rounds plus per-round semi-joins
+    * against savings only the last two rounds see. The numbers:
+    * nf 5.00→6.32 s, harmonic 4.78→5.87, mean_distance 3.99→5.11,
+    * eff_diameter 3.72→4.51 — reverted; the final-round predicate is
+    * the free four-fifths of that win.)
     * Output: (vertex, radius, n_used, sprime, est) for vertices below
-    * `outputBelow` (the estimates are checked for a marked subset; the
-    * propagation itself runs over the WHOLE graph), radius 1..`radius`,
-    * ordered.
+    * `outputBelow`, radius 1..`radius`, ordered.
     */
   def hyperBallNf(edges: DataFrame, radius: Int = 3,
                   outputBelow: Long = 1000L): DataFrame = {
@@ -1066,9 +1082,18 @@ object GraphOps {
     // evaluate the identical IEEE op tree
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     for (r <- 1 to radius) {
-      state = state.join(e, state("v") === e("dst"))
-        .select(e("src").as("v"), col("regs"))
-        .unionAll(state)
+      val lastRound = r == radius
+      // final round: only marked registers are read afterwards, so only
+      // the marked out-edges and marked self-rows enter the merge
+      val eR = if (lastRound) {
+        val me = e.filter(col("src") < outputBelow)
+        vertexProbe(me)(me)
+      } else e
+      val sSelf =
+        if (lastRound) state.filter(col("v") < outputBelow) else state
+      state = state.join(eR, state("v") === eR("dst"))
+        .select(eR("src").as("v"), col("regs"))
+        .unionAll(sSelf)
         .groupBy("v").agg(hll_reg_merge_agg(col("regs"), m).as("regs"))
         .localCheckpoint(true)
       state.filter(col("v") < outputBelow).collect().foreach { row =>
@@ -1325,7 +1350,8 @@ object GraphOps {
   private[graft] def trussSupportRound(p: DataFrame): DataFrame = {
     val o = orientByDegree(p, pairDegrees(p).localCheckpoint(true))
       .localCheckpoint(true) // feeds all three sides of the triangle join
-    orientedTriangles(o, censusProbe(o)).select(explode(array(
+    orientedTriangles(o, censusProbe(o), censusBloomPrune(o, Seq("u", "v")))
+      .select(explode(array(
         struct(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y")),
         struct(least(col("u"), col("w")).as("x"), greatest(col("u"), col("w")).as("y")),
         struct(least(col("v"), col("w")).as("x"), greatest(col("v"), col("w")).as("y"))))
@@ -1718,6 +1744,34 @@ object GraphOps {
   private[graft] def censusProbe(o: DataFrame): DataFrame => DataFrame =
     if (o.count() <= censusBroadcastMax) broadcast(_) else identity
 
+  /** ABOVE-gate Bloom prune for the census closing-edge semi-joins (r19
+    * verdict #4, guide §3.2): below [[censusBroadcastMax]] the probes
+    * broadcast and the fan-out never crosses an exchange — the prune is
+    * identity. Above the gate the wedge / tri-pair fan-out must shuffle
+    * to meet the sort-merge semi-join, and at cluster scale most
+    * candidates do not survive it — so a broadcast Bloom over the probe
+    * relation's canonical key (the batch form of the K4 maintainer's
+    * edge Bloom; blob capped at 2^28 bits ≈ 32 MB, past which the FP
+    * rate degrades, never the answer) drops non-members map-side BEFORE
+    * the exchange. The exact semi-join still runs on the survivors, so
+    * results are bit-identical across the gate (GraphOpsSpec pin).
+    * Returns: fan-out keys → fan-out frame → pruned frame.
+    */
+  private[graft] def censusBloomPrune(probeRel: DataFrame, keys: Seq[String])
+      : Seq[org.apache.spark.sql.Column] => DataFrame => DataFrame = {
+    val n = probeRel.count() // probeRel is checkpointed: partition-size sum
+    if (n <= censusBroadcastMax) _ => identity
+    else {
+      val bits = math.max(64L * 8L, math.min(n * 8L, 1L << 28))
+      val bf = probeRel.agg(graft.pipeline.RuntimeFilters.bloomAgg(
+          struct(keys.map(col): _*), math.max(n, 1L), bits).as("bf"))
+        .localCheckpoint(true) // built once, probed by every prune site
+      ks => df => df.filter(coalesce(
+        graft.pipeline.RuntimeFilters.mightContain(bf, struct(ks: _*)),
+        lit(true)))
+    }
+  }
+
   /** Every triangle exactly once as an ≺-ordered triple `u ≺ v ≺ w` over
     * a degree-ordered orientation `o` (see [[orientByDegree]]): join the
     * in-edges of each MIDDLE vertex v (u → v) with its out-edges (v → w) —
@@ -1734,8 +1788,11 @@ object GraphOps {
     * fan-out once per probe join.
     */
   private[graft] def orientedTriangles(
-      o: DataFrame, probe: DataFrame => DataFrame = identity): DataFrame =
-    o.join(probe(o.select(col("u").as("v"), col("v").as("w"))), "v")
+      o: DataFrame, probe: DataFrame => DataFrame = identity,
+      prune: Seq[org.apache.spark.sql.Column] => DataFrame => DataFrame =
+        _ => identity): DataFrame =
+    prune(Seq(col("u"), col("w")))(
+        o.join(probe(o.select(col("u").as("v"), col("v").as("w"))), "v"))
       .join(probe(o.select(col("u"), col("v").as("w"))), Seq("u", "w"), "left_semi")
       .select("u", "v", "w")
 
@@ -1758,7 +1815,7 @@ object GraphOps {
       .localCheckpoint(true) // scanned by the degree agg AND the orientation join
     val o = orientByDegree(p, pairDegrees(p).localCheckpoint(true))
       .localCheckpoint(true) // feeds all three sides of the triangle join
-    orientedTriangles(o, censusProbe(o))
+    orientedTriangles(o, censusProbe(o), censusBloomPrune(o, Seq("u", "v")))
       .select(explode(array(col("u"), col("v"), col("w"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).cast("long").as("n_triangles"))
       .orderBy("vertex")
@@ -1804,6 +1861,11 @@ object GraphOps {
     // stream never crosses an exchange; the shuffled plan sorted it once
     // per probe join
     val probe = censusProbe(o)
+    // above-gate Bloom prunes (identity below the gate): one over the
+    // oriented closing edge for the wedge fan-out, one over the
+    // canonical pair set for the tri-pair closing semi (guide §3.2)
+    val prune = censusBloomPrune(o, Seq("u", "v"))
+    val pruneP = censusBloomPrune(p, Seq("a", "b"))
     val quad =
       if (maxExtendDegree <= 0) {
         // EXACT path (r19, guide §2.3 "don't compute things you throw
@@ -1820,11 +1882,11 @@ object GraphOps {
         // edges verified (four by the two triangles, one shared, one by
         // the closing probe), and each K4 survives exactly once via its
         // ≺-minimal edge and the id-order filter.
-        val tri = orientedTriangles(o, probe)
+        val tri = orientedTriangles(o, probe, prune)
           .localCheckpoint(true) // feeds both sides of the pair self-join
-        tri
+        pruneP(Seq(col("w"), col("t")))(tri
           .join(tri.select(col("u"), col("v"), col("w").as("t")), Seq("u", "v"))
-          .filter(col("w") < col("t"))
+          .filter(col("w") < col("t")))
           .join(probe(p.select(col("a").as("w"), col("b").as("t"))),
             Seq("w", "t"), "left_semi")
       } else {
@@ -1835,7 +1897,7 @@ object GraphOps {
         // counterpart in the tri-pair shape
         val ext = o.join(deg.filter(col("degree") <= maxExtendDegree)
           .select(col("vertex").as("u")), Seq("u"), "left_semi")
-        orientedTriangles(o, probe)
+        orientedTriangles(o, probe, prune)
           .join(probe(ext.select(col("u").as("w"), col("v").as("t"))), "w")
           .join(probe(o.select(col("u"), col("v").as("t"))), Seq("u", "t"), "left_semi")
           .join(probe(o.select(col("u").as("v"), col("v").as("t"))), Seq("v", "t"), "left_semi")
@@ -1953,7 +2015,8 @@ object GraphOps {
       .localCheckpoint(true) // feeds the orientation AND the coefficient
     val o = orientByDegree(p, deg)
       .localCheckpoint(true) // feeds all three sides of the triangle join
-    val tri = orientedTriangles(o, censusProbe(o))
+    val tri = orientedTriangles(o, censusProbe(o),
+        censusBloomPrune(o, Seq("u", "v")))
       .select(explode(array(col("u"), col("v"), col("w"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).cast("long").as("n_triangles"))
     deg.filter(col("degree") >= 2)

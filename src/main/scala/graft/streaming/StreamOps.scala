@@ -1630,24 +1630,34 @@ object StreamOps {
             .join(broadcast(known), Seq("vertex"), "left_anti")
             .withColumn("comp", col("vertex"))
             .localCheckpoint(true)
-          val all = labels0.select("vertex", "comp").unionByName(newVerts)
-          val contracted = broadcast(broadcast(edges)
-              .join(all.select(col("vertex").as("src"), col("comp").as("csrc")), "src"))
-            .join(all.select(col("vertex").as("dst"), col("comp").as("cdst")), "dst")
-            .select(col("csrc").as("src"), col("cdst").as("dst"))
-            .filter(col("src") =!= col("dst")).distinct()
-            .localCheckpoint(true)
-          // merge map via the gated driver union-find (r20): bit-identical
-          // to the GraphX kernel, no per-batch job train at delta scale
-          val merge = mergeMapCC(spark, contracted)
-            .select(col("vertex").as("comp"), col("component").as("newComp"))
-          val newResolved = newVerts.join(broadcast(merge), Seq("comp"), "left_outer")
-            .select(col("vertex"), coalesce(col("newComp"), col("comp")).as("comp"))
-          val oldRemapped = labels0.join(broadcast(merge), Seq("comp"))
-            .filter(col("newComp") =!= col("comp"))
-            .select(col("vertex"), col("newComp").as("comp"))
-          mergeIntoBucketedServing(newResolved.unionByName(oldRemapped),
-            labelStore, "vertex", nBuckets)
+          // edge-free fast path (r20): a batch whose near-dup verify
+          // produced NO edges cannot merge components — skip the
+          // contraction (two full label-store scans) and the remap scan
+          // outright, and upsert only the fresh identity labels. `edges`
+          // is checkpointed, so the count is a cached-block sum.
+          if (edges.count() == 0L) {
+            mergeIntoBucketedServing(newVerts.select("vertex", "comp"),
+              labelStore, "vertex", nBuckets)
+          } else {
+            val all = labels0.select("vertex", "comp").unionByName(newVerts)
+            val contracted = broadcast(broadcast(edges)
+                .join(all.select(col("vertex").as("src"), col("comp").as("csrc")), "src"))
+              .join(all.select(col("vertex").as("dst"), col("comp").as("cdst")), "dst")
+              .select(col("csrc").as("src"), col("cdst").as("dst"))
+              .filter(col("src") =!= col("dst")).distinct()
+              .localCheckpoint(true)
+            // merge map via the gated driver union-find (r20): bit-identical
+            // to the GraphX kernel, no per-batch job train at delta scale
+            val merge = mergeMapCC(spark, contracted)
+              .select(col("vertex").as("comp"), col("component").as("newComp"))
+            val newResolved = newVerts.join(broadcast(merge), Seq("comp"), "left_outer")
+              .select(col("vertex"), coalesce(col("newComp"), col("comp")).as("comp"))
+            val oldRemapped = labels0.join(broadcast(merge), Seq("comp"))
+              .filter(col("newComp") =!= col("comp"))
+              .select(col("vertex"), col("newComp").as("comp"))
+            mergeIntoBucketedServing(newResolved.unionByName(oldRemapped),
+              labelStore, "vertex", nBuckets)
+          }
           mark("cc")
         }
         batchesDone += 1

@@ -266,6 +266,15 @@ class GraphOpsSpec extends AnyFunSuite {
         "shuffled-path K4 census diverged from the broadcast path")
       assert(quad(GraphOps.triangleCounts(p)) == bTri,
         "shuffled-path triangle census diverged from the broadcast path")
+      // r20 (r19 verdict #4): past the gate the wedge fan-out is Bloom-
+      // pruned map-side BEFORE the shuffled closing semi-join — the
+      // might_contain filter must sit deeper in the plan than the join
+      val forced = GraphOps.triangleCounts(p)
+        .queryExecution.executedPlan.toString
+      assert(forced.contains("might_contain"),
+        s"above-gate census plan carries no Bloom prune:\n$forced")
+      assert(forced.indexOf("might_contain") > forced.indexOf("LeftSemi"),
+        s"Bloom prune is not below the closing semi-join:\n$forced")
     } finally System.clearProperty("graft.censusBroadcastMax")
     // under the gate the closing-edge probe must be a map-side broadcast:
     // the O(m^1.5) wedge fan-out crosses no exchange before aggregation
